@@ -1,0 +1,367 @@
+"""The Application API — graph build + execution entry points.
+
+Re-expresses the reference's ``Application`` surface (reference
+``src/intelliflow/core/application/application.py``, 4700 LoC) minus
+the AWS control plane: nodes become **named DataFrame pipelines** over
+partition domains, ``execute()`` runs one partition-grain batch job,
+``process()`` feeds the in-process routing runtime (event-driven mode,
+:mod:`rheoceros_spark.streaming.routing`).
+
+Lifecycle mapping (SURVEY §3):
+
+* ``marshal_external_data`` → a :class:`Signal` over a dataset
+  descriptor with a declared dimension filter
+  (reference ``application.py:1067-1160``).
+* ``create_data`` → build a :class:`SignalLinkNode` (+ auto links),
+  output spec/links, compute slots → an :class:`InternalDataNode`
+  (reference ``application.py:1197-1542``).
+* ``execute(target)`` → back-derive material inputs from the output
+  via the link matrix (reference ``signal.py:1105``,
+  ``application.py:3100-3129``), load partitions, run slots, managed
+  write, return the materialized path (reference
+  ``application.py:2981-3260``).  ``recursive=True`` backfills missing
+  ancestor partitions; ``update_dependency_tree=True`` re-executes
+  descendants (reference ``application.py:2981-3060``).
+* ``process(signal)`` → inject one event into the routing table
+  (reference ``application.py:1877-1980``).
+* ``poll`` / ``materialize`` / ``load_data`` / ``preview_data`` →
+  output introspection (reference ``application.py:2051-2267,
+  3810-3953, 4121-4460``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rheoceros_spark.compute import ComputeContext, ComputeDescriptor, InlinedCompute
+from rheoceros_spark.dimensions import Dimension, DimensionFilter, DimensionSpec
+from rheoceros_spark.session import get_session
+from rheoceros_spark.signals import (
+    EQUALS,
+    OutputDimensionLink,
+    Signal,
+    SignalDimensionLink,
+    SignalLinkNode,
+)
+from rheoceros_spark.sources.datasets import (
+    DatasetDescriptor,
+    IntegrityProtocol,
+    ParquetDataset,
+)
+from rheoceros_spark.sources.io import (
+    METADATA_FILE,
+    load_signal,
+    partition_ready,
+    write_dataset,
+)
+
+
+@dataclass
+class InternalDataNode:
+    """One materialized-view pipeline: join → trigger → compute → write
+    (reference Route/InternalDataNode, routing_runtime_constructs.py:1172-1227)."""
+
+    id: str
+    link_node: SignalLinkNode
+    output_signal: Signal
+    output_links: list[OutputDimensionLink]
+    slots: list[ComputeDescriptor]
+    hooks: dict[str, Callable] = field(default_factory=dict)
+
+    def upstream_aliases(self) -> list[str]:
+        return [s.alias for s in self.link_node.signals]
+
+
+class Application:
+    def __init__(
+        self,
+        id: str,
+        storage_root: Optional[str] = None,
+        spark: Optional[SparkSession] = None,
+    ):
+        self.id = id
+        self.storage_root = (storage_root or os.path.join(tempfile.gettempdir(), "rheoceros_spark", id)).rstrip("/")
+        self._spark = spark
+        self._external: dict[str, Signal] = {}
+        self._nodes: dict[str, InternalDataNode] = {}
+        self._routing = None  # built lazily on activate()/process()
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            self._spark = get_session(app_name=self.id)
+        return self._spark
+
+    # ------------------------------------------------------------------
+    # graph build
+    # ------------------------------------------------------------------
+    def marshal_external_data(
+        self,
+        descriptor: DatasetDescriptor,
+        id: Optional[str] = None,
+        dimension_filter: Any = None,
+    ) -> Signal:
+        """External dataset → Signal; ``dimension_filter`` narrows the
+        declared domain (F7, reference application.py:1067-1160)."""
+        alias = id or os.path.basename(descriptor.path_format.replace("{}", "").rstrip("/")) or "ext"
+        filt = DimensionFilter.load_raw(descriptor.spec, dimension_filter)
+        sig = Signal(alias, descriptor, descriptor.spec, filt)
+        self._external[alias] = sig
+        return sig.clone()
+
+    def create_data(
+        self,
+        id: str,
+        inputs: Union[Sequence[Signal], dict[str, Signal]],
+        compute_targets: Union[ComputeDescriptor, Sequence[ComputeDescriptor]],
+        output_dimension_spec: Optional[Union[DimensionSpec, dict]] = None,
+        output_dim_links: Optional[Sequence[Union[OutputDimensionLink, tuple]]] = None,
+        input_dim_links: Optional[Sequence[Union[SignalDimensionLink, tuple]]] = None,
+        **hooks: Callable,
+    ) -> Signal:
+        if id in self._nodes:
+            raise ValueError(f"node {id!r} already exists")
+        # inputs: dict keys are aliases (reference application.py:1325-1360)
+        signals: list[Signal] = []
+        if isinstance(inputs, dict):
+            for alias, sig in inputs.items():
+                signals.append(sig.with_alias(alias))
+        else:
+            signals = [s.clone() for s in inputs]
+
+        link_node = SignalLinkNode(signals)
+        for link in input_dim_links or []:
+            if isinstance(link, tuple):
+                link = SignalDimensionLink(*link)
+            link_node.add_link(link)
+        link_node.compensate_missing_links()
+
+        # output spec defaults to the first independent input's spec
+        if output_dimension_spec is None:
+            indep = link_node.independent_signals or signals
+            out_spec = DimensionSpec([Dimension(d.name, d.type, d.params) for d in indep[0].spec])
+        elif isinstance(output_dimension_spec, dict):
+            out_spec = DimensionSpec.load(output_dimension_spec)
+        else:
+            out_spec = output_dimension_spec
+
+        # output links: explicit, then auto by dimension name
+        # (reference application.py:1426-1499)
+        links: list[OutputDimensionLink] = []
+        for ol in output_dim_links or []:
+            if isinstance(ol, tuple):
+                if len(ol) == 2:  # (output_dim, literal)
+                    ol = OutputDimensionLink.from_literal(*ol)
+                else:  # (output_dim, input_alias, input_dim[, func])
+                    out_dim, alias, in_dim = ol[0], ol[1], ol[2]
+                    func = ol[3] if len(ol) > 3 else EQUALS
+                    ol = OutputDimensionLink.from_input(out_dim, alias, in_dim, func)
+            links.append(ol)
+        linked = {l.output_dim for l in links}
+        for dim in out_spec:
+            if dim.name in linked:
+                continue
+            for sig in signals:
+                if dim.name in sig.dimension_names():
+                    links.append(OutputDimensionLink.from_input(dim.name, sig.alias, dim.name))
+                    break
+
+        out_desc = ParquetDataset(
+            self.storage_root + f"/internal_data/{id}" + "/{}" * len(out_spec),
+            *[Dimension(d.name, d.type, d.params) for d in out_spec],
+            integrity=IntegrityProtocol.SUCCESS_FILE,
+        )
+        output_signal = Signal(id, out_desc, out_desc.spec)
+
+        slots = list(compute_targets) if isinstance(compute_targets, (list, tuple)) else [compute_targets]
+        node = InternalDataNode(id, link_node, output_signal, links, slots, dict(hooks))
+        self._nodes[id] = node
+        self._routing = None  # graph changed; rebuild routing lazily
+        return output_signal.clone()
+
+    def __getitem__(self, node_id: str) -> Signal:
+        if node_id in self._nodes:
+            return self._nodes[node_id].output_signal.clone()
+        if node_id in self._external:
+            return self._external[node_id].clone()
+        raise KeyError(node_id)
+
+    # ------------------------------------------------------------------
+    # execution
+    # ------------------------------------------------------------------
+    def execute(
+        self,
+        target: Signal,
+        wait: bool = True,
+        recursive: bool = False,
+        update_dependency_tree: bool = False,
+    ) -> str:
+        """Run one partition-grain batch for ``target`` (an internal
+        node view with material dimension values).  Returns the
+        materialized output path."""
+        node = self._nodes.get(target.alias)
+        if node is None:
+            raise KeyError(f"{target.alias!r} is not an internal data node")
+
+        out_filter = target.filter.finalize()
+        if not out_filter.is_material:
+            raise ValueError(
+                f"execute target must be material; got {target.filter!r} "
+                "(index the view, e.g. node['NA']['2024-01-01'])"
+            )
+        out_values = dict(zip(node.output_signal.dimension_names(), out_filter.tip() or ()))
+        path = self._run_node(node, out_values, recursive=recursive)
+        if update_dependency_tree:
+            for child in self._descendants(node.id):
+                child_values = self._derive_child_values(child, node.id, out_values)
+                if child_values is not None:
+                    self._run_node(child, child_values, recursive=False)
+        return path
+
+    def _run_node(self, node: InternalDataNode, out_values: dict[str, Any], recursive: bool) -> str:
+        materialized = self._materialize_inputs(node, out_values)
+
+        if recursive:
+            # backfill missing internal ancestors first
+            # (reference application.py:2981-3060, recursive execute)
+            for sig in materialized:
+                up = self._nodes.get(sig.alias)
+                if up is None:
+                    continue
+                for branch in sig.filter.finalize().values():
+                    up_sig = up.output_signal.clone()
+                    up_sig.filter = DimensionFilter.load_raw(up_sig.spec, list(branch))
+                    p = up.output_signal.source.materialize_paths(up_sig.filter.finalize())[0]
+                    if not partition_ready(self.spark, up.output_signal.source, p):
+                        up_values = dict(zip(up.output_signal.dimension_names(), branch))
+                        self._run_node(up, up_values, recursive=True)
+
+        inputs_df = {sig.alias: load_signal(self.spark, sig) for sig in materialized}
+        ctx = ComputeContext(self.spark, dimensions=dict(out_values), output_alias=node.id)
+
+        out_df: Optional[DataFrame] = None
+        for slot in node.slots:
+            if isinstance(slot, InlinedCompute):
+                slot.run_inlined({s.alias: s for s in materialized}, node.output_signal, dict(out_values))
+            else:
+                out_df = slot.run(inputs_df, ctx)
+        if out_df is None:
+            raise ValueError(f"node {node.id!r} has no batch compute slot producing an output")
+
+        out_filter = DimensionFilter.load_raw(
+            node.output_signal.spec, [out_values[d] for d in node.output_signal.dimension_names()]
+        )
+        path = node.output_signal.source.materialize_paths(out_filter)[0]
+        write_dataset(out_df, path, data_format=node.output_signal.source.data_format)
+        return path
+
+    def _materialize_inputs(self, node: InternalDataNode, out_values: dict[str, Any]) -> list[Signal]:
+        """Back-derive material inputs from output values via the output
+        link matrix, then propagate across the input link matrix
+        (reference get_materialized_inputs_for_output, signal.py:1105)."""
+        seeds: dict[str, dict[str, Any]] = {}
+        for link in node.output_links:
+            if link.output_dim not in out_values:
+                continue
+            if link.literal is not None:
+                continue
+            if link.func is EQUALS and len(link.rhs) == 1:
+                alias, dim = link.rhs[0]
+                seeds.setdefault(alias, {})[dim] = out_values[link.output_dim]
+        known = node.link_node.propagate(seeds)
+
+        out: list[Signal] = []
+        for sig in node.link_node.signals:
+            values = [known.get(sig.alias, {}).get(d.name, "*") for d in sig.spec]
+            m = sig.materialize(values)
+            if not m.domain_is_material:
+                raise ValueError(
+                    f"cannot back-derive material values for input {sig.alias!r} "
+                    f"from output {out_values!r}; add input_dim_links/output_dim_links"
+                )
+            out.append(m)
+        return out
+
+    def _descendants(self, node_id: str) -> list[InternalDataNode]:
+        out = []
+        for node in self._nodes.values():
+            if node_id in node.upstream_aliases():
+                out.append(node)
+                out.extend(self._descendants(node.id))
+        seen, uniq = set(), []
+        for n in out:
+            if n.id not in seen:
+                seen.add(n.id)
+                uniq.append(n)
+        return uniq
+
+    def _derive_child_values(
+        self, child: InternalDataNode, parent_id: str, parent_values: dict[str, Any]
+    ) -> Optional[dict[str, Any]]:
+        known = child.link_node.propagate({parent_id: dict(parent_values)})
+        out_values = {}
+        for link in child.output_links:
+            if link.literal is not None:
+                out_values[link.output_dim] = link.literal
+            elif all(r[0] in known and r[1] in known[r[0]] for r in link.rhs):
+                out_values[link.output_dim] = (link.func or EQUALS)(*[known[r[0]][r[1]] for r in link.rhs])
+        if set(out_values) != set(child.output_signal.dimension_names()):
+            return None
+        return out_values
+
+    # ------------------------------------------------------------------
+    # event-driven mode
+    # ------------------------------------------------------------------
+    def activate(self):
+        """Register all nodes into the in-process routing table
+        (reference activate(), application.py:201-294)."""
+        from rheoceros_spark.streaming.routing import RoutingTable
+
+        if self._routing is None:
+            self._routing = RoutingTable(self)
+        return self._routing
+
+    def process(self, signal: Signal, **kwargs) -> list[str]:
+        """Inject one materialized signal event; returns output paths of
+        every route that triggered (reference application.py:1877-1980)."""
+        return self.activate().receive(signal, **kwargs)
+
+    # ------------------------------------------------------------------
+    # introspection
+    # ------------------------------------------------------------------
+    def materialize(self, view: Signal) -> list[str]:
+        sig = self[view.alias]
+        desc = sig.source
+        return desc.materialize_paths(view.filter.finalize())
+
+    def poll(self, view: Signal) -> tuple[Optional[str], Optional[dict]]:
+        """(materialized path, metadata) if the partition is complete,
+        else (None, None) (reference application.py:2051-2267)."""
+        desc = self[view.alias].source
+        for path in self.materialize(view):
+            if partition_ready(self.spark, desc, path):
+                meta = None
+                meta_path = path.rstrip("/") + "/" + METADATA_FILE
+                if os.path.exists(meta_path):
+                    with open(meta_path) as f:
+                        meta = json.load(f)
+                return path, meta
+        return None, None
+
+    def load_data(self, view: Signal, limit: Optional[int] = None) -> DataFrame:
+        sig = self[view.alias]
+        sig.filter = view.filter.finalize()
+        df = load_signal(self.spark, sig)
+        return df.limit(limit) if limit else df
+
+    def preview_data(self, view: Signal, limit: int = 20, columns: Optional[list[str]] = None):
+        df = self.load_data(view, limit)
+        if columns:
+            df = df.select(*columns)
+        return df.toPandas()

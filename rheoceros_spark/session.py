@@ -1,0 +1,78 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference ships tuned Spark conf presets for its generated
+Glue/EMR jobs (reference ``src/intelliflow/utils/spark.py:80-158``:
+AQE + skew-join on, shuffle-push, parallel partition discovery).  We
+keep the same intent — AQE and skew handling on by default — but let
+Catalyst keep broadcast joins enabled (the reference disables them on
+its big-node presets; on a balanced cluster broadcasting small dims
+is the right default).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for correctness at any scale and good behavior at
+# 100 TB: AQE re-plans partition counts / skew at runtime, so a fixed
+# shuffle.partitions only sets the ceiling pre-AQE.
+_DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Mirrors HIGH_THROUGHPUT_SPARK_AQE_CONFIGS (reference utils/spark.py:94-102)
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: vectorized reader + aggressive pushdown are Spark
+    # defaults; make them explicit so a misconfigured base session
+    # can't silently disable them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Reference sets parallelPartitionDiscovery.threshold=1
+    # (utils/spark.py:89) so many-partition reads list in parallel.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "1",
+    "spark.ui.showConsoleProgress": "false",
+    # Parquet TIMESTAMP(NANOS) (pandas/pyarrow default) is otherwise an
+    # illegal type for Spark's reader; read as long and let the loader
+    # normalize to TimestampType (see sources/io.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_session(
+    app_name: str = "rheoceros_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    real cluster pass ``None`` with a pre-set master or use
+    ``spark-submit``.  ``shuffle_partitions`` defaults to 2x the local
+    core count (AQE coalesces down) or 200 on a cluster.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    if shuffle_partitions is None:
+        if master.startswith("local"):
+            n = os.cpu_count() or 8
+            shuffle_partitions = max(2 * n, 32)
+        else:
+            shuffle_partitions = 200
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if master.startswith("local"):
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    for k, v in _DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

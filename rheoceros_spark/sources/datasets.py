@@ -1,0 +1,208 @@
+"""Dataset descriptors: physical binding of a signal to storage.
+
+Re-expresses the reference's ``SignalSourceAccessSpec`` (reference
+``src/intelliflow/core/signal_processing/signal_source.py:171-670``):
+a **path format with ``{}`` placeholders per dimension** that
+
+* materializes concrete partition paths from a finalized
+  DimensionFilter (``create_paths_from_filter``,
+  ``signal_source.py:334-375``) → partition pruning *before* the scan;
+* extracts typed dimension values back out of a physical path
+  (``extract_source``, ``signal_source.py:281-332``) → partition
+  discovery for positional (non ``k=v``) layouts.
+
+Dataset metadata mirrors ``signal_source.py:540-670``: ``data_format``
+(reference defaults CSV — we default **parquet**, the right call for a
+100 TB columnar engine; CSV stays one keyword away), ``delimiter``,
+``header``, ``compression``, ``schema_def``, ``partition_keys``,
+``primary_keys``, ``dataset_type`` (REPLACE/APPEND).
+"""
+
+from __future__ import annotations
+
+import re
+from enum import Enum
+from typing import Any, Optional, Sequence
+
+from rheoceros_spark.dimensions import (
+    Dimension,
+    DimensionFilter,
+    DimensionSpec,
+    DimensionType,
+    create_variant,
+)
+
+
+class DatasetType(str, Enum):
+    """reference signal_source.py:550-553"""
+
+    REPLACE = "REPLACE"
+    APPEND = "APPEND"
+
+
+class IntegrityProtocol(str, Enum):
+    """Completion check before a partition is considered ready
+    (reference analysis.py:21-80; default FILE_CHECK on '_SUCCESS',
+    internal/nodes.py:43)."""
+
+    NONE = "NONE"
+    SUCCESS_FILE = "SUCCESS_FILE"
+    MANIFEST = "MANIFEST"
+
+
+def build_struct_type(schema_def: Sequence[tuple]) -> "pyspark.sql.types.StructType":  # noqa: F821
+    """``[(name, spark_type_string, nullable), ...]`` → StructType.
+
+    The reference validates this exact tuple shape
+    (``signal_source.py:683-717``) and then ``eval``s strings like
+    ``"StringType()"`` (``utils/spark.py:9-70``).  We parse the same
+    strings **without eval** via the DDL parser — ``"StringType()"``
+    and plain DDL (``"string"``, ``"array<int>"``) both accepted.
+    """
+    from pyspark.sql import types as T
+
+    fields = []
+    for name, type_str, nullable in schema_def:
+        fields.append(T.StructField(name, _parse_type(type_str), bool(nullable)))
+    return T.StructType(fields)
+
+
+def _parse_type(type_str: str):
+    from pyspark.sql import types as T
+
+    s = type_str.strip()
+    # "StringType()" style → "string" DDL
+    m = re.fullmatch(r"(\w+)Type\(\)", s)
+    if m:
+        s = m.group(1).lower()
+        s = {"integer": "int", "long": "bigint"}.get(s, s)
+    return T._parse_datatype_string(s)
+
+
+class DatasetDescriptor:
+    """Base: ``path_format`` with one ``{}`` per dimension.
+
+    ``path_format`` may be positional (``.../{}/{}``) or hive-style
+    (``.../region={}/day={}``); both materialize the same way, and
+    extraction handles both.  A descriptor with **zero** dimensions is
+    a plain (unpartitioned) table — e.g. the driver's testdata files.
+    """
+
+    data_format = "parquet"
+
+    def __init__(
+        self,
+        path_format: str,
+        *dimensions: Dimension,
+        dataset_type: DatasetType = DatasetType.REPLACE,
+        integrity: IntegrityProtocol = IntegrityProtocol.NONE,
+        schema_def: Optional[Sequence[tuple]] = None,
+        **options: Any,
+    ):
+        n_slots = path_format.count("{}")
+        if n_slots != len(dimensions):
+            raise ValueError(
+                f"path_format has {n_slots} placeholders but {len(dimensions)} dimensions declared"
+            )
+        self.path_format = path_format.rstrip("/")
+        self.spec = DimensionSpec(list(dimensions))
+        self.dataset_type = DatasetType(dataset_type)
+        self.integrity = IntegrityProtocol(integrity)
+        self.schema_def = list(schema_def) if schema_def else None
+        self.options = dict(options)
+
+    # -- path algebra (signal_source.py:281-404) -------------------------
+    def materialize_paths(self, filter: DimensionFilter) -> list[str]:
+        """Finalized filter → concrete partition paths, branch order
+        preserved (TIP first for expanded ranges)."""
+        if len(self.spec) == 0:
+            return [self.path_format]
+        if not filter.is_material:
+            raise ValueError(
+                f"filter not material for {self.path_format!r}: {filter!r} "
+                "(wildcards must be resolved before the scan)"
+            )
+        paths = []
+        for formatted in filter.formatted_values():
+            paths.append(_fill(self.path_format, formatted))
+        return paths
+
+    def extract_dimensions(self, path: str) -> Optional[dict[str, Any]]:
+        """Parse a physical path into typed dimension values (F6)."""
+        pattern = re.escape(self.path_format).replace(r"\{\}", "([^/]+)")
+        m = re.match(pattern + r"/?$", path.rstrip("/"))
+        if not m:
+            return None
+        out = {}
+        for dim, raw in zip(self.spec, m.groups()):
+            out[dim.name] = create_variant(raw, dim).raw()
+        return out
+
+    def spark_options(self) -> dict[str, str]:
+        opts = {}
+        if "delimiter" in self.options:
+            opts["sep"] = str(self.options["delimiter"])
+        if "header" in self.options:
+            opts["header"] = str(bool(self.options["header"])).lower()
+        if "encoding" in self.options:
+            opts["encoding"] = str(self.options["encoding"])
+        if "compression" in self.options:
+            opts["compression"] = str(self.options["compression"])
+        return opts
+
+    def spark_schema(self):
+        return build_struct_type(self.schema_def) if self.schema_def else None
+
+    @property
+    def primary_keys(self) -> list[str]:
+        return list(self.options.get("primary_keys", []))
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self.path_format!r}, dims={self.spec.dimension_names()})"
+
+
+def _fill(fmt: str, values: Sequence[str]) -> str:
+    out = fmt
+    for v in values:
+        out = out.replace("{}", str(v), 1)
+    return out
+
+
+class ParquetDataset(DatasetDescriptor):
+    data_format = "parquet"
+
+
+class CsvDataset(DatasetDescriptor):
+    data_format = "csv"
+
+    def __init__(self, path_format: str, *dimensions: Dimension, **options: Any):
+        options.setdefault("header", True)
+        options.setdefault("delimiter", ",")
+        super().__init__(path_format, *dimensions, **options)
+
+    def spark_options(self) -> dict[str, str]:
+        opts = super().spark_options()
+        if self.schema_def is None:
+            opts["inferSchema"] = "true"  # reference glueetl_default_ABI.py:268
+        return opts
+
+
+class JsonDataset(DatasetDescriptor):
+    data_format = "json"
+
+
+class GlueTable(DatasetDescriptor):
+    """Catalog-table source (S3): ``spark.table(db.tbl)`` + a partition
+    predicate — Catalyst does metastore partition pruning natively
+    (reference resolves locations / emits ``WHERE pk IN (...)`` by
+    hand, ``glueetl_default_ABI.py:196-241``; on Spark that is free).
+    """
+
+    def __init__(self, database: str, table: str, *dimensions: Dimension, **options: Any):
+        self.database = database
+        self.table = table
+        super().__init__("catalog://" + database + "/" + table + "/{}" * len(dimensions), *dimensions, **options)
+
+    @property
+    def qualified_name(self) -> str:
+        return f"{self.database}.{self.table}"

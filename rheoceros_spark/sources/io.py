@@ -1,0 +1,193 @@
+"""Partition-pruned loader and managed writer (the data plane).
+
+Implements SURVEY §2.1's scan/sink inventory Spark-first:
+
+* S1/S2 — one **multi-path read** per signal (``spark.read.format(f)
+  .load(*paths)``), never N reads + union: the reference itself
+  special-cases batch parquet reads this way
+  (``glueetl_default_ABI.py:255-261,286-289``); on Spark a multi-path
+  load gives scan coalescing, parallel file listing, and per-file
+  partition pruning for free.
+* S4 — missing-partition policy: skip-if-allowed, raise when
+  ``range_check_required`` (``glueetl_default_ABI.py:225-241``).
+* S5 — nearest/as-of: newest→oldest, first **existing** partition
+  wins (``glueetl_default_ABI.py:283-284``).
+* S6 — partition union is subsumed by the multi-path read (positional
+  ``unionAll`` parity not needed — schema comes from the dataset).
+* S12-S16 — managed write: ``overwrite`` + ``partitionBy`` + schema
+  JSON + ``_SUCCESS`` marker + record count
+  (``glueetl_default_ABI.py:383-413``).
+
+Scale notes: existence checks are driver-side path probes (O(paths),
+not O(rows)); reads stay declarative so Catalyst applies pushdown and
+column pruning; at 1000 executors the multi-path read parallelizes by
+file split with no engine involvement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rheoceros_spark.dimensions import DimensionFilter
+from rheoceros_spark.signals import Signal
+from rheoceros_spark.sources.datasets import (
+    DatasetDescriptor,
+    GlueTable,
+    IntegrityProtocol,
+)
+
+SCHEMA_FILE = "_SCHEMA.json"
+METADATA_FILE = "_METADATA.json"
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe — works for local/HDFS/S3A URIs."""
+    if "://" not in path:
+        return os.path.exists(path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def partition_ready(spark: SparkSession, descriptor: DatasetDescriptor, path: str) -> bool:
+    """Existence + completion protocol (reference analysis.py:21-80)."""
+    if not _fs_exists(spark, path):
+        return False
+    if descriptor.integrity == IntegrityProtocol.SUCCESS_FILE:
+        return _fs_exists(spark, path.rstrip("/") + "/_SUCCESS")
+    if descriptor.integrity == IntegrityProtocol.MANIFEST:
+        return _fs_exists(spark, path.rstrip("/") + "/manifest")
+    return True
+
+
+def load_signal(spark: SparkSession, signal: Signal) -> DataFrame:
+    """Load a materialized signal as ONE DataFrame (S1-S8)."""
+    desc: DatasetDescriptor = signal.source
+    if desc is None:
+        raise ValueError(f"signal {signal.alias!r} has no source descriptor")
+
+    if isinstance(desc, GlueTable):
+        df = spark.table(desc.qualified_name)
+        pred = signal.filter.to_sql_predicate()
+        return df.where(pred) if pred != "TRUE" else df
+
+    paths = desc.materialize_paths(signal.filter)
+
+    if signal.nearest_in_range:
+        # S5: iterate newest→oldest (paths are TIP-first), first existing wins
+        for p in paths:
+            if partition_ready(spark, desc, p):
+                paths = [p]
+                break
+        else:
+            raise FileNotFoundError(
+                f"nearest: no partition of {signal.alias!r} exists in range {paths}"
+            )
+    elif len(desc.spec) > 0:
+        existing = [p for p in paths if partition_ready(spark, desc, p)]
+        missing = [p for p in paths if p not in set(existing)]
+        if missing and signal.range_check_required:
+            raise FileNotFoundError(
+                f"range_check: missing partitions for {signal.alias!r}: {missing[:5]}"
+            )
+        # S4: skip silently-missing partitions when allowed
+        paths = existing
+        if not paths:
+            raise FileNotFoundError(f"no partitions exist for {signal.alias!r} in {missing[:5]}")
+
+    reader = spark.read.format(desc.data_format)
+    schema = desc.spark_schema()
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in desc.spark_options().items():
+        reader = reader.option(k, v)
+    # S2/S6: single multi-path read — scan coalescing + one scan node
+    df = reader.load(paths if len(paths) > 1 else paths[0])
+    if desc.data_format == "parquet" and schema is None:
+        df = normalize_ns_timestamps(df, paths[0])
+    return df
+
+
+def normalize_ns_timestamps(df: DataFrame, sample_path: str) -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) columns arrive as LongType under
+    ``spark.sql.legacy.parquet.nanosAsLong``; cast them back to real
+    timestamps (lossless for µs-precision data).  One footer read on
+    the driver — O(1) regardless of data size."""
+    from pyspark.sql import functions as F
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(sample_path):
+            files = [f for f in os.listdir(sample_path) if f.endswith(".parquet")]
+            if not files:
+                return df
+            sample_path = os.path.join(sample_path, files[0])
+        arrow_schema = pq.read_schema(sample_path)
+    except Exception:
+        return df
+    ns_cols = {
+        name
+        for name, typ in zip(arrow_schema.names, arrow_schema.types)
+        if str(typ) == "timestamp[ns]"
+    }
+    for c in ns_cols:
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    data_format: str = "parquet",
+    partition_by: Optional[list[str]] = None,
+    mode: str = "overwrite",
+    options: Optional[dict[str, str]] = None,
+    persist_schema: bool = True,
+    record_count: bool = True,
+) -> dict:
+    """Managed sink S12-S16.
+
+    ``mode='overwrite'`` matches the reference's managed write
+    (``glueetl_default_ABI.py:383-395``); for APPEND datasets pass
+    ``mode='append'``.  ``_SUCCESS`` is emitted by Spark's output
+    committer natively (S15).  Returns the persisted metadata dict.
+    """
+    writer = df.write.format(data_format).mode(mode)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+    meta: dict = {"path": path, "format": data_format}
+    if persist_schema:
+        # S13: schema JSON persisted beside data (glueetl_default_ABI.py:397-409)
+        _write_sidecar(df.sparkSession, path, SCHEMA_FILE, df.schema.json())
+    if record_count:
+        # S16: record-count metadata; exact count is cheap post-write
+        # because AQE cached stats — still one job, acceptable.
+        meta["record_count"] = df.count()
+        _write_sidecar(df.sparkSession, path, METADATA_FILE, json.dumps(meta))
+    return meta
+
+
+def _write_sidecar(spark: SparkSession, dir_path: str, name: str, content: str) -> None:
+    if "://" not in dir_path:
+        os.makedirs(dir_path, exist_ok=True)
+        with open(os.path.join(dir_path, name), "w") as f:
+            f.write(content)
+        return
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(dir_path.rstrip("/") + "/" + name)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    out.write(bytearray(content.encode("utf-8")))
+    out.close()

@@ -1,0 +1,268 @@
+"""In-process routing runtime — the event-driven core (SURVEY §2.9).
+
+Re-expresses the reference's routing layer (reference
+``src/intelliflow/core/signal_processing/routing_runtime_constructs.py``
++ ``core/platform/constructs.py:3293-3600``) without the AWS control
+plane: state lives in this process, events are injected via
+``Application.process()``.
+
+Semantics preserved:
+
+* **Trigger condition** — a route fires when every non-reference input
+  has received an event and all linked dimensions are *tips-aligned*
+  (reference ``RuntimeLinkNode.is_ready``,
+  ``routing_runtime_constructs.py:299-314,474-500``).
+* **Pending-node state & dedup** — one :class:`RuntimeLinkNode` per
+  distinct linked-dimension tuple; repeated events on an already
+  consumed path are idempotent (``:616-675``).
+* **References** never seed pending nodes (``:1410-1425``); their
+  partitions are derived from the triggering side (J4).
+* **Range check** — inputs with ``range_check_required`` block the
+  trigger until every partition in the range exists; ``nearest``
+  blocks until at least one exists (``:316-368``; J5).
+* **Zombie detection** — on node creation, prove via the link matrix
+  whether the remaining inputs can ever match; else drop (``:547-614``).
+* **TTL** — pending nodes expire after
+  ``pending_node_expiration_ttl_in_secs`` with an expiration hook
+  (``Route.check_expired_nodes``, ``:1446-1459``).
+
+Spark mapping note: this is deliberately a **driver-side scheduler**
+(partition-grain state, a few entries), not per-row Spark state — the
+reference's pending nodes are partition-level too.  Row-level
+streaming belongs to the compute slots (Structured Streaming), not
+here.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+from rheoceros_spark.dimensions import DimensionFilter
+from rheoceros_spark.signals import EQUALS, Signal
+from rheoceros_spark.sources.io import partition_ready
+
+
+class RuntimeLinkNode:
+    """Per-trigger-group join state (reference :228-244)."""
+
+    def __init__(self, route: "Route", created_at: Optional[float] = None):
+        self.route = route
+        self.ready: dict[str, dict[str, Any]] = {}  # alias -> material dim values
+        self.processed_paths: set[str] = set()
+        self.created_at = created_at if created_at is not None else time.time()
+        self.is_zombie = False
+
+    def _expected_values(self, alias: str) -> Optional[dict[str, Any]]:
+        """Values this node expects for ``alias``, derived from already
+        ready signals via the link matrix (tips-aligned check uses the
+        head value only, reference :490-498)."""
+        if not self.ready:
+            return None
+        known = self.route.node.link_node.propagate(dict(self.ready))
+        return known.get(alias)
+
+    def offer(self, alias: str, values: dict[str, Any], path: str) -> bool:
+        """True if the event belongs to this node (consumed or deduped)."""
+        if path in self.processed_paths:
+            return True  # idempotent re-consume (reference :626-629)
+        expected = self._expected_values(alias)
+        if expected:
+            for dim, val in expected.items():
+                if dim in values and str(values[dim]) != str(val):
+                    return False  # belongs to a different trigger group
+        elif alias in self.ready:
+            if any(str(self.ready[alias].get(d)) != str(v) for d, v in values.items()):
+                return False
+        self.ready[alias] = dict(values)
+        self.processed_paths.add(path)
+        return True
+
+    def check_zombie(self) -> bool:
+        """Can the not-yet-ready inputs ever match?  Derive their linked
+        values and chain against the declared filters (reference
+        :547-614)."""
+        known = self.route.node.link_node.propagate(dict(self.ready))
+        for sig in self.route.node.link_node.independent_signals:
+            if sig.alias in self.ready:
+                continue
+            derived = known.get(sig.alias)
+            if not derived:
+                continue
+            values = [derived.get(d.name, "*") for d in sig.spec]
+            try:
+                m = sig.filter.apply_values(values)
+            except ValueError:
+                self.is_zombie = True
+                return True
+            if len(m) == 0:
+                self.is_zombie = True
+                return True
+        return False
+
+    def is_ready(self, spark, check_ranges: bool = True) -> bool:
+        indep = self.route.node.link_node.independent_signals
+        if any(s.alias not in self.ready for s in indep):
+            return False
+        if not check_ranges:
+            return True
+        known = self.route.node.link_node.propagate(dict(self.ready))
+        for sig in self.route.node.link_node.signals:
+            needs_all = sig.range_check_required
+            needs_one = sig.nearest_in_range
+            if not (needs_all or needs_one):
+                continue
+            derived = known.get(sig.alias, self.ready.get(sig.alias, {}))
+            values = [derived.get(d.name, "*") for d in sig.spec]
+            try:
+                m = sig.materialize(values)
+            except ValueError:
+                return False
+            paths = sig.source.materialize_paths(m.filter)
+            ok = [partition_ready(spark, sig.source, p) for p in paths]
+            if needs_all and not all(ok):
+                return False
+            if needs_one and not any(ok):
+                return False
+        return True
+
+
+class Route:
+    """Activated node + pending-node state (reference :1172-1227)."""
+
+    def __init__(self, node, pending_node_ttl_in_secs: Optional[float] = None):
+        self.node = node  # InternalDataNode
+        self.pending_nodes: list[RuntimeLinkNode] = []
+        self.ttl = pending_node_ttl_in_secs
+
+    def accepts(self, alias: str) -> Optional[Signal]:
+        for sig in self.node.link_node.signals:
+            if sig.alias == alias:
+                return sig
+        return None
+
+    def receive(self, spark, alias: str, values: dict[str, Any], path: str) -> list[RuntimeLinkNode]:
+        """Offer the event; return nodes that became ready (reference
+        Route.receive, :1396-1444)."""
+        sig = self.accepts(alias)
+        if sig is None:
+            return []
+        # declared-filter compatibility gate (value mismatch → ignore)
+        try:
+            m = sig.materialize([values.get(d.name, "*") for d in sig.spec])
+            if len(m.filter) == 0:
+                return []
+        except ValueError:
+            return []
+
+        consumed = False
+        for node in self.pending_nodes:
+            if node.offer(alias, values, path):
+                consumed = True
+                break
+        if not consumed:
+            if sig.is_reference or sig.nearest_in_range:
+                # references/nearest never seed pending nodes (reference :1410-1425, :397-407)
+                return []
+            node = RuntimeLinkNode(self)
+            node.offer(alias, values, path)
+            if node.check_zombie():
+                return []
+            self.pending_nodes.append(node)
+
+        ready = [n for n in self.pending_nodes if n.is_ready(spark)]
+        for n in ready:
+            self.pending_nodes.remove(n)
+        return ready
+
+    def check_expired_nodes(self) -> list[RuntimeLinkNode]:
+        """TTL GC (reference :1446-1459); fires the route's
+        ``on_pending_node_expiration`` hook if declared."""
+        if self.ttl is None:
+            return []
+        now = time.time()
+        expired = [n for n in self.pending_nodes if now - n.created_at > self.ttl]
+        for n in expired:
+            self.pending_nodes.remove(n)
+            hook = self.node.hooks.get("on_pending_node_expiration")
+            if hook:
+                hook(n)
+        return expired
+
+
+class RoutingTable:
+    """All routes of an application (reference constructs.py:3293-3433)."""
+
+    def __init__(self, app):
+        self.app = app
+        self.routes: dict[str, Route] = {
+            node_id: Route(node, node.hooks.get("pending_node_ttl_in_secs"))
+            for node_id, node in app._nodes.items()
+        }
+
+    def receive(self, signal: Signal, recursive_downstream: bool = True) -> list[str]:
+        """Inject one materialized event; run every route that becomes
+        ready; completed outputs feed downstream routes (the dataflow
+        recursion, reference constructs.py:3435-3600)."""
+        finalized = signal.filter.finalize()
+        if not finalized.is_material:
+            raise ValueError(f"process() requires material values; got {signal.filter!r}")
+        tip = finalized.tip() or ()
+        sig_decl = None
+        for route in self.routes.values():
+            s = route.accepts(signal.alias)
+            if s is not None:
+                sig_decl = s
+                break
+        dim_names = (
+            sig_decl.dimension_names() if sig_decl is not None else signal.dimension_names()
+        )
+        values = dict(zip(dim_names, tip))
+        path = (
+            signal.source.materialize_paths(finalized)[0]
+            if signal.source is not None
+            else f"{signal.alias}:{tip}"
+        )
+
+        outputs: list[str] = []
+        for route in self.routes.values():
+            for ready_node in route.receive(self.app.spark, signal.alias, values, path):
+                out_values = self._materialize_output(route, ready_node)
+                if out_values is None:
+                    continue
+                hook = route.node.hooks.get("on_exec_begin")
+                if hook:
+                    hook(route.node, out_values)
+                out_path = self.app._run_node(route.node, out_values, recursive=False)
+                outputs.append(out_path)
+                hook = route.node.hooks.get("on_success")
+                if hook:
+                    hook(route.node, out_values, out_path)
+                if recursive_downstream:
+                    # the output's own signal feeds downstream routes
+                    out_sig = route.node.output_signal.clone()
+                    out_sig.filter = DimensionFilter.load_raw(
+                        out_sig.spec,
+                        [out_values[d] for d in out_sig.dimension_names()],
+                    )
+                    outputs.extend(self.receive(out_sig))
+        return outputs
+
+    def _materialize_output(self, route: Route, node: RuntimeLinkNode) -> Optional[dict[str, Any]]:
+        """Map ready-input dim values through the output link matrix (J9,
+        reference :677-722); literal assignments win."""
+        known = route.node.link_node.propagate(dict(node.ready))
+        out_values: dict[str, Any] = {}
+        for link in route.node.output_links:
+            if link.literal is not None:
+                out_values[link.output_dim] = link.literal
+            elif all(r[0] in known and r[1] in known[r[0]] for r in link.rhs):
+                out_values[link.output_dim] = (link.func or EQUALS)(
+                    *[known[r[0]][r[1]] for r in link.rhs]
+                )
+        if set(out_values) != set(route.node.output_signal.dimension_names()):
+            return None
+        return out_values
+
+    def check_expired(self) -> int:
+        return sum(len(r.check_expired_nodes()) for r in self.routes.values())
