@@ -243,7 +243,13 @@ class Application:
                         self._run_node(up, up_values, recursive=True)
 
         inputs_df = {sig.alias: load_signal(self.spark, sig) for sig in materialized}
-        ctx = ComputeContext(self.spark, dimensions=dict(out_values), output_alias=node.id)
+        out_filter = DimensionFilter.load_raw(
+            node.output_signal.spec, [out_values[d] for d in node.output_signal.dimension_names()]
+        )
+        # {dim} parametrization sees the *formatted* value (e.g. the
+        # dim's declared strftime), matching path rendering
+        formatted = dict(zip(node.output_signal.dimension_names(), out_filter.formatted_values()[0] if len(out_filter) else ()))
+        ctx = ComputeContext(self.spark, dimensions=formatted, output_alias=node.id)
 
         out_df: Optional[DataFrame] = None
         for slot in node.slots:
@@ -254,9 +260,6 @@ class Application:
         if out_df is None:
             raise ValueError(f"node {node.id!r} has no batch compute slot producing an output")
 
-        out_filter = DimensionFilter.load_raw(
-            node.output_signal.spec, [out_values[d] for d in node.output_signal.dimension_names()]
-        )
         path = node.output_signal.source.materialize_paths(out_filter)[0]
         write_dataset(out_df, path, data_format=node.output_signal.source.data_format)
         return path

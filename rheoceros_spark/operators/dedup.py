@@ -1,0 +1,320 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each a ``DataFrame -> DataFrame`` transform built from
+built-in column functions (JVM-side, codegen-friendly, no Python in
+the hot path) over the portable primitives in
+:mod:`rheoceros_spark.functions.portable` — so each operator has an
+exactly-equivalent SQL oracle.
+
+Scale design (100 TB):
+
+* **exact** — one hash-aggregate on the normalized text; Spark does a
+  map-side partial min per partition, so the shuffle carries one row
+  per distinct key, not per row.
+* **MinHash + LSH** — signatures are per-row array folds (no shuffle);
+  candidate generation explodes ``bands`` rows per doc and self-joins
+  on the band key: the classic shingle→minhash→band→bucket-join; cost
+  is O(docs × bands) shuffle rows instead of O(docs²) pairs.  Skewed
+  buckets (boilerplate text) are handled by AQE skew-join; a bucket
+  cap can be added by salting the band key.
+* **SimHash** — per-row 32-bit signature; candidate pairs via 4-chunk
+  blocking, which is **exact** for hamming distance ≤ 3 by pigeonhole
+  (3 differing bits can touch at most 3 of 4 chunks).
+* **n-gram Jaccard** — the verifier primitive; all-pairs is quadratic,
+  so at scale it runs behind the MinHash band blocker
+  (``blocked=True``), which is the standard recall/cost trade.
+* **embedding cosine** — exact all-pairs for small inputs; at scale
+  use the random-hyperplane bucketing from
+  :mod:`rheoceros_spark.operators.similarity`.
+
+Dedup policy is deterministic everywhere: the survivor of a duplicate
+set is the **smallest id**; a row is dropped iff it pairs with any
+smaller-id row (no connected-component chasing, stable under
+parallelism).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rheoceros_spark.functions.portable import (
+    cosine,
+    h64,
+    jaccard,
+    normalize_text,
+    tokens,
+    word_ngrams,
+)
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: survivor = min id per group.
+
+    Implemented as a groupBy-min + semi-join rather than
+    ``dropDuplicates`` so the winner is deterministic under any
+    partitioning (dropDuplicates keeps an arbitrary row).
+    """
+    key = normalize_text(F.col(text_col)).alias("__key")
+    winners = (
+        df.select(F.col(id_col), key)
+        .groupBy("__key")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """Add ``sig`` (array<bigint>, length ``num_hashes``): per seed i,
+    the min h64(i, shingle) over the doc's distinct word n-grams.
+    Pure per-row array fold — no shuffle, linear in tokens."""
+    shingles = F.array_distinct(word_ngrams(tokens(F.col(text_col)), ngram))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.conv(F.substring(F.md5(F.concat_ws(":", i.cast("string"), s)), 1, 15), 16, 10).cast("bigint"))
+        ),
+    )
+    return df.withColumn("sig", sig)
+
+
+def minhash_band_buckets(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Explode each doc into (band, bucket) keys: bucket = h64 of the
+    band's signature slice.  Docs sharing any (band, bucket) are
+    candidate duplicates."""
+    bucketed = sig_df.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ).alias("band", "bucket"),
+    )
+    return bucketed
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from band-bucket collisions, verified with exact
+    n-gram Jaccard ≥ threshold.  Returns (a, b, jaccard), a < b."""
+    rows_per_band = num_hashes // bands
+    sig_df = minhash_signature(df, text_col, num_hashes, ngram)
+    shingles = F.array_distinct(word_ngrams(tokens(F.col(text_col)), ngram))
+    docs = sig_df.select(F.col(id_col), F.col("sig"), shingles.alias("sh"))
+    buckets = minhash_band_buckets(docs, id_col, bands, rows_per_band)
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+    left = docs.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    right = docs.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(left, "a")
+        .join(right, "b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop every row that near-dup-pairs with a smaller id."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Add ``simhash`` (bigint, ``bits`` wide): bit b is set iff the
+    sum over tokens of ±1 (per token-hash bit b) is positive.
+    Frequency-weighted (raw tokens, not distinct), per-row fold."""
+    hs = F.transform(tokens(F.col(text_col)), lambda t: h64(t))
+
+    def bit_sum(b: int):
+        # closure (not default-arg) so PySpark sees a 2-arg lambda
+        def step(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return F.aggregate(hs, F.lit(0), step)
+
+    bit_terms = [
+        F.when(bit_sum(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for b in range(bits)
+    ]
+    return df.withColumn("simhash", reduce(lambda x, y: x + y, bit_terms))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming via chunk blocking.
+
+    With ``chunks > max_hamming`` the blocking is exact (pigeonhole):
+    a pair within the distance budget must agree on ≥1 chunk, so the
+    chunk self-join loses nothing vs all-pairs.
+    """
+    assert chunks > max_hamming, "chunk blocking only exact when chunks > max_hamming"
+    chunk_bits = bits // chunks
+    sh = simhash(df, text_col, bits).select(id_col, "simhash")
+    chunked = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kwargs) -> DataFrame:
+    pairs = simhash_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verifier primitive)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    blocked: bool = True,
+) -> DataFrame:
+    """Pairs with word-n-gram Jaccard ≥ threshold.
+
+    ``blocked=True`` (default — the only sane setting at scale) routes
+    candidate generation through MinHash band buckets; band parameters
+    (16 hashes, 4 bands × 4 rows) give ~50% collision probability at
+    J=0.5 per band. ``blocked=False`` is exact all-pairs — quadratic,
+    for small inputs / oracle verification only.
+    """
+    if blocked:
+        return minhash_lsh_pairs(
+            df, text_col, id_col, num_hashes=16, bands=4, ngram=ngram, threshold=threshold
+        )
+    sh = F.array_distinct(word_ngrams(tokens(F.col(text_col)), ngram))
+    docs = df.select(F.col(id_col), sh.alias("sh"))
+    a = docs.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (a < b).  Quadratic — at
+    scale gate through :func:`rheoceros_spark.operators.similarity.
+    hyperplane_buckets` first, then run this inside each bucket."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cos_r"))
+    )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    pairs = embedding_dup_pairs(df, vec_col, id_col, threshold)
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+* :func:`cosine_topk` — exact brute-force top-k: broadcast the query
+  vector, one pass over the table, per-row fold for the dot product
+  (JVM-side ``zip_with`` + ``aggregate``, no Python), then
+  ``ORDER BY sim DESC LIMIT k`` which Spark executes as a
+  **TakeOrdered** (per-partition heap + driver merge) — no full sort,
+  no full shuffle.  This is the right plan even at 100 TB: cost is one
+  scan, and the scan prunes to (id, vec) columns.
+* :func:`hyperplane_buckets` / :func:`ann_lsh_topk` — the scale path:
+  random-hyperplane (sign) LSH.  The plane matrix is a tiny
+  deterministic constant (derived from md5, materialized as a literal
+  — broadcast for free in the plan); each row computes a ``nbits``-bit
+  signature with per-row folds, candidates share the query's bucket,
+  exact rerank inside the bucket.  Deterministic-approximate: same
+  construction in any engine yields the same result, so it is still
+  oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rheoceros_spark.functions.portable import cosine, dot
+
+
+def plane_matrix(nbits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign from md5 of ``"{i}:{d}"``.
+
+    Matches ``CAST(('0x'||substr(md5(i||':'||d),1,15)) AS BIGINT) & 1``
+    in SQL, so an oracle can rebuild the identical matrix.
+    """
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:15], 16) & 1 else -1.0
+            for d in range(dim)
+        ]
+        for i in range(nbits)
+    ]
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k most-cosine-similar rows to ``query_id`` (excluded).
+
+    Returns (id, rank, cos_r) ordered by (sim desc, id asc) — ties
+    broken by id so the result is total-ordered and reproducible.
+    """
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    sims = (
+        df.where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
+    )
+    return (
+        sims.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())).alias("rank"),
+            F.round("cos", 6).alias("cos_r"),
+        )
+    )
+
+
+def signature_col(vec_col: str, planes: list[list[float]]):
+    """``nbits``-bit bucket signature of a vector column: bit i =
+    (v · plane_i) > 0, folded per-row, planes as literal arrays."""
+    terms = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        d = dot(F.col(vec_col), p)
+        bit = F.when(d > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        terms = bit if terms is None else terms + bit
+    return terms
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    nbits: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``bucket`` (bigint) — the LSH partition key for co-locating
+    similar vectors (repartition on it for bucket-local joins)."""
+    return df.withColumn("bucket", signature_col(vec_col, plane_matrix(nbits, dim)))
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nbits: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine rerank within the bucket.  Recall < 1 by design; at
+    scale add multi-probe (flip each signature bit) before rerank."""
+    bucketed = hyperplane_buckets(df, nbits, dim, vec_col)
+    qrow = bucketed.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"), F.col("bucket").alias("__qb")
+    )
+    cands = (
+        bucketed.crossJoin(F.broadcast(qrow))
+        .where((F.col("bucket") == F.col("__qb")) & (F.col(id_col) != query_id))
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
+    )
+    return (
+        cands.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())).alias("rank"),
+            F.round("cos", 6).alias("cos_r"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Text-analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure built-in column expressions (whole-stage codegen, no UDFs),
+composed from :mod:`rheoceros_spark.functions.portable` so each has an
+exact SQL oracle.  Per-row only — embarrassingly parallel at any
+scale, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rheoceros_spark.functions.portable import (
+    h64,
+    normalize_text,
+    tokens,
+    word_ngrams,
+)
+
+# BPE-ish pre-tokenizer: letter runs, single digits, punctuation marks
+# (ASCII classes only — identical semantics in Java and RE2/PCRE).
+BPE_REGEX = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+# small stopword marker sets per language (n-gram heuristic lang-id)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"],
+}
+_LANG_ORDER = ["en", "es", "fr", "de"]  # deterministic tie-break priority
+
+
+def _marker_hits(toks: Column, lang: str) -> Column:
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add per-language marker-hit scores and ``lang_pred`` (argmax,
+    ties broken by fixed language priority; no hits → 'und')."""
+    toks = tokens(F.col(text_col))
+    out = df
+    for lang in _LANG_ORDER:
+        out = out.withColumn(f"score_{lang}", _marker_hits(toks, lang))
+    best = F.greatest(*[F.col(f"score_{l}") for l in _LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(_LANG_ORDER):  # earlier langs win ties
+        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``n_tokens`` (whitespace) and ``n_bpe`` (BPE-ish regex
+    pre-token count)."""
+    return df.withColumn("n_tokens", F.size(tokens(F.col(text_col)))).withColumn(
+        "n_bpe", F.regexp_count(normalize_text(F.col(text_col)), F.lit(BPE_REGEX))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add heuristic quality components + composite ``quality``:
+
+    * ``len_score``  — saturating token count (≥100 tokens = 1.0)
+    * ``punct_ratio`` — punctuation chars / chars
+    * ``stop_ratio``  — English stopword hits / tokens
+    * ``mean_tok_len`` — chars per token
+    * ``quality`` = 0.3·len + 0.3·(1−punct) + 0.4·min(5·stop, 1), rounded 6
+    """
+    norm = normalize_text(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    ntok = F.size(toks).cast("double")
+    nchars = F.length(norm).cast("double")
+    punct = F.regexp_count(norm, F.lit("[^A-Za-z0-9 ]")).cast("double")
+    stop_hits = _marker_hits(toks, "en").cast("double")
+    len_score = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    punct_ratio = F.when(nchars > 0, punct / nchars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(ntok > 0, stop_hits / ntok).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(ntok > 0, nchars / ntok).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.lit(0.3) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.4) * F.least(F.lit(5.0) * stop_ratio, F.lit(1.0)),
+        6,
+    )
+    return (
+        df.withColumn("len_score", F.round(len_score, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_tok_len", F.round(mean_tok_len, 6))
+        .withColumn("quality", quality)
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", window: int = 5) -> DataFrame:
+    """Add ``fp_md5`` (content hash of normalized text) and ``fp_min``
+    (rolling fingerprint: min h64 over word-``window``-grams — a
+    winnowing-style shift-robust signature)."""
+    norm = normalize_text(F.col(text_col))
+    grams = word_ngrams(tokens(F.col(text_col)), window)
+    return df.withColumn("fp_md5", F.md5(norm)).withColumn(
+        "fp_min", F.array_min(F.transform(grams, lambda g: h64(g)))
+    )

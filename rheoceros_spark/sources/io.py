@@ -142,6 +142,16 @@ def normalize_ns_timestamps(df: DataFrame, sample_path: str) -> DataFrame:
     return df
 
 
+def load_table(spark: SparkSession, dir_path: str, name: str) -> DataFrame:
+    """Convenience: load ``<dir>/<name>.parquet`` through the engine's
+    data plane (pruned read + ns-timestamp normalization)."""
+    from rheoceros_spark.sources.datasets import ParquetDataset
+
+    desc = ParquetDataset(f"{dir_path.rstrip('/')}/{name}.parquet")
+    sig = Signal(name, desc, desc.spec)
+    return load_signal(spark, sig)
+
+
 def write_dataset(
     df: DataFrame,
     path: str,

@@ -165,7 +165,7 @@ class TestExecuteE2E:
         )
         app.execute(one["2024-01-02"])
         rows = app.load_data(one["2024-01-02"]).collect()
-        assert rows and all(r.day_str == "2024-01-02 00:00:00" for r in rows)
+        assert rows and all(r.day_str == "2024-01-02" for r in rows)
 
 
 class TestProcessRouting:

@@ -1,0 +1,194 @@
+"""LLM-pipeline operators, cross-validated against DuckDB on the
+driver's documents/embeddings tables (sf0.001)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark.operators import (
+    ann_lsh_topk,
+    attach_media,
+    cosine_topk,
+    dedup_exact,
+    embedding_dup_pairs,
+    extract_features,
+    fingerprint,
+    lang_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    sample_frames,
+    simhash_pairs,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+class TestDedup:
+    def test_exact_dedup_matches_sql(self, docs, sf_dir):
+        got = sorted(r.doc_id for r in dedup_exact(docs).select("doc_id").collect())
+        exp = sorted(
+            r[0]
+            for r in duckdb.sql(
+                f"""
+                SELECT min(doc_id) FROM '{sf_dir}/documents.parquet'
+                GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                """
+            ).fetchall()
+        )
+        assert got == exp
+
+    def test_minhash_pairs_subset_of_allpairs(self, docs):
+        lsh = {
+            (r.a, r.b)
+            for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+        }
+        exact = {
+            (r.a, r.b)
+            for r in ngram_jaccard_pairs(docs, threshold=0.5, blocked=False).collect()
+        }
+        # LSH candidates are verified with exact jaccard → subset of exact
+        assert lsh <= exact
+        # and with 4 bands of 4 rows recall at J>=0.7 should be high
+        strong = {
+            (r.a, r.b)
+            for r in ngram_jaccard_pairs(docs, threshold=0.7, blocked=False).collect()
+        }
+        if strong:
+            assert len(lsh & strong) / len(strong) >= 0.8
+
+    def test_simhash_chunk_blocking_is_exact(self, docs, spark):
+        # chunk-blocked pairs == all-pairs hamming<=3 (pigeonhole exactness)
+        from rheoceros_spark.operators.dedup import simhash
+
+        blocked = {
+            (r.a, r.b) for r in simhash_pairs(docs, max_hamming=3).collect()
+        }
+        sh = simhash(docs).select("doc_id", "simhash")
+        a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+        b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+        allp = {
+            (r.a, r.b)
+            for r in a.crossJoin(b)
+            .where(F.col("a") < F.col("b"))
+            .where(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+            .collect()
+        }
+        assert blocked == allp
+
+    def test_embedding_pairs_threshold(self, emb):
+        pairs = embedding_dup_pairs(emb, threshold=0.9).collect()
+        for r in pairs:
+            assert r.a < r.b and r.cos_r >= 0.9
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_duckdb(self, emb, sf_dir):
+        got = [(r.vec_id, r.rank) for r in cosine_topk(emb, query_id=0, k=10).collect()]
+        exp = duckdb.sql(
+            f"""
+            WITH q AS (SELECT embedding qv FROM '{sf_dir}/embeddings.parquet' WHERE vec_id = 0)
+            SELECT vec_id, row_number() OVER (ORDER BY list_cosine_similarity(
+                CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) DESC, vec_id) rank
+            FROM '{sf_dir}/embeddings.parquet', q WHERE vec_id != 0
+            ORDER BY rank LIMIT 10
+            """
+        ).fetchall()
+        assert got == [tuple(e) for e in exp]
+
+    def test_ann_lsh_subset_and_ranked(self, emb):
+        res = ann_lsh_topk(emb, query_id=0, k=10).collect()
+        assert [r.rank for r in res] == list(range(1, len(res) + 1))
+        # candidates all share the query bucket → sims still high-ish
+        assert all(r.cos_r <= 1.0 for r in res)
+
+
+class TestTextAnalysis:
+    def test_token_count_matches_duckdb(self, docs, sf_dir):
+        got = {r.doc_id: (r.n_tokens, r.n_bpe) for r in token_count(docs).collect()}
+        exp = {
+            r[0]: (r[1], r[2])
+            for r in duckdb.sql(
+                f"""
+                SELECT doc_id,
+                  len(string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')) n_tokens,
+                  len(regexp_extract_all(trim(regexp_replace(lower(text),'\\s+',' ','g')),
+                      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) n_bpe
+                FROM '{sf_dir}/documents.parquet'
+                """
+            ).fetchall()
+        }
+        assert got == exp
+
+    def test_lang_id_plausible(self, docs):
+        rows = lang_id(docs).select("doc_id", "lang_pred", "score_en").collect()
+        # synthetic docs are english-ish word soup; at least the schema +
+        # determinism hold, and some docs hit en markers
+        assert any(r.lang_pred == "en" for r in rows)
+
+    def test_quality_score_bounds(self, docs):
+        rows = quality_score(docs).select("quality", "punct_ratio", "stop_ratio").collect()
+        for r in rows:
+            assert 0.0 <= r.quality <= 1.0
+            assert 0.0 <= r.punct_ratio <= 1.0
+
+    def test_fingerprint_matches_duckdb(self, docs, sf_dir):
+        got = {r.doc_id: (r.fp_md5, r.fp_min) for r in fingerprint(docs).collect()}
+        tok = "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')"
+        exp = {
+            r[0]: (r[1], r[2])
+            for r in duckdb.sql(
+                f"""
+                SELECT doc_id, md5(trim(regexp_replace(lower(text),'\\s+',' ','g'))) fp_md5,
+                  list_min(list_transform(
+                    list_transform(range(1, greatest(1, len({tok}) - 4) + 1),
+                      i -> array_to_string(list_slice({tok}, i, i + 4), ' ')),
+                    g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) fp_min
+                FROM '{sf_dir}/documents.parquet'
+                """
+            ).fetchall()
+        }
+        assert got == exp
+
+
+class TestMultimodal:
+    def test_feature_extraction_matches_sha256(self, docs, sf_dir):
+        media = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+        feats = {r.doc_id: (r.n_bytes, r.sha_prefix) for r in extract_features(media).collect()}
+        exp = {
+            r[0]: (r[1], r[2])
+            for r in duckdb.sql(
+                f"""
+                SELECT doc_id, octet_length(encode(text)) n_bytes,
+                       substr(sha256(text), 1, 16) sha_prefix
+                FROM '{sf_dir}/documents.parquet'
+                """
+            ).fetchall()
+        }
+        assert feats == exp
+
+    def test_attach_media_and_frame_sampling(self, docs):
+        media = attach_media(
+            docs.select("doc_id", F.encode("text", "utf-8").alias("content")),
+            "content",
+            media_type="video",
+        )
+        frames = sample_frames(media, n_frames=4)
+        rows = frames.where(F.col("doc_id") == 0).orderBy("frame_idx").collect()
+        assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+        assert rows[0].byte_offset == 0 and rows[-1].byte_offset <= rows[-1].n_bytes
+
+    def test_decode_stub_raises(self):
+        from rheoceros_spark.operators.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG...")
