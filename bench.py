@@ -1,0 +1,112 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": ...}
+
+Timing forces full plan execution with a noop sink (no driver-side
+collect serialization).  Quadratic verifier variants (all-pairs
+jaccard / embedding pairs) are swapped for their scalable LSH-blocked
+counterparts — the ones you would actually run at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from rheoceros_spark.operators import (  # noqa: E402
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from rheoceros_spark.session import get_session  # noqa: E402
+from rheoceros_spark.sources.io import load_table  # noqa: E402
+
+# headline set: SURVEY §2 core + scalable extension variants
+BENCH_CORE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "scan_pruned_projection",
+    "partition_ranged_union",
+    "nearest_partition_asof",
+    "agg_rollup",
+    "agg_cube",
+    "window_topn_per_group",
+    "window_running_total",
+    "set_intersect",
+    "json_extract_events",
+    "events_tumbling_daily",
+    "events_sliding_2day",
+    "metric_threshold_alarm",
+    "topk_orders",
+    "broadcast_join_enrich",
+    "dedup_exact_docs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_features",
+]
+
+
+def scalable_extras(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return {
+        "dedup_minhash_lsh_scalable": lambda s, d: minhash_lsh_pairs(docs, threshold=0.5),
+        "dedup_simhash_scalable": lambda s, d: simhash_pairs(docs, max_hamming=3),
+    }
+
+
+def run_once(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_session(
+        "rheoceros_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus) * 2, 32) if cpus.isdigit() else 64,
+        extra_confs={"spark.ui.enabled": "false"},
+    )
+    # JVM/codegen warmup outside the timed region
+    run_once(load_table(spark, sf_dir, "region"))
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    all_q = {name: queries[name] for name in BENCH_CORE}
+    all_q.update(scalable_extras(spark, sf_dir))
+    for name, fn in all_q.items():
+        t0 = time.time()
+        run_once(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -57,11 +57,13 @@ from rheoceros_spark.functions.portable import (
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized text: survivor = min id per group.
 
-    Implemented as a groupBy-min + semi-join rather than
-    ``dropDuplicates`` so the winner is deterministic under any
-    partitioning (dropDuplicates keeps an arbitrary row).
+    Groups on ``md5(normalized_text)`` (128-bit, collision-negligible)
+    instead of the text itself so the shuffle carries 32-byte keys, not
+    documents — the difference between shuffling 100 TB and shuffling
+    ~3% of it.  groupBy-min + semi-join rather than ``dropDuplicates``
+    so the winner is deterministic under any partitioning.
     """
-    key = normalize_text(F.col(text_col)).alias("__key")
+    key = F.md5(normalize_text(F.col(text_col))).alias("__key")
     winners = (
         df.select(F.col(id_col), key)
         .groupBy("__key")
