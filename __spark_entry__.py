@@ -580,14 +580,20 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(load_table(spark, sf_dir, "documents")).select("doc_id")
 
 
+_MINHASH_MINS = ", ".join(
+    f"min((({2 * i + 1} * h32 + {i}) % 2147483647))" for i in range(16)
+)
+
 _MINHASH_ORACLE = f"""
 WITH docs AS (
   SELECT doc_id, list_distinct({_ngrams_sql(_TOK, 3)}) AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), hashed AS (
+  SELECT doc_id, {_H64.format(s="s")} % 4294967296 AS h32 FROM ex
 ), sigs AS (
-  SELECT doc_id, sh,
-         list_transform(range(0, 16), i ->
-           list_min(list_transform(sh, s -> {_H64.format(s="concat(i, ':', s)")}))) AS sig
-  FROM docs
+  SELECT doc_id, [{_MINHASH_MINS}] AS sig
+  FROM hashed GROUP BY doc_id
 ), buckets AS (
   SELECT doc_id, band,
          {_H64.format(s="array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')")} AS bucket

@@ -5,10 +5,12 @@ from rheoceros_spark.operators.dedup import (  # noqa: F401
     minhash_lsh_dedup,
     minhash_lsh_pairs,
     minhash_signature,
+    minhash_sigs,
     ngram_jaccard_pairs,
     simhash,
     simhash_dedup,
     simhash_pairs,
+    simhash_sigs,
 )
 from rheoceros_spark.operators.multimodal import (  # noqa: F401
     attach_media,

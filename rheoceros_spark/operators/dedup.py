@@ -11,14 +11,24 @@ Scale design (100 TB):
 * **exact** — one hash-aggregate on the normalized text; Spark does a
   map-side partial min per partition, so the shuffle carries one row
   per distinct key, not per row.
-* **MinHash + LSH** — signatures are per-row array folds (no shuffle);
-  candidate generation explodes ``bands`` rows per doc and self-joins
-  on the band key: the classic shingle→minhash→band→bucket-join; cost
-  is O(docs × bands) shuffle rows instead of O(docs²) pairs.  Skewed
-  buckets (boilerplate text) are handled by AQE skew-join; a bucket
-  cap can be added by salting the band key.
-* **SimHash** — per-row 32-bit signature; candidate pairs via 4-chunk
-  blocking, which is **exact** for hamming distance ≤ 3 by pigeonhole
+* **MinHash + LSH** — shingles are exploded to (id, shingle) rows,
+  hashed **once** (one md5 per shingle), and the ``num_hashes``
+  signature lanes are cheap affine permutations ``(aᵢ·h + bᵢ) mod p``
+  of that single base hash, min-reduced per doc by a hash aggregate.
+  The shuffle carries compact (id, 8-byte hash) rows and the mins are
+  combined map-side (partial aggregation), so the exchange is one row
+  per doc per partition — this is the shape that survives 100 TB,
+  unlike a per-row nested-HOF fold, which re-evaluates the shingle
+  array once per lane.  Candidate generation explodes ``bands`` rows
+  per doc and self-joins on the band key: the classic
+  shingle→minhash→band→bucket-join; cost is O(docs × bands) shuffle
+  rows instead of O(docs²) pairs.  Skewed buckets (boilerplate text)
+  are handled by AQE skew-join; a bucket cap can be added by salting
+  the band key.
+* **SimHash** — same explode shape: one hash per token, 32 per-bit
+  ±1 sums in a single grouped aggregate (partial map-side), folded
+  into a 32-bit signature; candidate pairs via 4-chunk blocking,
+  which is **exact** for hamming distance ≤ 3 by pigeonhole
   (3 differing bits can touch at most 3 of 4 chunks).
 * **n-gram Jaccard** — the verifier primitive; all-pairs is quadratic,
   so at scale it runs behind the MinHash band blocker
@@ -76,23 +86,52 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(
+#: prime modulus for the affine permutation family; (2i+1)·h32 + i stays
+#: well under 2^63 because h32 < 2^32 — no overflow even under ANSI mode.
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def minhash_sigs(
     df: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     num_hashes: int = 16,
     ngram: int = 3,
 ) -> DataFrame:
-    """Add ``sig`` (array<bigint>, length ``num_hashes``): per seed i,
-    the min h64(i, shingle) over the doc's distinct word n-grams.
-    Pure per-row array fold — no shuffle, linear in tokens."""
+    """(id, sig) signatures: explode distinct word n-grams, hash each
+    **once** (h64 = md5-based, DuckDB-portable), then take per-doc mins
+    of ``num_hashes`` affine permutations ``((2i+1)·h32 + i) mod P``.
+
+    One hash aggregate: partial min per (doc, lane) map-side, so the
+    shuffle moves one row per doc per partition regardless of document
+    length."""
     shingles = F.array_distinct(word_ngrams(tokens(F.col(text_col)), ngram))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.conv(F.substring(F.md5(F.concat_ws(":", i.cast("string"), s)), 1, 15), 16, 10).cast("bigint"))
-        ),
+    ex = df.select(F.col(id_col), F.explode(shingles).alias("__s"))
+    hashed = ex.select(
+        F.col(id_col), (h64(F.col("__s")) % F.lit(4294967296)).alias("__h")
     )
-    return df.withColumn("sig", sig)
+    mins = [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("__h") + F.lit(i)) % F.lit(MINHASH_P)
+        ).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    agg = hashed.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """Compat shape: original rows with a ``sig`` column appended."""
+    return df.join(minhash_sigs(df, text_col, id_col, num_hashes, ngram), id_col)
 
 
 def minhash_band_buckets(
@@ -136,10 +175,10 @@ def minhash_lsh_pairs(
     """Candidate pairs from band-bucket collisions, verified with exact
     n-gram Jaccard ≥ threshold.  Returns (a, b, jaccard), a < b."""
     rows_per_band = num_hashes // bands
-    sig_df = minhash_signature(df, text_col, num_hashes, ngram)
+    sigs = minhash_sigs(df, text_col, id_col, num_hashes, ngram)
     shingles = F.array_distinct(word_ngrams(tokens(F.col(text_col)), ngram))
-    docs = sig_df.select(F.col(id_col), F.col("sig"), shingles.alias("sh"))
-    buckets = minhash_band_buckets(docs, id_col, bands, rows_per_band)
+    sh_df = df.select(F.col(id_col), shingles.alias("sh"))
+    buckets = minhash_band_buckets(sigs, id_col, bands, rows_per_band)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -149,8 +188,8 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
         .distinct()
     )
-    left = docs.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
-    right = docs.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    left = sh_df.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    right = sh_df.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     return (
         cand.join(left, "a")
         .join(right, "b")
@@ -176,26 +215,43 @@ def minhash_lsh_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
-    """Add ``simhash`` (bigint, ``bits`` wide): bit b is set iff the
-    sum over tokens of ±1 (per token-hash bit b) is positive.
-    Frequency-weighted (raw tokens, not distinct), per-row fold."""
-    hs = F.transform(tokens(F.col(text_col)), lambda t: h64(t))
+def simhash_sigs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """(id, simhash) signatures: bit b is set iff the sum over tokens
+    of ±1 (per token-hash bit b) is positive.  Frequency-weighted (raw
+    tokens, not distinct).
 
-    def bit_sum(b: int):
-        # closure (not default-arg) so PySpark sees a 2-arg lambda
-        def step(acc, h):
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+    Explode → one h64 per token → single grouped aggregate computing
+    all ``bits`` ±1 sums (partial map-side), then fold the sums into
+    one bigint.  One hash per token instead of ``bits`` per token."""
+    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    hashed = ex.select(F.col(id_col), h64(F.col("__t")).alias("__h"))
+    sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
             ).otherwise(F.lit(-1))
-
-        return F.aggregate(hs, F.lit(0), step)
-
-    bit_terms = [
-        F.when(bit_sum(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        ).alias(f"__b{b}")
         for b in range(bits)
     ]
-    return df.withColumn("simhash", reduce(lambda x, y: x + y, bit_terms))
+    agg = hashed.groupBy(id_col).agg(*sums)
+    bit_terms = [
+        F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for b in range(bits)
+    ]
+    return agg.select(
+        F.col(id_col), reduce(lambda x, y: x + y, bit_terms).alias("simhash")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Compat shape: original rows with a ``simhash`` column appended."""
+    return df.join(simhash_sigs(df, text_col, id_col, bits), id_col)
 
 
 def simhash_pairs(
@@ -214,7 +270,7 @@ def simhash_pairs(
     """
     assert chunks > max_hamming, "chunk blocking only exact when chunks > max_hamming"
     chunk_bits = bits // chunks
-    sh = simhash(df, text_col, bits).select(id_col, "simhash")
+    sh = simhash_sigs(df, text_col, id_col, bits)
     chunked = sh.select(
         id_col,
         "simhash",
