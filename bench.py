@@ -34,8 +34,19 @@ from rheoceros_spark.sources.io import load_table  # noqa: E402
 BENCH_CORE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q10_returned_revenue",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q22_wealthy_inactive",
+    "pivot_returnflag_status",
+    "grouping_sets_revenue",
     "scan_pruned_projection",
     "partition_ranged_union",
     "nearest_partition_asof",
