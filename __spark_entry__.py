@@ -527,6 +527,145 @@ def metric_threshold_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "metric_period_stats_hourly",
+    oracle=f"""
+    SELECT event_type, date_trunc('hour', ts) AS period_start,
+           count(value_cents) AS "SampleCount",
+           sum(value_cents) AS "Sum",
+           min(value_cents) AS "Minimum",
+           max(value_cents) AS "Maximum",
+           CAST(sum(value_cents) AS DOUBLE) / (100.0 * count(value_cents)) AS avg_value
+    FROM (SELECT event_type, ts, {_c('value')} AS value_cents FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def metric_period_stats_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric statistics over period-aligned windows (S11, reference
+    metric_alarm_defs.py:55-133) via diagnostics.metric_period_stats;
+    value pre-centified so every statistic is exact integer math."""
+    from rheoceros_spark.diagnostics import MetricStatistic, metric_period_stats
+
+    ev = load_table(spark, sf_dir, "events").withColumn("value_cents", cents(F.col("value")))
+    stats = metric_period_stats(
+        ev,
+        period="1 hour",
+        value_col="value_cents",
+        dims=["event_type"],
+        stats=[
+            MetricStatistic.SAMPLE_COUNT,
+            MetricStatistic.SUM,
+            MetricStatistic.MINIMUM,
+            MetricStatistic.MAXIMUM,
+        ],
+    )
+    return stats.withColumn(
+        "avg_value", F.col("Sum").cast("double") / (100.0 * F.col("SampleCount"))
+    )
+
+
+_ALARM_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS period_start,
+         CAST(sum({_c('value')}) AS DOUBLE) / (100.0 * count(*)) AS avg_value
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, period_start, avg_value,
+         CASE WHEN avg_value > 10.0 THEN 1 ELSE 0 END AS breach
+  FROM hourly
+), w AS (
+  SELECT event_type, period_start, avg_value, breach,
+         sum(breach) OVER (PARTITION BY event_type ORDER BY period_start
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS breaches_in_window,
+         count(breach) OVER (PARTITION BY event_type ORDER BY period_start
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS periods_in_window
+  FROM b
+)
+SELECT event_type, strftime(period_start, '%Y-%m-%d %H') AS period_str, avg_value,
+       breach, breaches_in_window,
+       CASE WHEN breaches_in_window >= 2 THEN 'ALARM'
+            WHEN periods_in_window < 3 THEN 'INSUFFICIENT_DATA'
+            ELSE 'OK' END AS state
+FROM w
+"""
+
+
+@q("alarm_m_of_n_state", oracle=_ALARM_ORACLE)
+def alarm_m_of_n_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-of-N alarm evaluation (2 of 3 periods breaching, reference
+    metric_alarm_defs.py:271-285) via diagnostics.alarm_state."""
+    from rheoceros_spark.diagnostics import alarm_state
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("period_start")).agg(
+        (F.sum(cents(F.col("value"))).cast("double") / (100.0 * F.count("*"))).alias("avg_value")
+    )
+    st = alarm_state(
+        hourly,
+        metric_col="avg_value",
+        threshold=10.0,
+        comparison=">",
+        evaluation_periods=3,
+        datapoints_to_alarm=2,
+        dims=["event_type"],
+    )
+    return st.select(
+        "event_type",
+        F.date_format("period_start", "yyyy-MM-dd HH").alias("period_str"),
+        "avg_value",
+        "breach",
+        "breaches_in_window",
+        "state",
+    )
+
+
+_COMPOSITE_ALARM_ORACLE = """
+WITH err AS (
+  SELECT date_trunc('day', ts) AS period_start, count(*) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1
+), pur AS (
+  SELECT date_trunc('day', ts) AS period_start, count(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), ea AS (
+  SELECT period_start, CASE WHEN n > 2 THEN 'ALARM' ELSE 'OK' END AS state FROM err
+), pa AS (
+  SELECT period_start, CASE WHEN n > 1 THEN 'ALARM' ELSE 'OK' END AS state FROM pur
+)
+SELECT CAST(coalesce(ea.period_start, pa.period_start) AS DATE) AS period_day,
+       CASE WHEN coalesce(ea.state = 'ALARM', FALSE)
+                 AND NOT coalesce(pa.state = 'ALARM', FALSE)
+            THEN 'ALARM' ELSE 'OK' END AS state
+FROM ea FULL OUTER JOIN pa ON ea.period_start = pa.period_start
+"""
+
+
+@q("composite_alarm_rule", oracle=_COMPOSITE_ALARM_ORACLE)
+def composite_alarm_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite alarm: AlarmRule boolean algebra over two alarm-state
+    streams — fires when errors are high AND purchases are NOT high
+    (reference metric_alarm_defs.py:331-409 AND/OR/INVERT)."""
+    from rheoceros_spark.diagnostics import AlarmRule, alarm_state
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def daily_count_alarm(event_type: str, threshold: int) -> DataFrame:
+        daily = (
+            ev.where(F.col("event_type") == event_type)
+            .groupBy(F.date_trunc("day", "ts").alias("period_start"))
+            .agg(F.count("*").alias("n"))
+        )
+        return alarm_state(daily, metric_col="n", threshold=threshold, comparison=">")
+
+    rule = AlarmRule.of("errors_high") & ~AlarmRule.of("purchases_high")
+    out = rule.evaluate(
+        {
+            "errors_high": daily_count_alarm("error", 2),
+            "purchases_high": daily_count_alarm("purchase", 1),
+        }
+    )
+    return out.select(F.col("period_start").cast("date").alias("period_day"), "state")
+
+
+@q(
     "topk_orders",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -49,6 +49,14 @@ from rheoceros_spark.compute import (  # noqa: F401
     SparkSQL,
 )
 from rheoceros_spark.application import Application  # noqa: F401
+from rheoceros_spark.diagnostics import (  # noqa: F401
+    AlarmRule,
+    AlarmState,
+    MetricStatistic,
+    alarm_state,
+    metric_math,
+    metric_period_stats,
+)
 from rheoceros_spark.session import get_session  # noqa: F401
 
 __version__ = "0.1.0"

@@ -39,8 +39,8 @@ from typing import Any, Callable, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
-from rheoceros_spark.compute import ComputeContext, ComputeDescriptor, InlinedCompute
-from rheoceros_spark.dimensions import Dimension, DimensionFilter, DimensionSpec
+from rheoceros_spark.compute import ComputeContext, ComputeDescriptor, InlinedCompute, Spark
+from rheoceros_spark.dimensions import Dimension, DimensionFilter, DimensionSpec, DimensionType
 from rheoceros_spark.session import get_session
 from rheoceros_spark.signals import (
     EQUALS,
@@ -48,6 +48,7 @@ from rheoceros_spark.signals import (
     Signal,
     SignalDimensionLink,
     SignalLinkNode,
+    expand_literal_lists,
 )
 from rheoceros_spark.sources.datasets import (
     DatasetDescriptor,
@@ -114,6 +115,51 @@ class Application:
         sig = Signal(alias, descriptor, descriptor.spec, filt)
         self._external[alias] = sig
         return sig.clone()
+
+    def add_timer(
+        self,
+        id: str,
+        granularity: str = "day",
+        date_format: Optional[str] = None,
+    ) -> Signal:
+        """Timer signal: single DATETIME dimension, no storage binding
+        (S9, reference application.py:1023-1052 /
+        signal_source.py:1103-1160 — EventBridge schedule becomes a
+        scheduled ``process(timer[...])`` injection stamping the run
+        date)."""
+        params: dict[str, Any] = {"granularity": granularity}
+        if date_format:
+            params["format"] = date_format
+        dim = Dimension("time", DimensionType.DATETIME, params)
+        sig = Signal(id, None, DimensionSpec([dim]))
+        self._external[id] = sig
+        return sig.clone()
+
+    def project(
+        self,
+        id: str,
+        input: Signal,
+        dim_name: str,
+        values: Sequence[Any],
+        dim_type: DimensionType = DimensionType.STRING,
+        compute_targets: Optional[Union[ComputeDescriptor, Sequence[ComputeDescriptor]]] = None,
+    ) -> Signal:
+        """Projection: fan one signal out over a new dimension domain
+        with literal values (reference application.py:4532-4660).  Each
+        input partition event triggers one execution per literal value;
+        default compute is identity (explode over a literal domain)."""
+        compute = compute_targets or Spark(lambda inputs, ctx: next(iter(inputs.values())))
+        out_spec = DimensionSpec(
+            [Dimension(d.name, d.type, d.params) for d in input.spec]
+            + [Dimension(dim_name, dim_type)]
+        )
+        return self.create_data(
+            id,
+            inputs=[input],
+            compute_targets=compute,
+            output_dimension_spec=out_spec,
+            output_dim_links=[(dim_name, list(values))],
+        )
 
     def create_data(
         self,
@@ -219,8 +265,7 @@ class Application:
         path = self._run_node(node, out_values, recursive=recursive)
         if update_dependency_tree:
             for child in self._descendants(node.id):
-                child_values = self._derive_child_values(child, node.id, out_values)
-                if child_values is not None:
+                for child_values in self._derive_child_values(child, node.id, out_values):
                     self._run_node(child, child_values, recursive=False)
         return path
 
@@ -242,7 +287,12 @@ class Application:
                         up_values = dict(zip(up.output_signal.dimension_names(), branch))
                         self._run_node(up, up_values, recursive=True)
 
-        inputs_df = {sig.alias: load_signal(self.spark, sig) for sig in materialized}
+        # source-less signals (timers) contribute dimension values only
+        inputs_df = {
+            sig.alias: load_signal(self.spark, sig)
+            for sig in materialized
+            if sig.source is not None
+        }
         out_filter = DimensionFilter.load_raw(
             node.output_signal.spec, [out_values[d] for d in node.output_signal.dimension_names()]
         )
@@ -306,7 +356,7 @@ class Application:
 
     def _derive_child_values(
         self, child: InternalDataNode, parent_id: str, parent_values: dict[str, Any]
-    ) -> Optional[dict[str, Any]]:
+    ) -> list[dict[str, Any]]:
         known = child.link_node.propagate({parent_id: dict(parent_values)})
         out_values = {}
         for link in child.output_links:
@@ -315,8 +365,8 @@ class Application:
             elif all(r[0] in known and r[1] in known[r[0]] for r in link.rhs):
                 out_values[link.output_dim] = (link.func or EQUALS)(*[known[r[0]][r[1]] for r in link.rhs])
         if set(out_values) != set(child.output_signal.dimension_names()):
-            return None
-        return out_values
+            return []
+        return expand_literal_lists(out_values)
 
     # ------------------------------------------------------------------
     # event-driven mode

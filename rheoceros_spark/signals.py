@@ -63,8 +63,13 @@ class Signal:
         is_reference: bool = False,
         nearest_in_range: bool = False,
         range_check_required: bool = False,
+        resource_id: Optional[str] = None,
     ):
         self.alias = alias
+        # stable identity across per-node aliasing — events match routes by
+        # resource, not by the node-local alias (reference maps incoming
+        # paths to access specs, constructs.py:3293-3433)
+        self.resource_id = resource_id or alias
         self.source = source
         self.spec = spec if spec is not None else DimensionSpec()
         self.filter = filter if filter is not None else DimensionFilter.all_pass(self.spec)
@@ -284,6 +289,17 @@ class SignalLinkNode:
                         known[r_alias][r_dim] = known[l_alias][l_dim]
                         changed = True
         return known
+
+
+def expand_literal_lists(out_values: dict[str, Any]) -> list[dict[str, Any]]:
+    """Projection fan-out (reference application.py:4532-4660): a
+    list/tuple literal in the output values expands to one output
+    partition per value (cartesian across projected dimensions)."""
+    combos: list[dict[str, Any]] = [{}]
+    for k, v in out_values.items():
+        vals = list(v) if isinstance(v, (list, tuple)) else [v]
+        combos = [{**c, k: val} for c in combos for val in vals]
+    return combos
 
 
 class OutputDimensionLink:

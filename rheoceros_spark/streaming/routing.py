@@ -39,7 +39,7 @@ import time
 from typing import Any, Optional
 
 from rheoceros_spark.dimensions import DimensionFilter
-from rheoceros_spark.signals import EQUALS, Signal
+from rheoceros_spark.signals import EQUALS, Signal, expand_literal_lists
 from rheoceros_spark.sources.io import partition_ready
 
 
@@ -135,18 +135,23 @@ class Route:
         self.pending_nodes: list[RuntimeLinkNode] = []
         self.ttl = pending_node_ttl_in_secs
 
-    def accepts(self, alias: str) -> Optional[Signal]:
+    def accepts(self, alias: str, resource_id: Optional[str] = None) -> Optional[Signal]:
         for sig in self.node.link_node.signals:
-            if sig.alias == alias:
+            if sig.alias == alias or (resource_id is not None and sig.resource_id == resource_id):
                 return sig
         return None
 
-    def receive(self, spark, alias: str, values: dict[str, Any], path: str) -> list[RuntimeLinkNode]:
+    def receive(
+        self, spark, alias: str, tip: tuple, path: str,
+        resource_id: Optional[str] = None,
+    ) -> list[RuntimeLinkNode]:
         """Offer the event; return nodes that became ready (reference
-        Route.receive, :1396-1444)."""
-        sig = self.accepts(alias)
+        Route.receive, :1396-1444).  ``tip`` is positional — each route
+        zips it with its own declared dimension names/aliases."""
+        sig = self.accepts(alias, resource_id)
         if sig is None:
             return []
+        values = dict(zip(sig.dimension_names(), tip))
         # declared-filter compatibility gate (value mismatch → ignore)
         try:
             m = sig.materialize([values.get(d.name, "*") for d in sig.spec])
@@ -157,7 +162,7 @@ class Route:
 
         consumed = False
         for node in self.pending_nodes:
-            if node.offer(alias, values, path):
+            if node.offer(sig.alias, values, path):
                 consumed = True
                 break
         if not consumed:
@@ -165,7 +170,7 @@ class Route:
                 # references/nearest never seed pending nodes (reference :1410-1425, :397-407)
                 return []
             node = RuntimeLinkNode(self)
-            node.offer(alias, values, path)
+            node.offer(sig.alias, values, path)
             if node.check_zombie():
                 return []
             self.pending_nodes.append(node)
@@ -207,45 +212,39 @@ class RoutingTable:
         finalized = signal.filter.finalize()
         if not finalized.is_material:
             raise ValueError(f"process() requires material values; got {signal.filter!r}")
-        tip = finalized.tip() or ()
-        sig_decl = None
-        for route in self.routes.values():
-            s = route.accepts(signal.alias)
-            if s is not None:
-                sig_decl = s
-                break
-        dim_names = (
-            sig_decl.dimension_names() if sig_decl is not None else signal.dimension_names()
-        )
-        values = dict(zip(dim_names, tip))
+        tip = tuple(finalized.tip() or ())
         path = (
             signal.source.materialize_paths(finalized)[0]
             if signal.source is not None
-            else f"{signal.alias}:{tip}"
+            else f"{signal.resource_id}:{tip}"
         )
 
         outputs: list[str] = []
         for route in self.routes.values():
-            for ready_node in route.receive(self.app.spark, signal.alias, values, path):
-                out_values = self._materialize_output(route, ready_node)
-                if out_values is None:
+            for ready_node in route.receive(
+                self.app.spark, signal.alias, tip, path, resource_id=signal.resource_id
+            ):
+                derived = self._materialize_output(route, ready_node)
+                if derived is None:
                     continue
-                hook = route.node.hooks.get("on_exec_begin")
-                if hook:
-                    hook(route.node, out_values)
-                out_path = self.app._run_node(route.node, out_values, recursive=False)
-                outputs.append(out_path)
-                hook = route.node.hooks.get("on_success")
-                if hook:
-                    hook(route.node, out_values, out_path)
-                if recursive_downstream:
-                    # the output's own signal feeds downstream routes
-                    out_sig = route.node.output_signal.clone()
-                    out_sig.filter = DimensionFilter.load_raw(
-                        out_sig.spec,
-                        [out_values[d] for d in out_sig.dimension_names()],
-                    )
-                    outputs.extend(self.receive(out_sig))
+                # projection fan-out: list literals → one execution per value
+                for out_values in expand_literal_lists(derived):
+                    hook = route.node.hooks.get("on_exec_begin")
+                    if hook:
+                        hook(route.node, out_values)
+                    out_path = self.app._run_node(route.node, out_values, recursive=False)
+                    outputs.append(out_path)
+                    hook = route.node.hooks.get("on_success")
+                    if hook:
+                        hook(route.node, out_values, out_path)
+                    if recursive_downstream:
+                        # the output's own signal feeds downstream routes
+                        out_sig = route.node.output_signal.clone()
+                        out_sig.filter = DimensionFilter.load_raw(
+                            out_sig.spec,
+                            [out_values[d] for d in out_sig.dimension_names()],
+                        )
+                        outputs.extend(self.receive(out_sig))
         return outputs
 
     def _materialize_output(self, route: Route, node: RuntimeLinkNode) -> Optional[dict[str, Any]]:
