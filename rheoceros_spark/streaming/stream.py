@@ -1,0 +1,185 @@
+"""Structured Streaming building blocks (SURVEY §2.9, Spark mapping).
+
+The reference's event-driven layer is partition-grain (driver-side
+routing, :mod:`rheoceros_spark.streaming.routing`); *row-grain*
+streaming maps onto Spark Structured Streaming:
+
+* **sources** — `readStream` over the same dataset descriptors the
+  batch layer uses (file sources need a declared schema);
+* **late data** — watermarks + windowed aggregates (the reference's
+  "late partition event re-consumed idempotently" becomes "late row
+  within watermark merged into its window");
+* **sinks** — ``foreachBatch`` partition-overwrite writes so replays
+  stay idempotent (the streaming twin of the managed batch sink
+  S12-S16, reference ``glueetl_default_ABI.py:383-409``);
+* **custom stateful operators** — ``applyInPandasWithState`` with
+  timeouts (the reference's TTL'd pending state,
+  ``routing_runtime_constructs.py:1446-1459``, at row grain).
+
+All transformations between source and sink are plain DataFrame ops,
+so the streaming plans go through the same incremental Catalyst
+optimization as batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from rheoceros_spark.sources.datasets import DatasetDescriptor
+from rheoceros_spark.sources.io import write_dataset
+
+
+def stream_source(
+    spark: SparkSession,
+    descriptor: DatasetDescriptor,
+    schema: Optional[StructType] = None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """``readStream`` over a dataset descriptor's root directory.
+
+    File streams require a declared schema (descriptor ``schema_def``
+    or the ``schema`` argument) — inference is a batch-only luxury.
+    Partition dirs are globbed; new files appearing under the root are
+    discovered per microbatch."""
+    schema = schema or descriptor.spark_schema()
+    if schema is None:
+        raise ValueError("streaming file sources need a declared schema")
+    root = descriptor.path_format.split("{}")[0].rstrip("/")
+    reader = (
+        spark.readStream.format(descriptor.data_format)
+        .schema(schema)
+        .options(**descriptor.spark_options())
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    n_dims = len(descriptor.spec)
+    glob = root + "/*" * n_dims if n_dims else root
+    return reader.load(glob)
+
+
+def windowed_aggregate(
+    sdf: DataFrame,
+    aggs: Sequence,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "1 hour",
+    dims: Sequence[str] = (),
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation — the streaming
+    twin of the batch metric-period aggregate.  Late rows within the
+    watermark merge into their window; beyond it they are dropped
+    (bounded state)."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(*dims, win.alias("window"))
+        .agg(*aggs)
+    )
+
+
+def partition_overwrite_sink(
+    sdf: DataFrame,
+    path_for_batch: Callable[[DataFrame, int], dict[str, DataFrame]],
+    checkpoint_dir: str,
+    data_format: str = "parquet",
+    trigger_available_now: bool = False,
+):
+    """``foreachBatch`` sink with **idempotent partition overwrites**:
+    ``path_for_batch(batch_df, batch_id)`` returns {partition_path:
+    partition_df}; each is (re)written whole, so microbatch replays
+    after failure converge instead of duplicating (streaming twin of
+    the managed batch sink S12-S16)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        for path, part_df in path_for_batch(batch_df, batch_id).items():
+            write_dataset(part_df, path, data_format=data_format)
+
+    writer = sdf.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def sessionize(
+    sdf: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+    timeout_ms: Optional[int] = None,
+) -> DataFrame:
+    """Custom stateful operator: session windows by inactivity gap via
+    ``applyInPandasWithState`` (the (b)-tier of SURVEY §7's custom-
+    operator ladder — built-ins can't express gap sessions with
+    per-key state + timeout eviction).
+
+    Emits one row per closed session: (key, session_start,
+    session_end, n_events).  A session closes when the next event for
+    the key is more than ``gap_seconds`` later (event time, including
+    gaps *inside* one microbatch), or when the processing-time timeout
+    (``timeout_ms``, default ``gap_seconds·1000``) fires with state
+    still open.  State is one (start, end, count) triple per key —
+    O(active keys), executor-distributed."""
+    out_schema = (
+        f"{key_col} bigint, session_start timestamp, session_end timestamp, n_events bigint"
+    )
+    state_schema = "start double, end double, n bigint"
+    t_ms = timeout_ms if timeout_ms is not None else gap_seconds * 1000
+
+    def emit(key, sessions):
+        return pd.DataFrame(
+            {
+                key_col: [key[0]] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in sessions],
+                "n_events": [c for _, _, c in sessions],
+            }
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield emit(key, [(start, end, n)])
+            return
+        stamps: list[float] = []
+        for pdf in pdfs:
+            stamps.extend((pdf[ts_col].astype("int64") / 1e9).tolist())
+        if not stamps:
+            return
+        stamps.sort()
+        open_session = tuple(state.get) if state.exists else None
+        closed: list[tuple] = []
+        for t in stamps:
+            if open_session is None:
+                open_session = (t, t, 1)
+            elif t - open_session[1] > gap_seconds:
+                closed.append(open_session)
+                open_session = (t, t, 1)
+            else:
+                open_session = (open_session[0], max(open_session[1], t), open_session[2] + 1)
+        state.update(open_session)
+        state.setTimeoutDuration(t_ms)
+        if closed:
+            yield emit(key, closed)
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,163 @@
+"""Structured Streaming layer: file stream source → watermarked window
+agg → idempotent foreachBatch partition sink; stateful sessionize."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark import Dimension, DimensionType, ParquetDataset
+from rheoceros_spark.streaming.stream import (
+    partition_overwrite_sink,
+    sessionize,
+    stream_source,
+    windowed_aggregate,
+)
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_root(spark, sf_dir, tmp_path_factory):
+    from rheoceros_spark.sources.io import normalize_ns_timestamps
+
+    root = str(tmp_path_factory.mktemp("stream_events"))
+    ev = normalize_ns_timestamps(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), f"{sf_dir}/events.parquet"
+    )
+    for day in ["2024-01-01", "2024-01-02"]:
+        ev.where(F.to_date("ts") == day).coalesce(1).write.mode("overwrite").parquet(
+            f"{root}/{day}"
+        )
+    return root
+
+
+def test_stream_window_agg_to_partition_sink(spark, events_stream_root, tmp_path):
+    desc = ParquetDataset(
+        events_stream_root + "/{}",
+        Dimension("day", DimensionType.DATETIME, {"format": "%Y-%m-%d"}),
+    )
+    sdf = stream_source(spark, desc, schema=EVENTS_SCHEMA and spark.createDataFrame([], EVENTS_SCHEMA).schema)
+    agg = windowed_aggregate(
+        sdf,
+        aggs=[F.count("*").alias("n"), F.sum("value").alias("total")],
+        ts_col="ts",
+        window="1 day",
+        watermark="1 hour",
+        dims=["event_type"],
+    )
+    out_root = str(tmp_path / "out")
+
+    def route(batch_df, batch_id):
+        days = [r[0] for r in batch_df.select(F.to_date("window.start").alias("d")).distinct().collect()]
+        return {
+            f"{out_root}/{d}": batch_df.where(F.to_date("window.start") == F.lit(d)).drop("window")
+            for d in days
+        }
+
+    q = partition_overwrite_sink(
+        agg, route, checkpoint_dir=str(tmp_path / "ckpt"), trigger_available_now=True
+    ).start()
+    q.awaitTermination(120)
+
+    # batch equivalence: same agg over a plain read
+    written = spark.read.parquet(f"{out_root}/2024-01-01")
+    expect = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(events_stream_root + "/2024-01-01")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r.event_type: r.n for r in written.collect()}
+    exp = {r.event_type: r.n for r in expect.collect()}
+    assert got == exp
+    assert os.path.exists(f"{out_root}/2024-01-01/_SUCCESS")
+
+
+def test_stream_sink_idempotent_replay(spark, events_stream_root, tmp_path):
+    """Re-running from a fresh checkpoint rewrites the same partitions
+    (overwrite), not duplicates."""
+    desc = ParquetDataset(
+        events_stream_root + "/{}",
+        Dimension("day", DimensionType.DATETIME, {"format": "%Y-%m-%d"}),
+    )
+    schema = spark.createDataFrame([], EVENTS_SCHEMA).schema
+    out_root = str(tmp_path / "out")
+
+    def run(ckpt):
+        sdf = stream_source(spark, desc, schema=schema)
+        agg = windowed_aggregate(
+            sdf, aggs=[F.count("*").alias("n")], window="1 day", watermark="1 hour"
+        )
+
+        def route(batch_df, batch_id):
+            days = [r[0] for r in batch_df.select(F.to_date("window.start").alias("d")).distinct().collect()]
+            return {
+                f"{out_root}/{d}": batch_df.where(F.to_date("window.start") == F.lit(d)).drop("window")
+                for d in days
+            }
+
+        q = partition_overwrite_sink(
+            agg, route, checkpoint_dir=str(tmp_path / ckpt), trigger_available_now=True
+        ).start()
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    first = spark.read.parquet(f"{out_root}/2024-01-01").collect()
+    run("ckpt2")  # full replay
+    second = spark.read.parquet(f"{out_root}/2024-01-01").collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """Two bursts 2h apart with a 30-min gap → two sessions for user 1."""
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 02:00:00"),
+        (2, "2024-01-01 00:05:00"),
+    ]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    df = spark.createDataFrame(rows, "user_id bigint, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "batch0"))
+
+    sdf = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .parquet(str(src_dir / "*"))
+    )
+    sessions = sessionize(sdf, gap_seconds=1800, watermark="10 minutes", timeout_ms=5000)
+    out = []
+
+    q = (
+        sessions.writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 90
+        # in-data gap close emits session 1; timeout close emits session 2
+        while time.time() < deadline and len(out) < 3:
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end, r.n_events))
+    assert 1 in by_user
+    u1 = sorted(by_user[1])
+    # first burst closed by the in-data gap: 2 events, 00:00-00:10
+    assert u1[0][2] == 2
+    assert u1[0][0].minute == 0 and u1[0][1].minute == 10
+    # timeout-closed: single event at 02:00, and user 2's lone event
+    assert len(u1) == 2 and u1[1][2] == 1
+    assert by_user[2][0][2] == 1
