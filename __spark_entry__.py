@@ -1277,10 +1277,20 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "text_fingerprint",
     oracle=f"""
-    SELECT doc_id, md5({_NORM}) AS fp_md5,
-           list_min(list_transform({_ngrams_sql(_TOK, 5)},
-                                   g -> {_H64.format(s="g")})) AS fp_min
-    FROM documents
+    WITH hs AS (
+      SELECT doc_id, md5({_NORM}) AS fp_md5,
+             list_transform({_TOK}, t -> {_H64.format(s="t")} % 2147483647) AS h
+      FROM documents
+    )
+    SELECT doc_id, fp_md5,
+           list_min(list_transform(range(1, greatest(1, len(h) - 4) + 1), i ->
+             ((({pow(1000003, 4, 2147483647)} * coalesce(h[i], 0)) % 2147483647
+             + ({pow(1000003, 3, 2147483647)} * coalesce(h[i + 1], 0)) % 2147483647
+             + ({pow(1000003, 2, 2147483647)} * coalesce(h[i + 2], 0)) % 2147483647
+             + ({pow(1000003, 1, 2147483647)} * coalesce(h[i + 3], 0)) % 2147483647
+             + ({pow(1000003, 0, 2147483647)} * coalesce(h[i + 4], 0)) % 2147483647) % 2147483647)
+           )) AS fp_min
+    FROM hs
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

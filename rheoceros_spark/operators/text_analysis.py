@@ -16,7 +16,6 @@ from rheoceros_spark.functions.portable import (
     h64,
     normalize_text,
     tokens,
-    word_ngrams,
 )
 
 # BPE-ish pre-tokenizer: letter runs, single digits, punctuation marks
@@ -94,12 +93,43 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: rolling-hash modulus/base (2^31-1 keeps every term under 2^62 and the
+#: 5-term sum under 2^34 — safe signed-64 math under ANSI mode, and
+#: expressible 1:1 in the DuckDB oracle)
+FP_P = 2147483647
+FP_BASE = 1000003
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", window: int = 5) -> DataFrame:
     """Add ``fp_md5`` (content hash of normalized text) and ``fp_min``
-    (rolling fingerprint: min h64 over word-``window``-grams — a
-    winnowing-style shift-robust signature)."""
+    (winnowing-style shift-robust signature: min over positions of a
+    polynomial rolling hash of ``window`` consecutive token hashes).
+
+    One md5 per **token** (not per n-gram) — the window combination is
+    pure modular arithmetic, so cost is O(tokens), not
+    O(tokens × window) string builds.  Out-of-range taps on short
+    documents read as 0 (deterministic, same in the SQL oracle)."""
     norm = normalize_text(F.col(text_col))
-    grams = word_ngrams(tokens(F.col(text_col)), window)
-    return df.withColumn("fp_md5", F.md5(norm)).withColumn(
-        "fp_min", F.array_min(F.transform(grams, lambda g: h64(g)))
+    hs = F.transform(tokens(F.col(text_col)), lambda t: h64(t) % F.lit(FP_P))
+    coeffs = [pow(FP_BASE, window - 1 - j, FP_P) for j in range(window)]
+
+    def rolling(i: Column) -> Column:
+        terms = [
+            (F.lit(coeffs[j]) * F.coalesce(F.get(F.col("__fp_hs"), i + F.lit(j) - 1), F.lit(0)))
+            % F.lit(FP_P)
+            for j in range(window)
+        ]
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        return s % F.lit(FP_P)
+
+    with_hs = df.withColumn("__fp_hs", hs)
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size(F.col("__fp_hs")) - F.lit(window - 1))
+    )
+    return (
+        with_hs.withColumn("fp_md5", F.md5(norm))
+        .withColumn("fp_min", F.array_min(F.transform(positions, rolling)))
+        .drop("__fp_hs")
     )

@@ -142,18 +142,28 @@ class TestTextAnalysis:
             assert 0.0 <= r.punct_ratio <= 1.0
 
     def test_fingerprint_matches_duckdb(self, docs, sf_dir):
+        from rheoceros_spark.operators.text_analysis import FP_BASE, FP_P
+
         got = {r.doc_id: (r.fp_md5, r.fp_min) for r in fingerprint(docs).collect()}
         tok = "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')"
+        taps = " + ".join(
+            f"({pow(FP_BASE, 4 - j, FP_P)} * coalesce(h[i + {j}], 0)) % {FP_P}"
+            for j in range(5)
+        )
         exp = {
             r[0]: (r[1], r[2])
             for r in duckdb.sql(
                 f"""
-                SELECT doc_id, md5(trim(regexp_replace(lower(text),'\\s+',' ','g'))) fp_md5,
-                  list_min(list_transform(
-                    list_transform(range(1, greatest(1, len({tok}) - 4) + 1),
-                      i -> array_to_string(list_slice({tok}, i, i + 4), ' ')),
-                    g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) fp_min
-                FROM '{sf_dir}/documents.parquet'
+                WITH hs AS (
+                  SELECT doc_id, md5(trim(regexp_replace(lower(text),'\\s+',' ','g'))) fp_md5,
+                         list_transform({tok},
+                           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {FP_P}) h
+                  FROM '{sf_dir}/documents.parquet'
+                )
+                SELECT doc_id, fp_md5,
+                  list_min(list_transform(range(1, greatest(1, len(h) - 4) + 1),
+                    i -> (({taps}) % {FP_P}))) fp_min
+                FROM hs
                 """
             ).fetchall()
         }
