@@ -1036,19 +1036,17 @@ _MINHASH_MINS = ", ".join(
 )
 
 _MINHASH_ORACLE = f"""
-WITH docs AS (
-  SELECT doc_id, list_distinct({_ngrams_sql(_TOK, 3)}) AS sh FROM documents
-), ex AS (
-  SELECT doc_id, unnest(sh) AS s FROM docs
+WITH ex AS (
+  SELECT doc_id, unnest(list_distinct({_ngrams_sql(_TOK, 3)})) AS s FROM documents
 ), hashed AS (
   SELECT doc_id, {_H64.format(s="s")} % 4294967296 AS h32 FROM ex
-), sigs AS (
-  SELECT doc_id, [{_MINHASH_MINS}] AS sig
+), docs AS (
+  SELECT doc_id, [{_MINHASH_MINS}] AS sig, list(DISTINCT h32) AS sh
   FROM hashed GROUP BY doc_id
 ), buckets AS (
   SELECT doc_id, band,
          {_H64.format(s="array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')")} AS bucket
-  FROM sigs, (SELECT unnest(range(0, 4)) AS band)
+  FROM docs, (SELECT unnest(range(0, 4)) AS band)
 ), cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
@@ -1098,7 +1096,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_ORACLE = f"""
 WITH docs AS (
-  SELECT doc_id, list_distinct({_ngrams_sql(_TOK, 3)}) AS sh FROM documents
+  SELECT doc_id,
+         list_distinct(list_transform({_ngrams_sql(_TOK, 3)},
+                                      g -> {_H64.format(s="g")} % 4294967296)) AS sh
+  FROM documents
 )
 SELECT a, b, jaccard FROM (
   SELECT x.doc_id AS a, y.doc_id AS b,

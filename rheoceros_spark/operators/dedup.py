@@ -91,20 +91,25 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 MINHASH_P = 2147483647  # 2^31 - 1
 
 
-def minhash_sigs(
+def _minhash_docs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     ngram: int = 3,
 ) -> DataFrame:
-    """(id, sig) signatures: explode distinct word n-grams, hash each
-    **once** (h64 = md5-based, DuckDB-portable), then take per-doc mins
-    of ``num_hashes`` affine permutations ``((2i+1)·h32 + i) mod P``.
+    """(id, sig, sh): signature lanes **and** the hashed-shingle set
+    from one aggregate — explode distinct word n-grams, hash each
+    **once** (h64 = md5-based, DuckDB-portable), then per-doc mins of
+    ``num_hashes`` affine permutations ``((2i+1)·h32 + i) mod P`` plus
+    ``collect_set`` of the base hashes.
 
-    One hash aggregate: partial min per (doc, lane) map-side, so the
+    One hash aggregate: partial min/set per doc map-side, so the
     shuffle moves one row per doc per partition regardless of document
-    length."""
+    length; when several branches of a plan need it (buckets + both
+    verify sides) the exchange subtree is computed once and reused
+    (ReuseExchange).  The set is bigint, so the verify join shuffles
+    8-byte elements and intersects ints, not n-gram strings."""
     shingles = F.array_distinct(word_ngrams(tokens(F.col(text_col)), ngram))
     ex = df.select(F.col(id_col), F.explode(shingles).alias("__s"))
     hashed = ex.select(
@@ -116,10 +121,25 @@ def minhash_sigs(
         ).alias(f"__m{i}")
         for i in range(num_hashes)
     ]
-    agg = hashed.groupBy(id_col).agg(*mins)
+    agg = hashed.groupBy(id_col).agg(*mins, F.collect_set("__h").alias("sh"))
     return agg.select(
         F.col(id_col),
         F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+        "sh",
+    )
+
+
+def minhash_sigs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, sig) signatures; see :func:`_minhash_docs` (the unused set
+    aggregate is pruned by Catalyst)."""
+    return _minhash_docs(df, text_col, id_col, num_hashes, ngram).select(
+        F.col(id_col), "sig"
     )
 
 
@@ -175,10 +195,9 @@ def minhash_lsh_pairs(
     """Candidate pairs from band-bucket collisions, verified with exact
     n-gram Jaccard ≥ threshold.  Returns (a, b, jaccard), a < b."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_sigs(df, text_col, id_col, num_hashes, ngram)
-    shingles = F.array_distinct(word_ngrams(tokens(F.col(text_col)), ngram))
-    sh_df = df.select(F.col(id_col), shingles.alias("sh"))
-    buckets = minhash_band_buckets(sigs, id_col, bands, rows_per_band)
+    docs = _minhash_docs(df, text_col, id_col, num_hashes, ngram)
+    sh_df = docs.select(F.col(id_col), "sh")
+    buckets = minhash_band_buckets(docs, id_col, bands, rows_per_band)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -330,7 +349,14 @@ def ngram_jaccard_pairs(
         return minhash_lsh_pairs(
             df, text_col, id_col, num_hashes=16, bands=4, ngram=ngram, threshold=threshold
         )
-    sh = F.array_distinct(word_ngrams(tokens(F.col(text_col)), ngram))
+    # jaccard over *hashed* n-gram sets (32-bit, collision-negligible):
+    # int intersections, and bit-identical to the blocked path's sets
+    sh = F.array_distinct(
+        F.transform(
+            word_ngrams(tokens(F.col(text_col)), ngram),
+            lambda g: h64(g) % F.lit(4294967296),
+        )
+    )
     docs = df.select(F.col(id_col), sh.alias("sh"))
     a = docs.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
