@@ -52,6 +52,7 @@ from rheoceros_spark.signals import (
 )
 from rheoceros_spark.sources.datasets import (
     DatasetDescriptor,
+    DatasetType,
     IntegrityProtocol,
     ParquetDataset,
 )
@@ -161,6 +162,20 @@ class Application:
             output_dim_links=[(dim_name, list(values))],
         )
 
+    def import_upstream(
+        self, upstream: "Application", node_id: str, id: Optional[str] = None
+    ) -> Signal:
+        """Cross-application signal import (S20/J10, reference
+        application.py:3954-4010): the upstream node's output (or
+        external) signal participates in this app's graph identically —
+        loads read the upstream storage, and events keep the upstream
+        resource identity so ``process()`` routes them."""
+        sig = upstream[node_id]
+        alias = id or node_id
+        sig = sig.with_alias(alias)
+        self._external[alias] = sig
+        return sig.clone()
+
     def create_data(
         self,
         id: str,
@@ -169,6 +184,7 @@ class Application:
         output_dimension_spec: Optional[Union[DimensionSpec, dict]] = None,
         output_dim_links: Optional[Sequence[Union[OutputDimensionLink, tuple]]] = None,
         input_dim_links: Optional[Sequence[Union[SignalDimensionLink, tuple]]] = None,
+        dataset_type: Union[str, "DatasetType"] = "REPLACE",
         **hooks: Callable,
     ) -> Signal:
         if id in self._nodes:
@@ -222,6 +238,7 @@ class Application:
             self.storage_root + f"/internal_data/{id}" + "/{}" * len(out_spec),
             *[Dimension(d.name, d.type, d.params) for d in out_spec],
             integrity=IntegrityProtocol.SUCCESS_FILE,
+            dataset_type=DatasetType(dataset_type),
         )
         output_signal = Signal(id, out_desc, out_desc.spec)
 
@@ -310,8 +327,16 @@ class Application:
         if out_df is None:
             raise ValueError(f"node {node.id!r} has no batch compute slot producing an output")
 
-        path = node.output_signal.source.materialize_paths(out_filter)[0]
-        write_dataset(out_df, path, data_format=node.output_signal.source.data_format)
+        out_desc = node.output_signal.source
+        path = out_desc.materialize_paths(out_filter)[0]
+        write_dataset(
+            out_df,
+            path,
+            data_format=out_desc.data_format,
+            # APPEND datasets accumulate into the partition (reference
+            # DatasetType, signal_source.py:550-553); REPLACE overwrites
+            mode="append" if out_desc.dataset_type == DatasetType.APPEND else "overwrite",
+        )
         return path
 
     def _materialize_inputs(self, node: InternalDataNode, out_values: dict[str, Any]) -> list[Signal]:
