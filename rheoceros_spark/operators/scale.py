@@ -1,0 +1,97 @@
+"""Scale utilities: bucketed co-located joins and skew salting.
+
+These are the knobs the 100 TB deployment turns that small-SF
+correctness tests never force:
+
+* **Bucketing** — persist both sides of a recurring join bucketed by
+  the join key (``bucketBy`` + ``sortBy`` + ``saveAsTable``); Spark
+  then sort-merge-joins bucket-to-bucket with **no exchange on either
+  side**.  The reference ships shuffle-heavy tuning presets instead
+  (``utils/spark.py:80-126``) because it cannot control user storage;
+  owning the managed dataset layer means we can.
+* **Salting** — explode a hot key into ``salt_n`` subkeys so one
+  reducer does not own the whole key.  AQE's skew-join handles skewed
+  *joins* automatically (enabled in the session defaults); salting
+  covers skewed *aggregations* and pre-AQE shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Optional[Sequence[str]] = None,
+    path: Optional[str] = None,
+    data_format: str = "parquet",
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) by the join key.
+
+    Two tables bucketed the same way join with zero exchange — at
+    100 TB that converts the recurring fact-fact join from the
+    dominant shuffle into a local merge per bucket."""
+    writer = (
+        df.write.format(data_format)
+        .mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed tables; with matching bucket specs the plan
+    has no Exchange under the SortMergeJoin (asserted in tests)."""
+    return spark.table(left_table).join(spark.table(right_table), list(on), how)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    reaggs: Sequence[Column],
+    salt_n: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys: stage 1 groups on
+    (key, random salt) so a hot key spreads over ``salt_n`` reducers;
+    stage 2 combines the partials.
+
+    ``aggs`` are the stage-1 partial aggregates (aliased), ``reaggs``
+    the stage-2 combiners over those aliases — e.g.
+    ``aggs=[F.count('*').alias('c')], reaggs=[F.sum('c').alias('n')]``.
+    Only algebraic aggregates decompose this way (count/sum/min/max —
+    avg as sum+count)."""
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_n).cast("int"))
+    partial = salted.groupBy(*group_cols, "__salt").agg(*aggs)
+    return partial.groupBy(*group_cols).agg(*reaggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_n: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-join salting: the big side gets a random salt, the small
+    side is exploded ``salt_n``× so every (key, salt) pair matches.
+    Use when one key dominates and the small side is too large to
+    broadcast; otherwise prefer ``F.broadcast`` or AQE skew-join."""
+    big_s = big.withColumn("__salt", (F.rand(seed=42) * salt_n).cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    out = big_s.join(small_s, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -171,6 +171,16 @@ class TestTextAnalysis:
 
 
 class TestMultimodal:
+    def test_resize_plumbing_stamps_target_dims(self, docs):
+        from rheoceros_spark.operators import resize_images
+
+        media = docs.select("doc_id", F.encode("text", "utf-8").alias("content")).limit(10)
+        out = resize_images(media, 224, 224).collect()
+        assert len(out) == 10
+        for r in out:
+            assert r.meta.width == 224 and r.meta.height == 224
+            assert r.meta.n_bytes == len(r.content)
+
     def test_feature_extraction_matches_sha256(self, docs, sf_dir):
         media = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
         feats = {r.doc_id: (r.n_bytes, r.sha_prefix) for r in extract_features(media).collect()}

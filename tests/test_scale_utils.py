@@ -1,0 +1,68 @@
+"""Bucketed co-located joins (no exchange) and skew salting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark.operators.scale import (
+    bucketed_join,
+    salted_aggregate,
+    salted_join,
+    write_bucketed,
+)
+from rheoceros_spark.sources.io import load_table
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    wh = str(tmp_path / "wh")  # external table locations; warehouse untouched
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed(li, "li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"], path=f"{wh}/li_b")
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "ord_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"], path=f"{wh}/ord_b",
+    )
+    try:
+        joined = bucketed_join(spark, "li_b", "ord_b", ["l_orderkey"])
+        # force non-broadcast so the bucketing is what saves the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:800]}"
+        # and the answer matches the plain join
+        exp = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r.l_returnflag: (r.n, r.s)
+        for r in salted_aggregate(
+            li,
+            ["l_returnflag"],
+            aggs=[F.count("*").alias("c"), F.sum(F.col("l_quantity").cast("bigint")).alias("q")],
+            reaggs=[F.sum("c").alias("n"), F.sum("q").alias("s")],
+            salt_n=8,
+        ).collect()
+    }
+    exp = {
+        r.l_returnflag: (r.n, r.s)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum(F.col("l_quantity").cast("bigint")).alias("s"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    got = salted_join(li, orders, "l_orderkey", salt_n=4).count()
+    exp = li.join(orders, "l_orderkey").count()
+    assert got == exp
