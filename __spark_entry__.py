@@ -1193,6 +1193,44 @@ def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("rank").cast("bigint").alias("rank"), "cos_r")
 
 
+_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings
+  ORDER BY {_H64.format(s="CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16
+), assigned AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM cents, q
+  ORDER BY {_cos_sql('cv', 'qv')} DESC, cid LIMIT 4
+)
+SELECT vec_id, rank, round(cos, 6) AS cos_r FROM (
+  SELECT a.vec_id, {_cos_sql('a.embedding', 'qv')} AS cos,
+         row_number() OVER (ORDER BY {_cos_sql('a.embedding', 'qv')} DESC, a.vec_id) AS rank
+  FROM assigned a JOIN probes p ON a.cell = p.cid, q
+  WHERE a.vec_id != 0
+) WHERE rank <= 10
+"""
+
+
+@q("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: hash-sampled centroids,
+    max-cosine cell assignment, n_probe nearest cells scanned, exact
+    rerank (operators/similarity.py ivf_topk)."""
+    from rheoceros_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), query_id=0, k=10, n_centroids=16, n_probe=4
+    ).select("vec_id", F.col("rank").cast("bigint").alias("rank"), "cos_r")
+
+
 # ===========================================================================
 # text analysis (extensions)
 # ===========================================================================

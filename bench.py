@@ -64,6 +64,7 @@ BENCH_CORE = [
     "dedup_exact_docs",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_lang_id",
     "text_quality",
     "text_token_count",

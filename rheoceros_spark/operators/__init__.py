@@ -28,6 +28,9 @@ from rheoceros_spark.operators.similarity import (  # noqa: F401
     ann_lsh_topk,
     cosine_topk,
     hyperplane_buckets,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
 )
 from rheoceros_spark.operators.text_analysis import (  # noqa: F401
     fingerprint,

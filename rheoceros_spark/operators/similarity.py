@@ -26,7 +26,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from rheoceros_spark.functions.portable import cosine, dot
+from rheoceros_spark.functions.portable import cosine, dot, h64
 
 
 def plane_matrix(nbits: int, dim: int) -> list[list[float]]:
@@ -94,6 +94,95 @@ def hyperplane_buckets(
     """Add ``bucket`` (bigint) — the LSH partition key for co-locating
     similar vectors (repartition on it for bucket-local joins)."""
     return df.withColumn("bucket", signature_col(vec_col, plane_matrix(nbits, dim)))
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic IVF 'centroids': the ``n_centroids`` vectors whose
+    ids hash lowest — a hash-sample of the corpus.  A production
+    deployment trains k-means offline and ships the codebook; the
+    cell-assignment / probe machinery below is identical either way,
+    and hash-sampling keeps the whole operator reproducible (and
+    oracle-checkable) with zero training state."""
+    return (
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            h64(F.col(id_col).cast("string")).alias("__hk"),
+        )
+        .orderBy("__hk", "cid")
+        .limit(n_centroids)
+        .drop("__hk")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (``cell``).  The
+    centroid table is tiny → broadcast; the argmax is a per-id window
+    (ties broken by centroid id).  At 100 TB, repartition the output by
+    ``cell`` and persist: probes then scan only matching cells
+    (partition pruning on the inverted file)."""
+    cents = ivf_centroids(df, n_centroids, vec_col, id_col)
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cid"),
+        cosine(F.col(vec_col), F.col("cv")).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: rank centroids against the query, scan
+    only the ``n_probe`` nearest cells, exact cosine rerank inside.
+    Candidate set is ~``n_probe/n_centroids`` of the corpus — the
+    standard recall/cost dial."""
+    cents = ivf_centroids(df, n_centroids, vec_col, id_col)
+    assigned = ivf_assign(df, n_centroids, vec_col, id_col)
+    qv = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    probes = (
+        cents.crossJoin(F.broadcast(qv))
+        .orderBy(cosine(F.col("cv"), F.col("__qv")).desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select(F.col("cid").alias("__probe"))
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), assigned.cell == F.col("__probe"))
+        .where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
+    )
+    return (
+        cands.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())).alias("rank"),
+            F.round("cos", 6).alias("cos_r"),
+        )
+    )
 
 
 def ann_lsh_topk(

@@ -111,6 +111,21 @@ class TestSimilarity:
         # candidates all share the query bucket → sims still high-ish
         assert all(r.cos_r <= 1.0 for r in res)
 
+    def test_ivf_topk_recall_vs_bruteforce(self, emb):
+        from rheoceros_spark.operators.similarity import ivf_assign, ivf_topk
+
+        exact = {r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()}
+        approx = ivf_topk(emb, query_id=0, k=10, n_centroids=16, n_probe=4).collect()
+        assert [r.rank for r in approx] == list(range(1, len(approx) + 1))
+        got = {r.vec_id for r in approx}
+        # probing 4/16 cells must still find a decent share of the true top-k
+        assert len(got & exact) >= 3
+        # every vector lands in exactly one cell
+        n = emb.count()
+        assigned = ivf_assign(emb, n_centroids=16)
+        assert assigned.count() == n
+        assert assigned.select("vec_id").distinct().count() == n
+
 
 class TestTextAnalysis:
     def test_token_count_matches_duckdb(self, docs, sf_dir):
