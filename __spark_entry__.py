@@ -974,6 +974,161 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           year(l_shipdate) AS l_year,
+           CAST(sum({_c('l_extendedprice')} * (100 - {_c('l_discount')})) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation cn ON c_nationkey = cn.n_nationkey
+                  JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+           OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+    GROUP BY cust_nation, supp_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair shipping volume: the same dimension table joined
+    twice under different roles (both broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    pc, dc = cents(F.col("l_extendedprice")), cents(F.col("l_discount"))
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .where(pair)
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(pc * (100 - dc)).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@q(
+    "q8_market_share",
+    oracle=f"""
+    SELECT year(o_orderdate) AS o_year,
+           CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN {_c('l_extendedprice')} * (100 - {_c('l_discount')})
+                         ELSE 0 END) AS DOUBLE)
+           / CAST(sum({_c('l_extendedprice')} * (100 - {_c('l_discount')})) AS DOUBLE) AS mkt_share
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation cn ON c_nationkey = cn.n_nationkey
+                  JOIN region ON cn.n_regionkey = r_regionkey
+                  JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'AMERICA'
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    pc, dc = cents(F.col("l_extendedprice")), cents(F.col("l_discount"))
+    rev = pc * (100 - dc)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(region), F.col("crk") == region.r_regionkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@q(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum({_c('l_extendedprice')} * (100 - {_c('l_discount')})) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total = (SELECT max(total) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar MAX subquery against a derived revenue view — exact
+    integer totals so the max comparison has no float ambiguity."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    pc, dc = cents(F.col("l_extendedprice")), cents(F.col("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(pc * (100 - dc)).alias("total")
+    )
+    max_total = revenue.agg(F.max("total").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(max_total))
+        .where(F.col("total") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", (F.col("total").cast("double") / 10000.0).alias("total_revenue")
+        )
+    )
+
+
+@q(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(sum({_c('l_extendedprice')} * (100 - {_c('l_discount')})) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across both join sides — Catalyst extracts the
+    common single-side conjuncts and pushes them below the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pc, dc = cents(F.col("l_extendedprice")), cents(F.col("l_discount"))
+    cond = (
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg((F.sum(pc * (100 - dc)).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@q(
     "pivot_returnflag_status",
     oracle="""
     SELECT l_returnflag,

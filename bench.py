@@ -37,13 +37,17 @@ BENCH_CORE = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q8_market_share",
     "q10_returned_revenue",
     "q12_priority_by_linestatus",
     "q13_customer_distribution",
     "q14_promo_revenue_share",
+    "q15_top_supplier",
     "q16_supplier_count",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
     "q22_wealthy_inactive",
     "pivot_returnflag_status",
     "grouping_sets_revenue",
