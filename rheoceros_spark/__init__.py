@@ -45,6 +45,7 @@ from rheoceros_spark.sources.datasets import (  # noqa: F401
 )
 from rheoceros_spark.compute import (  # noqa: F401
     InlinedCompute,
+    PrestoSQL,
     Spark,
     SparkSQL,
 )

@@ -99,6 +99,16 @@ class SparkSQL(ComputeDescriptor):
         return out
 
 
+class PrestoSQL(SparkSQL):
+    """API-parity descriptor for the reference's ``PrestoSQL`` slots
+    (reference ``api_ext.py:230-233``; ``aws_athena.py:541-563``):
+    same ``{dim}`` parametrization and per-alias views, executed on
+    Spark SQL.  ANSI constructs shared by both dialects run unchanged;
+    Presto-isms (``approx_distinct`` etc.) must be ported by the user —
+    parity is at the descriptor/parametrization level, and the engine's
+    oracle-checked queries pin the ANSI subset."""
+
+
 class InlinedCompute(ComputeDescriptor):
     is_batch = False
 

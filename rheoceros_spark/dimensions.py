@@ -548,6 +548,16 @@ class DimensionFilter:
                     out.extend(nb)
         return DimensionFilter(self.spec, _dedup_branches(out))
 
+    def merge(self, other: "DimensionFilter") -> Optional["DimensionFilter"]:
+        """Union (predicate OR): the branch sets combined.  The
+        reference declares this but left it a stub
+        (``dimension_constructs.py:2083-2085``); the branch-list
+        representation makes it a dedup'd concatenation.  ``None`` on
+        spec mismatch, mirroring :meth:`chain`."""
+        if not self.spec.compatible_with(other.spec):
+            return None
+        return DimensionFilter(self.spec, _dedup_branches(list(self.branches) + list(other.branches)))
+
     def apply_values(self, values: Sequence[Any]) -> "DimensionFilter":
         """Finalize against runtime event values: chain with the
         material values, then expand relative variants into concrete

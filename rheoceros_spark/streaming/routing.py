@@ -52,6 +52,10 @@ class RuntimeLinkNode:
         self.processed_paths: set[str] = set()
         self.created_at = created_at if created_at is not None else time.time()
         self.is_zombie = False
+        # blocked = trigger may complete but execution is deferred until a
+        # non-blocked event (backfill-in-flight, reference
+        # routing_runtime_constructs.py:616-675 / application.py:2993)
+        self.blocked = False
 
     def _expected_values(self, alias: str) -> Optional[dict[str, Any]]:
         """Values this node expects for ``alias``, derived from already
@@ -144,6 +148,7 @@ class Route:
     def receive(
         self, spark, alias: str, tip: tuple, path: str,
         resource_id: Optional[str] = None,
+        is_blocked: bool = False,
     ) -> list[RuntimeLinkNode]:
         """Offer the event; return nodes that became ready (reference
         Route.receive, :1396-1444).  ``tip`` is positional — each route
@@ -160,12 +165,12 @@ class Route:
         except ValueError:
             return []
 
-        consumed = False
+        consumed = None
         for node in self.pending_nodes:
             if node.offer(sig.alias, values, path):
-                consumed = True
+                consumed = node
                 break
-        if not consumed:
+        if consumed is None:
             if sig.is_reference or sig.nearest_in_range:
                 # references/nearest never seed pending nodes (reference :1410-1425, :397-407)
                 return []
@@ -174,8 +179,11 @@ class Route:
             if node.check_zombie():
                 return []
             self.pending_nodes.append(node)
+            consumed = node
+        # blocked events defer the node; a later non-blocked event unblocks
+        consumed.blocked = is_blocked
 
-        ready = [n for n in self.pending_nodes if n.is_ready(spark)]
+        ready = [n for n in self.pending_nodes if not n.blocked and n.is_ready(spark)]
         for n in ready:
             self.pending_nodes.remove(n)
         return ready
@@ -205,7 +213,9 @@ class RoutingTable:
             for node_id, node in app._nodes.items()
         }
 
-    def receive(self, signal: Signal, recursive_downstream: bool = True) -> list[str]:
+    def receive(
+        self, signal: Signal, recursive_downstream: bool = True, is_blocked: bool = False
+    ) -> list[str]:
         """Inject one materialized event; run every route that becomes
         ready; completed outputs feed downstream routes (the dataflow
         recursion, reference constructs.py:3435-3600)."""
@@ -222,7 +232,8 @@ class RoutingTable:
         outputs: list[str] = []
         for route in self.routes.values():
             for ready_node in route.receive(
-                self.app.spark, signal.alias, tip, path, resource_id=signal.resource_id
+                self.app.spark, signal.alias, tip, path,
+                resource_id=signal.resource_id, is_blocked=is_blocked,
             ):
                 derived = self._materialize_output(route, ready_node)
                 if derived is None:

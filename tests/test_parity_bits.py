@@ -1,0 +1,84 @@
+"""Small reference-parity pieces: filter union, PrestoSQL descriptor,
+blocked executions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark import (
+    Application,
+    Dimension,
+    DimensionFilter,
+    DimensionSpec,
+    DimensionType,
+    ParquetDataset,
+    PrestoSQL,
+)
+from rheoceros_spark.sources.datasets import IntegrityProtocol
+
+
+def test_dimension_filter_merge_is_union():
+    spec = DimensionSpec([Dimension("region"), Dimension("day")])
+    a = DimensionFilter.load_raw(spec, {"NA": {"2024-01-01": {}}})
+    b = DimensionFilter.load_raw(spec, {"EU": {"2024-01-01": {}}, "NA": {"2024-01-01": {}}})
+    merged = a.merge(b)
+    assert sorted(merged.values()) == [("EU", "2024-01-01"), ("NA", "2024-01-01")]
+    # spec mismatch → None (chain parity)
+    other = DimensionSpec([Dimension("x", DimensionType.LONG)])
+    assert a.merge(DimensionFilter.all_pass(other)) is None
+
+
+@pytest.fixture()
+def events_by_day(spark, sf_dir, tmp_path):
+    from rheoceros_spark.sources.io import normalize_ns_timestamps
+
+    root = str(tmp_path / "ev")
+    ev = normalize_ns_timestamps(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), f"{sf_dir}/events.parquet"
+    )
+    for day in ["2024-01-01", "2024-01-02"]:
+        ev.where(F.to_date("ts") == day).coalesce(1).write.mode("overwrite").parquet(
+            f"{root}/{day}"
+        )
+    return root
+
+
+def _events_signal(app, root):
+    return app.marshal_external_data(
+        ParquetDataset(
+            root + "/{}",
+            Dimension("day", DimensionType.DATETIME, {"format": "%Y-%m-%d"}),
+            integrity=IntegrityProtocol.SUCCESS_FILE,
+        ),
+        id="events",
+    )
+
+
+def test_prestosql_descriptor_with_dim_parametrization(spark, events_by_day, tmp_path):
+    app = Application("presto_app", str(tmp_path / "store"), spark)
+    events = _events_signal(app, events_by_day)
+    node = app.create_data(
+        id="daily_presto",
+        inputs=[events],
+        compute_targets=PrestoSQL(
+            "SELECT event_type, count(*) AS n, '{day}' AS day_str FROM events GROUP BY event_type"
+        ),
+    )
+    app.execute(node["2024-01-01"])
+    rows = app.load_data(node["2024-01-01"]).collect()
+    assert rows and all(r.day_str == "2024-01-01" for r in rows)
+
+
+def test_blocked_event_defers_execution(spark, events_by_day, tmp_path):
+    app = Application("blocked_app", str(tmp_path / "store"), spark)
+    events = _events_signal(app, events_by_day)
+    app.create_data(
+        id="daily",
+        inputs=[events],
+        compute_targets=PrestoSQL("SELECT count(*) AS n FROM events"),
+    )
+    # blocked event: trigger condition satisfied but execution deferred
+    outs = app.process(events["2024-01-01"], is_blocked=True)
+    assert outs == []
+    # re-process without the block → unblocks and runs
+    outs = app.process(events["2024-01-01"])
+    assert len(outs) == 1 and outs[0].endswith("/daily/2024-01-01")
