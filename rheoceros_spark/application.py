@@ -319,11 +319,19 @@ class Application:
         ctx = ComputeContext(self.spark, dimensions=formatted, output_alias=node.id)
 
         out_df: Optional[DataFrame] = None
-        for slot in node.slots:
-            if isinstance(slot, InlinedCompute):
-                slot.run_inlined({s.alias: s for s in materialized}, node.output_signal, dict(out_values))
-            else:
-                out_df = slot.run(inputs_df, ctx)
+        try:
+            for slot in node.slots:
+                if isinstance(slot, InlinedCompute):
+                    slot.run_inlined({s.alias: s for s in materialized}, node.output_signal, dict(out_values))
+                else:
+                    out_df = slot.run(inputs_df, ctx)
+        except Exception as e:
+            # RouteExecutionHook.on_compute_failure / on_failure parity
+            # (reference routing_runtime_constructs.py:856-1160)
+            hook = node.hooks.get("on_failure")
+            if hook:
+                hook(node, dict(out_values), e)
+            raise
         if out_df is None:
             raise ValueError(f"node {node.id!r} has no batch compute slot producing an output")
 

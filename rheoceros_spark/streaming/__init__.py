@@ -1,1 +1,8 @@
 from rheoceros_spark.streaming.routing import Route, RoutingTable, RuntimeLinkNode  # noqa: F401
+from rheoceros_spark.streaming.stream import (  # noqa: F401
+    partition_overwrite_sink,
+    sessionize,
+    stream_dedup,
+    stream_source,
+    windowed_aggregate,
+)

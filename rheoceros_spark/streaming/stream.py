@@ -107,6 +107,23 @@ def partition_overwrite_sink(
     return writer
 
 
+def stream_dedup(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of exact dedup: first occurrence of each key
+    survives; repeats within the watermark horizon are dropped, and
+    state for keys older than the watermark is evicted (bounded state —
+    the property that makes exact streaming dedup viable at 100 TB:
+    state is O(keys per watermark window), not O(all keys ever)).
+
+    For content dedup pass a hash column as the key
+    (``F.md5(normalize_text(...))``), mirroring the batch operator."""
+    return sdf.withWatermark(ts_col, watermark).dropDuplicates(list(key_cols))
+
+
 def sessionize(
     sdf: DataFrame,
     key_col: str = "user_id",

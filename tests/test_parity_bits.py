@@ -68,6 +68,54 @@ def test_prestosql_descriptor_with_dim_parametrization(spark, events_by_day, tmp
     assert rows and all(r.day_str == "2024-01-01" for r in rows)
 
 
+def test_on_failure_hook_fires_and_no_partial_output(spark, events_by_day, tmp_path):
+    from rheoceros_spark import SparkSQL
+
+    app = Application("fail_app", str(tmp_path / "store"), spark)
+    events = _events_signal(app, events_by_day)
+    failures = []
+    node = app.create_data(
+        id="broken",
+        inputs=[events],
+        compute_targets=SparkSQL("SELECT no_such_column FROM events"),
+        on_failure=lambda n, vals, e: failures.append((n.id, vals)),
+    )
+    with pytest.raises(Exception):
+        app.execute(node["2024-01-01"])
+    assert len(failures) == 1
+    node_id, vals = failures[0]
+    assert node_id == "broken" and str(vals["day"])[:10] == "2024-01-01"
+    # no partial partition left behind
+    assert app.poll(node["2024-01-01"]) == (None, None)
+
+
+def test_stream_dedup_first_wins(spark, tmp_path):
+    from rheoceros_spark.streaming import stream_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:05:00", "b"),   # duplicate key within watermark
+        (2, "2024-01-01 00:01:00", "c"),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts_s string, payload string").select(
+        "k", F.to_timestamp("ts_s").alias("ts"), "payload"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+    sdf = spark.readStream.schema("k bigint, ts timestamp, payload string").parquet(str(src / "*"))
+    out = []
+    q = (
+        stream_dedup(sdf, ["k"], watermark="10 minutes")
+        .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.k for r in out) == [1, 2]
+
+
 def test_blocked_event_defers_execution(spark, events_by_day, tmp_path):
     app = Application("blocked_app", str(tmp_path / "store"), spark)
     events = _events_signal(app, events_by_day)
