@@ -103,6 +103,9 @@ def main() -> None:
     run_once(load_table(spark, sf_dir, "region"))
 
     queries = entrymod.queries()
+    missing = [n for n in BENCH_CORE if n not in queries]
+    if missing:
+        raise SystemExit(f"bench names drifted from queries(): {missing}")
     timings: dict[str, float] = {}
     all_q = {name: queries[name] for name in BENCH_CORE}
     all_q.update(scalable_extras(spark, sf_dir))
