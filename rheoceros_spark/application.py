@@ -421,6 +421,37 @@ class Application:
     # ------------------------------------------------------------------
     # introspection
     # ------------------------------------------------------------------
+    def list_data(self, external: bool = True, internal: bool = True) -> list[str]:
+        """All node/signal ids (reference query APIs exercised by
+        test_aws_application_create_and_query.py)."""
+        out: list[str] = []
+        if external:
+            out.extend(self._external)
+        if internal:
+            out.extend(self._nodes)
+        return out
+
+    def search_data(self, keyword: str) -> list[str]:
+        """Substring search over node/signal ids (case-insensitive)."""
+        kw = keyword.lower()
+        return [i for i in self.list_data() if kw in i.lower()]
+
+    def get_data(self, id: str) -> Optional[Signal]:
+        """Signal by id, or None (non-raising twin of ``app[id]``)."""
+        try:
+            return self[id]
+        except KeyError:
+            return None
+
+    def get_upstream(self, id: str) -> list[str]:
+        """Input ids of an internal node."""
+        node = self._nodes.get(id)
+        return node.upstream_aliases() if node else []
+
+    def get_downstream(self, id: str) -> list[str]:
+        """Transitive consumers of a node/signal."""
+        return [n.id for n in self._descendants(id)]
+
     def materialize(self, view: Signal) -> list[str]:
         sig = self[view.alias]
         desc = sig.source

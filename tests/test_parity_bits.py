@@ -116,6 +116,27 @@ def test_stream_dedup_first_wins(spark, tmp_path):
     assert sorted(r.k for r in out) == [1, 2]
 
 
+def test_query_and_search_apis(spark, events_by_day, tmp_path):
+    from rheoceros_spark import SparkSQL
+
+    app = Application("query_app", str(tmp_path / "store"), spark)
+    events = _events_signal(app, events_by_day)
+    daily = app.create_data(
+        id="daily_stats", inputs=[events],
+        compute_targets=SparkSQL("SELECT count(*) AS n FROM events"),
+    )
+    app.create_data(
+        id="weekly_rollup", inputs=[daily],
+        compute_targets=SparkSQL("SELECT sum(n) AS n FROM daily_stats"),
+    )
+    assert set(app.list_data()) == {"events", "daily_stats", "weekly_rollup"}
+    assert app.search_data("STATS") == ["daily_stats"]
+    assert app.get_data("daily_stats") is not None and app.get_data("nope") is None
+    assert app.get_upstream("weekly_rollup") == ["daily_stats"]
+    assert app.get_downstream("daily_stats") == ["weekly_rollup"]
+    assert app.get_downstream("events") == ["daily_stats", "weekly_rollup"]
+
+
 def test_blocked_event_defers_execution(spark, events_by_day, tmp_path):
     app = Application("blocked_app", str(tmp_path / "store"), spark)
     events = _events_signal(app, events_by_day)
