@@ -413,10 +413,25 @@ class Application:
             self._routing = RoutingTable(self)
         return self._routing
 
-    def process(self, signal: Signal, **kwargs) -> list[str]:
+    def process(
+        self, signal: Signal, processing_mode: str = "ONLY_HEAD", **kwargs
+    ) -> list[str]:
         """Inject one materialized signal event; returns output paths of
-        every route that triggered (reference application.py:1877-1980)."""
-        return self.activate().receive(signal, **kwargs)
+        every route that triggered (reference application.py:1877-1980).
+
+        ``processing_mode='FULL_RANGE'`` explodes a ranged signal into
+        one routing cycle per partition (reference ``:1913-1946``);
+        the default ``ONLY_HEAD`` injects the tip only."""
+        routing = self.activate()
+        if processing_mode == "FULL_RANGE":
+            outputs: list[str] = []
+            final = signal.filter.finalize()
+            for branch in final.values():
+                one = signal.clone()
+                one.filter = DimensionFilter.load_raw(one.spec, list(branch))
+                outputs.extend(routing.receive(one, **kwargs))
+            return outputs
+        return routing.receive(signal, **kwargs)
 
     # ------------------------------------------------------------------
     # introspection
