@@ -1129,6 +1129,222 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH cost AS (
+      SELECT p_partkey, l_suppkey, sum({_c('l_extendedprice')}) AS cost_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 10
+      GROUP BY p_partkey, l_suppkey
+    )
+    SELECT c.p_partkey, s_name, n_name,
+           CAST(cost_c AS DOUBLE) / 100.0 AS min_cost
+    FROM cost c JOIN supplier ON c.l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+    JOIN (SELECT p_partkey AS mk, min(cost_c) AS min_c
+          FROM cost GROUP BY p_partkey) m
+      ON c.p_partkey = m.mk AND c.cost_c = m.min_c
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part) adapted to the
+    testdata's schema: lineitem stands in for partsupp (no partsupp
+    table ships; reference users write the same correlated-min against
+    whatever relationship table they have).  Spark side resolves the
+    correlated min with a single window pass over the grouped frame —
+    one shuffle on (partkey, suppkey), one on partkey — instead of the
+    oracle's group-then-self-join, which would scan the agg twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cost = (
+        li.join(F.broadcast(part.where(F.col("p_size") <= 10).select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("cost_c"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("min_c", F.min("cost_c").over(w))
+        .where(F.col("cost_c") == F.col("min_c"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey", "s_name", "n_name",
+            (F.col("cost_c").cast("double") / 100.0).alias("min_cost"),
+        )
+    )
+
+
+@q(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum({_c('l_extendedprice')} * (100 - {_c('l_discount')})
+                    - {_c('p_retailprice')} * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS profit
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'PROMO'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (nation/year profit over a 5-way join) with
+    p_retailprice standing in for ps_supplycost.  All dimension sides
+    broadcast; the only shuffle is the final (nation, year) agg with
+    map-side partials; profit stays in integer 1/100-cent units until
+    the final division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit_c = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount"))) - cents(
+        F.col("p_retailprice")
+    ) * F.col("l_quantity").cast("bigint")
+    return (
+        li.join(F.broadcast(part.where(F.col("p_type") == "PROMO").select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(profit_c).cast("double") / 10000.0).alias("profit"))
+    )
+
+
+@q(
+    "q11_important_parts",
+    oracle=f"""
+    WITH val AS (
+      SELECT l_partkey, sum({_c('l_extendedprice')} * (100 - {_c('l_discount')})) AS value_c
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(value_c AS DOUBLE) / 10000.0 AS value
+    FROM val, (SELECT sum(value_c) AS total_c FROM val) t
+    WHERE value_c * 500 > total_c
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value filtered against a scalar
+    aggregate of the same derived table (value > 0.2% of total).  The
+    grouped frame is computed once; the scalar total is a single-row
+    broadcast cross join; the threshold compare is exact integer math
+    (value·500 > total) so both engines agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nk = nation.where(F.col("n_name").isin("NATION_1", "NATION_2")).select("n_nationkey")
+    val = (
+        li.join(F.broadcast(supp.join(F.broadcast(nk), supp.s_nationkey == nk.n_nationkey)
+                            .select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))).alias("value_c"))
+    )
+    total = val.agg(F.sum("value_c").alias("total_c"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("value_c") * 500 > F.col("total_c"))
+        .select(F.col("l_partkey").alias("partkey"),
+                (F.col("value_c").cast("double") / 10000.0).alias("value"))
+    )
+
+
+@q(
+    "q20_part_shippers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#12' AND l_shipdate >= TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey
+            HAVING sum(CAST(l_quantity AS BIGINT)) > 50)
+      AND s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+    """,
+)
+def q20_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers filtered by
+    a grouped-HAVING subquery over a part-filtered lineitem slice, then
+    by a nation membership list.  Both IN-lists become left-semi joins;
+    the part filter is broadcast below the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shippers = (
+        li.where(F.col("l_shipdate") >= "1997-01-01")
+        .join(F.broadcast(part.where(F.col("p_brand") == "Brand#12").select("p_partkey")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    nk = nation.where(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")).select("n_nationkey")
+    return (
+        supp.join(F.broadcast(shippers), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nk), supp.s_nationkey == nk.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@q(
+    "q21_sole_returner",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS correlated self-joins on
+    lineitem) with l_returnflag = 'R' standing in for the missing
+    receipt-after-commit predicate.  The correlated subqueries become
+    a left-semi and a left-anti join on (orderkey, suppkey<>suppkey);
+    the self-join sides are pre-deduplicated to distinct pairs so the
+    semi/anti probes stay small at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    pairs = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")).distinct()
+    rpairs = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+        .distinct()
+    )
+    fo = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        l1.join(F.broadcast(fo), l1.l_orderkey == fo.o_orderkey, "left_semi")
+        .join(pairs, (l1.l_orderkey == F.col("ok2")) & (l1.l_suppkey != F.col("sk2")), "left_semi")
+        .join(rpairs, (l1.l_orderkey == F.col("ok3")) & (l1.l_suppkey != F.col("sk3")), "left_anti")
+        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@q(
     "pivot_returnflag_status",
     oracle="""
     SELECT l_returnflag,

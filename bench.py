@@ -33,13 +33,16 @@ from rheoceros_spark.sources.io import load_table  # noqa: E402
 # headline set: SURVEY §2 core + scalable extension variants
 BENCH_CORE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q7_nation_volume",
     "q8_market_share",
+    "q9_product_profit",
     "q10_returned_revenue",
+    "q11_important_parts",
     "q12_priority_by_linestatus",
     "q13_customer_distribution",
     "q14_promo_revenue_share",
@@ -48,6 +51,8 @@ BENCH_CORE = [
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
     "q19_disjunctive_predicates",
+    "q20_part_shippers",
+    "q21_sole_returner",
     "q22_wealthy_inactive",
     "pivot_returnflag_status",
     "grouping_sets_revenue",
