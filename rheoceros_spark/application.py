@@ -136,6 +136,55 @@ class Application:
         self._external[id] = sig
         return sig.clone()
 
+    def add_notification_topic(self, id: str, *dimensions: Dimension) -> Signal:
+        """S10 — external notification topic as a signal (reference
+        SNS source, signal_source.py:1161-1241): no storage binding,
+        arbitrary dimension domain; events arrive via ``process()`` or
+        ``receive_raw()`` with a ``topic://<id>/<dim>/...`` path.  A
+        route triggered by a topic signal reads its *other* inputs —
+        the topic contributes trigger + dimension values only."""
+        dims = list(dimensions) or [
+            Dimension("time", DimensionType.DATETIME, {"format": "%Y-%m-%d"})
+        ]
+        sig = Signal(id, None, DimensionSpec(dims))
+        self._external[id] = sig
+        return sig.clone()
+
+    def receive_raw(self, resource_path: str, **kwargs) -> list[str]:
+        """Raw event ingestion (§2.9): map a physical resource path
+        (e.g. an object-created notification) onto the external signal
+        whose descriptor's path format matches, extract typed dimension
+        values from the path, and inject the materialized signal
+        (reference processor path→signal mapping,
+        drivers/processor/aws.py:182-238 → RoutingTable.receive,
+        constructs.py:3293-3433).  Completion-marker filenames are
+        stripped first, so an ``_SUCCESS`` upload event triggers the
+        partition.  Returns triggered output paths; [] if no signal
+        claims the path."""
+        path = resource_path.rstrip("/")
+        base = path.rsplit("/", 1)[-1]
+        if base in ("_SUCCESS", "manifest") or base.startswith("part-"):
+            path = path.rsplit("/", 1)[0]
+        if path.startswith("topic://"):
+            body = path[len("topic://"):]
+            topic_id, _, rest = body.partition("/")
+            sig = self._external.get(topic_id)
+            if sig is None or sig.source is not None:
+                return []
+            values = rest.split("/") if rest else []
+            if len(values) != len(sig.spec):
+                return []
+            return self.process(sig.materialize(values), **kwargs)
+        for sig in self._external.values():
+            desc = sig.source
+            if desc is None:
+                continue
+            dims = desc.extract_dimensions(path)
+            if dims is None:
+                continue
+            return self.process(sig.materialize(list(dims.values())), **kwargs)
+        return []
+
     def project(
         self,
         id: str,

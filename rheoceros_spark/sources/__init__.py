@@ -6,4 +6,10 @@ from rheoceros_spark.sources.datasets import (  # noqa: F401
     JsonDataset,
     ParquetDataset,
 )
-from rheoceros_spark.sources.io import load_signal, write_dataset  # noqa: F401
+from rheoceros_spark.sources.io import (  # noqa: F401
+    load_content,
+    load_signal,
+    save_content,
+    write_dataset,
+    write_pandas,
+)

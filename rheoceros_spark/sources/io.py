@@ -65,11 +65,29 @@ def partition_ready(spark: SparkSession, descriptor: DatasetDescriptor, path: st
     return True
 
 
+def apply_encryption_confs(spark: SparkSession, desc: DatasetDescriptor) -> None:
+    """S7 — client-side-encryption scan: when a dataset declares an
+    ``encryption_key``, set the filesystem CSE hadoop confs before the
+    read (reference sets ``fs.s3.cse.*`` the same way per input,
+    ``glueetl_default_ABI.py:185-194``).  Conf names are the public
+    EMRFS/S3A client-side-encryption knobs; on local FS they are inert.
+    """
+    key = desc.options.get("encryption_key")
+    if not key:
+        return
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    conf.set("fs.s3.cse.enabled", "true")
+    conf.set("fs.s3.cse.encryptionMaterialsProvider",
+             "com.amazon.ws.emr.hadoop.fs.cse.KMSEncryptionMaterialsProvider")
+    conf.set("fs.s3.cse.kms.keyId", str(key))
+
+
 def load_signal(spark: SparkSession, signal: Signal) -> DataFrame:
     """Load a materialized signal as ONE DataFrame (S1-S8)."""
     desc: DatasetDescriptor = signal.source
     if desc is None:
         raise ValueError(f"signal {signal.alias!r} has no source descriptor")
+    apply_encryption_confs(spark, desc)
 
     if isinstance(desc, GlueTable):
         df = spark.table(desc.qualified_name)
@@ -186,6 +204,71 @@ def write_dataset(
         meta["record_count"] = df.count()
         _write_sidecar(df.sparkSession, path, METADATA_FILE, json.dumps(meta))
     return meta
+
+
+def load_content(spark: SparkSession, path: str, deserialize: bool = True):
+    """S8 — raw-content load: fetch an opaque artifact (model file,
+    pickled object) from storage as bytes, optionally unpickling
+    (reference deserializes pickled "content" from internal storage,
+    ``glueetl_default_ABI.py:165-179``).  One driver-side FS read —
+    artifacts are small by contract; datasets go through
+    ``load_signal``."""
+    if "://" not in path:
+        with open(path, "rb") as f:
+            raw = f.read()
+    else:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        stream = fs.open(p)
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+    if deserialize:
+        import pickle
+
+        try:
+            return pickle.loads(raw)
+        except Exception:
+            pass
+    return raw
+
+
+def save_content(spark: SparkSession, obj, path: str) -> None:
+    """S8 companion: pickle + persist an artifact to storage."""
+    import pickle
+
+    raw = obj if isinstance(obj, (bytes, bytearray)) else pickle.dumps(obj)
+    if "://" not in path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(raw)
+        return
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    out = p.getFileSystem(conf).create(p, True)
+    out.write(bytearray(raw))
+    out.close()
+
+
+def write_pandas(
+    spark: SparkSession,
+    pdf,
+    path: str,
+    data_format: str = "parquet",
+    **kwargs,
+) -> dict:
+    """S14 — pandas sink: a driver-side pandas DataFrame written
+    through the managed sink as a single file (reference emits
+    csv/parquet from pandas outputs, ``glueetl_default_ABI.py:416-432``).
+    ``coalesce(1)`` mirrors the single-file semantic — pandas outputs
+    are driver-sized by definition, so one task is correct, not a
+    bottleneck."""
+    df = spark.createDataFrame(pdf).coalesce(1)
+    return write_dataset(df, path, data_format=data_format, **kwargs)
 
 
 def _write_sidecar(spark: SparkSession, dir_path: str, name: str, content: str) -> None:

@@ -1,0 +1,148 @@
+"""Remaining SURVEY §2.1 inventory lines: S7 (CSE scan confs), S8
+(raw-content load), S10 (notification-topic source), S14 (pandas
+sink), plus raw-path event ingestion (§2.9 event ingestion row)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark import Application, Dimension, DimensionType, ParquetDataset, SparkSQL
+from rheoceros_spark.sources.io import (
+    load_content,
+    load_signal,
+    save_content,
+    write_dataset,
+    write_pandas,
+)
+from rheoceros_spark.signals import Signal
+
+
+def day_dim():
+    return Dimension("day", DimensionType.DATETIME, {"format": "%Y-%m-%d"})
+
+
+@pytest.fixture()
+def events_partitioned(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "events")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i, day in enumerate(["2024-01-01", "2024-01-02"]):
+        df.where((F.crc32(F.col("event_id").cast("string")) % 2) == i).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/{day}")
+    return root
+
+
+class TestS7EncryptedScan:
+    def test_encryption_key_sets_cse_confs(self, spark, sf_dir):
+        desc = ParquetDataset(f"{sf_dir}/nation.parquet", encryption_key="arn:kms:key/test-1")
+        sig = Signal("nation", desc, desc.spec)
+        df = load_signal(spark, sig)
+        assert df.count() > 0  # local read unaffected by the confs
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        assert conf.get("fs.s3.cse.enabled") == "true"
+        assert conf.get("fs.s3.cse.kms.keyId") == "arn:kms:key/test-1"
+
+    def test_no_key_no_confs_overwrite(self, spark, sf_dir):
+        desc = ParquetDataset(f"{sf_dir}/region.parquet")
+        sig = Signal("region", desc, desc.spec)
+        assert load_signal(spark, sig).count() > 0
+
+
+class TestS8RawContent:
+    def test_pickle_roundtrip(self, spark, tmp_path):
+        model = {"weights": [0.1, 0.2, 0.3], "classes": ["a", "b"]}
+        path = str(tmp_path / "artifacts" / "model.pkl")
+        save_content(spark, model, path)
+        assert load_content(spark, path) == model
+
+    def test_raw_bytes(self, spark, tmp_path):
+        path = str(tmp_path / "blob.bin")
+        save_content(spark, b"\x00\x01raw", path)
+        # not valid pickle → returned as bytes
+        assert load_content(spark, path) == b"\x00\x01raw"
+
+
+class TestS14PandasSink:
+    def test_single_file_parquet(self, spark, tmp_path):
+        pdf = pd.DataFrame({"k": ["x", "y"], "v": [1, 2]})
+        out = str(tmp_path / "pandas_out")
+        meta = write_pandas(spark, pdf, out)
+        assert meta["record_count"] == 2
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert len(files) == 1  # single-file semantic
+        back = spark.read.parquet(out)
+        assert sorted(r["k"] for r in back.collect()) == ["x", "y"]
+
+    def test_csv_format(self, spark, tmp_path):
+        pdf = pd.DataFrame({"a": [1]})
+        out = str(tmp_path / "pandas_csv")
+        write_pandas(spark, pdf, out, data_format="csv", options={"header": "true"})
+        assert spark.read.option("header", True).csv(out).count() == 1
+
+
+class TestS10NotificationTopic:
+    def test_topic_triggers_route(self, spark, tmp_path, events_partitioned):
+        app = Application("topic_app", storage_root=str(tmp_path / "store"), spark=spark)
+        events = app.marshal_external_data(
+            ParquetDataset(events_partitioned + "/{}", day_dim()), id="events"
+        )
+        topic = app.add_notification_topic("upstream_done", day_dim())
+        node = app.create_data(
+            id="on_notify",
+            inputs=[topic, events.ref],
+            compute_targets=[SparkSQL(
+                "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+            )],
+        )
+        app.activate()
+        outs = app.process(topic["2024-01-02"])
+        assert outs
+        assert app.load_data(node["2024-01-02"]).count() > 0
+
+    def test_topic_receive_raw(self, spark, tmp_path, events_partitioned):
+        app = Application("topic_raw_app", storage_root=str(tmp_path / "store"), spark=spark)
+        events = app.marshal_external_data(
+            ParquetDataset(events_partitioned + "/{}", day_dim()), id="events"
+        )
+        topic = app.add_notification_topic("ping", day_dim())
+        node = app.create_data(
+            id="pinged",
+            inputs=[topic, events.ref],
+            compute_targets=[SparkSQL("SELECT count(*) AS n FROM events")],
+        )
+        app.activate()
+        outs = app.receive_raw("topic://ping/2024-01-01")
+        assert outs
+        assert app.load_data(node["2024-01-01"]).collect()[0]["n"] > 0
+
+    def test_unclaimed_topic_ignored(self, spark, tmp_path):
+        app = Application("noop_app", storage_root=str(tmp_path / "store"), spark=spark)
+        app.activate()
+        assert app.receive_raw("topic://nobody/2024-01-01") == []
+
+
+class TestReceiveRawPath:
+    def test_object_created_event_routes(self, spark, tmp_path, events_partitioned):
+        app = Application("raw_app", storage_root=str(tmp_path / "store"), spark=spark)
+        events = app.marshal_external_data(
+            ParquetDataset(events_partitioned + "/{}", day_dim()), id="events"
+        )
+        node = app.create_data(
+            id="daily",
+            inputs=[events],
+            compute_targets=[SparkSQL(
+                "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+            )],
+        )
+        app.activate()
+        # _SUCCESS upload event → partition trigger (marker stripped)
+        outs = app.receive_raw(events_partitioned + "/2024-01-02/_SUCCESS")
+        assert outs
+        assert app.load_data(node["2024-01-02"]).count() > 0
+
+    def test_unmatched_path_returns_empty(self, spark, tmp_path):
+        app = Application("raw_app2", storage_root=str(tmp_path / "store"), spark=spark)
+        app.activate()
+        assert app.receive_raw("/some/other/location/2024-01-01") == []
