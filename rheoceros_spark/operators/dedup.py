@@ -110,8 +110,14 @@ def _minhash_docs(
     verify sides) the exchange subtree is computed once and reused
     (ReuseExchange).  The set is bigint, so the verify join shuffles
     8-byte elements and intersects ints, not n-gram strings."""
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
     shingles = F.array_distinct(word_ngrams(tokens(F.col(text_col)), ngram))
-    ex = df.select(F.col(id_col), F.explode(shingles).alias("__s"))
+    # the shingle HOFs are interpreted (not codegen'd): fan the scan out
+    # to cluster width first or a single-file input runs them on 1 core
+    ex = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(shingles).alias("__s")
+    )
     hashed = ex.select(
         F.col(id_col), (h64(F.col("__s")) % F.lit(4294967296)).alias("__h")
     )
@@ -244,7 +250,11 @@ def simhash_sigs(
     Explode → one h64 per token → single grouped aggregate computing
     all ``bits`` ±1 sums (partial map-side), then fold the sums into
     one bigint.  One hash per token instead of ``bits`` per token."""
-    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    ex = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
     hashed = ex.select(F.col(id_col), h64(F.col("__t")).alias("__h"))
     sums = [
         F.sum(

@@ -23,6 +23,24 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
+    """Fan a narrow scan out to cluster width before CPU-heavy per-row
+    work (tokenization, n-gram explode, decode UDFs).
+
+    A single parquet file with one row group scans as ONE task no
+    matter how many executors exist — at sf0.1 that serialized the
+    whole minhash shingle explode onto one core (5.4s → 0.7s after
+    fan-out).  At 100 TB inputs arrive as thousands of splits and this
+    is a no-op; the guard only pays the small-input shuffle when the
+    scan is narrower than the cluster.  ``getNumPartitions`` inspects
+    the physical scan without triggering a job."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
