@@ -48,7 +48,11 @@ from rheoceros_spark.compute import (  # noqa: F401
     PrestoSQL,
     Spark,
     SparkSQL,
+    python_module,
+    scala_script,
+    sql_module,
 )
+from rheoceros_spark.notifications import EMAIL, Slack  # noqa: F401
 from rheoceros_spark.application import Application  # noqa: F401
 from rheoceros_spark.diagnostics import (  # noqa: F401
     AlarmRule,

@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional, Sequence, Union
 
@@ -367,13 +368,22 @@ class Application:
         formatted = dict(zip(node.output_signal.dimension_names(), out_filter.formatted_values()[0] if len(out_filter) else ()))
         ctx = ComputeContext(self.spark, dimensions=formatted, output_alias=node.id)
 
+        hook = node.hooks.get("on_exec_begin")
+        if hook:
+            hook(node, dict(out_values))
+        started = time.monotonic()
         out_df: Optional[DataFrame] = None
         try:
             for slot in node.slots:
                 if isinstance(slot, InlinedCompute):
-                    slot.run_inlined({s.alias: s for s in materialized}, node.output_signal, dict(out_values))
+                    # inlined slots see the *formatted* dim values, same
+                    # rendering as paths and {dim} SQL parametrization
+                    slot.run_inlined({s.alias: s for s in materialized}, node.output_signal, dict(formatted))
                 else:
                     out_df = slot.run(inputs_df, ctx)
+                hook = node.hooks.get("on_compute_success")
+                if hook:
+                    hook(node, dict(out_values), slot)
         except Exception as e:
             # RouteExecutionHook.on_compute_failure / on_failure parity
             # (reference routing_runtime_constructs.py:856-1160)
@@ -381,6 +391,15 @@ class Application:
             if hook:
                 hook(node, dict(out_values), e)
             raise
+        # execution checkpoints: [(elapsed_secs, callback), ...] fire for
+        # every threshold the (synchronous) execution crossed (reference
+        # RouteExecutionHook checkpoints, routing_runtime_constructs.py:728-1160
+        # — the reference fires them from poll; in-process the batch is
+        # synchronous so they fire on completion)
+        elapsed = time.monotonic() - started
+        for threshold, cb in node.hooks.get("checkpoints") or []:
+            if threshold <= elapsed:
+                cb(node, dict(out_values), threshold, elapsed)
         if out_df is None:
             raise ValueError(f"node {node.id!r} has no batch compute slot producing an output")
 
@@ -394,6 +413,9 @@ class Application:
             # DatasetType, signal_source.py:550-553); REPLACE overwrites
             mode="append" if out_desc.dataset_type == DatasetType.APPEND else "overwrite",
         )
+        hook = node.hooks.get("on_success")
+        if hook:
+            hook(node, dict(out_values), path)
         return path
 
     def _materialize_inputs(self, node: InternalDataNode, out_values: dict[str, Any]) -> list[Signal]:

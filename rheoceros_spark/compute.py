@@ -24,11 +24,64 @@ so Catalyst owns optimization end-to-end.
 
 from __future__ import annotations
 
+import importlib
+import inspect
 import re
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Descriptor kwargs that are cluster-resource hints, not user args
+#: (reference api_ext.py:107-190: NumberOfWorkers/WorkerType on Glue,
+#: InstanceConfig on EMR, spark_submit_args passthrough).  One local
+#: Spark runtime replaces the reference's driver fleet (SURVEY §2.11),
+#: so these become session-conf knobs instead of provisioning calls.
+RESOURCE_CONF_KEYS = frozenset(
+    {
+        "NumberOfWorkers",
+        "WorkerType",
+        "GlueVersion",
+        "Timeout",
+        "InstanceConfig",
+        "RuntimeConfig",
+        "spark_submit_args",
+        "extra_jars",
+        "retry_count",
+    }
+)
+
+
+def _split_resource_conf(args: dict[str, Any]) -> tuple[dict[str, Any], dict[str, Any]]:
+    resource = {k: v for k, v in args.items() if k in RESOURCE_CONF_KEYS}
+    user = {k: v for k, v in args.items() if k not in RESOURCE_CONF_KEYS}
+    return resource, user
+
+
+def _apply_resource_conf(spark: SparkSession, resource_conf: dict[str, Any]) -> None:
+    """Map provisioning hints onto the single-runtime session.
+
+    ``NumberOfWorkers``/``InstanceConfig`` size the shuffle like the
+    reference's per-worker task fan-out would (2 tasks per worker
+    core-pair is Glue's effective default); explicit ``--conf k=v``
+    pairs in ``spark_submit_args`` win, matching the reference's
+    passthrough precedence (utils/spark.py:191-252)."""
+    workers = resource_conf.get("NumberOfWorkers")
+    if workers is None:
+        ic = resource_conf.get("InstanceConfig")
+        workers = getattr(ic, "instance_count", None) or (ic if isinstance(ic, int) else None)
+    if workers:
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(int(workers) * 2, 32)))
+    submit_args = resource_conf.get("spark_submit_args") or []
+    if isinstance(submit_args, str):
+        submit_args = submit_args.split()
+    for i, tok in enumerate(submit_args):
+        if tok == "--conf" and i + 1 < len(submit_args) and "=" in submit_args[i + 1]:
+            k, v = submit_args[i + 1].split("=", 1)
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # static confs (e.g. memory) can't change on a live session
 
 
 @dataclass
@@ -51,10 +104,11 @@ class ComputeDescriptor:
 class Spark(ComputeDescriptor):
     def __init__(self, code: Callable | str, **args: Any):
         self.code = code
-        self.args = args
+        self.resource_conf, self.args = _split_resource_conf(args)
 
     def run(self, inputs: dict[str, DataFrame], ctx: ComputeContext) -> DataFrame:
         ctx.args.update(self.args)
+        _apply_resource_conf(ctx.spark, self.resource_conf)
         if callable(self.code):
             out = self.code(inputs, ctx)
             if not isinstance(out, DataFrame):
@@ -81,9 +135,10 @@ class Spark(ComputeDescriptor):
 class SparkSQL(ComputeDescriptor):
     def __init__(self, code: str, **args: Any):
         self.code = code
-        self.args = args
+        self.resource_conf, self.args = _split_resource_conf(args)
 
     def run(self, inputs: dict[str, DataFrame], ctx: ComputeContext) -> DataFrame:
+        _apply_resource_conf(ctx.spark, self.resource_conf)
         for i, (alias, df) in enumerate(inputs.items()):
             df.createOrReplaceTempView(alias)
             df.createOrReplaceTempView(f"input{i}")
@@ -120,6 +175,43 @@ class InlinedCompute(ComputeDescriptor):
 
     def run(self, inputs: dict[str, DataFrame], ctx: ComputeContext) -> Optional[DataFrame]:
         return None  # inlined slots do not produce the output DataFrame
+
+
+def python_module(module: str, **args: Any) -> Spark:
+    """Reference a Python module as a slot instead of an inline string
+    (reference ``api_ext.py:1168-1213``, ``python_module``).
+
+    The module's *source text* is embedded as the slot's code string,
+    so it runs under the script contract (aliased inputs, ``input0..N``,
+    ``dimensions``, ``args``, ``spark`` in scope, assigns ``output``) —
+    identical to the reference, which ships the module source to the
+    Glue/EMR job."""
+    mod = importlib.import_module(module)
+    return Spark(inspect.getsource(mod), **args)
+
+
+def sql_module(module_or_path: str, **args: Any) -> SparkSQL:
+    """Reference a ``.sql`` file or a module exposing ``SQL``/``sql``
+    as a :class:`SparkSQL` slot (reference ``api_ext.py`` ``sql_module``)."""
+    if module_or_path.endswith(".sql"):
+        with open(module_or_path, "r", encoding="utf-8") as f:
+            return SparkSQL(f.read(), **args)
+    mod = importlib.import_module(module_or_path)
+    code = getattr(mod, "SQL", None) or getattr(mod, "sql", None)
+    if not isinstance(code, str):
+        raise ValueError(f"{module_or_path!r} must define a string attribute `SQL` (or `sql`)")
+    return SparkSQL(code, **args)
+
+
+def scala_script(*_args: Any, **_kwargs: Any) -> ComputeDescriptor:
+    """The reference supports Scala slots on Glue/EMR
+    (``api_ext.py:1168-1213``).  This engine is PySpark-native; JVM-language
+    slots are out of scope — express the logic as :class:`SparkSQL`
+    (dialect-identical) or a :class:`Spark` function."""
+    raise NotImplementedError(
+        "scala_script is not supported: use SparkSQL(...) or Spark(fn) — "
+        "the SQL surface is identical on the JVM"
+    )
 
 
 _DIM_TOKEN = re.compile(r"\{(\w+)\}")

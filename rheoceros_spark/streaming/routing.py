@@ -180,6 +180,11 @@ class Route:
                 return []
             self.pending_nodes.append(node)
             consumed = node
+            # RoutePendingNodeHook.on_pending_node_created (reference
+            # constructs.py:2500-2600; fires when a trigger group seeds)
+            hook = self.node.hooks.get("on_pending_node_created")
+            if hook:
+                hook(self.node, node)
         # blocked events defer the node; a later non-blocked event unblocks
         consumed.blocked = is_blocked
 
@@ -239,15 +244,12 @@ class RoutingTable:
                 if derived is None:
                     continue
                 # projection fan-out: list literals → one execution per value
+                # (exec lifecycle hooks — on_exec_begin/on_compute_success/
+                # checkpoints/on_success — fire inside _run_node, shared
+                # with the execute() path)
                 for out_values in expand_literal_lists(derived):
-                    hook = route.node.hooks.get("on_exec_begin")
-                    if hook:
-                        hook(route.node, out_values)
                     out_path = self.app._run_node(route.node, out_values, recursive=False)
                     outputs.append(out_path)
-                    hook = route.node.hooks.get("on_success")
-                    if hook:
-                        hook(route.node, out_values, out_path)
                     if recursive_downstream:
                         # the output's own signal feeds downstream routes
                         out_sig = route.node.output_signal.clone()
