@@ -502,8 +502,8 @@ def events_sliding_2day(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hourly
     )
     SELECT event_type, strftime(hour_ts, '%Y-%m-%d %H') AS hour_str, avg_value,
-           sum(breach) OVER (PARTITION BY event_type ORDER BY hour_ts
-                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS breaches_3h
+           CAST(sum(breach) OVER (PARTITION BY event_type ORDER BY hour_ts
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS breaches_3h
     FROM breaches
     """,
 )
@@ -531,7 +531,7 @@ def metric_threshold_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_type, date_trunc('hour', ts) AS period_start,
            count(value_cents) AS "SampleCount",
-           sum(value_cents) AS "Sum",
+           CAST(sum(value_cents) AS BIGINT) AS "Sum",
            min(value_cents) AS "Minimum",
            max(value_cents) AS "Maximum",
            CAST(sum(value_cents) AS DOUBLE) / (100.0 * count(value_cents)) AS avg_value
@@ -574,8 +574,8 @@ WITH hourly AS (
   FROM hourly
 ), w AS (
   SELECT event_type, period_start, avg_value, breach,
-         sum(breach) OVER (PARTITION BY event_type ORDER BY period_start
-                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS breaches_in_window,
+         CAST(sum(breach) OVER (PARTITION BY event_type ORDER BY period_start
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS breaches_in_window,
          count(breach) OVER (PARTITION BY event_type ORDER BY period_start
                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS periods_in_window
   FROM b
@@ -768,8 +768,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_linestatus",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= o_orderdate
     GROUP BY l_linestatus
@@ -899,7 +899,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
            CAST({_c('o_totalprice')} AS DOUBLE) / 100.0 AS totalprice,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
@@ -1348,8 +1348,8 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_returnflag_status",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS "F",
-           sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS "O"
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS BIGINT) AS "F",
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS BIGINT) AS "O"
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1367,7 +1367,7 @@ def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,

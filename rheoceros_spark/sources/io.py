@@ -43,6 +43,26 @@ from rheoceros_spark.sources.datasets import (
 SCHEMA_FILE = "_SCHEMA.json"
 METADATA_FILE = "_METADATA.json"
 
+#: Parquet footers probed by :func:`normalize_ns_timestamps`, keyed by
+#: sample path → frozenset of TIMESTAMP(NANOS) column names.  The probe
+#: is a driver-side O(1) footer read, but uncached it repeats on every
+#: ``load_table`` call in a query loop — memoize per path.
+_NS_SCHEMA_CACHE: dict[str, frozenset] = {}
+
+
+def ensure_read_confs(spark: SparkSession) -> None:
+    """Make the data plane self-sufficient on ANY SparkSession.
+
+    The test parquet (and any pandas/arrow-written parquet) carries
+    TIMESTAMP(NANOS) columns, which vanilla Spark refuses to read
+    (``PARQUET_TYPE_ILLEGAL``).  ``spark.sql.legacy.parquet.nanosAsLong``
+    is runtime-settable, so set it here — at read time — instead of
+    relying on the engine's own session factory, so callers with a plain
+    ``SparkSession.builder.getOrCreate()`` session work too.
+    """
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
     """Hadoop-FS existence probe — works for local/HDFS/S3A URIs."""
@@ -65,17 +85,32 @@ def partition_ready(spark: SparkSession, descriptor: DatasetDescriptor, path: st
     return True
 
 
+_CSE_CONF_KEYS = (
+    "fs.s3.cse.enabled",
+    "fs.s3.cse.encryptionMaterialsProvider",
+    "fs.s3.cse.kms.keyId",
+)
+
+
 def apply_encryption_confs(spark: SparkSession, desc: DatasetDescriptor) -> None:
     """S7 — client-side-encryption scan: when a dataset declares an
     ``encryption_key``, set the filesystem CSE hadoop confs before the
     read (reference sets ``fs.s3.cse.*`` the same way per input,
     ``glueetl_default_ABI.py:185-194``).  Conf names are the public
     EMRFS/S3A client-side-encryption knobs; on local FS they are inert.
+
+    The hadoop conf is session-global and reads are lazy, so a stale
+    key from a previous encrypted dataset must not leak onto this one:
+    when the dataset declares no key, any ``fs.s3.cse.*`` left by an
+    earlier read is cleared.
     """
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
     key = desc.options.get("encryption_key")
     if not key:
+        if conf.get("fs.s3.cse.enabled") is not None:
+            for k in _CSE_CONF_KEYS:
+                conf.unset(k)
         return
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
     conf.set("fs.s3.cse.enabled", "true")
     conf.set("fs.s3.cse.encryptionMaterialsProvider",
              "com.amazon.ws.emr.hadoop.fs.cse.KMSEncryptionMaterialsProvider")
@@ -87,6 +122,7 @@ def load_signal(spark: SparkSession, signal: Signal) -> DataFrame:
     desc: DatasetDescriptor = signal.source
     if desc is None:
         raise ValueError(f"signal {signal.alias!r} has no source descriptor")
+    ensure_read_confs(spark)
     apply_encryption_confs(spark, desc)
 
     if isinstance(desc, GlueTable):
@@ -138,22 +174,27 @@ def normalize_ns_timestamps(df: DataFrame, sample_path: str) -> DataFrame:
     the driver — O(1) regardless of data size."""
     from pyspark.sql import functions as F
 
-    try:
-        import pyarrow.parquet as pq
+    ns_cols = _NS_SCHEMA_CACHE.get(sample_path)
+    if ns_cols is None:
+        probe_path = sample_path
+        try:
+            import pyarrow.parquet as pq
 
-        if os.path.isdir(sample_path):
-            files = [f for f in os.listdir(sample_path) if f.endswith(".parquet")]
-            if not files:
-                return df
-            sample_path = os.path.join(sample_path, files[0])
-        arrow_schema = pq.read_schema(sample_path)
-    except Exception:
-        return df
-    ns_cols = {
-        name
-        for name, typ in zip(arrow_schema.names, arrow_schema.types)
-        if str(typ) == "timestamp[ns]"
-    }
+            if os.path.isdir(probe_path):
+                files = [f for f in os.listdir(probe_path) if f.endswith(".parquet")]
+                if not files:
+                    _NS_SCHEMA_CACHE[sample_path] = frozenset()
+                    return df
+                probe_path = os.path.join(probe_path, files[0])
+            arrow_schema = pq.read_schema(probe_path)
+        except Exception:
+            return df
+        ns_cols = frozenset(
+            name
+            for name, typ in zip(arrow_schema.names, arrow_schema.types)
+            if str(typ) == "timestamp[ns]"
+        )
+        _NS_SCHEMA_CACHE[sample_path] = ns_cols
     for c in ns_cols:
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
@@ -212,7 +253,14 @@ def load_content(spark: SparkSession, path: str, deserialize: bool = True):
     (reference deserializes pickled "content" from internal storage,
     ``glueetl_default_ABI.py:165-179``).  One driver-side FS read —
     artifacts are small by contract; datasets go through
-    ``load_signal``."""
+    ``load_signal``.
+
+    Unpickling only engages when the bytes carry the pickle
+    protocol-2+ magic (``b'\\x80'`` — what :func:`save_content`
+    emits), so raw artifacts are returned verbatim and a genuinely
+    corrupt pickle RAISES instead of silently degrading to garbage
+    bytes.  Trust requirement: ``pickle.loads`` executes code — only
+    load artifacts from stores the pipeline itself writes."""
     if "://" not in path:
         with open(path, "rb") as f:
             raw = f.read()
@@ -226,13 +274,10 @@ def load_content(spark: SparkSession, path: str, deserialize: bool = True):
             raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
         finally:
             stream.close()
-    if deserialize:
+    if deserialize and raw[:1] == b"\x80":
         import pickle
 
-        try:
-            return pickle.loads(raw)
-        except Exception:
-            pass
+        return pickle.loads(raw)
     return raw
 
 

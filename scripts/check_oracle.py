@@ -23,11 +23,25 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def canon(v):
     if v is None:
         return "NULL"
+    # pandas NaT/NaN scalars (the oracle rows now come through pandas,
+    # matching the driver harness) canonicalize as NULL
+    try:
+        import pandas as _pd
+
+        if _pd.api.types.is_scalar(v) and _pd.isna(v):
+            return "NULL"
+    except Exception:
+        pass
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, Decimal):
         return repr(float(v))
     if isinstance(v, datetime):
+        # DuckDB DATE comes through pandas as a midnight datetime64 while
+        # Spark keeps DateType — the driver hashes those equal (q3 was
+        # green in r1), so canonicalize midnight timestamps to dates.
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
         return v.isoformat()
@@ -82,9 +96,13 @@ def main():
             print(f"~ {name}: no oracle, {len(srows)} rows [{time.time()-t0:.1f}s]")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = [c.lower() for c in rel.columns]
-            drows = rel.fetchall()
+            # Go through pandas like the driver harness does: DuckDB
+            # HUGEINT (bare integer sum()) becomes float64 here, so a
+            # local green predicts a driver green (VERDICT r1 #2 —
+            # fetchall() hid exactly that class of mismatch).
+            pdf = con.sql(oracles[name]).df()
+            dcols = [c.lower() for c in pdf.columns]
+            drows = list(pdf.itertuples(index=False, name=None))
         except Exception as e:
             results[name] = f"ORACLE ERROR: {type(e).__name__}: {str(e)[:160]}"
             print(f"✗ {name}: {results[name]}")

@@ -12,6 +12,7 @@ from rheoceros_spark import Application, Dimension, DimensionType, ParquetDatase
 from rheoceros_spark.sources.io import (
     load_content,
     load_signal,
+    load_table,
     save_content,
     write_dataset,
     write_pandas,
@@ -44,10 +45,18 @@ class TestS7EncryptedScan:
         assert conf.get("fs.s3.cse.enabled") == "true"
         assert conf.get("fs.s3.cse.kms.keyId") == "arn:kms:key/test-1"
 
-    def test_no_key_no_confs_overwrite(self, spark, sf_dir):
+    def test_no_key_clears_stale_cse_confs(self, spark, sf_dir):
+        # An earlier encrypted read leaves session-global CSE confs; an
+        # unencrypted dataset must not inherit them (lazy reads apply
+        # the conf active at ACTION time, not plan time).
+        enc = ParquetDataset(f"{sf_dir}/nation.parquet", encryption_key="arn:kms:key/test-2")
+        load_signal(spark, Signal("nation", enc, enc.spec)).count()
         desc = ParquetDataset(f"{sf_dir}/region.parquet")
         sig = Signal("region", desc, desc.spec)
         assert load_signal(spark, sig).count() > 0
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        assert conf.get("fs.s3.cse.enabled") is None
+        assert conf.get("fs.s3.cse.kms.keyId") is None
 
 
 class TestS8RawContent:
@@ -60,8 +69,34 @@ class TestS8RawContent:
     def test_raw_bytes(self, spark, tmp_path):
         path = str(tmp_path / "blob.bin")
         save_content(spark, b"\x00\x01raw", path)
-        # not valid pickle → returned as bytes
+        # no pickle magic → returned as bytes
         assert load_content(spark, path) == b"\x00\x01raw"
+
+    def test_corrupt_pickle_raises(self, spark, tmp_path):
+        # bytes carrying the pickle magic but truncated must RAISE, not
+        # silently degrade to garbage bytes
+        path = str(tmp_path / "corrupt.pkl")
+        save_content(spark, b"\x80\x04garbage-not-a-pickle", path)
+        with pytest.raises(Exception):
+            load_content(spark, path)
+
+
+class TestVanillaSessionSelfSufficiency:
+    """VERDICT r1 #1: the driver harness builds a PLAIN SparkSession —
+    the data plane must set its own read confs (nanosAsLong) instead of
+    relying on the engine's session factory."""
+
+    def test_load_table_events_with_conf_unset(self, spark, sf_dir):
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        try:
+            df = load_table(spark, sf_dir, "events")
+            assert df.count() > 0
+            # load_signal restored the conf at read time
+            assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+            # ns timestamp normalized to a real timestamp column
+            assert "timestamp" in dict(df.dtypes).get("ts", "")
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 class TestS14PandasSink:
