@@ -2,6 +2,7 @@ from rheoceros_spark.operators.dedup import (  # noqa: F401
     dedup_exact,
     embedding_dedup,
     embedding_dup_pairs,
+    embedding_dup_pairs_blocked,
     minhash_lsh_dedup,
     minhash_lsh_pairs,
     minhash_signature,

@@ -383,15 +383,65 @@ def ngram_jaccard_pairs(
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def embedding_dup_pairs_blocked(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    tables: int = 4,
+    nbits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs via multi-table random-hyperplane LSH blocking —
+    the 100 TB path (no cartesian product anywhere in the plan).
+
+    Each vector gets one ``nbits``-bit sign signature per table
+    (``tables`` disjoint slices of a deterministic plane matrix); a
+    candidate pair must collide in at least one table, and is then
+    exactly rerank-ed with cosine.  Cost is O(Σ bucket²) instead of
+    O(n²); the signature join shuffles on (table, sig) — a 16-byte
+    key — and ``nbits`` dials bucket size against recall.  For cosine
+    ≥ 0.95 (angle ≤ 18°, per-plane split prob ≈ 0.1) the defaults give
+    per-table collision ≈ 0.9^8 ≈ 0.43 and 4-table recall ≈ 0.90.
+
+    Deterministic-approximate: the plane matrix is the same md5
+    construction as :func:`similarity.plane_matrix`, so an oracle can
+    rebuild the identical candidate set.
+    """
+    from rheoceros_spark.operators.similarity import plane_matrix, signature_col
+
+    planes = plane_matrix(tables * nbits, dim)
+    sigs = F.array(
+        *[signature_col(vec_col, planes[t * nbits:(t + 1) * nbits]) for t in range(tables)]
+    )
+    e = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.posexplode(sigs).alias("t", "sig"),
+    )
+    a = e.select(F.col("__id").alias("a"), F.col("__v").alias("va"), "t", "sig")
+    b = e.select(F.col("__id").alias("b"), F.col("__v").alias("vb"), "t", "sig")
+    return (
+        a.join(b, on=["t", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        # a pair colliding in several tables yields identical rows —
+        # distinct collapses them (cheaper than a pre-rerank dedup join)
+        .select("a", "b", F.round("cos", 6).alias("cos_r"))
+        .distinct()
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold (a < b).  Quadratic — at
-    scale gate through :func:`rheoceros_spark.operators.similarity.
-    hyperplane_buckets` first, then run this inside each bucket."""
+    """Exact all-pairs cosine ≥ threshold (a < b).  Quadratic — the
+    verification oracle for :func:`embedding_dup_pairs_blocked`, which
+    is the path to use at scale."""
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
@@ -408,7 +458,16 @@ def embedding_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    blocked: bool = True,
+    **lsh_kwargs,
 ) -> DataFrame:
-    pairs = embedding_dup_pairs(df, vec_col, id_col, threshold)
+    """Drop near-duplicate vectors (min-id survivor).  ``blocked=True``
+    (default — the only sane setting at scale) generates candidates via
+    LSH blocking; ``blocked=False`` is exact all-pairs for small inputs
+    / oracle verification only."""
+    if blocked:
+        pairs = embedding_dup_pairs_blocked(df, vec_col, id_col, threshold, **lsh_kwargs)
+    else:
+        pairs = embedding_dup_pairs(df, vec_col, id_col, threshold)
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")

@@ -78,7 +78,9 @@ def signature_col(vec_col: str, planes: list[list[float]]):
     (v · plane_i) > 0, folded per-row, planes as literal arrays."""
     terms = None
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
+        # one array literal per plane (not dim F.lit calls) — driver-side
+        # plan-build cost matters when stacking tables × nbits signatures
+        p = F.lit(plane)
         d = dot(F.col(vec_col), p)
         bit = F.when(d > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         terms = bit if terms is None else terms + bit

@@ -90,6 +90,34 @@ class TestDedup:
         for r in pairs:
             assert r.a < r.b and r.cos_r >= 0.9
 
+    def test_embedding_blocked_subset_of_exact(self, emb):
+        """LSH blocking never invents pairs: blocked ⊆ all-pairs, with
+        identical cosines on the intersection, and non-zero recall at
+        the test parameters."""
+        from rheoceros_spark.operators.dedup import embedding_dup_pairs_blocked
+
+        exact = {(r.a, r.b): r.cos_r for r in embedding_dup_pairs(emb, threshold=0.4).collect()}
+        blocked = {
+            (r.a, r.b): r.cos_r
+            for r in embedding_dup_pairs_blocked(
+                emb, threshold=0.4, tables=4, nbits=4
+            ).collect()
+        }
+        assert set(blocked) <= set(exact)
+        assert all(exact[k] == v for k, v in blocked.items())
+        assert len(blocked) > 0
+
+    def test_embedding_dedup_blocked_default(self, emb):
+        """embedding_dedup defaults to the blocked path and keeps at
+        least every vector the exact path keeps (fewer pairs found →
+        fewer losers dropped)."""
+        from rheoceros_spark.operators.dedup import embedding_dedup
+
+        n_exact = embedding_dedup(emb, threshold=0.4, blocked=False).count()
+        n_blocked = embedding_dedup(emb, threshold=0.4, nbits=4).count()
+        assert n_blocked >= n_exact
+        assert n_blocked <= emb.count()
+
 
 class TestSimilarity:
     def test_cosine_topk_matches_duckdb(self, emb, sf_dir):

@@ -106,6 +106,21 @@ class TestAggQuality:
         plan = physical_plan(minhash_sigs(docs))
         assert plan.count("HashAggregate") >= 2, "minhash mins must combine map-side"
 
+    def test_embedding_blocked_dedup_no_cartesian(self, spark, sf):
+        """The default embedding near-dup path must be LSH-blocked:
+        candidate generation is a (table, sig) equi-join — no cartesian
+        product / nested-loop join anywhere in the plan (VERDICT r1 #4)."""
+        from rheoceros_spark.operators.dedup import embedding_dup_pairs_blocked
+
+        emb = load_table(spark, sf, "embeddings")
+        pairs = embedding_dup_pairs_blocked(emb, threshold=0.4, tables=2, nbits=4)
+        plan = physical_plan(pairs)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # any equi-join strategy is fine (broadcast at tiny SF, sort-merge
+        # / shuffled-hash at scale) — the point is it joins on (t, sig)
+        assert "SortMergeJoin" in plan or "HashJoin" in plan
+
     def test_whole_stage_codegen_on_hot_path(self, spark, sf):
         q = entry._QUERIES["q1_pricing_summary"](spark, sf)
         q.collect()  # resolve AQE to the final plan
