@@ -44,6 +44,9 @@ from rheoceros_spark.sources.datasets import (  # noqa: F401
     ParquetDataset,
 )
 from rheoceros_spark.compute import (  # noqa: F401
+    ComputeInternalError,
+    ComputeKilledError,
+    ComputeRetryableInternalError,
     InlinedCompute,
     PrestoSQL,
     Spark,
@@ -53,7 +56,11 @@ from rheoceros_spark.compute import (  # noqa: F401
     sql_module,
 )
 from rheoceros_spark.notifications import EMAIL, Slack  # noqa: F401
-from rheoceros_spark.application import Application  # noqa: F401
+from rheoceros_spark.application import (  # noqa: F401
+    Application,
+    ComputeRecord,
+    ComputeRecordState,
+)
 from rheoceros_spark.diagnostics import (  # noqa: F401
     AlarmRule,
     AlarmState,

@@ -35,12 +35,23 @@ import json
 import os
 import tempfile
 import time
+import uuid
 from dataclasses import dataclass, field
+from enum import Enum
 from typing import Any, Callable, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
-from rheoceros_spark.compute import ComputeContext, ComputeDescriptor, InlinedCompute, Spark
+from rheoceros_spark.compute import (
+    ComputeContext,
+    ComputeDescriptor,
+    ComputeKilledError,
+    ComputeRetryableInternalError,
+    InlinedCompute,
+    Spark,
+    restore_confs,
+    snapshot_confs,
+)
 from rheoceros_spark.dimensions import Dimension, DimensionFilter, DimensionSpec, DimensionType
 from rheoceros_spark.session import get_session
 from rheoceros_spark.signals import (
@@ -81,12 +92,37 @@ class InternalDataNode:
         return [s.alias for s in self.link_node.signals]
 
 
+class ComputeRecordState(str, Enum):
+    """In-process projection of the reference's compute session states
+    (``definitions/compute.py:154-163`` + ``FORCE_STOPPED``)."""
+
+    PROCESSING = "PROCESSING"
+    COMPLETED = "COMPLETED"
+    FAILED = "FAILED"
+    KILLED = "KILLED"
+
+
+@dataclass
+class ComputeRecord:
+    """One execution of one node partition (reference RoutingTable
+    active/inactive compute records, constructs.py:2698-2841)."""
+
+    node_id: str
+    out_values: dict[str, Any]
+    state: ComputeRecordState
+    exec_id: str = ""
+    attempts: int = 0  # failure-retries consumed (number_of_attempts_on_failure)
+    error: Optional[str] = None
+    path: Optional[str] = None
+
+
 class Application:
     def __init__(
         self,
         id: str,
         storage_root: Optional[str] = None,
         spark: Optional[SparkSession] = None,
+        transient_retry_limit: int = 3,
     ):
         self.id = id
         self.storage_root = (storage_root or os.path.join(tempfile.gettempdir(), "rheoceros_spark", id)).rstrip("/")
@@ -94,6 +130,11 @@ class Application:
         self._external: dict[str, Signal] = {}
         self._nodes: dict[str, InternalDataNode] = {}
         self._routing = None  # built lazily on activate()/process()
+        #: bound on ComputeRetryableInternalError retries per slot (the
+        #: reference re-queues TRANSIENT failures every cycle, unbounded)
+        self.transient_retry_limit = transient_retry_limit
+        self._records: list[ComputeRecord] = []
+        self._kill_requested: set[tuple] = set()
 
     @property
     def spark(self) -> SparkSession:
@@ -372,47 +413,120 @@ class Application:
         if hook:
             hook(node, dict(out_values))
         started = time.monotonic()
+
+        # compute-record lifecycle (reference RoutingTable active/inactive
+        # compute records, constructs.py:2698-2841): one record per
+        # execution, observable via compute_records()/has_active_record()
+        key = self._exec_key(node.id, out_values)
+        self._kill_requested.discard(key)  # stale kill doesn't poison a new run
+        record = ComputeRecord(
+            node_id=node.id,
+            out_values=dict(out_values),
+            state=ComputeRecordState.PROCESSING,
+            exec_id=f"{node.id}-{uuid.uuid4().hex[:12]}",
+        )
+        self._records.append(record)
+        # job group → Application.kill can interrupt in-flight Spark jobs
+        self.spark.sparkContext.setJobGroup(record.exec_id, f"rheoceros {node.id} {out_values}", True)
+        # resource hints (shuffle partitions, --conf pairs) apply for THIS
+        # execution only — snapshot now, restore after the terminal write
+        # action (reads are lazy: the conf at action time is what counts)
+        conf_snapshot = snapshot_confs(self.spark, node.slots)
+
         out_df: Optional[DataFrame] = None
         try:
             for slot in node.slots:
-                if isinstance(slot, InlinedCompute):
-                    # inlined slots see the *formatted* dim values, same
-                    # rendering as paths and {dim} SQL parametrization
-                    slot.run_inlined({s.alias: s for s in materialized}, node.output_signal, dict(formatted))
-                else:
-                    out_df = slot.run(inputs_df, ctx)
+                attempt = 0
+                while True:
+                    self._raise_if_killed(key)
+                    try:
+                        if isinstance(slot, InlinedCompute):
+                            # inlined slots see the *formatted* dim values, same
+                            # rendering as paths and {dim} SQL parametrization
+                            slot.run_inlined({s.alias: s for s in materialized}, node.output_signal, dict(formatted))
+                        else:
+                            out_df = slot.run(inputs_df, ctx)
+                        break
+                    except ComputeKilledError:
+                        raise
+                    except Exception as e:
+                        if key in self._kill_requested:
+                            # the failure is the kill interruption surfacing
+                            # (cancelJobGroup aborts the in-flight action)
+                            raise ComputeKilledError(str(e)) from e
+                        attempt += 1
+                        record.attempts = max(record.attempts, attempt)
+                        # retry contract (reference constructs.py:4400 +
+                        # application.py:467): retry_count forces retries on
+                        # ANY failure; TRANSIENT errors additionally retry up
+                        # to the app-level bound (the reference re-queues them
+                        # every orchestration cycle, unbounded)
+                        allowed = slot.max_retry_count + (
+                            self.transient_retry_limit
+                            if isinstance(e, ComputeRetryableInternalError)
+                            else 0
+                        )
+                        if attempt > allowed:
+                            raise
                 hook = node.hooks.get("on_compute_success")
                 if hook:
                     hook(node, dict(out_values), slot)
-        except Exception as e:
-            # RouteExecutionHook.on_compute_failure / on_failure parity
-            # (reference routing_runtime_constructs.py:856-1160)
+
+            # execution checkpoints: [(elapsed_secs, callback), ...] fire for
+            # every threshold the (synchronous) execution crossed (reference
+            # RouteExecutionHook checkpoints, routing_runtime_constructs.py:728-1160
+            # — the reference fires them from poll; in-process the batch is
+            # synchronous so they fire on completion)
+            elapsed = time.monotonic() - started
+            for threshold, cb in node.hooks.get("checkpoints") or []:
+                if threshold <= elapsed:
+                    cb(node, dict(out_values), threshold, elapsed)
+            if out_df is None:
+                raise ValueError(f"node {node.id!r} has no batch compute slot producing an output")
+
+            out_desc = node.output_signal.source
+            path = out_desc.materialize_paths(out_filter)[0]
+            self._raise_if_killed(key)
+            write_dataset(
+                out_df,
+                path,
+                data_format=out_desc.data_format,
+                # APPEND datasets accumulate into the partition (reference
+                # DatasetType, signal_source.py:550-553); REPLACE overwrites
+                mode="append" if out_desc.dataset_type == DatasetType.APPEND else "overwrite",
+            )
+        except ComputeKilledError as e:
+            record.state = ComputeRecordState.KILLED
+            record.error = str(e)
             hook = node.hooks.get("on_failure")
             if hook:
                 hook(node, dict(out_values), e)
             raise
-        # execution checkpoints: [(elapsed_secs, callback), ...] fire for
-        # every threshold the (synchronous) execution crossed (reference
-        # RouteExecutionHook checkpoints, routing_runtime_constructs.py:728-1160
-        # — the reference fires them from poll; in-process the batch is
-        # synchronous so they fire on completion)
-        elapsed = time.monotonic() - started
-        for threshold, cb in node.hooks.get("checkpoints") or []:
-            if threshold <= elapsed:
-                cb(node, dict(out_values), threshold, elapsed)
-        if out_df is None:
-            raise ValueError(f"node {node.id!r} has no batch compute slot producing an output")
+        except Exception as e:
+            if key in self._kill_requested:
+                # kill interrupted the terminal write action — it
+                # surfaces as a job-cancelled error, not our own type
+                record.state = ComputeRecordState.KILLED
+                record.error = str(e)
+                hook = node.hooks.get("on_failure")
+                if hook:
+                    hook(node, dict(out_values), e)
+                raise ComputeKilledError(str(e)) from e
+            # RouteExecutionHook.on_compute_failure / on_failure parity
+            # (reference routing_runtime_constructs.py:856-1160)
+            record.state = ComputeRecordState.FAILED
+            record.error = str(e)
+            hook = node.hooks.get("on_failure")
+            if hook:
+                hook(node, dict(out_values), e)
+            raise
+        finally:
+            restore_confs(self.spark, conf_snapshot)
+            self.spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+            self._kill_requested.discard(key)
 
-        out_desc = node.output_signal.source
-        path = out_desc.materialize_paths(out_filter)[0]
-        write_dataset(
-            out_df,
-            path,
-            data_format=out_desc.data_format,
-            # APPEND datasets accumulate into the partition (reference
-            # DatasetType, signal_source.py:550-553); REPLACE overwrites
-            mode="append" if out_desc.dataset_type == DatasetType.APPEND else "overwrite",
-        )
+        record.state = ComputeRecordState.COMPLETED
+        record.path = path
         hook = node.hooks.get("on_success")
         if hook:
             hook(node, dict(out_values), path)
@@ -537,6 +651,73 @@ class Application:
     def get_downstream(self, id: str) -> list[str]:
         """Transitive consumers of a node/signal."""
         return [n.id for n in self._descendants(id)]
+
+    # ------------------------------------------------------------------
+    # compute-record lifecycle: kill / active-record polling
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _exec_key(node_id: str, out_values: dict[str, Any]) -> tuple:
+        return (node_id, tuple(sorted((k, str(v)) for k, v in out_values.items())))
+
+    def _raise_if_killed(self, key: tuple) -> None:
+        if key in self._kill_requested:
+            raise ComputeKilledError(f"execution force-stopped: {key[0]} {dict(key[1])}")
+
+    def _target_values(self, target: Signal, op: str) -> tuple[InternalDataNode, dict[str, Any]]:
+        node = self._nodes.get(target.alias)
+        if node is None:
+            raise KeyError(f"{target.alias!r} is not an internal data node")
+        out_filter = target.filter.finalize()
+        if not out_filter.is_material:
+            raise ValueError(f"{op} target must be a materialized view of {target.alias!r}")
+        return node, dict(zip(node.output_signal.dimension_names(), out_filter.tip() or ()))
+
+    def kill(self, target: Signal) -> bool:
+        """Force-stop active executions of a materialized node view
+        (reference ``Application.kill``, application.py:2342;
+        ``RoutingTable.kill``, constructs.py:4934).
+
+        In-flight Spark jobs are interrupted via their job group; the
+        execution surfaces as :class:`ComputeKilledError` and its
+        compute record transitions to ``KILLED``.  Driver-side inlined
+        slots notice the kill flag between slots/retries.  Returns True
+        iff an active execution was found and signalled.
+        """
+        node, out_values = self._target_values(target, "kill")
+        active = [
+            r
+            for r in self._records
+            if r.node_id == node.id
+            and r.out_values == out_values
+            and r.state == ComputeRecordState.PROCESSING
+        ]
+        if not active:
+            return False
+        self._kill_requested.add(self._exec_key(node.id, out_values))
+        for r in active:
+            self.spark.sparkContext.cancelJobGroup(r.exec_id)
+        return True
+
+    def has_active_record(self, target: Signal) -> bool:
+        """Is an execution for this materialized view in flight?
+        (reference ``has_active_record_for``, application.py:2339)."""
+        node, out_values = self._target_values(target, "has_active_record")
+        return any(
+            r.node_id == node.id
+            and r.out_values == out_values
+            and r.state == ComputeRecordState.PROCESSING
+            for r in self._records
+        )
+
+    def compute_records(
+        self, node_id: Optional[str] = None, state: Optional[ComputeRecordState] = None
+    ) -> list[ComputeRecord]:
+        """Execution history (active + inactive records, newest last)."""
+        return [
+            r
+            for r in self._records
+            if (node_id is None or r.node_id == node_id) and (state is None or r.state == state)
+        ]
 
     def materialize(self, view: Signal) -> list[str]:
         sig = self[view.alias]

@@ -58,6 +58,25 @@ def _split_resource_conf(args: dict[str, Any]) -> tuple[dict[str, Any], dict[str
     return resource, user
 
 
+class ComputeInternalError(Exception):
+    """A slot failed for an application-internal reason (reference
+    ``definitions/compute.py:252-257``)."""
+
+
+class ComputeRetryableInternalError(ComputeInternalError):
+    """A slot failed transiently — the orchestrator retries it
+    (reference ``definitions/compute.py:256``, retried at
+    ``constructs.py:4400``).  The reference retries TRANSIENT failures
+    on every orchestration cycle; in-process execution bounds the loop
+    with ``Application(transient_retry_limit=N)``."""
+
+
+class ComputeKilledError(Exception):
+    """An execution was force-stopped via :meth:`Application.kill`
+    (reference ``ComputeFailedSessionStateType.FORCE_STOPPED``,
+    ``definitions/compute.py:38-41``)."""
+
+
 def _apply_resource_conf(spark: SparkSession, resource_conf: dict[str, Any]) -> None:
     """Map provisioning hints onto the single-runtime session.
 
@@ -84,6 +103,47 @@ def _apply_resource_conf(spark: SparkSession, resource_conf: dict[str, Any]) -> 
                 pass  # static confs (e.g. memory) can't change on a live session
 
 
+def resource_conf_touched_keys(resource_conf: dict[str, Any]) -> set[str]:
+    """Session-conf keys :func:`_apply_resource_conf` would touch for
+    this hint set — so the caller can snapshot/restore them around a
+    slot's execution instead of leaking one node's hints into every
+    subsequent execution."""
+    keys: set[str] = set()
+    ic = resource_conf.get("InstanceConfig")
+    if resource_conf.get("NumberOfWorkers") or getattr(ic, "instance_count", None) or isinstance(ic, int):
+        keys.add("spark.sql.shuffle.partitions")
+    submit_args = resource_conf.get("spark_submit_args") or []
+    if isinstance(submit_args, str):
+        submit_args = submit_args.split()
+    for i, tok in enumerate(submit_args):
+        if tok == "--conf" and i + 1 < len(submit_args) and "=" in submit_args[i + 1]:
+            keys.add(submit_args[i + 1].split("=", 1)[0])
+    return keys
+
+
+def snapshot_confs(spark: SparkSession, slots: Any) -> dict[str, Optional[str]]:
+    """Current values of every conf key the given slots' resource hints
+    could touch (None = currently unset)."""
+    keys: set[str] = set()
+    for slot in slots:
+        keys |= resource_conf_touched_keys(getattr(slot, "resource_conf", None) or {})
+    return {k: spark.conf.get(k, None) for k in keys}
+
+
+def restore_confs(spark: SparkSession, snapshot: dict[str, Optional[str]]) -> None:
+    """Put back (or unset) the snapshotted conf keys.  Call AFTER the
+    execution's terminal action — reads are lazy, so the conf active at
+    action time is what applies."""
+    for k, v in snapshot.items():
+        try:
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # static confs can't change on a live session
+
+
 @dataclass
 class ComputeContext:
     """What a slot sees besides its inputs."""
@@ -96,6 +156,14 @@ class ComputeContext:
 
 class ComputeDescriptor:
     is_batch = True  # ASYNC_BATCH_COMPUTE vs SYNC_INLINED (reference slot.py:16-32)
+
+    @property
+    def max_retry_count(self) -> int:
+        """User-forced retries on ANY failure (reference slot.py:160 —
+        'forced orchestration retries based on user provided
+        retry_count', application.py:467)."""
+        rc = getattr(self, "resource_conf", None) or {}
+        return int(rc.get("retry_count", 0))
 
     def run(self, inputs: dict[str, DataFrame], ctx: ComputeContext) -> Optional[DataFrame]:
         raise NotImplementedError
@@ -167,8 +235,9 @@ class PrestoSQL(SparkSQL):
 class InlinedCompute(ComputeDescriptor):
     is_batch = False
 
-    def __init__(self, fn: Callable[..., Any]):
+    def __init__(self, fn: Callable[..., Any], retry_count: int = 0):
         self.fn = fn
+        self.resource_conf = {"retry_count": retry_count} if retry_count else {}
 
     def run_inlined(self, input_map: dict[str, Any], output: Any, params: dict[str, Any]) -> Any:
         return self.fn(input_map, output, params)

@@ -88,25 +88,31 @@ def test_resource_conf_hints_split_and_apply(spark, events_by_day, tmp_path):
     app = Application("resource_app", str(tmp_path / "store"), spark)
     events = _events_signal(app, events_by_day)
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    observed = {}
+    code = (
+        "args['observe']['shuffle'] = spark.conf.get('spark.sql.shuffle.partitions')\n"
+        "args['observe']['broadcast'] = spark.conf.get('spark.sql.autoBroadcastJoinThreshold')\n"
+        "output = events.groupBy('event_type').count()"
+    )
     slot = Spark(
-        "output = events.groupBy('event_type').count()",
+        code,
         NumberOfWorkers=100,
         WorkerType="G.2X",
         spark_submit_args=["--conf", "spark.sql.autoBroadcastJoinThreshold=20971520"],
-        my_user_arg=7,
+        observe=observed,
     )
     # resource hints are separated from user args (reference api_ext.py:107-190)
     assert slot.resource_conf["NumberOfWorkers"] == 100
-    assert slot.args == {"my_user_arg": 7}
+    assert slot.args == {"observe": observed}
     node = app.create_data(id="sized", inputs=[events["2024-01-01":"2024-01-03"]], compute_targets=slot)
-    try:
-        app.execute(node["2024-01-02"])
-        # 100 workers → shuffle sized to 2 tasks/worker
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
-        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "20971520"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    app.execute(node["2024-01-02"])
+    # 100 workers → shuffle sized to 2 tasks/worker, visible DURING the slot
+    assert observed["shuffle"] == "200"
+    assert observed["broadcast"] == "20971520"
+    # ...and restored afterwards: one node's hints must not leak into the
+    # next execution (conf active at action time is what applies)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None) is None
 
 
 def test_lifecycle_hooks_fire_once_per_execution(spark, events_by_day, tmp_path):
