@@ -1183,7 +1183,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
            CAST(sum({_c('l_extendedprice')} * (100 - {_c('l_discount')})
-                    - {_c('p_retailprice')} * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                    - {_c('p_retailprice')} * 100 * CAST(l_quantity AS BIGINT)) AS DOUBLE)
              / 10000.0 AS profit
     FROM lineitem JOIN part ON l_partkey = p_partkey
                   JOIN supplier ON l_suppkey = s_suppkey
@@ -1204,9 +1204,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
+    # both terms in 1/10000-dollar units: revenue = cents × percent;
+    # cost = cents × qty, scaled by 100 to match before the shared /10000
     profit_c = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount"))) - cents(
         F.col("p_retailprice")
-    ) * F.col("l_quantity").cast("bigint")
+    ) * F.lit(100) * F.col("l_quantity").cast("bigint")
     return (
         li.join(F.broadcast(part.where(F.col("p_type") == "PROMO").select("p_partkey", "p_retailprice")),
                 li.l_partkey == F.col("p_partkey"))

@@ -37,10 +37,13 @@ from rheoceros_spark.dimensions import (  # noqa: F401
 )
 from rheoceros_spark.signals import Signal, SignalDimensionLink, SignalLinkNode  # noqa: F401
 from rheoceros_spark.sources.datasets import (  # noqa: F401
+    AvroDataset,
     CsvDataset,
     DatasetType,
     GlueTable,
     JsonDataset,
+    LibSVMDataset,
+    OrcDataset,
     ParquetDataset,
 )
 from rheoceros_spark.compute import (  # noqa: F401

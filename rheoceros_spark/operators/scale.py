@@ -32,11 +32,21 @@ def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> D
     whole minhash shingle explode onto one core (5.4s → 0.7s after
     fan-out).  At 100 TB inputs arrive as thousands of splits and this
     is a no-op; the guard only pays the small-input shuffle when the
-    scan is narrower than the cluster.  ``getNumPartitions`` inspects
-    the physical scan without triggering a job."""
+    scan is narrower than the cluster.
+
+    The width probe counts the scan's input files — ``rdd
+    .getNumPartitions()`` would force plan→RDD conversion outside AQE
+    and report pre-AQE counts for shuffled inputs, so it can skip the
+    fan-out that execution actually needs.  A single file with many row
+    groups undercounts and repartitions once — harmless (AQE coalesces
+    what it doesn't need)."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = 0
+    if width >= target:
         return df
     return df.repartition(target)
 

@@ -195,17 +195,28 @@ def ann_lsh_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then
-    exact cosine rerank within the bucket.  Recall < 1 by design; at
-    scale add multi-probe (flip each signature bit) before rerank."""
+    exact cosine rerank within the bucket.
+
+    ``probe_hamming`` enables **multi-probe**: buckets within that
+    hamming distance of the query's signature are also probed
+    (``probe_hamming=1`` ≙ flipping each signature bit once), trading
+    candidate-set size for recall without re-hashing.  Expressed as a
+    ``bit_count(xor)`` filter — one codegen'd comparison per row, and
+    degenerates to the exact-bucket equality at 0.  On a bucket-
+    partitioned layout the probe set prunes partitions instead."""
     bucketed = hyperplane_buckets(df, nbits, dim, vec_col)
     qrow = bucketed.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qv"), F.col("bucket").alias("__qb")
     )
     cands = (
         bucketed.crossJoin(F.broadcast(qrow))
-        .where((F.col("bucket") == F.col("__qb")) & (F.col(id_col) != query_id))
+        .where(
+            (F.bit_count(F.col("bucket").bitwiseXOR(F.col("__qb"))) <= probe_hamming)
+            & (F.col(id_col) != query_id)
+        )
         .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
     )
     return (

@@ -1,9 +1,12 @@
 from rheoceros_spark.sources.datasets import (  # noqa: F401
+    AvroDataset,
     CsvDataset,
     DatasetDescriptor,
     DatasetType,
     GlueTable,
     JsonDataset,
+    LibSVMDataset,
+    OrcDataset,
     ParquetDataset,
 )
 from rheoceros_spark.sources.io import (  # noqa: F401

@@ -191,6 +191,47 @@ class JsonDataset(DatasetDescriptor):
     data_format = "json"
 
 
+class OrcDataset(DatasetDescriptor):
+    """ORC dataset (reference DatasetSignalSourceFormat.ORC,
+    signal_source.py:516).  Spark's native ORC source — predicate
+    pushdown and column pruning work the same as parquet."""
+
+    data_format = "orc"
+
+
+class LibSVMDataset(DatasetDescriptor):
+    """LibSVM dataset (reference DatasetSignalSourceFormat.LIBSVM,
+    signal_source.py:518) via Spark MLlib's built-in ``libsvm`` source
+    → (label double, features vector) rows."""
+
+    data_format = "libsvm"
+
+    def spark_options(self) -> dict[str, str]:
+        opts = super().spark_options()
+        if "num_features" in self.options:
+            opts["numFeatures"] = str(self.options["num_features"])
+        return opts
+
+
+class AvroDataset(DatasetDescriptor):
+    """Avro dataset (reference DatasetSignalSourceFormat.AVRO,
+    signal_source.py:517).  Spark's Avro support lives in the external
+    ``spark-avro`` module; when the jar is not on the classpath the
+    read/write fails with Spark's standard guidance — surface that
+    clearly instead of at plan time."""
+
+    data_format = "avro"
+
+    @staticmethod
+    def runtime_available(spark) -> bool:
+        """True iff the spark-avro data source is on the classpath."""
+        try:
+            spark._jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroFileFormat")
+            return True
+        except Exception:
+            return False
+
+
 class GlueTable(DatasetDescriptor):
     """Catalog-table source (S3): ``spark.table(db.tbl)`` + a partition
     predicate — Catalyst does metastore partition pruning natively

@@ -154,6 +154,14 @@ def load_signal(spark: SparkSession, signal: Signal) -> DataFrame:
         if not paths:
             raise FileNotFoundError(f"no partitions exist for {signal.alias!r} in {missing[:5]}")
 
+    if desc.data_format == "avro":
+        from rheoceros_spark.sources.datasets import AvroDataset
+
+        if not AvroDataset.runtime_available(spark):
+            raise RuntimeError(
+                "AvroDataset needs the external spark-avro module on the "
+                "classpath; launch with --packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            )
     reader = spark.read.format(desc.data_format)
     schema = desc.spark_schema()
     if schema is not None:

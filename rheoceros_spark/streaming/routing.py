@@ -104,7 +104,21 @@ class RuntimeLinkNode:
                 return True
         return False
 
-    def is_ready(self, spark, check_ranges: bool = True) -> bool:
+    def is_ready(
+        self, spark, check_ranges: bool = True, completed_cache: Optional[set] = None
+    ) -> bool:
+        """Range check with the reference's two IO optimizations
+        (``_check_ranges`` + ``transfer_ranges``,
+        routing_runtime_constructs.py:316-341, 370-395):
+
+        * ``completed_cache`` is the routing table's **global** view of
+          already-verified-complete paths, shared across pending nodes,
+          inputs and routes — a partition that passed the completion
+          protocol once is immutable, so re-offered events never re-probe
+          it (driver-side FS probes were O(events × range-width) before).
+        * fail-fast: stop probing a range at the first missing partition
+          (``needs_all``) / first hit (``needs_one``).
+        """
         indep = self.route.node.link_node.independent_signals
         if any(s.alias not in self.ready for s in indep):
             return False
@@ -123,10 +137,23 @@ class RuntimeLinkNode:
             except ValueError:
                 return False
             paths = sig.source.materialize_paths(m.filter)
-            ok = [partition_ready(spark, sig.source, p) for p in paths]
-            if needs_all and not all(ok):
-                return False
-            if needs_one and not any(ok):
+            sig_ok = True
+            for p in paths:
+                if completed_cache is not None and p in completed_cache:
+                    ready = True
+                else:
+                    ready = partition_ready(spark, sig.source, p)
+                    if ready and completed_cache is not None:
+                        completed_cache.add(p)
+                if needs_all and not ready:
+                    sig_ok = False
+                    break  # fail-fast: rest of the range can't fix this
+                if needs_one and ready:
+                    break  # nearest: one hit is enough
+            else:
+                if needs_one:
+                    sig_ok = False  # nearest: nothing in range exists
+            if not sig_ok:
                 return False
         return True
 
@@ -149,6 +176,7 @@ class Route:
         self, spark, alias: str, tip: tuple, path: str,
         resource_id: Optional[str] = None,
         is_blocked: bool = False,
+        completed_cache: Optional[set] = None,
     ) -> list[RuntimeLinkNode]:
         """Offer the event; return nodes that became ready (reference
         Route.receive, :1396-1444).  ``tip`` is positional — each route
@@ -188,7 +216,11 @@ class Route:
         # blocked events defer the node; a later non-blocked event unblocks
         consumed.blocked = is_blocked
 
-        ready = [n for n in self.pending_nodes if not n.blocked and n.is_ready(spark)]
+        ready = [
+            n
+            for n in self.pending_nodes
+            if not n.blocked and n.is_ready(spark, completed_cache=completed_cache)
+        ]
         for n in ready:
             self.pending_nodes.remove(n)
         return ready
@@ -217,6 +249,13 @@ class RoutingTable:
             node_id: Route(node, node.hooks.get("pending_node_ttl_in_secs"))
             for node_id, node in app._nodes.items()
         }
+        #: global completed-path view shared by every route / pending node
+        #: (reference common_completed_paths + transfer_ranges,
+        #: routing_runtime_constructs.py:316-341, 370-395).  Completed
+        #: partitions are immutable by the completion protocol, so entries
+        #: never invalidate; memory is one path string per verified
+        #: partition.
+        self.completed_paths: set[str] = set()
 
     def receive(
         self, signal: Signal, recursive_downstream: bool = True, is_blocked: bool = False
@@ -239,6 +278,7 @@ class RoutingTable:
             for ready_node in route.receive(
                 self.app.spark, signal.alias, tip, path,
                 resource_id=signal.resource_id, is_blocked=is_blocked,
+                completed_cache=self.completed_paths,
             ):
                 derived = self._materialize_output(route, ready_node)
                 if derived is None:

@@ -6,8 +6,20 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rheoceros_spark import Application, CsvDataset, Dimension, DimensionType, JsonDataset
+from rheoceros_spark import (
+    Application,
+    AvroDataset,
+    CsvDataset,
+    Dimension,
+    DimensionType,
+    JsonDataset,
+    LibSVMDataset,
+    OrcDataset,
+    ParquetDataset,
+)
 from rheoceros_spark.sources.datasets import build_struct_type
+from rheoceros_spark.signals import Signal
+from rheoceros_spark.sources.io import load_signal, write_dataset
 
 
 class TestSchemaDefs:
@@ -108,3 +120,43 @@ class TestCsvJson:
         write_dataset(day_rows, out, data_format="csv", options={"header": "true"})
         back = spark.read.option("header", True).option("inferSchema", True).csv(out)
         assert back.count() == 2 and set(back.columns) == {"event_type", "n", "v"}
+
+
+class TestFormatMatrix:
+    """Managed sink → scan round-trip per dataset format (reference
+    DatasetSignalSourceFormat, signal_source.py:510-519)."""
+
+    @pytest.mark.parametrize("cls", [ParquetDataset, OrcDataset, JsonDataset])
+    def test_roundtrip(self, cls, spark, day_rows, tmp_path):
+        path = str(tmp_path / cls.__name__)
+        desc = cls(path)
+        write_dataset(day_rows, path, data_format=desc.data_format)
+        back = load_signal(spark, Signal("t", desc, desc.spec))
+        assert {r.event_type for r in back.collect()} == {"click", "view"}
+
+    def test_orc_predicate_pushdown(self, spark, day_rows, tmp_path):
+        path = str(tmp_path / "orc_pushdown")
+        write_dataset(day_rows, path, data_format="orc")
+        desc = OrcDataset(path)
+        df = load_signal(spark, Signal("t", desc, desc.spec)).where(F.col("n") > 5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "n" in plan.split("PushedFilters")[1][:80]
+
+    def test_libsvm_read(self, spark, tmp_path):
+        import os
+
+        d = tmp_path / "svm" / "part.libsvm"
+        os.makedirs(d.parent, exist_ok=True)
+        d.write_text("0 1:1.5 3:2.0\n1 2:0.5\n")
+        desc = LibSVMDataset(str(d.parent), num_features=4)
+        df = load_signal(spark, Signal("svm", desc, desc.spec))
+        rows = df.orderBy("label").collect()
+        assert [r.label for r in rows] == [0.0, 1.0]
+        assert rows[0].features.size == 4
+
+    def test_avro_clear_error_without_module(self, spark, day_rows, tmp_path):
+        desc = AvroDataset(str(tmp_path / "a"))
+        if AvroDataset.runtime_available(spark):
+            pytest.skip("spark-avro present; read path exercised natively")
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            load_signal(spark, Signal("a", desc, desc.spec))

@@ -139,6 +139,19 @@ class TestSimilarity:
         # candidates all share the query bucket → sims still high-ish
         assert all(r.cos_r <= 1.0 for r in res)
 
+    def test_ann_lsh_multiprobe_improves_recall(self, emb):
+        """probe_hamming widens the candidate set monotonically: recall
+        vs brute force never decreases, and hamming=nbits probes every
+        bucket → exactly the brute-force top-k."""
+        exact = {r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()}
+        recalls = []
+        for h in (0, 1, 2):
+            got = {r.vec_id for r in ann_lsh_topk(emb, query_id=0, k=10, nbits=4, probe_hamming=h).collect()}
+            recalls.append(len(got & exact))
+        assert recalls == sorted(recalls), f"recall must be monotone in probe width: {recalls}"
+        full = {r.vec_id for r in ann_lsh_topk(emb, query_id=0, k=10, nbits=4, probe_hamming=4).collect()}
+        assert full == exact
+
     def test_ivf_topk_recall_vs_bruteforce(self, emb):
         from rheoceros_spark.operators.similarity import ivf_assign, ivf_topk
 
