@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -135,6 +136,7 @@ class Application:
         self.transient_retry_limit = transient_retry_limit
         self._records: list[ComputeRecord] = []
         self._kill_requested: set[tuple] = set()
+        self._async_threads: dict[str, threading.Thread] = {}
 
     @property
     def spark(self) -> SparkSession:
@@ -370,6 +372,38 @@ class Application:
                 "(index the view, e.g. node['NA']['2024-01-01'])"
             )
         out_values = dict(zip(node.output_signal.dimension_names(), out_filter.tip() or ()))
+
+        if not wait:
+            # async execution (reference execute/poll split,
+            # application.py:2051-2267): pre-register the compute record
+            # so kill()/has_active_record()/poll() observe the execution
+            # from the moment this call returns, then run on a daemon
+            # thread.  Failures are captured on the record and surfaced
+            # by poll(), mirroring the reference's poll-side reporting.
+            self._kill_requested.discard(self._exec_key(node.id, out_values))
+            record = ComputeRecord(
+                node_id=node.id,
+                out_values=dict(out_values),
+                state=ComputeRecordState.PROCESSING,
+                exec_id=f"{node.id}-{uuid.uuid4().hex[:12]}",
+            )
+            self._records.append(record)
+
+            def _runner():
+                try:
+                    self._run_node(node, out_values, recursive=recursive, record=record)
+                    if update_dependency_tree:
+                        for child in self._descendants(node.id):
+                            for child_values in self._derive_child_values(child, node.id, out_values):
+                                self._run_node(child, child_values, recursive=False)
+                except Exception:
+                    pass  # state + error already captured on the record
+
+            t = threading.Thread(target=_runner, daemon=True, name=record.exec_id)
+            self._async_threads[record.exec_id] = t
+            t.start()
+            return node.output_signal.source.materialize_paths(out_filter)[0]
+
         path = self._run_node(node, out_values, recursive=recursive)
         if update_dependency_tree:
             for child in self._descendants(node.id):
@@ -377,7 +411,13 @@ class Application:
                     self._run_node(child, child_values, recursive=False)
         return path
 
-    def _run_node(self, node: InternalDataNode, out_values: dict[str, Any], recursive: bool) -> str:
+    def _run_node(
+        self,
+        node: InternalDataNode,
+        out_values: dict[str, Any],
+        recursive: bool,
+        record: Optional[ComputeRecord] = None,
+    ) -> str:
         materialized = self._materialize_inputs(node, out_values)
 
         if recursive:
@@ -418,14 +458,15 @@ class Application:
         # compute records, constructs.py:2698-2841): one record per
         # execution, observable via compute_records()/has_active_record()
         key = self._exec_key(node.id, out_values)
-        self._kill_requested.discard(key)  # stale kill doesn't poison a new run
-        record = ComputeRecord(
-            node_id=node.id,
-            out_values=dict(out_values),
-            state=ComputeRecordState.PROCESSING,
-            exec_id=f"{node.id}-{uuid.uuid4().hex[:12]}",
-        )
-        self._records.append(record)
+        if record is None:
+            self._kill_requested.discard(key)  # stale kill doesn't poison a new run
+            record = ComputeRecord(
+                node_id=node.id,
+                out_values=dict(out_values),
+                state=ComputeRecordState.PROCESSING,
+                exec_id=f"{node.id}-{uuid.uuid4().hex[:12]}",
+            )
+            self._records.append(record)
         # job group → Application.kill can interrupt in-flight Spark jobs
         self.spark.sparkContext.setJobGroup(record.exec_id, f"rheoceros {node.id} {out_values}", True)
         # resource hints (shuffle partitions, --conf pairs) apply for THIS
@@ -724,9 +765,34 @@ class Application:
         desc = sig.source
         return desc.materialize_paths(view.filter.finalize())
 
-    def poll(self, view: Signal) -> tuple[Optional[str], Optional[dict]]:
+    def poll(self, view: Signal, wait: bool = True) -> tuple[Optional[str], Optional[dict]]:
         """(materialized path, metadata) if the partition is complete,
-        else (None, None) (reference application.py:2051-2267)."""
+        else (None, None) (reference application.py:2051-2267).
+
+        Active-execution aware, like the reference: an in-flight
+        ``execute(wait=False)`` for this view is awaited first
+        (``wait=False`` returns immediately instead); if the most
+        recent execution FAILED or was KILLED, poll reports
+        (None, None) even when stale partition data exists."""
+        node = self._nodes.get(view.alias)
+        if node is not None:
+            try:
+                _, out_values = self._target_values(view, "poll")
+            except (KeyError, ValueError):
+                out_values = None
+            if out_values is not None:
+                while wait and self.has_active_record(view):
+                    time.sleep(0.05)
+                recs = [
+                    r
+                    for r in self._records
+                    if r.node_id == node.id and r.out_values == out_values
+                ]
+                if recs and recs[-1].state in (
+                    ComputeRecordState.FAILED,
+                    ComputeRecordState.KILLED,
+                ):
+                    return None, None
         desc = self[view.alias].source
         for path in self.materialize(view):
             if partition_ready(self.spark, desc, path):

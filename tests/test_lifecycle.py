@@ -181,3 +181,50 @@ class TestResourceConfRestore:
         )
         app.execute(node["2024-01-01"])
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+class TestAsyncExecute:
+    """execute(wait=False) + poll — the reference's execute/poll split
+    (application.py:2051-2267): async run, active record visible at
+    once, poll awaits completion and reports failure as (None, None)."""
+
+    def test_async_execute_then_poll(self, spark, tmp_path, events_day):
+        app, node = build_app(spark, tmp_path, events_day, [SQL])
+        expected = app.execute(node["2024-01-01"], wait=False)
+        assert expected  # materialized path returned immediately
+        # record registered synchronously, before the thread ran anything
+        assert app.compute_records("out")[-1].state in (
+            ComputeRecordState.PROCESSING,
+            ComputeRecordState.COMPLETED,
+        )
+        path, meta = app.poll(node["2024-01-01"])  # waits for completion
+        assert path == expected
+        assert meta and meta["record_count"] > 0
+        assert app.compute_records("out")[-1].state == ComputeRecordState.COMPLETED
+        assert not app.has_active_record(node["2024-01-01"])
+
+    def test_async_failure_reported_by_poll(self, spark, tmp_path, events_day):
+        flaky = FlakyCompute(99, RuntimeError)
+        app, node = build_app(spark, tmp_path, events_day, [InlinedCompute(flaky), SQL])
+        app.execute(node["2024-01-01"], wait=False)
+        path, meta = app.poll(node["2024-01-01"])
+        assert (path, meta) == (None, None)
+        assert app.compute_records("out")[-1].state == ComputeRecordState.FAILED
+
+    def test_async_execution_killable(self, spark, tmp_path, events_day):
+        @F.udf("long")
+        def slow(x):
+            time.sleep(0.25)
+            return x
+
+        def slow_slot(inputs, ctx):
+            return ctx.spark.range(120).repartition(8).select(slow(F.col("id")).alias("id"))
+
+        app, node = build_app(spark, tmp_path, events_day, [Spark(slow_slot)])
+        app.execute(node["2024-01-01"], wait=False)
+        assert app.has_active_record(node["2024-01-01"])  # no race: record pre-registered
+        time.sleep(1.0)
+        assert app.kill(node["2024-01-01"]) is True
+        path, meta = app.poll(node["2024-01-01"])
+        assert (path, meta) == (None, None)
+        assert app.compute_records("out")[-1].state == ComputeRecordState.KILLED
