@@ -1586,13 +1586,12 @@ def _blocked_embedding_oracle(tables: int = 4, nbits: int = 4, dim: int = 64,
     return f"""
     WITH e AS (
       {union}
-    )
-    SELECT DISTINCT a, b, cos_r FROM (
+    ), cand AS (
       SELECT x.vec_id AS a, y.vec_id AS b,
-             round({_cos_sql('x.embedding', 'y.embedding')}, 6) AS cos_r,
              {_cos_sql('x.embedding', 'y.embedding')} AS cos
       FROM e x JOIN e y ON x.t = y.t AND x.sig = y.sig AND x.vec_id < y.vec_id
-    ) WHERE cos >= {threshold}
+    )
+    SELECT DISTINCT a, b, round(cos, 6) AS cos_r FROM cand WHERE cos >= {threshold}
     """
 
 
