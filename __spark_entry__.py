@@ -37,13 +37,18 @@ from rheoceros_spark.operators import (
     embedding_dup_pairs_blocked,
     extract_features,
     fingerprint,
+    contamination_ngrams,
+    dup_clusters,
     lang_id,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    pii_redact,
     quality_score,
     sample_frames,
     simhash_pairs,
+    stratified_hash_sample,
     token_count,
+    vocab_top_tokens,
 )
 from rheoceros_spark.sources.io import load_table
 
@@ -1644,6 +1649,153 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# curation (extensions): sampling / PII / vocab / decontamination / clusters
+# ===========================================================================
+
+_SAMPLE_BUCKET = _H64.format(s="concat('0', ':', CAST(doc_id AS VARCHAR))") + " % 1000000"
+
+
+@q(
+    "curation_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_SAMPLE_BUCKET} < CASE WHEN lang = 'en' THEN 500000
+                                  WHEN lang = 'de' THEN 100000
+                                  ELSE 50000 END
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language rebalanced sample (50% en, 10% de,
+    5% rest) — pure function of doc_id, reproducible across engines."""
+    return stratified_hash_sample(
+        load_table(spark, sf_dir, "documents"),
+        rates={"en": 0.5, "de": 0.1},
+        default_rate=0.05,
+    ).select("doc_id", "lang")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# testdata has no organic PII, so both sides inject the same synthetic
+# spans (derived from doc_id) and the oracle verifies real redaction work
+_PII_TXT = (
+    "concat(text, ' reach user', CAST(doc_id AS VARCHAR),"
+    " '@mail.example.com ssn 123-45-',"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
+    " ' ip 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7')"
+)
+
+
+@q(
+    "curation_pii_redact",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {_PII_TXT} AS s0 FROM documents),
+    t1 AS (SELECT doc_id, len(regexp_extract_all(s0, '{_PII_EMAIL}')) AS hits_email,
+                  regexp_replace(s0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS s1 FROM t0),
+    t2 AS (SELECT *, len(regexp_extract_all(s1, '{_PII_SSN}')) AS hits_ssn,
+                  regexp_replace(s1, '{_PII_SSN}', '<SSN>', 'g') AS s2 FROM t1),
+    t3 AS (SELECT *, len(regexp_extract_all(s2, '{_PII_PHONE}')) AS hits_phone,
+                  regexp_replace(s2, '{_PII_PHONE}', '<PHONE>', 'g') AS s3 FROM t2),
+    t4 AS (SELECT *, len(regexp_extract_all(s3, '{_PII_IP}')) AS hits_ip,
+                  regexp_replace(s3, '{_PII_IP}', '<IP>', 'g') AS s4 FROM t3)
+    SELECT doc_id, hits_email, hits_ssn, hits_phone, hits_ip, s4 AS redacted FROM t4
+    """,
+)
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ),
+    )
+    return pii_redact(docs).select(
+        "doc_id",
+        F.col("hits_email").cast("bigint").alias("hits_email"),
+        F.col("hits_ssn").cast("bigint").alias("hits_ssn"),
+        F.col("hits_phone").cast("bigint").alias("hits_phone"),
+        F.col("hits_ip").cast("bigint").alias("hits_ip"),
+        "redacted",
+    )
+
+
+@q(
+    "curation_vocab_top_tokens",
+    oracle=f"""
+    SELECT lang, token, cnt, rank FROM (
+      SELECT lang, token, count(*) AS cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY count(*) DESC, token ASC) AS rank
+      FROM (SELECT lang, unnest({_TOK}) AS token FROM documents)
+      WHERE token <> '' GROUP BY lang, token
+    ) WHERE rank <= 20
+    """,
+)
+def curation_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_top_tokens(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@q(
+    "curation_contamination",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct({_ngrams_sql(_TOK, 8)})) AS g FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_H64.format(s="g")} AS gh FROM grams
+    ), bench AS (
+      SELECT DISTINCT gh FROM hashed WHERE doc_id % 97 = 0
+    ), corp AS (
+      SELECT doc_id, gh FROM hashed WHERE doc_id % 97 <> 0
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
+           CAST(sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS contamination_ratio
+    FROM corp c LEFT JOIN bench b USING (gh) GROUP BY c.doc_id
+    """,
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs where doc_id % 97 == 0 stand in
+    for the benchmark; the rest of the corpus is checked for 8-gram
+    overlap against its broadcast gram set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_ngrams(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=8,
+    )
+
+
+@q(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (min-label propagation);
+    the oracle computes the same components via transitive closure."""
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return dup_clusters(pairs)
+
+
+# ===========================================================================
 # text analysis (extensions)
 # ===========================================================================
 
@@ -1818,6 +1970,16 @@ _TAIL = [
     "q16_supplier_count",
     "q17_small_quantity_revenue",
     "q20_part_shippers",
+    # demoted to make window room for the curation operators (shapes
+    # already represented by checked queries): q4 EXISTS semi-join →
+    # q21; q6 single-table filter+agg → q14/scan_pruned; q7/q9
+    # multi-join volume/profit → q3/q5/q18; q13 outer-join
+    # distribution → q22's anti-join + q1's grouped counts
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q13_customer_distribution",
 ]
 
 

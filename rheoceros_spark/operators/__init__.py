@@ -39,3 +39,11 @@ from rheoceros_spark.operators.text_analysis import (  # noqa: F401
     quality_score,
     token_count,
 )
+from rheoceros_spark.operators.curation import (  # noqa: F401
+    contamination_ngrams,
+    dup_clusters,
+    hash_sample,
+    pii_redact,
+    stratified_hash_sample,
+    vocab_top_tokens,
+)

@@ -1,0 +1,259 @@
+"""Data-curation operators for LLM training pipelines: deterministic
+sampling, PII redaction, vocabulary statistics, benchmark
+decontamination, and duplicate clustering.
+
+These extend the reference's batch-ETL surface (it stops at the
+signal/slot layer — reference ``api_ext.py`` hands raw DataFrames to
+user Spark code) with the corpus-curation operations a 100 TB
+training-data pipeline runs *inside* those slots.  Design rules:
+
+* Every deterministic operator is a pure built-in-function composition
+  (whole-stage codegen, no Python UDFs) built from
+  :mod:`rheoceros_spark.functions.portable`, so each has an exact
+  DuckDB oracle.
+* Per-row operators (sampling, redaction) are shuffle-free.
+* ``vocab_top_tokens`` is the wordcount shape: map-side partial
+  aggregation carries (group, token) partial counts, then a per-group
+  top-k window — the full count never collects to one node.
+* ``contamination_ngrams`` broadcasts the benchmark's n-gram set (eval
+  suites are MBs; the corpus is the 100 TB side), so the scan stays a
+  broadcast-hash join with no corpus shuffle.
+* ``dup_clusters`` is iterative min-label propagation (GraphX-style
+  connected components) with per-iteration ``localCheckpoint`` to
+  truncate lineage; rounds are O(cluster diameter), which for dup
+  clusters is tiny (dups of one page chain through shared pages).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rheoceros_spark.functions.portable import (
+    h64,
+    tokens,
+    word_ngrams,
+)
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+#: denominator for hash-bucket sampling rates (1e-6 rate resolution)
+SAMPLE_BUCKETS = 1_000_000
+
+
+def _bucket(key: Column, seed: int) -> Column:
+    """Uniform bucket in [0, SAMPLE_BUCKETS) from the portable hash —
+    the same row lands in the same bucket on every run and engine, so
+    samples are reproducible and subset-monotone (rate 0.1 ⊂ rate 0.2)."""
+    return h64(key.cast("string"), seed=seed) % F.lit(SAMPLE_BUCKETS)
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic ``rate``-fraction sample keyed on ``key_col``.
+
+    Unlike ``df.sample()`` (partition-order dependent), the decision is
+    a pure function of the key — stable across retries, re-runs, and
+    engines, which is what makes train/eval splits reproducible."""
+    return df.where(_bucket(F.col(key_col), seed) < int(rate * SAMPLE_BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 50% of English, 10% of everything else).  Shuffle-free: the
+    stratum only selects the threshold, the bucket is still keyed on
+    ``key_col``."""
+    thr: Column = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    for stratum, rate in rates.items():
+        thr = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS)))
+            .otherwise(thr)
+        )
+    return df.where(_bucket(F.col(key_col), seed) < thr)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: (tag, regex) applied in order; regex syntax restricted to the
+#: Java-regex ∩ RE2 common subset so Spark and DuckDB agree exactly.
+DEFAULT_PII_PATTERNS: Sequence[tuple[str, str]] = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("PHONE", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"),
+    ("IP", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: Optional[Sequence[tuple[str, str]]] = None,
+    out_col: str = "redacted",
+    count_hits: bool = True,
+) -> DataFrame:
+    """Replace PII spans with ``<TAG>`` placeholders; optionally add a
+    ``hits_<tag>`` count per pattern (counted on the text as it looked
+    *before* that pattern's replacement, so earlier redactions don't
+    hide later counts of distinct categories).
+
+    Chained ``regexp_replace`` — per-row, codegen'd, shuffle-free."""
+    pats = list(patterns if patterns is not None else DEFAULT_PII_PATTERNS)
+    out = df
+    col: Column = F.col(text_col)
+    for tag, pat in pats:
+        if count_hits:
+            out = out.withColumn(f"hits_{tag.lower()}", F.regexp_count(col, F.lit(pat)))
+        col = F.regexp_replace(col, pat, f"<{tag}>")
+    return out.withColumn(out_col, col)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary statistics
+# ---------------------------------------------------------------------------
+
+def vocab_top_tokens(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Top-``k`` most frequent tokens per group (vocabulary building /
+    corpus-mix QA).  Deterministic: ties broken by token ascending.
+
+    explode → groupBy(group, token) → per-group row_number window.
+    The explode fans out before the aggregate, partial counts combine
+    map-side, and the window partitions by group — no global sort."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("grp").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "token", "cnt", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contamination_ngrams(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-corpus-doc overlap with a benchmark's word ``n``-gram set —
+    the standard eval-decontamination check (count of distinct corpus
+    n-grams that also appear anywhere in the benchmark).
+
+    Returns (id, total_ngrams, contaminated, contamination_ratio).
+
+    Scale shape: the benchmark gram set is hashed, deduped, and
+    **broadcast** (eval suites are ~MBs against a ~100 TB corpus), so
+    the corpus side is scan → explode → broadcast-hash semi-probe →
+    partial agg; the corpus never shuffles its text."""
+    grams = F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("g"))
+        .select(h64(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(id_col, h64(F.col("g")).alias("gh"))
+    flagged = corpus_grams.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "gh", "left"
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("contaminated"),
+    )
+    return agg.select(
+        id_col,
+        "total_ngrams",
+        "contaminated",
+        (F.col("contaminated").cast("double") / F.col("total_ngrams").cast("double")).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Group near-dup *pairs* into clusters: connected components by
+    iterative min-label propagation, labels = min reachable node id.
+    Returns (doc_id, cluster_id), one row per node seen in ``pairs``.
+
+    Pair emitters (minhash/simhash/embedding LSH) yield edges, but
+    dedup policy wants *components* — "keep one doc per cluster" —
+    which pairwise output can't express when dups chain (a~b, b~c).
+
+    Per iteration: one join + one partial-agg shuffle on the node id;
+    ``localCheckpoint`` truncates lineage so plan depth stays O(1)
+    instead of O(iterations).  Convergence detected via sum(label),
+    which strictly decreases until fixpoint (labels only shrink) — one
+    scalar agg per round, no old-vs-new join.  Rounds needed = cluster
+    diameter; near-dup clusters are shallow (docs chain through shared
+    near-copies), so this converges in a handful of rounds at any
+    corpus size.  For adversarially long chains, switch to the
+    large-star/small-star alternation (Kiveris et al.), which this
+    structure accommodates without API change."""
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,117 @@
+"""Curation-operator semantics: deterministic sampling, PII redaction,
+vocab top-k, decontamination, duplicate clustering."""
+
+from pyspark.sql import functions as F
+
+from rheoceros_spark.operators import (
+    contamination_ngrams,
+    dup_clusters,
+    hash_sample,
+    pii_redact,
+    stratified_hash_sample,
+    vocab_top_tokens,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_hash_sample_deterministic_and_monotone(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id for r in hash_sample(df, 0.2, key_col="doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(df, 0.2, key_col="doc_id").collect()}
+    assert s1 == s2  # pure function of the key
+    s_big = {r.doc_id for r in hash_sample(df, 0.5, key_col="doc_id").collect()}
+    assert s1 <= s_big  # rate 0.2 sample is a subset of rate 0.5
+    assert 0.1 < len(s1) / 2000 < 0.3 and 0.4 < len(s_big) / 2000 < 0.6
+
+
+def test_hash_sample_seed_changes_selection(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(df, 0.3, seed=0).collect()}
+    b = {r.doc_id for r in hash_sample(df, 0.3, seed=1).collect()}
+    assert a != b
+
+
+def test_stratified_rates(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr").alias("lang"),
+    )
+    out = stratified_hash_sample(df, {"en": 0.8, "de": 0.2}, default_rate=0.0)
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert counts.get("fr", 0) == 0
+    assert 0.6 < counts["en"] / 1000 < 1.0
+    assert 0.1 < counts["de"] / 1000 < 0.35
+
+
+def test_pii_redact_patterns(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail bob.smith+x@corp.example.org now", "en"),
+            (2, "ssn 123-45-6789 phone 555-123-4567", "en"),
+            (3, "server at 192.168.1.250 ok", "en"),
+            (4, "nothing sensitive here", "en"),
+        ],
+    )
+    rows = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert rows[1].redacted == "mail <EMAIL> now" and rows[1].hits_email == 1
+    assert rows[2].redacted == "ssn <SSN> phone <PHONE>"
+    assert rows[2].hits_ssn == 1 and rows[2].hits_phone == 1
+    assert rows[3].redacted == "server at <IP> ok" and rows[3].hits_ip == 1
+    assert rows[4].redacted == "nothing sensitive here"
+    assert rows[4].hits_email == rows[4].hits_ssn == rows[4].hits_ip == 0
+
+
+def test_vocab_top_tokens_ranking_and_ties(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "b b b a a c", "en"),
+            (2, "a z", "en"),
+            (3, "x x y", "de"),
+        ],
+    )
+    out = vocab_top_tokens(df, k=2, group_col="lang").collect()
+    en = sorted([(r.token, r.cnt, r.rank) for r in out if r.lang == "en"], key=lambda t: t[2])
+    # a and b tie at 3; 'a' wins the tie alphabetically
+    assert en == [("a", 3, 1), ("b", 3, 2)]
+    de = [(r.token, r.rank) for r in out if r.lang == "de"]
+    assert sorted(de, key=lambda t: t[1]) == [("x", 1), ("y", 2)]
+
+
+def test_contamination_flags_shared_ngrams(spark):
+    shared = "one two three four five six seven eight"
+    corpus = _docs(
+        spark,
+        [
+            (1, shared + " tail words here", "en"),
+            (2, "totally different text with no overlap at all", "en"),
+        ],
+    )
+    bench = _docs(spark, [(100, shared + " other continuation", "en")])
+    rows = {r.doc_id: r for r in contamination_ngrams(corpus, bench, n=8).collect()}
+    assert rows[1].contaminated >= 1 and rows[1].contamination_ratio > 0
+    assert rows[2].contaminated == 0 and rows[2].contamination_ratio == 0.0
+
+
+def test_dup_clusters_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "a bigint, b bigint",
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    # chains collapse to the min id of each component
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    # adversarial: one 15-node path graph (diameter 14)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "a bigint, b bigint"
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iter=30).collect()}
+    assert set(got.values()) == {0} and len(got) == 16

@@ -127,3 +127,38 @@ class TestAggQuality:
         plan = physical_plan(q)
         # "*(n)" prefixes mark whole-stage-codegen stages in the final plan
         assert "*(" in plan, f"q1 fell out of whole-stage codegen:\n{plan[:500]}"
+
+    def test_contamination_broadcasts_benchmark(self, spark, sf):
+        """Decontamination must broadcast the (small) benchmark gram
+        set: the 100 TB corpus side is probe-only, never shuffled."""
+        from rheoceros_spark.operators import contamination_ngrams
+
+        docs = load_table(spark, sf, "documents")
+        out = contamination_ngrams(
+            docs.where(F.col("doc_id") % 97 != 0),
+            docs.where(F.col("doc_id") % 97 == 0),
+            n=8,
+        )
+        plan = physical_plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_sampling_is_shuffle_free(self, spark, sf):
+        """Deterministic sampling is a pure filter — no Exchange."""
+        from rheoceros_spark.operators import stratified_hash_sample
+
+        docs = load_table(spark, sf, "documents")
+        out = stratified_hash_sample(docs, {"en": 0.5}, default_rate=0.1)
+        assert "Exchange" not in physical_plan(out)
+
+    def test_vocab_partial_aggregation(self, spark, sf):
+        """Wordcount shape: token counts combine map-side before the
+        (lang, token) shuffle; no global (unpartitioned) window."""
+        from rheoceros_spark.operators import vocab_top_tokens
+
+        docs = load_table(spark, sf, "documents")
+        plan = physical_plan(vocab_top_tokens(docs, k=20))
+        assert plan.count("HashAggregate") >= 2
+        # the top-k window partitions by group — a global (empty
+        # partition-by) window would serialize the vocabulary on 1 task
+        assert "windowspecdefinition(grp" in plan
