@@ -1943,6 +1943,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# incremental dedup (registered past the driver window on purpose: the
+# shape it adds — index probe — is oracle-checked locally; the window
+# slots stay with the distinct per-operator queries above)
+# ===========================================================================
+
+_JACCARD_DA_DB = """CASE WHEN len(list_distinct(list_concat(da.sh, db.sh))) > 0
+              THEN CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE)
+              ELSE 0.0 END"""
+
+
+@q(
+    "dedup_incremental_index",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(list_distinct({_ngrams_sql(_TOK, 3)})) AS s FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_H64.format(s="s")} % 4294967296 AS h32 FROM ex
+    ), docs AS (
+      SELECT doc_id, [{_MINHASH_MINS}] AS sig, list(DISTINCT h32) AS sh
+      FROM hashed GROUP BY doc_id
+    ), buckets AS (
+      SELECT doc_id, band,
+             {_H64.format(s="array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')")} AS bucket
+      FROM docs, (SELECT unnest(range(0, 4)) AS band)
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, ix.doc_id AS dup_of
+      FROM buckets n JOIN buckets ix ON n.band = ix.band AND n.bucket = ix.bucket
+      WHERE n.doc_id % 5 = 0 AND ix.doc_id % 5 <> 0
+    )
+    SELECT new_id, dup_of, jaccard FROM (
+      SELECT c.new_id, c.dup_of, {_JACCARD_DA_DB} AS jaccard
+      FROM cand c JOIN docs da ON c.new_id = da.doc_id
+                  JOIN docs db ON c.dup_of = db.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: docs with doc_id % 5 == 0 play the new
+    batch, the rest the already-indexed corpus; the batch probes the
+    index's LSH band buckets without rescanning the corpus."""
+    from rheoceros_spark.operators.dedup import build_minhash_index, dedup_against_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_minhash_index(docs.where(F.col("doc_id") % 5 != 0))
+    return dedup_against_index(docs.where(F.col("doc_id") % 5 == 0), index)
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 

@@ -47,3 +47,7 @@ from rheoceros_spark.operators.curation import (  # noqa: F401
     stratified_hash_sample,
     vocab_top_tokens,
 )
+from rheoceros_spark.operators.dedup import (  # noqa: F401
+    build_minhash_index,
+    dedup_against_index,
+)

@@ -471,3 +471,80 @@ def embedding_dedup(
         pairs = embedding_dup_pairs(df, vec_col, id_col, threshold)
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted corpus index
+# ---------------------------------------------------------------------------
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """One-time (or per-merge) corpus index for incremental dedup:
+    exploded ``(band, bucket, id, sh)`` rows — one row per doc per
+    band, carrying the doc's hashed-shingle set for exact verification.
+
+    At 100 TB you build this once over the existing corpus and append
+    each accepted batch; ``dedup_against_index`` then probes new
+    batches WITHOUT recomputing the corpus.  Persist with
+    ``path`` (parquet, repartitioned by ``band, bucket`` so a probe
+    join reads co-located buckets); pass ``path=None`` to get the
+    DataFrame for custom sinks (e.g. a managed dataset partition)."""
+    rows_per_band = num_hashes // bands
+    docs = _minhash_docs(df, text_col, id_col, num_hashes, ngram)
+    idx = minhash_band_buckets(docs, id_col, bands, rows_per_band).join(
+        docs.select(id_col, "sh"), id_col
+    )
+    if path is not None:
+        idx.repartition("band", "bucket").write.mode("overwrite").parquet(path)
+    return idx
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Match a NEW batch against an existing corpus index: returns
+    ``(new_id, dup_of, jaccard)`` — every new doc whose exact n-gram
+    Jaccard against some indexed doc is ≥ ``threshold`` (candidates
+    from shared LSH band buckets, so the join is an equi-join on
+    (band, bucket), never all-pairs).
+
+    The incremental path: cost is O(batch × bands) shuffle rows probed
+    into the index — the corpus itself is never rescanned.  Filter the
+    batch with a left-anti on ``new_id`` to accept only novel docs."""
+    rows_per_band = num_hashes // bands
+    new_docs = _minhash_docs(new_df, text_col, id_col, num_hashes, ngram)
+    new_buckets = minhash_band_buckets(new_docs, id_col, bands, rows_per_band).join(
+        new_docs.select(id_col, "sh"), id_col
+    )
+    n = new_buckets.select(
+        F.col(id_col).alias("new_id"),
+        F.col("band"), F.col("bucket"), F.col("sh").alias("sh_n"),
+    )
+    ix = index.select(
+        F.col(id_col).alias("dup_of"),
+        F.col("band"), F.col("bucket"), F.col("sh").alias("sh_i"),
+    )
+    cand = (
+        n.join(ix, on=["band", "bucket"])
+        .select("new_id", "dup_of", "sh_n", "sh_i")
+        .dropDuplicates(["new_id", "dup_of"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_n"), F.col("sh_i")))
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "dup_of", "jaccard")
+    )

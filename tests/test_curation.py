@@ -115,3 +115,40 @@ def test_dup_clusters_long_chain_converges(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iter=30).collect()}
     assert set(got.values()) == {0} and len(got) == 16
+
+
+def test_incremental_index_roundtrip(spark, tmp_path):
+    from rheoceros_spark.operators import build_minhash_index, dedup_against_index
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+            (2, "completely unrelated corpus text about spark shuffles", "en"),
+        ],
+    )
+    # persisted index, re-read from parquet (the incremental contract)
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(corpus, path=path)
+    index = spark.read.parquet(path)
+
+    batch = _docs(
+        spark,
+        [
+            (100, "the quick brown fox jumps over the lazy dog again and again", "en"),
+            (101, "novel document with entirely new content", "en"),
+        ],
+    )
+    hits = dedup_against_index(batch, index, threshold=0.5).collect()
+    assert {(r.new_id, r.dup_of) for r in hits} == {(100, 1)}
+    assert hits[0].jaccard == 1.0
+
+
+def test_incremental_probe_plan_is_equi_join(spark):
+    from rheoceros_spark.operators import build_minhash_index, dedup_against_index
+
+    corpus = _docs(spark, [(1, "a b c d e f", "en")])
+    batch = _docs(spark, [(2, "a b c d e g", "en")])
+    out = dedup_against_index(batch, build_minhash_index(corpus))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
