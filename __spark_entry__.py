@@ -28,6 +28,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rheoceros_spark.functions.portable import jaccard_sql
 from rheoceros_spark.operators import (
     ann_lsh_topk,
     attach_media,
@@ -1414,8 +1415,9 @@ _MINHASH_MINS = ", ".join(
     f"min((({2 * i + 1} * h32 + {i}) % 2147483647))" for i in range(16)
 )
 
-_MINHASH_ORACLE = f"""
-WITH ex AS (
+# shared CTE prefix for every minhash-based oracle (pairs, clusters,
+# incremental index) — ONE copy so a parameter change can't drift
+_MINHASH_CTES = f"""ex AS (
   SELECT doc_id, unnest(list_distinct({_ngrams_sql(_TOK, 3)})) AS s FROM documents
 ), hashed AS (
   SELECT doc_id, {_H64.format(s="s")} % 4294967296 AS h32 FROM ex
@@ -1426,17 +1428,18 @@ WITH ex AS (
   SELECT doc_id, band,
          {_H64.format(s="array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')")} AS bucket
   FROM docs, (SELECT unnest(range(0, 4)) AS band)
-), cand AS (
+)"""
+
+_JACCARD_DA_DB = jaccard_sql("da.sh", "db.sh")
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}, cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
   WHERE x.doc_id < y.doc_id
 )
 SELECT a, b, jaccard FROM (
-  SELECT c.a, c.b,
-         CASE WHEN len(list_distinct(list_concat(da.sh, db.sh))) > 0
-              THEN CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE)
-              ELSE 0.0 END AS jaccard
+  SELECT c.a, c.b, {_JACCARD_DA_DB} AS jaccard
   FROM cand c JOIN docs da ON c.a = da.doc_id JOIN docs db ON c.b = db.doc_id
 ) WHERE jaccard >= 0.5
 """
@@ -1948,27 +1951,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slots stay with the distinct per-operator queries above)
 # ===========================================================================
 
-_JACCARD_DA_DB = """CASE WHEN len(list_distinct(list_concat(da.sh, db.sh))) > 0
-              THEN CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE)
-              ELSE 0.0 END"""
-
-
 @q(
     "dedup_incremental_index",
     oracle=f"""
-    WITH ex AS (
-      SELECT doc_id, unnest(list_distinct({_ngrams_sql(_TOK, 3)})) AS s FROM documents
-    ), hashed AS (
-      SELECT doc_id, {_H64.format(s="s")} % 4294967296 AS h32 FROM ex
-    ), docs AS (
-      SELECT doc_id, [{_MINHASH_MINS}] AS sig, list(DISTINCT h32) AS sh
-      FROM hashed GROUP BY doc_id
-    ), buckets AS (
-      SELECT doc_id, band,
-             {_H64.format(s="array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')")} AS bucket
-      FROM docs, (SELECT unnest(range(0, 4)) AS band)
-    ), cand AS (
+    WITH {_MINHASH_CTES}, cand AS (
       SELECT DISTINCT n.doc_id AS new_id, ix.doc_id AS dup_of
       FROM buckets n JOIN buckets ix ON n.band = ix.band AND n.bucket = ix.bucket
       WHERE n.doc_id % 5 = 0 AND ix.doc_id % 5 <> 0

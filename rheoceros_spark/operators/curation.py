@@ -63,7 +63,8 @@ def hash_sample(
     Unlike ``df.sample()`` (partition-order dependent), the decision is
     a pure function of the key — stable across retries, re-runs, and
     engines, which is what makes train/eval splits reproducible."""
-    return df.where(_bucket(F.col(key_col), seed) < int(rate * SAMPLE_BUCKETS))
+    # round, not int(): 0.3 * 1e6 is 299999.99999999994 in binary fp
+    return df.where(_bucket(F.col(key_col), seed) < round(rate * SAMPLE_BUCKETS))
 
 
 def stratified_hash_sample(
@@ -78,10 +79,10 @@ def stratified_hash_sample(
     keep 50% of English, 10% of everything else).  Shuffle-free: the
     stratum only selects the threshold, the bucket is still keyed on
     ``key_col``."""
-    thr: Column = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    thr: Column = F.lit(round(default_rate * SAMPLE_BUCKETS))
     for stratum, rate in rates.items():
         thr = (
-            F.when(F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS)))
+            F.when(F.col(strata_col) == stratum, F.lit(round(rate * SAMPLE_BUCKETS)))
             .otherwise(thr)
         )
     return df.where(_bucket(F.col(key_col), seed) < thr)
@@ -109,9 +110,14 @@ def pii_redact(
     count_hits: bool = True,
 ) -> DataFrame:
     """Replace PII spans with ``<TAG>`` placeholders; optionally add a
-    ``hits_<tag>`` count per pattern (counted on the text as it looked
-    *before* that pattern's replacement, so earlier redactions don't
-    hide later counts of distinct categories).
+    ``hits_<tag>`` count per pattern.
+
+    Semantics are **order-dependent**: each pattern counts and redacts
+    the text as already redacted by the patterns before it, so a span
+    consumed by an earlier pattern is invisible to later ones (e.g.
+    with the defaults, the IP-shaped local part of ``10.0.0.1@x.com``
+    is swallowed by EMAIL and never counted as an IP).  Order
+    ``patterns`` most-specific-first.
 
     Chained ``regexp_replace`` — per-row, codegen'd, shuffle-free."""
     pats = list(patterns if patterns is not None else DEFAULT_PII_PATTERNS)
@@ -218,24 +224,37 @@ def dup_clusters(
     dedup policy wants *components* — "keep one doc per cluster" —
     which pairwise output can't express when dups chain (a~b, b~c).
 
-    Per iteration: one join + one partial-agg shuffle on the node id;
-    ``localCheckpoint`` truncates lineage so plan depth stays O(1)
-    instead of O(iterations).  Convergence detected via sum(label),
-    which strictly decreases until fixpoint (labels only shrink) — one
-    scalar agg per round, no old-vs-new join.  Rounds needed = cluster
-    diameter; near-dup clusters are shallow (docs chain through shared
-    near-copies), so this converges in a handful of rounds at any
-    corpus size.  For adversarially long chains, switch to the
-    large-star/small-star alternation (Kiveris et al.), which this
-    structure accommodates without API change."""
+    The pair-producing DAG (often a full LSH pipeline) is materialized
+    ONCE via ``localCheckpoint`` before the loop — iterations must not
+    re-run candidate generation.  Per iteration after that: one join +
+    one partial-agg shuffle on the node id, with ``localCheckpoint`` on
+    the labels so plan depth stays O(1) instead of O(iterations).
+    Convergence detected via sum(label), which strictly decreases until
+    fixpoint (labels only shrink) — one scalar agg per round, no
+    old-vs-new join.  Rounds needed = cluster diameter; near-dup
+    clusters are shallow (docs chain through shared near-copies), so
+    this converges in a handful of rounds at any corpus size.  For
+    adversarially long chains, switch to the large-star/small-star
+    alternation (Kiveris et al.), which this structure accommodates
+    without API change.  Exhausting ``max_iter`` before fixpoint emits
+    a ``RuntimeWarning`` — the returned labels would under-merge."""
+    import warnings
+
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
     labels = (
         edges.select("u")
         .distinct()
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .localCheckpoint()
     )
+    out_cols = [F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")]
+    if labels.isEmpty():
+        return labels.select(*out_cols)
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges["v"] == labels["node"])
@@ -254,6 +273,15 @@ def dup_clusters(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    if not converged:
+        warnings.warn(
+            f"dup_clusters: no fixpoint after max_iter={max_iter} rounds; "
+            "components wider than that diameter are under-merged — raise "
+            "max_iter (or switch to large-star/small-star for long chains)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return labels.select(*out_cols)

@@ -488,22 +488,57 @@ def build_minhash_index(
 ) -> DataFrame:
     """One-time (or per-merge) corpus index for incremental dedup:
     exploded ``(band, bucket, id, sh)`` rows — one row per doc per
-    band, carrying the doc's hashed-shingle set for exact verification.
+    band, carrying the doc's hashed-shingle set for exact verification,
+    plus literal ``num_hashes``/``bands``/``ngram`` columns so a probe
+    with mismatched parameters fails loudly instead of silently finding
+    no collisions.
 
     At 100 TB you build this once over the existing corpus and append
     each accepted batch; ``dedup_against_index`` then probes new
-    batches WITHOUT recomputing the corpus.  Persist with
-    ``path`` (parquet, repartitioned by ``band, bucket`` so a probe
-    join reads co-located buckets); pass ``path=None`` to get the
-    DataFrame for custom sinks (e.g. a managed dataset partition)."""
+    batches WITHOUT recomputing the corpus.  With ``path`` the index is
+    written to parquet (hive-partitioned by ``band`` so a probe prunes
+    to the bands it needs; bucket co-location would additionally need
+    ``write_bucketed``/``bucketBy``, which requires a metastore table)
+    and the RETURNED DataFrame reads from that path — so downstream
+    probes scan the materialized index, never the corpus recompute
+    plan.  Pass ``path=None`` to get the unpersisted plan for custom
+    sinks (e.g. a managed dataset partition)."""
     rows_per_band = num_hashes // bands
     docs = _minhash_docs(df, text_col, id_col, num_hashes, ngram)
-    idx = minhash_band_buckets(docs, id_col, bands, rows_per_band).join(
-        docs.select(id_col, "sh"), id_col
+    idx = (
+        minhash_band_buckets(docs, id_col, bands, rows_per_band)
+        .join(docs.select(id_col, "sh"), id_col)
+        .select(
+            "*",
+            F.lit(num_hashes).alias("num_hashes"),
+            F.lit(bands).alias("bands"),
+            F.lit(ngram).alias("ngram"),
+        )
     )
     if path is not None:
-        idx.repartition("band", "bucket").write.mode("overwrite").parquet(path)
+        idx.write.mode("overwrite").partitionBy("band").parquet(path)
+        return df.sparkSession.read.parquet(path)
     return idx
+
+
+def _check_index_params(index: DataFrame, num_hashes: int, bands: int, ngram: int) -> None:
+    """Fail fast if the probe parameters disagree with the ones the
+    index was built with (recorded as literal columns).  One limit-1
+    driver-side read; indexes from before the params were recorded
+    (no such columns) are accepted as-is."""
+    cols = set(index.columns)
+    if not {"num_hashes", "bands", "ngram"} <= cols:
+        return
+    row = index.select("num_hashes", "bands", "ngram").limit(1).collect()
+    if not row:
+        return
+    built = (row[0]["num_hashes"], row[0]["bands"], row[0]["ngram"])
+    if built != (num_hashes, bands, ngram):
+        raise ValueError(
+            f"minhash index was built with (num_hashes, bands, ngram)={built}, "
+            f"probe requested {(num_hashes, bands, ngram)} — band buckets would "
+            "never collide; rebuild the index or match the parameters"
+        )
 
 
 def dedup_against_index(
@@ -524,7 +559,12 @@ def dedup_against_index(
 
     The incremental path: cost is O(batch × bands) shuffle rows probed
     into the index — the corpus itself is never rescanned.  Filter the
-    batch with a left-anti on ``new_id`` to accept only novel docs."""
+    batch with a left-anti on ``new_id`` to accept only novel docs.
+
+    Probe parameters are validated against the ones recorded in the
+    index (``ValueError`` on mismatch — mismatched bucketing would
+    silently find nothing)."""
+    _check_index_params(index, num_hashes, bands, ngram)
     rows_per_band = num_hashes // bands
     new_docs = _minhash_docs(new_df, text_col, id_col, num_hashes, ngram)
     new_buckets = minhash_band_buckets(new_docs, id_col, bands, rows_per_band).join(

@@ -152,3 +152,30 @@ def test_incremental_probe_plan_is_equi_join(spark):
     out = dedup_against_index(batch, build_minhash_index(corpus))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_clusters_empty_pairs_fast(spark):
+    pairs = spark.createDataFrame([], "a bigint, b bigint")
+    assert dup_clusters(pairs).count() == 0
+
+
+def test_index_param_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from rheoceros_spark.operators import build_minhash_index, dedup_against_index
+
+    corpus = _docs(spark, [(1, "a b c d e f", "en")])
+    batch = _docs(spark, [(2, "a b c d e g", "en")])
+    idx = build_minhash_index(corpus, bands=4)
+    with _pytest.raises(ValueError, match="built with"):
+        dedup_against_index(batch, idx, bands=8, num_hashes=16)
+
+
+def test_persisted_index_returns_materialized_scan(spark, tmp_path):
+    from rheoceros_spark.operators import build_minhash_index
+
+    corpus = _docs(spark, [(1, "a b c d e f", "en")])
+    path = str(tmp_path / "idx")
+    idx = build_minhash_index(corpus, path=path)
+    # the returned frame scans the written files, not the corpus plan
+    assert any(path in f for f in idx.inputFiles())
