@@ -200,3 +200,64 @@ def sessionize(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_dedup_against_index(
+    sdf: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    accept: Callable[[DataFrame, int], None],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    trigger_available_now: bool = False,
+    **mh_kwargs,
+):
+    """Continuous-ingest near-dup gate: each micro-batch probes the
+    persisted MinHash band-bucket index (see
+    :func:`rheoceros_spark.operators.dedup.build_minhash_index`), novel
+    docs are handed to ``accept(novel_df, batch_id)`` AND appended to
+    the index — so later batches (and later docs in the stream) dedup
+    against everything accepted so far, not just the initial corpus.
+
+    Scale shape: per micro-batch cost is O(batch × bands) probe rows
+    against an index equi-join — the accumulated corpus is never
+    rescanned; the index grows by one append per batch.  Exactly-once
+    is inherited from foreachBatch checkpointing **as long as**
+    ``accept`` is idempotent (e.g. partition overwrite keyed on
+    batch_id); a replayed batch re-probes the index, and docs it
+    already appended self-match at jaccard 1.0, so replays converge
+    instead of duplicating.
+
+    Uses ``foreachBatch`` because the probe is a batch join against a
+    mutable external table — a shape Structured Streaming's stateful
+    operators don't express (state here is the *index*, owned by the
+    pipeline, not per-key operator state)."""
+    from rheoceros_spark.operators.dedup import build_minhash_index, dedup_against_index
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = spark.read.parquet(index_path)
+        dups = dedup_against_index(
+            batch_df, index, text_col=text_col, id_col=id_col,
+            threshold=threshold, **mh_kwargs,
+        )
+        # self-matches from a replayed batch: dup_of == new_id pairs
+        # are impossible across batch/index id spaces only if ids are
+        # globally unique; drop identity matches defensively
+        losers = dups.where(F.col("new_id") != F.col("dup_of")).select(
+            F.col("new_id").alias(id_col)
+        ).distinct()
+        novel = batch_df.join(losers, on=id_col, how="left_anti")
+        accept(novel, batch_id)
+        if novel.limit(1).count() > 0:
+            build_minhash_index(novel, **mh_kwargs).write.mode("append").partitionBy(
+                "band"
+            ).parquet(index_path)
+
+    writer = sdf.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

@@ -161,3 +161,49 @@ def test_sessionize_stateful(spark, tmp_path):
     # timeout-closed: single event at 02:00, and user 2's lone event
     assert len(u1) == 2 and u1[1][2] == 1
     assert by_user[2][0][2] == 1
+
+
+def test_stream_dedup_against_growing_index(spark, tmp_path):
+    """Continuous-ingest near-dup gate: batch 2's dup of a doc accepted
+    in batch 1 is caught because the index grows per micro-batch."""
+    import time
+
+    from rheoceros_spark.operators.dedup import build_minhash_index
+    from rheoceros_spark.streaming.stream import stream_dedup_against_index
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    base = "the quick brown fox jumps over the lazy dog every single day"
+    novel1 = "completely new content about adaptive query execution in spark"
+    idx_path = str(tmp_path / "index")
+    build_minhash_index(docs([(1, base), (2, "unrelated corpus filler text entirely")]),
+                        path=idx_path)
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # batch A: one dup of the corpus + one novel doc
+    docs([(100, base), (101, novel1)]).coalesce(1).write.parquet(str(src / "a"))
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    # batch B: near-copy of the doc accepted in batch A
+    docs([(102, novel1)]).coalesce(1).write.parquet(str(src / "b"))
+
+    accepted = []
+    sdf = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_dedup_against_index(
+        sdf,
+        idx_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        accept=lambda df, bid: accepted.extend(r.doc_id for r in df.collect()),
+        trigger_available_now=True,
+    ).start()
+    q.awaitTermination(180)
+
+    assert sorted(accepted) == [101], accepted
+    # the accepted doc is now part of the persisted index
+    idx = spark.read.parquet(idx_path)
+    assert idx.where(F.col("doc_id") == 101).count() > 0
