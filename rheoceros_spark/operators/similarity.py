@@ -129,10 +129,14 @@ def ivf_assign(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (``cell``).  The
-    centroid table is tiny → broadcast; the argmax is a per-id window
-    (ties broken by centroid id).  At 100 TB, repartition the output by
-    ``cell`` and persist: probes then scan only matching cells
-    (partition pruning on the inverted file)."""
+    centroid table is tiny → broadcast; the argmax is
+    ``groupBy(id).agg(max_by(cid, (sim, -cid)))`` — a hash aggregate
+    with map-side partial combine, so the shuffle carries n rows, not
+    the n×n_centroids crossJoin output a window-rank argmax would sort
+    and shuffle (ties still break to the lowest centroid id).  At
+    100 TB, repartition the output by ``cell`` and persist: probes then
+    scan only matching cells (partition pruning on the inverted
+    file)."""
     cents = ivf_centroids(df, n_centroids, vec_col, id_col)
     scored = df.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
@@ -140,11 +144,12 @@ def ivf_assign(
         F.col("cid"),
         cosine(F.col(vec_col), F.col("cv")).alias("__sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("cid").alias("cell"))
+    return scored.groupBy(id_col).agg(
+        # vec is constant per id — first() under partial agg is exact here
+        F.first(vec_col).alias(vec_col),
+        F.max_by(
+            F.col("cid"), F.struct(F.col("__sim"), (-F.col("cid")).alias("__neg"))
+        ).alias("cell"),
     )
 
 
