@@ -711,6 +711,112 @@ def broadcast_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# time-series row-grain ops: as-of join / range join / sessionize
+# (operators/timeseries.py — row-granular counterparts of the
+# reference's partition-granular nearest/range semantics,
+# signal.py:523-560)
+# ===========================================================================
+
+@q(
+    "ts_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS click_ts, r.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest click at-or-before each purchase, per user — the
+    union+window as-of join (one shuffle on user_id, no non-equi
+    join); oracle is DuckDB's native ASOF LEFT JOIN."""
+    from rheoceros_spark.operators.timeseries import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(purchases, clicks, on="ts", by=["user_id"]).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_matched").alias("click_ts"),
+        F.col("value_matched").alias("click_value"),
+    )
+
+
+@q(
+    "ts_range_join_counts",
+    oracle="""
+    SELECT e.event_id AS err_id, count(v.view_ts) AS views_next_hour
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT ts AS view_ts FROM events WHERE event_type = 'view') v
+      ON v.view_ts > e.ts AND v.view_ts <= e.ts + INTERVAL 1 HOUR
+    GROUP BY e.event_id
+    """,
+)
+def ts_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views in the hour after each error, with NO equi-key: the
+    bucketed range join plans as a hash equi-join on the time bucket
+    (candidates O(rows x 2 buckets)) where the raw interval predicate
+    would be a BroadcastNestedLoopJoin over n x m rows."""
+    from rheoceros_spark.operators.timeseries import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    views = ev.where(F.col("event_type") == "view").select(F.col("ts").alias("view_ts"))
+    pairs = range_join(
+        errors, views, left_ts="err_ts", right_ts="view_ts",
+        lower_seconds=0.0, upper_seconds=3600.0,
+    )
+    counts = pairs.groupBy("err_id").agg(F.count("*").alias("views_next_hour"))
+    return errors.select("err_id").join(counts, "err_id", "left").select(
+        "err_id", F.coalesce("views_next_hour", F.lit(0)).alias("views_next_hour")
+    )
+
+
+@q(
+    "ts_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess,
+             event_id
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user, one window pass (lag flag +
+    running sum), then per-session aggregates — the batch twin of
+    streaming/stream.py's sessionize_stream."""
+    from rheoceros_spark.operators.timeseries import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    s = sessionize(ev, ts_col="ts", by=["user_id"], gap_seconds=1800.0, tiebreak="event_id")
+    return s.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(cents(F.col("value"))).alias("sum_value_cents"),
+    )
+
+
+# ===========================================================================
 # TPC-H-ish joins / subqueries (widened surface: semi/anti joins,
 # correlated + scalar subqueries, conditional aggs, pivot, grouping sets)
 # ===========================================================================
@@ -1336,17 +1442,24 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
-    pairs = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")).distinct()
-    rpairs = (
-        li.where(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
-        .distinct()
+    # EXISTS(other supplier) ⟺ the order has ≥2 distinct suppliers;
+    # NOT EXISTS(other returning supplier) ⟺ exactly 1 distinct
+    # returning supplier (the l1 row's own).  One per-order aggregate +
+    # one orderkey-co-partitioned join replaces the two distinct+self-
+    # join shuffles of the textbook semi/anti formulation.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
     )
     fo = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
     return (
         l1.join(F.broadcast(fo), l1.l_orderkey == fo.o_orderkey, "left_semi")
-        .join(pairs, (l1.l_orderkey == F.col("ok2")) & (l1.l_suppkey != F.col("sk2")), "left_semi")
-        .join(rpairs, (l1.l_orderkey == F.col("ok3")) & (l1.l_suppkey != F.col("sk3")), "left_anti")
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)),
+            "l_orderkey",
+        )
         .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
@@ -2015,6 +2128,14 @@ _TAIL = [
     "q7_nation_volume",
     "q9_product_profit",
     "q13_customer_distribution",
+    # demoted for the time-series ops + dedup_incremental_index (which
+    # an off-by-one previously left at position 51): q5 join+agg →
+    # q3/q18; q15 correlated max → q2/q11; q19 disjunctive filter →
+    # q14/q17; q22 anti-join + scalar subquery → q21 + q11
+    "q5_local_supplier_volume",
+    "q15_top_supplier",
+    "q19_disjunctive_predicates",
+    "q22_wealthy_inactive",
 ]
 
 

@@ -68,6 +68,9 @@ BENCH_CORE = [
     "events_tumbling_daily",
     "events_sliding_2day",
     "metric_threshold_alarm",
+    "ts_asof_join",
+    "ts_range_join_counts",
+    "ts_sessionize",
     "topk_orders",
     "broadcast_join_enrich",
     "dedup_exact_docs",

@@ -205,7 +205,11 @@ def normalize_ns_timestamps(df: DataFrame, sample_path: str) -> DataFrame:
         _NS_SCHEMA_CACHE[sample_path] = ns_cols
     for c in ns_cols:
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed a
+            # double's 53-bit mantissa, so float division rounds some
+            # values off by 1µs; `div` truncates exactly like every
+            # ns→µs parquet reader (duckdb/pyarrow)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -162,3 +162,48 @@ class TestAggQuality:
         # the top-k window partitions by group — a global (empty
         # partition-by) window would serialize the vocabulary on 1 task
         assert "windowspecdefinition(grp" in plan
+
+
+class TestDriverContract:
+    """The driver's correctness harness checks the FIRST 50 queries()
+    entries only; guard the window composition."""
+
+    def test_every_query_has_an_oracle(self):
+        assert set(entry.queries()) == set(entry.oracle_sql())
+
+    def test_window_holds_exactly_50(self):
+        names = list(entry.queries())
+        non_tail = [n for n in names if n not in entry._TAIL]
+        assert len(non_tail) == 50, (
+            f"{len(non_tail)} non-tail queries: adding one pushes another "
+            "out of the driver's 50-entry check window — extend _TAIL"
+        )
+
+    def test_critical_operators_inside_window(self):
+        window = set(list(entry.queries())[:50])
+        critical = {
+            # every op family must have a driver-checked representative
+            "q1_pricing_summary", "q3_shipping_priority",
+            "partition_ranged_union", "nearest_partition_asof",
+            "json_extract_events", "events_tumbling_daily",
+            "metric_threshold_alarm", "alarm_m_of_n_state",
+            "ts_asof_join", "ts_range_join_counts", "ts_sessionize",
+            "dedup_exact_docs", "dedup_minhash_lsh_pairs",
+            "dedup_simhash_pairs", "dedup_embedding_blocked",
+            "dedup_incremental_index", "dedup_clusters",
+            "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+            "curation_stratified_sample", "curation_pii_redact",
+            "curation_vocab_top_tokens", "curation_contamination",
+            "text_lang_id", "text_quality", "text_token_count",
+            "text_fingerprint", "multimodal_features",
+            "pivot_returnflag_status", "grouping_sets_revenue",
+            "window_topn_per_group", "set_intersect", "topk_orders",
+        }
+        missing = critical - window
+        assert not missing, f"outside the checked window: {sorted(missing)}"
+
+    def test_tail_only_demotes_redundant_shapes(self):
+        # everything in _TAIL must still exist (no dangling names)
+        names = set(entry.queries())
+        dangling = [t for t in entry._TAIL if t not in names]
+        assert not dangling, dangling

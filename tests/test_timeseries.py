@@ -1,0 +1,173 @@
+"""Row-grain time-series operators: as-of join, range join, sessionize.
+
+Semantics are pinned against hand-computed fixtures; plan-shape
+assertions guard the scale contracts (no nested-loop join in
+range_join, single Window pass in sessionize).
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark.operators.timeseries import asof_join, range_join, sessionize
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def left(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01 10:00:00")),
+            (2, 10, ts("2024-01-01 11:00:00")),
+            (3, 10, ts("2024-01-01 09:00:00")),  # before any right row
+            (4, 20, ts("2024-01-01 10:30:00")),
+            (5, 30, ts("2024-01-01 10:30:00")),  # key with no right rows
+        ],
+        "id long, user_id long, ts timestamp",
+    )
+
+
+@pytest.fixture(scope="module")
+def right(spark):
+    return spark.createDataFrame(
+        [
+            (10, ts("2024-01-01 09:30:00"), 1.0),
+            (10, ts("2024-01-01 10:00:00"), 2.0),  # tie with left id=1
+            (10, ts("2024-01-01 10:45:00"), 3.0),
+            (20, ts("2024-01-01 10:00:00"), 4.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_semantics(self, left, right):
+        out = {
+            r["id"]: (r["ts_matched"], r["value_matched"])
+            for r in asof_join(left, right, on="ts", by=["user_id"]).collect()
+        }
+        assert out[1] == (ts("2024-01-01 10:00:00"), 2.0)  # equal ts matches
+        assert out[2] == (ts("2024-01-01 10:45:00"), 3.0)  # newest preceding
+        assert out[3] == (None, None)  # nothing precedes
+        assert out[4] == (ts("2024-01-01 10:00:00"), 4.0)
+        assert out[5] == (None, None)  # unseen key kept (left join)
+
+    def test_row_count_preserved(self, left, right):
+        assert asof_join(left, right, by=["user_id"]).count() == left.count()
+
+    def test_tolerance_nulls_stale_matches(self, left, right):
+        # id=2's match is 900s old (11:00 vs 10:45): kept at tolerance
+        # 900, nulled at 899; id=1's 0s-old match survives both
+        for tol, expect in [(900.0, 3.0), (899.0, None)]:
+            out = {
+                r["id"]: r["value_matched"]
+                for r in asof_join(
+                    left, right, by=["user_id"], tolerance_seconds=tol
+                ).collect()
+            }
+            assert out[2] == expect if expect is not None else out[2] is None
+            assert out[1] == 2.0
+
+    def test_column_clash_raises(self, left, right):
+        with pytest.raises(ValueError, match="already exist"):
+            asof_join(left.withColumn("value_matched", F.lit(0)), right, by=["user_id"])
+
+    def test_no_nested_loop_join(self, left, right):
+        plan = asof_join(left, right, by=["user_id"])._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestRangeJoin:
+    def test_interval_semantics(self, spark):
+        errs = spark.createDataFrame(
+            [(1, ts("2024-01-01 10:00:00"))], "err_id long, err_ts timestamp"
+        )
+        views = spark.createDataFrame(
+            [
+                (10, ts("2024-01-01 10:00:00")),  # not > err_ts → out
+                (11, ts("2024-01-01 10:00:01")),  # in
+                (12, ts("2024-01-01 11:00:00")),  # boundary: <= upper → in
+                (13, ts("2024-01-01 11:00:01")),  # out
+            ],
+            "view_id long, view_ts timestamp",
+        )
+        got = sorted(
+            r["view_id"]
+            for r in range_join(
+                errs, views, left_ts="err_ts", right_ts="view_ts", upper_seconds=3600
+            ).collect()
+        )
+        assert got == [11, 12]
+
+    def test_bucket_spanning_no_duplicates(self, spark):
+        # left interval spans 3 small buckets; each matching pair must
+        # appear exactly once
+        l = spark.createDataFrame([(1, ts("2024-01-01 10:00:30"))], "lid long, lts timestamp")
+        r = spark.createDataFrame(
+            [(i, ts(f"2024-01-01 10:0{m}:00")) for i, m in [(1, 1), (2, 2)]],
+            "rid long, rts timestamp",
+        )
+        rows = range_join(
+            l, r, left_ts="lts", right_ts="rts", upper_seconds=120, bucket_seconds=60
+        ).collect()
+        assert sorted(x["rid"] for x in rows) == [1, 2]
+
+    def test_by_key_restricts(self, spark):
+        l = spark.createDataFrame([(1, 7, ts("2024-01-01 10:00:00"))], "lid long, k long, lts timestamp")
+        r = spark.createDataFrame(
+            [(1, 7, ts("2024-01-01 10:10:00")), (2, 8, ts("2024-01-01 10:10:00"))],
+            "rid long, k2 long, rts timestamp",
+        )
+        rows = range_join(
+            l, r.withColumnRenamed("k2", "k"), left_ts="lts", right_ts="rts",
+            upper_seconds=3600, by=["k"],
+        ).collect()
+        assert [x["rid"] for x in rows] == [1]
+
+    def test_overlapping_names_raise(self, spark, left):
+        with pytest.raises(ValueError, match="disjoint"):
+            range_join(left, left)
+
+    def test_equi_join_plan_no_nested_loop(self, spark):
+        l = spark.range(10).select(F.col("id").alias("lid"), F.timestamp_seconds(F.col("id") * 100).alias("lts"))
+        r = spark.range(10).select(F.col("id").alias("rid"), F.timestamp_seconds(F.col("id") * 100).alias("rts"))
+        plan = range_join(l, r, left_ts="lts", right_ts="rts")._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        df = spark.createDataFrame(
+            [
+                (10, ts("2024-01-01 10:00:00")),
+                (10, ts("2024-01-01 10:10:00")),  # 600s gap → same session
+                (10, ts("2024-01-01 11:00:00")),  # 3000s gap → new session
+                (20, ts("2024-01-01 10:00:00")),
+            ],
+            "user_id long, ts timestamp",
+        )
+        got = {
+            (r["user_id"], r["ts"]): r["session_id"]
+            for r in sessionize(df, gap_seconds=1800).collect()
+        }
+        assert got[(10, ts("2024-01-01 10:00:00"))] == 1
+        assert got[(10, ts("2024-01-01 10:10:00"))] == 1
+        assert got[(10, ts("2024-01-01 11:00:00"))] == 2
+        assert got[(20, ts("2024-01-01 10:00:00"))] == 1
+
+    def test_exact_gap_is_same_session(self, spark):
+        df = spark.createDataFrame(
+            [(1, ts("2024-01-01 10:00:00")), (1, ts("2024-01-01 10:30:00"))],
+            "user_id long, ts timestamp",
+        )
+        ids = {r["session_id"] for r in sessionize(df, gap_seconds=1800).collect()}
+        assert ids == {1}  # gap == threshold does not split
+
+    def test_single_window_pass(self, spark):
+        df = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"))], "user_id long, ts timestamp")
+        plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1, plan
