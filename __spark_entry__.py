@@ -817,6 +817,40 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# data layout: Z-order clustering key (operators/layout.py)
+# ===========================================================================
+
+@q(
+    "layout_zorder_key",
+    oracle=None,  # filled below — the SQL twin is generated
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over (doc_id, text length) buckets — the clustering
+    key zorder_write range-partitions on so file-level min/max prunes
+    on BOTH dimensions; pure bit arithmetic, bit-identical to the
+    generated SQL oracle."""
+    from rheoceros_spark.operators.layout import zorder_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        zorder_key(
+            [F.col("doc_id") % 1024, F.length("text") % 1024], bits=10
+        ).alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from rheoceros_spark.operators.layout import zorder_key_sql
+
+    key = zorder_key_sql(["(doc_id % 1024)", "(length(text) % 1024)"], bits=10)
+    return f"SELECT doc_id, {key} AS zkey FROM documents"
+
+
+_ORACLES["layout_zorder_key"] = _zorder_oracle()
+
+
+# ===========================================================================
 # TPC-H-ish joins / subqueries (widened surface: semi/anti joins,
 # correlated + scalar subqueries, conditional aggs, pivot, grouping sets)
 # ===========================================================================
@@ -1444,14 +1478,18 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     # EXISTS(other supplier) ⟺ the order has ≥2 distinct suppliers;
     # NOT EXISTS(other returning supplier) ⟺ exactly 1 distinct
-    # returning supplier (the l1 row's own).  One per-order aggregate +
-    # one orderkey-co-partitioned join replaces the two distinct+self-
-    # join shuffles of the textbook semi/anti formulation.
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    # returning supplier (the l1 row's own).  Two-step aggregate: dedup
+    # (orderkey, suppkey) pairs once WITH a returning flag (map-side
+    # partial combine — no Expand, unlike a dual countDistinct), then a
+    # cheap per-order rollup; one orderkey-co-partitioned join replaces
+    # the two distinct+self-join shuffles of the textbook semi/anti
+    # formulation.
+    pair_flags = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    per_order = pair_flags.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("has_r").alias("n_r_supp"),
     )
     fo = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
     return (
@@ -2136,6 +2174,9 @@ _TAIL = [
     "q15_top_supplier",
     "q19_disjunctive_predicates",
     "q22_wealthy_inactive",
+    # demoted for layout_zorder_key: §2.7 stays represented by
+    # set_intersect (same Except/Intersect plan family)
+    "set_except",
 ]
 
 

@@ -71,6 +71,7 @@ BENCH_CORE = [
     "ts_asof_join",
     "ts_range_join_counts",
     "ts_sessionize",
+    "layout_zorder_key",
     "topk_orders",
     "broadcast_join_enrich",
     "dedup_exact_docs",

@@ -188,6 +188,7 @@ class TestDriverContract:
             "json_extract_events", "events_tumbling_daily",
             "metric_threshold_alarm", "alarm_m_of_n_state",
             "ts_asof_join", "ts_range_join_counts", "ts_sessionize",
+            "layout_zorder_key",
             "dedup_exact_docs", "dedup_minhash_lsh_pairs",
             "dedup_simhash_pairs", "dedup_embedding_blocked",
             "dedup_incremental_index", "dedup_clusters",
