@@ -117,6 +117,19 @@ class ComputeRecord:
     path: Optional[str] = None
 
 
+class ApplicationState(str, Enum):
+    """Reference ``ApplicationState`` (core/application/context.py):
+    the dev/active lifecycle of the whole app.  PAUSED gates event
+    ingestion only (``process``/``receive_raw``); TERMINATED is not a
+    distinct state — ``terminate()`` returns to INACTIVE, the
+    "never activated" state, per the reference's contract."""
+
+    INACTIVE = "INACTIVE"
+    ACTIVE = "ACTIVE"
+    PAUSED = "PAUSED"
+    DELETED = "DELETED"
+
+
 class Application:
     def __init__(
         self,
@@ -130,6 +143,8 @@ class Application:
         self._spark = spark
         self._external: dict[str, Signal] = {}
         self._nodes: dict[str, InternalDataNode] = {}
+        self._node_args: dict[str, dict] = {}  # create_data kwargs, for update/patch
+        self.state = ApplicationState.INACTIVE
         self._routing = None  # built lazily on activate()/process()
         #: bound on ComputeRetryableInternalError retries per slot (the
         #: reference re-queues TRANSIENT failures every cycle, unbounded)
@@ -204,7 +219,9 @@ class Application:
         constructs.py:3293-3433).  Completion-marker filenames are
         stripped first, so an ``_SUCCESS`` upload event triggers the
         partition.  Returns triggered output paths; [] if no signal
-        claims the path."""
+        claims the path.  No-op while PAUSED."""
+        if self.state == ApplicationState.PAUSED:
+            return []
         path = resource_path.rstrip("/")
         base = path.rsplit("/", 1)[-1]
         if base in ("_SUCCESS", "manifest") or base.startswith("part-"):
@@ -280,8 +297,21 @@ class Application:
         dataset_type: Union[str, "DatasetType"] = "REPLACE",
         **hooks: Callable,
     ) -> Signal:
+        self._check_not_deleted()
         if id in self._nodes:
             raise ValueError(f"node {id!r} already exists")
+        # captured for update_data/patch_data (reference keeps the dev
+        # context's Instruction list for the same purpose,
+        # application.py:1301-1322)
+        self._node_args[id] = dict(
+            inputs=inputs,
+            compute_targets=compute_targets,
+            output_dimension_spec=output_dimension_spec,
+            output_dim_links=output_dim_links,
+            input_dim_links=input_dim_links,
+            dataset_type=dataset_type,
+            hooks=hooks,
+        )
         # inputs: dict keys are aliases (reference application.py:1325-1360)
         signals: list[Signal] = []
         if isinstance(inputs, dict):
@@ -340,6 +370,132 @@ class Application:
         self._nodes[id] = node
         self._routing = None  # graph changed; rebuild routing lazily
         return output_signal.clone()
+
+    def update_data(self, id: str, **kwargs) -> Signal:
+        """Replace an existing node's definition wholesale (reference
+        application.py:1544-1667): same signature as ``create_data``;
+        the node keeps its id and storage location, downstream nodes
+        that reference its output signal by alias keep working, and the
+        routing table is rebuilt lazily on the next event."""
+        self._check_not_deleted()
+        if id not in self._nodes:
+            raise ValueError(f"node {id!r} does not exist; use create_data")
+        del self._nodes[id]
+        del self._node_args[id]
+        try:
+            return self.create_data(id, **kwargs)
+        except Exception:
+            # failed rebuild must not leave the app without the node id
+            self._nodes.pop(id, None)
+            self._node_args.pop(id, None)
+            raise
+
+    def patch_data(self, id: str, **kwargs) -> Signal:
+        """Partial update (reference application.py:1668-1744): only the
+        given ``create_data`` keyword arguments are replaced; everything
+        else is retained from the node's current definition."""
+        self._check_not_deleted()
+        if id not in self._node_args:
+            raise ValueError(f"node {id!r} does not exist; use create_data")
+        merged = dict(self._node_args[id])
+        hooks = dict(merged.pop("hooks", {}) or {})
+        hooks.update(kwargs.pop("hooks", {}) or {})
+        unknown = set(kwargs) - set(merged)
+        if unknown:
+            raise TypeError(f"patch_data: unknown create_data arguments {sorted(unknown)}")
+        merged.update(kwargs)
+        return self.update_data(id, **merged, **hooks)
+
+    def validate(self) -> list[str]:
+        """Dev-context integrity check without activation (reference
+        application.py:3665-3809 runs the same class of checks during
+        activate): returns a list of human-readable issues — empty
+        means the graph is activation-ready.
+
+        Checks per node: at least one compute slot; every output
+        dimension resolvable from a literal or an input link; every
+        link referencing a declared input alias/dimension; reference
+        inputs not the only inputs (references never seed executions,
+        so such a node could never trigger)."""
+        issues: list[str] = []
+        for node_id, node in self._nodes.items():
+            if not node.slots:
+                issues.append(f"{node_id}: no compute slots")
+            aliases = {s.alias: s for s in node.link_node.signals}
+            linked = set()
+            for link in node.output_links:
+                linked.add(link.output_dim)
+                if link.literal is not None:
+                    continue
+                for alias, dim in link.rhs:
+                    sig = aliases.get(alias)
+                    if sig is None:
+                        issues.append(
+                            f"{node_id}: output link {link.output_dim!r} references "
+                            f"unknown input alias {alias!r}"
+                        )
+                    elif dim not in sig.dimension_names():
+                        issues.append(
+                            f"{node_id}: output link {link.output_dim!r} references "
+                            f"unknown dimension {alias}.{dim}"
+                        )
+            for dim in node.output_signal.dimension_names():
+                if dim not in linked:
+                    issues.append(
+                        f"{node_id}: output dimension {dim!r} has no link or literal — "
+                        "execute()/process() cannot materialize it"
+                    )
+            non_ref = [s for s in node.link_node.signals if not getattr(s, "reference", False)]
+            if node.link_node.signals and not non_ref:
+                issues.append(
+                    f"{node_id}: every input is a reference — references never seed "
+                    "executions, so this node can never trigger"
+                )
+        return issues
+
+    def execute_batch(
+        self,
+        targets: Sequence[Signal],
+        recursive: bool = False,
+        update_dependency_tree: bool = False,
+    ) -> list[str]:
+        """Execute several material views concurrently (reference
+        application.py:2888-2980): every target is launched async, then
+        polled to completion; raises the first failure after all have
+        settled.  Returns materialized paths in input order."""
+        paths = [
+            self.execute(
+                t, wait=False, recursive=recursive,
+                update_dependency_tree=update_dependency_tree,
+            )
+            for t in targets
+        ]
+        errors: list[str] = []
+        for t in targets:
+            path, _ = self.poll(t, wait=True)
+            if path is None:
+                recs = [r for r in self._records if r.node_id == t.alias]
+                detail = f"{recs[-1].state.value}: {recs[-1].error}" if recs else "no record"
+                errors.append(f"{t.alias} ({detail})")
+        if errors:
+            raise RuntimeError("execute_batch failures: " + "; ".join(errors))
+        return paths
+
+    def get_active_routes(self) -> list[dict[str, Any]]:
+        """Routing-table introspection (reference
+        application.py:1995-2050): one row per route with pending-node
+        and active-record counts."""
+        if self._routing is None:
+            return []
+        active = [r for r in self._records if r.state == ComputeRecordState.PROCESSING]
+        return [
+            {
+                "node_id": node_id,
+                "pending_nodes": len(route.pending_nodes),
+                "active_records": sum(1 for r in active if r.node_id == node_id),
+            }
+            for node_id, route in self._routing.routes.items()
+        ]
 
     def __getitem__(self, node_id: str) -> Signal:
         if node_id in self._nodes:
@@ -635,9 +791,83 @@ class Application:
         (reference activate(), application.py:201-294)."""
         from rheoceros_spark.streaming.routing import RoutingTable
 
+        self._check_not_deleted()
         if self._routing is None:
             self._routing = RoutingTable(self)
+        if self.state == ApplicationState.INACTIVE:
+            self.state = ApplicationState.ACTIVE
         return self._routing
+
+    def pause(self) -> None:
+        """Suspend event ingestion (reference application.py:383-391):
+        ``process``/``receive_raw`` become no-ops until ``resume``;
+        dev-side ``execute`` stays available, like the reference's
+        processor-only pause."""
+        if self.state == ApplicationState.ACTIVE:
+            self.state = ApplicationState.PAUSED
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cannot pause: application state is %s (needs ACTIVE)", self.state.value
+            )
+
+    def resume(self) -> None:
+        """Re-enable event ingestion (reference application.py:392-400)."""
+        if self.state == ApplicationState.PAUSED:
+            self.state = ApplicationState.ACTIVE
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cannot resume: application state is %s (needs PAUSED)", self.state.value
+            )
+
+    def terminate(self, wait_for_active_routes: bool = False) -> None:
+        """Graceful inverse of activation (reference
+        application.py:295-356): nullify the active state — routing
+        table, pending nodes, compute records, async executions — while
+        keeping the dev context (nodes/externals) AND all materialized
+        data intact.  Re-calling ``activate()`` (or any event entry
+        point) rebuilds the same active state; repeated calls are safe.
+
+        ``wait_for_active_routes`` drains in-flight async executions
+        first (the reference pauses, waits for steady state, then
+        tears down)."""
+        if self.state not in (ApplicationState.ACTIVE, ApplicationState.PAUSED):
+            # INACTIVE terminate is a no-op by contract (idempotent)
+            if self.state == ApplicationState.DELETED:
+                raise RuntimeError("cannot terminate a DELETED application")
+        if wait_for_active_routes:
+            for t in list(self._async_threads.values()):
+                t.join()
+        self._routing = None
+        self._records.clear()
+        self._kill_requested.clear()
+        self._async_threads.clear()
+        if self.state != ApplicationState.DELETED:
+            self.state = ApplicationState.INACTIVE
+
+    def delete(self) -> None:
+        """Remove the application's internal storage (reference
+        application.py:357-382 — separate from ``terminate`` as a
+        guard against deleting data that outlives the app).  Only an
+        INACTIVE (terminated or never-activated) app can be deleted;
+        afterwards this object refuses further use."""
+        import shutil
+
+        if self.state != ApplicationState.INACTIVE:
+            raise RuntimeError(
+                "only an INACTIVE (terminated) application can be deleted; "
+                f"state is {self.state.value} — call terminate() first"
+            )
+        if os.path.isdir(self.storage_root):
+            shutil.rmtree(self.storage_root)
+        self.state = ApplicationState.DELETED
+
+    def _check_not_deleted(self) -> None:
+        if self.state == ApplicationState.DELETED:
+            raise RuntimeError(f"application {self.id!r} has been deleted")
 
     def process(
         self, signal: Signal, processing_mode: str = "ONLY_HEAD", **kwargs
@@ -647,7 +877,16 @@ class Application:
 
         ``processing_mode='FULL_RANGE'`` explodes a ranged signal into
         one routing cycle per partition (reference ``:1913-1946``);
-        the default ``ONLY_HEAD`` injects the tip only."""
+        the default ``ONLY_HEAD`` injects the tip only.  While PAUSED,
+        events are dropped with a warning (reference pauses the
+        processor; in-process we have no durable queue to hold them)."""
+        if self.state == ApplicationState.PAUSED:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "application %s is PAUSED; dropping event for %r", self.id, signal.alias
+            )
+            return []
         routing = self.activate()
         if processing_mode == "FULL_RANGE":
             outputs: list[str] = []

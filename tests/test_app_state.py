@@ -1,0 +1,176 @@
+"""Application state machine + dev-context mutation APIs:
+pause/resume, terminate/delete, update_data/patch_data, validate,
+execute_batch, get_active_routes (reference application.py:295-400,
+1544-1744, 2888-2980, 3665-3809)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark import (
+    Application,
+    Dimension,
+    DimensionType,
+    InlinedCompute,
+    ParquetDataset,
+    SparkSQL,
+)
+from rheoceros_spark.application import ApplicationState
+
+
+def day_dim():
+    return Dimension("day", DimensionType.DATETIME, {"format": "%Y-%m-%d"})
+
+
+@pytest.fixture()
+def events_day(spark, sf_dir, tmp_path):
+    from rheoceros_spark.sources.io import normalize_ns_timestamps
+
+    root = str(tmp_path / "events_by_day")
+    ev = normalize_ns_timestamps(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), f"{sf_dir}/events.parquet"
+    )
+    for day in ("2024-01-01", "2024-01-02"):
+        ev.where(F.to_date("ts") == day).coalesce(1).write.mode("overwrite").parquet(
+            f"{root}/{day}"
+        )
+    return root
+
+
+@pytest.fixture()
+def app(spark, tmp_path, events_day):
+    a = Application("state_app", str(tmp_path / "store"), spark)
+    events = a.marshal_external_data(ParquetDataset(events_day + "/{}", day_dim()), id="events")
+    a.create_data(
+        id="daily",
+        inputs=[events],
+        compute_targets=SparkSQL("SELECT event_type, count(*) AS n FROM events GROUP BY event_type"),
+    )
+    return a
+
+
+class TestPauseResume:
+    def test_paused_drops_events(self, app):
+        app.activate()
+        assert app.state == ApplicationState.ACTIVE
+        app.pause()
+        assert app.state == ApplicationState.PAUSED
+        assert app.process(app["events"]["2024-01-01"]) == []
+        assert app.receive_raw("whatever/2024-01-01/_SUCCESS") == []
+        app.resume()
+        assert app.state == ApplicationState.ACTIVE
+        assert len(app.process(app["events"]["2024-01-01"])) == 1
+
+    def test_pause_requires_active(self, app):
+        app.pause()  # INACTIVE: warning, no state change
+        assert app.state == ApplicationState.INACTIVE
+        app.resume()  # not paused: warning, no state change
+        assert app.state == ApplicationState.INACTIVE
+
+
+class TestTerminateDelete:
+    def test_terminate_keeps_data_and_is_reactivatable(self, app):
+        out = app.process(app["events"]["2024-01-01"])
+        assert out
+        app.terminate()
+        assert app.state == ApplicationState.INACTIVE
+        assert app._routing is None and not app._records
+        assert os.path.exists(out[0])  # data survives termination
+        # same dev context re-activates and keeps working
+        assert len(app.process(app["events"]["2024-01-02"])) == 1
+
+    def test_terminate_idempotent(self, app):
+        app.terminate()
+        app.terminate()
+        assert app.state == ApplicationState.INACTIVE
+
+    def test_delete_requires_inactive_and_blocks_use(self, app):
+        app.process(app["events"]["2024-01-01"])
+        with pytest.raises(RuntimeError, match="INACTIVE"):
+            app.delete()
+        app.terminate()
+        app.delete()
+        assert app.state == ApplicationState.DELETED
+        assert not os.path.exists(app.storage_root)
+        with pytest.raises(RuntimeError, match="deleted"):
+            app.process(app["events"]["2024-01-02"])
+        with pytest.raises(RuntimeError, match="deleted"):
+            app.create_data(id="x", inputs=[app["events"]], compute_targets=SparkSQL("SELECT 1"))
+
+
+class TestUpdatePatch:
+    def test_update_data_replaces_compute(self, app):
+        app.update_data(
+            "daily",
+            inputs=[app["events"]],
+            compute_targets=SparkSQL("SELECT count(*) AS total FROM events"),
+        )
+        out = app.process(app["events"]["2024-01-01"])
+        df = app.load_data(app["daily"]["2024-01-01"])
+        assert df.columns == ["total"]
+        assert out
+
+    def test_update_unknown_node_raises(self, app):
+        with pytest.raises(ValueError, match="use create_data"):
+            app.update_data("nope", inputs=[app["events"]], compute_targets=SparkSQL("SELECT 1"))
+
+    def test_patch_data_keeps_unspecified_args(self, app):
+        # patch only the compute; inputs/links are retained
+        app.patch_data(
+            "daily",
+            compute_targets=SparkSQL("SELECT max(value) AS mx FROM events"),
+        )
+        app.process(app["events"]["2024-01-01"])
+        assert app.load_data(app["daily"]["2024-01-01"]).columns == ["mx"]
+
+    def test_patch_unknown_kwarg_raises(self, app):
+        with pytest.raises(TypeError, match="unknown create_data"):
+            app.patch_data("daily", bogus_arg=1)
+
+
+class TestValidate:
+    def test_clean_graph_validates(self, app):
+        assert app.validate() == []
+
+    def test_unlinked_output_dimension_reported(self, spark, tmp_path, events_day):
+        a = Application("bad_app", str(tmp_path / "store2"), spark)
+        events = a.marshal_external_data(ParquetDataset(events_day + "/{}", day_dim()), id="events")
+        a.create_data(
+            id="bad",
+            inputs=[events],
+            compute_targets=SparkSQL("SELECT 1 AS one FROM events"),
+            output_dimension_spec={"region": {"type": "STRING"}},  # never linked
+        )
+        issues = a.validate()
+        assert any("region" in i and "no link" in i for i in issues)
+
+
+class TestExecuteBatch:
+    def test_batch_executes_all(self, app):
+        paths = app.execute_batch(
+            [app["daily"]["2024-01-01"], app["daily"]["2024-01-02"]]
+        )
+        assert len(paths) == 2
+        for p in paths:
+            assert os.path.exists(p)
+
+    def test_batch_surfaces_failures(self, spark, tmp_path, events_day):
+        a = Application("batch_fail", str(tmp_path / "store3"), spark)
+        events = a.marshal_external_data(ParquetDataset(events_day + "/{}", day_dim()), id="events")
+
+        def boom(ctx):
+            raise RuntimeError("slot exploded")
+
+        a.create_data(id="bad", inputs=[events], compute_targets=InlinedCompute(boom))
+        with pytest.raises(RuntimeError, match="execute_batch failures"):
+            a.execute_batch([a["bad"]["2024-01-01"]])
+
+
+class TestActiveRoutes:
+    def test_route_introspection(self, app):
+        assert app.get_active_routes() == []  # not activated yet
+        app.activate()
+        routes = app.get_active_routes()
+        assert [r["node_id"] for r in routes] == ["daily"]
+        assert routes[0]["pending_nodes"] == 0 and routes[0]["active_records"] == 0
