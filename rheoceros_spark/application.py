@@ -439,12 +439,15 @@ class Application:
                             f"{node_id}: output link {link.output_dim!r} references "
                             f"unknown dimension {alias}.{dim}"
                         )
-            for dim in node.output_signal.dimension_names():
-                if dim not in linked:
-                    issues.append(
-                        f"{node_id}: output dimension {dim!r} has no link or literal — "
-                        "execute()/process() cannot materialize it"
-                    )
+            # no-input (ground-tethered) nodes take output dims from the
+            # material view at execute()/ground() time — nothing to link
+            if node.link_node.signals:
+                for dim in node.output_signal.dimension_names():
+                    if dim not in linked:
+                        issues.append(
+                            f"{node_id}: output dimension {dim!r} has no link or literal — "
+                            "execute()/process() cannot materialize it"
+                        )
             non_ref = [s for s in node.link_node.signals if not getattr(s, "reference", False)]
             if node.link_node.signals and not non_ref:
                 issues.append(
@@ -481,6 +484,24 @@ class Application:
             raise RuntimeError("execute_batch failures: " + "; ".join(errors))
         return paths
 
+    def ground(self, view: Signal, is_async: bool = True) -> list[str]:
+        """Feed the ground signal for a dangling (no-input) node
+        (reference application.py:1844-1876): satisfies the node's own
+        trigger condition and launches its compute with the output
+        dimensions taken from the material ``view`` — unlike
+        ``process(view)``, which injects the view to satisfy nodes
+        that *depend* on it.  NOOP (returns ``[]``) when the node has
+        input dependencies, per the reference contract; ``is_async``
+        mirrors the reference's fire-and-forget default (use
+        ``poll(view)`` to await)."""
+        self._check_not_deleted()
+        node = self._nodes.get(view.alias)
+        if node is None or node.link_node.signals:
+            return []
+        if is_async:
+            return [self.execute(view, wait=False)]
+        return [self.execute(view, wait=True)]
+
     def get_active_routes(self) -> list[dict[str, Any]]:
         """Routing-table introspection (reference
         application.py:1995-2050): one row per route with pending-node
@@ -496,6 +517,21 @@ class Application:
             }
             for node_id, route in self._routing.routes.items()
         ]
+
+    def get_route_metrics(self, route: Union[str, Signal, None] = None) -> dict[str, dict[str, int]]:
+        """Per-route runtime counters — events offered, trigger
+        materializations, completed and failed executions (reference
+        application.py:429-531 surfaces the same series from the
+        platform's metric store; in-process they are plain counts).
+        Pass a node id / output signal to select one route."""
+        if self._routing is None:
+            return {}
+        key = route.alias if isinstance(route, Signal) else route
+        return {
+            node_id: dict(r.metrics)
+            for node_id, r in self._routing.routes.items()
+            if key is None or node_id == key
+        }
 
     def __getitem__(self, node_id: str) -> Signal:
         if node_id in self._nodes:

@@ -165,6 +165,12 @@ class Route:
         self.node = node  # InternalDataNode
         self.pending_nodes: list[RuntimeLinkNode] = []
         self.ttl = pending_node_ttl_in_secs
+        #: runtime counters (reference get_route_metrics surfaces the
+        #: same event/trigger/failure series from CW,
+        #: application.py:429-531); in-process they are plain counts
+        self.metrics: dict[str, int] = {
+            "events": 0, "triggers": 0, "completions": 0, "failures": 0
+        }
 
     def accepts(self, alias: str, resource_id: Optional[str] = None) -> Optional[Signal]:
         for sig in self.node.link_node.signals:
@@ -275,6 +281,8 @@ class RoutingTable:
 
         outputs: list[str] = []
         for route in self.routes.values():
+            if route.accepts(signal.alias, signal.resource_id) is not None:
+                route.metrics["events"] += 1
             for ready_node in route.receive(
                 self.app.spark, signal.alias, tip, path,
                 resource_id=signal.resource_id, is_blocked=is_blocked,
@@ -283,12 +291,18 @@ class RoutingTable:
                 derived = self._materialize_output(route, ready_node)
                 if derived is None:
                     continue
+                route.metrics["triggers"] += 1
                 # projection fan-out: list literals → one execution per value
                 # (exec lifecycle hooks — on_exec_begin/on_compute_success/
                 # checkpoints/on_success — fire inside _run_node, shared
                 # with the execute() path)
                 for out_values in expand_literal_lists(derived):
-                    out_path = self.app._run_node(route.node, out_values, recursive=False)
+                    try:
+                        out_path = self.app._run_node(route.node, out_values, recursive=False)
+                    except Exception:
+                        route.metrics["failures"] += 1
+                        raise
+                    route.metrics["completions"] += 1
                     outputs.append(out_path)
                     if recursive_downstream:
                         # the output's own signal feeds downstream routes

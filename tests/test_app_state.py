@@ -174,3 +174,49 @@ class TestActiveRoutes:
         routes = app.get_active_routes()
         assert [r["node_id"] for r in routes] == ["daily"]
         assert routes[0]["pending_nodes"] == 0 and routes[0]["active_records"] == 0
+
+
+class TestGround:
+    def test_ground_executes_dangling_node(self, spark, tmp_path):
+        a = Application("ground_app", str(tmp_path / "gstore"), spark)
+        a.create_data(
+            id="standalone",
+            inputs=[],
+            compute_targets=SparkSQL("SELECT 1 AS one"),
+            output_dimension_spec={"day": {"type": "DATETIME", "format": "%Y-%m-%d"}},
+        )
+        assert a.validate() == []  # no-input node needs no output links
+        out = a.ground(a["standalone"]["2024-01-01"])
+        assert len(out) == 1
+        path, _ = a.poll(a["standalone"]["2024-01-01"], wait=True)
+        assert path is not None and os.path.exists(path)
+
+    def test_ground_noop_on_dependent_node(self, app):
+        # 'daily' has an input dependency → ground is a NOOP per the
+        # reference contract
+        assert app.ground(app["daily"]["2024-01-01"]) == []
+
+
+class TestRouteMetrics:
+    def test_counters_track_events_and_completions(self, app):
+        app.activate()
+        assert app.get_route_metrics("daily") == {
+            "daily": {"events": 0, "triggers": 0, "completions": 0, "failures": 0}
+        }
+        app.process(app["events"]["2024-01-01"])
+        m = app.get_route_metrics()["daily"]
+        assert m["events"] == 1 and m["triggers"] == 1
+        assert m["completions"] == 1 and m["failures"] == 0
+
+    def test_failure_counted(self, spark, tmp_path, events_day):
+        a = Application("metrics_fail", str(tmp_path / "mstore"), spark)
+        events = a.marshal_external_data(ParquetDataset(events_day + "/{}", day_dim()), id="events")
+
+        def boom(ctx):
+            raise RuntimeError("nope")
+
+        a.create_data(id="bad", inputs=[events], compute_targets=InlinedCompute(boom))
+        with pytest.raises(Exception):
+            a.process(a["events"]["2024-01-01"])
+        m = a.get_route_metrics("bad")["bad"]
+        assert m["failures"] == 1 and m["completions"] == 0
