@@ -817,6 +817,50 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# deterministic sketches (operators/sketches.py): approximation
+# algorithms whose synopses are pure functions of the data, so an
+# independent engine matches bit-for-bit (unlike HLL/percentile_approx)
+# ===========================================================================
+
+@q("sketch_kmv_distinct", oracle=None)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count estimate of events.user_id: k smallest
+    distinct h64 hashes, bounded per-partition state (mapInPandas),
+    ≤ k×partitions-row merge — countDistinct cost without the
+    distinct-value exchange."""
+    from rheoceros_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(load_table(spark, sf_dir, "events"), "user_id", k=64)
+
+
+@q("sketch_histogram_quantiles", oracle=None)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid quantiles (p50/p90/p99 of events.value at 0.5 width): one
+    map-side-combined bucket count, histogram-sized cumulative pass —
+    deterministic where percentile_approx is merge-order-dependent."""
+    from rheoceros_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        load_table(spark, sf_dir, "events"), "value", quantiles=(0.5, 0.9, 0.99), bin_width=0.5
+    )
+
+
+def _sketch_oracles() -> None:
+    from rheoceros_spark.operators.sketches import (
+        histogram_quantiles_sql,
+        kmv_distinct_sql,
+    )
+
+    _ORACLES["sketch_kmv_distinct"] = kmv_distinct_sql("events", "user_id", k=64)
+    _ORACLES["sketch_histogram_quantiles"] = histogram_quantiles_sql(
+        "events", "value", quantiles=(0.5, 0.9, 0.99), bin_width=0.5
+    )
+
+
+_sketch_oracles()
+
+
+# ===========================================================================
 # data layout: Z-order clustering key (operators/layout.py)
 # ===========================================================================
 
@@ -2177,6 +2221,10 @@ _TAIL = [
     # demoted for layout_zorder_key: §2.7 stays represented by
     # set_intersect (same Except/Intersect plan family)
     "set_except",
+    # demoted for the sketch ops: broadcast join+agg → q3/q18/q10;
+    # cube → agg_rollup + grouping_sets_revenue (same Expand family)
+    "broadcast_join_enrich",
+    "agg_cube",
 ]
 
 

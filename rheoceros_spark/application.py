@@ -484,6 +484,58 @@ class Application:
             raise RuntimeError("execute_batch failures: " + "; ".join(errors))
         return paths
 
+    def save_dev_state(self) -> str:
+        """Persist the dev context — external signals + node definitions
+        — to the app's storage (reference application.py:168-180 pickles
+        the dev context the same way via core/serialization.py).  Slots
+        holding module-level functions / SQL strings round-trip; slots
+        built on lambdas or closures raise here, exactly as the
+        reference's pickle-based serializer would."""
+        import pickle
+
+        self._check_not_deleted()
+        path = os.path.join(self.storage_root, "dev_state.pkl")
+        os.makedirs(self.storage_root, exist_ok=True)
+        state = {"external": self._external, "node_args": self._node_args}
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+        return path
+
+    def load_dev_state(self) -> bool:
+        """Restore a previously saved dev context (reference
+        application.py:173-180): rebuilds every node through
+        ``create_data`` so validation and link inference re-run.
+        Returns False when no saved state exists."""
+        import pickle
+
+        self._check_not_deleted()
+        path = os.path.join(self.storage_root, "dev_state.pkl")
+        if not os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self._external = dict(state["external"])
+        self._nodes.clear()
+        self._node_args.clear()
+        self._routing = None
+        for node_id, args in state["node_args"].items():
+            kwargs = dict(args)
+            hooks = kwargs.pop("hooks", {}) or {}
+            self.create_data(node_id, **kwargs, **hooks)
+        return True
+
+    @classmethod
+    def attach(
+        cls, id: str, storage_root: Optional[str] = None, spark: Optional[SparkSession] = None
+    ) -> "Application":
+        """Reconstruct an application from its persisted dev state
+        (reference application.py:164-167 — 'attach' to an existing
+        app): a new object with the same id/storage picks up where
+        ``save_dev_state`` left off."""
+        app = cls(id, storage_root=storage_root, spark=spark)
+        app.load_dev_state()
+        return app
+
     def ground(self, view: Signal, is_async: bool = True) -> list[str]:
         """Feed the ground signal for a dangling (no-input) node
         (reference application.py:1844-1876): satisfies the node's own

@@ -1,0 +1,149 @@
+"""One-pass sketch operators with deterministic, oracle-checkable
+results: KMV (k-minimum-values) distinct-count estimation and
+fixed-grid histogram quantiles.
+
+Spark's built-ins (``approx_count_distinct`` = HLL++,
+``percentile_approx`` = KLL-ish) are engine-specific: no independent
+system reproduces their exact outputs, so they cannot be verified
+against a SQL oracle.  These two sketches compute the SAME estimate
+on any engine — the KMV synopsis is "the k smallest distinct values
+of a deterministic hash" (Bar-Yossef et al. 2002, the classic
+distinct-elements sketch) and the histogram is a fixed bucket grid —
+so a DuckDB twin matches bit-for-bit while the cost profile stays
+sketch-like:
+
+* ``kmv_distinct`` — per-partition bounded state (k hashes) via an
+  Arrow ``mapInPandas`` partial, then a ≤ k×partitions-row merge.
+  Nothing proportional to the data volume ever shuffles, unlike
+  ``countDistinct`` whose exchange carries every distinct value.
+* ``histogram_quantiles`` — one map-side-combined groupBy over
+  ``value/width`` buckets (the exchange carries one row per occupied
+  bucket, bounded by the grid, not by rows), then a driver-sized
+  cumulative pass.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rheoceros_spark.functions.portable import h64, h64_sql
+
+__all__ = ["kmv_distinct", "kmv_distinct_sql", "histogram_quantiles", "histogram_quantiles_sql"]
+
+#: h64 hashes are 60-bit non-negative (md5 hex prefix), so the KMV
+#: domain size is 2^60 — exactly representable as a double.
+_DOMAIN = float(2**60)
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """Estimate ``count(distinct col)`` from the ``k`` smallest
+    distinct hash values: estimate = (k-1) * 2^60 / kth_smallest
+    (exact count when fewer than ``k`` distinct hashes exist).
+
+    Returns one row: ``distinct_estimate`` (bigint), ``k_used``,
+    ``kth_hash`` — all pure functions of the data, so an independent
+    engine computing the same synopsis matches exactly."""
+    hashes = df.select(h64(F.col(col).cast("string")).alias("h"))
+
+    def partial(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            u = pdf["h"].drop_duplicates()
+            best = u if best is None else pd.concat([best, u]).drop_duplicates()
+            best = best.nsmallest(k)
+        if best is not None and len(best):
+            yield best.to_frame()
+
+    # bounded per-partition state; cross-partition duplicates removed
+    # before the global top-k (distinct input is <= k rows/partition)
+    partials = hashes.mapInPandas(partial, "h long")
+    topk = partials.distinct().orderBy("h").limit(k)
+    agg = topk.agg(F.count("*").alias("n"), F.max("h").alias("kth"))
+    estimate = F.when(
+        F.col("n") < k, F.col("n").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_DOMAIN) / F.col("kth").cast("double"))
+    )
+    return agg.select(
+        estimate.cast("bigint").alias("distinct_estimate"),
+        F.col("n").cast("bigint").alias("k_used"),
+        F.col("kth").alias("kth_hash"),
+    )
+
+
+def kmv_distinct_sql(table: str, expr: str, k: int = 256) -> str:
+    """DuckDB twin of :func:`kmv_distinct` (same synopsis, same
+    arithmetic, same rounding)."""
+    h = h64_sql(f"CAST({expr} AS VARCHAR)")
+    dom = f"{2**60}.0"
+    return f"""
+    WITH hs AS (SELECT DISTINCT {h} AS h FROM {table}),
+    tk AS (SELECT h FROM hs ORDER BY h LIMIT {k}),
+    a AS (SELECT count(*) AS n, max(h) AS kth FROM tk)
+    SELECT CAST(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                ELSE round({k - 1}.0 * {dom} / CAST(kth AS DOUBLE)) END AS BIGINT)
+             AS distinct_estimate,
+           CAST(n AS BIGINT) AS k_used, kth AS kth_hash
+    FROM a
+    """
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Grid quantiles: bucket ``floor(col/width)`` counts, cumulative
+    sum, then for each q the lower edge of the first bucket whose
+    cumulative count reaches ``q * n``.  Error is bounded by
+    ``bin_width`` by construction; result is a pure function of the
+    grid, independent of partitioning or merge order (what
+    ``percentile_approx`` cannot promise).
+
+    Returns (``q`` double, ``value`` double) per requested quantile.
+    The single-partition cumulative window runs over one row per
+    OCCUPIED bucket — histogram-sized, not data-sized."""
+    bucket = F.floor(F.col(col) / F.lit(float(bin_width))).cast("bigint")
+    hist = df.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in quantiles], "q double")
+    return (
+        qdf.join(cum, F.col("cum").cast("double") >= F.col("q") * F.col("n").cast("double"))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("b"))
+        .select("q", (F.col("b").cast("double") * F.lit(float(bin_width))).alias("value"))
+    )
+
+
+def histogram_quantiles_sql(
+    table: str,
+    expr: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    bin_width: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles`."""
+    qs = ", ".join(f"({float(q)})" for q in quantiles)
+    return f"""
+    WITH hist AS (
+      SELECT CAST(floor({expr} / {float(bin_width)}) AS BIGINT) AS bucket,
+             count(*) AS cnt
+      FROM {table} GROUP BY 1
+    ), cum AS (
+      SELECT bucket,
+             SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM hist
+    ), qs(q) AS (VALUES {qs})
+    SELECT q, CAST(min(bucket) AS DOUBLE) * {float(bin_width)} AS value
+    FROM qs JOIN cum ON CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+    GROUP BY q
+    """

@@ -220,3 +220,36 @@ class TestRouteMetrics:
             a.process(a["events"]["2024-01-01"])
         m = a.get_route_metrics("bad")["bad"]
         assert m["failures"] == 1 and m["completions"] == 0
+
+
+class TestDevStatePersistence:
+    def test_save_load_roundtrip(self, spark, tmp_path, events_day):
+        store = str(tmp_path / "pstore")
+        a = Application("persist_app", store, spark)
+        events = a.marshal_external_data(ParquetDataset(events_day + "/{}", day_dim()), id="events")
+        a.create_data(
+            id="daily",
+            inputs=[events],
+            compute_targets=SparkSQL("SELECT count(*) AS n FROM events"),
+        )
+        a.save_dev_state()
+
+        b = Application.attach("persist_app", store, spark)
+        assert b.list_data() and "daily" in b.list_data()
+        out = b.process(b["events"]["2024-01-01"])
+        assert len(out) == 1
+        assert b.load_data(b["daily"]["2024-01-01"]).collect()[0]["n"] > 0
+
+    def test_attach_without_state_is_empty(self, spark, tmp_path):
+        b = Application.attach("fresh_app", str(tmp_path / "empty"), spark)
+        assert b.load_dev_state() is False
+        assert b._nodes == {}
+
+    def test_lambda_slot_raises_on_save(self, spark, tmp_path, events_day):
+        a = Application("lambda_app", str(tmp_path / "lstore"), spark)
+        events = a.marshal_external_data(ParquetDataset(events_day + "/{}", day_dim()), id="events")
+        a.create_data(
+            id="n", inputs=[events], compute_targets=InlinedCompute(lambda ctx: None)
+        )
+        with pytest.raises(Exception):
+            a.save_dev_state()
