@@ -229,9 +229,11 @@ def dup_clusters(
     re-run candidate generation.  Per iteration after that: one join +
     one partial-agg shuffle on the node id, with ``localCheckpoint`` on
     the labels so plan depth stays O(1) instead of O(iterations).
-    Convergence detected via sum(label), which strictly decreases until
-    fixpoint (labels only shrink) — one scalar agg per round, no
-    old-vs-new join.  Rounds needed = cluster diameter; near-dup
+    Convergence detected via sum(xxhash64(label)) equality between
+    rounds — one scalar agg per round, no old-vs-new join, and
+    **type-agnostic** (string doc ids sum to NULL under a plain
+    ``sum(label)``, which would mask the fixpoint forever); decimal
+    accumulator so the 64-bit hash sum cannot overflow.  Rounds needed = cluster diameter; near-dup
     clusters are shallow (docs chain through shared near-copies), so
     this converges in a handful of rounds at any corpus size.  For
     adversarially long chains, switch to the large-star/small-star
@@ -271,7 +273,9 @@ def dup_clusters(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = labels.agg(
+            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if prev_sum is not None and cur_sum == prev_sum:
             converged = True
             break

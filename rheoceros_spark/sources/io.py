@@ -47,7 +47,9 @@ METADATA_FILE = "_METADATA.json"
 #: sample path → frozenset of TIMESTAMP(NANOS) column names.  The probe
 #: is a driver-side O(1) footer read, but uncached it repeats on every
 #: ``load_table`` call in a query loop — memoize per path.
-_NS_SCHEMA_CACHE: dict[str, frozenset] = {}
+#: (probe_file, mtime_ns, size) → ns-timestamp column set; the file
+#: identity in the key makes overwrites self-invalidating
+_NS_SCHEMA_CACHE: dict[tuple, frozenset] = {}
 
 
 def ensure_read_confs(spark: SparkSession) -> None:
@@ -182,18 +184,25 @@ def normalize_ns_timestamps(df: DataFrame, sample_path: str) -> DataFrame:
     the driver — O(1) regardless of data size."""
     from pyspark.sql import functions as F
 
-    ns_cols = _NS_SCHEMA_CACHE.get(sample_path)
-    if ns_cols is None:
+    try:
         probe_path = sample_path
+        if os.path.isdir(probe_path):
+            files = [f for f in os.listdir(probe_path) if f.endswith(".parquet")]
+            if not files:
+                return df
+            probe_path = os.path.join(probe_path, files[0])
+        st = os.stat(probe_path)
+        # keyed on (file, mtime, size): an in-process REPLACE overwrite
+        # at the same path (node re-execution with a changed schema)
+        # produces a new file identity, so the stale entry never matches
+        cache_key = (probe_path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return df
+    ns_cols = _NS_SCHEMA_CACHE.get(cache_key)
+    if ns_cols is None:
         try:
             import pyarrow.parquet as pq
 
-            if os.path.isdir(probe_path):
-                files = [f for f in os.listdir(probe_path) if f.endswith(".parquet")]
-                if not files:
-                    _NS_SCHEMA_CACHE[sample_path] = frozenset()
-                    return df
-                probe_path = os.path.join(probe_path, files[0])
             arrow_schema = pq.read_schema(probe_path)
         except Exception:
             return df
@@ -202,7 +211,7 @@ def normalize_ns_timestamps(df: DataFrame, sample_path: str) -> DataFrame:
             for name, typ in zip(arrow_schema.names, arrow_schema.types)
             if str(typ) == "timestamp[ns]"
         )
-        _NS_SCHEMA_CACHE[sample_path] = ns_cols
+        _NS_SCHEMA_CACHE[cache_key] = ns_cols
     for c in ns_cols:
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
             # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed a

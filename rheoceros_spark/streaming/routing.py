@@ -138,6 +138,7 @@ class RuntimeLinkNode:
                 return False
             paths = sig.source.materialize_paths(m.filter)
             sig_ok = True
+            any_ok = False
             for p in paths:
                 if completed_cache is not None and p in completed_cache:
                     ready = True
@@ -145,14 +146,17 @@ class RuntimeLinkNode:
                     ready = partition_ready(spark, sig.source, p)
                     if ready and completed_cache is not None:
                         completed_cache.add(p)
+                any_ok = any_ok or ready
                 if needs_all and not ready:
                     sig_ok = False
                     break  # fail-fast: rest of the range can't fix this
-                if needs_one and ready:
-                    break  # nearest: one hit is enough
-            else:
-                if needs_one:
-                    sig_ok = False  # nearest: nothing in range exists
+                if needs_one and not needs_all and ready:
+                    # nearest: one hit is enough — but when BOTH flags
+                    # are set the whole range must still be verified, so
+                    # the early exit only applies to pure nearest mode
+                    break
+            if needs_one and not any_ok:
+                sig_ok = False  # nearest: nothing in range exists
             if not sig_ok:
                 return False
         return True

@@ -23,6 +23,7 @@ optimization as batch.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Iterable, Optional, Sequence
 
 import pandas as pd
@@ -130,7 +131,6 @@ def sessionize(
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     watermark: str = "1 hour",
-    timeout_ms: Optional[int] = None,
 ) -> DataFrame:
     """Custom stateful operator: session windows by inactivity gap via
     ``applyInPandasWithState`` (the (b)-tier of SURVEY §7's custom-
@@ -140,22 +140,29 @@ def sessionize(
     Emits one row per closed session: (key, session_start,
     session_end, n_events).  A session closes when the next event for
     the key is more than ``gap_seconds`` later (event time, including
-    gaps *inside* one microbatch), or when the processing-time timeout
-    (``timeout_ms``, default ``gap_seconds·1000``) fires with state
-    still open.  State is one (start, end, count) triple per key —
-    O(active keys), executor-distributed."""
+    gaps *inside* one microbatch), or when the **event-time** timeout
+    fires — the timeout is anchored to ``session_end + gap`` against
+    the watermark, so a historical stream replayed at any speed (1
+    micro-batch or 50) closes sessions at identical event-time
+    boundaries; wall-clock never enters the semantics.  State is one
+    (start, end, count) triple per key — O(active keys),
+    executor-distributed.
+
+    All timestamp arithmetic is integer microseconds (epoch-ns are
+    > 2⁵³, so float division silently loses precision — same bug
+    class as the ns→µs normalization in ``sources/io.py``)."""
     out_schema = (
         f"{key_col} bigint, session_start timestamp, session_end timestamp, n_events bigint"
     )
-    state_schema = "start double, end double, n bigint"
-    t_ms = timeout_ms if timeout_ms is not None else gap_seconds * 1000
+    state_schema = "start bigint, end bigint, n bigint"
+    gap_us = int(gap_seconds) * 1_000_000
 
     def emit(key, sessions):
         return pd.DataFrame(
             {
                 key_col: [key[0]] * len(sessions),
-                "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in sessions],
-                "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in sessions],
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
                 "n_events": [c for _, _, c in sessions],
             }
         )
@@ -168,9 +175,10 @@ def sessionize(
             state.remove()
             yield emit(key, [(start, end, n)])
             return
-        stamps: list[float] = []
+        stamps: list[int] = []
         for pdf in pdfs:
-            stamps.extend((pdf[ts_col].astype("int64") / 1e9).tolist())
+            # pandas datetime64[ns] → integer µs (exact; // not /)
+            stamps.extend((pdf[ts_col].astype("int64") // 1000).tolist())
         if not stamps:
             return
         stamps.sort()
@@ -179,13 +187,17 @@ def sessionize(
         for t in stamps:
             if open_session is None:
                 open_session = (t, t, 1)
-            elif t - open_session[1] > gap_seconds:
+            elif t - open_session[1] > gap_us:
                 closed.append(open_session)
                 open_session = (t, t, 1)
             else:
                 open_session = (open_session[0], max(open_session[1], t), open_session[2] + 1)
         state.update(open_session)
-        state.setTimeoutDuration(t_ms)
+        # close when the watermark passes session_end + gap (event
+        # time); Spark requires the timeout timestamp be beyond the
+        # current watermark, so clamp for sessions already expired.
+        timeout_ms_abs = (open_session[1] + gap_us) // 1000
+        state.setTimeoutTimestamp(max(timeout_ms_abs, state.getCurrentWatermarkMs() + 1))
         if closed:
             yield emit(key, closed)
 
@@ -197,7 +209,7 @@ def sessionize(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -225,9 +237,11 @@ def stream_dedup_against_index(
     rescanned; the index grows by one append per batch.  Exactly-once
     is inherited from foreachBatch checkpointing **as long as**
     ``accept`` is idempotent (e.g. partition overwrite keyed on
-    batch_id); a replayed batch re-probes the index, and docs it
-    already appended self-match at jaccard 1.0, so replays converge
-    instead of duplicating.
+    batch_id); the index append itself is made idempotent with a
+    per-batch marker under ``<index_path>/_batches/`` (underscore
+    dirs are invisible to parquet readers, like ``_SUCCESS``): a
+    replayed batch re-probes and re-``accept``s, but skips the append,
+    so the index never accumulates duplicate rows.
 
     Uses ``foreachBatch`` because the probe is a batch join against a
     mutable external table — a shape Structured Streaming's stateful
@@ -242,18 +256,26 @@ def stream_dedup_against_index(
             batch_df, index, text_col=text_col, id_col=id_col,
             threshold=threshold, **mh_kwargs,
         )
-        # self-matches from a replayed batch: dup_of == new_id pairs
-        # are impossible across batch/index id spaces only if ids are
-        # globally unique; drop identity matches defensively
+        # A replayed batch whose append already landed would self-match
+        # at jaccard 1.0; dropping identity matches keeps `novel` (and
+        # hence what `accept` sees) identical between the original run
+        # and the replay.
         losers = dups.where(F.col("new_id") != F.col("dup_of")).select(
             F.col("new_id").alias(id_col)
         ).distinct()
         novel = batch_df.join(losers, on=id_col, how="left_anti")
         accept(novel, batch_id)
+        marker_dir = os.path.join(index_path, "_batches")
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):
+            return  # replay: this batch's rows are already in the index
         if novel.limit(1).count() > 0:
-            build_minhash_index(novel, **mh_kwargs).write.mode("append").partitionBy(
-                "band"
-            ).parquet(index_path)
+            build_minhash_index(
+                novel, text_col=text_col, id_col=id_col, **mh_kwargs
+            ).write.mode("append").partitionBy("band").parquet(index_path)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
 
     writer = sdf.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

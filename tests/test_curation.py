@@ -117,6 +117,23 @@ def test_dup_clusters_long_chain_converges(spark):
     assert set(got.values()) == {0} and len(got) == 16
 
 
+def test_dup_clusters_string_ids_converge(spark):
+    """String doc ids: the fixpoint check must be type-agnostic —
+    a numeric sum(label) is NULL for strings, which would mask
+    convergence and burn max_iter rounds + a spurious warning."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [("docA", "docB"), ("docB", "docC"), ("docX", "docY")],
+        "a string, b string",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # spurious warn → fail
+        got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iter=10).collect()}
+    assert got == {"docA": "docA", "docB": "docA", "docC": "docA",
+                   "docX": "docX", "docY": "docX"}
+
+
 def test_incremental_index_roundtrip(spark, tmp_path):
     from rheoceros_spark.operators import build_minhash_index, dedup_against_index
 

@@ -113,12 +113,17 @@ def test_stream_sink_idempotent_replay(spark, events_stream_root, tmp_path):
 
 
 def test_sessionize_stateful(spark, tmp_path):
-    """Two bursts 2h apart with a 30-min gap → two sessions for user 1."""
+    """Two bursts 2h apart with a 30-min gap → two sessions for user 1.
+
+    Event-time semantics: session 2 closes when the WATERMARK (driven
+    by user 3's later event) passes session_end + gap — never
+    wall-clock."""
     rows = [
         (1, "2024-01-01 00:00:00"),
         (1, "2024-01-01 00:10:00"),
         (1, "2024-01-01 02:00:00"),
         (2, "2024-01-01 00:05:00"),
+        (3, "2024-01-01 06:00:00"),  # advances watermark to 05:50
     ]
     src_dir = tmp_path / "src"
     src_dir.mkdir()
@@ -131,7 +136,7 @@ def test_sessionize_stateful(spark, tmp_path):
         spark.readStream.schema("user_id bigint, ts timestamp")
         .parquet(str(src_dir / "*"))
     )
-    sessions = sessionize(sdf, gap_seconds=1800, watermark="10 minutes", timeout_ms=5000)
+    sessions = sessionize(sdf, gap_seconds=1800, watermark="10 minutes")
     out = []
 
     q = (
@@ -144,7 +149,8 @@ def test_sessionize_stateful(spark, tmp_path):
         import time
 
         deadline = time.time() + 90
-        # in-data gap close emits session 1; timeout close emits session 2
+        # in-data gap close emits session 1; watermark-timeout close
+        # emits user 1's second session and user 2's lone session
         while time.time() < deadline and len(out) < 3:
             time.sleep(2)
     finally:
@@ -158,9 +164,55 @@ def test_sessionize_stateful(spark, tmp_path):
     # first burst closed by the in-data gap: 2 events, 00:00-00:10
     assert u1[0][2] == 2
     assert u1[0][0].minute == 0 and u1[0][1].minute == 10
-    # timeout-closed: single event at 02:00, and user 2's lone event
+    # watermark-closed: single event at 02:00, and user 2's lone event
     assert len(u1) == 2 and u1[1][2] == 1
     assert by_user[2][0][2] == 1
+    # user 3's session end+gap (06:30) is past the final watermark
+    # (05:50) → still open, correctly NOT emitted
+    assert 3 not in by_user
+
+
+def test_sessionize_replay_reproducible(spark, tmp_path):
+    """The same input replayed in 1 vs 3 micro-batches emits identical
+    session rows — event-time timeouts make boundaries a function of
+    the data, not of micro-batch pacing (reference semantics: replays
+    of historical streams are deterministic)."""
+    batches = [
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"), (2, "2024-01-01 00:02:00")],
+        [(1, "2024-01-01 02:00:00"), (2, "2024-01-01 02:01:00"), (2, "2024-01-01 02:20:00")],
+        [(1, "2024-01-01 09:00:00")],  # drives watermark past every earlier timeout
+    ]
+    import time
+
+    def run(tag, max_files):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "user_id bigint, ts_s string").select(
+                "user_id", F.to_timestamp("ts_s").alias("ts")
+            )
+            df.coalesce(1).write.parquet(str(src / f"b{i}"))
+            time.sleep(1.1)  # distinct mtimes → deterministic file order
+        reader = spark.readStream.schema("user_id bigint, ts timestamp")
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        sdf = reader.parquet(str(src / "*"))
+        out = []
+        q = (
+            sessionize(sdf, gap_seconds=1800, watermark="10 minutes")
+            .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted((r.user_id, r.session_start, r.session_end, r.n_events) for r in out)
+
+    fast = run("one_batch", None)     # whole history in 1 micro-batch
+    slow = run("per_file", 1)         # replayed file-by-file
+    assert fast == slow, f"\nfast={fast}\nslow={slow}"
+    # sanity: the closed sessions are the expected four
+    assert len(fast) == 4
 
 
 def test_stream_dedup_against_growing_index(spark, tmp_path):
