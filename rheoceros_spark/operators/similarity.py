@@ -127,6 +127,7 @@ def ivf_assign(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (``cell``).  The
     centroid table is tiny → broadcast; the argmax is
@@ -137,7 +138,8 @@ def ivf_assign(
     100 TB, repartition the output by ``cell`` and persist: probes then
     scan only matching cells (partition pruning on the inverted
     file)."""
-    cents = ivf_centroids(df, n_centroids, vec_col, id_col)
+    if cents is None:
+        cents = ivf_centroids(df, n_centroids, vec_col, id_col)
     scored = df.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
@@ -150,6 +152,115 @@ def ivf_assign(
         F.max_by(
             F.col("cid"), F.struct(F.col("__sim"), (-F.col("cid")).alias("__neg"))
         ).alias("cell"),
+    )
+
+
+def ivf_write(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build and persist the IVF index under ``path`` — the scale path
+    the :func:`ivf_assign` docstring promises:
+
+    * ``path/cells`` — ``(id, vec, cell)`` parquet, hive-partitioned by
+      ``cell`` (and ``repartition("cell")``-ed first so each cell is a
+      contiguous file set, not one shard per upstream task).  A probe
+      then reads ONLY its ``n_probe`` cell directories — at 100 TB the
+      corpus is scanned once at build time and never again.
+    * ``path/centroids`` — the tiny codebook plus literal build params
+      (``n_centroids``/``vec_col``/``id_col``) so a probe with
+      mismatched expectations fails loudly (same contract as the
+      MinHash incremental index in dedup.py).
+    """
+    cents = ivf_centroids(df, n_centroids, vec_col, id_col)
+    assigned = ivf_assign(df, n_centroids, vec_col, id_col, cents=cents)
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/cells")
+    )
+    (
+        cents.select(
+            "cid",
+            "cv",
+            F.lit(n_centroids).alias("n_centroids"),
+            F.lit(vec_col).alias("vec_col"),
+            F.lit(id_col).alias("id_col"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/centroids")
+    )
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_id=None,
+) -> DataFrame:
+    """Top-k probe against a persisted :func:`ivf_write` index, reading
+    ONLY the probed cells.
+
+    Probe selection is a driver-side rank over the codebook (a handful
+    of rows — the cosine fold replicates :func:`~rheoceros_spark.functions.portable.dot`'s
+    left-to-right double accumulation exactly, so probe choice matches
+    the in-plan :func:`ivf_topk` bit-for-bit).  The probed cells are
+    then read as explicit ``cell=<cid>`` directories (``basePath`` keeps
+    the partition column), so the scan provably touches only
+    ``n_probe/n_centroids`` of the index files — ``inputFiles()`` is
+    asserted in tests.  Exact cosine rerank inside, same
+    (sim desc, id asc) total order as every other top-k here.
+    """
+    import math
+    import os
+
+    cents = spark.read.parquet(path + "/centroids").collect()
+    if not cents:
+        raise ValueError(f"empty IVF centroid codebook at {path}/centroids")
+    vec_col = cents[0]["vec_col"]
+    id_col = cents[0]["id_col"]
+
+    qv = [float(x) for x in query_vec]
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    qnorm = math.sqrt(_dot(qv, qv))
+
+    def _cos(c):
+        return _dot(c, qv) / (math.sqrt(_dot(c, c)) * qnorm)
+
+    ranked = sorted(((-_cos(list(r["cv"])), r["cid"]) for r in cents))
+    probes = [cid for _, cid in ranked[:n_probe]]
+
+    cell_dirs = [f"{path}/cells/cell={cid}" for cid in probes]
+    # a centroid whose vector duplicates a lower-cid centroid assigns to
+    # the lower cell, leaving its own directory absent — skip those
+    existing = [d for d in cell_dirs if os.path.isdir(d.removeprefix("file:"))]
+    if not existing:
+        raise ValueError(f"none of the probed cells {probes} exist under {path}/cells")
+    cells = spark.read.option("basePath", path + "/cells").parquet(*existing)
+    if exclude_id is not None:
+        cells = cells.where(F.col(id_col) != exclude_id)
+    scored = cells.select(F.col(id_col), cosine(F.col(vec_col), F.lit(qv)).alias("cos"))
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())).alias("rank"),
+            F.round("cos", 6).alias("cos_r"),
+        )
     )
 
 

@@ -193,6 +193,7 @@ class TestDriverContract:
             "dedup_simhash_pairs", "dedup_embedding_blocked",
             "dedup_incremental_index", "dedup_clusters",
             "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+            "ann_ivf_persisted",
             "curation_stratified_sample", "curation_pii_redact",
             "curation_vocab_top_tokens", "curation_contamination",
             "text_lang_id", "text_quality", "text_token_count",
