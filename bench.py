@@ -146,6 +146,7 @@ def main() -> None:
     # throughput — the quantity that extrapolates to cluster scale.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     # heaviest plans first: late in a long same-JVM run, accumulated
     # broadcast/code-cache state inflates the big dedup queries by 2-3x
     # (measured 2.0s early vs 6-7s late for identical plans); fronting
@@ -154,23 +155,33 @@ def main() -> None:
     all_q.update({name: queries[name] for name in BENCH_CORE})
     for _ in range(max(1, iters)):
         for name, fn in all_q.items():
+            if name in errors:
+                continue  # failed once: don't burn iterations re-failing
             t0 = time.time()
-            run_once(fn(spark, sf_dir))
+            # per-query fault isolation: one broken query must not zero
+            # the whole round's artifact (round 3 lost all perf data to
+            # a single AnalysisException at query #41)
+            try:
+                run_once(fn(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+                continue
             elapsed = round(time.time() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -47,7 +47,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rheoceros_spark.functions.portable import (
@@ -189,6 +189,63 @@ def minhash_band_buckets(
     return bucketed
 
 
+def _capped_candidates(
+    buckets: DataFrame, id_col: str, max_bucket: int | None
+) -> DataFrame:
+    """Distinct (a, b) candidate pairs (a < b) from band-bucket
+    collisions, with the quadratic blow-up of oversized buckets capped.
+
+    A boilerplate mega-bucket (N near-identical docs sharing a band
+    signature) yields N² pre-verify candidates — at 100 TB that is the
+    job-killer AQE skew-join does NOT fix (it splits partitions; it
+    cannot shrink the pair count).  Buckets with ≤ ``max_bucket`` docs
+    keep exact all-pairs; larger buckets switch to **star pairing** —
+    every doc pairs with the bucket's smallest id — which bounds
+    candidates at N-1 per bucket while preserving the dedup contract
+    (every non-minimal doc still meets a smaller-id candidate; min-id
+    survivor unchanged).  The recall trade: within an oversized bucket,
+    a pair of docs that are near-dups of each other but NOT of the
+    anchor is missed — only possible when a mega-bucket is a signature
+    collision of dissimilar docs, which the band construction makes
+    vanishingly rare.  Bucket sizing is one extra window over the SAME
+    (band, bucket) shuffle the join needs — no additional exchange.
+    """
+    if max_bucket is None:
+        a, b = buckets.alias("a"), buckets.alias("b")
+        return (
+            a.join(b, on=["band", "bucket"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+            .distinct()
+        )
+    w = Window.partitionBy("band", "bucket")
+    ranked = buckets.select(
+        "band",
+        "bucket",
+        F.col(id_col),
+        F.row_number().over(w.orderBy(F.col(id_col).asc())).alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("__cnt"),
+    )
+    small = ranked.where(F.col("__cnt") <= max_bucket)
+    sa, sb = small.alias("a"), small.alias("b")
+    cand_small = (
+        sa.join(sb, on=["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+    )
+    big = ranked.where(F.col("__cnt") > max_bucket)
+    anchors = big.where(F.col("__rn") == 1).select(
+        "band", "bucket", F.col(id_col).alias("a")
+    )
+    cand_big = (
+        big.where(F.col("__rn") > 1)
+        .select("band", "bucket", F.col(id_col).alias("b"))
+        .join(anchors, on=["band", "bucket"])
+        .select("a", "b")
+    )
+    return cand_small.unionByName(cand_big).distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -197,22 +254,20 @@ def minhash_lsh_pairs(
     bands: int = 4,
     ngram: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Candidate pairs from band-bucket collisions, verified with exact
-    n-gram Jaccard ≥ threshold.  Returns (a, b, jaccard), a < b."""
+    n-gram Jaccard ≥ threshold.  Returns (a, b, jaccard), a < b.
+
+    ``max_bucket`` caps oversized buckets via star pairing (see
+    :func:`_capped_candidates`) so boilerplate text cannot go quadratic
+    pre-verify; ``None`` disables the cap (exact all-collisions, for
+    oracle verification on small inputs)."""
     rows_per_band = num_hashes // bands
     docs = _minhash_docs(df, text_col, id_col, num_hashes, ngram)
     sh_df = docs.select(F.col(id_col), "sh")
     buckets = minhash_band_buckets(docs, id_col, bands, rows_per_band)
-
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
-        .distinct()
-    )
+    cand = _capped_candidates(buckets, id_col, max_bucket)
     left = sh_df.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     right = sh_df.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     return (

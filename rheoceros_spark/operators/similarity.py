@@ -219,7 +219,8 @@ def ivf_probe(
     (sim desc, id asc) total order as every other top-k here.
     """
     import math
-    import os
+
+    from rheoceros_spark.sources.io import _fs_exists
 
     cents = spark.read.parquet(path + "/centroids").collect()
     if not cents:
@@ -245,8 +246,10 @@ def ivf_probe(
 
     cell_dirs = [f"{path}/cells/cell={cid}" for cid in probes]
     # a centroid whose vector duplicates a lower-cid centroid assigns to
-    # the lower cell, leaving its own directory absent — skip those
-    existing = [d for d in cell_dirs if os.path.isdir(d.removeprefix("file:"))]
+    # the lower cell, leaving its own directory absent — skip those.
+    # Existence goes through the Hadoop FileSystem so the persisted
+    # index works on object stores (s3a://, hdfs://), not just local FS.
+    existing = [d for d in cell_dirs if _fs_exists(spark, d)]
     if not existing:
         raise ValueError(f"none of the probed cells {probes} exist under {path}/cells")
     cells = spark.read.option("basePath", path + "/cells").parquet(*existing)

@@ -35,6 +35,19 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join", "range_join", "sessionize"]
 
 
+def _epoch_seconds(col: Column) -> Column:
+    """Epoch seconds (fractional) for any timestamp-ish column.
+
+    Spark 4 reads tz-naive parquet timestamps as TIMESTAMP_NTZ, and
+    ``CAST(TIMESTAMP_NTZ AS DOUBLE)`` is an AnalysisException
+    (DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION).  NTZ -> LTZ is legal
+    and, with the session timezone pinned to UTC (session.py), value
+    preserving — so route every epoch conversion through an LTZ cast.
+    DOUBLE/LONG inputs pass through unchanged (cast is a no-op chain).
+    """
+    return col.cast("timestamp").cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -82,7 +95,7 @@ def asof_join(
     result = combined.where(F.col("__side") == 1).drop("__side")
     if tolerance_seconds is not None:
         stale = (
-            F.col(on).cast("double") - F.col(f"{on}{suffix}").cast("double")
+            _epoch_seconds(F.col(on)) - _epoch_seconds(F.col(f"{on}{suffix}"))
         ) > F.lit(float(tolerance_seconds))
         # one projection for ALL matched columns: sequential withColumn
         # would null the matched timestamp first and then evaluate the
@@ -127,16 +140,16 @@ def range_join(
         raise ValueError(f"range_join requires disjoint column names, both sides have: {sorted(overlap)}")
 
     r = right.withColumn(
-        "__bkt", F.floor(F.col(right_ts).cast("double") / F.lit(bucket))
+        "__bkt", F.floor(_epoch_seconds(F.col(right_ts)) / F.lit(bucket))
     )
-    lo = F.col(left_ts).cast("double") + F.lit(float(lower_seconds))
-    hi = F.col(left_ts).cast("double") + F.lit(float(upper_seconds))
+    lo = _epoch_seconds(F.col(left_ts)) + F.lit(float(lower_seconds))
+    hi = _epoch_seconds(F.col(left_ts)) + F.lit(float(upper_seconds))
     l = left.withColumn(
         "__bkt",
         F.explode(F.sequence(F.floor(lo / F.lit(bucket)), F.floor(hi / F.lit(bucket)))),
     )
     keys = ["__bkt", *(by or ())]
-    rts = F.col(right_ts).cast("double")
+    rts = _epoch_seconds(F.col(right_ts))
     return (
         l.join(r, on=keys)
         .where((rts > lo) & (rts <= hi))
@@ -169,7 +182,7 @@ def sessionize(
         "__new_sess",
         F.when(
             prev.isNull()
-            | ((F.col(ts_col).cast("double") - prev.cast("double")) > F.lit(float(gap_seconds))),
+            | ((_epoch_seconds(F.col(ts_col)) - _epoch_seconds(prev)) > F.lit(float(gap_seconds))),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,8 +68,13 @@ def ensure_read_confs(spark: SparkSession) -> None:
 
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
-    """Hadoop-FS existence probe — works for local/HDFS/S3A URIs."""
-    if "://" not in path:
+    """Hadoop-FS existence probe — works for local/HDFS/S3A URIs.
+
+    Any scheme-qualified path (``s3a://…``, ``hdfs://…``, and the
+    single-slash ``file:/…`` Hadoop emits) routes through the JVM
+    FileSystem; bare local paths short-circuit to ``os.path``.
+    """
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
         return os.path.exists(path)
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
