@@ -42,6 +42,7 @@ from rheoceros_spark.operators.text_analysis import (  # noqa: F401
 from rheoceros_spark.operators.curation import (  # noqa: F401
     contamination_ngrams,
     dup_clusters,
+    dup_clusters_star,
     hash_sample,
     pii_redact,
     stratified_hash_sample,

@@ -284,8 +284,100 @@ def dup_clusters(
         warnings.warn(
             f"dup_clusters: no fixpoint after max_iter={max_iter} rounds; "
             "components wider than that diameter are under-merged — raise "
-            "max_iter (or switch to large-star/small-star for long chains)",
+            "max_iter (or switch to dup_clusters_star for long chains)",
             RuntimeWarning,
             stacklevel=2,
         )
     return labels.select(*out_cols)
+
+
+def dup_clusters_star(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by **large-star/small-star alternation**
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-chain-safe twin of :func:`dup_clusters`.  Same
+    contract: (doc_id, cluster_id), cluster_id = min node id of the
+    component, one row per node seen in ``pairs``.
+
+    Min-label propagation needs O(diameter) rounds — a 100k-node chain
+    (pathological boilerplate that pairs only adjacently) would need
+    100k joins.  Star alternation contracts components in O(log²·n)
+    rounds regardless of shape:
+
+    * **large-star** (per node u): link every *strictly larger*
+      neighbor to m = min(Γ(u) ∪ {u}) — hangs heavy subtrees directly
+      under local minima while provably never disconnecting anything.
+    * **small-star** (per node u, edges oriented large→small): link
+      all smaller neighbors and u itself to m — flattens the remaining
+      short chains into stars.
+
+    At fixpoint every component is a star centered at its minimum;
+    the edge list IS the label map.  Per round: two grouped mins + two
+    equi-joins, all shuffling (node, 8-byte neighbor) rows, map-side
+    combinable; ``localCheckpoint`` per round keeps plan depth O(1).
+    Convergence = hash-sum equality of the canonical edge set (one
+    scalar agg, type-agnostic — same scheme as :func:`dup_clusters`).
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    out_cols = [F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")]
+    if e.isEmpty():
+        return e.select(*out_cols)
+
+    prev_sum = None
+    converged = False
+    for _ in range(max_iter):
+        # --- large-star: symmetric neighborhoods ---
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m_lg = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        e_lg = (
+            sym.join(m_lg, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: edges oriented large -> small ---
+        oriented = e_lg.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m_sm = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        e_sm = (
+            oriented.join(m_sm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m_sm.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        e = e_sm
+        cur_sum = e.agg(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters_star: no fixpoint after max_iter={max_iter} rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # fixpoint edges are stars (node -> center); centers label themselves
+    centers = e.select(F.col("v").alias("u"), F.col("v")).distinct()
+    return e.union(centers).distinct().select(*out_cols)

@@ -176,6 +176,50 @@ def test_dup_clusters_empty_pairs_fast(spark):
     assert dup_clusters(pairs).count() == 0
 
 
+class TestDupClustersStar:
+    """Large-star/small-star CC: O(log² n) rounds on any shape — the
+    path where min-label propagation's O(diameter) rounds would die."""
+
+    def test_thousand_node_path_graph_converges(self, spark):
+        from rheoceros_spark.operators.curation import dup_clusters_star
+
+        n = 1000  # diameter 999: label propagation would need ~999 rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "a bigint, b bigint"
+        )
+        got = {r.doc_id: r.cluster_id for r in dup_clusters_star(pairs, max_iter=30).collect()}
+        assert len(got) == n + 1
+        assert set(got.values()) == {0}
+
+    def test_matches_label_propagation_on_mixed_graph(self, spark):
+        from rheoceros_spark.operators.curation import dup_clusters_star
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 1)],
+            "a bigint, b bigint",
+        )
+        star = {r.doc_id: r.cluster_id for r in dup_clusters_star(pairs).collect()}
+        prop = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+        assert star == prop
+
+    def test_string_ids(self, spark):
+        from rheoceros_spark.operators.curation import dup_clusters_star
+
+        pairs = spark.createDataFrame(
+            [("docB", "docA"), ("docB", "docC"), ("docY", "docX")],
+            "a string, b string",
+        )
+        got = {r.doc_id: r.cluster_id for r in dup_clusters_star(pairs).collect()}
+        assert got == {"docA": "docA", "docB": "docA", "docC": "docA",
+                       "docX": "docX", "docY": "docX"}
+
+    def test_empty(self, spark):
+        from rheoceros_spark.operators.curation import dup_clusters_star
+
+        pairs = spark.createDataFrame([], "a bigint, b bigint")
+        assert dup_clusters_star(pairs).count() == 0
+
+
 def test_index_param_mismatch_raises(spark):
     import pytest as _pytest
 
