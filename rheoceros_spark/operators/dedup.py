@@ -218,30 +218,30 @@ def _capped_candidates(
             .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
             .distinct()
         )
-    w = Window.partitionBy("band", "bucket")
-    ranked = buckets.select(
-        "band",
-        "bucket",
-        F.col(id_col),
-        F.row_number().over(w.orderBy(F.col(id_col).asc())).alias("__rn"),
-        F.count(F.lit(1)).over(w).alias("__cnt"),
+    # Oversized buckets are rare outliers by construction (a band bucket
+    # over max_bucket docs means max_bucket near-identical signatures),
+    # so find them with one narrow map-side-combinable aggregate and
+    # BROADCAST them — the per-row tag is then a map-side hash lookup
+    # and the common case keeps the exact all-pairs join shape, with no
+    # window sort over the full bucket stream (measured 3-5x slower).
+    oversized = F.broadcast(
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.min(id_col).alias("__anchor"))
+        .where(F.col("__cnt") > max_bucket)
+        .select("band", "bucket", "__anchor")
     )
-    small = ranked.where(F.col("__cnt") <= max_bucket)
+    tagged = buckets.join(oversized, on=["band", "bucket"], how="left")
+    small = tagged.where(F.col("__anchor").isNull()).select("band", "bucket", id_col)
     sa, sb = small.alias("a"), small.alias("b")
     cand_small = (
         sa.join(sb, on=["band", "bucket"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
     )
-    big = ranked.where(F.col("__cnt") > max_bucket)
-    anchors = big.where(F.col("__rn") == 1).select(
-        "band", "bucket", F.col(id_col).alias("a")
-    )
+    # star pairs fall straight out of the broadcast tag: no extra shuffle
     cand_big = (
-        big.where(F.col("__rn") > 1)
-        .select("band", "bucket", F.col(id_col).alias("b"))
-        .join(anchors, on=["band", "bucket"])
-        .select("a", "b")
+        tagged.where(F.col("__anchor").isNotNull() & (F.col(id_col) != F.col("__anchor")))
+        .select(F.col("__anchor").alias("a"), F.col(id_col).alias("b"))
     )
     return cand_small.unionByName(cand_big).distinct()
 
