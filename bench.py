@@ -180,7 +180,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
+        # failed queries are excluded from the sum, so the headline total
+        # is NOT comparable across rounds — flag it so a shrunken total
+        # can't be misread as a performance win
         payload["errors"] = errors
+        payload["partial"] = True
     print(json.dumps(payload))
 
 

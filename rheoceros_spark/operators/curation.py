@@ -378,6 +378,18 @@ def dup_clusters_star(
             RuntimeWarning,
             stacklevel=2,
         )
-    # fixpoint edges are stars (node -> center); centers label themselves
+    # Fixpoint edges are stars (node -> center); centers label themselves.
+    # The min-aggregate (instead of a plain distinct) guarantees ONE row
+    # per node even when max_iter exhausts mid-contraction — there the
+    # edge set is not yet a star and a node may still carry several
+    # tentative labels; collapsing to the minimum keeps the output a
+    # well-formed (possibly under-merged) label map instead of a fan-out
+    # hazard for downstream joins on doc_id.  At fixpoint the aggregate
+    # degenerates to the distinct union (u and v sets are disjoint).
     centers = e.select(F.col("v").alias("u"), F.col("v")).distinct()
-    return e.union(centers).distinct().select(*out_cols)
+    return (
+        e.union(centers)
+        .groupBy("u")
+        .agg(F.min("v").alias("v"))
+        .select(*out_cols)
+    )

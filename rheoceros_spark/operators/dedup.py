@@ -47,7 +47,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rheoceros_spark.functions.portable import (
@@ -207,8 +207,10 @@ def _capped_candidates(
     a pair of docs that are near-dups of each other but NOT of the
     anchor is missed — only possible when a mega-bucket is a signature
     collision of dissimilar docs, which the band construction makes
-    vanishingly rare.  Bucket sizing is one extra window over the SAME
-    (band, bucket) shuffle the join needs — no additional exchange.
+    vanishingly rare.  Bucket sizing is one narrow map-side-combinable
+    aggregate (band, bucket, count, min-id) joined back to the bucket
+    stream; a window-rank over the full bucket stream was measured
+    3-5x slower and is deliberately avoided.
     """
     if max_bucket is None:
         a, b = buckets.alias("a"), buckets.alias("b")
@@ -218,13 +220,16 @@ def _capped_candidates(
             .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
             .distinct()
         )
-    # Oversized buckets are rare outliers by construction (a band bucket
-    # over max_bucket docs means max_bucket near-identical signatures),
-    # so find them with one narrow map-side-combinable aggregate and
-    # BROADCAST them — the per-row tag is then a map-side hash lookup
-    # and the common case keeps the exact all-pairs join shape, with no
-    # window sort over the full bucket stream (measured 3-5x slower).
-    oversized = F.broadcast(
+    # Oversized buckets are usually rare outliers (a band bucket over
+    # max_bucket docs means max_bucket near-identical signatures), so
+    # find them with one narrow map-side-combinable aggregate.  The tag
+    # join is NOT force-broadcast: a corpus with millions of distinct
+    # boilerplate templates (each its own mega-bucket) would make an
+    # unconditional broadcast unbounded.  Left un-hinted, AQE converts
+    # the join to broadcast at runtime when the oversized set is small
+    # (the common case — same map-side-lookup plan as before) and keeps
+    # a shuffle join when it is not — a runtime count-guard for free.
+    oversized = (
         buckets.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("__cnt"), F.min(id_col).alias("__anchor"))
         .where(F.col("__cnt") > max_bucket)

@@ -74,7 +74,9 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     single-slash ``file:/…`` Hadoop emits) routes through the JVM
     FileSystem; bare local paths short-circuit to ``os.path``.
     """
-    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+    # scheme must be followed by "/" ("s3a://…", "file:/…") so Windows
+    # drive paths (C:\x) and colon-bearing relative paths stay on os.path
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", path):
         return os.path.exists(path)
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
