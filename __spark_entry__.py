@@ -2214,18 +2214,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's correctness harness checks the FIRST 50 queries()
 #: entries only (CORRECTNESS_r01 covered positions 0-49 exactly).
-#: Order the dict so every distinct operator class — including the
-#: LLM-pipeline operators (dedup/ANN/text/multimodal) — lands inside
-#: the checked window; these TPC-H variants re-exercise operator
-#: shapes already represented by a checked query (conditional aggs:
-#: q12; join+agg: q3/q5/q18; correlated subquery: q15; nested
-#: semi-joins: q4/q21), so they order last.
-_TAIL = [
-    # all-pairs cross-join variant — kept as the blocked path's exact
-    # verification twin; the checked slot goes to dedup_embedding_blocked
+#: Rounds 1-4 ordered every distinct operator class inside the checked
+#: window and demoted these 21 shape-redundant TPC-H variants past the
+#: cap; all 50 in-window queries earned green official rows through
+#: CORRECTNESS_r04.  This round ROTATES: the 21 previously un-gated
+#: queries (below) move to the head so they earn official rows too —
+#: the 21 that fall out of the window this round are exactly ones
+#: already certified in r04, so cross-round official coverage reaches
+#: all 71.  (All 71 stay continuously gated by the local DuckDB oracle,
+#: scripts/check_oracle.py.)
+_HEAD = [
+    # all-pairs cross-join variant — the blocked path's exact
+    # verification twin (dedup_embedding_blocked was certified in r04)
     "dedup_embedding_pairs",
-    # demoted for ann_ivf_persisted: join + conditional agg shape stays
-    # represented by q1 (conditional aggs) + q3/q18 (join+agg)
     "q12_priority_by_linestatus",
     "q2_min_cost_supplier",
     "q8_market_share",
@@ -2234,36 +2235,23 @@ _TAIL = [
     "q16_supplier_count",
     "q17_small_quantity_revenue",
     "q20_part_shippers",
-    # demoted to make window room for the curation operators (shapes
-    # already represented by checked queries): q4 EXISTS semi-join →
-    # q21; q6 single-table filter+agg → q14/scan_pruned; q7/q9
-    # multi-join volume/profit → q3/q5/q18; q13 outer-join
-    # distribution → q22's anti-join + q1's grouped counts
     "q4_order_priority",
     "q6_revenue_forecast",
     "q7_nation_volume",
     "q9_product_profit",
     "q13_customer_distribution",
-    # demoted for the time-series ops + dedup_incremental_index (which
-    # an off-by-one previously left at position 51): q5 join+agg →
-    # q3/q18; q15 correlated max → q2/q11; q19 disjunctive filter →
-    # q14/q17; q22 anti-join + scalar subquery → q21 + q11
     "q5_local_supplier_volume",
     "q15_top_supplier",
     "q19_disjunctive_predicates",
     "q22_wealthy_inactive",
-    # demoted for layout_zorder_key: §2.7 stays represented by
-    # set_intersect (same Except/Intersect plan family)
     "set_except",
-    # demoted for the sketch ops: broadcast join+agg → q3/q18/q10;
-    # cube → agg_rollup + grouping_sets_revenue (same Expand family)
     "broadcast_join_enrich",
     "agg_cube",
 ]
 
 
 def _ordered(d: dict) -> dict:
-    return {k: d[k] for k in d if k not in _TAIL} | {k: d[k] for k in _TAIL if k in d}
+    return {k: d[k] for k in _HEAD if k in d} | {k: d[k] for k in d if k not in _HEAD}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
