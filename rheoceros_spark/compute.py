@@ -222,14 +222,91 @@ class SparkSQL(ComputeDescriptor):
         return out
 
 
+# Presto/Trino functions whose Spark twin is an exact-semantics rename —
+# translated in place so the common Presto-isms just work.
+_PRESTO_RENAMES = {
+    "approx_distinct": "approx_count_distinct",
+    "arbitrary": "any_value",
+    "strpos": "instr",  # both (string, substring), 1-based, 0 = absent
+    "array_agg": "collect_list",
+    "json_extract_scalar": "get_json_object",  # both $.path, string result
+    "contains": "array_contains",  # Presto contains() is array membership
+    "week": "weekofyear",
+    "week_of_year": "weekofyear",
+    "day_of_month": "dayofmonth",
+}
+
+# Presto/Trino functions that either have NO Spark equivalent or — worse
+# — share a name/shape with a Spark function of DIFFERENT semantics, so
+# running them unchanged could return a silently wrong answer.  Each
+# maps to the guidance embedded in the raised error.
+_PRESTO_REJECTS = {
+    "try": "wrap the specific operation in Spark's try_cast / try_divide / try_* functions",
+    "json_extract": "use get_json_object (returns STRING, not JSON) and cast explicitly",
+    "map_agg": "use map_from_entries(collect_list(struct(key, value)))",
+    "multimap_agg": "use map_from_entries over collect_list of grouped structs",
+    "map_union": "aggregate map entries explicitly (explode + groupBy + map_from_entries)",
+    "histogram": "use groupBy(x).count() or count_min_sketch",
+    "approx_set": "HLL sketch objects are engine-specific; use approx_count_distinct",
+    "format_datetime": "use date_format — Joda patterns differ from Spark's (e.g. 'YYYY' vs 'yyyy')",
+    "parse_datetime": "use to_timestamp(str, fmt) — Joda patterns differ from Spark's",
+    "from_iso8601_timestamp": "use to_timestamp(str)",
+    "from_iso8601_date": "use to_date(str)",
+    "from_unixtime": "Presto returns TIMESTAMP but Spark returns STRING — use timestamp_seconds",
+    "to_unixtime": "Presto returns DOUBLE (fractional secs) but Spark unix_timestamp returns BIGINT — use unix_timestamp or extract epoch explicitly",
+    "date_add": "Presto's date_add(unit, n, ts) differs from Spark's date_add(date, days) — use date_add/timestampadd",
+    "date_diff": "Presto's date_diff(unit, a, b) differs — use datediff/timestampdiff",
+    "day_of_week": "Presto ISO numbering (Mon=1) differs from Spark dayofweek (Sun=1) — use ((dayofweek(x) + 5) % 7) + 1",
+    "dow": "Presto ISO numbering (Mon=1) differs from Spark dayofweek (Sun=1) — use ((dayofweek(x) + 5) % 7) + 1",
+    "day_of_year": "use dayofyear",
+    "doy": "use dayofyear",
+    "year_of_week": "ISO week-year has no direct Spark builtin — derive from weekofyear/year",
+    "yow": "ISO week-year has no direct Spark builtin — derive from weekofyear/year",
+}
+
+# one pass: string literals are matched (and skipped) so function names
+# inside quotes are never touched; identifiers directly followed by "("
+# are candidate function calls
+_SQL_FN_OR_STR = re.compile(r"('(?:[^']|'')*')|\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+
+
+def translate_presto_sql(sql: str) -> str:
+    """Presto/Trino → Spark SQL dialect pass: rename exact-equivalent
+    functions, raise loudly on known-divergent ones (reference surface
+    ``api_ext.py:230-233``, ``aws_athena.py:541-663``).  Anything not in
+    either table passes through untouched (the ANSI subset both
+    dialects share)."""
+    out: list[str] = []
+    last = 0
+    for m in _SQL_FN_OR_STR.finditer(sql):
+        if m.group(1) is not None:  # string literal — skip verbatim
+            continue
+        name = m.group(2).lower()
+        if name in _PRESTO_REJECTS:
+            raise NotImplementedError(
+                f"PrestoSQL: {name!r} diverges between Presto and Spark SQL "
+                f"and is refused rather than silently mis-run. Port: {_PRESTO_REJECTS[name]}."
+            )
+        if name in _PRESTO_RENAMES:
+            out.append(sql[last : m.start(2)])
+            out.append(_PRESTO_RENAMES[name])
+            last = m.end(2)
+    out.append(sql[last:])
+    return "".join(out)
+
+
 class PrestoSQL(SparkSQL):
-    """API-parity descriptor for the reference's ``PrestoSQL`` slots
-    (reference ``api_ext.py:230-233``; ``aws_athena.py:541-563``):
-    same ``{dim}`` parametrization and per-alias views, executed on
-    Spark SQL.  ANSI constructs shared by both dialects run unchanged;
-    Presto-isms (``approx_distinct`` etc.) must be ported by the user —
-    parity is at the descriptor/parametrization level, and the engine's
-    oracle-checked queries pin the ANSI subset."""
+    """Descriptor for the reference's ``PrestoSQL`` slots (reference
+    ``api_ext.py:230-233``; ``aws_athena.py:541-563``): same ``{dim}``
+    parametrization and per-alias views, executed on Spark SQL after a
+    dialect pass — exact-equivalent Presto functions are renamed to
+    their Spark twins (:data:`_PRESTO_RENAMES`) and known-divergent
+    ones are rejected loudly at *construction* time
+    (:data:`_PRESTO_REJECTS`), so a Presto-ism can never silently
+    return a wrong answer.  The shared ANSI subset runs unchanged."""
+
+    def __init__(self, code: str, **args: Any):
+        super().__init__(translate_presto_sql(code), **args)
 
 
 class InlinedCompute(ComputeDescriptor):

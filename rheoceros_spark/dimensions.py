@@ -104,21 +104,67 @@ class Dimension:
         return hash((self.name, self.type))
 
 
-class DimensionSpec:
-    """Ordered list of Dimensions = the partition-column order.
+_UNSET = object()  # distinguishes the legacy 1-arg chain form from an explicit None
 
-    The reference models this as a nested tree (one branch per
-    dimension chain, ``dimension_constructs.py:173-221``); every usage
-    in its test/application corpus is a single chain, which is exactly
-    an ordered list — the natural Spark shape (``partitionBy(d1, d2)``).
+
+class DimensionSpec:
+    """Tree of Dimensions: each level holds one or more sibling
+    dimensions, each with an optional sub-spec of its own (reference
+    ``dimension_constructs.py:173-221``).
+
+    Two construction forms:
+
+    * **chain (legacy / Spark-native)** — ``DimensionSpec([d1, d2])``:
+      an ordered list of partition columns, stored as a single
+      root-to-leaf chain (``partitionBy(d1, d2)``).  This is the shape
+      every dataset in the engine uses.
+    * **tree (reference parity)** — ``DimensionSpec([d1, d2], [sub1,
+      None])``: sibling root dimensions with *different* sub-dimension
+      structures (reference tests ``test_dimension_spec.py``
+      ``dimension_spec_tree_1``).  Mirrors the reference constructor
+      exactly, including its validation: list-length mismatch and
+      duplicate dimension names raise ``ValueError``.
+
+    Spark mapping for trees: the DFS-flattened dimension order is the
+    partition-column order (reference ``get_flattened_dimension_map``,
+    ``dimension_constructs.py:255-272`` — "branches follow each other
+    according to the order within this spec"); sibling roots are
+    orthogonal partition coordinates, so a concrete instantiation
+    carries a value for every dimension in the tree.
     """
 
-    def __init__(self, dimensions: Sequence[Dimension] = ()):
-        self.dimensions: list[Dimension] = list(dimensions)
+    def __init__(
+        self,
+        dimensions: Optional[Sequence[Dimension]] = None,
+        sub_dim_specs: Any = _UNSET,
+    ):
+        self._entries: list[tuple[Dimension, Optional["DimensionSpec"]]] = []
+        if sub_dim_specs is _UNSET:
+            # legacy chain form: ordered partition columns = one chain
+            dims = list(dimensions or ())
+            sub: Optional[DimensionSpec] = None
+            for d in reversed(dims):
+                node = DimensionSpec()
+                node._entries = [(d, sub)]
+                sub = node
+            if sub is not None:
+                self._entries = sub._entries
+            return
+        # reference tree form (dimension_constructs.py:210-230)
+        if (dimensions and not sub_dim_specs) or (not dimensions and sub_dim_specs):
+            raise ValueError("Cannot initiate DimensionSpec due to mismatch in dimension and spec lists.")
+        if dimensions and sub_dim_specs:
+            if len(dimensions) != len(sub_dim_specs):
+                raise ValueError("Cannot initiate DimensionSpec due to mismatch in dimension and spec lists.")
+            for dim, sub_spec in zip(dimensions, sub_dim_specs):
+                self.add_dimension(dim, sub_spec)
 
+    # -- loaders ---------------------------------------------------------
     @classmethod
     def load(cls, raw: dict[str, Any]) -> "DimensionSpec":
-        """From ``{name: {type: ..., [format/granularity/...]}}`` (insertion-ordered)."""
+        """Legacy chain loader: ``{name: {type: ..., [params]}}``,
+        insertion order = partition-column order (every key is a
+        dimension; no nesting)."""
         dims = []
         for name, params in raw.items():
             params = dict(params or {})
@@ -126,29 +172,187 @@ class DimensionSpec:
             dims.append(Dimension(name, typ, params))
         return cls(dims)
 
-    def dimension_names(self) -> list[str]:
-        return [d.name for d in self.dimensions]
+    @classmethod
+    def load_from_pretty(cls, raw: Optional[dict[str, Any]]) -> "DimensionSpec":
+        """Reference pretty-format tree loader (``dimension_constructs.py
+        :421-470``): dict-valued entries are sub-dimensions, everything
+        else is a param of the enclosing dimension; ``type`` names the
+        dimension type.
 
-    def find(self, name: str) -> Optional[Dimension]:
-        for d in self.dimensions:
-            if d.name == name:
-                return d
+        >>> DimensionSpec.load_from_pretty(
+        ...     {"region": {"type": "STRING", "day": {"type": "DATETIME"}},
+        ...      "version": {"type": "LONG"}})
+        """
+        spec = cls()
+        if not raw:
+            return spec
+        for name, value in raw.items():
+            if not isinstance(value, dict):
+                raise ValueError(f"dimension {name!r} must map to a dict, got {value!r}")
+            params = {k: v for k, v in value.items() if not isinstance(v, dict) and k != "type"}
+            typ = DimensionType(value.get("type", DimensionType.STRING))
+            sub_raw = {k: v for k, v in value.items() if isinstance(v, dict)}
+            sub = cls.load_from_pretty(sub_raw) if sub_raw else None
+            spec.add_dimension(Dimension(name, typ, params), sub)
+        return spec
+
+    # -- tree API (reference parity) -------------------------------------
+    def add_dimension(
+        self,
+        dimension: Dimension,
+        sub_dimensions: Optional["DimensionSpec"],
+        check_duplicate_names: bool = True,
+    ) -> "DimensionSpec":
+        """Append a root dimension with its sub-spec (reference
+        ``dimension_constructs.py:224-233``)."""
+        if dimension is None:
+            raise ValueError("Cannot add dimension of NoneType to spec!")
+        if check_duplicate_names:
+            if self.find_dimension_by_name(dimension.name) or (
+                sub_dimensions and sub_dimensions.find_dimension_by_name(dimension.name)
+            ):
+                raise ValueError(f"Cannot add dimension! Duplicate dimension name {dimension.name!r}")
+        self._entries.append((dimension, sub_dimensions if sub_dimensions else None))
+        return self
+
+    def get_dimensions(self) -> list[tuple[Dimension, Optional["DimensionSpec"]]]:
+        return list(self._entries)
+
+    def get_root_dimensions(self) -> list[Dimension]:
+        return [d for d, _ in self._entries]
+
+    def get_all_sub_dimensions(self) -> list[Optional["DimensionSpec"]]:
+        return [s for _, s in self._entries]
+
+    def get_flattened_dimension_map(self) -> dict[str, Dimension]:
+        """DFS order: each root followed by its whole subtree
+        (reference ``dimension_constructs.py:255-272``)."""
+        out: dict[str, Dimension] = {}
+        for dim, sub in self._entries:
+            out[dim.name] = dim
+            if sub:
+                out.update(sub.get_flattened_dimension_map())
+        return out
+
+    def get_total_dimension_count(self) -> int:
+        return sum(1 + (sub.get_total_dimension_count() if sub else 0) for _, sub in self._entries)
+
+    def find_dimension_by_name(self, name: Optional[str]) -> Optional[Dimension]:
+        if name is None:
+            return None
+        for dim, sub in self._entries:
+            if dim.name == name:
+                return dim
+            if sub:
+                found = sub.find_dimension_by_name(name)
+                if found:
+                    return found
         return None
+
+    def paths(self) -> list[list[Dimension]]:
+        """All root-to-leaf dimension chains (one per leaf)."""
+        out: list[list[Dimension]] = []
+        for dim, sub in self._entries:
+            if sub:
+                out.extend([dim] + p for p in sub.paths())
+            else:
+                out.append([dim])
+        return out
+
+    @property
+    def is_chain(self) -> bool:
+        """True when every level has exactly one dimension — the shape
+        a single ``partitionBy`` hierarchy maps to."""
+        node: Optional[DimensionSpec] = self
+        while node:
+            if len(node._entries) != 1:
+                return len(node._entries) == 0
+            node = node._entries[0][1]
+        return True
+
+    # -- compatibility ----------------------------------------------------
+    def check_compatibility(
+        self,
+        other: Union["DimensionSpec", Sequence[Any], None],
+        enable_breadth_check: bool = True,
+        enable_type_check: bool = True,
+    ) -> bool:
+        """Reference ``check_compatibility`` (``dimension_constructs.py
+        :296-388``): structural (+ optional type) check against another
+        spec, or breadth/depth check against a flat value list (list
+        compat requires a pure chain; values are not type-checked)."""
+        if isinstance(other, DimensionSpec) or other is None:
+            return self._spec_compatible(self, other, enable_breadth_check, enable_type_check)
+        return self._list_compatible(self, list(other), enable_breadth_check)
+
+    @classmethod
+    def _spec_compatible(
+        cls,
+        a: Optional["DimensionSpec"],
+        b: Optional["DimensionSpec"],
+        breadth: bool,
+        typed: bool,
+    ) -> bool:
+        if not a and not b:
+            return True
+        if not a or not b:
+            return False
+        if breadth and len(a._entries) != len(b._entries):
+            return False
+        for (da, sa), (db, sb) in zip(a._entries, b._entries):
+            if typed and da.type != db.type:
+                return False
+            if not cls._spec_compatible(sa, sb, breadth, typed):
+                return False
+            if not breadth:
+                break
+        return True
+
+    @classmethod
+    def _list_compatible(cls, spec: Optional["DimensionSpec"], values: list, breadth: bool) -> bool:
+        if not values and not spec:
+            return True
+        if not values or not spec:
+            return False
+        if breadth and len(spec._entries) != 1:
+            return False
+        return cls._list_compatible(spec._entries[0][1], values[1:], breadth)
 
     def compatible_with(self, other: "DimensionSpec") -> bool:
         """Structural (breadth + type) compatibility (reference :296-388, 2229-2259)."""
-        return len(self.dimensions) == len(other.dimensions) and all(
-            a.type == b.type for a, b in zip(self.dimensions, other.dimensions)
-        )
+        return self.check_compatibility(other)
+
+    # -- flat (chain) conveniences ---------------------------------------
+    @property
+    def dimensions(self) -> list[Dimension]:
+        """DFS-flattened dimension list = the partition-column order."""
+        return list(self.get_flattened_dimension_map().values())
+
+    def dimension_names(self) -> list[str]:
+        return list(self.get_flattened_dimension_map().keys())
+
+    def find(self, name: str) -> Optional[Dimension]:
+        return self.find_dimension_by_name(name)
 
     def __len__(self) -> int:
-        return len(self.dimensions)
+        return self.get_total_dimension_count()
 
     def __iter__(self):
         return iter(self.dimensions)
 
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, DimensionSpec):
+            return NotImplemented
+        return len(self._entries) == len(other._entries) and all(
+            da == db and (sa == sb if (sa and sb) else not sa and not sb)
+            for (da, sa), (db, sb) in zip(self._entries, other._entries)
+        )
+
     def __repr__(self) -> str:
-        return f"DimensionSpec({self.dimensions!r})"
+        inner = ", ".join(
+            f"{d!r}" + (f" -> {s!r}" if s else "") for d, s in self._entries
+        )
+        return f"DimensionSpec({inner})"
 
 
 # ---------------------------------------------------------------------------
@@ -506,7 +710,15 @@ class DimensionFilter:
         """From nested dicts/lists mirroring the reference's raw filter
         shape: ``{"NA": {"2020-05-01": {}}, "EU": {...}}`` or a flat
         list of per-dimension values ``["NA", "2020-05-01"]``.
-        Lists at a level = multiple sibling values (branch fan-out).
+
+        Chain specs: sibling dict keys at a level are multiple values
+        of that level's single dimension (branch fan-out).  Tree specs
+        follow the reference's cast rule (``_load_raw_dict``,
+        ``dimension_constructs.py:2524-2560``): with several sibling
+        dimensions at a level, dict keys map 1:1 onto them in order
+        (trailing dimensions default to wildcard); more keys than
+        sibling dimensions is ambiguous → ``TypeError``.  Flat lists
+        assign over the DFS-flattened dimension order.
         """
         if raw is None:
             return cls.all_pass(spec)
@@ -519,19 +731,7 @@ class DimensionFilter:
             for dim in list(spec)[len(levels):]:
                 levels.append([AnyVariant(dim)])
             return cls(spec, [tuple(b) for b in product(*levels)])
-        branches: list[Branch] = []
-
-        def walk(node: Any, depth: int, prefix: list[DimensionVariant]) -> None:
-            dims = list(spec)
-            if depth >= len(dims) or not node:
-                rest = [AnyVariant(d) for d in dims[depth:]]
-                branches.append(tuple(prefix + rest))
-                return
-            for key, child in node.items():
-                walk(child, depth + 1, prefix + [create_variant(key, dims[depth])])
-
-        walk(raw, 0, [])
-        return cls(spec, branches)
+        return cls(spec, _tree_branches(spec, raw))
 
     # -- algebra ----------------------------------------------------------
     def chain(self, other: "DimensionFilter") -> Optional["DimensionFilter"]:
@@ -625,6 +825,48 @@ class DimensionFilter:
 
     def __repr__(self) -> str:
         return f"DimensionFilter({self.formatted_values()!r})"
+
+
+def _tree_branches(node: Optional[DimensionSpec], raw: Any) -> list[Branch]:
+    """Branch tuples (over ``node``'s DFS-flattened dimensions) from a
+    nested raw dict — tree-aware walk (reference ``_load_raw_dict``
+    cast semantics, ``dimension_constructs.py:2524-2560``)."""
+    if node is None:
+        return [()]
+    entries = node.get_dimensions()
+    if not entries:
+        return [()]
+    if not raw:  # terminal / empty → wildcard the whole subtree
+        return [tuple(AnyVariant(d) for d in node)]
+    items = list(raw.items())
+    if len(entries) == 1:
+        # single dimension at this level: every key is one of its values
+        dim, sub = entries[0]
+        out: list[Branch] = []
+        for key, child in items:
+            v = create_variant(key, dim)
+            for rest in _tree_branches(sub, child):
+                out.append((v,) + rest)
+        return out
+    # sibling dimensions: keys map 1:1 in order (reference raises on
+    # more keys than sibling dims — the assignment would be ambiguous)
+    if len(items) > len(entries):
+        raise TypeError(
+            f"cannot map {len(items)} sibling filter values onto "
+            f"{len(entries)} sibling dimensions {[d.name for d, _ in entries]} "
+            "(ambiguous — reference dimension_constructs.py:2534-2543)"
+        )
+    per_root: list[list[Branch]] = []
+    for i, (dim, sub) in enumerate(entries):
+        if i < len(items):
+            key, child = items[i]
+            v = create_variant(key, dim)
+            per_root.append([(v,) + rest for rest in _tree_branches(sub, child)])
+        else:
+            subtree_dims = [dim] + (list(sub) if sub else [])
+            per_root.append([tuple(AnyVariant(d) for d in subtree_dims)])
+    # sibling roots are orthogonal coordinates → cartesian combination
+    return [sum(combo, ()) for combo in product(*per_root)]
 
 
 def _intersect_branches(a: Branch, b: Branch) -> Optional[list[Branch]]:

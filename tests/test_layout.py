@@ -81,6 +81,83 @@ class TestZorderWrite:
         assert sum(spans_x) / len(spans_x) <= 48, spans_x
         assert sum(spans_y) / len(spans_y) <= 48, spans_y
 
+    @staticmethod
+    def _files_needed(path: str, pred: dict) -> tuple[int, int]:
+        """(files a min/max-skipping reader must open, total files).
+
+        Evaluates the predicate against each file's aggregated column
+        stats — exactly the file-level skip test object-store table
+        formats (Delta/Iceberg) run at plan time, and what the parquet
+        reader runs per row group; with one row group per small file
+        the two coincide.
+        """
+        needed = total = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.read_metadata(os.path.join(path, f))
+            mins: dict[str, int] = {}
+            maxs: dict[str, int] = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    name = col.path_in_schema
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+            if all(maxs[c] >= lo and mins[c] <= hi for c, (lo, hi) in pred.items()):
+                needed += 1
+        return needed, total
+
+    def test_scan_skip_beats_linear_sort(self, spark, tmp_path):
+        """The carried z-order proof: for a predicate on the NON-leading
+        dimension, a linear (y, x) sort must read every file while the
+        z-order layout reads only the files whose quadrant overlaps —
+        the measured file-count win that justifies zorder_write at
+        100 TB (a 2-dim predicate prunes on both axes)."""
+        n = 64
+        df = spark.range(n * n).select(
+            (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+        )
+        pz = str(tmp_path / "bz")
+        pl = str(tmp_path / "blin")
+        zorder_write(df, pz, ["x", "y"], bits=6, n_files=16)
+        # linear comparator: range-partitioned + sorted on (y, x) — the
+        # best a single-column-ordered layout can do, same file count
+        (
+            df.repartitionByRange(16, "y", "x")
+            .sortWithinPartitions("y", "x")
+            .write.mode("overwrite")
+            .parquet(pl)
+        )
+
+        # predicate on x only (the non-leading dim for the linear sort)
+        x_pred = {"x": (8, 15)}
+        need_z, tot_z = self._files_needed(pz, x_pred)
+        need_l, tot_l = self._files_needed(pl, x_pred)
+        assert tot_z == 16 and tot_l == 16
+        assert need_l == tot_l, "linear y-sort cannot skip on x"
+        assert need_z < need_l
+        assert need_z <= tot_z // 2, (need_z, tot_z)
+
+        # 2-dim box predicate: z-order prunes on both axes at once
+        box = {"x": (8, 15), "y": (8, 15)}
+        need_zb, _ = self._files_needed(pz, box)
+        need_lb, _ = self._files_needed(pl, box)
+        assert need_zb <= need_lb
+        assert need_zb <= 2, need_zb
+
+        # correctness: both layouts answer the box query identically
+        q = "x BETWEEN 8 AND 15 AND y BETWEEN 8 AND 15"
+        rows_z = sorted(
+            (r["x"], r["y"]) for r in spark.read.parquet(pz).where(q).collect()
+        )
+        rows_l = sorted(
+            (r["x"], r["y"]) for r in spark.read.parquet(pl).where(q).collect()
+        )
+        assert rows_z == rows_l and len(rows_z) == 64
+
     def test_roundtrip_preserves_rows(self, spark, tmp_path):
         df = spark.range(100).select(
             (F.col("id") % 10).alias("x"), (F.col("id") / 10).cast("long").alias("y")
