@@ -20,7 +20,7 @@ pruning.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -64,21 +64,87 @@ def attach_media(df: DataFrame, content_col: str, media_type: str = "image") -> 
     )
 
 
+class RawImage(NamedTuple):
+    """Decoded raster: RGB, row-major, 8-bit — the minimal honest
+    in-memory shape a decode stage hands to feature extraction."""
+
+    width: int
+    height: int
+    mode: str  # always "RGB"
+    pixels: bytes  # len == width * height * 3
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) encoder — the codec-free test/
+    fallback format (netpbm is a public, trivially specified format)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"pixel buffer {len(pixels)} != {width}x{height}x3")
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(pixels)
+
+
+def decode_ppm(blob: bytes) -> RawImage:
+    """Pure-Python binary PPM (P6) decoder: header tokens may be
+    separated by any whitespace and ``#`` comments."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize header: magic, width, height, maxval — then raw samples
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":  # comment to end of line
+            while i < len(blob) and blob[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(blob) and not blob[i : i + 1].isspace():
+            i += 1
+        tokens.append(blob[start:i])
+    i += 1  # single whitespace after maxval, then raw data
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    n = width * height * 3
+    pixels = blob[i : i + n]
+    if len(pixels) != n:
+        raise ValueError(f"truncated PPM: {len(pixels)} of {n} bytes")
+    return RawImage(width, height, "RGB", bytes(pixels))
+
+
+def _resize_nearest(img: RawImage, width: int, height: int) -> RawImage:
+    """Nearest-neighbor resample (numpy, vectorized)."""
+    import numpy as np
+
+    src = np.frombuffer(img.pixels, dtype=np.uint8).reshape(img.height, img.width, 3)
+    ys = (np.arange(height) * img.height // height).astype(np.intp)
+    xs = (np.arange(width) * img.width // width).astype(np.intp)
+    out = src[ys][:, xs]
+    return RawImage(width, height, "RGB", out.tobytes())
+
+
 def decode_image(blob: bytes):
-    """Decode an image payload.  STUB: the codec library is not in
-    this container; the Spark-side plumbing around this call is real."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires PIL; container ships no codec libs — "
-            "plumbing (schema/batching/partitioning) is real, decode is stubbed"
-        ) from e
-    import io
+    """Decode an image payload.
 
-    from PIL import Image
+    Real codecs (PIL) are used when importable; the container ships
+    none, so PPM (P6) payloads take the pure-Python fallback decoder —
+    an honest end-to-end pixel path — and other formats raise the
+    documented stub error."""
+    try:  # pragma: no cover - no codec libs in container
+        import io
 
-    return Image.open(io.BytesIO(blob))  # pragma: no cover
+        from PIL import Image
+
+        return Image.open(io.BytesIO(blob))
+    except ImportError:
+        pass
+    if blob[:2] == b"P6":
+        return decode_ppm(blob)
+    raise NotImplementedError(
+        "decode of non-PPM formats requires PIL; container ships no codec "
+        "libs — plumbing (schema/batching/partitioning) is real, PPM (P6) "
+        "decodes via the pure-Python fallback"
+    )
 
 
 def extract_features(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
@@ -115,11 +181,13 @@ def resize_images(
     content_col: str = "content",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Arrow-batched image resize plumbing.  The pixel work is stubbed
-    (no PIL in container): without the codec lib each batch degrades to
-    a deterministic passthrough that stamps the *target* dimensions
-    into ``meta`` — schema, batching, and partition shape are the real
-    resize pipeline's."""
+    """Arrow-batched image resize.  PPM (P6) payloads take a REAL
+    pixel path — pure-Python decode → nearest-neighbor resample →
+    re-encode (no codec libs needed); other formats degrade to a
+    deterministic passthrough that stamps the *target* dimensions into
+    ``meta`` (real decode needs PIL, absent in this container).
+    Schema, Arrow batching, and partition shape are identical either
+    way — the real resize pipeline's."""
     pruned = df.select(id_col, content_col)
     out_schema = T.StructType(
         [
@@ -130,31 +198,33 @@ def resize_images(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-
-            have_codec = True
-        except ImportError:
-            have_codec = False
         for pdf in it:
-            blobs = pdf[content_col]
-            if have_codec:  # pragma: no cover - no codec libs in container
-                raise NotImplementedError("real resize path exercised only with PIL present")
+            out_blobs: list[bytes] = []
+            metas: list[dict] = []
+            for b in pdf[content_col]:
+                b = bytes(b)
+                if b[:2] == b"P6":
+                    img = _resize_nearest(decode_ppm(b), width, height)
+                    b = encode_ppm(img.width, img.height, img.pixels)
+                    mime = "image/x-portable-pixmap"
+                else:  # passthrough stub: no codec for this format
+                    mime = None
+                out_blobs.append(b)
+                metas.append(
+                    {
+                        "media_type": "image",
+                        "mime": mime,
+                        "width": width,
+                        "height": height,
+                        "duration_ms": None,
+                        "n_bytes": len(b),
+                    }
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "content": blobs,
-                    "meta": [
-                        {
-                            "media_type": "image",
-                            "mime": None,
-                            "width": width,
-                            "height": height,
-                            "duration_ms": None,
-                            "n_bytes": len(b),
-                        }
-                        for b in blobs
-                    ],
+                    "content": out_blobs,
+                    "meta": metas,
                 }
             )
 
