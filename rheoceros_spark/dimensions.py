@@ -322,6 +322,23 @@ class DimensionSpec:
         """Structural (breadth + type) compatibility (reference :296-388, 2229-2259)."""
         return self.check_compatibility(other)
 
+    def compensate(self, other: "DimensionSpec", overwrite: bool = False) -> None:
+        """Transfer names (and, with ``overwrite``, types/params) from a
+        structurally identical spec onto this one (reference
+        ``dimension_constructs.py:390-419`` — used for output-spec
+        inference).  ``TypeError`` on structural mismatch."""
+        if not self.check_compatibility(other, enable_type_check=False):
+            raise TypeError("Cannot transfer names between incompatible DimensionSpecs!")
+        for (dim, sub), (odim, osub) in zip(self._entries, other._entries):
+            if overwrite or dim.name is None:
+                dim.name = odim.name
+            if overwrite or dim.type is None:
+                dim.type = odim.type
+            if overwrite and odim.params:
+                dim.params = dict(odim.params)
+            if sub and osub:
+                sub.compensate(osub, overwrite)
+
     # -- flat (chain) conveniences ---------------------------------------
     @property
     def dimensions(self) -> list[Dimension]:
@@ -732,6 +749,50 @@ class DimensionFilter:
                 levels.append([AnyVariant(dim)])
             return cls(spec, [tuple(b) for b in product(*levels)])
         return cls(spec, _tree_branches(spec, raw))
+
+    # -- spec (re)binding -------------------------------------------------
+    def get_spec(self) -> DimensionSpec:
+        """The spec this filter instantiates (reference ``get_spec``,
+        ``dimension_constructs.py:2396-2404``; ours is carried, not
+        reconstructed — filters are always spec-bound here)."""
+        return self.spec
+
+    def set_spec(self, spec: DimensionSpec) -> None:
+        """Re-type every variant against ``spec`` (reference
+        ``set_spec``, ``dimension_constructs.py:2298-2344``): wildcard /
+        relative variants keep their special role and adopt the new
+        dimension (so e.g. ``"*"`` over a DATETIME dim starts stepping
+        with its granularity); concrete values are re-parsed under the
+        new dimension type.  ``TypeError`` on breadth mismatch or an
+        unparseable value."""
+        flat = list(spec)
+        retyped: list[Branch] = []
+        for branch in self.branches:
+            if len(branch) != len(flat):
+                raise TypeError(
+                    f"Filter is not compatible with the spec! branch width "
+                    f"{len(branch)} != spec dimension count {len(flat)}"
+                )
+            nb: list[DimensionVariant] = []
+            for v, dim in zip(branch, flat):
+                if isinstance(v, AnyVariant):
+                    nb.append(AnyVariant(dim))
+                elif isinstance(v, RelativeVariant):
+                    nb.append(RelativeVariant(v.relative_index, v.shift, dim))
+                elif isinstance(v, AnchoredRangeVariant):
+                    nb.append(
+                        AnchoredRangeVariant(
+                            create_variant(v.anchor.raw(), dim), v.relative_index, v.shift, dim
+                        )
+                    )
+                else:
+                    try:
+                        nb.append(create_variant(v.raw(), dim))
+                    except (ValueError, TypeError) as ex:
+                        raise TypeError(f"Filter is not compatible with the spec! Exception: {ex}")
+            retyped.append(tuple(nb))
+        self.spec = spec
+        self.branches = retyped
 
     # -- algebra ----------------------------------------------------------
     def chain(self, other: "DimensionFilter") -> Optional["DimensionFilter"]:

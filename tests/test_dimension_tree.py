@@ -204,6 +204,49 @@ class TestTreeSpecCompatibility:
         assert tree_1.check_compatibility(swapped, enable_type_check=False)
 
 
+class TestCompensateAndSetSpec:
+    def test_compensate_transfers_names(self, tree_1):
+        # same structure, anonymous names — reference output-spec inference
+        target = DimensionSpec(
+            [Dimension("x", L), Dimension("y", D)],
+            [DimensionSpec([Dimension("z", S)], [None]), None],
+        )
+        target.compensate(tree_1, overwrite=True)
+        assert target.dimension_names() == ["dim_1_1", "dim_1_2", "dim_2_1"]
+
+    def test_compensate_incompatible_raises(self, tree_1, single_dim):
+        with pytest.raises(TypeError):
+            single_dim.compensate(tree_1)
+
+    def test_set_spec_retypes_variants(self):
+        # reference test_dimension_filter.py:45-57: an untyped "*" /
+        # relative filter adopts the spec's types via set_spec
+        untyped = DimensionSpec([Dimension("dim", DimensionType.STRING)])
+        f = DimensionFilter.load_raw(untyped, {"*": {}})
+        dated = DimensionSpec([Dimension("day", D, {"format": "%Y-%m-%d"})])
+        f.set_spec(dated)
+        assert f.get_spec() is dated
+        out = f.apply_values(["2024-01-10"])
+        assert out.formatted_values() == [("2024-01-10",)]
+
+    def test_set_spec_relative_keeps_range(self):
+        untyped = DimensionSpec([Dimension("dim", DimensionType.STRING)])
+        f = DimensionFilter.load_raw(untyped, {"_:-2": {}})
+        f.set_spec(DimensionSpec([Dimension("day", D, {"format": "%Y-%m-%d"})]))
+        out = f.apply_values(["2024-01-10"])
+        assert out.formatted_values() == [("2024-01-10",), ("2024-01-09",)]
+
+    def test_set_spec_breadth_mismatch_raises(self):
+        f = DimensionFilter.load_raw(DimensionSpec([Dimension("a", S)]), ["v"])
+        with pytest.raises(TypeError):
+            f.set_spec(DimensionSpec([Dimension("a", S), Dimension("b", S)]))
+
+    def test_set_spec_unparseable_value_raises(self):
+        f = DimensionFilter.load_raw(DimensionSpec([Dimension("a", S)]), ["not a date"])
+        with pytest.raises(TypeError):
+            f.set_spec(DimensionSpec([Dimension("day", D)]))
+
+
 class TestLoadFromPretty:
     def test_tree_round_trip(self):
         spec = DimensionSpec.load_from_pretty(
