@@ -258,6 +258,7 @@ _PRESTO_REJECTS = {
     "date_diff": "Presto's date_diff(unit, a, b) differs — use datediff/timestampdiff",
     "day_of_week": "Presto ISO numbering (Mon=1) differs from Spark dayofweek (Sun=1) — use ((dayofweek(x) + 5) % 7) + 1",
     "dow": "Presto ISO numbering (Mon=1) differs from Spark dayofweek (Sun=1) — use ((dayofweek(x) + 5) % 7) + 1",
+    "split": "Presto's delimiter is a LITERAL but Spark's is a REGEX (split(x, '.') silently diverges) — regex-escape the delimiter and call Spark split explicitly",
     "day_of_year": "use dayofyear",
     "doy": "use dayofyear",
     "year_of_week": "ISO week-year has no direct Spark builtin — derive from weekofyear/year",

@@ -274,6 +274,64 @@ class TestLoadFromPretty:
         assert DimensionSpec.load_from_pretty({}) == DimensionSpec()
 
 
+class TestTreeProperties:
+    """Property-based laws over randomly shaped spec trees."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+    types = st.sampled_from([S, L, D])
+
+    @staticmethod
+    def _tree(names: list, depth: int = 0):
+        """Deterministic shape from a name pool: pairs of (root, maybe-sub)."""
+        spec = DimensionSpec()
+        i = 0
+        while names:
+            nm = names.pop()
+            sub = None
+            if names and depth < 2 and i % 2 == 0:
+                sub = TestTreeProperties._tree([names.pop()], depth + 1)
+            spec.add_dimension(Dimension(nm, [S, L, D][i % 3]), sub)
+            i += 1
+        return spec
+
+    @given(st.lists(names, min_size=1, max_size=6, unique=True))
+    @settings(max_examples=60, deadline=None)
+    def test_flattened_count_and_find(self, pool):
+        spec = self._tree(list(pool))
+        flat = spec.get_flattened_dimension_map()
+        assert len(flat) == spec.get_total_dimension_count() == len(pool)
+        for nm in pool:
+            assert spec.find_dimension_by_name(nm) is not None
+        # paths cover every dimension exactly once
+        seen = [d.name for p in spec.paths() for d in p]
+        assert sorted(seen) == sorted(pool)
+
+    @given(st.lists(names, min_size=1, max_size=6, unique=True))
+    @settings(max_examples=60, deadline=None)
+    def test_self_compatibility_and_equality(self, pool):
+        spec = self._tree(list(pool))
+        clone = copy.deepcopy(spec)
+        assert spec == clone
+        assert spec.check_compatibility(clone)
+        # renaming a dim keeps compatibility (names ignored) but breaks ==
+        clone2 = copy.deepcopy(spec)
+        clone2.get_root_dimensions()[0].name = "zzz"
+        assert spec.check_compatibility(clone2)
+        assert spec != clone2
+
+    @given(st.lists(names, min_size=2, max_size=6, unique=True))
+    @settings(max_examples=60, deadline=None)
+    def test_all_pass_chain_identity_on_trees(self, pool):
+        spec = self._tree(list(pool))
+        allp = DimensionFilter.all_pass(spec)
+        out = allp.chain(allp)
+        assert out is not None and len(out) == 1
+        assert all(isinstance(v, AnyVariant) for v in out.branches[0])
+
+
 class TestFilterOverTreeSpec:
     """Filters instantiate every dimension of the tree — sibling roots
     are orthogonal partition coordinates (flattened DFS order)."""

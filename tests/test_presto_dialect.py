@@ -37,7 +37,7 @@ class TestTranslate:
     @pytest.mark.parametrize(
         "fn",
         ["try", "json_extract", "map_agg", "format_datetime", "from_unixtime",
-         "to_unixtime", "date_diff", "day_of_week", "dow", "approx_set"],
+         "to_unixtime", "date_diff", "day_of_week", "dow", "approx_set", "split"],
     )
     def test_rejects(self, fn):
         with pytest.raises(NotImplementedError, match=fn):
