@@ -196,6 +196,19 @@ class DimensionSpec:
             spec.add_dimension(Dimension(name, typ, params), sub)
         return spec
 
+    def to_pretty(self) -> dict[str, Any]:
+        """Inverse of :meth:`load_from_pretty` (the reference declares
+        ``pretty()`` but leaves it a stub, ``dimension_constructs.py:472``;
+        the branch-list tree makes it a direct dump)."""
+        out: dict[str, Any] = {}
+        for dim, sub in self._entries:
+            node: dict[str, Any] = {"type": dim.type.value}
+            node.update(dim.params)
+            if sub:
+                node.update(sub.to_pretty())
+            out[dim.name] = node
+        return out
+
     # -- tree API (reference parity) -------------------------------------
     def add_dimension(
         self,

@@ -219,6 +219,28 @@ class TestDupClustersStar:
         pairs = spark.createDataFrame([], "a bigint, b bigint")
         assert dup_clusters_star(pairs).count() == 0
 
+    def test_non_convergence_still_one_row_per_node(self, spark):
+        """max_iter exhaustion mid-contraction must yield a well-formed
+        (possibly under-merged) label map: exactly one row per node, no
+        conflicting labels to fan out downstream joins."""
+        import warnings
+
+        from rheoceros_spark.operators.curation import dup_clusters_star
+
+        n = 200  # long chain, deliberately starved of rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "a bigint, b bigint"
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            rows = dup_clusters_star(pairs, max_iter=1).collect()
+        assert any("no fixpoint" in str(w.message) for w in caught)
+        ids = [r.doc_id for r in rows]
+        assert len(ids) == len(set(ids)), "duplicate doc_id rows in label map"
+        assert len(ids) == n + 1
+        # labels point at some smaller-or-equal node (a valid tentative label)
+        assert all(r.cluster_id <= r.doc_id for r in rows)
+
 
 def test_index_param_mismatch_raises(spark):
     import pytest as _pytest

@@ -273,6 +273,18 @@ class TestLoadFromPretty:
         assert DimensionSpec.load_from_pretty(None) == DimensionSpec()
         assert DimensionSpec.load_from_pretty({}) == DimensionSpec()
 
+    def test_pretty_round_trip(self, tree_1):
+        # load_from_pretty(to_pretty(s)) == s, params included
+        raw = {
+            "region": {"type": "STRING", "insensitive": True,
+                       "day": {"type": "DATETIME", "format": "%Y-%m-%d"}},
+            "version": {"type": "LONG", "digits": 4},
+        }
+        spec = DimensionSpec.load_from_pretty(raw)
+        assert DimensionSpec.load_from_pretty(spec.to_pretty()) == spec
+        assert spec.to_pretty() == raw
+        assert DimensionSpec.load_from_pretty(tree_1.to_pretty()) == tree_1
+
 
 class TestTreeProperties:
     """Property-based laws over randomly shaped spec trees."""

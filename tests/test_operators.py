@@ -92,6 +92,35 @@ class TestDedup:
         # min-id survivor: all 9,999 others pair with doc 0 and drop
         assert minhash_lsh_dedup(boiler).count() == 1
 
+    def test_minhash_many_templates_each_megabucket(self, spark):
+        """The ADVICE scale hole: a corpus of MANY distinct boilerplate
+        templates, each its own mega-bucket.  The un-hinted tag join
+        (AQE decides broadcast vs shuffle at runtime) must keep
+        candidates bounded at sum(N_t - 1) per band-dedup — not N_t²
+        — for every template simultaneously."""
+        from rheoceros_spark.operators.dedup import (
+            _capped_candidates,
+            _minhash_docs,
+            minhash_band_buckets,
+            minhash_lsh_dedup,
+        )
+
+        t, per = 20, 50  # 20 templates x 50 identical docs each;
+        # templates share NO shingles so each owns its buckets
+        rows = [
+            (k * per + i, " ".join(f"w{k}x{j}" for j in range(12)))
+            for k in range(t)
+            for i in range(per)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        buckets = minhash_band_buckets(_minhash_docs(docs), "doc_id", 4, 4)
+        cand = _capped_candidates(buckets, "doc_id", max_bucket=8)
+        # per template: star pairing caps at per-1 candidates (uncapped
+        # would be per*(per-1)/2 = 1225 per template per band)
+        assert cand.count() == t * (per - 1)
+        # dedup contract: exactly one survivor per template
+        assert minhash_lsh_dedup(docs, max_bucket=8).count() == t
+
     def test_minhash_cap_no_op_on_small_buckets(self, docs):
         """Below the cap the candidate set — and thus the verified pair
         set — is bit-identical to the uncapped (oracle) construction."""
@@ -205,6 +234,22 @@ class TestSimilarity:
         assigned = ivf_assign(emb, n_centroids=16)
         assert assigned.count() == n
         assert assigned.select("vec_id").distinct().count() == n
+
+    def test_fs_exists_path_routing(self, spark, tmp_path):
+        """Scheme detection requires ':/' — Windows drive paths and
+        colon-bearing relative names stay on the os.path branch instead
+        of erroring in the Hadoop FileSystem (ADVICE r4)."""
+        from rheoceros_spark.sources.io import _fs_exists
+
+        real = tmp_path / "x"
+        real.mkdir()
+        assert _fs_exists(spark, str(real))
+        assert _fs_exists(spark, "file://" + str(real))
+        assert not _fs_exists(spark, str(tmp_path / "missing"))
+        # drive-letter and colon-in-segment paths: os.path branch → False,
+        # never an unknown-scheme Hadoop error
+        assert not _fs_exists(spark, r"C:\Users\nobody\data")
+        assert not _fs_exists(spark, "weird:name/notascheme")
 
     def test_ivf_probe_scheme_qualified_path(self, spark, emb, tmp_path):
         """The persisted index must work behind a URI scheme (object
