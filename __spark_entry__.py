@@ -43,14 +43,17 @@ from rheoceros_spark.operators import (
     lang_id,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    pack_sequences,
     pii_redact,
     quality_score,
     sample_frames,
+    shuffle_shards,
     simhash_pairs,
     stratified_hash_sample,
     token_count,
     vocab_top_tokens,
 )
+from rheoceros_spark.functions.portable import tokens
 from rheoceros_spark.sources.io import load_table
 
 SF001 = "/root/testdata/sf0.001"
@@ -2001,6 +2004,71 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# seeded portable hash of doc_id — the shuffle sort key (seed 7)
+_SHUF_KEY = _H64.format(s="concat('7', ':', CAST(doc_id AS VARCHAR))")
+
+
+@q(
+    "curation_shuffle_shards",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_SHUF_KEY} AS sort_key FROM documents)
+    SELECT doc_id, CAST(sort_key % 16 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY sort_key % 16
+                                   ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data shuffle: seeded-hash sort key →
+    shard assignment + within-shard position.  Assignment is a pure
+    projection (no Spark shuffle); the window partitions by shard."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sh = shuffle_shards(docs, n_shards=16, seed=7)
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return sh.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@q(
+    "curation_pack_sequences",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, len({_TOK}) AS n_tokens, {_SHUF_KEY} AS sort_key
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, n_tokens, sort_key, CAST(sort_key % 8 AS INT) AS shard FROM h
+    ), packed AS (
+      SELECT shard, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY shard
+                                             ORDER BY sort_key, doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) / 512.0) AS BIGINT) AS bin_id
+      FROM sh
+    )
+    SELECT shard, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY shard, bin_id
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy streaming-fill sequence packing into 512-token bins,
+    within deterministic shuffle shards: one shard-partitioned window
+    pass (no global sort), bins summarized per (shard, bin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    sh = shuffle_shards(with_tok, n_shards=8, seed=7)
+    packed = pack_sequences(sh, budget=512, token_col="n_tokens")
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )
+
+
 @q(
     "dedup_clusters",
     oracle=f"""
@@ -2247,6 +2315,9 @@ _HEAD = [
     "set_except",
     "broadcast_join_enrich",
     "agg_cube",
+    # new in round 5 — never certified, so they enter the window now
+    "curation_shuffle_shards",
+    "curation_pack_sequences",
 ]
 
 

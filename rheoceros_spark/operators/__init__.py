@@ -44,7 +44,9 @@ from rheoceros_spark.operators.curation import (  # noqa: F401
     dup_clusters,
     dup_clusters_star,
     hash_sample,
+    pack_sequences,
     pii_redact,
+    shuffle_shards,
     stratified_hash_sample,
     vocab_top_tokens,
 )

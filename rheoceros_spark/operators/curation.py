@@ -393,3 +393,64 @@ def dup_clusters_star(
         .agg(F.min("v").alias("v"))
         .select(*out_cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data serving: deterministic shuffle + sequence packing
+# ---------------------------------------------------------------------------
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data serving: adds
+    ``sort_key`` (seeded portable hash of the id) and ``shard``
+    (``sort_key % n_shards``).
+
+    A training run needs the corpus in a reproducible pseudorandom
+    order, split into shards a loader fleet can claim.  Hash-derived
+    keys make that a **pure projection** — no Spark shuffle happens
+    here; only the final materialization repartitions, once, by
+    ``shard`` (``df.repartition(n_shards, "shard")
+    .sortWithinPartitions("shard", "sort_key", id_col)``).  Same
+    epoch-reshuffle trick as sampling (`hash_sample`): bump ``seed``
+    for a new order; every engine and retry produces the identical
+    permutation (the hash has an exact DuckDB twin — h64_sql)."""
+    key = h64(F.col(id_col).cast("string"), seed=seed)
+    return df.withColumn("sort_key", key).withColumn(
+        "shard", (F.col("sort_key") % F.lit(n_shards)).cast("int")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    shard_col: str = "shard",
+    order_col: str = "sort_key",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy streaming-fill sequence packing: within each shard, walk
+    documents in the deterministic shuffle order, accumulate token
+    counts, and start a new ``bin_id`` whenever the running total
+    crosses a multiple of ``budget`` — a document is assigned to the
+    bin its *first* token lands in.
+
+    This is the packing distributed pretraining pipelines actually run
+    (one window pass per shard; a bin may overflow by at most one
+    document, which the trainer truncates/wraps) — NOT optimal
+    bin-packing, which is inherently sequential.  The window partitions
+    by ``shard``, so state per task is one running sum — scale-safe at
+    any corpus size; there is no global (unpartitioned) window."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn(
+        "bin_id",
+        F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("bigint"),
+    )

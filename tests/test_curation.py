@@ -262,3 +262,73 @@ def test_persisted_index_returns_materialized_scan(spark, tmp_path):
     idx = build_minhash_index(corpus, path=path)
     # the returned frame scans the written files, not the corpus plan
     assert any(path in f for f in idx.inputFiles())
+
+
+class TestShuffleAndPack:
+    """Deterministic training-data shuffle + sequence packing."""
+
+    def test_shuffle_deterministic_and_seed_sensitive(self, spark):
+        from rheoceros_spark.operators.curation import shuffle_shards
+
+        docs = spark.range(500).select(F.col("id").alias("doc_id"))
+        a = {r.doc_id: (r.shard, r.sort_key) for r in shuffle_shards(docs, seed=7).collect()}
+        b = {r.doc_id: (r.shard, r.sort_key) for r in shuffle_shards(docs, seed=7).collect()}
+        c = {r.doc_id: (r.shard, r.sort_key) for r in shuffle_shards(docs, seed=8).collect()}
+        assert a == b
+        assert a != c
+
+    def test_shuffle_shards_roughly_balanced(self, spark):
+        from rheoceros_spark.operators.curation import shuffle_shards
+
+        docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+        sizes = (
+            shuffle_shards(docs, n_shards=16, seed=1)
+            .groupBy("shard").count().collect()
+        )
+        assert len(sizes) == 16
+        for r in sizes:  # E=125; a uniform hash stays well inside 2x
+            assert 60 <= r["count"] <= 250, (r["shard"], r["count"])
+
+    def test_shuffle_is_pure_projection(self, spark):
+        from rheoceros_spark.operators.curation import shuffle_shards
+
+        docs = spark.range(100).select(F.col("id").alias("doc_id"))
+        plan = shuffle_shards(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+    def test_pack_matches_python_reference(self, spark):
+        from rheoceros_spark.operators.curation import pack_sequences, shuffle_shards
+
+        docs = spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 97 + 3).alias("n_tokens"),
+        )
+        sh = shuffle_shards(docs, n_shards=4, seed=5)
+        got = pack_sequences(sh, budget=256).collect()
+        # python reference: same order, same streaming fill
+        by_shard: dict = {}
+        for r in sorted(got, key=lambda r: (r.shard, r.sort_key, r.doc_id)):
+            cum = by_shard.get(r.shard, 0) + r.n_tokens
+            by_shard[r.shard] = cum
+            expected_bin = (cum - r.n_tokens) // 256
+            assert r.bin_id == expected_bin, (r.doc_id, r.bin_id, expected_bin)
+
+    def test_pack_bins_fill_to_budget(self, spark):
+        from rheoceros_spark.operators.curation import pack_sequences, shuffle_shards
+
+        docs = spark.range(400).select(
+            F.col("id").alias("doc_id"), F.lit(50).alias("n_tokens")
+        )
+        sh = shuffle_shards(docs, n_shards=2, seed=3)
+        stats = (
+            pack_sequences(sh, budget=200)
+            .groupBy("shard", "bin_id")
+            .agg(F.sum("n_tokens").alias("tok"))
+            .collect()
+        )
+        # uniform 50-token docs into 200-budget bins: every full bin
+        # holds exactly 4 docs; only each shard's last bin may be short
+        last = {r.shard: max(x.bin_id for x in stats if x.shard == r.shard) for r in stats}
+        for r in stats:
+            if r.bin_id < last[r.shard]:
+                assert r.tok == 200, (r.shard, r.bin_id, r.tok)
