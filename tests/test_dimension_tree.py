@@ -344,6 +344,40 @@ class TestTreeProperties:
         assert all(isinstance(v, AnyVariant) for v in out.branches[0])
 
 
+class TestSignalOverTreeSpec:
+    """Tree specs flow through the Signal layer (reference
+    ``test_signal_link_node.py:503-512`` builds signals over a branched
+    spec): flattened DFS order drives indexed filtering and links."""
+
+    def test_signal_indexed_filtering_over_tree(self):
+        from rheoceros_spark.signals import Signal
+
+        tree = DimensionSpec.load_from_pretty(
+            {
+                "region": {"type": "STRING", "day": {"type": "DATETIME", "format": "%Y-%m-%d"}},
+                "version": {"type": "LONG"},
+            }
+        )
+        sig = Signal("docs", None, tree)
+        assert sig.dimension_names() == ["region", "day", "version"]
+        refined = sig["NA"]["2024-01-10"][7]
+        assert refined.filter.formatted_values() == [("NA", "2024-01-10", "7")]
+        with pytest.raises(IndexError):
+            refined[0]
+
+    def test_signal_link_compat_rejects_alien_branch(self):
+        from rheoceros_spark.signals import Signal
+
+        chain = DimensionSpec([Dimension("region", S), Dimension("day", D)])
+        tree = DimensionSpec(
+            [Dimension("region", S), Dimension("alien", L)],
+            [DimensionSpec([Dimension("day", D)], [None]), None],
+        )
+        a, b = Signal("a", None, chain), Signal("b", None, tree)
+        # chaining filters across incompatible spec shapes yields None
+        assert a.filter.chain(b.filter) is None
+
+
 class TestFilterOverTreeSpec:
     """Filters instantiate every dimension of the tree — sibling roots
     are orthogonal partition coordinates (flattened DFS order)."""
