@@ -1518,7 +1518,15 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipt-after-commit predicate.  The correlated subqueries become
     a left-semi and a left-anti join on (orderkey, suppkey<>suppkey);
     the self-join sides are pre-deduplicated to distinct pairs so the
-    semi/anti probes stay small at 100 TB."""
+    semi/anti probes stay small at 100 TB.
+
+    Double-scan audit (round 5): lineitem is scanned twice (l1 +
+    pair_flags).  Isolated re-measure at sf0.1: 1.5-1.9 s steady state
+    (vs 3.15 s in the round-4 bench — that number was same-JVM/host
+    contention, which bench.py documents at 2-3x).  Serving both sides
+    from one cached scan was therefore not taken: at 100 TB the two
+    scans are column-pruned differently (l1 reads 3 cols post-filter)
+    and a cache would spill far more than the second scan costs."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")

@@ -121,6 +121,26 @@ class TestDedup:
         # dedup contract: exactly one survivor per template
         assert minhash_lsh_dedup(docs, max_bucket=8).count() == t
 
+    def test_minhash_oversized_tag_join_broadcasts_under_aqe(self, spark):
+        """The un-hinted oversized-bucket tag join must come out of AQE
+        as a broadcast join when the oversized set is small (the common
+        case) — the runtime count-guard the ADVICE fix relies on."""
+        from rheoceros_spark.operators.dedup import (
+            _capped_candidates,
+            _minhash_docs,
+            minhash_band_buckets,
+        )
+
+        docs = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.lit("same boilerplate text for every single document").alias("text"),
+        )
+        buckets = minhash_band_buckets(_minhash_docs(docs), "doc_id", 4, 4)
+        cand = _capped_candidates(buckets, "doc_id", max_bucket=16)
+        assert cand.count() == 499  # execute → AQE finalizes the plan
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+
     def test_minhash_cap_no_op_on_small_buckets(self, docs):
         """Below the cap the candidate set — and thus the verified pair
         set — is bit-identical to the uncapped (oracle) construction."""
