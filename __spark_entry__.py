@@ -500,6 +500,85 @@ def events_sliding_2day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "events_cohort_retention",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    coh AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, day FROM ev)
+    SELECT coh.cohort_day,
+           CAST(date_diff('day', coh.cohort_day, act.day) AS INT) AS day_offset,
+           CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+    FROM act JOIN coh ON act.user_id = coh.user_id
+    WHERE date_diff('day', coh.cohort_day, act.day) <= 14
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch cohort retention: users grouped by their first active
+    day, counted on each later day (offset ≤ 14).  Scale shape: the
+    cohort map is (user, date) — tiny vs the event stream — and both
+    aggregates key on user_id, so the first groupBy's shuffle
+    co-partitions the join for free (one Exchange reused)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = ev.distinct()
+    return (
+        act.join(cohort, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("int"))
+        .where(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@q(
+    "events_funnel_3step",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+           CAST(sum(CASE WHEN t_purchase > t_click AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM f WHERE t_view IS NOT NULL
+    """,
+)
+def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel, ordered by each
+    user's FIRST occurrence of each step.  One conditional-min
+    aggregate per user (map-side combinable, single shuffle on
+    user_id) then a scalar rollup — no self-joins, no windows; the
+    standard funnel shape that stays one pass at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    stepped = first.where(F.col("t_view").isNotNull())
+    return stepped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_view"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).cast("bigint").alias("n_click_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_full_funnel"),
+    )
+
+
+@q(
     "metric_threshold_alarm",
     oracle=f"""
     WITH hourly AS (
@@ -2326,6 +2405,8 @@ _HEAD = [
     # new in round 5 — never certified, so they enter the window now
     "curation_shuffle_shards",
     "curation_pack_sequences",
+    "events_cohort_retention",
+    "events_funnel_3step",
 ]
 
 
