@@ -99,6 +99,20 @@ class DatasetDescriptor:
         schema_def: Optional[Sequence[tuple]] = None,
         **options: Any,
     ):
+        # reference front-end parity: dimensions may be one pretty dict
+        # (nested = chain, e.g. {"region": {"type": "STRING", "day":
+        # {"type": "DATETIME"}}}; a flat dict is insertion-order chain)
+        if len(dimensions) == 1 and isinstance(dimensions[0], dict):
+            spec = DimensionSpec.load_from_pretty(dimensions[0])
+            if not spec.is_chain:
+                if all(s is None for s in spec.get_all_sub_dimensions()):
+                    spec = DimensionSpec(spec.get_root_dimensions())
+                else:
+                    raise ValueError(
+                        "dataset partition dimensions must form a single chain "
+                        "(one partition path hierarchy); got a branched tree"
+                    )
+            dimensions = tuple(spec)
         n_slots = path_format.count("{}")
         if n_slots != len(dimensions):
             raise ValueError(

@@ -378,6 +378,45 @@ class TestSignalOverTreeSpec:
         assert a.filter.chain(b.filter) is None
 
 
+class TestDatasetPrettyDeclaration:
+    """Reference front-end parity: datasets accept one pretty dict in
+    place of Dimension objects (nested = chain; flat = insertion-order
+    chain; a branched tree is rejected — one partition path hierarchy)."""
+
+    def test_nested_pretty_chain(self):
+        from rheoceros_spark.sources.datasets import ParquetDataset
+
+        ds = ParquetDataset(
+            "/data/docs/{}/{}",
+            {"region": {"type": "STRING", "day": {"type": "DATETIME", "format": "%Y-%m-%d"}}},
+        )
+        assert ds.spec.dimension_names() == ["region", "day"]
+        f = DimensionFilter.load_raw(ds.spec, ["NA", "2024-01-10"]).finalize()
+        assert ds.materialize_paths(f) == ["/data/docs/NA/2024-01-10"]
+
+    def test_flat_pretty_is_insertion_order_chain(self):
+        from rheoceros_spark.sources.datasets import ParquetDataset
+
+        ds = ParquetDataset(
+            "/data/docs/{}/{}",
+            {"region": {"type": "STRING"}, "day": {"type": "DATETIME"}},
+        )
+        assert ds.spec.dimension_names() == ["region", "day"]
+        assert ds.spec.is_chain
+
+    def test_branched_tree_rejected(self):
+        from rheoceros_spark.sources.datasets import ParquetDataset
+
+        with pytest.raises(ValueError, match="chain"):
+            ParquetDataset(
+                "/data/docs/{}/{}",
+                {
+                    "region": {"type": "STRING", "day": {"type": "DATETIME"}},
+                    "version": {"type": "LONG"},
+                },
+            )
+
+
 class TestFilterOverTreeSpec:
     """Filters instantiate every dimension of the tree — sibling roots
     are orthogonal partition coordinates (flattened DFS order)."""
