@@ -793,11 +793,11 @@ class DimensionFilter:
                 elif isinstance(v, RelativeVariant):
                     nb.append(RelativeVariant(v.relative_index, v.shift, dim))
                 elif isinstance(v, AnchoredRangeVariant):
-                    nb.append(
-                        AnchoredRangeVariant(
-                            create_variant(v.anchor.raw(), dim), v.relative_index, v.shift, dim
-                        )
-                    )
+                    try:
+                        anchor = create_variant(v.anchor.raw(), dim)
+                    except (ValueError, TypeError) as ex:
+                        raise TypeError(f"Filter is not compatible with the spec! Exception: {ex}")
+                    nb.append(AnchoredRangeVariant(anchor, v.relative_index, v.shift, dim))
                 else:
                     try:
                         nb.append(create_variant(v.raw(), dim))

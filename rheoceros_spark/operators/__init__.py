@@ -54,3 +54,9 @@ from rheoceros_spark.operators.dedup import (  # noqa: F401
     build_minhash_index,
     dedup_against_index,
 )
+from rheoceros_spark.operators.sketches import (  # noqa: F401
+    hll_cube_sketches,
+    hll_rollup_estimate,
+    histogram_quantiles,
+    kmv_distinct,
+)
