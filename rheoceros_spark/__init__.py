@@ -63,6 +63,7 @@ from rheoceros_spark.application import (  # noqa: F401
     Application,
     ComputeRecord,
     ComputeRecordState,
+    RouteRetention,
 )
 from rheoceros_spark.diagnostics import (  # noqa: F401
     AlarmRule,

@@ -31,8 +31,10 @@ Lifecycle mapping (SURVEY §3):
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
+import shutil
 import tempfile
 import threading
 import time
@@ -78,6 +80,25 @@ from rheoceros_spark.sources.io import (
 
 
 @dataclass
+class RouteRetention:
+    """Output-partition retention policy (reference ``RouteRetention``,
+    ``routing_runtime_constructs.py:784-803``; enforcement
+    ``constructs.py:3476,3710-3760``).
+
+    ``condition`` receives the partition's RAW dimension values (typed,
+    not strings — reference ``check_output_retention`` passes
+    ``raw_value=True``) and returns True to KEEP it.  Two enforcement
+    points, both mirrored here: (1) executions targeting an
+    out-of-retention partition are **skipped** before any compute
+    (``on_exec_skipped`` hook fires), and (2)
+    :meth:`Application.apply_retention` sweeps materialized partitions
+    and deletes those the condition rejects (the reference's
+    RETENTION_DELETION_REQUEST feedback loop, collapsed in-process)."""
+
+    condition: Optional[Callable[[dict], bool]] = None
+
+
+@dataclass
 class InternalDataNode:
     """One materialized-view pipeline: join → trigger → compute → write
     (reference Route/InternalDataNode, routing_runtime_constructs.py:1172-1227)."""
@@ -88,6 +109,7 @@ class InternalDataNode:
     output_links: list[OutputDimensionLink]
     slots: list[ComputeDescriptor]
     hooks: dict[str, Callable] = field(default_factory=dict)
+    output_retention: Optional[RouteRetention] = None
 
     def upstream_aliases(self) -> list[str]:
         return [s.alias for s in self.link_node.signals]
@@ -295,6 +317,7 @@ class Application:
         output_dim_links: Optional[Sequence[Union[OutputDimensionLink, tuple]]] = None,
         input_dim_links: Optional[Sequence[Union[SignalDimensionLink, tuple]]] = None,
         dataset_type: Union[str, "DatasetType"] = "REPLACE",
+        output_retention: Optional[RouteRetention] = None,
         **hooks: Callable,
     ) -> Signal:
         self._check_not_deleted()
@@ -310,6 +333,7 @@ class Application:
             output_dim_links=output_dim_links,
             input_dim_links=input_dim_links,
             dataset_type=dataset_type,
+            output_retention=output_retention,
             hooks=hooks,
         )
         # inputs: dict keys are aliases (reference application.py:1325-1360)
@@ -366,7 +390,9 @@ class Application:
         output_signal = Signal(id, out_desc, out_desc.spec)
 
         slots = list(compute_targets) if isinstance(compute_targets, (list, tuple)) else [compute_targets]
-        node = InternalDataNode(id, link_node, output_signal, links, slots, dict(hooks))
+        node = InternalDataNode(
+            id, link_node, output_signal, links, slots, dict(hooks), output_retention
+        )
         self._nodes[id] = node
         self._routing = None  # graph changed; rebuild routing lazily
         return output_signal.clone()
@@ -585,6 +611,51 @@ class Application:
             if key is None or node_id == key
         }
 
+    def apply_retention(self, node_id: Optional[str] = None) -> dict[str, list[str]]:
+        """Sweep materialized output partitions against each node's
+        :class:`RouteRetention` condition and DELETE the rejected ones
+        (reference ``check_route_retention`` scan + the
+        RETENTION_DELETION_REQUEST feedback loop,
+        ``constructs.py:3710-3775``, collapsed to an in-process sweep).
+
+        Returns {node_id: [deleted partition paths]}.  Partitions with
+        an in-flight compute record are never deleted (reference skips
+        ``has_active_records_on`` targets).  Local-FS storage roots
+        only — matching the engine's managed-storage layout."""
+        out: dict[str, list[str]] = {}
+        targets = [self._nodes[node_id]] if node_id else list(self._nodes.values())
+        for node in targets:
+            r = node.output_retention
+            if r is None or r.condition is None:
+                continue
+            desc = node.output_signal.source
+            pattern = desc.path_format.replace("{}", "*")
+            # paths with an in-flight record, compared at the path level
+            # so raw-vs-string dimension value types can't mismatch
+            active_paths = set()
+            for rec in self._records:
+                if rec.node_id == node.id and rec.state == ComputeRecordState.PROCESSING:
+                    f = DimensionFilter.load_raw(
+                        node.output_signal.spec,
+                        [rec.out_values[d] for d in node.output_signal.dimension_names()],
+                    ).finalize()
+                    active_paths.add(desc.materialize_paths(f)[0])
+            deleted: list[str] = []
+            for path in sorted(_glob.glob(pattern)):
+                if not os.path.isdir(path):
+                    continue
+                vals = desc.extract_dimensions(path)
+                if vals is None:
+                    continue
+                if path in active_paths:
+                    continue
+                if not r.condition(vals):
+                    shutil.rmtree(path, ignore_errors=True)
+                    deleted.append(path)
+            if deleted:
+                out[node.id] = deleted
+        return out
+
     def __getitem__(self, node_id: str) -> Signal:
         if node_id in self._nodes:
             return self._nodes[node_id].output_signal.clone()
@@ -692,6 +763,20 @@ class Application:
         # dim's declared strftime), matching path rendering
         formatted = dict(zip(node.output_signal.dimension_names(), out_filter.formatted_values()[0] if len(out_filter) else ()))
         ctx = ComputeContext(self.spark, dimensions=formatted, output_alias=node.id)
+
+        # retention gate (reference constructs.py:3476): an execution
+        # targeting a partition the retention condition rejects is
+        # skipped before any compute — raw (typed) dimension values,
+        # matching check_output_retention's raw_value=True
+        if node.output_retention is not None and node.output_retention.condition is not None:
+            raw_vals = dict(
+                zip(node.output_signal.dimension_names(), out_filter.values()[0] if len(out_filter) else ())
+            )
+            if not node.output_retention.condition(raw_vals):
+                skipped_hook = node.hooks.get("on_exec_skipped")
+                if skipped_hook:
+                    skipped_hook(node, dict(out_values))
+                return node.output_signal.source.materialize_paths(out_filter)[0]
 
         hook = node.hooks.get("on_exec_begin")
         if hook:
