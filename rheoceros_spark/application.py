@@ -93,9 +93,19 @@ class RouteRetention:
     (``on_exec_skipped`` hook fires), and (2)
     :meth:`Application.apply_retention` sweeps materialized partitions
     and deletes those the condition rejects (the reference's
-    RETENTION_DELETION_REQUEST feedback loop, collapsed in-process)."""
+    RETENTION_DELETION_REQUEST feedback loop, collapsed in-process).
+
+    ``refresh_period_in_secs`` rate-limits the sweep per node (the
+    reference's ``next_retention_check_time`` scheduling) —
+    ``apply_retention`` becomes a no-op for a node swept more recently
+    than the period unless called with ``force=True``.  ``rip_hook``
+    fires per deleted partition path, ``refresh_hook`` once per sweep
+    of the node (reference ``rip_hook``/``refresh_hook`` Slots)."""
 
     condition: Optional[Callable[[dict], bool]] = None
+    refresh_period_in_secs: Optional[float] = None
+    rip_hook: Optional[Callable[[str, dict], Any]] = None
+    refresh_hook: Optional[Callable[[str], Any]] = None
 
 
 @dataclass
@@ -173,6 +183,7 @@ class Application:
         self.transient_retry_limit = transient_retry_limit
         self._records: list[ComputeRecord] = []
         self._kill_requested: set[tuple] = set()
+        self._retention_checked: dict[str, float] = {}
         self._async_threads: dict[str, threading.Thread] = {}
 
     @property
@@ -611,7 +622,9 @@ class Application:
             if key is None or node_id == key
         }
 
-    def apply_retention(self, node_id: Optional[str] = None) -> dict[str, list[str]]:
+    def apply_retention(
+        self, node_id: Optional[str] = None, force: bool = False
+    ) -> dict[str, list[str]]:
         """Sweep materialized output partitions against each node's
         :class:`RouteRetention` condition and DELETE the rejected ones
         (reference ``check_route_retention`` scan + the
@@ -624,10 +637,18 @@ class Application:
         only — matching the engine's managed-storage layout."""
         out: dict[str, list[str]] = {}
         targets = [self._nodes[node_id]] if node_id else list(self._nodes.values())
+        now = time.monotonic()
         for node in targets:
             r = node.output_retention
             if r is None or r.condition is None:
                 continue
+            if r.refresh_period_in_secs is not None and not force:
+                last = self._retention_checked.get(node.id)
+                if last is not None and now - last < r.refresh_period_in_secs:
+                    continue
+            self._retention_checked[node.id] = now
+            if r.refresh_hook:
+                r.refresh_hook(node.id)
             desc = node.output_signal.source
             pattern = desc.path_format.replace("{}", "*")
             # paths with an in-flight record, compared at the path level
@@ -652,6 +673,8 @@ class Application:
                 if not r.condition(vals):
                     shutil.rmtree(path, ignore_errors=True)
                     deleted.append(path)
+                    if r.rip_hook:
+                        r.rip_hook(path, vals)
             if deleted:
                 out[node.id] = deleted
         return out

@@ -98,6 +98,30 @@ class TestRetentionSweep:
         # idempotent: second sweep is a no-op
         assert app.apply_retention() == {}
 
+    def test_refresh_period_rate_limits_and_hooks_fire(self, app):
+        app.activate()
+        node = app._nodes["daily"]
+        node.output_retention = None
+        p1 = app.execute(app["daily"]["2024-01-01"])
+        from rheoceros_spark.application import RouteRetention as RR
+
+        ripped, refreshed = [], []
+        node.output_retention = RR(
+            condition=lambda dims: dims["day"] >= CUTOFF,
+            refresh_period_in_secs=3600.0,
+            rip_hook=lambda path, vals: ripped.append((path, vals["day"])),
+            refresh_hook=lambda node_id: refreshed.append(node_id),
+        )
+        assert app.apply_retention() == {"daily": [p1]}
+        assert refreshed == ["daily"]
+        assert ripped and ripped[0][0] == p1
+        # rate-limited: second sweep inside the period does not re-scan
+        assert app.apply_retention() == {}
+        assert refreshed == ["daily"]
+        # force overrides the period (idempotent: nothing left to delete)
+        assert app.apply_retention(force=True) == {}
+        assert refreshed == ["daily", "daily"]
+
     def test_sweep_without_retention_is_noop(self, spark, tmp_path, events_day):
         a = Application("no_ret", str(tmp_path / "store2"), spark)
         events = a.marshal_external_data(ParquetDataset(events_day + "/{}", day_dim()), id="events")
