@@ -30,7 +30,11 @@ from rheoceros_spark.operators import (  # noqa: E402
 from rheoceros_spark.session import get_session  # noqa: E402
 from rheoceros_spark.sources.io import load_table  # noqa: E402
 
-# headline set: SURVEY §2 core + scalable extension variants
+# headline set: SURVEY §2 core + scalable extension variants.
+# Deliberately FROZEN at the set BASELINE.md measured — queries added in
+# later rounds (shuffle/pack, cohort/funnel) are oracle-gated for
+# correctness but excluded here so bench_total_sec stays comparable to
+# the baseline total round over round.
 BENCH_CORE = [
     "q1_pricing_summary",
     "q2_min_cost_supplier",

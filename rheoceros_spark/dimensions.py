@@ -869,6 +869,24 @@ class DimensionFilter:
     def tip(self) -> Optional[tuple]:
         return self.values()[0] if self.branches else None
 
+    def values_of(self, name: str) -> list:
+        """Distinct raw values of the named dimension across branches,
+        branch order preserved (reference ``DimensionVariantReader.
+        read``, ``dimension_constructs.py`` — used by link functions to
+        read one dimension's domain out of a filter)."""
+        try:
+            idx = self.spec.dimension_names().index(name)
+        except ValueError:
+            raise KeyError(f"dimension {name!r} not in spec {self.spec!r}")
+        out, seen = [], set()
+        for b in self.branches:
+            v = b[idx].raw()
+            k = str(v)
+            if k not in seen:
+                seen.add(k)
+                out.append(v)
+        return out
+
     # -- Spark / SQL compilation -----------------------------------------
     def to_sql_predicate(self, col_names: Optional[Sequence[str]] = None) -> str:
         """Render as an ANSI-SQL predicate over the partition columns —

@@ -464,6 +464,16 @@ class TestFilterOverTreeSpec:
         f_chain = DimensionFilter.all_pass(flat3)
         assert f_tree.chain(f_chain) is None
 
+    def test_values_of_reads_one_dimension(self, tree):
+        f = DimensionFilter.load_raw(
+            tree, {"NA": {"2024-01-10": {}, "2024-01-11": {}}, 7: {}}
+        )
+        assert f.values_of("region") == ["NA"]
+        assert [d.day for d in f.values_of("day")] == [10, 11]
+        assert f.values_of("version") == [7]
+        with pytest.raises(KeyError):
+            f.values_of("nope")
+
     def test_tree_filter_intersection(self, tree):
         decl = DimensionFilter.load_raw(tree, {"NA": {"*": {}}, "*": {}})
         ev = DimensionFilter.load_raw(tree, {"NA": {"2024-01-10": {}}, 7: {}})
