@@ -55,7 +55,13 @@ from rheoceros_spark.compute import (
     restore_confs,
     snapshot_confs,
 )
-from rheoceros_spark.dimensions import Dimension, DimensionFilter, DimensionSpec, DimensionType
+from rheoceros_spark.dimensions import (
+    Dimension,
+    DimensionFilter,
+    DimensionSpec,
+    DimensionType,
+    chain_spec_from_dict,
+)
 from rheoceros_spark.session import get_session
 from rheoceros_spark.signals import (
     EQUALS,
@@ -147,6 +153,7 @@ class ComputeRecord:
     attempts: int = 0  # failure-retries consumed (number_of_attempts_on_failure)
     error: Optional[str] = None
     path: Optional[str] = None
+    detail: Optional[str] = None  # e.g. retention-skip note; never an error
 
 
 class ApplicationState(str, Enum):
@@ -367,7 +374,10 @@ class Application:
             indep = link_node.independent_signals or signals
             out_spec = DimensionSpec([Dimension(d.name, d.type, d.params) for d in indep[0].spec])
         elif isinstance(output_dimension_spec, dict):
-            out_spec = DimensionSpec.load(output_dimension_spec)
+            # same dual-form dict loader as dataset descriptors (nested
+            # pretty = chain; flat = insertion-order chain) — a nested
+            # dict must not silently drop the inner dimension
+            out_spec = chain_spec_from_dict(output_dimension_spec)
         else:
             out_spec = output_dimension_spec
 
@@ -756,6 +766,32 @@ class Application:
         recursive: bool,
         record: Optional[ComputeRecord] = None,
     ) -> str:
+        out_filter = DimensionFilter.load_raw(
+            node.output_signal.spec, [out_values[d] for d in node.output_signal.dimension_names()]
+        )
+        # retention gate (reference constructs.py:3476): an execution
+        # targeting a partition the retention condition rejects is
+        # skipped BEFORE any work — before input materialization and
+        # recursive backfill, so expired inputs can't crash the skip and
+        # upstream compute is never run for a rejected target.  Raw
+        # (typed) dimension values, matching check_output_retention's
+        # raw_value=True.
+        if node.output_retention is not None and node.output_retention.condition is not None:
+            raw_vals = dict(
+                zip(node.output_signal.dimension_names(), out_filter.values()[0] if len(out_filter) else ())
+            )
+            if not node.output_retention.condition(raw_vals):
+                skipped_hook = node.hooks.get("on_exec_skipped")
+                if skipped_hook:
+                    skipped_hook(node, dict(out_values))
+                if record is not None:
+                    # async pre-registered record must not stay PROCESSING
+                    # forever: poll() spins on has_active_record and the
+                    # retention sweep treats PROCESSING as in-flight
+                    record.state = ComputeRecordState.COMPLETED
+                    record.detail = "skipped: output_retention rejected target"
+                return node.output_signal.source.materialize_paths(out_filter)[0]
+
         materialized = self._materialize_inputs(node, out_values)
 
         if recursive:
@@ -779,27 +815,10 @@ class Application:
             for sig in materialized
             if sig.source is not None
         }
-        out_filter = DimensionFilter.load_raw(
-            node.output_signal.spec, [out_values[d] for d in node.output_signal.dimension_names()]
-        )
         # {dim} parametrization sees the *formatted* value (e.g. the
         # dim's declared strftime), matching path rendering
         formatted = dict(zip(node.output_signal.dimension_names(), out_filter.formatted_values()[0] if len(out_filter) else ()))
         ctx = ComputeContext(self.spark, dimensions=formatted, output_alias=node.id)
-
-        # retention gate (reference constructs.py:3476): an execution
-        # targeting a partition the retention condition rejects is
-        # skipped before any compute — raw (typed) dimension values,
-        # matching check_output_retention's raw_value=True
-        if node.output_retention is not None and node.output_retention.condition is not None:
-            raw_vals = dict(
-                zip(node.output_signal.dimension_names(), out_filter.values()[0] if len(out_filter) else ())
-            )
-            if not node.output_retention.condition(raw_vals):
-                skipped_hook = node.hooks.get("on_exec_skipped")
-                if skipped_hook:
-                    skipped_hook(node, dict(out_values))
-                return node.output_signal.source.materialize_paths(out_filter)[0]
 
         hook = node.hooks.get("on_exec_begin")
         if hook:

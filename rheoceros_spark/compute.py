@@ -222,14 +222,13 @@ class SparkSQL(ComputeDescriptor):
         return out
 
 
-# Presto/Trino functions whose Spark twin is an exact-semantics rename —
-# translated in place so the common Presto-isms just work.
+# Presto/Trino functions whose Spark twin is an EXACT-semantics rename —
+# translated in place so the common Presto-isms just work.  Anything
+# whose twin differs on any input (NULL handling, non-scalar JSON, …)
+# belongs in _PRESTO_REJECTS instead, no matter how close it looks.
 _PRESTO_RENAMES = {
     "approx_distinct": "approx_count_distinct",
-    "arbitrary": "any_value",
     "strpos": "instr",  # both (string, substring), 1-based, 0 = absent
-    "array_agg": "collect_list",
-    "json_extract_scalar": "get_json_object",  # both $.path, string result
     "contains": "array_contains",  # Presto contains() is array membership
     "week": "weekofyear",
     "week_of_year": "weekofyear",
@@ -242,6 +241,9 @@ _PRESTO_RENAMES = {
 # maps to the guidance embedded in the raised error.
 _PRESTO_REJECTS = {
     "try": "wrap the specific operation in Spark's try_cast / try_divide / try_* functions",
+    "array_agg": "Presto keeps NULL elements but Spark collect_list drops them — use collect_list (and handle NULLs explicitly) or filter first",
+    "arbitrary": "Trino returns a NON-NULL value when one exists; Spark any_value(x) may return NULL — use any_value(x, true)",
+    "json_extract_scalar": "Presto returns NULL for non-scalar matches but get_json_object returns the JSON text — use get_json_object and guard non-scalars explicitly",
     "json_extract": "use get_json_object (returns STRING, not JSON) and cast explicitly",
     "map_agg": "use map_from_entries(collect_list(struct(key, value)))",
     "multimap_agg": "use map_from_entries over collect_list of grouped structs",
@@ -265,10 +267,17 @@ _PRESTO_REJECTS = {
     "yow": "ISO week-year has no direct Spark builtin — derive from weekofyear/year",
 }
 
-# one pass: string literals are matched (and skipped) so function names
-# inside quotes are never touched; identifiers directly followed by "("
-# are candidate function calls
-_SQL_FN_OR_STR = re.compile(r"('(?:[^']|'')*')|\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+# one pass: string literals AND comments ('--' line, '/* */' block) are
+# matched first (and skipped verbatim) so function names inside either
+# are never touched; identifiers directly followed by "(" are candidate
+# function calls.  An apostrophe inside a comment ("-- don't") must not
+# desynchronize literal tracking — hence comments in the same pass.
+_SQL_FN_OR_STR = re.compile(
+    r"('(?:[^']|'')*')"          # string literal
+    r"|(--[^\n]*|/\*.*?\*/)"     # comment
+    r"|\b([A-Za-z_][A-Za-z0-9_]*)\s*\(",
+    re.DOTALL,
+)
 
 
 def translate_presto_sql(sql: str) -> str:
@@ -276,22 +285,22 @@ def translate_presto_sql(sql: str) -> str:
     functions, raise loudly on known-divergent ones (reference surface
     ``api_ext.py:230-233``, ``aws_athena.py:541-663``).  Anything not in
     either table passes through untouched (the ANSI subset both
-    dialects share)."""
+    dialects share); string literals and comments are never scanned."""
     out: list[str] = []
     last = 0
     for m in _SQL_FN_OR_STR.finditer(sql):
-        if m.group(1) is not None:  # string literal — skip verbatim
+        if m.group(3) is None:  # string literal or comment — skip verbatim
             continue
-        name = m.group(2).lower()
+        name = m.group(3).lower()
         if name in _PRESTO_REJECTS:
             raise NotImplementedError(
                 f"PrestoSQL: {name!r} diverges between Presto and Spark SQL "
                 f"and is refused rather than silently mis-run. Port: {_PRESTO_REJECTS[name]}."
             )
         if name in _PRESTO_RENAMES:
-            out.append(sql[last : m.start(2)])
+            out.append(sql[last : m.start(3)])
             out.append(_PRESTO_RENAMES[name])
-            last = m.end(2)
+            last = m.end(3)
     out.append(sql[last:])
     return "".join(out)
 

@@ -225,6 +225,13 @@ class DimensionSpec:
                 sub_dimensions and sub_dimensions.find_dimension_by_name(dimension.name)
             ):
                 raise ValueError(f"Cannot add dimension! Duplicate dimension name {dimension.name!r}")
+            if sub_dimensions:
+                # the new entry's whole subtree must also be disjoint from
+                # the existing tree, else the flattened map collapses keys
+                # and branch widths disagree with the dimension count
+                for nm in sub_dimensions.get_flattened_dimension_map():
+                    if self.find_dimension_by_name(nm):
+                        raise ValueError(f"Cannot add dimension! Duplicate dimension name {nm!r}")
         self._entries.append((dimension, sub_dimensions if sub_dimensions else None))
         return self
 
@@ -917,6 +924,25 @@ class DimensionFilter:
 
     def __repr__(self) -> str:
         return f"DimensionFilter({self.formatted_values()!r})"
+
+
+def chain_spec_from_dict(raw: dict[str, Any]) -> DimensionSpec:
+    """One dict → a CHAIN spec, accepting both declaration styles:
+    nested pretty form (``{"region": {"type": "STRING", "day":
+    {"type": "DATETIME"}}}`` — reference front-end) and flat
+    insertion-order form (``{"region": {...}, "day": {...}}`` — this
+    engine's legacy ``load``).  A genuinely branched tree raises —
+    chain consumers (dataset path formats, output partitioning) have
+    exactly one hierarchy."""
+    spec = DimensionSpec.load_from_pretty(raw)
+    if spec.is_chain:
+        return spec
+    if all(s is None for s in spec.get_all_sub_dimensions()):
+        return DimensionSpec(spec.get_root_dimensions())
+    raise ValueError(
+        "partition dimensions must form a single chain (one partition "
+        "path hierarchy); got a branched tree"
+    )
 
 
 def _tree_branches(node: Optional[DimensionSpec], raw: Any) -> list[Branch]:

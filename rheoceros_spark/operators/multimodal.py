@@ -126,10 +126,13 @@ def _resize_nearest(img: RawImage, width: int, height: int) -> RawImage:
 def decode_image(blob: bytes):
     """Decode an image payload.
 
-    Real codecs (PIL) are used when importable; the container ships
-    none, so PPM (P6) payloads take the pure-Python fallback decoder —
-    an honest end-to-end pixel path — and other formats raise the
-    documented stub error."""
+    PPM (P6) always decodes via the pure-Python decoder to a
+    :class:`RawImage` — deterministic and codec-free, so callers get
+    the same type with or without PIL installed.  Other formats use
+    PIL when importable and raise the documented stub error otherwise
+    (this container ships no codec libs)."""
+    if blob[:2] == b"P6":
+        return decode_ppm(blob)
     try:  # pragma: no cover - no codec libs in container
         import io
 
@@ -138,8 +141,6 @@ def decode_image(blob: bytes):
         return Image.open(io.BytesIO(blob))
     except ImportError:
         pass
-    if blob[:2] == b"P6":
-        return decode_ppm(blob)
     raise NotImplementedError(
         "decode of non-PPM formats requires PIL; container ships no codec "
         "libs — plumbing (schema/batching/partitioning) is real, PPM (P6) "
@@ -198,6 +199,12 @@ def resize_images(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # pragma: no cover - no codec libs in container
+            from PIL import Image  # noqa: F401
+
+            have_codec = True
+        except ImportError:
+            have_codec = False
         for pdf in it:
             out_blobs: list[bytes] = []
             metas: list[dict] = []
@@ -207,6 +214,13 @@ def resize_images(
                     img = _resize_nearest(decode_ppm(b), width, height)
                     b = encode_ppm(img.width, img.height, img.pixels)
                     mime = "image/x-portable-pixmap"
+                elif have_codec:  # pragma: no cover - no PIL in container
+                    # a real codec is present: refusing is better than the
+                    # passthrough stub silently stamping wrong dimensions
+                    raise NotImplementedError(
+                        "PIL resize path not implemented; decode non-PPM "
+                        "formats explicitly or convert to PPM upstream"
+                    )
                 else:  # passthrough stub: no codec for this format
                     mime = None
                 out_blobs.append(b)

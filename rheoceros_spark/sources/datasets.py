@@ -29,6 +29,7 @@ from rheoceros_spark.dimensions import (
     DimensionFilter,
     DimensionSpec,
     DimensionType,
+    chain_spec_from_dict,
     create_variant,
 )
 
@@ -103,16 +104,7 @@ class DatasetDescriptor:
         # (nested = chain, e.g. {"region": {"type": "STRING", "day":
         # {"type": "DATETIME"}}}; a flat dict is insertion-order chain)
         if len(dimensions) == 1 and isinstance(dimensions[0], dict):
-            spec = DimensionSpec.load_from_pretty(dimensions[0])
-            if not spec.is_chain:
-                if all(s is None for s in spec.get_all_sub_dimensions()):
-                    spec = DimensionSpec(spec.get_root_dimensions())
-                else:
-                    raise ValueError(
-                        "dataset partition dimensions must form a single chain "
-                        "(one partition path hierarchy); got a branched tree"
-                    )
-            dimensions = tuple(spec)
+            dimensions = tuple(chain_spec_from_dict(dimensions[0]))
         n_slots = path_format.count("{}")
         if n_slots != len(dimensions):
             raise ValueError(
@@ -142,14 +134,21 @@ class DatasetDescriptor:
         return paths
 
     def extract_dimensions(self, path: str) -> Optional[dict[str, Any]]:
-        """Parse a physical path into typed dimension values (F6)."""
+        """Parse a physical path into typed dimension values (F6);
+        ``None`` when the path doesn't match OR a segment doesn't parse
+        as its dimension's type (a stray non-partition directory at
+        partition depth must not crash callers like the retention
+        sweep)."""
         pattern = re.escape(self.path_format).replace(r"\{\}", "([^/]+)")
         m = re.match(pattern + r"/?$", path.rstrip("/"))
         if not m:
             return None
         out = {}
         for dim, raw in zip(self.spec, m.groups()):
-            out[dim.name] = create_variant(raw, dim).raw()
+            try:
+                out[dim.name] = create_variant(raw, dim).raw()
+            except (ValueError, TypeError):
+                return None
         return out
 
     def spark_options(self) -> dict[str, str]:

@@ -66,6 +66,14 @@ class TestTreeSpecInit:
                 [Dimension("dim1", D), Dimension("dim1_1", L)],
                 [DimensionSpec([Dimension("dim1_1", S)], [None]), None],
             ),
+            # duplicate hidden in the SECOND entry's subtree
+            (
+                [Dimension("a", S), Dimension("b", S)],
+                [
+                    DimensionSpec([Dimension("x", L)], [None]),
+                    DimensionSpec([Dimension("x", L)], [None]),
+                ],
+            ),
         ],
     )
     def test_init_failure(self, dimensions, sub_dim_specs):

@@ -16,16 +16,13 @@ class TestTranslate:
             translate_presto_sql("SELECT approx_distinct(x) FROM t")
             == "SELECT approx_count_distinct(x) FROM t"
         )
-        assert translate_presto_sql("SELECT ARBITRARY(x), strpos(s, 'a') FROM t") == (
-            "SELECT any_value(x), instr(s, 'a') FROM t"
+        assert (
+            translate_presto_sql("SELECT strpos(s, 'a') FROM t")
+            == "SELECT instr(s, 'a') FROM t"
         )
         assert (
             translate_presto_sql("SELECT contains(arr, 1), week_of_year(d) FROM t")
             == "SELECT array_contains(arr, 1), weekofyear(d) FROM t"
-        )
-        assert (
-            translate_presto_sql("SELECT json_extract_scalar(j, '$.a') FROM t")
-            == "SELECT get_json_object(j, '$.a') FROM t"
         )
 
     def test_case_insensitive_and_spacing(self):
@@ -37,7 +34,10 @@ class TestTranslate:
     @pytest.mark.parametrize(
         "fn",
         ["try", "json_extract", "map_agg", "format_datetime", "from_unixtime",
-         "to_unixtime", "date_diff", "day_of_week", "dow", "approx_set", "split"],
+         "to_unixtime", "date_diff", "day_of_week", "dow", "approx_set", "split",
+         # near-miss renames whose Spark twins differ on NULL / non-scalar
+         # inputs — rejected loudly rather than silently diverging
+         "array_agg", "arbitrary", "json_extract_scalar"],
     )
     def test_rejects(self, fn):
         with pytest.raises(NotImplementedError, match=fn):
@@ -66,6 +66,15 @@ class TestTranslate:
         sql = "SELECT day_of_week FROM t"
         assert translate_presto_sql(sql) == sql
 
+    def test_names_inside_comments_untouched(self):
+        sql = "SELECT x FROM t -- replaced try(x) with try_cast\n"
+        assert translate_presto_sql(sql) == sql
+        sql2 = "SELECT /* was histogram(v) */ count(*) FROM t"
+        assert translate_presto_sql(sql2) == sql2
+        # an apostrophe inside a comment must not desync literal tracking
+        sql3 = "SELECT x FROM t -- don't touch\n WHERE approx_distinct(x) > 1"
+        assert "approx_count_distinct" in translate_presto_sql(sql3)
+
 
 class TestDescriptor:
     def test_reject_at_construction(self):
@@ -79,8 +88,7 @@ class TestDescriptor:
             [(1, "a"), (1, "b"), (2, "a"), (2, "a")], ["k", "v"]
         )
         slot = PrestoSQL(
-            "SELECT k, approx_distinct(v) AS dv, arbitrary(v) AS any_v "
-            "FROM input0 GROUP BY k"
+            "SELECT k, approx_distinct(v) AS dv FROM input0 GROUP BY k"
         )
         ctx = ComputeContext(spark=spark, dimensions={}, args={})
         out = slot.run({"t": df}, ctx).orderBy("k").collect()

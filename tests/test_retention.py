@@ -71,6 +71,35 @@ class TestRetentionSkip:
         with pytest.raises(FileNotFoundError):
             app.load_data(app["daily"]["2024-01-01"])  # nothing was written
 
+    def test_async_skip_completes_record(self, app):
+        """wait=False on an out-of-retention target: the pre-registered
+        record must transition out of PROCESSING or poll() spins
+        forever and the sweep treats the partition as in-flight."""
+        app.activate()
+        app.execute(app["daily"]["2024-01-01"], wait=False)
+        path, err = app.poll(app["daily"]["2024-01-01"], wait=True)  # must terminate
+        assert err is None
+        recs = app.compute_records("daily")
+        assert recs and all(r.state.value != "PROCESSING" for r in recs)
+        assert any("retention" in (r.detail or "") for r in recs)
+
+    def test_skip_fires_before_input_materialization(self, spark, tmp_path, events_day):
+        """The gate must run before inputs load: an out-of-retention
+        target whose input partition does not even exist (the normal
+        case for expired data) is skipped, not crashed."""
+        a = Application("gate_order", str(tmp_path / "store3"), spark)
+        events = a.marshal_external_data(ParquetDataset(events_day + "/{}", day_dim()), id="events")
+        a.create_data(
+            id="daily",
+            inputs=[events],
+            compute_targets=SparkSQL("SELECT count(*) AS n FROM events"),
+            output_retention=RouteRetention(condition=lambda dims: dims["day"] >= CUTOFF),
+        )
+        a.activate()
+        # 2020-05-05: no input partition exists — must still skip cleanly
+        path = a.execute(a["daily"]["2020-05-05"])
+        assert not os.path.exists(path)
+
     def test_in_retention_execution_runs(self, app):
         app.activate()
         path = app.execute(app["daily"]["2024-01-02"])
@@ -91,8 +120,12 @@ class TestRetentionSweep:
         from rheoceros_spark.application import RouteRetention as RR
 
         node.output_retention = RR(condition=lambda dims: dims["day"] >= CUTOFF)
+        # a stray non-partition directory at partition depth must be
+        # ignored by the sweep, not crash dimension extraction
+        os.makedirs(os.path.dirname(p1) + "/backup-not-a-date", exist_ok=True)
         deleted = app.apply_retention()
         assert deleted == {"daily": [p1]}
+        assert os.path.isdir(os.path.dirname(p1) + "/backup-not-a-date")
         assert not os.path.exists(p1)
         assert os.path.exists(p2)
         # idempotent: second sweep is a no-op
