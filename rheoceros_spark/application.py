@@ -687,6 +687,12 @@ class Application:
                         r.rip_hook(path, vals)
             if deleted:
                 out[node.id] = deleted
+                # deleted partitions must leave the routing layer's
+                # completed-path cache, else range checks on downstream
+                # routes keep treating them as existing and trigger
+                # executions that crash on the missing inputs
+                if self._routing is not None:
+                    self._routing.completed_paths.difference_update(deleted)
         return out
 
     def __getitem__(self, node_id: str) -> Signal:

@@ -247,16 +247,28 @@ class SignalLinkNode:
 
     def compensate_missing_links(self) -> None:
         """Auto-equality links on shared dimension names (J2, reference
-        signal.py:1341 / application.py:1393-1397)."""
-        have = {(l.lhs, tuple(l.rhs)) for l in self.links}
+        signal.py:1341 / application.py:1393-1397).
+
+        A dimension is *covered* for a signal pair when ANY declared
+        link touches it on both sides — including multi-rhs computed
+        links like ``(('a','day'), f, [('b','day'), ('b','hour')])``.
+        The earlier exact single-rhs match would add a contradictory
+        auto ``a.day == b.day`` next to such a link, and propagate's
+        backward pass would then derive wrong partition values."""
+        def covered(sa: str, sb: str, name: str) -> bool:
+            for l in self.links:
+                endpoints = [l.lhs] + list(l.rhs)
+                if ((sa, name) in endpoints) and any(e[0] == sb for e in endpoints):
+                    return True
+                if ((sb, name) in endpoints) and any(e[0] == sa for e in endpoints):
+                    return True
+            return False
+
         for i, a in enumerate(self.signals):
             for b in self.signals[i + 1:]:
                 for name in set(a.dimension_names()) & set(b.dimension_names()):
-                    key = ((a.alias, name), ((b.alias, name),))
-                    rkey = ((b.alias, name), ((a.alias, name),))
-                    if key not in have and rkey not in have:
+                    if not covered(a.alias, b.alias, name):
                         self.links.append(SignalDimensionLink((a.alias, name), EQUALS, (b.alias, name)))
-                        have.add(key)
 
     # -- value propagation -------------------------------------------------
     def propagate(self, seeds: dict[str, dict[str, Any]]) -> dict[str, dict[str, Any]]:

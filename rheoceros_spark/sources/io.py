@@ -67,6 +67,15 @@ def ensure_read_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def _is_schemed(path: str) -> bool:
+    """True when the path names a filesystem scheme (``s3a://…``,
+    ``hdfs://…``, single-slash ``file:/…``) and must go through the
+    JVM Hadoop FileSystem.  The SAME test everywhere — a path that
+    existence-checks via Hadoop must read/write via Hadoop too, or
+    ``file:/x`` would probe /x but write a literal ``./file:`` dir."""
+    return re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", path) is not None
+
+
 def _fs_exists(spark: SparkSession, path: str) -> bool:
     """Hadoop-FS existence probe — works for local/HDFS/S3A URIs.
 
@@ -76,7 +85,7 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     """
     # scheme must be followed by "/" ("s3a://…", "file:/…") so Windows
     # drive paths (C:\x) and colon-bearing relative paths stay on os.path
-    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", path):
+    if not _is_schemed(path):
         return os.path.exists(path)
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -85,7 +94,25 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
 
 
 def partition_ready(spark: SparkSession, descriptor: DatasetDescriptor, path: str) -> bool:
-    """Existence + completion protocol (reference analysis.py:21-80)."""
+    """Existence + completion protocol (reference analysis.py:21-80).
+
+    Catalog tables have no filesystem path — ``catalog://db/tbl/…``
+    would crash the Hadoop FileSystem with an unknown-scheme error —
+    so their existence probe is a predicate-pruned ``LIMIT 1`` scan
+    against the table (metastore partition pruning makes this a
+    partition-listing-sized query, not a data scan)."""
+    if isinstance(descriptor, GlueTable):
+        vals = descriptor.extract_dimensions(path)
+        if vals is None:
+            return False
+        filt = DimensionFilter.load_raw(
+            descriptor.spec, [vals[d.name] for d in descriptor.spec]
+        )
+        pred = filt.to_sql_predicate()
+        probe = spark.table(descriptor.qualified_name)
+        if pred != "TRUE":
+            probe = probe.where(pred)
+        return len(probe.limit(1).take(1)) > 0
     if not _fs_exists(spark, path):
         return False
     if descriptor.integrity == IntegrityProtocol.SUCCESS_FILE:
@@ -95,11 +122,7 @@ def partition_ready(spark: SparkSession, descriptor: DatasetDescriptor, path: st
     return True
 
 
-_CSE_CONF_KEYS = (
-    "fs.s3.cse.enabled",
-    "fs.s3.cse.encryptionMaterialsProvider",
-    "fs.s3.cse.kms.keyId",
-)
+_S3_BUCKET_RE = re.compile(r"^s3[an]?://([^/]+)/")
 
 
 def apply_encryption_confs(spark: SparkSession, desc: DatasetDescriptor) -> None:
@@ -109,22 +132,26 @@ def apply_encryption_confs(spark: SparkSession, desc: DatasetDescriptor) -> None
     ``glueetl_default_ABI.py:185-194``).  Conf names are the public
     EMRFS/S3A client-side-encryption knobs; on local FS they are inert.
 
-    The hadoop conf is session-global and reads are lazy, so a stale
-    key from a previous encrypted dataset must not leak onto this one:
-    when the dataset declares no key, any ``fs.s3.cse.*`` left by an
-    earlier read is cleared.
-    """
+    The hadoop conf is session-global and DataFrame reads are LAZY —
+    the FileSystem is instantiated at action time, after every input's
+    confs were applied.  So for s3 paths the key is scoped with the
+    per-bucket conf form (``fs.s3.bucket.<name>.cse.*``): inputs on
+    different buckets cannot override each other, and an unencrypted
+    input never needs to clear another input's key.  Datasets without
+    a key therefore set nothing at all (clearing globals here was the
+    bug: it raced the earlier encrypted input's deferred read).  Two
+    datasets with DIFFERENT keys on the SAME bucket remain impossible
+    to express — as in the reference — and the second set wins."""
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     key = desc.options.get("encryption_key")
     if not key:
-        if conf.get("fs.s3.cse.enabled") is not None:
-            for k in _CSE_CONF_KEYS:
-                conf.unset(k)
         return
-    conf.set("fs.s3.cse.enabled", "true")
-    conf.set("fs.s3.cse.encryptionMaterialsProvider",
+    m = _S3_BUCKET_RE.match(desc.path_format or "")
+    prefix = f"fs.s3.bucket.{m.group(1)}.cse." if m else "fs.s3.cse."
+    conf.set(prefix + "enabled", "true")
+    conf.set(prefix + "encryptionMaterialsProvider",
              "com.amazon.ws.emr.hadoop.fs.cse.KMSEncryptionMaterialsProvider")
-    conf.set("fs.s3.cse.kms.keyId", str(key))
+    conf.set(prefix + "kms.keyId", str(key))
 
 
 def load_signal(spark: SparkSession, signal: Signal) -> DataFrame:
@@ -137,6 +164,30 @@ def load_signal(spark: SparkSession, signal: Signal) -> DataFrame:
 
     if isinstance(desc, GlueTable):
         df = spark.table(desc.qualified_name)
+        if signal.nearest_in_range:
+            # S5 for catalog tables: newest→oldest per branch, first
+            # branch with data wins (same TIP-first order as paths)
+            for branch in signal.filter.finalize().branches:
+                bf = DimensionFilter(signal.filter.spec, [branch])
+                pred = bf.to_sql_predicate()
+                candidate = df.where(pred) if pred != "TRUE" else df
+                if len(candidate.limit(1).take(1)) > 0:
+                    return candidate
+            raise FileNotFoundError(
+                f"nearest: no partition of {signal.alias!r} has data in "
+                f"{desc.qualified_name}"
+            )
+        if signal.range_check_required:
+            # every branch of the declared range must have data
+            for branch in signal.filter.finalize().branches:
+                bf = DimensionFilter(signal.filter.spec, [branch])
+                pred = bf.to_sql_predicate()
+                probe = df.where(pred) if pred != "TRUE" else df
+                if len(probe.limit(1).take(1)) == 0:
+                    raise FileNotFoundError(
+                        f"range_check: missing partition {pred!r} of "
+                        f"{signal.alias!r} in {desc.qualified_name}"
+                    )
         pred = signal.filter.to_sql_predicate()
         return df.where(pred) if pred != "TRUE" else df
 
@@ -192,8 +243,23 @@ def normalize_ns_timestamps(df: DataFrame, sample_path: str) -> DataFrame:
     the driver — O(1) regardless of data size."""
     from pyspark.sql import functions as F
 
+    probe_path = sample_path
+    m = re.match(r"^file:(?://)?(/.*)$", probe_path)
+    if m:
+        probe_path = m.group(1)
+    elif _is_schemed(probe_path):
+        import warnings
+
+        warnings.warn(
+            f"normalize_ns_timestamps: cannot probe remote parquet footer "
+            f"{probe_path!r} driver-side; TIMESTAMP(NANOS) columns (if any) "
+            "stay as bigint epoch-nanos — declare an explicit schema or "
+            "normalize upstream",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return df
     try:
-        probe_path = sample_path
         if os.path.isdir(probe_path):
             files = [f for f in os.listdir(probe_path) if f.endswith(".parquet")]
             if not files:
@@ -257,6 +323,17 @@ def write_dataset(
     ``mode='append'``.  ``_SUCCESS`` is emitted by Spark's output
     committer natively (S15).  Returns the persisted metadata dict.
     """
+    obs = None
+    if record_count:
+        # S16: record-count metadata, observed DURING the write — a
+        # post-hoc df.count() would re-execute the whole upstream plan
+        # (nothing caches it) and could even disagree with the written
+        # rows for non-deterministic transforms
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     writer = df.write.format(data_format).mode(mode)
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
@@ -268,10 +345,8 @@ def write_dataset(
     if persist_schema:
         # S13: schema JSON persisted beside data (glueetl_default_ABI.py:397-409)
         _write_sidecar(df.sparkSession, path, SCHEMA_FILE, df.schema.json())
-    if record_count:
-        # S16: record-count metadata; exact count is cheap post-write
-        # because AQE cached stats — still one job, acceptable.
-        meta["record_count"] = df.count()
+    if obs is not None:
+        meta["record_count"] = obs.get["n"]
         _write_sidecar(df.sparkSession, path, METADATA_FILE, json.dumps(meta))
     return meta
 
@@ -290,7 +365,7 @@ def load_content(spark: SparkSession, path: str, deserialize: bool = True):
     corrupt pickle RAISES instead of silently degrading to garbage
     bytes.  Trust requirement: ``pickle.loads`` executes code — only
     load artifacts from stores the pipeline itself writes."""
-    if "://" not in path:
+    if not _is_schemed(path):
         with open(path, "rb") as f:
             raw = f.read()
     else:
@@ -315,7 +390,7 @@ def save_content(spark: SparkSession, obj, path: str) -> None:
     import pickle
 
     raw = obj if isinstance(obj, (bytes, bytearray)) else pickle.dumps(obj)
-    if "://" not in path:
+    if not _is_schemed(path):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "wb") as f:
             f.write(raw)
@@ -346,7 +421,7 @@ def write_pandas(
 
 
 def _write_sidecar(spark: SparkSession, dir_path: str, name: str, content: str) -> None:
-    if "://" not in dir_path:
+    if not _is_schemed(dir_path):
         os.makedirs(dir_path, exist_ok=True)
         with open(os.path.join(dir_path, name), "w") as f:
             f.write(content)

@@ -49,7 +49,10 @@ class RuntimeLinkNode:
     def __init__(self, route: "Route", created_at: Optional[float] = None):
         self.route = route
         self.ready: dict[str, dict[str, Any]] = {}  # alias -> material dim values
-        self.processed_paths: set[str] = set()
+        #: (alias, path) pairs — keyed per ALIAS so one physical event
+        #: can be consumed by several aliases of the same upstream
+        #: (dict-inputs self-join) while re-sends stay idempotent
+        self.processed_paths: set[tuple[str, str]] = set()
         self.created_at = created_at if created_at is not None else time.time()
         self.is_zombie = False
         # blocked = trigger may complete but execution is deferred until a
@@ -68,7 +71,7 @@ class RuntimeLinkNode:
 
     def offer(self, alias: str, values: dict[str, Any], path: str) -> bool:
         """True if the event belongs to this node (consumed or deduped)."""
-        if path in self.processed_paths:
+        if (alias, path) in self.processed_paths:
             return True  # idempotent re-consume (reference :626-629)
         expected = self._expected_values(alias)
         if expected:
@@ -79,7 +82,7 @@ class RuntimeLinkNode:
             if any(str(self.ready[alias].get(d)) != str(v) for d, v in values.items()):
                 return False
         self.ready[alias] = dict(values)
-        self.processed_paths.add(path)
+        self.processed_paths.add((alias, path))
         return True
 
     def check_zombie(self) -> bool:
@@ -130,13 +133,18 @@ class RuntimeLinkNode:
             needs_one = sig.nearest_in_range
             if not (needs_all or needs_one):
                 continue
+            if sig.source is None:
+                continue  # sourceless (timer-like) inputs have no partitions to probe
             derived = known.get(sig.alias, self.ready.get(sig.alias, {}))
             values = [derived.get(d.name, "*") for d in sig.spec]
             try:
                 m = sig.materialize(values)
+                # a dimension not derivable from the link matrix leaves a
+                # wildcard → non-material filter; the range can't be
+                # verified yet, so the trigger BLOCKS (not a crash)
+                paths = sig.source.materialize_paths(m.filter)
             except ValueError:
                 return False
-            paths = sig.source.materialize_paths(m.filter)
             sig_ok = True
             any_ok = False
             for p in paths:
@@ -177,10 +185,19 @@ class Route:
         }
 
     def accepts(self, alias: str, resource_id: Optional[str] = None) -> Optional[Signal]:
-        for sig in self.node.link_node.signals:
-            if sig.alias == alias or (resource_id is not None and sig.resource_id == resource_id):
-                return sig
-        return None
+        sigs = self.accepts_all(alias, resource_id)
+        return sigs[0] if sigs else None
+
+    def accepts_all(self, alias: str, resource_id: Optional[str] = None) -> list[Signal]:
+        """ALL input signals the event binds to — a node may consume the
+        same upstream under several aliases (dict-inputs self-join,
+        e.g. ``{"today": a, "prev": a[:-7]}``); every one must see the
+        event or the trigger group never completes."""
+        return [
+            sig
+            for sig in self.node.link_node.signals
+            if sig.alias == alias or (resource_id is not None and sig.resource_id == resource_id)
+        ]
 
     def receive(
         self, spark, alias: str, tip: tuple, path: str,
@@ -191,29 +208,38 @@ class Route:
         """Offer the event; return nodes that became ready (reference
         Route.receive, :1396-1444).  ``tip`` is positional — each route
         zips it with its own declared dimension names/aliases."""
-        sig = self.accepts(alias, resource_id)
-        if sig is None:
-            return []
-        values = dict(zip(sig.dimension_names(), tip))
-        # declared-filter compatibility gate (value mismatch → ignore)
-        try:
-            m = sig.materialize([values.get(d.name, "*") for d in sig.spec])
-            if len(m.filter) == 0:
-                return []
-        except ValueError:
+        accepted: list[tuple[Signal, dict]] = []
+        for sig in self.accepts_all(alias, resource_id):
+            values = dict(zip(sig.dimension_names(), tip))
+            # declared-filter compatibility gate (value mismatch → ignore)
+            try:
+                m = sig.materialize([values.get(d.name, "*") for d in sig.spec])
+                if len(m.filter) == 0:
+                    continue
+            except ValueError:
+                continue
+            accepted.append((sig, values))
+        if not accepted:
             return []
 
         consumed = None
         for node in self.pending_nodes:
-            if node.offer(sig.alias, values, path):
+            if any(node.offer(sig.alias, values, path) for sig, values in accepted):
+                # deliver to every other bound alias of the same node too
+                for sig, values in accepted:
+                    node.offer(sig.alias, values, path)
                 consumed = node
                 break
         if consumed is None:
-            if sig.is_reference or sig.nearest_in_range:
+            seedable = [
+                (s, v) for s, v in accepted if not (s.is_reference or s.nearest_in_range)
+            ]
+            if not seedable:
                 # references/nearest never seed pending nodes (reference :1410-1425, :397-407)
                 return []
             node = RuntimeLinkNode(self)
-            node.offer(sig.alias, values, path)
+            for sig, values in accepted:
+                node.offer(sig.alias, values, path)
             if node.check_zombie():
                 return []
             self.pending_nodes.append(node)
@@ -263,8 +289,9 @@ class RoutingTable:
         #: (reference common_completed_paths + transfer_ranges,
         #: routing_runtime_constructs.py:316-341, 370-395).  Completed
         #: partitions are immutable by the completion protocol, so entries
-        #: never invalidate; memory is one path string per verified
-        #: partition.
+        #: only invalidate when the engine itself deletes a partition
+        #: (Application.apply_retention purges swept paths); memory is
+        #: one path string per verified partition.
         self.completed_paths: set[str] = set()
 
     def receive(
@@ -287,11 +314,12 @@ class RoutingTable:
         for route in self.routes.values():
             if route.accepts(signal.alias, signal.resource_id) is not None:
                 route.metrics["events"] += 1
-            for ready_node in route.receive(
+            ready_nodes = route.receive(
                 self.app.spark, signal.alias, tip, path,
                 resource_id=signal.resource_id, is_blocked=is_blocked,
                 completed_cache=self.completed_paths,
-            ):
+            )
+            for i, ready_node in enumerate(ready_nodes):
                 derived = self._materialize_output(route, ready_node)
                 if derived is None:
                     continue
@@ -305,6 +333,11 @@ class RoutingTable:
                         out_path = self.app._run_node(route.node, out_values, recursive=False)
                     except Exception:
                         route.metrics["failures"] += 1
+                        # a failed trigger must not destroy join state:
+                        # requeue this node (an event re-send re-offers
+                        # idempotently and re-triggers) and every ready
+                        # node this loop hasn't reached yet
+                        route.pending_nodes.extend(ready_nodes[i:])
                         raise
                     route.metrics["completions"] += 1
                     outputs.append(out_path)

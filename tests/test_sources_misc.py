@@ -45,18 +45,24 @@ class TestS7EncryptedScan:
         assert conf.get("fs.s3.cse.enabled") == "true"
         assert conf.get("fs.s3.cse.kms.keyId") == "arn:kms:key/test-1"
 
-    def test_no_key_clears_stale_cse_confs(self, spark, sf_dir):
-        # An earlier encrypted read leaves session-global CSE confs; an
-        # unencrypted dataset must not inherit them (lazy reads apply
-        # the conf active at ACTION time, not plan time).
-        enc = ParquetDataset(f"{sf_dir}/nation.parquet", encryption_key="arn:kms:key/test-2")
-        load_signal(spark, Signal("nation", enc, enc.spec)).count()
-        desc = ParquetDataset(f"{sf_dir}/region.parquet")
-        sig = Signal("region", desc, desc.spec)
-        assert load_signal(spark, sig).count() > 0
+    def test_s3_keys_scope_per_bucket_and_no_key_is_inert(self, spark, sf_dir):
+        # Reads are LAZY: the FileSystem is built at action time, after
+        # every input's confs were applied.  s3 datasets therefore get
+        # per-bucket conf keys (inputs can't override each other), and a
+        # key-less dataset sets/clears NOTHING — clearing globals here
+        # would race an earlier encrypted input's deferred read.
+        from rheoceros_spark.sources.io import apply_encryption_confs
+
+        enc = ParquetDataset("s3a://bucket-a/data", encryption_key="arn:kms:key/test-2")
+        apply_encryption_confs(spark, enc)
         conf = spark.sparkContext._jsc.hadoopConfiguration()
-        assert conf.get("fs.s3.cse.enabled") is None
-        assert conf.get("fs.s3.cse.kms.keyId") is None
+        assert conf.get("fs.s3.bucket.bucket-a.cse.enabled") == "true"
+        assert conf.get("fs.s3.bucket.bucket-a.cse.kms.keyId") == "arn:kms:key/test-2"
+
+        plain = ParquetDataset(f"{sf_dir}/region.parquet")
+        apply_encryption_confs(spark, plain)
+        # other inputs' scoped confs survive a key-less dataset's load
+        assert conf.get("fs.s3.bucket.bucket-a.cse.enabled") == "true"
 
 
 class TestS8RawContent:
