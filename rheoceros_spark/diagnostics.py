@@ -129,6 +129,7 @@ def alarm_state(
     datapoints_to_alarm: Optional[int] = None,
     period_col: str = "period_start",
     dims: Sequence[str] = (),
+    period_seconds: Optional[int] = None,
 ) -> DataFrame:
     """Alarm evaluation: breach per period, then M-of-N over the last
     ``evaluation_periods`` periods (reference
@@ -137,20 +138,58 @@ def alarm_state(
 
     Adds ``breach`` (0/1), ``breaches_in_window``, ``state``
     (OK / ALARM / INSUFFICIENT_DATA — the latter while fewer than N
-    periods have been observed and the alarm has not yet fired)."""
+    periods have been observed and the alarm has not yet fired).
+
+    The default window slides over the last N *rows*, which equals the
+    last N *periods* only when every period emits a row.  For sparse
+    metrics (rows only when something happens) pass ``period_seconds``:
+    the window then becomes an event-time ``rangeBetween`` over the
+    period timestamps, so three breach rows days apart can no longer
+    masquerade as 3-of-3 consecutive breaches (CloudWatch
+    missing-data = not-breaching semantics)."""
     m = datapoints_to_alarm if datapoints_to_alarm is not None else evaluation_periods
     breach = F.when(
         _COMPARISON[comparison](F.col(metric_col), F.lit(threshold)), F.lit(1)
     ).otherwise(F.lit(0))
-    w = (
-        Window.partitionBy(*dims)
-        .orderBy(period_col)
-        .rowsBetween(-(evaluation_periods - 1), 0)
-    )
     out = metric_df.withColumn("breach", breach)
-    out = out.withColumn("breaches_in_window", F.sum("breach").over(w)).withColumn(
-        "periods_in_window", F.count("breach").over(w)
-    )
+    if period_seconds is not None:
+        from rheoceros_spark.operators.timeseries import _epoch_seconds
+
+        epoch = _epoch_seconds(F.col(period_col)).cast("bigint")
+        out = out.withColumn("__epoch", epoch)
+        span = int(period_seconds) * (evaluation_periods - 1)
+        w = Window.partitionBy(*dims).orderBy("__epoch").rangeBetween(-span, 0)
+        wp = (
+            Window.partitionBy(*dims)
+            .orderBy("__epoch")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = (
+            out.withColumn("breaches_in_window", F.sum("breach").over(w))
+            .withColumn(
+                # periods of HISTORY the window spans (capped at N) —
+                # absent periods count as observed-not-breaching
+                "periods_in_window",
+                F.least(
+                    F.lit(evaluation_periods),
+                    (
+                        (F.col("__epoch") - F.first("__epoch").over(wp))
+                        / F.lit(int(period_seconds))
+                    ).cast("bigint")
+                    + F.lit(1),
+                ),
+            )
+            .drop("__epoch")
+        )
+    else:
+        w = (
+            Window.partitionBy(*dims)
+            .orderBy(period_col)
+            .rowsBetween(-(evaluation_periods - 1), 0)
+        )
+        out = out.withColumn("breaches_in_window", F.sum("breach").over(w)).withColumn(
+            "periods_in_window", F.count("breach").over(w)
+        )
     return out.withColumn(
         "state",
         F.when(F.col("breaches_in_window") >= m, F.lit(AlarmState.ALARM.value))

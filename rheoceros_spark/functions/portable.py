@@ -125,7 +125,10 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # try_divide: a zero-norm vector yields NULL (sorts last under the
+    # engine's desc ordering) instead of ANSI DIVIDE_BY_ZERO — the SQL
+    # twin guards with nullif the same way
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def dot_sql(a: str, b: str) -> str:
@@ -137,4 +140,4 @@ def dot_sql(a: str, b: str) -> str:
 
 
 def cosine_sql(a: str, b: str) -> str:
-    return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
+    return f"({dot_sql(a, b)} / nullif(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}), 0))"

@@ -44,6 +44,32 @@ def plane_matrix(nbits: int, dim: int) -> list[list[float]]:
     ]
 
 
+def _ranked_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Shared top-k contract of every similarity entry point: order by
+    (cos desc, id asc) — total, reproducible — take k, emit (id, rank,
+    cos_r).  The post-limit window runs over ≤ k rows, so the
+    unpartitioned Window is k-sized, never data-sized."""
+    order = [F.col("cos").desc(), F.col(id_col).asc()]
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.row_number().over(Window.orderBy(*order)).alias("rank"),
+            F.round("cos", 6).alias("cos_r"),
+        )
+    )
+
+
+def _one_query_row(q: DataFrame, what: str):
+    """Fail LOUDLY when the query id matches nothing — an empty
+    broadcast side would otherwise produce a plausible empty top-k,
+    indistinguishable from 'no neighbors'.  One driver-side take(1)
+    on a 1-row frame."""
+    if not q.take(1):
+        raise ValueError(f"{what}: query id matched no row")
+
+
 def cosine_topk(
     df: DataFrame,
     query_id: int,
@@ -57,20 +83,13 @@ def cosine_topk(
     broken by id so the result is total-ordered and reproducible.
     """
     q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    _one_query_row(q, "cosine_topk")
     sims = (
         df.where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
     )
-    return (
-        sims.orderBy(F.col("cos").desc(), F.col(id_col).asc())
-        .limit(k)
-        .select(
-            F.col(id_col),
-            F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())).alias("rank"),
-            F.round("cos", 6).alias("cos_r"),
-        )
-    )
+    return _ranked_topk(sims, id_col, k)
 
 
 def signature_col(vec_col: str, planes: list[list[float]]):
@@ -239,7 +258,10 @@ def ivf_probe(
     qnorm = math.sqrt(_dot(qv, qv))
 
     def _cos(c):
-        return _dot(c, qv) / (math.sqrt(_dot(c, c)) * qnorm)
+        # zero-norm query/centroid: the in-plan cosine yields NULL and
+        # sorts last; mirror that with -inf instead of ZeroDivisionError
+        denom = math.sqrt(_dot(c, c)) * qnorm
+        return _dot(c, qv) / denom if denom > 0.0 else float("-inf")
 
     ranked = sorted(((-_cos(list(r["cv"])), r["cid"]) for r in cents))
     probes = [cid for _, cid in ranked[:n_probe]]
@@ -256,15 +278,7 @@ def ivf_probe(
     if exclude_id is not None:
         cells = cells.where(F.col(id_col) != exclude_id)
     scored = cells.select(F.col(id_col), cosine(F.col(vec_col), F.lit(qv)).alias("cos"))
-    return (
-        scored.orderBy(F.col("cos").desc(), F.col(id_col).asc())
-        .limit(k)
-        .select(
-            F.col(id_col),
-            F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())).alias("rank"),
-            F.round("cos", 6).alias("cos_r"),
-        )
-    )
+    return _ranked_topk(scored, id_col, k)
 
 
 def ivf_topk(
@@ -281,8 +295,11 @@ def ivf_topk(
     Candidate set is ~``n_probe/n_centroids`` of the corpus — the
     standard recall/cost dial."""
     cents = ivf_centroids(df, n_centroids, vec_col, id_col)
-    assigned = ivf_assign(df, n_centroids, vec_col, id_col)
+    # thread the codebook through (ivf_assign would otherwise recompute
+    # ivf_centroids — a second full corpus scan of the priciest stage)
+    assigned = ivf_assign(df, n_centroids, vec_col, id_col, cents=cents)
     qv = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    _one_query_row(qv, "ivf_topk")
     probes = (
         cents.crossJoin(F.broadcast(qv))
         .orderBy(cosine(F.col("cv"), F.col("__qv")).desc(), F.col("cid").asc())
@@ -295,15 +312,7 @@ def ivf_topk(
         .crossJoin(F.broadcast(qv))
         .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
     )
-    return (
-        cands.orderBy(F.col("cos").desc(), F.col(id_col).asc())
-        .limit(k)
-        .select(
-            F.col(id_col),
-            F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())).alias("rank"),
-            F.round("cos", 6).alias("cos_r"),
-        )
-    )
+    return _ranked_topk(cands, id_col, k)
 
 
 def ann_lsh_topk(
@@ -330,6 +339,7 @@ def ann_lsh_topk(
     qrow = bucketed.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qv"), F.col("bucket").alias("__qb")
     )
+    _one_query_row(qrow, "ann_lsh_topk")
     cands = (
         bucketed.crossJoin(F.broadcast(qrow))
         .where(
@@ -338,12 +348,4 @@ def ann_lsh_topk(
         )
         .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
     )
-    return (
-        cands.orderBy(F.col("cos").desc(), F.col(id_col).asc())
-        .limit(k)
-        .select(
-            F.col(id_col),
-            F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())).alias("rank"),
-            F.round("cos", 6).alias("cos_r"),
-        )
-    )
+    return _ranked_topk(cands, id_col, k)

@@ -33,7 +33,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 from rheoceros_spark.sources.datasets import DatasetDescriptor
-from rheoceros_spark.sources.io import write_dataset
+from rheoceros_spark.sources.io import _fs_exists, save_content, write_dataset
 
 
 def stream_source(
@@ -51,7 +51,11 @@ def stream_source(
     schema = schema or descriptor.spark_schema()
     if schema is None:
         raise ValueError("streaming file sources need a declared schema")
-    root = descriptor.path_format.split("{}")[0].rstrip("/")
+    # root = everything before the LAST '/' preceding the first "{}",
+    # so hive-style formats (".../region={}/day={}") glob the real
+    # parent dir instead of a nonexistent ".../region=" prefix
+    head = descriptor.path_format.split("{}")[0]
+    root = head[: head.rfind("/")] if "/" in head else head
     reader = (
         spark.readStream.format(descriptor.data_format)
         .schema(schema)
@@ -121,8 +125,13 @@ def stream_dedup(
     state is O(keys per watermark window), not O(all keys ever)).
 
     For content dedup pass a hash column as the key
-    (``F.md5(normalize_text(...))``), mirroring the batch operator."""
-    return sdf.withWatermark(ts_col, watermark).dropDuplicates(list(key_cols))
+    (``F.md5(normalize_text(...))``), mirroring the batch operator.
+
+    ``dropDuplicatesWithinWatermark`` is load-bearing: plain
+    ``dropDuplicates(keys)`` without the event-time column in the
+    subset NEVER evicts its state (the watermark doesn't apply), which
+    at 100 TB is one state entry per key ever seen → OOM."""
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
 
 
 def sessionize(
@@ -151,8 +160,9 @@ def sessionize(
     All timestamp arithmetic is integer microseconds (epoch-ns are
     > 2⁵³, so float division silently loses precision — same bug
     class as the ns→µs normalization in ``sources/io.py``)."""
+    key_type = sdf.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} bigint, session_start timestamp, session_end timestamp, n_events bigint"
+        f"{key_col} {key_type}, session_start timestamp, session_end timestamp, n_events bigint"
     )
     state_schema = "start bigint, end bigint, n bigint"
     gap_us = int(gap_seconds) * 1_000_000
@@ -263,19 +273,30 @@ def stream_dedup_against_index(
         losers = dups.where(F.col("new_id") != F.col("dup_of")).select(
             F.col("new_id").alias(id_col)
         ).distinct()
-        novel = batch_df.join(losers, on=id_col, how="left_anti")
-        accept(novel, batch_id)
-        marker_dir = os.path.join(index_path, "_batches")
-        marker = os.path.join(marker_dir, str(batch_id))
-        if os.path.exists(marker):
-            return  # replay: this batch's rows are already in the index
-        if novel.limit(1).count() > 0:
-            build_minhash_index(
-                novel, text_col=text_col, id_col=id_col, **mh_kwargs
-            ).write.mode("append").partitionBy("band").parquet(index_path)
-        os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w"):
-            pass
+        # the probe join is the dominant per-batch cost and `novel` is
+        # consumed up to three times (accept, emptiness check, index
+        # append) — materialize it once
+        novel = batch_df.join(losers, on=id_col, how="left_anti").persist()
+        try:
+            accept(novel, batch_id)
+            # markers must go through the Hadoop FS: on an object-store
+            # index_path os.path would never see them and every replay
+            # would re-append the batch (the exact duplication the
+            # marker prevents).  NOTE the append→marker pair is not
+            # atomic: a crash between them duplicates this one batch's
+            # rows on replay — acceptable for a dedup index (extra
+            # candidates, same survivors); a transaction log would be
+            # the table-format answer.
+            marker = index_path.rstrip("/") + "/_batches/" + str(batch_id)
+            if _fs_exists(spark, marker):
+                return  # replay: this batch's rows are already in the index
+            if novel.limit(1).count() > 0:
+                build_minhash_index(
+                    novel, text_col=text_col, id_col=id_col, **mh_kwargs
+                ).write.mode("append").partitionBy("band").parquet(index_path)
+            save_content(spark, b"", marker)
+        finally:
+            novel.unpersist()
 
     writer = sdf.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

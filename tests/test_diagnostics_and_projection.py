@@ -172,3 +172,37 @@ class TestTimerAndProjection:
         assert tiers == {"gold", "silver"}
         got = app.load_data(proj["2024-01-02"]["silver"]).count()
         assert got == app.load_data(daily["2024-01-02"]).count()
+
+
+def test_alarm_m_of_n_range_window_ignores_sparse_gaps(spark):
+    """Sparse metrics (rows only on activity): three breach rows days
+    apart are NOT 3-of-3 consecutive breaches.  The row-window default
+    would fire; the period_seconds range window must not."""
+    from datetime import datetime
+
+    from rheoceros_spark.diagnostics import alarm_state
+
+    rows = [
+        (datetime(2024, 1, 1, 0), 99.0),
+        (datetime(2024, 1, 3, 5), 99.0),
+        (datetime(2024, 1, 7, 9), 99.0),
+    ]
+    df = spark.createDataFrame(rows, "period_start timestamp, value double")
+    row_based = alarm_state(df, "value", 50.0, evaluation_periods=3).orderBy("period_start").collect()
+    assert row_based[-1]["state"] == "ALARM"  # the documented row-window trap
+    ranged = alarm_state(
+        df, "value", 50.0, evaluation_periods=3, period_seconds=3600
+    ).orderBy("period_start").collect()
+    assert all(r["state"] != "ALARM" for r in ranged)
+    assert ranged[0]["state"] == "INSUFFICIENT_DATA"  # no history yet
+    assert ranged[-1]["state"] == "OK"  # plenty of history, 1 breach in last 3h
+
+    # dense hourly breaches still fire under the range window
+    dense = spark.createDataFrame(
+        [(datetime(2024, 1, 1, h), 99.0) for h in range(4)],
+        "period_start timestamp, value double",
+    )
+    fired = alarm_state(
+        dense, "value", 50.0, evaluation_periods=3, period_seconds=3600
+    ).orderBy("period_start").collect()
+    assert fired[-1]["state"] == "ALARM"

@@ -391,3 +391,23 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG...")
+
+
+class TestAnnGuards:
+    def test_missing_query_id_raises(self, emb):
+        from rheoceros_spark.operators.similarity import ann_lsh_topk, cosine_topk, ivf_topk
+
+        for fn in (cosine_topk, ivf_topk, ann_lsh_topk):
+            with pytest.raises(ValueError, match="query id matched no row"):
+                fn(emb, query_id=10_000_000, k=3)
+
+    def test_ivf_probe_zero_norm_query_no_crash(self, spark, emb, tmp_path):
+        from rheoceros_spark.operators.similarity import ivf_probe, ivf_write
+
+        base = str(tmp_path / "ivf0")
+        ivf_write(emb, base, n_centroids=4)
+        dim = len(emb.first()["embedding"])
+        # all-zeros query: in-plan cosine is NULL-last; the driver-side
+        # centroid ranking must degrade the same way, not crash
+        out = ivf_probe(spark, base, [0.0] * dim, k=3, n_probe=2)
+        assert out.count() <= 3
