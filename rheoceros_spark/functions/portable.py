@@ -25,8 +25,14 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 def h64(col: Column, seed: int | None = None) -> Column:
-    """Deterministic 60-bit hash of a string column, optionally seeded."""
-    s = F.concat_ws(":", F.lit(str(seed)), col) if seed is not None else col
+    """Deterministic 60-bit hash of a string column, optionally seeded.
+
+    ``F.concat`` (NULL-propagating), NOT ``concat_ws`` (NULL-skipping):
+    a NULL input must hash to NULL, or every NULL key would share one
+    constant bucket and e.g. ``hash_sample`` would keep/drop the whole
+    NULL cohort together.  For non-NULL inputs the produced string —
+    ``"<seed>:<value>"`` — is unchanged."""
+    s = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 

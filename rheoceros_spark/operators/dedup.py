@@ -72,14 +72,18 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     documents — the difference between shuffling 100 TB and shuffling
     ~3% of it.  groupBy-min + semi-join rather than ``dropDuplicates``
     so the winner is deterministic under any partitioning.
+
+    NULL ``text`` never equals anything — all NULL-text rows pass
+    through untouched rather than collapsing into one "duplicate"
+    group (groupBy would merge NULL keys; the MinHash/SimHash paths
+    already keep such rows, so the families stay consistent).
     """
     key = F.md5(normalize_text(F.col(text_col))).alias("__key")
-    winners = (
-        df.select(F.col(id_col), key)
-        .groupBy("__key")
-        .agg(F.min(id_col).alias(id_col))
-    )
-    return df.join(winners.select(id_col), on=id_col, how="left_semi")
+    keyed = df.select(F.col(id_col), key).where(F.col("__key").isNotNull())
+    winners = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
+    survivors = df.join(winners.select(id_col), on=id_col, how="left_semi")
+    null_rows = df.where(F.col(text_col).isNull())
+    return survivors.unionByName(null_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -89,6 +93,20 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 #: prime modulus for the affine permutation family; (2i+1)·h32 + i stays
 #: well under 2^63 because h32 < 2^32 — no overflow even under ANSI mode.
 MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def _rows_per_band(num_hashes: int, bands: int) -> int:
+    """Validated ``num_hashes / bands``.  Unchecked, ``bands >
+    num_hashes`` gives 0-row band slices — EVERY doc hashes to the md5
+    of an empty slice, one global bucket, and the candidate join goes
+    O(n²); a non-divisible combination silently drops trailing
+    signature lanes and changes recall.  Both are refused loudly."""
+    if bands <= 0 or num_hashes <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of "
+            f"bands={bands} (rows_per_band = num_hashes/bands)"
+        )
+    return num_hashes // bands
 
 
 def _minhash_docs(
@@ -156,8 +174,11 @@ def minhash_signature(
     num_hashes: int = 16,
     ngram: int = 3,
 ) -> DataFrame:
-    """Compat shape: original rows with a ``sig`` column appended."""
-    return df.join(minhash_sigs(df, text_col, id_col, num_hashes, ngram), id_col)
+    """Compat shape: original rows with a ``sig`` column appended.
+    LEFT join: a NULL-text row produces no shingles and hence no
+    signature — it stays in the output with ``sig`` NULL instead of
+    silently vanishing (the append-a-column contract)."""
+    return df.join(minhash_sigs(df, text_col, id_col, num_hashes, ngram), id_col, "left")
 
 
 def minhash_band_buckets(
@@ -268,7 +289,7 @@ def minhash_lsh_pairs(
     :func:`_capped_candidates`) so boilerplate text cannot go quadratic
     pre-verify; ``None`` disables the cap (exact all-collisions, for
     oracle verification on small inputs)."""
-    rows_per_band = num_hashes // bands
+    rows_per_band = _rows_per_band(num_hashes, bands)
     docs = _minhash_docs(df, text_col, id_col, num_hashes, ngram)
     sh_df = docs.select(F.col(id_col), "sh")
     buckets = minhash_band_buckets(docs, id_col, bands, rows_per_band)
@@ -339,8 +360,9 @@ def simhash_sigs(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
-    """Compat shape: original rows with a ``simhash`` column appended."""
-    return df.join(simhash_sigs(df, text_col, id_col, bits), id_col)
+    """Compat shape: original rows with a ``simhash`` column appended
+    (LEFT join — NULL-text rows keep their row, ``simhash`` NULL)."""
+    return df.join(simhash_sigs(df, text_col, id_col, bits), id_col, "left")
 
 
 def simhash_pairs(
@@ -468,8 +490,9 @@ def embedding_dup_pairs_blocked(
     construction as :func:`similarity.plane_matrix`, so an oracle can
     rebuild the identical candidate set.
     """
-    from rheoceros_spark.operators.similarity import plane_matrix, signature_col
+    from rheoceros_spark.operators.similarity import _check_vec_dim, plane_matrix, signature_col
 
+    _check_vec_dim(df, vec_col, dim, "embedding_dup_pairs_blocked")
     planes = plane_matrix(tables * nbits, dim)
     sigs = F.array(
         *[signature_col(vec_col, planes[t * nbits:(t + 1) * nbits]) for t in range(tables)]
@@ -545,6 +568,7 @@ def build_minhash_index(
     num_hashes: int = 16,
     bands: int = 4,
     ngram: int = 3,
+    mode: str = "overwrite",
 ) -> DataFrame:
     """One-time (or per-merge) corpus index for incremental dedup:
     exploded ``(band, bucket, id, sh)`` rows — one row per doc per
@@ -562,8 +586,15 @@ def build_minhash_index(
     and the RETURNED DataFrame reads from that path — so downstream
     probes scan the materialized index, never the corpus recompute
     plan.  Pass ``path=None`` to get the unpersisted plan for custom
-    sinks (e.g. a managed dataset partition)."""
-    rows_per_band = num_hashes // bands
+    sinks (e.g. a managed dataset partition).
+
+    ``mode`` follows Spark save-mode semantics and defaults to
+    ``overwrite`` for the one-time full build; the incremental append
+    step is ``mode="append"`` (or take ``path=None`` and drive the
+    write yourself, as the streaming gate does) — pointing an
+    overwrite build at a live index replaces the whole corpus index
+    with just this batch, so incremental callers must be explicit."""
+    rows_per_band = _rows_per_band(num_hashes, bands)
     docs = _minhash_docs(df, text_col, id_col, num_hashes, ngram)
     idx = (
         minhash_band_buckets(docs, id_col, bands, rows_per_band)
@@ -576,7 +607,7 @@ def build_minhash_index(
         )
     )
     if path is not None:
-        idx.write.mode("overwrite").partitionBy("band").parquet(path)
+        idx.write.mode(mode).partitionBy("band").parquet(path)
         return df.sparkSession.read.parquet(path)
     return idx
 
@@ -625,7 +656,7 @@ def dedup_against_index(
     index (``ValueError`` on mismatch — mismatched bucketing would
     silently find nothing)."""
     _check_index_params(index, num_hashes, bands, ngram)
-    rows_per_band = num_hashes // bands
+    rows_per_band = _rows_per_band(num_hashes, bands)
     new_docs = _minhash_docs(new_df, text_col, id_col, num_hashes, ngram)
     new_buckets = minhash_band_buckets(new_docs, id_col, bands, rows_per_band).join(
         new_docs.select(id_col, "sh"), id_col

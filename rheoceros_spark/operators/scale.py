@@ -116,7 +116,18 @@ def salted_join(
     """Skew-join salting: the big side gets a random salt, the small
     side is exploded ``salt_n``× so every (key, salt) pair matches.
     Use when one key dominates and the small side is too large to
-    broadcast; otherwise prefer ``F.broadcast`` or AQE skew-join."""
+    broadcast; otherwise prefer ``F.broadcast`` or AQE skew-join.
+
+    Only join types whose unmatched-row semantics survive the explode
+    are allowed: a right/full outer join would emit ``salt_n`` copies
+    of every unmatched small-side row (one per salt)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — right/full outer would "
+            f"duplicate unmatched small-side rows {salt_n}x (one per salt); "
+            "salt the other side or use a plain join"
+        )
     big_s = big.withColumn("__salt", (F.rand(seed=42) * salt_n).cast("int"))
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))

@@ -61,6 +61,20 @@ def _ranked_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
     )
 
 
+def _check_vec_dim(df: DataFrame, vec_col: str, dim: int, what: str) -> None:
+    """Fail LOUDLY when ``dim`` disagrees with the actual vector
+    length.  ``zip_with`` pads the shorter array with NULLs, so a
+    mismatch makes every plane dot NULL → every signature 0 → one
+    global bucket → the O(n²) self-join the blocking exists to
+    prevent, with no error.  One driver-side 1-row probe."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).take(1)
+    if row and row[0]["n"] != dim:
+        raise ValueError(
+            f"{what}: dim={dim} but {vec_col!r} vectors have "
+            f"{row[0]['n']} elements — signatures would degenerate to one bucket"
+        )
+
+
 def _one_query_row(q: DataFrame, what: str):
     """Fail LOUDLY when the query id matches nothing — an empty
     broadcast side would otherwise produce a plausible empty top-k,
@@ -335,6 +349,7 @@ def ann_lsh_topk(
     ``bit_count(xor)`` filter — one codegen'd comparison per row, and
     degenerates to the exact-bucket equality at 0.  On a bucket-
     partitioned layout the probe set prunes partitions instead."""
+    _check_vec_dim(df, vec_col, dim, "ann_lsh_topk")
     bucketed = hyperplane_buckets(df, nbits, dim, vec_col)
     qrow = bucketed.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qv"), F.col("bucket").alias("__qb")

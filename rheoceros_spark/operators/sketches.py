@@ -45,8 +45,15 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
 
     Returns one row: ``distinct_estimate`` (bigint), ``k_used``,
     ``kth_hash`` — all pure functions of the data, so an independent
-    engine computing the same synopsis matches exactly."""
-    hashes = df.select(h64(F.col(col).cast("string")).alias("h"))
+    engine computing the same synopsis matches exactly.
+
+    NULLs are excluded (standard COUNT DISTINCT semantics) — kept,
+    a NULL hash would also force the Arrow int64 batch to float64,
+    whose 53-bit mantissa rounds 60-bit hashes and breaks the
+    bit-exact cross-engine contract."""
+    hashes = df.where(F.col(col).isNotNull()).select(
+        h64(F.col(col).cast("string")).alias("h")
+    )
 
     def partial(batches):
         import pandas as pd
@@ -108,9 +115,17 @@ def histogram_quantiles(
 
     Returns (``q`` double, ``value`` double) per requested quantile.
     The single-partition cumulative window runs over one row per
-    OCCUPIED bucket — histogram-sized, not data-sized."""
+    OCCUPIED bucket — histogram-sized, not data-sized.
+
+    NULLs are excluded: a NULL bucket would sort FIRST in Spark but
+    LAST in DuckDB and inflate ``n`` either way, skewing every
+    quantile toward the minimum and breaking the twin equivalence."""
     bucket = F.floor(F.col(col) / F.lit(float(bin_width))).cast("bigint")
-    hist = df.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("cnt"))
+    hist = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
         "n", F.sum("cnt").over(Window.partitionBy())
@@ -136,7 +151,7 @@ def histogram_quantiles_sql(
     WITH hist AS (
       SELECT CAST(floor({expr} / {float(bin_width)}) AS BIGINT) AS bucket,
              count(*) AS cnt
-      FROM {table} GROUP BY 1
+      FROM {table} WHERE {expr} IS NOT NULL GROUP BY 1
     ), cum AS (
       SELECT bucket,
              SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,

@@ -53,9 +53,15 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``n_tokens`` (whitespace) and ``n_bpe`` (BPE-ish regex
-    pre-token count)."""
-    return df.withColumn("n_tokens", F.size(tokens(F.col(text_col)))).withColumn(
-        "n_bpe", F.regexp_count(normalize_text(F.col(text_col)), F.lit(BPE_REGEX))
+    pre-token count).  Empty / whitespace-only text counts 0 tokens —
+    ``split("", " ")`` is ``[""]``, and that phantom token would
+    otherwise leak into packing budgets and quality ratios."""
+    norm = normalize_text(F.col(text_col))
+    n_tok = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(tokens(F.col(text_col)))
+    )
+    return df.withColumn("n_tokens", n_tok).withColumn(
+        "n_bpe", F.regexp_count(norm, F.lit(BPE_REGEX))
     )
 
 
