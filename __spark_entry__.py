@@ -2359,6 +2359,138 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# round-5 additions: repetition quality, count-min heavy hitters,
+# data-mixture weights
+# ===========================================================================
+
+@q(
+    "text_repetition",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length({_NORM}) = 0 THEN [] ELSE {_TOK} END AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 2
+                  THEN list_slice({_ngrams_sql('t', 2)}, 1, len(t) - 1)
+                  ELSE [] END AS bi,
+             CASE WHEN len(t) >= 3
+                  THEN list_slice({_ngrams_sql('t', 3)}, 1, len(t) - 2)
+                  ELSE [] END AS tri
+      FROM base
+    ), r AS (
+      SELECT doc_id, t, bi, tri,
+             list_filter(range(1, len(bi) + 1), i ->
+               i = 1 OR list_extract(list_sort(bi), i) <> list_extract(list_sort(bi), i - 1)
+             ) AS bounds
+      FROM g
+    )
+    SELECT doc_id,
+      round(CASE WHEN len(t) > 0
+            THEN (len(t) - len(list_distinct(t))) / CAST(len(t) AS DOUBLE)
+            ELSE 0.0 END, 6) AS dup_token_frac,
+      round(CASE WHEN len(bi) > 0
+            THEN (len(bi) - len(list_distinct(bi))) / CAST(len(bi) AS DOUBLE)
+            ELSE 0.0 END, 6) AS dup_bigram_frac,
+      round(CASE WHEN len(tri) > 0
+            THEN (len(tri) - len(list_distinct(tri))) / CAST(len(tri) AS DOUBLE)
+            ELSE 0.0 END, 6) AS dup_trigram_frac,
+      round(CASE WHEN len(t) > 0 AND len(bi) > 0 THEN least(2.0 * list_max(
+          list_transform(range(1, len(bounds) + 1), j ->
+            coalesce(list_extract(bounds, j + 1), len(bi) + 1) - list_extract(bounds, j))
+        ) / CAST(len(t) AS DOUBLE), 1.0) ELSE 0.0 END, 6) AS top_bigram_frac
+    FROM r
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters over token n-grams — row-local
+    array algebra, zero shuffle (operators/text_analysis.py)."""
+    from rheoceros_spark.operators.text_analysis import repetition_metrics
+
+    return repetition_metrics(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "dup_token_frac",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        "top_bigram_frac",
+    )
+
+
+_CMS_H = "CAST(('0x' || substr(md5(concat(r, ':', token)), 1, 15)) AS BIGINT)"
+
+
+@q(
+    "sketch_cms_topk",
+    oracle=f"""
+    WITH tk AS (
+      SELECT unnest({_TOK}) AS token FROM documents
+    ), tk2 AS (
+      SELECT token FROM tk WHERE token <> ''
+    ), exact AS (
+      SELECT token, count(*) AS exact_cnt FROM tk2 GROUP BY token
+    ), top AS (
+      SELECT token, exact_cnt FROM exact ORDER BY exact_cnt DESC, token LIMIT 20
+    ), cells AS (
+      SELECT r, {_CMS_H} % 1024 AS c, count(*) AS cnt
+      FROM tk2 CROSS JOIN (SELECT unnest(range(0, 4)) AS r)
+      GROUP BY r, c
+    ), probes AS (
+      SELECT t.token, t.exact_cnt, v.r, {_CMS_H} % 1024 AS c
+      FROM top t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) v
+    )
+    SELECT p.token, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(min(s.cnt) AS BIGINT) AS cms_est
+    FROM probes p JOIN cells s ON p.r = s.r AND p.c = s.c
+    GROUP BY p.token, p.exact_cnt
+    """,
+)
+def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: exact top-20 tokens with their
+    CMS estimates (operators/sketches.py cms_top_tokens)."""
+    from rheoceros_spark.operators.sketches import cms_top_tokens
+
+    return cms_top_tokens(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@q(
+    "curation_source_mix",
+    oracle=f"""
+    WITH perdoc AS (
+      SELECT source,
+             CASE WHEN length({_NORM}) = 0 THEN 0 ELSE len({_TOK}) END AS n_tokens
+      FROM documents
+    ), per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM perdoc GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per
+    ), w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e12)
+                  AS BIGINT) AS wq
+      FROM per, tot
+    ), ws AS (
+      SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM w
+    )
+    SELECT source, n_docs, n_tokens, round(share, 6) AS share,
+           round(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS mix_weight
+    FROM w, ws
+    """,
+)
+def curation_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-sampling mixture weights per source (alpha=0.5) over
+    token-count totals (operators/curation.py source_mixture_weights)."""
+    from rheoceros_spark.operators.curation import source_mixture_weights
+    from rheoceros_spark.operators.text_analysis import token_count
+
+    docs = token_count(load_table(spark, sf_dir, "documents"))
+    return source_mixture_weights(docs, source_col="source", token_col="n_tokens", alpha=0.5)
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -2410,6 +2542,9 @@ _HEAD = [
     "curation_pack_sequences",
     "events_cohort_retention",
     "events_funnel_3step",
+    "text_repetition",
+    "sketch_cms_topk",
+    "curation_source_mix",
 ]
 
 

@@ -37,6 +37,7 @@ from rheoceros_spark.operators.text_analysis import (  # noqa: F401
     fingerprint,
     lang_id,
     quality_score,
+    repetition_metrics,
     token_count,
 )
 from rheoceros_spark.operators.curation import (  # noqa: F401
@@ -47,6 +48,7 @@ from rheoceros_spark.operators.curation import (  # noqa: F401
     pack_sequences,
     pii_redact,
     shuffle_shards,
+    source_mixture_weights,
     stratified_hash_sample,
     vocab_top_tokens,
 )
@@ -55,6 +57,9 @@ from rheoceros_spark.operators.dedup import (  # noqa: F401
     dedup_against_index,
 )
 from rheoceros_spark.operators.sketches import (  # noqa: F401
+    cms_estimate,
+    cms_sketch,
+    cms_top_tokens,
     hll_cube_sketches,
     hll_rollup_estimate,
     histogram_quantiles,

@@ -454,3 +454,58 @@ def pack_sequences(
         "bin_id",
         F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("bigint"),
     )
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled data-mixture weights per corpus source:
+    ``p(source) ∝ share(source)^alpha`` — the alpha-sampling rule
+    multilingual/multi-corpus pretraining uses to up-weight small
+    sources (Lample & Conneau 2019 §3.1; the Pile's per-set epochs).
+
+    Returns one row per source: ``n_docs``, ``n_tokens``, ``share``
+    (token fraction), and the normalized ``mix_weight``.  The heavy
+    pass is a single map-side-combined groupBy on ``source``; the
+    totals joined back are 1-row / sources-sized broadcasts, so the
+    operator costs one scan + one tiny exchange at any corpus size.
+
+    Only ``alpha = 0.5`` (sqrt) and ``alpha = 1.0`` (proportional) are
+    accepted: general ``pow(x, a)`` is not bit-identical across
+    engines (Java vs C libm), which would break the oracle gate —
+    ``sqrt`` is IEEE-754 correctly rounded everywhere.
+    """
+    if alpha not in (0.5, 1.0):
+        raise ValueError(f"source_mixture_weights: alpha must be 0.5 or 1.0, got {alpha}")
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("bigint").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("__tot"))
+    shared = per.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.col("n_tokens").cast("double") / F.col("__tot").cast("double")
+    )
+    wt = F.sqrt(F.col("share")) if alpha == 0.5 else F.col("share")
+    # Quantize weights to integer picos before the normalizing sum: a
+    # float sum is addition-order-dependent (Spark's partial-aggregate
+    # order differs from the oracle's), while an integer sum is exact in
+    # any order — same determinism trick as the TPC-H cents() helper.
+    weighted = shared.withColumn(
+        "__wt", F.round(wt * F.lit(1e12)).cast("bigint")
+    )
+    norm = weighted.agg(F.sum("__wt").alias("__wsum"))
+    return (
+        weighted.crossJoin(F.broadcast(norm))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("share"), 6).alias("share"),
+            F.round(F.col("__wt").cast("double") / F.col("__wsum").cast("double"), 6).alias(
+                "mix_weight"
+            ),
+        )
+    )

@@ -31,7 +31,15 @@ from pyspark.sql import functions as F
 
 from rheoceros_spark.functions.portable import h64, h64_sql
 
-__all__ = ["kmv_distinct", "kmv_distinct_sql", "histogram_quantiles", "histogram_quantiles_sql"]
+__all__ = [
+    "kmv_distinct",
+    "kmv_distinct_sql",
+    "histogram_quantiles",
+    "histogram_quantiles_sql",
+    "cms_sketch",
+    "cms_estimate",
+    "cms_top_tokens",
+]
 
 #: h64 hashes are 60-bit non-negative (md5 hex prefix), so the KMV
 #: domain size is 2^60 — exactly representable as a double.
@@ -204,3 +212,107 @@ def hll_rollup_estimate(
     if rollup_cols:
         return sketches.groupBy(*rollup_cols).agg(agg)
     return sketches.agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a string
+    column, as a ``(row, cell, cnt)`` frame of at most ``depth × width``
+    rows.
+
+    Each value lands in one cell per sketch row via the seeded portable
+    hash ``h64(v, seed=row) % width`` — deterministic on any engine, so
+    a DuckDB twin reproduces the sketch bit-for-bit (unlike Spark's
+    engine-specific ``approx_count_distinct``/``count_min_sketch``
+    internals).  The groupBy combines map-side: the exchange carries at
+    most ``depth × width`` rows per map partition regardless of input
+    size — CMS's bounded-state property, preserved under Spark's
+    partial aggregation.  Sketches from disjoint slices merge by cell
+    addition (sum ``cnt`` on ``(row, cell)``).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"cms_sketch: depth/width must be >= 1, got {depth}x{width}")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (h64(F.col(col), seed=i) % width).cast("int").alias("c"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc")
+    )
+    return cells.groupBy(
+        F.col("rc.r").alias("row"), F.col("rc.c").alias("cell")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, candidates: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-query the sketch: for each candidate value, the estimate is
+    ``min`` over the ``depth`` probed cells (the CMS upper bound:
+    ``exact ≤ est ≤ exact + ε·N`` w.h.p.).  ``depth``/``width`` must
+    match the sketch's build parameters.
+
+    The sketch is at most ``depth × width`` rows — broadcast it; the
+    probe join never shuffles the candidate side."""
+    probes = candidates.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (h64(F.col(col), seed=i) % width).cast("int").alias("c"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    )
+    joined = probes.join(
+        F.broadcast(sketch),
+        (F.col("rc.r") == F.col("row")) & (F.col("rc.c") == F.col("cell")),
+        "left",
+    )
+    others = [c for c in candidates.columns if c != col]
+    return joined.groupBy(col, *others).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est")
+    )
+
+
+def cms_top_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Heavy hitters with sketch verification: exact top-``k`` tokens by
+    count (ties broken token-ascending) side-by-side with their
+    count-min estimates — ``(token, exact_cnt, cms_est)``.
+
+    The exact pass is the same explode + map-side-combined groupBy the
+    vocabulary operator uses; the sketch pass adds one bounded
+    ``depth × width`` aggregate.  ``cms_est ≥ exact_cnt`` always (CMS
+    never undercounts); equality on a sf-sized corpus shows the grid is
+    wide enough for its vocabulary.
+    """
+    from rheoceros_spark.functions.portable import tokens
+
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("token")).where(
+        F.col("token") != ""
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("token").asc()).limit(k)
+    sketch = cms_sketch(toks, "token", depth=depth, width=width)
+    return cms_estimate(sketch, top, "token", depth=depth, width=width).select(
+        "token", F.col("exact_cnt").cast("bigint").alias("exact_cnt"), "cms_est"
+    )

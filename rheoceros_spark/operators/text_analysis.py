@@ -139,3 +139,95 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 5) -> DataF
         .withColumn("fp_min", F.array_min(F.transform(positions, rolling)))
         .drop("__fp_hs")
     )
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1
+    "Repetition filters"), adapted to token n-grams:
+
+    * ``dup_token_frac``   — fraction of token occurrences that repeat an
+      earlier token: ``(n - n_distinct) / n``
+    * ``dup_bigram_frac``  — same over word 2-grams
+    * ``dup_trigram_frac`` — same over word 3-grams
+    * ``top_bigram_frac``  — fraction of tokens covered by the single most
+      frequent bigram: ``2 · max_bigram_count / n_tokens``
+
+    Everything is per-row array algebra — embarrassingly parallel, zero
+    shuffle, no UDFs — so the operator's cost at 100 TB is exactly one
+    scan.  The most-frequent-bigram count is ``array_sort`` + a single
+    ``F.aggregate`` run-length fold.  The fold matters: it references
+    the sorted array exactly ONCE, so even when Catalyst inlines the
+    whole expression into a downstream predicate (PushDownPredicates
+    substitutes Project aliases into pushed filters with no
+    cheap-expression guard), evaluation stays O(n log n) per row.  The
+    earlier positions→bounds→diffs formulation re-evaluated the sort
+    per lambda element after inlining — a filter on ``top_bigram_frac``
+    went super-quadratic and effectively hung.  Documents with no
+    tokens score 0 in every metric.
+
+    Reference-extension operator (SURVEY.md §2.12); public heuristic per
+    the Gopher paper's data-quality appendix.
+    """
+    from rheoceros_spark.functions.portable import word_ngrams
+
+    empty = F.length(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))) == 0
+    empty_arr = F.array().cast("array<string>")
+    out = df.withColumn(
+        "__t", F.when(empty, empty_arr).otherwise(tokens(F.col(text_col)))
+    )
+    n = F.size(F.col("__t"))
+    # word_ngrams pads to >= 1 element (a short-doc partial gram); slice to
+    # the real n-gram count so a 1-token doc has 0 bigrams, not 1.
+    out = out.withColumn(
+        "__bi",
+        F.when(
+            n >= 2, F.slice(word_ngrams(F.col("__t"), 2), 1, F.greatest(n - 1, F.lit(1)))
+        ).otherwise(empty_arr),
+    ).withColumn(
+        "__tri",
+        F.when(
+            n >= 3, F.slice(word_ngrams(F.col("__t"), 3), 1, F.greatest(n - 2, F.lit(1)))
+        ).otherwise(empty_arr),
+    )
+
+    # longest run of equal values in the sorted bigram array, one fold:
+    # acc = (prev value, current run length, best run length).  Bigrams
+    # are never '' (tokens are non-empty post-normalization), so the ''
+    # seed cannot extend a run.  Empty array → best stays 0.
+    def _step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    max_run = F.aggregate(
+        F.array_sort(F.col("__bi")),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        _step,
+        lambda acc: acc.best,
+    )
+
+    def dup_frac(col_name: str) -> Column:
+        arr = F.col(col_name)
+        cnt = F.size(arr).cast("double")
+        return F.round(
+            F.when(
+                cnt > 0, (cnt - F.size(F.array_distinct(arr)).cast("double")) / cnt
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    ntok = n.cast("double")
+    top_bi = F.when(
+        F.size(F.col("__bi")) > 0,
+        F.least(F.lit(2.0) * max_run.cast("double") / ntok, F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("dup_token_frac", dup_frac("__t"))
+        .withColumn("dup_bigram_frac", dup_frac("__bi"))
+        .withColumn("dup_trigram_frac", dup_frac("__tri"))
+        .withColumn("top_bigram_frac", F.round(top_bi, 6))
+        .drop("__t", "__bi", "__tri")
+    )

@@ -411,3 +411,160 @@ class TestAnnGuards:
         # centroid ranking must degrade the same way, not crash
         out = ivf_probe(spark, base, [0.0] * dim, k=3, n_probe=2)
         assert out.count() <= 3
+
+
+class TestRepetitionMetrics:
+    """Gopher repetition filters: hand-computed edge cases + bounds."""
+
+    def _metrics(self, spark, texts):
+        from rheoceros_spark.operators.text_analysis import repetition_metrics
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = repetition_metrics(df).collect()
+        return {
+            r.doc_id: (
+                r.dup_token_frac,
+                r.dup_bigram_frac,
+                r.dup_trigram_frac,
+                r.top_bigram_frac,
+            )
+            for r in rows
+        }
+
+    def test_hand_computed(self, spark):
+        m = self._metrics(
+            spark,
+            [
+                "a a a a a",      # 0: tok 4/5, bi "a a"x4 dup 3/4, tri 2/3, top 8/5→1.0
+                "",               # 1: all zero
+                "   ",            # 2: whitespace-only → all zero
+                "one",            # 3: single token → no n-grams
+                "x y x y x y",    # 4: tok 4/6, bi dup 3/5, tri 2/4, top 2*3/6=1.0
+                "a b c d e f",    # 5: all distinct → all zero except top 2/6
+            ],
+        )
+        assert m[0] == (0.8, 0.75, round(2 / 3, 6), 1.0)
+        assert m[1] == (0.0, 0.0, 0.0, 0.0)
+        assert m[2] == (0.0, 0.0, 0.0, 0.0)
+        assert m[3] == (0.0, 0.0, 0.0, 0.0)
+        assert m[4] == (round(4 / 6, 6), 0.6, 0.5, 1.0)
+        assert m[5] == (0.0, 0.0, 0.0, round(2 / 6, 6))
+
+    def test_null_text_scores_zero(self, spark):
+        from rheoceros_spark.operators.text_analysis import repetition_metrics
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        r = repetition_metrics(df).collect()[0]
+        assert (r.dup_token_frac, r.top_bigram_frac) == (0.0, 0.0)
+
+    def test_bounds_on_corpus(self, docs):
+        from rheoceros_spark.operators.text_analysis import repetition_metrics
+
+        agg = repetition_metrics(docs).agg(
+            F.min("dup_token_frac"), F.max("dup_token_frac"),
+            F.min("top_bigram_frac"), F.max("top_bigram_frac"),
+        ).collect()[0]
+        assert 0.0 <= agg[0] <= agg[1] <= 1.0
+        assert 0.0 <= agg[2] <= agg[3] <= 1.0
+
+
+class TestCmsSketch:
+    def test_sketch_bounded_and_estimates_upper_bound(self, docs):
+        from rheoceros_spark.functions.portable import tokens as _tokens
+        from rheoceros_spark.operators.sketches import cms_sketch, cms_top_tokens
+
+        toks = docs.select(F.explode(_tokens(F.col("text"))).alias("token")).where(
+            F.col("token") != ""
+        )
+        depth, width = 4, 64  # deliberately narrow → collisions guaranteed
+        sk = cms_sketch(toks, "token", depth=depth, width=width)
+        assert sk.count() <= depth * width
+        # every sketch row within range, total per row == token count
+        n_tok = toks.count()
+        per_row = sk.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+        assert len(per_row) == depth
+        assert all(r.s == n_tok for r in per_row)
+
+        est = cms_top_tokens(docs, k=10, depth=depth, width=width).collect()
+        assert len(est) == 10
+        # CMS never undercounts; narrow grid must still stay within eps*N
+        # (eps = e/width) per the classic bound
+        eps_n = 2.718281828 / width * n_tok
+        for r in est:
+            assert r.cms_est >= r.exact_cnt
+            assert r.cms_est <= r.exact_cnt + eps_n
+
+    def test_wide_grid_is_exact(self, docs):
+        from rheoceros_spark.operators.sketches import cms_top_tokens
+
+        est = cms_top_tokens(docs, k=5, depth=4, width=1 << 16).collect()
+        assert all(r.cms_est == r.exact_cnt for r in est)
+
+    def test_param_validation(self, spark):
+        from rheoceros_spark.operators.sketches import cms_sketch
+
+        df = spark.createDataFrame([("a",)], "token string")
+        with pytest.raises(ValueError, match="depth/width"):
+            cms_sketch(df, "token", depth=0)
+
+    def test_sketches_merge_by_cell_addition(self, docs):
+        from rheoceros_spark.functions.portable import tokens as _tokens
+        from rheoceros_spark.operators.sketches import cms_sketch
+
+        toks = docs.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+        ).where(F.col("token") != "")
+        a = cms_sketch(toks.where(F.col("doc_id") % 2 == 0), "token", depth=2, width=32)
+        b = cms_sketch(toks.where(F.col("doc_id") % 2 == 1), "token", depth=2, width=32)
+        merged = (
+            a.unionByName(b)
+            .groupBy("row", "cell")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        full = cms_sketch(toks, "token", depth=2, width=32)
+        diff = merged.join(full, ["row", "cell"], "full").where(
+            F.coalesce(merged["cnt"], F.lit(0)) != F.coalesce(full["cnt"], F.lit(0))
+        )
+        assert diff.count() == 0
+
+
+class TestSourceMixtureWeights:
+    def test_weights_normalize_and_order_small_sources_up(self, docs):
+        from rheoceros_spark.operators.curation import source_mixture_weights
+        from rheoceros_spark.operators.text_analysis import token_count
+
+        out = source_mixture_weights(token_count(docs), alpha=0.5).collect()
+        assert abs(sum(r.mix_weight for r in out) - 1.0) < 1e-4
+        assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+        # sqrt temperature compresses: every below-average source gains
+        # weight vs its proportional share, every above-average one loses
+        for r in out:
+            if r.share < 1.0 / len(out):
+                assert r.mix_weight >= r.share
+        # proportional mode returns share itself
+        prop = source_mixture_weights(token_count(docs), alpha=1.0).collect()
+        for r in prop:
+            assert abs(r.mix_weight - r.share) < 2e-6
+
+    def test_alpha_validation(self, docs):
+        from rheoceros_spark.operators.curation import source_mixture_weights
+
+        with pytest.raises(ValueError, match="alpha"):
+            source_mixture_weights(docs, token_col="n_chars", alpha=0.3)
+
+    def test_filter_on_output_stays_cheap(self, docs):
+        """Regression: PushDownPredicates inlines Project aliases into a
+        pushed filter; with the old positions→bounds→diffs formulation
+        that re-evaluated array_sort per lambda element and a filter on
+        top_bigram_frac effectively hung.  The aggregate-fold version
+        references the sorted array once, so this completes in seconds."""
+        from rheoceros_spark.operators.text_analysis import repetition_metrics
+
+        n = (
+            repetition_metrics(docs)
+            .where((F.col("top_bigram_frac") > 1.0) | (F.col("top_bigram_frac") < 0.0))
+            .count()
+        )
+        assert n == 0
