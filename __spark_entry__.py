@@ -2490,6 +2490,70 @@ def curation_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_weights(docs, source_col="source", token_col="n_tokens", alpha=0.5)
 
 
+@q(
+    "curation_filter_funnel",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, md5({_NORM}) AS fp, {_LANG_SCORES_SQL},
+             least(CAST(len({_TOK}) AS DOUBLE) / 100.0, 1.0) AS len_score,
+             CASE WHEN length({_NORM}) > 0
+                  THEN CAST(len(regexp_extract_all({_NORM}, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                       / CAST(length({_NORM}) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len({_TOK}) > 0
+                  THEN CAST(len(list_filter({_TOK}, t -> list_contains({_LANG_SETS['en']}, t))) AS DOUBLE)
+                       / CAST(len({_TOK}) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+             round(CASE WHEN length({_NORM}) > 0
+                   THEN (len({_TOK}) - len(list_distinct({_TOK})))
+                        / CAST(len({_TOK}) AS DOUBLE)
+                   ELSE 0.0 END, 6) AS dup_token_frac
+      FROM documents
+    ), flags AS (
+      SELECT doc_id, fp,
+             (CASE
+               WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+               WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+               WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+               WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+               ELSE 'de'
+             END = 'en') AS p1,
+             round(0.3 * len_score + 0.3 * (1.0 - punct_ratio)
+                   + 0.4 * least(5.0 * stop_ratio, 1.0), 6) AS quality,
+             dup_token_frac
+      FROM feat
+    ), gated AS (
+      SELECT doc_id, fp, p1,
+             p1 AND quality >= 0.55 AS p2,
+             p1 AND quality >= 0.55 AND dup_token_frac <= 0.5 AS p3
+      FROM flags
+    ), dedup AS (
+      SELECT *,
+             p3 AND doc_id = min(CASE WHEN p3 THEN doc_id END)
+                             OVER (PARTITION BY fp) AS p4
+      FROM gated
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM dedup
+    )
+    SELECT CAST(0 AS BIGINT) AS stage, 'ingest' AS stage_name, n0 AS n_docs FROM agg
+    UNION ALL SELECT 1, 'lang', n1 FROM agg
+    UNION ALL SELECT 2, 'quality', n2 FROM agg
+    UNION ALL SELECT 3, 'repetition', n3 FROM agg
+    UNION ALL SELECT 4, 'dedup', n4 FROM agg
+    """,
+)
+def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining filter funnel — lang-ID → quality →
+    repetition → exact dedup — with per-stage survivor counts
+    (operators/curation.py filter_funnel)."""
+    from rheoceros_spark.operators.curation import filter_funnel
+
+    return filter_funnel(load_table(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -2505,12 +2569,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window and demoted 21 shape-redundant TPC-H variants past the cap;
 #: all 50 in-window queries earned green official rows through
 #: CORRECTNESS_r04.  Round 5 ROTATES: the 21 previously un-gated
-#: queries plus the 4 new round-5 queries (25 total, below) move to
-#: the head so they earn official rows — with 75 registered queries
-#: the 25 that fall past position 50 are exactly ones already
-#: certified in r04, so cross-round official coverage spans all 75
+#: queries plus the 8 new round-5 queries (29 total, below) move to
+#: the head so they earn official rows — with 79 registered queries
+#: the 29 that fall past position 50 are exactly ones already
+#: certified in r04, so cross-round official coverage spans all 79
 #: (enforced by tests/test_plan_quality.py
-#: test_cross_round_official_coverage_is_total).  All 75 stay
+#: test_cross_round_official_coverage_is_total).  All 79 stay
 #: continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
@@ -2545,6 +2609,7 @@ _HEAD = [
     "text_repetition",
     "sketch_cms_topk",
     "curation_source_mix",
+    "curation_filter_funnel",
 ]
 
 

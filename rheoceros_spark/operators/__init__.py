@@ -44,6 +44,7 @@ from rheoceros_spark.operators.curation import (  # noqa: F401
     contamination_ngrams,
     dup_clusters,
     dup_clusters_star,
+    filter_funnel,
     hash_sample,
     pack_sequences,
     pii_redact,

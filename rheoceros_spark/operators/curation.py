@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from rheoceros_spark.functions.portable import (
     h64,
+    normalize_text,
     tokens,
     word_ngrams,
 )
@@ -508,4 +509,72 @@ def source_mixture_weights(
                 "mix_weight"
             ),
         )
+    )
+
+
+def filter_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.55,
+    max_dup_token_frac: float = 0.5,
+) -> DataFrame:
+    """End-to-end pretraining filter funnel — the stage pipeline a real
+    corpus-curation job runs, with per-stage survivor counts:
+
+    0. ``ingest``      — all documents
+    1. ``lang``        — language-ID keeps ``lang`` documents
+    2. ``quality``     — heuristic quality score ≥ ``min_quality``
+    3. ``repetition``  — Gopher dup-token fraction ≤ ``max_dup_token_frac``
+    4. ``dedup``       — first surviving document per exact content
+       fingerprint (md5 of normalized text)
+
+    Returns 5 rows: ``(stage, stage_name, n_docs)``.  Stages 1-3 are
+    row-local flag columns over one scan; stage 4 is one window over the
+    content fingerprint (the same hash-partition shuffle exact dedup
+    costs); the count rollup is a single-row aggregate — so the whole
+    funnel is one scan + one shuffle at any corpus size.  Each gate is
+    cumulative (a stage only sees prior survivors), matching how the
+    stages compose in production.
+    """
+    from rheoceros_spark.operators.text_analysis import (
+        lang_id,
+        quality_score,
+        repetition_metrics,
+    )
+
+    d = repetition_metrics(quality_score(lang_id(df)))
+    d = d.withColumn("__fp", F.md5(normalize_text(F.col(text_col))))
+    p1 = F.col("lang_pred") == lang
+    p2 = p1 & (F.col("quality") >= min_quality)
+    p3 = p2 & (F.col("dup_token_frac") <= max_dup_token_frac)
+    d = (
+        d.withColumn("__p1", p1.cast("int"))
+        .withColumn("__p2", p2.cast("int"))
+        .withColumn("__p3", p3.cast("int"))
+    )
+    first_pass_id = F.min(F.when(F.col("__p3") == 1, F.col(id_col))).over(
+        Window.partitionBy("__fp")
+    )
+    d = d.withColumn(
+        "__p4",
+        ((F.col("__p3") == 1) & (F.col(id_col) == first_pass_id)).cast("int"),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("__p1").alias("n1"),
+        F.sum("__p2").alias("n2"),
+        F.sum("__p3").alias("n3"),
+        F.sum("__p4").alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 0, 'ingest', n0, 1, 'lang', n1, 2, 'quality', n2, "
+            "3, 'repetition', n3, 4, 'dedup', n4) AS (stage, stage_name, n_docs)"
+        )
+    ).select(
+        F.col("stage").cast("bigint").alias("stage"),
+        "stage_name",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
     )

@@ -332,3 +332,38 @@ class TestShuffleAndPack:
         for r in stats:
             if r.bin_id < last[r.shard]:
                 assert r.tok == 200, (r.shard, r.bin_id, r.tok)
+
+
+class TestFilterFunnel:
+    def test_monotone_stages(self, spark, sf_dir):
+        from rheoceros_spark.operators.curation import filter_funnel
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = sorted(filter_funnel(docs).collect(), key=lambda r: r.stage)
+        assert [r.stage_name for r in rows] == [
+            "ingest", "lang", "quality", "repetition", "dedup",
+        ]
+        counts = [r.n_docs for r in rows]
+        assert counts[0] == docs.count()
+        # each stage only removes documents
+        assert all(a >= b for a, b in zip(counts, counts[1:]))
+        assert counts[-1] > 0
+
+    def test_dedup_stage_collapses_exact_copies(self, spark):
+        from rheoceros_spark.operators.curation import filter_funnel
+
+        # three identical high-quality English docs + one distinct -> the
+        # dedup stage keeps 2 of the 4 lang/quality/repetition survivors
+        base = (
+            "the cat and the dog walked to a park in town and it was that "
+            "good day for all of them to be out in a field of green grass"
+        )
+        other = base.replace("cat", "fox")
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, base), (4, other)],
+            "doc_id long, text string",
+        )
+        rows = {r.stage_name: r.n_docs for r in filter_funnel(df).collect()}
+        assert rows["ingest"] == 4
+        assert rows["repetition"] == 4
+        assert rows["dedup"] == 2
