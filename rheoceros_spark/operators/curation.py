@@ -485,30 +485,30 @@ def source_mixture_weights(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(token_col)).cast("bigint").alias("n_tokens"),
     )
-    total = per.agg(F.sum("n_tokens").alias("__tot"))
-    shared = per.crossJoin(F.broadcast(total)).withColumn(
+    # The totals are unpartitioned-window sums over the ALREADY-AGGREGATED
+    # frame (one row per source) — histogram-sized, not data-sized, like
+    # the grid-quantile cumulative pass.  An agg + crossJoin(broadcast)
+    # formulation re-evaluates the groupBy subtree per consumer and
+    # plans three corpus scans; the window keeps it to exactly one.
+    # Both window sums are over BIGINTs (token totals, pico-quantized
+    # weights) — integer sums are exact in any addition order, so the
+    # result is engine/partitioning-independent (same determinism trick
+    # as the TPC-H cents() helper).
+    w_all = Window.partitionBy()
+    out = per.withColumn("__tot", F.sum("n_tokens").over(w_all)).withColumn(
         "share", F.col("n_tokens").cast("double") / F.col("__tot").cast("double")
     )
     wt = F.sqrt(F.col("share")) if alpha == 0.5 else F.col("share")
-    # Quantize weights to integer picos before the normalizing sum: a
-    # float sum is addition-order-dependent (Spark's partial-aggregate
-    # order differs from the oracle's), while an integer sum is exact in
-    # any order — same determinism trick as the TPC-H cents() helper.
-    weighted = shared.withColumn(
-        "__wt", F.round(wt * F.lit(1e12)).cast("bigint")
-    )
-    norm = weighted.agg(F.sum("__wt").alias("__wsum"))
-    return (
-        weighted.crossJoin(F.broadcast(norm))
-        .select(
-            source_col,
-            "n_docs",
-            "n_tokens",
-            F.round(F.col("share"), 6).alias("share"),
-            F.round(F.col("__wt").cast("double") / F.col("__wsum").cast("double"), 6).alias(
-                "mix_weight"
-            ),
-        )
+    out = out.withColumn("__wt", F.round(wt * F.lit(1e12)).cast("bigint"))
+    out = out.withColumn("__wsum", F.sum("__wt").over(w_all))
+    return out.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("share"), 6).alias("share"),
+        F.round(F.col("__wt").cast("double") / F.col("__wsum").cast("double"), 6).alias(
+            "mix_weight"
+        ),
     )
 
 

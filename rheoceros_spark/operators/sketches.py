@@ -312,7 +312,30 @@ def cms_top_tokens(
     )
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = exact.orderBy(F.col("exact_cnt").desc(), F.col("token").asc()).limit(k)
-    sketch = cms_sketch(toks, "token", depth=depth, width=width)
+    # Build the sketch FROM the exact counts rather than re-reading the
+    # corpus: summing each distinct token's count into its cells yields
+    # the identical sketch (CMS cells are sums over colliding values),
+    # but the build input shrinks from N token occurrences (a second
+    # full scan at 100 TB) to V vocabulary rows already in hand.
+    # cms_sketch stays the one-scan streaming build for pipelines that
+    # want only the sketch.
+    cells = exact.select(
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (h64(F.col("token"), seed=i) % width).cast("int").alias("c"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    )
+    sketch = cells.groupBy(
+        F.col("rc.r").alias("row"), F.col("rc.c").alias("cell")
+    ).agg(F.sum("exact_cnt").alias("cnt"))
     return cms_estimate(sketch, top, "token", depth=depth, width=width).select(
         "token", F.col("exact_cnt").cast("bigint").alias("exact_cnt"), "cms_est"
     )

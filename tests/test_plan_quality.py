@@ -200,3 +200,33 @@ class TestDriverContract:
         names = set(entry.queries())
         dangling = [t for t in entry._HEAD if t not in names]
         assert not dangling, dangling
+
+
+class TestRound5PlanShapes:
+    """Plan gates for the round-5 operators: one corpus scan each."""
+
+    def test_text_repetition_zero_exchange(self, spark, sf):
+        df = entry.queries()["text_repetition"](spark, sf)
+        plan = physical_plan(df)
+        assert "Exchange" not in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_source_mix_single_scan(self, spark, sf):
+        df = entry.queries()["curation_source_mix"](spark, sf)
+        plan = physical_plan(df)
+        # groupBy + two tiny-frame windows — exactly one corpus scan
+        # (the crossJoin(broadcast(agg)) formulation planned three)
+        assert plan.count("Scan parquet") == 1
+
+    def test_cms_topk_reuses_exact_count_exchange(self, spark, sf):
+        df = entry.queries()["sketch_cms_topk"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        # sketch is built FROM the exact token counts; AQE dedupes the
+        # shared groupBy(token) exchange so the corpus is scanned once
+        assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
+
+    def test_filter_funnel_one_scan_one_width_shuffle(self, spark, sf):
+        df = entry.queries()["curation_filter_funnel"](spark, sf)
+        plan = physical_plan(df)
+        assert plan.count("Scan parquet") == 1
