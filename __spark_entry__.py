@@ -1936,6 +1936,82 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("rank").cast("bigint").alias("rank"), "cos_r")
 
 
+# PQ: 16-dim subspace L2² as an order-fixed fold (left fold from 0.0,
+# square via self-multiplication — matches the Spark zip_with/aggregate
+# and the Python ADC table builder bit-for-bit)
+def _pq_subdist_sql(vec: str, cv: str, s: str, sub: int) -> str:
+    # both operands are already DOUBLE[] (normalized) — no casts needed
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {sub} + 1), j -> "
+        f"({vec}[{s} * {sub} + j] - {cv}[{s} * {sub} + j])"
+        f" * ({vec}[{s} * {sub} + j] - {cv}[{s} * {sub} + j])"
+        f")), (acc, x) -> acc + x)"
+    )
+
+
+_PQ_ORACLE = f"""
+WITH emb_n AS (
+  SELECT vec_id, embedding,
+         CASE WHEN nsq > 0
+              THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(nsq))
+              ELSE list_transform(embedding, x -> 0.0) END AS vn
+  FROM (SELECT vec_id, embedding,
+               list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS nsq
+        FROM embeddings)
+), cents AS (
+  SELECT vec_id AS cid, vn AS cv,
+         row_number() OVER (ORDER BY {_H64.format(s="CAST(vec_id AS VARCHAR)")}, vec_id) AS ord
+  FROM emb_n
+  ORDER BY {_H64.format(s="CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16
+), q AS (SELECT embedding AS qv, vn AS qn FROM emb_n WHERE vec_id = 0),
+subs AS (SELECT unnest(range(0, 4)) AS s),
+codes AS (
+  SELECT vec_id, s, ord AS code FROM (
+    SELECT e.vec_id, sb.s, c.ord,
+           row_number() OVER (PARTITION BY e.vec_id, sb.s
+                              ORDER BY {_pq_subdist_sql('e.vn', 'c.cv', 'sb.s', 16)}, c.ord) AS rn
+    FROM emb_n e, cents c, subs sb
+  ) WHERE rn = 1
+), codes_p AS (
+  SELECT vec_id,
+         max(CASE WHEN s = 0 THEN code END) AS c0,
+         max(CASE WHEN s = 1 THEN code END) AS c1,
+         max(CASE WHEN s = 2 THEN code END) AS c2,
+         max(CASE WHEN s = 3 THEN code END) AS c3
+  FROM codes GROUP BY vec_id
+), qdist AS (
+  SELECT sb.s, c.ord, {_pq_subdist_sql('qn', 'c.cv', 'sb.s', 16)} AS d
+  FROM cents c, subs sb, q
+), cand AS (
+  SELECT cp.vec_id
+  FROM codes_p cp
+  JOIN qdist q0 ON q0.s = 0 AND q0.ord = cp.c0
+  JOIN qdist q1 ON q1.s = 1 AND q1.ord = cp.c1
+  JOIN qdist q2 ON q2.s = 2 AND q2.ord = cp.c2
+  JOIN qdist q3 ON q3.s = 3 AND q3.ord = cp.c3
+  WHERE cp.vec_id != 0
+  ORDER BY ((q0.d + q1.d) + q2.d) + q3.d, cp.vec_id LIMIT 50
+)
+SELECT vec_id, rank, round(cos, 6) AS cos_r FROM (
+  SELECT e.vec_id, {_cos_sql('e.embedding', 'qv')} AS cos,
+         row_number() OVER (ORDER BY {_cos_sql('e.embedding', 'qv')} DESC, e.vec_id) AS rank
+  FROM embeddings e JOIN cand USING (vec_id), q
+) WHERE rank <= 10
+"""
+
+
+@q("ann_pq_topk", oracle=_PQ_ORACLE)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace codes from a deterministic
+    sampled codebook, asymmetric-distance candidate scan, exact cosine
+    rerank (operators/similarity.py pq_topk)."""
+    from rheoceros_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        load_table(spark, sf_dir, "embeddings"), query_id=0, k=10, n_codes=16, m=4, rerank=50
+    ).select("vec_id", F.col("rank").cast("bigint").alias("rank"), "cos_r")
+
+
 _IVF_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -2569,12 +2645,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window and demoted 21 shape-redundant TPC-H variants past the cap;
 #: all 50 in-window queries earned green official rows through
 #: CORRECTNESS_r04.  Round 5 ROTATES: the 21 previously un-gated
-#: queries plus the 8 new round-5 queries (29 total, below) move to
-#: the head so they earn official rows — with 79 registered queries
-#: the 29 that fall past position 50 are exactly ones already
-#: certified in r04, so cross-round official coverage spans all 79
+#: queries plus the 9 new round-5 queries (30 total, below) move to
+#: the head so they earn official rows — with 80 registered queries
+#: the 30 that fall past position 50 are exactly ones already
+#: certified in r04, so cross-round official coverage spans all 80
 #: (enforced by tests/test_plan_quality.py
-#: test_cross_round_official_coverage_is_total).  All 79 stay
+#: test_cross_round_official_coverage_is_total).  All 80 stay
 #: continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
@@ -2610,6 +2686,7 @@ _HEAD = [
     "sketch_cms_topk",
     "curation_source_mix",
     "curation_filter_funnel",
+    "ann_pq_topk",
 ]
 
 

@@ -32,6 +32,9 @@ from rheoceros_spark.operators.similarity import (  # noqa: F401
     ivf_assign,
     ivf_centroids,
     ivf_topk,
+    pq_codebook,
+    pq_encode,
+    pq_topk,
 )
 from rheoceros_spark.operators.text_analysis import (  # noqa: F401
     fingerprint,

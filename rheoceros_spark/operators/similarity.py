@@ -364,3 +364,210 @@ def ann_lsh_topk(
         .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
     )
     return _ranked_topk(cands, id_col, k)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) with asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+def _normalize_py(vec: list[float]) -> list[float]:
+    """L2-normalize with the exact arithmetic the SQL oracle uses: norm²
+    is a left fold of ``x*x`` from 0.0 (element order), ``sqrt`` is
+    IEEE-correctly-rounded everywhere, and a zero vector maps to zeros
+    (mirroring the CASE/when guards) — bit-identical on every engine."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + x * x
+    if acc <= 0.0:
+        return [0.0 for _ in vec]
+    import math
+
+    nrm = math.sqrt(acc)
+    return [x / nrm for x in vec]
+
+
+def normalized(vec_col: str):
+    """Column expression: L2-normalized copy of an ``array<float>``
+    column (zero vectors → zeros).  The norm is staged once per row —
+    callers must keep it OUT of lambda bodies (Catalyst re-evaluates
+    expressions referenced inside ``transform`` per element)."""
+    vec = F.col(vec_col)
+    nsq = F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(nsq)
+    return F.when(
+        nsq > 0, F.transform(vec, lambda x: x.cast("double") / nrm)
+    ).otherwise(F.transform(vec, lambda x: F.lit(0.0)))
+
+
+def pq_codebook(
+    df: DataFrame,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Driver-side PQ codebook: the ``n_codes`` corpus vectors whose ids
+    hash lowest, L2-normalized, in sampling order (Jégou et al. 2011's
+    trained per-subspace k-means is replaced by the same deterministic
+    hash-sample stand-in :func:`ivf_centroids` uses, keeping the
+    operator oracle-checkable; a production deployment ships trained
+    codebooks through the same shape).  Vectors are L2-normalized
+    because ADC approximates **L2**, and only on unit vectors is the L2
+    ordering the cosine ordering the rerank grades against
+    (``L2² = 2 − 2·cos``).  Quantization quality is then whatever the
+    codebook earns: on clustered corpora a sampled codebook recovers
+    cluster-mates; on near-isotropic data (like the synthetic test
+    embeddings, max pairwise cos ≈ 0.37) recall is bounded by the
+    ``rerank`` budget and a trained codebook is what a deployment
+    would tune.  ``n_codes × dim`` floats — always driver-sized."""
+    rows = (
+        df.select(
+            F.col(vec_col).alias("cv"),
+            h64(F.col(id_col).cast("string")).alias("__hk"),
+            F.col(id_col).alias("__id"),
+        )
+        .orderBy("__hk", "__id")
+        .limit(n_codes)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebook: empty input")
+    return [_normalize_py([float(x) for x in r["cv"]]) for r in rows]
+
+
+def _pq_subdist(vec, codevec: list[float], start: int, sub: int):
+    """L2² between ``vec[start:start+sub]`` and the literal code
+    subvector — a ``zip_with`` diff-square plus the same left fold from
+    0.0 the portable dot uses, so the accumulation order (and therefore
+    every bit of the result) is reproducible in the SQL oracle.
+    ``vec`` must already be double-typed (normalized)."""
+    lit_sub = F.array(*[F.lit(v) for v in codevec[start : start + sub]])
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, start + 1, sub),
+            lit_sub,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[float]],
+    m: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``code_0..code_{m-1}`` columns: per subspace, the 1-based
+    sampling-order index of the nearest (L2) code subvector over the
+    **normalized** vector (ties to the earliest code —
+    ``array_position`` returns the first minimum).  Pure per-row column
+    math over a literal codebook: zero shuffle, zero Python, compresses
+    ``dim`` floats to ``m`` small ints — the point of PQ at 100 TB (a
+    64-d float corpus stored as 4 bytes/vector plus one shared
+    codebook)."""
+    dim = len(codebook[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # stage the squared norm as a NAMED column: referenced inside the
+    # normalize lambda it is a cheap bound reference, while an inlined
+    # fold would be re-evaluated per element (dim× the work per row)
+    vec0 = F.col(vec_col)
+    nsq = F.aggregate(
+        F.transform(vec0, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = df.withColumn("__nsq", nsq).withColumn(
+        "__vn",
+        F.when(
+            F.col("__nsq") > 0,
+            F.transform(vec0, lambda x: x.cast("double") / F.sqrt(F.col("__nsq"))),
+        ).otherwise(F.transform(vec0, lambda x: F.lit(0.0))),
+    )
+    vec = F.col("__vn")
+    for s in range(m):
+        darr = F.array(
+            *[_pq_subdist(vec, cv, s * sub, sub) for cv in codebook]
+        )
+        out = out.withColumn(f"code_{s}", F.array_position(darr, F.array_min(darr)))
+    return out.drop("__vn", "__nsq")
+
+
+def pq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_codes: int = 16,
+    m: int = 4,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance (ADC) + exact
+    rerank:
+
+    1. encode the L2-normalized corpus (per-row, shuffle-free),
+    2. build the ``m × n_codes`` query→code distance table driver-side
+       (tiny) and embed it as literals,
+    3. approximate distance = fixed-order sum of ``m`` table lookups —
+       a TakeOrdered over one scan picks the ``rerank`` best
+       (on unit vectors ``L2² = 2 − 2·cos``, so the ADC ordering
+       approximates the cosine ordering directly),
+    4. exact cosine rerank of those candidates → top ``k``.
+
+    The scan never touches more than (id, vec) columns and the only
+    ordering is per-partition-heap TakeOrdered — no full sort or
+    shuffle at any corpus size.  Every arithmetic step is an
+    order-fixed fold, so a SQL oracle reproduces the result exactly.
+    """
+    cb = pq_codebook(df, n_codes, vec_col, id_col)
+    dim = len(cb[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    qrow = df.where(F.col(id_col) == query_id).select(vec_col).take(1)
+    if not qrow:
+        raise ValueError("pq_topk: query id matched no row")
+    q = _normalize_py([float(x) for x in qrow[0][0]])
+    # ADC table, computed with the same diff-square left fold as
+    # _pq_subdist / the SQL oracle (x*x, never pow())
+    dtab = []
+    for s in range(m):
+        row = []
+        for cv in cb:
+            acc = 0.0
+            for j in range(s * sub, (s + 1) * sub):
+                d = q[j] - cv[j]
+                acc = acc + d * d
+            row.append(acc)
+        dtab.append(row)
+
+    encoded = pq_encode(df.select(id_col, vec_col), cb, m, vec_col)
+    adist = None
+    for s in range(m):
+        lookup = F.element_at(
+            F.array(*[F.lit(v) for v in dtab[s]]), F.col(f"code_{s}").cast("int")
+        )
+        adist = lookup if adist is None else adist + lookup
+    cands = (
+        encoded.where(F.col(id_col) != query_id)
+        .select(F.col(id_col), adist.alias("__adist"))
+        # nulls LAST (a malformed vector yields a NULL distance): Spark's
+        # asc default is nulls-first, SQL oracles' is nulls-last
+        .orderBy(F.col("__adist").asc_nulls_last(), F.col(id_col).asc())
+        .limit(rerank)
+        .select(id_col)
+    )
+    qv = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    scored = (
+        df.join(F.broadcast(cands), id_col)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
+    )
+    return _ranked_topk(scored, id_col, k)

@@ -568,3 +568,78 @@ class TestSourceMixtureWeights:
             .count()
         )
         assert n == 0
+
+
+class TestProductQuantization:
+    def test_full_rerank_equals_exact(self, emb):
+        """With rerank covering the whole corpus, PQ candidates are
+        everything, so the exact-cosine rerank must reproduce
+        cosine_topk bit-for-bit."""
+        from rheoceros_spark.operators.similarity import cosine_topk, pq_topk
+
+        n = emb.count()
+        exact = cosine_topk(emb, query_id=0, k=10).collect()
+        pq = pq_topk(emb, query_id=0, k=10, rerank=n).collect()
+        assert [(r.vec_id, r.rank, r.cos_r) for r in pq] == [
+            (r.vec_id, r.rank, r.cos_r) for r in exact
+        ]
+
+    def test_encode_codes_in_range_and_partition_invariant(self, emb):
+        from rheoceros_spark.operators.similarity import pq_codebook, pq_encode
+
+        cb = pq_codebook(emb, n_codes=16)
+        enc1 = pq_encode(emb, cb, m=4).select("vec_id", "code_0", "code_1", "code_2", "code_3")
+        rows = enc1.collect()
+        for r in rows:
+            for s in range(4):
+                assert 1 <= r[f"code_{s}"] <= 16
+        enc2 = pq_encode(emb.repartition(13), cb, m=4).select(
+            "vec_id", "code_0", "code_1", "code_2", "code_3"
+        )
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, enc2.collect()))
+
+    def test_encode_zero_shuffle(self, emb):
+        from rheoceros_spark.operators.similarity import pq_codebook, pq_encode
+
+        cb = pq_codebook(emb, n_codes=16)
+        plan = pq_encode(emb, cb, m=4)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_normalization_aligns_adc_with_cosine(self, spark):
+        """On unit vectors L2² = 2 − 2·cos, so for a clustered corpus the
+        nearest cluster-mates must fill the candidate list even at a
+        tiny rerank budget."""
+        from pyspark.sql import Row
+        from rheoceros_spark.operators.similarity import pq_topk
+
+        # two tight clusters at different NORMS — unnormalized L2 would
+        # conflate scale with direction; normalized PQ must not
+        base_a = [1.0] * 32 + [0.0] * 32
+        base_b = [0.0] * 32 + [1.0] * 32
+        rows = []
+        for i in range(20):
+            scale = 1.0 + i  # wildly different magnitudes
+            vec = [x * scale + (0.001 * ((i * 7 + j) % 5)) for j, x in enumerate(base_a)]
+            rows.append(Row(vec_id=i, embedding=vec))
+        for i in range(20, 40):
+            scale = 1.0 + i
+            vec = [x * scale + (0.001 * ((i * 7 + j) % 5)) for j, x in enumerate(base_b)]
+            rows.append(Row(vec_id=i, embedding=vec))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = pq_topk(df, query_id=0, k=10, n_codes=8, m=4, rerank=12).collect()
+        assert len(got) == 10
+        # every neighbor of a cluster-A query must come from cluster A
+        assert all(r.vec_id < 20 for r in got)
+
+    def test_param_validation(self, emb, spark):
+        from rheoceros_spark.operators.similarity import pq_codebook, pq_encode, pq_topk
+
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_topk(emb, query_id=0, m=7)
+        with pytest.raises(ValueError, match="query id"):
+            pq_topk(emb, query_id=10**9)
+        with pytest.raises(ValueError, match="empty"):
+            pq_codebook(emb.where("vec_id < 0"))
+        cb = [[0.0] * 10]
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_encode(emb, cb, m=3)
