@@ -134,3 +134,48 @@ def salted_join(
     )
     out = big_s.join(small_s, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+#: Catalyst runtime bloom-filter semi-join pushdown (SPARK-32268).
+#: At 100 TB this is the difference between scanning the whole fact
+#: side and scanning ~the matching fraction: the optimizer builds a
+#: bloom filter over the (already filtered) dim side's join keys at
+#: runtime and pushes `might_contain(key)` into the fact scan, pruning
+#: rows BEFORE the shuffle that feeds the sort-merge join.
+_RUNTIME_FILTER_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # local test corpora are far below the default 10 GB application-side
+    # threshold; production leaves these at their defaults
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+}
+
+
+def enable_runtime_filters(spark: SparkSession) -> dict:
+    """Turn on runtime bloom-filter join pruning; returns the previous
+    conf values so callers can restore (same snapshot/restore contract
+    as the per-execution resource hints in compute.py).
+
+    The filter only injects where it can pay off: a join whose creation
+    side is selectively filtered and small enough to summarize, and
+    whose application side is a big scan — exactly the recurring
+    fact × filtered-dim shape.  Broadcast joins don't need it (the
+    hash table IS the filter); it matters for the sort-merge joins
+    that survive at 100 TB dim sizes."""
+    prev = {}
+    for k, v in _RUNTIME_FILTER_CONFS.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    return prev
+
+
+def restore_confs(spark: SparkSession, prev: dict) -> None:
+    """Inverse of :func:`enable_runtime_filters`."""
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)

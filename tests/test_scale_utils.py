@@ -66,3 +66,58 @@ def test_salted_join_matches_plain(spark, sf_dir):
     got = salted_join(li, orders, "l_orderkey", salt_n=4).count()
     exp = li.join(orders, "l_orderkey").count()
     assert got == exp
+
+
+class TestRuntimeFilters:
+    def test_bloom_filter_injected_and_results_unchanged(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from rheoceros_spark.operators.scale import enable_runtime_filters, restore_confs
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+
+        def join():
+            return (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        baseline = {(r.o_orderpriority, r.n) for r in join().collect()}
+        prev = enable_runtime_filters(spark)
+        # force the sort-merge path the filter exists for
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = join()
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            assert "might_contain" in plan.lower()
+            assert {(r.o_orderpriority, r.n) for r in df.collect()} == baseline
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+            restore_confs(spark, prev)
+
+    def test_restore_round_trips(self, spark):
+        from rheoceros_spark.operators.scale import (
+            _RUNTIME_FILTER_CONFS,
+            enable_runtime_filters,
+            restore_confs,
+        )
+
+        before = {}
+        for k in _RUNTIME_FILTER_CONFS:
+            try:
+                before[k] = spark.conf.get(k)
+            except Exception:
+                before[k] = None
+        prev = enable_runtime_filters(spark)
+        assert prev == before
+        restore_confs(spark, prev)
+        for k, v in before.items():
+            try:
+                now = spark.conf.get(k)
+            except Exception:
+                now = None
+            assert now == v
