@@ -2000,6 +2000,44 @@ SELECT vec_id, rank, round(cos, 6) AS cos_r FROM (
 """
 
 
+def _semantic_contamination_oracle(nbits: int = 8, dim: int = 64, thr: float = 0.1) -> str:
+    planes = _plane_sql_literal(nbits, dim)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {_dot_sql('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({bucket_terms} AS BIGINT) AS bucket FROM embeddings
+    ), bench AS (
+      SELECT vec_id AS bench_id, embedding AS bv, bucket FROM b WHERE vec_id % 97 = 0
+    ), corp AS (
+      SELECT vec_id, embedding, bucket FROM b WHERE vec_id % 97 <> 0
+    )
+    SELECT vec_id, bench_id, cos_r FROM (
+      SELECT c.vec_id, bench.bench_id,
+             round({_cos_sql('c.embedding', 'bench.bv')}, 6) AS cos_r
+      FROM corp c JOIN bench ON c.bucket = bench.bucket
+    ) WHERE cos_r >= {thr}
+    """
+
+
+@q("curation_semantic_decon", oracle=_semantic_contamination_oracle())
+def curation_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: corpus vectors cosine-close to
+    any held-out benchmark vector, LSH-bucket-blocked with the bench
+    side broadcast (operators/curation.py semantic_contamination).
+    Benchmark = vec_id % 97 == 0, mirroring contamination_ngrams."""
+    from rheoceros_spark.operators.curation import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.where(F.col("vec_id") % 97 != 0),
+        emb.where(F.col("vec_id") % 97 == 0),
+        threshold=0.1,
+    )
+
+
 @q("ann_pq_topk", oracle=_PQ_ORACLE)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: per-subspace codes from a deterministic
@@ -2645,12 +2683,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window and demoted 21 shape-redundant TPC-H variants past the cap;
 #: all 50 in-window queries earned green official rows through
 #: CORRECTNESS_r04.  Round 5 ROTATES: the 21 previously un-gated
-#: queries plus the 9 new round-5 queries (30 total, below) move to
-#: the head so they earn official rows — with 80 registered queries
-#: the 30 that fall past position 50 are exactly ones already
-#: certified in r04, so cross-round official coverage spans all 80
+#: queries plus the 10 new round-5 queries (31 total, below) move to
+#: the head so they earn official rows — with 81 registered queries
+#: the 31 that fall past position 50 are exactly ones already
+#: certified in r04, so cross-round official coverage spans all 81
 #: (enforced by tests/test_plan_quality.py
-#: test_cross_round_official_coverage_is_total).  All 80 stay
+#: test_cross_round_official_coverage_is_total).  All 81 stay
 #: continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
@@ -2687,6 +2725,7 @@ _HEAD = [
     "curation_source_mix",
     "curation_filter_funnel",
     "ann_pq_topk",
+    "curation_semantic_decon",
 ]
 
 

@@ -51,6 +51,7 @@ from rheoceros_spark.operators.curation import (  # noqa: F401
     hash_sample,
     pack_sequences,
     pii_redact,
+    semantic_contamination,
     shuffle_shards,
     source_mixture_weights,
     stratified_hash_sample,

@@ -578,3 +578,49 @@ def filter_funnel(
         "stage_name",
         F.col("n_docs").cast("bigint").alias("n_docs"),
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.1,
+    nbits: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: corpus vectors whose
+    cosine to ANY benchmark vector reaches ``threshold`` — the semantic
+    counterpart of :func:`contamination_ngrams` (n-gram overlap misses
+    paraphrases; eval-similar documents are what actually leak).
+
+    Returns matched ``(id, bench_id, cos_r)`` pairs.  Scale shape is
+    bipartite LSH blocking: both sides get the deterministic
+    hyperplane signature, the benchmark side (eval suites are MBs
+    against a 100 TB corpus) is **broadcast**, candidates share a
+    bucket, and the exact cosine runs only inside buckets — the corpus
+    is one scan with no shuffle.  Same planes as ``ann_lsh_topk``, so
+    the construction stays oracle-checkable."""
+    from rheoceros_spark.functions.portable import cosine
+    from rheoceros_spark.operators.similarity import plane_matrix, signature_col
+
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"semantic_contamination: threshold must be in [0, 1], got {threshold}")
+    planes = plane_matrix(nbits, dim)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), signature_col(vec_col, planes).alias("__bkt")
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).alias("__bv"),
+        signature_col(vec_col, planes).alias("__bkt"),
+    )
+    return (
+        c.join(F.broadcast(b), "__bkt")
+        .select(
+            F.col(id_col),
+            F.col("bench_id"),
+            F.round(cosine(F.col(vec_col), F.col("__bv")), 6).alias("cos_r"),
+        )
+        .where(F.col("cos_r") >= threshold)
+    )

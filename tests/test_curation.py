@@ -1,6 +1,7 @@
 """Curation-operator semantics: deterministic sampling, PII redaction,
 vocab top-k, decontamination, duplicate clustering."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from rheoceros_spark.operators import (
@@ -367,3 +368,51 @@ class TestFilterFunnel:
         assert rows["ingest"] == 4
         assert rows["repetition"] == 4
         assert rows["dedup"] == 2
+
+
+class TestSemanticContamination:
+    def test_bucket_blocking_matches_brute_force_within_buckets(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from rheoceros_spark.operators.curation import semantic_contamination
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        corp = emb.where(F.col("vec_id") % 97 != 0)
+        bench = emb.where(F.col("vec_id") % 97 == 0)
+        got = semantic_contamination(corp, bench, threshold=0.1).collect()
+        assert len(got) > 0
+        for r in got:
+            assert r.cos_r >= 0.1
+        # bench side must be the broadcast side (corpus never shuffles)
+        plan = (
+            semantic_contamination(corp, bench, threshold=0.1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_identical_vector_always_caught(self, spark):
+        from pyspark.sql import Row
+        from rheoceros_spark.operators.curation import semantic_contamination
+
+        vec = [float((j * 13) % 7 - 3) for j in range(64)]
+        other = [float((j * 5) % 11 - 5) for j in range(64)]
+        corp = spark.createDataFrame(
+            [Row(vec_id=1, embedding=vec), Row(vec_id=2, embedding=other)],
+            "vec_id long, embedding array<float>",
+        )
+        bench = spark.createDataFrame(
+            [Row(vec_id=100, embedding=vec)], "vec_id long, embedding array<float>"
+        )
+        got = semantic_contamination(corp, bench, threshold=0.99)
+        rows = got.collect()
+        # an exact copy shares every plane sign -> same bucket -> cos 1.0
+        assert [(r.vec_id, r.bench_id) for r in rows] == [(1, 100)]
+        assert rows[0].cos_r == 1.0
+
+    def test_threshold_validation(self, spark):
+        from pyspark.sql import Row
+        from rheoceros_spark.operators.curation import semantic_contamination
+
+        df = spark.createDataFrame([Row(vec_id=1, embedding=[0.0] * 64)],
+                                   "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="threshold"):
+            semantic_contamination(df, df, threshold=1.5)
