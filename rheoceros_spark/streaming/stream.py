@@ -304,3 +304,67 @@ def stream_dedup_against_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+def stream_quality_gate(
+    sdf: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.55,
+    max_dup_token_frac: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of the batch filter funnel's row-local stages
+    (curation.filter_funnel minus the dedup stage, which needs global
+    state — chain :func:`stream_dedup` on a content-hash column for
+    that): adds the lang/quality/repetition columns plus an
+    ``accepted`` flag.  All gates are pure column expressions, so the
+    stream stays stateless — no watermark, no state store, identical
+    incremental plan to the batch one."""
+    from rheoceros_spark.operators.text_analysis import (
+        lang_id,
+        quality_score,
+        repetition_metrics,
+    )
+
+    d = repetition_metrics(quality_score(lang_id(sdf, text_col), text_col), text_col)
+    accepted = (
+        (F.col("lang_pred") == lang)
+        & (F.col("quality") >= min_quality)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
+    )
+    return d.withColumn("accepted", accepted)
+
+
+def quality_split_sink(
+    sdf: DataFrame,
+    out_root: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = False,
+):
+    """``foreachBatch`` sink that routes gated rows to
+    ``out_root/accepted/batch=<id>`` and ``out_root/rejected/batch=<id>``
+    — rejects are kept, not dropped, because curation pipelines audit
+    and re-threshold them.  Each microbatch is persisted once (the two
+    filters would otherwise recompute the batch), and each partition is
+    overwritten whole via the managed writer, so a replayed batch id
+    converges instead of duplicating (same idempotence contract as
+    :func:`partition_overwrite_sink`)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            write_dataset(
+                batch_df.where(F.col("accepted")).drop("accepted"),
+                f"{out_root}/accepted/batch={batch_id}",
+            )
+            write_dataset(
+                batch_df.where(~F.col("accepted")).drop("accepted"),
+                f"{out_root}/rejected/batch={batch_id}",
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = sdf.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

@@ -259,3 +259,56 @@ def test_stream_dedup_against_growing_index(spark, tmp_path):
     # the accepted doc is now part of the persisted index
     idx = spark.read.parquet(idx_path)
     assert idx.where(F.col("doc_id") == 101).count() > 0
+
+
+def test_stream_quality_gate_matches_batch_and_replays_idempotently(spark, sf_dir, tmp_path):
+    """The streaming gate must agree row-for-row with the batch funnel's
+    row-local stages, and a replay from a fresh checkpoint must
+    converge to the same files (partition-overwrite idempotence)."""
+    from rheoceros_spark.streaming.stream import quality_split_sink, stream_quality_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_dir = str(tmp_path / "docs_src")
+    docs.coalesce(2).write.mode("overwrite").parquet(src_dir)
+
+    # batch expectation: same gates, same thresholds
+    from rheoceros_spark.operators.text_analysis import (
+        lang_id,
+        quality_score,
+        repetition_metrics,
+    )
+
+    b = repetition_metrics(quality_score(lang_id(docs)))
+    expected_accept = {
+        r.doc_id
+        for r in b.where(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality") >= 0.55)
+            & (F.col("dup_token_frac") <= 0.5)
+        ).collect()
+    }
+
+    out_root = str(tmp_path / "gated")
+
+    def run(tag):
+        sdf = spark.readStream.schema(docs.schema).parquet(src_dir)
+        gated = stream_quality_gate(sdf)
+        q = quality_split_sink(
+            gated, out_root, str(tmp_path / f"ckpt_{tag}"), trigger_available_now=True
+        ).start()
+        q.awaitTermination(120)
+
+    run("a")
+    acc = spark.read.parquet(f"{out_root}/accepted/batch=*")
+    rej = spark.read.parquet(f"{out_root}/rejected/batch=*")
+    got_accept = {r.doc_id for r in acc.select("doc_id").collect()}
+    assert got_accept == expected_accept
+    assert acc.count() + rej.count() == docs.count()
+    # gate columns survive into both outputs for re-thresholding audits
+    assert "quality" in rej.columns and "dup_token_frac" in rej.columns
+
+    # replay with a FRESH checkpoint: batch ids restart, partitions are
+    # overwritten whole, totals must not double
+    run("b")
+    acc2 = spark.read.parquet(f"{out_root}/accepted/batch=*")
+    assert {r.doc_id for r in acc2.select("doc_id").collect()} == expected_accept
