@@ -2000,6 +2000,41 @@ SELECT vec_id, rank, round(cos, 6) AS cos_r FROM (
 """
 
 
+@q(
+    "text_unigram_nll",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS token FROM documents
+    ), tk AS (
+      SELECT doc_id, token FROM toks WHERE token <> ''
+    ), model AS (
+      SELECT token, count(*) AS cnt FROM tk GROUP BY token
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS N FROM model
+    ), per_doc AS (
+      SELECT doc_id, token, count(*) AS n FROM tk GROUP BY doc_id, token
+    ), scored AS (
+      SELECT d.doc_id, d.n,
+             CAST(round(-ln(CAST(m.cnt AS DOUBLE) / CAST(t.N AS DOUBLE)) * 1e7)
+                  AS BIGINT) AS lpq
+      FROM per_doc d JOIN model m USING (token), tot t
+    ), agg AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_scored,
+             round(CAST(sum(n * lpq) AS DOUBLE) / (1e7 * CAST(sum(n) AS DOUBLE)), 6) AS nll
+      FROM scored GROUP BY doc_id
+    )
+    SELECT documents.doc_id, coalesce(a.n_scored, 0) AS n_scored, a.nll
+    FROM documents LEFT JOIN agg a ON documents.doc_id = a.doc_id
+    """,
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM fluency score per document (CCNet-style
+    filter signal; operators/text_analysis.py unigram_nll)."""
+    from rheoceros_spark.operators.text_analysis import unigram_nll
+
+    return unigram_nll(load_table(spark, sf_dir, "documents"))
+
+
 def _semantic_contamination_oracle(nbits: int = 8, dim: int = 64, thr: float = 0.1) -> str:
     planes = _plane_sql_literal(nbits, dim)
     bucket_terms = " + ".join(
@@ -2683,12 +2718,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window and demoted 21 shape-redundant TPC-H variants past the cap;
 #: all 50 in-window queries earned green official rows through
 #: CORRECTNESS_r04.  Round 5 ROTATES: the 21 previously un-gated
-#: queries plus the 10 new round-5 queries (31 total, below) move to
-#: the head so they earn official rows — with 81 registered queries
-#: the 31 that fall past position 50 are exactly ones already
-#: certified in r04, so cross-round official coverage spans all 81
+#: queries plus the 11 new round-5 queries (32 total, below) move to
+#: the head so they earn official rows — with 82 registered queries
+#: the 32 that fall past position 50 are exactly ones already
+#: certified in r04, so cross-round official coverage spans all 82
 #: (enforced by tests/test_plan_quality.py
-#: test_cross_round_official_coverage_is_total).  All 81 stay
+#: test_cross_round_official_coverage_is_total).  All 82 stay
 #: continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
@@ -2726,6 +2761,7 @@ _HEAD = [
     "curation_filter_funnel",
     "ann_pq_topk",
     "curation_semantic_decon",
+    "text_unigram_nll",
 ]
 
 

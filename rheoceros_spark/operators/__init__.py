@@ -42,6 +42,7 @@ from rheoceros_spark.operators.text_analysis import (  # noqa: F401
     quality_score,
     repetition_metrics,
     token_count,
+    unigram_nll,
 )
 from rheoceros_spark.operators.curation import (  # noqa: F401
     contamination_ngrams,

@@ -231,3 +231,76 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("top_bigram_frac", F.round(top_bi, 6))
         .drop("__t", "__bi", "__tri")
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram model — the CCNet-style LM fluency signal (Wenzek et al.
+    2020 train KenLM; the unigram twin keeps the operator closed-form
+    and oracle-checkable): ``nll = mean over tokens of −ln(c(t)/N)``.
+    Low = stereotyped/common tokens, high = rare-token soup; both tails
+    get inspected in practice.
+
+    Pass ``counts`` ((token, cnt) from a reference corpus) to score
+    against a fixed model instead of self-training; tokens absent from
+    it are dropped from the mean (add-one smoothing would need the
+    reference vocab size as an explicit, auditable parameter).
+
+    Scale shape is wordcount twice: explode → per-(doc, token) local
+    counts → join the vocab-sized model by token (both sides hash on
+    token) → per-doc weighted aggregate.  Nothing driver-sized, no
+    UDFs; the model side is vocab-sized, never corpus-sized.
+
+    Returns one row per input row: (id, n_scored, nll).  Documents with
+    no tokens score NULL nll with ``n_scored`` 0.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    if counts is None:
+        counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__N"))
+    per_doc_tok = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n"))
+    # Each term is quantized to an INTEGER (1e-7 nats) before the
+    # per-doc sum: a double sum is addition-order dependent (shuffle
+    # arrival order differs run to run and engine to engine), while the
+    # integer sum is exact in any order — the aggregate then yields the
+    # same bits everywhere (cents()-style determinism; the 1e-7 grid
+    # also absorbs any last-ulp ln() divergence between libm builds).
+    scored = (
+        per_doc_tok.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("n"),
+            F.round(
+                -F.log(F.col("cnt").cast("double") / F.col("__N").cast("double"))
+                * F.lit(1e7)
+            )
+            .cast("bigint")
+            .alias("__lpq"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("n").cast("bigint").alias("n_scored"),
+        F.round(
+            F.sum(F.col("n") * F.col("__lpq")).cast("double")
+            / (F.lit(1e7) * F.sum("n").cast("double")),
+            6,
+        ).alias("nll"),
+    )
+    # keep zero-token documents (left join back to the input's ids)
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_scored"), F.lit(0)).cast("bigint").alias("n_scored"),
+            "nll",
+        )
+    )

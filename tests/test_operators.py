@@ -643,3 +643,40 @@ class TestProductQuantization:
         cb = [[0.0] * 10]
         with pytest.raises(ValueError, match="not divisible"):
             pq_encode(emb, cb, m=3)
+
+
+class TestUnigramNll:
+    def test_hand_computed(self, spark):
+        from math import log
+
+        from rheoceros_spark.operators.text_analysis import unigram_nll
+
+        # corpus: "a a b" + "b c" -> N=5, c(a)=2, c(b)=2, c(c)=1
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c"), (3, "")], "doc_id long, text string"
+        )
+        got = {r.doc_id: (r.n_scored, r.nll) for r in unigram_nll(df).collect()}
+        nll1 = round((2 * -log(2 / 5) + 1 * -log(2 / 5)) / 3, 6)
+        nll2 = round((-log(2 / 5) + -log(1 / 5)) / 2, 6)
+        assert got[1][0] == 3 and abs(got[1][1] - nll1) < 2e-6
+        assert got[2][0] == 2 and abs(got[2][1] - nll2) < 2e-6
+        assert got[3] == (0, None)
+
+    def test_external_model_drops_oov(self, spark):
+        from rheoceros_spark.operators.text_analysis import unigram_nll
+
+        docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+        model = spark.createDataFrame([("x", 3), ("y", 1)], "token string, cnt long")
+        r = unigram_nll(docs, counts=model).collect()[0]
+        # z is out-of-vocabulary for the reference model -> only x, y scored
+        assert r.n_scored == 2
+
+    def test_rare_token_docs_score_higher(self, docs):
+        from rheoceros_spark.operators.text_analysis import unigram_nll
+
+        out = unigram_nll(docs).where(F.col("n_scored") > 0)
+        stats = out.agg(F.min("nll"), F.max("nll"), F.count(F.lit(1))).collect()[0]
+        assert stats[2] > 0
+        # NLL is a mean of -ln(p) with p <= 1 -> strictly positive; and the
+        # corpus has frequency variation, so the signal is non-constant
+        assert 0 < stats[0] < stats[1]
