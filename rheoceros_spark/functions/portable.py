@@ -47,8 +47,17 @@ def h64_sql(expr: str, seed: str | None = None) -> str:
 # ---------------------------------------------------------------------------
 
 def normalize_text(col: Column) -> Column:
-    """lower + collapse whitespace + trim."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """lower + collapse whitespace + trim.
+
+    The whitespace class is spelled out as ``[ \\t\\n\\f\\r]`` rather
+    than Java's ``\\s``: Java's ``\\s`` also matches vertical tab
+    (``\\x0B``) while RE2's (DuckDB's) does not, so ``\\s+`` here and
+    ``\\s+`` in the SQL twin silently disagree on \\x0B-bearing text.
+    The explicit class is exactly RE2's ``\\s``, which keeps every
+    ``'\\s+'``-based oracle string valid and the behavior engine-
+    independent (pinned by tests/test_portable_parity.py, which feeds
+    \\x0B through both engines)."""
+    return F.trim(F.regexp_replace(F.lower(col), "[ \t\n\f\r]+", " "))
 
 
 NORMALIZE_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
