@@ -555,19 +555,19 @@ def pq_topk(
             F.array(*[F.lit(v) for v in dtab[s]]), F.col(f"code_{s}").cast("int")
         )
         adist = lookup if adist is None else adist + lookup
+    # the raw vector rides along through the TakeOrdered (rerank × dim
+    # floats — driver-merge-sized), so the exact rerank needs NO second
+    # corpus scan / join-back
     cands = (
         encoded.where(F.col(id_col) != query_id)
-        .select(F.col(id_col), adist.alias("__adist"))
+        .select(F.col(id_col), F.col(vec_col), adist.alias("__adist"))
         # nulls LAST (a malformed vector yields a NULL distance): Spark's
         # asc default is nulls-first, SQL oracles' is nulls-last
         .orderBy(F.col("__adist").asc_nulls_last(), F.col(id_col).asc())
         .limit(rerank)
-        .select(id_col)
     )
     qv = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
-    scored = (
-        df.join(F.broadcast(cands), id_col)
-        .crossJoin(F.broadcast(qv))
-        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
+    scored = cands.crossJoin(F.broadcast(qv)).select(
+        F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos")
     )
     return _ranked_topk(scored, id_col, k)

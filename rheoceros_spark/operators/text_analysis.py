@@ -262,10 +262,15 @@ def unigram_nll(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).where(F.col("token") != "")
-    if counts is None:
-        counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("__N"))
     per_doc_tok = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n"))
+    if counts is None:
+        # self-training derives the model FROM the per-(doc, token)
+        # aggregate instead of re-aggregating the raw token stream: the
+        # token-level exchange then feeds both consumers (one corpus
+        # scan + one token shuffle), where two independent groupBys
+        # over `toks` would scan and explode the corpus twice
+        counts = per_doc_tok.groupBy("token").agg(F.sum("n").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__N"))
     # Each term is quantized to an INTEGER (1e-7 nats) before the
     # per-doc sum: a double sum is addition-order dependent (shuffle
     # arrival order differs run to run and engine to engine), while the
