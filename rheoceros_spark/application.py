@@ -154,6 +154,11 @@ class ComputeRecord:
     error: Optional[str] = None
     path: Optional[str] = None
     detail: Optional[str] = None  # e.g. retention-skip note; never an error
+    #: materialized input signals of this execution (reference compute
+    #: records expose the same — ``materialized_inputs`` asserted in
+    #: test_aws_application_output_parametrization.py:93-110); lets
+    #: callers audit what execute/process back-derived for each input
+    materialized_inputs: list = field(default_factory=list)
 
 
 class ApplicationState(str, Enum):
@@ -386,14 +391,25 @@ class Application:
         links: list[OutputDimensionLink] = []
         for ol in output_dim_links or []:
             if isinstance(ol, tuple):
-                if len(ol) == 2:  # (output_dim, literal)
+                if isinstance(ol[0], (tuple, list)):
+                    # ((input_alias, input_dim), output_dim[, func]) —
+                    # REVERSE link: input ← func(output), the reference's
+                    # bidirectional non-trivial linking (needed for
+                    # execute-by-output when the forward link is a
+                    # non-invertible lambda)
+                    (alias, in_dim), out_dim = ol[0], ol[1]
+                    func = ol[2] if len(ol) > 2 else EQUALS
+                    ol = OutputDimensionLink.to_input(alias, in_dim, out_dim, func)
+                elif len(ol) == 2:  # (output_dim, literal)
                     ol = OutputDimensionLink.from_literal(*ol)
                 else:  # (output_dim, input_alias, input_dim[, func])
                     out_dim, alias, in_dim = ol[0], ol[1], ol[2]
                     func = ol[3] if len(ol) > 3 else EQUALS
                     ol = OutputDimensionLink.from_input(out_dim, alias, in_dim, func)
             links.append(ol)
-        linked = {l.output_dim for l in links}
+        # reverse links derive inputs, not the output dim — they must not
+        # suppress the auto-link that materializes the output side
+        linked = {l.output_dim for l in links if not l.reverse}
         for dim in out_spec:
             if dim.name in linked:
                 continue
@@ -471,7 +487,8 @@ class Application:
             aliases = {s.alias: s for s in node.link_node.signals}
             linked = set()
             for link in node.output_links:
-                linked.add(link.output_dim)
+                if not link.reverse:
+                    linked.add(link.output_dim)
                 if link.literal is not None:
                     continue
                 for alias, dim in link.rhs:
@@ -844,6 +861,7 @@ class Application:
                 exec_id=f"{node.id}-{uuid.uuid4().hex[:12]}",
             )
             self._records.append(record)
+        record.materialized_inputs = [m.clone() for m in materialized]
         # job group → Application.kill can interrupt in-flight Spark jobs
         self.spark.sparkContext.setJobGroup(record.exec_id, f"rheoceros {node.id} {out_values}", True)
         # resource hints (shuffle partitions, --conf pairs) apply for THIS
@@ -960,9 +978,16 @@ class Application:
                 continue
             if link.literal is not None:
                 continue
-            if link.func is EQUALS and len(link.rhs) == 1:
+            if link.reverse:
+                # declared inverse: input ← func(output) — covers forward
+                # lambdas that equality inversion below cannot
                 alias, dim = link.rhs[0]
-                seeds.setdefault(alias, {})[dim] = out_values[link.output_dim]
+                seeds.setdefault(alias, {})[dim] = (link.func or EQUALS)(
+                    out_values[link.output_dim]
+                )
+            elif link.func is EQUALS and len(link.rhs) == 1:
+                alias, dim = link.rhs[0]
+                seeds.setdefault(alias, {}).setdefault(dim, out_values[link.output_dim])
         known = node.link_node.propagate(seeds)
 
         out: list[Signal] = []
@@ -996,6 +1021,8 @@ class Application:
         known = child.link_node.propagate({parent_id: dict(parent_values)})
         out_values = {}
         for link in child.output_links:
+            if link.reverse:
+                continue
             if link.literal is not None:
                 out_values[link.output_dim] = link.literal
             elif all(r[0] in known and r[1] in known[r[0]] for r in link.rhs):

@@ -316,19 +316,39 @@ def expand_literal_lists(out_values: dict[str, Any]) -> list[dict[str, Any]]:
 
 class OutputDimensionLink:
     """Output dim ← func(input dims) or literal assignment
-    (reference application.py:1426-1451)."""
+    (reference application.py:1426-1451).
+
+    A link may also run the OTHER way — input dim ← func(output dim)
+    (``reverse=True``, built via :meth:`to_input`): the reference's
+    bidirectional non-trivial linking
+    (``test_aws_application_output_parametrization.py:46-110`` declares
+    ``(timer("time"), lambda d: d + 7days, "cutoff_date")`` next to the
+    forward ``-7days`` lambda).  Forward lambdas are not invertible
+    mechanically, so without the reverse link ``execute(node[out])``
+    cannot back-derive the input partition.  Reverse links are used
+    ONLY by input back-derivation; forward output materialization
+    skips them (applying the inverse function forward would be wrong).
+    """
 
     def __init__(self, output_dim: str, func: Optional[Callable[..., Any]] = None,
-                 rhs: Optional[Sequence[tuple[str, str]]] = None, literal: Any = None):
+                 rhs: Optional[Sequence[tuple[str, str]]] = None, literal: Any = None,
+                 reverse: bool = False):
         self.output_dim = output_dim
         self.func = func
         self.rhs = list(rhs or [])
         self.literal = literal
+        self.reverse = reverse
 
     @classmethod
     def from_input(cls, output_dim: str, input_alias: str, input_dim: str,
                    func: Callable[..., Any] = EQUALS) -> "OutputDimensionLink":
         return cls(output_dim, func, [(input_alias, input_dim)])
+
+    @classmethod
+    def to_input(cls, input_alias: str, input_dim: str, output_dim: str,
+                 func: Callable[..., Any] = EQUALS) -> "OutputDimensionLink":
+        """input dim ← func(output dim) — see class docstring."""
+        return cls(output_dim, func, [(input_alias, input_dim)], reverse=True)
 
     @classmethod
     def from_literal(cls, output_dim: str, value: Any) -> "OutputDimensionLink":

@@ -357,6 +357,10 @@ class RoutingTable:
         known = route.node.link_node.propagate(dict(node.ready))
         out_values: dict[str, Any] = {}
         for link in route.node.output_links:
+            if getattr(link, "reverse", False):
+                # input ← f(output) declarations serve back-derivation
+                # only; applying them forward would run the INVERSE map
+                continue
             if link.literal is not None:
                 out_values[link.output_dim] = link.literal
             elif all(r[0] in known and r[1] in known[r[0]] for r in link.rhs):

@@ -137,3 +137,71 @@ def test_full_range_processing_mode(spark, tmp_path, events_by_day):
     ranged = app["events"]["2024-01-01":"2024-01-03"]
     outs = app.process(ranged, processing_mode="FULL_RANGE")
     assert sorted(p.rsplit("/", 1)[-1] for p in outs) == ["2024-01-01", "2024-01-02", "2024-01-03"]
+
+
+class TestBidirectionalOutputLinks:
+    """Reference test_aws_application_output_parametrization.py:46-110
+    (``test_application_output_bidirectional_nontrivial_linking``): a
+    timer-driven node whose output ``cutoff_date`` is a NON-invertible
+    lambda of the timer dim (−7 days), plus the explicit reverse link
+    (+7 days) that makes execute-by-output possible."""
+
+    def _build(self, spark, tmp_path):
+        from datetime import timedelta
+
+        from rheoceros_spark.compute import Spark
+
+        app = Application("adv-output-link", storage_root=str(tmp_path / "store"), spark=spark)
+        timer = app.add_timer("adex_timer", granularity="day", date_format="%Y-%m-%d")
+
+        def compute(inputs, ctx):
+            return spark.range(1).select(F.lit(1).alias("ok"))
+
+        node = app.create_data(
+            id="kickoff",
+            inputs=[timer],
+            output_dimension_spec={
+                "region_id": {
+                    "type": "LONG",
+                    "marketplace_id": {
+                        "type": "LONG",
+                        "cutoff_date": {"type": "DATETIME", "format": "%Y-%m-%d"},
+                    },
+                }
+            },
+            output_dim_links=[
+                ("region_id", 1),
+                ("marketplace_id", 1),
+                ("cutoff_date", "adex_timer", "time", lambda d: d - timedelta(days=7)),
+                # reverse: timer time ← cutoff_date + 7 (execute-by-output)
+                (("adex_timer", "time"), "cutoff_date", lambda d: d + timedelta(days=7)),
+            ],
+            compute_targets=[Spark(compute)],
+        )
+        return app, timer, node
+
+    def _timer_value(self, app, node_id):
+        recs = [r for r in app.compute_records(node_id) if r.materialized_inputs]
+        assert recs, "no compute record captured materialized inputs"
+        sig = recs[-1].materialized_inputs[0]
+        assert sig.alias == "adex_timer"
+        return str(sig.filter.tip()[0])[:10]
+
+    def test_execute_by_output_back_derives_shifted_timer(self, spark, tmp_path):
+        app, timer, node = self._build(spark, tmp_path)
+        app.activate()
+        app.execute(node[1][1]["2021-06-20"])
+        # +7 auto-shift: output 2021-06-20 ← timer 2021-06-27
+        assert self._timer_value(app, "kickoff") == "2021-06-27"
+
+    def test_timer_event_materializes_minus_shifted_output(self, spark, tmp_path):
+        app, timer, node = self._build(spark, tmp_path)
+        app.activate()
+        app.process(timer["2021-06-28"])
+        # −7 auto-shift: timer 2021-06-28 → output partition 2021-06-21
+        out = app.load_data(node[1][1]["2021-06-21"])
+        assert out.count() == 1
+
+    def test_validate_accepts_reverse_links(self, spark, tmp_path):
+        app, timer, node = self._build(spark, tmp_path)
+        assert app.validate() == []
