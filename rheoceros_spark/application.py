@@ -407,6 +407,29 @@ class Application:
                     func = ol[3] if len(ol) > 3 else EQUALS
                     ol = OutputDimensionLink.from_input(out_dim, alias, in_dim, func)
             links.append(ol)
+        # create-time endpoint validation (reference
+        # test_aws_application_advanced_dimension_linking.py:209-260 —
+        # "output linking pitfalls": bad declarations must fail HERE,
+        # not as cryptic activation/runtime errors)
+        out_dim_names = {d.name for d in out_spec}
+        in_aliases = {sig.alias: set(sig.dimension_names()) for sig in signals}
+        for l in links:
+            if not isinstance(l.output_dim, str) or l.output_dim not in out_dim_names:
+                raise ValueError(
+                    f"output_dim_links: {l.output_dim!r} is not an output dimension "
+                    f"(declared: {sorted(out_dim_names)})"
+                )
+            for alias, dim in l.rhs:
+                if alias not in in_aliases:
+                    raise ValueError(
+                        f"output_dim_links: unknown input alias {alias!r} "
+                        f"(inputs: {sorted(in_aliases)})"
+                    )
+                if dim not in in_aliases[alias]:
+                    raise ValueError(
+                        f"output_dim_links: input {alias!r} has no dimension {dim!r} "
+                        f"(has: {sorted(in_aliases[alias])})"
+                    )
         # reverse links derive inputs, not the output dim — they must not
         # suppress the auto-link that materializes the output side
         linked = {l.output_dim for l in links if not l.reverse}

@@ -205,3 +205,105 @@ class TestBidirectionalOutputLinks:
     def test_validate_accepts_reverse_links(self, spark, tmp_path):
         app, timer, node = self._build(spark, tmp_path)
         assert app.validate() == []
+
+
+class TestAdvancedDimensionLinking:
+    """Reference test_aws_application_advanced_dimension_linking.py —
+    N→1 input mapping (day+hour → hourly timestamp on a ref input) and
+    the create-time "output linking pitfalls" validation."""
+
+    def _datasets(self, spark, tmp_path):
+        root1 = str(tmp_path / "d1")
+        root2 = str(tmp_path / "d2")
+        df = spark.range(3).select(F.col("id").alias("v"))
+        df.write.mode("overwrite").parquet(f"{root1}/20211122/13")
+        df.write.mode("overwrite").parquet(f"{root2}/2021-11-22 13:00:00")
+        ds1 = ParquetDataset(
+            root1 + "/{}/{}",
+            Dimension("day", DimensionType.DATETIME, {"format": "%Y%m%d"}),
+            Dimension("hour", DimensionType.LONG),
+        )
+        ds2 = ParquetDataset(
+            root2 + "/{}",
+            Dimension(
+                "timestamp",
+                DimensionType.DATETIME,
+                {"format": "%Y-%m-%d %H:%M:%S", "granularity": "hour"},
+            ),
+        )
+        return ds1, ds2
+
+    def test_n_to_1_input_mapping_on_ref_input(self, spark, tmp_path):
+        from datetime import timedelta
+
+        from rheoceros_spark.compute import Spark
+
+        ds1, ds2 = self._datasets(spark, tmp_path)
+        app = Application("n-to-1", storage_root=str(tmp_path / "store"), spark=spark)
+        e1 = app.marshal_external_data(ds1, id="external_data1")
+        e2 = app.marshal_external_data(ds2, id="external_data2")
+
+        def compute(inputs, ctx):
+            # both inputs resolved: join-free smoke (ref input loads too)
+            return inputs["external_data1"].limit(1)
+
+        node = app.create_data(
+            id="mapping_1",
+            inputs=[e1, e2.ref],
+            input_dim_links=[
+                (
+                    ("external_data2", "timestamp"),
+                    lambda day, hour: day + timedelta(hours=int(hour)),
+                    [("external_data1", "day"), ("external_data1", "hour")],
+                )
+            ],
+            compute_targets=[Spark(compute)],
+        )
+        app.activate()
+        # event on e1 (day=20211122, hour=13) must infer e2's hourly
+        # partition '2021-11-22 13:00:00' for the ref input
+        app.process(e1["20211122"][13])
+        recs = [r for r in app.compute_records("mapping_1") if r.materialized_inputs]
+        assert recs, "trigger did not execute"
+        by_alias = {m.alias: m for m in recs[-1].materialized_inputs}
+        ts = by_alias["external_data2"].filter.tip()[0]
+        assert str(ts).startswith("2021-11-22 13")
+
+    def test_output_linking_pitfalls_fail_at_create_time(self, spark, tmp_path):
+        from rheoceros_spark.compute import Spark
+
+        ds1, ds2 = self._datasets(spark, tmp_path)
+        app = Application("out-links-err", storage_root=str(tmp_path / "store"), spark=spark)
+        e1 = app.marshal_external_data(ds1, id="external_data1")
+
+        def compute(inputs, ctx):
+            return inputs["external_data1"].limit(1)
+
+        # 1 - LHS must be an existing output dimension
+        with pytest.raises(ValueError, match="not an output dimension"):
+            app.create_data(
+                id="case_1",
+                inputs=[e1],
+                output_dim_links=[("IS_NOT_AN_OUTPUT_DIMENSION", "external_data1", "day")],
+                compute_targets=[Spark(compute)],
+            )
+        # 2 - rhs must name a declared input alias
+        with pytest.raises(ValueError, match="unknown input alias"):
+            app.create_data(
+                id="case_2",
+                inputs=[e1],
+                output_dim_links=[("day", "no_such_input", "day")],
+                compute_targets=[Spark(compute)],
+            )
+        # 3 - rhs dimension must exist on that input
+        with pytest.raises(ValueError, match="has no dimension"):
+            app.create_data(
+                id="case_3",
+                inputs=[e1],
+                output_dim_links=[("day", "external_data1", "nope")],
+                compute_targets=[Spark(compute)],
+            )
+        # failed creates must not leave half-registered nodes behind
+        assert app.create_data(
+            id="ok", inputs=[e1], compute_targets=[Spark(compute)]
+        ) is not None
