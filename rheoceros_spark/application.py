@@ -535,11 +535,21 @@ class Application:
                             f"{node_id}: output dimension {dim!r} has no link or literal — "
                             "execute()/process() cannot materialize it"
                         )
-            non_ref = [s for s in node.link_node.signals if not getattr(s, "reference", False)]
-            if node.link_node.signals and not non_ref:
+            # ref AND nearest inputs are both dependent — neither seeds an
+            # execution (reference test_aws_application_advanced_input_modes
+            # .py:854 rejects nearest-only nodes for the same reason).  The
+            # earlier check read a nonexistent ``reference`` attribute
+            # (the field is ``is_reference``) and so never fired.
+            non_dependent = [
+                s
+                for s in node.link_node.signals
+                if not (s.is_reference or s.nearest_in_range)
+            ]
+            if node.link_node.signals and not non_dependent:
                 issues.append(
-                    f"{node_id}: every input is a reference — references never seed "
-                    "executions, so this node can never trigger"
+                    f"{node_id}: every input is dependent (ref/nearest) — dependent "
+                    "inputs never seed executions, so this node can only be run via "
+                    "execute()/ground(), never by events"
                 )
         return issues
 

@@ -307,3 +307,38 @@ class TestAdvancedDimensionLinking:
         assert app.create_data(
             id="ok", inputs=[e1], compute_targets=[Spark(compute)]
         ) is not None
+
+
+class TestDependentOnlyInputValidation:
+    """Reference test_aws_application_advanced_input_modes.py:854 —
+    nearest/ref inputs are dependent and never seed executions; a node
+    with only dependent inputs is flagged by validate() (the engine
+    keeps create_data permissive because such nodes remain runnable via
+    execute()/ground(), unlike the reference's hard reject)."""
+
+    def _app(self, spark, tmp_path):
+        from rheoceros_spark.compute import Spark
+
+        root = str(tmp_path / "d")
+        spark.range(2).write.mode("overwrite").parquet(f"{root}/2024-01-01")
+        ds = ParquetDataset(
+            root + "/{}", Dimension("day", DimensionType.DATETIME, {"format": "%Y-%m-%d"})
+        )
+        app = Application("dep-val", storage_root=str(tmp_path / "store"), spark=spark)
+        e = app.marshal_external_data(ds, id="ev")
+        fn = Spark(lambda inputs, ctx: inputs["ev"].limit(1))
+        return app, e, fn
+
+    def test_ref_only_and_nearest_only_flagged(self, spark, tmp_path):
+        app, e, fn = self._app(spark, tmp_path)
+        app.create_data(id="ref_only", inputs=[e.ref], compute_targets=[fn])
+        app.create_data(id="nearest_only", inputs=[e[:-7].nearest()], compute_targets=[fn])
+        issues = app.validate()
+        assert any("ref_only" in i and "dependent" in i for i in issues)
+        assert any("nearest_only" in i and "dependent" in i for i in issues)
+
+    def test_mixed_with_independent_not_flagged(self, spark, tmp_path):
+        app, e, fn = self._app(spark, tmp_path)
+        app.create_data(id="mixed", inputs=[e, e[:-7].nearest().with_alias("near")],
+                        compute_targets=[fn])
+        assert app.validate() == []
