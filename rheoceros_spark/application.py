@@ -346,19 +346,12 @@ class Application:
         self._check_not_deleted()
         if id in self._nodes:
             raise ValueError(f"node {id!r} already exists")
-        # captured for update_data/patch_data (reference keeps the dev
-        # context's Instruction list for the same purpose,
-        # application.py:1301-1322)
-        self._node_args[id] = dict(
-            inputs=inputs,
-            compute_targets=compute_targets,
-            output_dimension_spec=output_dimension_spec,
-            output_dim_links=output_dim_links,
-            input_dim_links=input_dim_links,
-            dataset_type=dataset_type,
-            output_retention=output_retention,
-            hooks=hooks,
-        )
+        # node_args are captured at the END of this method (only once the
+        # definition validated and registered) — recording them up front
+        # left a stale invalid entry behind when the create-time link
+        # validation below raised, which poisoned dev-state save/replay
+        # and let patch_data pass its existence gate for a node that was
+        # never created
         # inputs: dict keys are aliases (reference application.py:1325-1360)
         signals: list[Signal] = []
         if isinstance(inputs, dict):
@@ -454,6 +447,19 @@ class Application:
             id, link_node, output_signal, links, slots, dict(hooks), output_retention
         )
         self._nodes[id] = node
+        # captured for update_data/patch_data (reference keeps the dev
+        # context's Instruction list for the same purpose,
+        # application.py:1301-1322)
+        self._node_args[id] = dict(
+            inputs=inputs,
+            compute_targets=compute_targets,
+            output_dimension_spec=output_dimension_spec,
+            output_dim_links=output_dim_links,
+            input_dim_links=input_dim_links,
+            dataset_type=dataset_type,
+            output_retention=output_retention,
+            hooks=hooks,
+        )
         self._routing = None  # graph changed; rebuild routing lazily
         return output_signal.clone()
 
@@ -466,14 +472,17 @@ class Application:
         self._check_not_deleted()
         if id not in self._nodes:
             raise ValueError(f"node {id!r} does not exist; use create_data")
-        del self._nodes[id]
-        del self._node_args[id]
+        old_node = self._nodes.pop(id)
+        old_args = self._node_args.pop(id)
         try:
             return self.create_data(id, **kwargs)
         except Exception:
-            # failed rebuild must not leave the app without the node id
-            self._nodes.pop(id, None)
-            self._node_args.pop(id, None)
+            # failed rebuild must not leave the app without the node: put
+            # the previous (working) definition back — with create-time
+            # link validation a typo'd patch_data would otherwise
+            # permanently delete the node
+            self._nodes[id] = old_node
+            self._node_args[id] = old_args
             raise
 
     def patch_data(self, id: str, **kwargs) -> Signal:

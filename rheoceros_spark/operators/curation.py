@@ -544,7 +544,9 @@ def filter_funnel(
         repetition_metrics,
     )
 
-    d = repetition_metrics(quality_score(lang_id(df)))
+    d = repetition_metrics(
+        quality_score(lang_id(df, text_col), text_col), text_col
+    )
     d = d.withColumn("__fp", F.md5(normalize_text(F.col(text_col))))
     p1 = F.col("lang_pred") == lang
     p2 = p1 & (F.col("quality") >= min_quality)
@@ -604,8 +606,14 @@ def semantic_contamination(
     from rheoceros_spark.functions.portable import cosine
     from rheoceros_spark.operators.similarity import plane_matrix, signature_col
 
+    from rheoceros_spark.operators.similarity import _check_vec_dim
+
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"semantic_contamination: threshold must be in [0, 1], got {threshold}")
+    # a dim mismatch silently NULLs every plane dot -> one shared bucket
+    # -> the O(n*m) cross product the blocking exists to prevent
+    _check_vec_dim(corpus, vec_col, dim, "semantic_contamination(corpus)")
+    _check_vec_dim(benchmark, vec_col, dim, "semantic_contamination(benchmark)")
     planes = plane_matrix(nbits, dim)
     c = corpus.select(
         F.col(id_col), F.col(vec_col), signature_col(vec_col, planes).alias("__bkt")

@@ -173,9 +173,10 @@ def enable_runtime_filters(spark: SparkSession) -> dict:
 
 
 def restore_confs(spark: SparkSession, prev: dict) -> None:
-    """Inverse of :func:`enable_runtime_filters`."""
-    for k, v in prev.items():
-        if v is None:
-            spark.conf.unset(k)
-        else:
-            spark.conf.set(k, v)
+    """Inverse of :func:`enable_runtime_filters` — delegates to the
+    compute module's guarded restore (same None→unset contract, plus
+    its static-conf exception guard) rather than maintaining a second
+    diverging copy."""
+    from rheoceros_spark.compute import restore_confs as _restore
+
+    _restore(spark, prev)

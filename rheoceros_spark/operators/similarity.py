@@ -386,23 +386,6 @@ def _normalize_py(vec: list[float]) -> list[float]:
     return [x / nrm for x in vec]
 
 
-def normalized(vec_col: str):
-    """Column expression: L2-normalized copy of an ``array<float>``
-    column (zero vectors → zeros).  The norm is staged once per row —
-    callers must keep it OUT of lambda bodies (Catalyst re-evaluates
-    expressions referenced inside ``transform`` per element)."""
-    vec = F.col(vec_col)
-    nsq = F.aggregate(
-        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = F.sqrt(nsq)
-    return F.when(
-        nsq > 0, F.transform(vec, lambda x: x.cast("double") / nrm)
-    ).otherwise(F.transform(vec, lambda x: F.lit(0.0)))
-
-
 def pq_codebook(
     df: DataFrame,
     n_codes: int = 16,
@@ -566,8 +549,10 @@ def pq_topk(
         .orderBy(F.col("__adist").asc_nulls_last(), F.col(id_col).asc())
         .limit(rerank)
     )
-    qv = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
-    scored = cands.crossJoin(F.broadcast(qv)).select(
-        F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos")
+    # the query vector was already collected for the ADC table — embed it
+    # as a literal instead of re-scanning the corpus for one row
+    qv_lit = F.array(*[F.lit(float(x)) for x in qrow[0][0]])
+    scored = cands.select(
+        F.col(id_col), cosine(F.col(vec_col), qv_lit).alias("cos")
     )
     return _ranked_topk(scored, id_col, k)

@@ -218,6 +218,23 @@ def hll_rollup_estimate(
 # count-min sketch
 # ---------------------------------------------------------------------------
 
+def _cms_cells(col: str, depth: int, width: int):
+    """The (row, cell) probe struct array for one value — THE shared
+    definition: build, estimate, and top-k must address identical cells
+    or the est >= exact guarantee silently breaks."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    (h64(F.col(col), seed=i) % width).cast("int").alias("c"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("rc")
+
+
 def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 1024) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) of a string
     column, as a ``(row, cell, cnt)`` frame of at most ``depth × width``
@@ -236,17 +253,7 @@ def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 1024) -> Da
     if depth < 1 or width < 1:
         raise ValueError(f"cms_sketch: depth/width must be >= 1, got {depth}x{width}")
     cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("r"),
-                        (h64(F.col(col), seed=i) % width).cast("int").alias("c"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("rc")
+        _cms_cells(col, depth, width)
     )
     return cells.groupBy(
         F.col("rc.r").alias("row"), F.col("rc.c").alias("cell")
@@ -265,17 +272,7 @@ def cms_estimate(
     probe join never shuffles the candidate side."""
     probes = candidates.select(
         "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("r"),
-                        (h64(F.col(col), seed=i) % width).cast("int").alias("c"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("rc"),
+        _cms_cells(col, depth, width),
     )
     joined = probes.join(
         F.broadcast(sketch),
@@ -319,20 +316,7 @@ def cms_top_tokens(
     # full scan at 100 TB) to V vocabulary rows already in hand.
     # cms_sketch stays the one-scan streaming build for pipelines that
     # want only the sketch.
-    cells = exact.select(
-        "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("r"),
-                        (h64(F.col("token"), seed=i) % width).cast("int").alias("c"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("rc"),
-    )
+    cells = exact.select("exact_cnt", _cms_cells("token", depth, width))
     sketch = cells.groupBy(
         F.col("rc.r").alias("row"), F.col("rc.c").alias("cell")
     ).agg(F.sum("exact_cnt").alias("cnt"))

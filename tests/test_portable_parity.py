@@ -46,6 +46,9 @@ def _corpus() -> list[str]:
         "greek: Γειά σου Κόσμε",
         "zero​width and nbsp here",  # NOT \s in either engine
         "quotes 'single' \"double\" `back`",
+        # \x0B is the one char Java's \s matches but RE2's does not —
+        # normalize_text's explicit class must leave it alone in BOTH
+        "vertical\x0btab kept and form\x0cfeed collapsed",
         "a" * 500,
         ("word " * 100).strip(),
         "repeated repeated repeated repeated",

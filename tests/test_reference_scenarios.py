@@ -342,3 +342,44 @@ class TestDependentOnlyInputValidation:
         app.create_data(id="mixed", inputs=[e, e[:-7].nearest().with_alias("near")],
                         compute_targets=[fn])
         assert app.validate() == []
+
+
+class TestFailedDefinitionsLeaveNoTrace:
+    """Companions to the create-time link validation: a rejected
+    definition must leave NO state behind (create), and a rejected
+    redefinition must RESTORE the previous working one (update/patch)."""
+
+    def _app(self, spark, tmp_path):
+        from rheoceros_spark.compute import Spark
+
+        root = str(tmp_path / "d")
+        spark.range(2).write.mode("overwrite").parquet(f"{root}/2024-01-01")
+        ds = ParquetDataset(
+            root + "/{}", Dimension("day", DimensionType.DATETIME, {"format": "%Y-%m-%d"})
+        )
+        app = Application("no-trace", storage_root=str(tmp_path / "store"), spark=spark)
+        e = app.marshal_external_data(ds, id="ev")
+        fn = Spark(lambda inputs, ctx: inputs["ev"].limit(1))
+        return app, e, fn
+
+    def test_failed_create_leaves_no_node_args(self, spark, tmp_path):
+        app, e, fn = self._app(spark, tmp_path)
+        with pytest.raises(ValueError, match="not an output dimension"):
+            app.create_data(id="bad", inputs=[e],
+                            output_dim_links=[("typo", "ev", "day")],
+                            compute_targets=[fn])
+        # patch_data's existence gate must NOT see the failed definition
+        with pytest.raises(ValueError, match="does not exist"):
+            app.patch_data("bad", compute_targets=[fn])
+        # and the id is reusable with a good definition
+        assert app.create_data(id="bad", inputs=[e], compute_targets=[fn]) is not None
+
+    def test_failed_patch_restores_previous_definition(self, spark, tmp_path):
+        app, e, fn = self._app(spark, tmp_path)
+        node = app.create_data(id="n", inputs=[e], compute_targets=[fn])
+        with pytest.raises(ValueError, match="not an output dimension"):
+            app.patch_data("n", output_dim_links=[("typo", "ev", "day")])
+        # the original definition survives and still executes
+        app.activate()
+        app.execute(node["2024-01-01"])
+        assert app.load_data(node["2024-01-01"]).count() == 1
