@@ -2000,6 +2000,44 @@ SELECT vec_id, rank, round(cos, 6) AS cos_r FROM (
 """
 
 
+_IVF_APPEND_CACHE: dict[str, str] = {}
+
+
+@q(
+    "ann_ivf_appended",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, rank, round(cos, 6) AS cos_r FROM (
+      SELECT vec_id, {_cos_sql('embedding', 'qv')} AS cos,
+             row_number() OVER (ORDER BY {_cos_sql('embedding', 'qv')} DESC, vec_id) AS rank
+      FROM embeddings, q WHERE vec_id != 0
+    ) WHERE rank <= 10
+    """,
+)
+def ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF: index built on half the corpus, the other half
+    appended batch-wise (operators/similarity.py ivf_append), then an
+    exhaustive probe (n_probe = all cells).  Exhaustive probing makes
+    the result the exact cosine top-k — the oracle is brute force — so
+    the gate proves the appended batch is fully integrated (a dropped
+    or mis-assigned append surfaces as a missing neighbor)."""
+    import tempfile
+
+    from rheoceros_spark.operators.similarity import ivf_append, ivf_probe, ivf_write
+
+    path = _IVF_APPEND_CACHE.get(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    if path is None:
+        path = tempfile.mkdtemp(prefix="rheoceros_ivf_app_")
+        ivf_write(emb.where(F.col("vec_id") % 2 == 0), path, n_centroids=16)
+        ivf_append(spark, emb.where(F.col("vec_id") % 2 == 1), path)
+        _IVF_APPEND_CACHE[sf_dir] = path
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return ivf_probe(spark, path, qv, k=10, n_probe=16, exclude_id=0).select(
+        "vec_id", F.col("rank").cast("bigint").alias("rank"), "cos_r"
+    )
+
+
 @q(
     "text_unigram_nll",
     oracle=f"""
@@ -2718,12 +2756,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window and demoted 21 shape-redundant TPC-H variants past the cap;
 #: all 50 in-window queries earned green official rows through
 #: CORRECTNESS_r04.  Round 5 ROTATES: the 21 previously un-gated
-#: queries plus the 11 new round-5 queries (32 total, below) move to
-#: the head so they earn official rows — with 82 registered queries
-#: the 32 that fall past position 50 are exactly ones already
-#: certified in r04, so cross-round official coverage spans all 82
+#: queries plus the 12 new round-5 queries (33 total, below) move to
+#: the head so they earn official rows — with 83 registered queries
+#: the 33 that fall past position 50 are exactly ones already
+#: certified in r04, so cross-round official coverage spans all 83
 #: (enforced by tests/test_plan_quality.py
-#: test_cross_round_official_coverage_is_total).  All 82 stay
+#: test_cross_round_official_coverage_is_total).  All 83 stay
 #: continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
@@ -2762,6 +2800,7 @@ _HEAD = [
     "ann_pq_topk",
     "curation_semantic_decon",
     "text_unigram_nll",
+    "ann_ivf_appended",
 ]
 
 

@@ -31,6 +31,7 @@ from rheoceros_spark.operators.similarity import (  # noqa: F401
     hyperplane_buckets,
     ivf_assign,
     ivf_centroids,
+    ivf_append,
     ivf_topk,
     pq_codebook,
     pq_encode,

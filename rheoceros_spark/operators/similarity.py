@@ -556,3 +556,36 @@ def pq_topk(
         F.col(id_col), cosine(F.col(vec_col), qv_lit).alias("cos")
     )
     return _ranked_topk(scored, id_col, k)
+
+
+def ivf_append(spark, df: DataFrame, path: str) -> None:
+    """Append new vectors to a persisted :func:`ivf_write` index without
+    rebuilding it — the embedding-side twin of the incremental MinHash
+    dedup index (dedup.py ``dedup_against_index``): a crawl keeps
+    producing vectors; re-clustering 100 TB per batch is not an option.
+
+    The batch is assigned against the index's OWN persisted codebook
+    (read back, not recomputed — recomputing from ``df`` would give a
+    different codebook and silently split the index across two
+    clusterings), then appended into the hive ``cell=`` directories,
+    where subsequent :func:`ivf_probe` calls pick it up with the same
+    n_probe-cells-only scan.  Id uniqueness across batches is the
+    caller's contract, as with the dedup index."""
+    meta = spark.read.parquet(path + "/centroids")
+    head = meta.take(1)
+    if not head:
+        raise ValueError(f"empty IVF centroid codebook at {path}/centroids")
+    vec_col, id_col = head[0]["vec_col"], head[0]["id_col"]
+    if vec_col not in df.columns or id_col not in df.columns:
+        raise ValueError(
+            f"ivf_append: batch must carry the index's columns "
+            f"({id_col!r}, {vec_col!r}); got {df.columns}"
+        )
+    cents = meta.select("cid", "cv")
+    assigned = ivf_assign(df, vec_col=vec_col, id_col=id_col, cents=cents)
+    (
+        assigned.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path + "/cells")
+    )

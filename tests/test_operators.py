@@ -680,3 +680,55 @@ class TestUnigramNll:
         # NLL is a mean of -ln(p) with p <= 1 -> strictly positive; and the
         # corpus has frequency variation, so the signal is non-constant
         assert 0 < stats[0] < stats[1]
+
+
+class TestIvfAppend:
+    def test_appended_vectors_become_probeable(self, emb, spark, tmp_path):
+        from rheoceros_spark.operators.similarity import ivf_append, ivf_probe, ivf_write
+
+        path = str(tmp_path / "ivf_idx")
+        first = emb.where(F.col("vec_id") % 2 == 0)
+        second = emb.where(F.col("vec_id") % 2 == 1)
+        ivf_write(first, path, n_centroids=16)
+        qv = [float(x) for x in emb.where("vec_id = 0").head()["embedding"]]
+
+        before = {r.vec_id for r in ivf_probe(spark, path, qv, k=50, n_probe=16, exclude_id=0).collect()}
+        assert all(v % 2 == 0 for v in before)
+
+        ivf_append(spark, second, path)
+        after = ivf_probe(spark, path, qv, k=50, n_probe=16, exclude_id=0)
+        ids = {r.vec_id for r in after.collect()}
+        assert any(v % 2 == 1 for v in ids), "appended vectors never surfaced"
+        # the index is one consistent clustering: full-probe top-k equals
+        # the in-plan IVF over the union
+        from rheoceros_spark.operators.similarity import ivf_topk
+
+        expect = [
+            (r.vec_id, r.rank, r.cos_r)
+            for r in ivf_topk(emb, query_id=0, k=10, n_centroids=16, n_probe=16).collect()
+        ]
+        got = [
+            (r.vec_id, r.rank, r.cos_r)
+            for r in ivf_probe(spark, path, qv, k=10, n_probe=16, exclude_id=0).collect()
+        ]
+        assert got == expect
+
+    def test_probe_still_prunes_cells_after_append(self, emb, spark, tmp_path):
+        from rheoceros_spark.operators.similarity import ivf_append, ivf_probe, ivf_write
+
+        path = str(tmp_path / "ivf_idx2")
+        ivf_write(emb.where(F.col("vec_id") % 2 == 0), path, n_centroids=16)
+        ivf_append(spark, emb.where(F.col("vec_id") % 2 == 1), path)
+        qv = [float(x) for x in emb.where("vec_id = 0").head()["embedding"]]
+        out = ivf_probe(spark, path, qv, k=5, n_probe=2)
+        files = out.inputFiles()
+        cells = {f.split("cell=")[1].split("/")[0] for f in files if "cell=" in f}
+        assert len(cells) <= 2, cells
+
+    def test_append_validates_columns_and_empty_index(self, emb, spark, tmp_path):
+        from rheoceros_spark.operators.similarity import ivf_append, ivf_write
+
+        path = str(tmp_path / "ivf_idx3")
+        ivf_write(emb, path, n_centroids=8)
+        with pytest.raises(ValueError, match="must carry the index's columns"):
+            ivf_append(spark, emb.withColumnRenamed("embedding", "vec"), path)
