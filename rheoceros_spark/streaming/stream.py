@@ -368,3 +368,46 @@ def quality_split_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+def stream_ivf_append(
+    sdf: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = False,
+):
+    """Continuous embedding ingest into a persisted IVF index
+    (:func:`rheoceros_spark.operators.similarity.ivf_write`): each
+    micro-batch is assigned against the index's OWN persisted codebook
+    and appended into the hive cell directories — probes pick new
+    vectors up immediately with the same n_probe-cells-only scan, and
+    the accumulated index is never re-clustered or rescanned.
+
+    Replay idempotence mirrors the MinHash stream gate: a per-batch
+    marker under ``<index_path>/_batches/`` (Hadoop-FS probed, so
+    object-store paths work) makes a replayed batch a no-op — without
+    it every checkpoint recovery would duplicate that batch's vectors
+    in their cells.  The append→marker pair is not atomic; a crash
+    between them duplicates one batch on replay, which for ANN means
+    duplicate candidates (dedupe on id downstream if that matters) —
+    a transaction log is the table-format answer.
+
+    ``foreachBatch`` for the same reason as the dedup gate: the state
+    is the pipeline-owned index, not per-key operator state."""
+    from rheoceros_spark.operators.similarity import ivf_append
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = index_path.rstrip("/") + "/_batches/" + str(batch_id)
+        if _fs_exists(spark, marker):
+            return  # replay: this batch is already in the index
+        if batch_df.limit(1).count() > 0:
+            ivf_append(spark, batch_df, index_path)
+        save_content(spark, b"", marker)
+
+    writer = sdf.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

@@ -312,3 +312,35 @@ def test_stream_quality_gate_matches_batch_and_replays_idempotently(spark, sf_di
     run("b")
     acc2 = spark.read.parquet(f"{out_root}/accepted/batch=*")
     assert {r.doc_id for r in acc2.select("doc_id").collect()} == expected_accept
+
+
+def test_stream_ivf_append_grows_index_and_replays_idempotently(spark, sf_dir, tmp_path):
+    from rheoceros_spark.operators.similarity import ivf_probe, ivf_write
+    from rheoceros_spark.streaming.stream import stream_ivf_append
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    ivf_write(emb.where(F.col("vec_id") % 2 == 0), idx, n_centroids=8)
+
+    src = str(tmp_path / "vec_src")
+    emb.where(F.col("vec_id") % 2 == 1).coalesce(2).write.mode("overwrite").parquet(src)
+
+    def run(tag):
+        sdf = spark.readStream.schema(emb.schema).parquet(src)
+        q = stream_ivf_append(
+            sdf, idx, str(tmp_path / f"ckpt_{tag}"), trigger_available_now=True
+        ).start()
+        q.awaitTermination(120)
+
+    run("a")
+    qv = [float(x) for x in emb.where("vec_id = 0").head()["embedding"]]
+    ids = {r.vec_id for r in ivf_probe(spark, idx, qv, k=100, n_probe=8, exclude_id=0).collect()}
+    assert any(v % 2 == 1 for v in ids), "streamed vectors never surfaced in probes"
+    n_rows = spark.read.option("basePath", idx + "/cells").parquet(idx + "/cells").count()
+    assert n_rows == emb.count()
+
+    # replay with a FRESH checkpoint: markers make the re-delivered
+    # batches no-ops — the index must not grow
+    run("b")
+    n_rows2 = spark.read.option("basePath", idx + "/cells").parquet(idx + "/cells").count()
+    assert n_rows2 == n_rows
