@@ -383,3 +383,66 @@ class TestFailedDefinitionsLeaveNoTrace:
         app.activate()
         app.execute(node["2024-01-01"])
         assert app.load_data(node["2024-01-01"]).count() == 1
+
+
+class TestShiftedCrossTypeInputLinking:
+    """Condensed from reference
+    test_aws_application_external_data_linking.py:327-400: both link
+    directions declared explicitly with non-invertible lambdas (±1 day)
+    plus a cross-TYPE mapping lambda (long region id → string region
+    code) on a ref input."""
+
+    def test_event_derives_shifted_and_mapped_ref_partition(self, spark, tmp_path):
+        from datetime import timedelta
+
+        from rheoceros_spark.compute import Spark
+
+        r1 = str(tmp_path / "driver_ds")
+        r2 = str(tmp_path / "ref_ds")
+        spark.range(2).write.mode("overwrite").parquet(f"{r1}/1/2024-01-02")
+        spark.range(3).write.mode("overwrite").parquet(f"{r2}/NA/2024-01-01")
+        driver_ds = ParquetDataset(
+            r1 + "/{}/{}",
+            Dimension("region_id", DimensionType.LONG),
+            Dimension("day", DimensionType.DATETIME, {"format": "%Y-%m-%d"}),
+        )
+        ref_ds = ParquetDataset(
+            r2 + "/{}/{}",
+            Dimension("region", DimensionType.STRING),
+            Dimension("dataset_date", DimensionType.DATETIME, {"format": "%Y-%m-%d"}),
+        )
+        app = Application("shift-map", storage_root=str(tmp_path / "store"), spark=spark)
+        drv = app.marshal_external_data(driver_ds, id="drv")
+        ref = app.marshal_external_data(ref_ds, id="refd")
+
+        def compute(inputs, ctx):
+            # the ref partition resolved by the links must actually load
+            return inputs["refd"].agg(F.count(F.lit(1)).alias("n"))
+
+        node = app.create_data(
+            id="shifted",
+            inputs=[drv, ref.ref],
+            input_dim_links=[
+                # both directions declared explicitly — neither lambda is
+                # mechanically invertible
+                (("refd", "dataset_date"), lambda d: d - timedelta(days=1), ("drv", "day")),
+                (("drv", "day"), lambda d: d + timedelta(days=1), ("refd", "dataset_date")),
+                # cross-type: long region id → string region code
+                (
+                    ("refd", "region"),
+                    lambda rid: {1: "NA", 2: "EU", 3: "FE"}[rid],
+                    ("drv", "region_id"),
+                ),
+            ],
+            compute_targets=[Spark(compute)],
+        )
+        app.activate()
+        app.process(drv[1]["2024-01-02"])
+        recs = [r for r in app.compute_records("shifted") if r.materialized_inputs]
+        assert recs, "event did not trigger"
+        by_alias = {m.alias: m for m in recs[-1].materialized_inputs}
+        tip = by_alias["refd"].filter.tip()
+        assert tip[0] == "NA" and str(tip[1])[:10] == "2024-01-01"
+        # and the compute actually read the 3-row ref partition
+        out = app.load_data(node[1]["2024-01-02"])
+        assert out.collect()[0].n == 3
