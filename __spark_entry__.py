@@ -2741,6 +2741,162 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_funnel(load_table(spark, sf_dir, "documents"))
 
 
+@q(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOK} AS t FROM documents
+    ), el AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 14),
+               i -> {_H64.format(s="array_to_string(list_slice(t, i, i + 15), ' ')")})) AS gh
+      FROM tk WHERE len(t) >= 16
+    ), cnt AS (
+      SELECT gh, count(*) AS c FROM el GROUP BY gh
+    ), pd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+             round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS dup_window_frac
+      FROM el JOIN cnt USING (gh) GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(p.n_windows, 0) AS n_windows,
+           coalesce(p.n_dup_windows, 0) AS n_dup_windows, p.dup_window_frac
+    FROM documents d LEFT JOIN pd p USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate-span coverage per document (16-token
+    windows, corpus-wide span-hash counts; operators/dedup.py
+    substring_dup_spans — the scalable ExactSubstr stand-in)."""
+    from rheoceros_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(load_table(spark, sf_dir, "documents"), window=16)
+
+
+# BM25: corpus = docs outside the query slice; queries = every 101st doc
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@q(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 101 <> 0
+    ), qry AS (
+      SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 101 = 0
+    ), postings AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOK}) AS token FROM corp)
+      WHERE token <> '' GROUP BY doc_id, token
+    ), dls AS (
+      SELECT doc_id,
+             CASE WHEN length({_NORM}) = 0 THEN 0 ELSE len({_TOK}) END AS dl
+      FROM corp
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls
+    ), qt AS (
+      SELECT DISTINCT query_id, token
+      FROM (SELECT query_id, unnest({_TOK}) AS token FROM qry)
+      WHERE token <> ''
+    ), m AS (
+      SELECT p.doc_id, p.token, p.tf FROM postings p
+      JOIN (SELECT DISTINCT token FROM qt) USING (token)
+    ), dfreq AS (
+      SELECT token, CAST(count(*) AS DOUBLE) AS df FROM m GROUP BY token
+    ), contrib AS (
+      SELECT q.query_id, m.doc_id,
+             CAST(round(
+               ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * (CAST(m.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(m.tf AS DOUBLE)
+                  + {_BM25_K1} * (1.0 - {_BM25_B}
+                                  + {_BM25_B} * CAST(d.dl AS DOUBLE) / s.avgdl))
+               * 1e7) AS BIGINT) AS c
+      FROM m JOIN qt q USING (token) JOIN dfreq f USING (token)
+             JOIN dls d ON m.doc_id = d.doc_id, stats s
+    ), scored AS (
+      SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_q
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, round(CAST(score_q AS DOUBLE) / 1e7, 6) AS score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_q DESC, doc_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval: top-5 corpus docs per query (every 101st
+    doc plays the query; operators/text_analysis.py bm25_topk)."""
+    from rheoceros_spark.operators.text_analysis import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 101 != 0)
+    queries_df = docs.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(corpus, queries_df, k1=_BM25_K1, b=_BM25_B, k=5)
+
+
+def _dsir_bucket_sql(nb: int) -> str:
+    gram = _ngrams_sql("t", 2)
+    h = _H64.format(s="g")
+    return f"unnest(list_transform({gram}, g -> {h} % {nb}))"
+
+
+@q(
+    "curation_dsir_weights",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT doc_id, {_TOK} AS t FROM documents WHERE lang = 'en'
+    ), rw AS (
+      SELECT doc_id, {_TOK} AS t FROM documents WHERE lang <> 'en'
+    ), tc AS (
+      SELECT bkt, count(*) AS tc
+      FROM (SELECT {_dsir_bucket_sql(1024)} AS bkt FROM tgt) GROUP BY bkt
+    ), pd AS (
+      SELECT doc_id, bkt, count(*) AS n
+      FROM (SELECT doc_id, {_dsir_bucket_sql(1024)} AS bkt FROM rw)
+      GROUP BY doc_id, bkt
+    ), rc AS (
+      SELECT bkt, CAST(sum(n) AS BIGINT) AS rc FROM pd GROUP BY bkt
+    ), tt AS (
+      SELECT CAST(sum(tc) AS BIGINT) AS T FROM tc
+    ), rt AS (
+      SELECT CAST(sum(rc) AS BIGINT) AS R FROM rc
+    ), model AS (
+      SELECT bkt,
+             CAST(round((
+               ln(CAST(coalesce(tc, 0) + 1 AS DOUBLE) / CAST(T + 1024 AS DOUBLE))
+               - ln(CAST(coalesce(rc, 0) + 1 AS DOUBLE) / CAST(R + 1024 AS DOUBLE))
+             ) * 1e7) AS BIGINT) AS lr
+      FROM tc FULL JOIN rc USING (bkt), tt, rt
+    ), scored AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+             round(CAST(sum(n * lr) AS DOUBLE) / 1e7, 6) AS dsir_logw
+      FROM pd JOIN model USING (bkt) GROUP BY doc_id
+    )
+    SELECT rw.doc_id, coalesce(s.n_feats, 0) AS n_feats, s.dsir_logw
+    FROM rw LEFT JOIN scored s ON rw.doc_id = s.doc_id
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights for non-English docs
+    against the English slice as target distribution
+    (operators/curation.py dsir_weights)."""
+    from rheoceros_spark.operators.curation import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.where(F.col("lang") != "en"),
+        docs.where(F.col("lang") == "en"),
+        n_buckets=1024,
+        ngram=2,
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -2765,6 +2921,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
+    # round-5 session-2 additions — never certified, enter the window
+    "dedup_substring_spans",
+    "text_bm25_topk",
+    "curation_dsir_weights",
     # all-pairs cross-join variant — the blocked path's exact
     # verification twin (dedup_embedding_blocked was certified in r04)
     "dedup_embedding_pairs",

@@ -12,6 +12,7 @@ from rheoceros_spark.operators.dedup import (  # noqa: F401
     simhash_dedup,
     simhash_pairs,
     simhash_sigs,
+    substring_dup_spans,
 )
 from rheoceros_spark.operators.multimodal import (  # noqa: F401
     attach_media,
@@ -42,11 +43,13 @@ from rheoceros_spark.operators.text_analysis import (  # noqa: F401
     lang_id,
     quality_score,
     repetition_metrics,
+    bm25_topk,
     token_count,
     unigram_nll,
 )
 from rheoceros_spark.operators.curation import (  # noqa: F401
     contamination_ngrams,
+    dsir_weights,
     dup_clusters,
     dup_clusters_star,
     filter_funnel,

@@ -632,3 +632,101 @@ def semantic_contamination(
         )
         .where(F.col("cos_r") >= threshold)
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    ngram: int = 2,
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): per raw document, the hashed-n-gram log importance
+    ratio ``log p_target(doc) − log p_raw(doc)`` under bag-of-buckets
+    unigram models over ``n_buckets`` hashed word-``ngram`` features,
+    each model Laplace-smoothed (+1 per bucket).  High weight = the
+    document looks like the target distribution; feed the weights to
+    ``hash_sample``-style top-k or Gumbel resampling to select a
+    target-like pretraining subset from a raw crawl.
+
+    Scale shape: both corpora explode to hashed bucket ids (the feature
+    space is *fixed-width* by construction — that is DSIR's trick) —
+    the target model and raw model are each ONE map-side-combinable
+    aggregate of ≤ ``n_buckets`` rows; their joined log-ratio table is
+    KBs and **broadcasts** into the per-document scoring join, so the
+    raw corpus is never reshuffled: explode → per-(doc, bucket) local
+    count → broadcast-join → per-doc sum.
+
+    Determinism: per-bucket log-ratios are quantized to 1e-7 before the
+    per-doc sum (integer addition commutes; the unigram_nll pattern),
+    so results are bit-identical across engines and run orders.
+
+    Returns one row per raw doc: (id, n_feats, dsir_logw); documents
+    with no features (shorter than ``ngram`` tokens after
+    normalization… they still emit one partial gram, matching
+    ``word_ngrams`` semantics) always score.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"dsir_weights: n_buckets must be >= 2, got {n_buckets}")
+
+    def feats(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    word_ngrams(tokens(F.col(text_col)), ngram),
+                    lambda g: h64(g) % F.lit(n_buckets),
+                )
+            ).alias("bkt"),
+        )
+
+    t_counts = feats(target).groupBy("bkt").agg(F.count(F.lit(1)).alias("__tc"))
+    raw_feats = feats(raw)
+    per_doc = raw_feats.groupBy(id_col, "bkt").agg(F.count(F.lit(1)).alias("__n"))
+    r_counts = per_doc.groupBy("bkt").agg(F.sum("__n").alias("__rc"))
+    t_total = t_counts.agg(F.sum("__tc").alias("__T"))
+    r_total = r_counts.agg(F.sum("__rc").alias("__R"))
+    # bucket model: full outer join of the two ≤ n_buckets-row count
+    # tables (a bucket seen only in one corpus still needs its smoothed
+    # ratio); totals cross-joined in — everything here is KB-sized.
+    model = (
+        t_counts.join(r_counts, "bkt", "full")
+        .crossJoin(t_total)
+        .crossJoin(r_total)
+        .select(
+            "bkt",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(1)).cast("double")
+                        / (F.col("__T") + F.lit(n_buckets)).cast("double")
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("__rc"), F.lit(0)) + F.lit(1)).cast("double")
+                        / (F.col("__R") + F.lit(n_buckets)).cast("double")
+                    )
+                )
+                * F.lit(1e7)
+            )
+            .cast("bigint")
+            .alias("__lr"),
+        )
+    )
+    scored = per_doc.join(F.broadcast(model), "bkt").groupBy(id_col).agg(
+        F.sum("__n").cast("bigint").alias("n_feats"),
+        F.round(
+            F.sum(F.col("__n") * F.col("__lr")).cast("double") / F.lit(1e7), 6
+        ).alias("dsir_logw"),
+    )
+    return (
+        raw.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("bigint").alias("n_feats"),
+            "dsir_logw",
+        )
+    )

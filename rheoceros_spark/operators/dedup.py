@@ -679,3 +679,78 @@ def dedup_against_index(
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "dup_of", "jaccard")
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+) -> DataFrame:
+    """Exact-substring duplicate detection: per document, how much of it
+    is covered by token windows that occur elsewhere in the corpus.
+
+    The scalable stand-in for suffix-array ExactSubstr dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every overlapping ``window``-token span is hashed; a span
+    is *duplicated* when its hash occurs more than once corpus-wide
+    (cross-document boilerplate AND in-document repetition both count,
+    matching ExactSubstr's definition of a repeated substring).  Unlike
+    MinHash (whole-doc near-dup), this localizes duplication to spans —
+    the signal used to cut licenses/navigation chrome out of otherwise
+    unique pages.
+
+    Scale shape: explode is O(tokens) rows (stride 1, hash-only — the
+    span string is hashed immediately, never shuffled); one
+    aggregate keyed by the 60-bit span hash with map-side combine, one
+    join back on the same key (co-partitioned — single exchange
+    reused), one per-doc rollup.  No pairs are ever materialized, so
+    there is no quadratic term anywhere — corpus-linear at 100 TB.
+
+    Documents shorter than ``window`` tokens have no spans: they return
+    ``n_windows = 0`` and NULL ``dup_window_frac`` (left join back to
+    the full input keeps the row).
+
+    Returns (id, n_windows, n_dup_windows, dup_window_frac).
+    """
+    if window < 2:
+        raise ValueError(f"substring_dup_spans: window must be >= 2, got {window}")
+    toks = tokens(F.col(text_col))
+    spans = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .where(F.size(F.col("__t")) >= window)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("__t")) - F.lit(window - 1)),
+                    lambda i: h64(F.concat_ws(" ", F.slice(F.col("__t"), i, window))),
+                )
+            ).alias("gh"),
+        )
+    )
+    counts = spans.groupBy("gh").agg(F.count(F.lit(1)).alias("__cnt"))
+    per_doc = (
+        spans.join(counts, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum((F.col("__cnt") > 1).cast("bigint")).alias("n_dup_windows"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows").isNotNull(),
+                F.round(
+                    F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double"),
+                    6,
+                ),
+            ).alias("dup_window_frac"),
+        )
+    )

@@ -309,3 +309,119 @@ def unigram_nll(
             "nll",
         )
     )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 5,
+) -> DataFrame:
+    """Sparse lexical retrieval: BM25 top-``k`` corpus documents per
+    query (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+    Framework: BM25 and Beyond").
+
+    The reference hands retrieval-style workloads to user Spark code
+    (api_ext.py:107-190 slots); this makes the canonical sparse scorer a
+    first-class, oracle-checkable operator — the retrieval counterpart
+    of the dense ANN family in :mod:`operators.similarity`.
+
+    Scale shape (the part that matters at 100 TB):
+
+    * ONE corpus scan builds the postings aggregate ``(doc, token, tf,
+      dl)`` — document length is computed per row before the explode, so
+      no second per-doc aggregate/join is needed;
+    * the query side is tiny by construction and is **broadcast** into
+      the postings join, so the corpus-sized side never reshuffles for
+      the scoring join;
+    * ``df(token)`` is aggregated from the already-query-filtered
+      postings — one row per (doc, matched term) — NOT from the full
+      vocabulary: a corpus-wide df table would cost a second
+      corpus-scale shuffle and be unbroadcastable (web-scale vocab is
+      ~1e8 terms), while the matched slice is |query vocab|-bounded and
+      broadcasts back into the scoring join for free;
+    * top-k per query ranks ≤ |queries| × |matched docs| rows, window-
+      partitioned by query — never the full corpus.
+
+    Determinism: each per-term BM25 contribution is quantized to an
+    integer (1e-7 grid) BEFORE the per-(query, doc) sum, so the
+    aggregate is addition-order independent and bit-identical across
+    engines (the unigram_nll cents() pattern); ranking ties break on
+    ascending doc id.  Repeated query terms score once (distinct terms
+    per query).
+
+    Returns (query_id, doc_id, score, rank) with rank 1..k per query.
+    """
+    if k < 1:
+        raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
+    norm_len = F.length(normalize_text(F.col(text_col)))
+    dl = F.when(norm_len == 0, F.lit(0)).otherwise(F.size(tokens(F.col(text_col))))
+    toks = (
+        corpus.select(
+            F.col(id_col),
+            dl.alias("__dl"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    postings = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
+    )
+    # N counts every corpus document (token-free docs too) and avgdl
+    # averages over all of them — one narrow pre-explode aggregate.
+    stats = corpus.select(dl.alias("__dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    q_terms = (
+        queries.select(
+            F.col(query_id_col), F.explode(tokens(F.col(query_text_col))).alias("token")
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    # narrow to query-term postings FIRST (broadcast-filtered, no
+    # corpus shuffle); df per term then aggregates the matched slice —
+    # one row per (doc, term) — which IS the document frequency.
+    matched = postings.join(
+        F.broadcast(q_terms.select("token").distinct()), "token"
+    )
+    doc_freq = matched.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    tf = F.col("__tf").cast("double")
+    tf_norm = (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl"))
+    )
+    contrib = (
+        matched.join(F.broadcast(q_terms), "token")
+        .join(F.broadcast(doc_freq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(idf * tf_norm * F.lit(1e7)).cast("bigint").alias("__c"),
+        )
+    )
+    scored = contrib.groupBy(query_id_col, id_col).agg(F.sum("__c").alias("__score_q"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("__score_q").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col("__score_q").cast("double") / F.lit(1e7), 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

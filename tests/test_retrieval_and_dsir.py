@@ -1,0 +1,160 @@
+"""Semantics of the retrieval/selection operators added in round 5:
+BM25 top-k, exact-substring duplicate spans, DSIR importance weights.
+
+Driver-oracle hash parity is covered by scripts/check_oracle.py; these
+tests pin the *behavioral* contracts on crafted corpora.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark.operators import bm25_topk, dsir_weights, substring_dup_spans
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def test_bm25_ranks_matching_doc_first(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "spark shuffles data between executors"),
+            (2, "the cat sat on the mat"),
+            (3, "spark spark spark executors and shuffles"),
+            (4, "gardening tips for tomatoes"),
+        ],
+    )
+    queries = spark.createDataFrame(
+        [(100, "spark executors")], "query_id bigint, text string"
+    )
+    rows = bm25_topk(corpus, queries, k=4).collect()
+    assert [r.query_id for r in rows] == [100] * len(rows)
+    assert rows[0].rank == 1
+    # docs 1 and 3 contain both query terms; 2 and 4 contain neither
+    # (no-match docs are absent entirely, not scored 0)
+    got = {r.doc_id for r in rows}
+    assert got == {1, 3}
+    # saturation: doc 3's tripled tf must not triple its score vs doc 1
+    by_id = {r.doc_id: r.score for r in rows}
+    assert by_id[3] < 3 * by_id[1]
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    # 'common' appears in every doc, 'rare' in one: for a query with
+    # both terms, the rare-term doc must outrank a common-only doc
+    corpus = _docs(
+        spark,
+        [(i, "common filler words here") for i in range(1, 9)]
+        + [(9, "common rare")],
+    )
+    queries = spark.createDataFrame(
+        [(1, "common rare")], "query_id bigint, text string"
+    )
+    top = bm25_topk(corpus, queries, k=1).collect()
+    assert top[0].doc_id == 9
+
+
+def test_bm25_topk_limit_and_tiebreak(spark):
+    corpus = _docs(spark, [(i, "same text") for i in range(10)])
+    queries = spark.createDataFrame([(7, "same")], "query_id bigint, text string")
+    rows = bm25_topk(corpus, queries, k=3).collect()
+    assert len(rows) == 3
+    # identical scores → ascending doc_id tiebreak
+    assert [r.doc_id for r in rows] == [0, 1, 2]
+    assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_bm25_rejects_bad_k(spark):
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        bm25_topk(df, df.select(F.col("doc_id").alias("query_id"), "text"), k=0)
+
+
+# ---------------------------------------------------------------------------
+# substring duplicate spans
+# ---------------------------------------------------------------------------
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_substring_spans_cross_doc_boilerplate(spark):
+    shared = _words("b", 4)  # 4-token boilerplate shared by docs 1 and 2
+    df = _docs(
+        spark,
+        [
+            (1, shared + " " + _words("u", 4)),
+            (2, shared + " " + _words("v", 4)),
+            (3, _words("w", 8)),
+        ],
+    )
+    out = {r.doc_id: r for r in substring_dup_spans(df, window=4).collect()}
+    # 8 tokens, w=4 → 5 windows each; only the fully-shared window
+    # (positions covering exactly the boilerplate) duplicates
+    assert out[1].n_windows == 5 and out[2].n_windows == 5
+    assert out[1].n_dup_windows == 1 and out[2].n_dup_windows == 1
+    assert out[1].dup_window_frac == pytest.approx(0.2)
+    assert out[3].n_dup_windows == 0
+
+
+def test_substring_spans_in_doc_repetition_counts(spark):
+    # the same 4-gram twice inside ONE doc is a duplicated span too
+    df = _docs(spark, [(1, _words("a", 4) + " " + _words("a", 4))])
+    r = substring_dup_spans(df, window=4).collect()[0]
+    assert r.n_windows == 5
+    # windows at positions 1 and 5 are both 'a0 a1 a2 a3'
+    assert r.n_dup_windows == 2
+
+
+def test_substring_spans_short_doc_null_frac(spark):
+    df = _docs(spark, [(1, "only three tokens"), (2, _words("x", 6))])
+    out = {r.doc_id: r for r in substring_dup_spans(df, window=4).collect()}
+    assert out[1].n_windows == 0 and out[1].dup_window_frac is None
+    assert out[2].n_windows == 3 and out[2].dup_window_frac == 0.0
+
+
+def test_substring_spans_rejects_bad_window(spark):
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="window must be >= 2"):
+        substring_dup_spans(df, window=1)
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+def test_dsir_targetlike_docs_score_higher(spark):
+    target = _docs(spark, [(i, "alpha beta gamma delta") for i in range(100, 110)])
+    raw = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),  # exactly target-like
+            (2, "zeta eta theta iota"),  # disjoint from target
+        ],
+    )
+    out = {r.doc_id: r for r in dsir_weights(raw, target, n_buckets=256).collect()}
+    assert out[1].dsir_logw > 0 > out[2].dsir_logw
+    assert out[1].n_feats == 3 and out[2].n_feats == 3  # 4 tokens → 3 bigrams
+
+
+def test_dsir_weight_value_closed_form(spark):
+    # single shared bigram: weight = ln((t+1)/(T+B)) - ln((r+1)/(R+B))
+    target = _docs(spark, [(10, "a b"), (11, "a b")])
+    raw = _docs(spark, [(1, "a b")])
+    b = 64
+    w = dsir_weights(raw, target, n_buckets=b).collect()[0]
+    expect = math.log((2 + 1) / (2 + b)) - math.log((1 + 1) / (1 + b))
+    assert w.dsir_logw == pytest.approx(expect, abs=2e-6)
+
+
+def test_dsir_rejects_bad_buckets(spark):
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="n_buckets must be >= 2"):
+        dsir_weights(df, df, n_buckets=1)
