@@ -2750,7 +2750,7 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              unnest(list_transform(range(1, len(t) - 14),
                i -> {_H64.format(s="array_to_string(list_slice(t, i, i + 15), ' ')")})) AS gh
-      FROM tk WHERE len(t) >= 16
+      FROM tk WHERE doc_id IS NOT NULL AND len(t) >= 16
     ), cnt AS (
       SELECT gh, count(*) AS c FROM el GROUP BY gh
     ), pd AS (
@@ -2790,9 +2790,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
       FROM (SELECT doc_id, unnest({_TOK}) AS token FROM corp)
       WHERE token <> '' GROUP BY doc_id, token
     ), dls AS (
-      SELECT doc_id,
-             CASE WHEN length({_NORM}) = 0 THEN 0 ELSE len({_TOK}) END AS dl
-      FROM corp
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id
     ), stats AS (
       SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls
     ), qt AS (

@@ -701,11 +701,16 @@ def substring_dup_spans(
     unique pages.
 
     Scale shape: explode is O(tokens) rows (stride 1, hash-only — the
-    span string is hashed immediately, never shuffled); one
-    aggregate keyed by the 60-bit span hash with map-side combine, one
-    join back on the same key (co-partitioned — single exchange
-    reused), one per-doc rollup.  No pairs are ever materialized, so
-    there is no quadratic term anywhere — corpus-linear at 100 TB.
+    span string is hashed immediately, never shuffled).  The exploded
+    stream is first reduced to per-(doc, span-hash) occurrence counts;
+    corpus-wide span counts then aggregate FROM that reduction, so the
+    expensive scan→explode→md5 subtree appears once in the plan and
+    its exchange is reused by both consumers (the unigram_nll trick —
+    without it the corpus is tokenized and hashed twice).  One
+    equi-join on the span hash (group-by + join, not a window over the
+    hash partition, so AQE skew-split still applies when one
+    boilerplate span occurs a billion times), one per-doc rollup.  No
+    pairs are ever materialized — corpus-linear at 100 TB.
 
     Documents shorter than ``window`` tokens have no spans: they return
     ``n_windows = 0`` and NULL ``dup_window_frac`` (left join back to
@@ -716,26 +721,46 @@ def substring_dup_spans(
     if window < 2:
         raise ValueError(f"substring_dup_spans: window must be >= 2, got {window}")
     toks = tokens(F.col(text_col))
+    # explode positions, then hash — deliberately NOT
+    # explode(transform(..., lambda ...)): a higher-order-function
+    # lambda carries fresh NamedLambdaVariable ids per plan branch,
+    # which defeats exchange canonicalization and makes AQE re-run the
+    # scan→explode→md5 stage for every consumer (measured: 0 reused
+    # stages with the lambda, 1 without).
+    # the explicit isnotnull(id) matters for plan reuse, not just
+    # semantics: the per-doc branch inherits isnotnull(id) from the
+    # final left join while the corpus-count branch would not, and that
+    # one-filter difference breaks exchange canonicalization (AQE then
+    # runs the scan→explode→md5 stage twice); NULL-id rows are excluded
+    # from span statistics either way (they still get an output row
+    # with 0 windows via the left join).
     spans = (
         df.select(F.col(id_col), toks.alias("__t"))
-        .where(F.size(F.col("__t")) >= window)
+        .where(F.col(id_col).isNotNull() & (F.size(F.col("__t")) >= window))
         .select(
             id_col,
+            F.col("__t"),
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(F.col("__t")) - F.lit(window - 1)),
-                    lambda i: h64(F.concat_ws(" ", F.slice(F.col("__t"), i, window))),
-                )
+                F.sequence(F.lit(1), F.size(F.col("__t")) - F.lit(window - 1))
+            ).alias("__pos"),
+        )
+        .select(
+            id_col,
+            h64(
+                F.concat_ws(" ", F.slice(F.col("__t"), F.col("__pos"), F.lit(window)))
             ).alias("gh"),
         )
     )
-    counts = spans.groupBy("gh").agg(F.count(F.lit(1)).alias("__cnt"))
+    per_gram = spans.groupBy(id_col, "gh").agg(F.count(F.lit(1)).alias("__n"))
+    counts = per_gram.groupBy("gh").agg(F.sum("__n").alias("__cnt"))
     per_doc = (
-        spans.join(counts, "gh")
+        per_gram.join(counts, "gh")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-            F.sum((F.col("__cnt") > 1).cast("bigint")).alias("n_dup_windows"),
+            F.sum("__n").cast("bigint").alias("n_windows"),
+            F.sum(
+                F.when(F.col("__cnt") > 1, F.col("__n")).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_dup_windows"),
         )
     )
     return (

@@ -335,7 +335,13 @@ def bm25_topk(
 
     * ONE corpus scan builds the postings aggregate ``(doc, token, tf,
       dl)`` — document length is computed per row before the explode, so
-      no second per-doc aggregate/join is needed;
+      no second per-doc aggregate/join is needed; the corpus-level
+      (N, avgdl) scalars ALSO derive from that postings exchange (one
+      tiny rollup, exchange reused), so the corpus text is scanned and
+      tokenized exactly once.  N therefore counts token-bearing
+      documents — token-free docs can never match a query and are
+      vanishing at corpus scale, so excluding them from the collection
+      stats is standard BM25 practice;
     * the query side is tiny by construction and is **broadcast** into
       the postings join, so the corpus-sized side never reshuffles for
       the scoring join;
@@ -372,9 +378,11 @@ def bm25_topk(
     postings = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
     )
-    # N counts every corpus document (token-free docs too) and avgdl
-    # averages over all of them — one narrow pre-explode aggregate.
-    stats = corpus.select(dl.alias("__dl")).agg(
+    # (N, avgdl) over token-bearing docs, derived from the postings
+    # exchange (NOT a second corpus scan): one row per doc first, then
+    # a scalar rollup.
+    doclens = postings.groupBy(id_col).agg(F.max("__dl").alias("__dl"))
+    stats = doclens.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg("__dl").alias("__avgdl"),
     )

@@ -230,3 +230,34 @@ class TestRound5PlanShapes:
         df = entry.queries()["curation_filter_funnel"](spark, sf)
         plan = physical_plan(df)
         assert plan.count("Scan parquet") == 1
+
+    def test_substring_spans_reuses_explode_stage(self, spark, sf):
+        df = entry.queries()["dedup_substring_spans"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        # per-doc and corpus-count branches share the scan→explode→md5
+        # exchange; without reuse the corpus is hashed twice (gated:
+        # the transform-lambda / inferred-isnotnull regressions both
+        # showed up as 0 reused stages here)
+        assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
+        assert "SortMergeJoin" not in plan or "ShuffledHashJoin" not in plan
+
+    def test_bm25_all_joins_broadcast_one_corpus_subtree(self, spark, sf):
+        df = entry.queries()["text_bm25_topk"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        # query terms / df / stats are all broadcast — the corpus-sized
+        # postings side must never reshuffle for the scoring join
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        # stats derive from the postings exchange, not a second scan
+        assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
+
+    def test_dsir_model_is_broadcast(self, spark, sf):
+        df = entry.queries()["curation_dsir_weights"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        # the ≤ n_buckets-row log-ratio model joins the per-doc bucket
+        # counts by broadcast, so the raw corpus never reshuffles for
+        # the scoring join
+        assert "BroadcastHashJoin" in plan
+        assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
