@@ -946,6 +946,14 @@ class Application:
                         )
                         if attempt > allowed:
                             raise
+                        # RouteExecutionHook.on_compute_retry parity
+                        # (reference execution-hook suite,
+                        # test_aws_application_execution_hooks.py:440-546:
+                        # fires per granted retry; a retry_count=0 slot
+                        # fails straight to on_failure without it)
+                        retry_hook = node.hooks.get("on_compute_retry")
+                        if retry_hook:
+                            retry_hook(node, dict(out_values), slot, attempt, e)
                 hook = node.hooks.get("on_compute_success")
                 if hook:
                     hook(node, dict(out_values), slot)

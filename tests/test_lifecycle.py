@@ -127,6 +127,72 @@ class TestRetryContract:
         assert flaky.calls == 2
 
 
+class TestRetryHook:
+    """Ported scenario: reference
+    test_aws_application_execution_hooks.py:440-546
+    (test_application_retry_hook) — ``on_compute_retry`` fires per
+    granted retry; a retry_count=0 slot goes straight to on_failure
+    without ever firing it; transient failures retry (and fire the
+    hook) without consuming the slot's failure-retry budget."""
+
+    def _wire(self, app, retries, failures):
+        node_obj = app._nodes["out"]
+        node_obj.hooks["on_compute_retry"] = (
+            lambda n, v, slot, attempt, e: retries.append((attempt, type(e).__name__))
+        )
+        node_obj.hooks["on_failure"] = lambda n, v, e: failures.append(type(e).__name__)
+
+    def test_retry_hook_fires_per_granted_retry_then_failure(
+        self, spark, tmp_path, events_day
+    ):
+        retries, failures = [], []
+        flaky = FlakyCompute(99, RuntimeError)
+        app, node = build_app(
+            spark, tmp_path, events_day, [InlinedCompute(flaky, retry_count=1), SQL]
+        )
+        self._wire(app, retries, failures)
+        with pytest.raises(RuntimeError):
+            app.execute(node["2024-01-01"])
+        # one granted retry → one hook firing, then terminal failure
+        assert retries == [(1, "RuntimeError")]
+        assert failures == ["RuntimeError"]
+        assert flaky.calls == 2
+
+    def test_zero_retry_slot_never_fires_retry_hook(self, spark, tmp_path, events_day):
+        retries, failures = [], []
+        flaky = FlakyCompute(99, RuntimeError)
+        app, node = build_app(
+            spark, tmp_path, events_day, [InlinedCompute(flaky, retry_count=0), SQL]
+        )
+        self._wire(app, retries, failures)
+        with pytest.raises(RuntimeError):
+            app.execute(node["2024-01-01"])
+        assert retries == []
+        assert failures == ["RuntimeError"]
+        assert flaky.calls == 1
+
+    def test_transient_retries_fire_hook_without_consuming_budget(
+        self, spark, tmp_path, events_day
+    ):
+        # 2 transient failures then success on a retry_count=0 slot:
+        # the transient allowance (not the slot budget) grants them,
+        # and each granted retry still reports through the hook
+        retries, failures = [], []
+        flaky = FlakyCompute(2, ComputeRetryableInternalError)
+        app, node = build_app(
+            spark,
+            tmp_path,
+            events_day,
+            [InlinedCompute(flaky, retry_count=0), SQL],
+            transient_retry_limit=3,
+        )
+        self._wire(app, retries, failures)
+        assert app.execute(node["2024-01-01"])
+        assert [a for a, _ in retries] == [1, 2]
+        assert failures == []
+        assert flaky.calls == 3
+
+
 class TestKill:
     def test_kill_interrupts_running_spark_job(self, spark, tmp_path, events_day):
         @F.udf("long")

@@ -446,3 +446,75 @@ class TestShiftedCrossTypeInputLinking:
         # and the compute actually read the 3-row ref partition
         out = app.load_data(node[1]["2024-01-02"])
         assert out.collect()[0].n == 3
+
+
+class TestExecutionChainPropagation:
+    """Ported: reference test_aws_application_execution_chain.py:27-140
+    (test_application_signal_propagation) — an external event cascades
+    through a multi-level internal chain; a tail node with one failing
+    slot among two is marked failed, its partition unreadable via poll,
+    while the mid-chain output stays green."""
+
+    def test_three_level_cascade_with_failing_tail_slot(
+        self, spark, tmp_path, events_by_day
+    ):
+        from rheoceros_spark import ComputeRecordState, InlinedCompute
+
+        app = make_app(spark, tmp_path, events_by_day, "chain_app")
+        ev = app["events"]
+        a = app.create_data(
+            id="lvl_a",
+            inputs=[ev],
+            compute_targets=SparkSQL(
+                "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+            ),
+        )
+        b = app.create_data(
+            id="lvl_b",
+            inputs=[a],
+            compute_targets=SparkSQL("SELECT sum(n) AS total FROM lvl_a"),
+        )
+        # tail: one failing inlined slot + one good SQL slot — the
+        # reference marks the whole execution failed (int("str") twin)
+        tail = app.create_data(
+            id="lvl_tail",
+            inputs=[b],
+            compute_targets=[
+                InlinedCompute(lambda input_map, output, params: int("str")),
+                SparkSQL("SELECT total FROM lvl_b"),
+            ],
+        )
+        app.activate()
+
+        assert app.poll(tail["2024-01-02"], wait=False) == (None, None)
+
+        # synchronous-engine divergence from the async reference: the
+        # cascade failure surfaces from process() itself (poll-time in
+        # the reference); join state is requeued so a re-send would
+        # re-trigger (test_routing_fixes re-send scenario)
+        with pytest.raises(ValueError, match="invalid literal"):
+            app.process(ev["2024-01-02"])
+
+        # mid-chain green: data readable, value correct
+        path_b, _ = app.poll(b["2024-01-02"])
+        assert path_b is not None and path_b.endswith("lvl_b/2024-01-02")
+        [row] = app.load_data(b["2024-01-02"]).collect()
+        ev_count = (
+            spark.read.parquet(events_by_day + "/2024-01-02").count()
+        )
+        assert row.total == ev_count
+
+        # tail marked failed; poll hides any partial output
+        assert app.poll(tail["2024-01-02"], wait=False) == (None, None)
+        tail_recs = app.compute_records("lvl_tail")
+        assert tail_recs and tail_recs[-1].state == ComputeRecordState.FAILED
+        # whole-chain history: one execution per level
+        assert len(app.compute_records("lvl_a")) == 1
+        assert len(app.compute_records("lvl_b")) == 1
+        # nothing in flight; the failed tail trigger group is requeued
+        # (re-send re-triggers), mid-chain groups fully consumed
+        rows = {r["node_id"]: r for r in app.get_active_routes()}
+        assert all(r["active_records"] == 0 for r in rows.values())
+        assert rows["lvl_tail"]["pending_nodes"] == 1
+        assert rows["lvl_a"]["pending_nodes"] == 0
+        assert rows["lvl_b"]["pending_nodes"] == 0
