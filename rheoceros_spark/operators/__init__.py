@@ -16,6 +16,8 @@ from rheoceros_spark.operators.dedup import (  # noqa: F401
 )
 from rheoceros_spark.operators.multimodal import (  # noqa: F401
     attach_media,
+    audio_features,
+    decode_wav,
     extract_features,
     resize_images,
     sample_frames,

@@ -243,20 +243,26 @@ def _capped_candidates(
         )
     # Oversized buckets are usually rare outliers (a band bucket over
     # max_bucket docs means max_bucket near-identical signatures), so
-    # find them with one narrow map-side-combinable aggregate.  The tag
-    # join is NOT force-broadcast: a corpus with millions of distinct
-    # boilerplate templates (each its own mega-bucket) would make an
-    # unconditional broadcast unbounded.  Left un-hinted, AQE converts
-    # the join to broadcast at runtime when the oversized set is small
-    # (the common case — same map-side-lookup plan as before) and keeps
-    # a shuffle join when it is not — a runtime count-guard for free.
+    # find them with one narrow map-side-combinable aggregate and
+    # materialize that tiny result ONCE (localCheckpoint — it also
+    # truncates the explode lineage so no consumer recomputes it).
+    # The broadcast is COUNT-GUARDED, not unconditional: a corpus with
+    # millions of distinct boilerplate templates (each its own
+    # mega-bucket) would make a blind broadcast unbounded, so the
+    # checkpointed frame is counted (free — already materialized) and
+    # only broadcast under the cap.  Leaving the join un-hinted for AQE
+    # to convert was measured ~3x slower end-to-end: the planned
+    # shuffle join exchanges the corpus-sized bucket stream for the tag
+    # join, and `tagged` has three consumers (both self-join sides +
+    # the star pairs), which multiplies the extra exchange.
     oversized = (
         buckets.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("__cnt"), F.min(id_col).alias("__anchor"))
         .where(F.col("__cnt") > max_bucket)
         .select("band", "bucket", "__anchor")
-    )
-    tagged = buckets.join(oversized, on=["band", "bucket"], how="left")
+    ).localCheckpoint(eager=True)
+    tag = F.broadcast(oversized) if oversized.count() <= 1_000_000 else oversized
+    tagged = buckets.join(tag, on=["band", "bucket"], how="left")
     small = tagged.where(F.col("__anchor").isNull()).select("band", "bucket", id_col)
     sa, sb = small.alias("a"), small.alias("b")
     cand_small = (

@@ -260,3 +260,104 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", n_frames: int = 4) -> D
             )
         ).alias("frame_idx", "byte_offset"),
     )
+
+
+class RawAudio(NamedTuple):
+    """Decoded PCM audio — the minimal honest in-memory shape an audio
+    decode hands to feature extraction (the :class:`RawImage` twin)."""
+
+    sample_rate: int
+    n_channels: int
+    sample_width: int  # bytes per sample (1 or 2)
+    n_frames: int
+    pcm: bytes  # interleaved frames, len == n_frames * n_channels * sample_width
+
+
+def decode_wav(blob: bytes) -> RawAudio:
+    """Decode a RIFF/WAVE PCM payload with the stdlib ``wave`` module —
+    a REAL pure-Python audio path, no codec libs needed (the audio twin
+    of the PPM image fallback).  8-bit and 16-bit PCM are supported;
+    other widths/compressions raise with a clear message."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob)) as w:
+        width = w.getsampwidth()
+        if width not in (1, 2):
+            raise NotImplementedError(
+                f"{8 * width}-bit PCM unsupported; the pure-Python WAV path "
+                "handles 8/16-bit PCM (compressed audio needs soundfile, "
+                "absent in this container)"
+            )
+        n = w.getnframes()
+        return RawAudio(w.getframerate(), w.getnchannels(), width, n, w.readframes(n))
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched audio feature extraction: per row, decode the
+    payload and emit (sample_rate, n_channels, duration_ms, rms, peak),
+    amplitudes normalized to [0, 1] of full scale.
+
+    RIFF/WAVE PCM rows take the REAL path — stdlib ``wave`` decode,
+    then vectorized numpy RMS/peak over the whole PCM buffer (no
+    per-sample Python loop inside the batch).  Non-WAV payloads (mp3 /
+    flac / ogg — codecs absent in this container) emit NULL stats with
+    NULL mime rather than fabricated numbers; schema, Arrow batching,
+    and partition shape are the real pipeline's either way.
+
+    Scale: per-row independent — embarrassingly parallel; payload
+    bytes never shuffle (feature rows are ~50 B regardless of blob
+    size)."""
+    import numpy as np
+
+    pruned = df.select(id_col, content_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf[id_col], pdf[content_col]):
+                null_row = {
+                    "doc_id": int(doc_id), "mime": None, "sample_rate": None,
+                    "n_channels": None, "duration_ms": None, "rms": None, "peak": None,
+                }
+                if b is None:
+                    rows.append(null_row)
+                    continue
+                b = bytes(b)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    rows.append(null_row)
+                    continue
+                a = decode_wav(b)
+                if a.sample_width == 2:
+                    x = np.frombuffer(a.pcm, dtype="<i2").astype(np.float64) / 32768.0
+                else:  # 8-bit WAV PCM is unsigned, midpoint 128
+                    x = (np.frombuffer(a.pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "mime": "audio/wav",
+                        "sample_rate": a.sample_rate,
+                        "n_channels": a.n_channels,
+                        "duration_ms": int(a.n_frames * 1000 // a.sample_rate),
+                        "rms": round(float(np.sqrt(np.mean(np.square(x)))), 6) if x.size else None,
+                        "peak": round(float(np.max(np.abs(x))), 6) if x.size else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return pruned.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)

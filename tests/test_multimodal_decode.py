@@ -100,3 +100,81 @@ class TestResizePixels:
         assert bytes(r["content"]) == b"\x00\x01\x02 not an image"
         assert (r["meta"]["width"], r["meta"]["height"]) == (16, 16)
         assert r["meta"]["mime"] is None
+
+
+def _wav_bytes(freq=440.0, sr=8000, seconds=0.25, amp=0.5, channels=1, width=2):
+    """Synthesize a PCM sine-wave WAV with the stdlib wave module."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(sr * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(sr)
+        frames = bytearray()
+        for i in range(n):
+            v = amp * math.sin(2 * math.pi * freq * i / sr)
+            for _ in range(channels):
+                if width == 2:
+                    frames += struct.pack("<h", int(v * 32767))
+                else:
+                    frames += struct.pack("B", int(v * 127) + 128)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+class TestWavDecode:
+    def test_decode_wav_params(self):
+        from rheoceros_spark.operators.multimodal import decode_wav
+
+        a = decode_wav(_wav_bytes(sr=8000, seconds=0.25, channels=2))
+        assert (a.sample_rate, a.n_channels, a.sample_width) == (8000, 2, 2)
+        assert a.n_frames == 2000
+        assert len(a.pcm) == 2000 * 2 * 2
+
+    def test_unsupported_width_raises(self):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(4)
+            w.setframerate(8000)
+            w.writeframes(b"\x00" * 40)
+        from rheoceros_spark.operators.multimodal import decode_wav
+
+        with pytest.raises(NotImplementedError, match="32-bit"):
+            decode_wav(buf.getvalue())
+
+    def test_audio_features_sine_stats(self, spark):
+        from rheoceros_spark.operators.multimodal import audio_features
+
+        # a 0.5-amplitude sine has rms amp/sqrt(2) ~ 0.3536, peak ~ 0.5
+        df = spark.createDataFrame(
+            [(1, _wav_bytes(amp=0.5)), (2, b"not audio at all"), (3, None)],
+            "doc_id bigint, content binary",
+        )
+        out = {r.doc_id: r for r in audio_features(df).collect()}
+        r1 = out[1]
+        assert r1.mime == "audio/wav" and r1.sample_rate == 8000
+        assert r1.duration_ms == 250 and r1.n_channels == 1
+        assert abs(r1.rms - 0.3536) < 0.01
+        assert abs(r1.peak - 0.5) < 0.01
+        # non-WAV and NULL payloads: NULL stats, never fabricated
+        assert out[2].mime is None and out[2].rms is None
+        assert out[3].mime is None and out[3].duration_ms is None
+
+    def test_audio_features_8bit_path(self, spark):
+        from rheoceros_spark.operators.multimodal import audio_features
+
+        df = spark.createDataFrame(
+            [(1, _wav_bytes(width=1, amp=0.9))], "doc_id bigint, content binary"
+        )
+        [r] = audio_features(df).collect()
+        assert r.mime == "audio/wav"
+        assert abs(r.peak - 0.9) < 0.05
