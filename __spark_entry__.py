@@ -2513,6 +2513,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "multimodal_audio_stats",
+    oracle="""
+    SELECT doc_id, 'audio/wav' AS mime, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           n_chars // 2 AS duration_ms,
+           round(CAST(doc_id % 4 + 1 AS DOUBLE) / 8, 6) AS rms,
+           round(CAST(doc_id % 4 + 1 AS DOUBLE) / 8, 6) AS peak
+    FROM documents
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio pipeline gate: per doc, synthesize a deterministic
+    16-bit PCM square-wave WAV (amplitude (doc_id%4+1)/8 of full scale
+    — exactly representable, so a square wave's rms == peak == that
+    value in closed form; 4·n_chars frames at 8 kHz → n_chars//2 ms),
+    then run the real stdlib-wave decode + vectorized stats
+    (operators/multimodal.py audio_features).  The oracle predicts
+    every stat arithmetically — the WAV bytes round-trip through a
+    genuine encoder/decoder, not a stub."""
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    from rheoceros_spark.operators.multimodal import audio_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(it):
+        import io
+        import struct
+        import wave
+
+        for pdf in it:
+            blobs = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                v = (int(doc_id) % 4 + 1) * 4096  # amplitude/32768 ∈ {1..4}/8
+                pattern = struct.pack("<h", v) + struct.pack("<h", -v)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pattern * (2 * int(n_chars)))  # 4·n_chars frames
+                blobs.append(buf.getvalue())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    media = docs.mapInPandas(
+        synth,
+        schema=_T.StructType(
+            [
+                _T.StructField("doc_id", _T.LongType(), False),
+                _T.StructField("content", _T.BinaryType(), False),
+            ]
+        ),
+    )
+    return audio_features(media)
+
+
 # ===========================================================================
 # incremental dedup (registered past the driver window on purpose: the
 # shape it adds — index probe — is oracle-checked locally; the window
@@ -2923,6 +2981,7 @@ _HEAD = [
     "dedup_substring_spans",
     "text_bm25_topk",
     "curation_dsir_weights",
+    "multimodal_audio_stats",
     # all-pairs cross-join variant — the blocked path's exact
     # verification twin (dedup_embedding_blocked was certified in r04)
     "dedup_embedding_pairs",

@@ -463,19 +463,36 @@ class Application:
         self._routing = None  # graph changed; rebuild routing lazily
         return output_signal.clone()
 
-    def update_data(self, id: str, **kwargs) -> Signal:
+    @staticmethod
+    def _spec_signature(spec) -> tuple:
+        """The output's *signalling properties*: ordered (name, type)
+        pairs — the part downstream nodes latch onto."""
+        return tuple((d.name, d.type) for d in spec.dimensions)
+
+    def update_data(
+        self, id: str, *, enforce_referential_integrity: bool = True, **kwargs
+    ) -> Signal:
         """Replace an existing node's definition wholesale (reference
         application.py:1544-1667): same signature as ``create_data``;
         the node keeps its id and storage location, downstream nodes
         that reference its output signal by alias keep working, and the
-        routing table is rebuilt lazily on the next event."""
+        routing table is rebuilt lazily on the next event.
+
+        When the update CHANGES the output's signalling properties
+        (dimension names/types) and other nodes consume this output,
+        the dependents' stored input references go stale — with
+        ``enforce_referential_integrity`` (the default, mirroring the
+        reference's create_and_query suite) that raises ``ValueError``
+        naming the dependents.  Pass ``False`` to force the change;
+        ``activate()`` then refuses (``TypeError``) until every
+        dependent is re-patched with the new reference."""
         self._check_not_deleted()
         if id not in self._nodes:
             raise ValueError(f"node {id!r} does not exist; use create_data")
         old_node = self._nodes.pop(id)
         old_args = self._node_args.pop(id)
         try:
-            return self.create_data(id, **kwargs)
+            out = self.create_data(id, **kwargs)
         except Exception:
             # failed rebuild must not leave the app without the node: put
             # the previous (working) definition back — with create-time
@@ -484,8 +501,25 @@ class Application:
             self._nodes[id] = old_node
             self._node_args[id] = old_args
             raise
+        if enforce_referential_integrity:
+            old_sig = self._spec_signature(old_node.output_signal.spec)
+            new_sig = self._spec_signature(self._nodes[id].output_signal.spec)
+            dependents = [n.id for n in self._descendants(id)]
+            if old_sig != new_sig and dependents:
+                self._nodes[id] = old_node
+                self._node_args[id] = old_args
+                raise ValueError(
+                    f"update_data({id!r}) changes the output dimension spec "
+                    f"{list(old_sig)} -> {list(new_sig)} while {dependents} "
+                    "consume it; update the dependents too (pass "
+                    "enforce_referential_integrity=False to force, then "
+                    "re-patch each dependent before activate())"
+                )
+        return out
 
-    def patch_data(self, id: str, **kwargs) -> Signal:
+    def patch_data(
+        self, id: str, *, enforce_referential_integrity: bool = True, **kwargs
+    ) -> Signal:
         """Partial update (reference application.py:1668-1744): only the
         given ``create_data`` keyword arguments are replaced; everything
         else is retained from the node's current definition."""
@@ -499,7 +533,12 @@ class Application:
         if unknown:
             raise TypeError(f"patch_data: unknown create_data arguments {sorted(unknown)}")
         merged.update(kwargs)
-        return self.update_data(id, **merged, **hooks)
+        return self.update_data(
+            id,
+            enforce_referential_integrity=enforce_referential_integrity,
+            **merged,
+            **hooks,
+        )
 
     def validate(self) -> list[str]:
         """Dev-context integrity check without activation (reference
@@ -1086,10 +1125,37 @@ class Application:
     # ------------------------------------------------------------------
     def activate(self):
         """Register all nodes into the in-process routing table
-        (reference activate(), application.py:201-294)."""
+        (reference activate(), application.py:201-294).
+
+        Refuses (``TypeError``) when any node's stored input reference
+        no longer matches its internal producer's current output spec —
+        the half-updated-topology state a forced
+        ``update_data(..., enforce_referential_integrity=False)``
+        leaves behind until every dependent is re-patched (reference
+        create_and_query referential-integrity scenario)."""
         from rheoceros_spark.streaming.routing import RoutingTable
 
         self._check_not_deleted()
+        stale = []
+        for node in self._nodes.values():
+            for sig in node.link_node.signals:
+                producer = self._nodes.get(sig.resource_id)
+                if producer is None or producer.id == node.id:
+                    continue
+                if self._spec_signature(sig.spec) != self._spec_signature(
+                    producer.output_signal.spec
+                ):
+                    stale.append(
+                        f"{node.id}: input {sig.alias!r} holds spec "
+                        f"{list(self._spec_signature(sig.spec))} but producer "
+                        f"{producer.id!r} now outputs "
+                        f"{list(self._spec_signature(producer.output_signal.spec))}"
+                    )
+        if stale:
+            raise TypeError(
+                "activate(): stale input references after a forced node "
+                "update — re-patch the dependents: " + "; ".join(stale)
+            )
         if self._routing is None:
             self._routing = RoutingTable(self)
         if self.state == ApplicationState.INACTIVE:

@@ -692,25 +692,36 @@ def dsir_weights(
     # bucket model: full outer join of the two ≤ n_buckets-row count
     # tables (a bucket seen only in one corpus still needs its smoothed
     # ratio); totals cross-joined in — everything here is KB-sized.
+    # an empty target (or raw) corpus would make its total NULL and every
+    # log-ratio NULL — importance resampling would then silently select
+    # on an all-NULL weight column; fail loudly at run time instead
+    # (raise_error keeps the plan lazy — no construction-time job)
+    lr = (
+        F.log(
+            (F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("__T") + F.lit(n_buckets)).cast("double")
+        )
+        - F.log(
+            (F.coalesce(F.col("__rc"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("__R") + F.lit(n_buckets)).cast("double")
+        )
+    ) * F.lit(1e7)
     model = (
         t_counts.join(r_counts, "bkt", "full")
         .crossJoin(t_total)
         .crossJoin(r_total)
         .select(
             "bkt",
-            F.round(
-                (
-                    F.log(
-                        (F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(1)).cast("double")
-                        / (F.col("__T") + F.lit(n_buckets)).cast("double")
+            F.when(
+                F.col("__T").isNull() | F.col("__R").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "dsir_weights: target or raw corpus produced no "
+                        "features — cannot fit the bucket models"
                     )
-                    - F.log(
-                        (F.coalesce(F.col("__rc"), F.lit(0)) + F.lit(1)).cast("double")
-                        / (F.col("__R") + F.lit(n_buckets)).cast("double")
-                    )
-                )
-                * F.lit(1e7)
+                ).cast("double"),
             )
+            .otherwise(F.round(lr))
             .cast("bigint")
             .alias("__lr"),
         )

@@ -211,7 +211,10 @@ def minhash_band_buckets(
 
 
 def _capped_candidates(
-    buckets: DataFrame, id_col: str, max_bucket: int | None
+    buckets: DataFrame,
+    id_col: str,
+    max_bucket: int | None,
+    broadcast_oversized: bool = True,
 ) -> DataFrame:
     """Distinct (a, b) candidate pairs (a < b) from band-bucket
     collisions, with the quadratic blow-up of oversized buckets capped.
@@ -244,24 +247,26 @@ def _capped_candidates(
     # Oversized buckets are usually rare outliers (a band bucket over
     # max_bucket docs means max_bucket near-identical signatures), so
     # find them with one narrow map-side-combinable aggregate and
-    # materialize that tiny result ONCE (localCheckpoint — it also
-    # truncates the explode lineage so no consumer recomputes it).
-    # The broadcast is COUNT-GUARDED, not unconditional: a corpus with
-    # millions of distinct boilerplate templates (each its own
-    # mega-bucket) would make a blind broadcast unbounded, so the
-    # checkpointed frame is counted (free — already materialized) and
-    # only broadcast under the cap.  Leaving the join un-hinted for AQE
-    # to convert was measured ~3x slower end-to-end: the planned
-    # shuffle join exchanges the corpus-sized bucket stream for the tag
-    # join, and `tagged` has three consumers (both self-join sides +
-    # the star pairs), which multiplies the extra exchange.
+    # broadcast-tag the bucket stream (a map-side lookup).  The hint
+    # matters: leaving the join for AQE to convert was measured ~3x
+    # slower end-to-end — the planned shuffle join exchanges the
+    # corpus-sized bucket stream once per consumer of `tagged` (both
+    # self-join sides + the star pairs).  An eager count-guarded
+    # checkpoint was also tried and rejected: it executes the full
+    # minhash pipeline at DataFrame-CONSTRUCTION time (explain-only
+    # callers pay real jobs) and checkpointed partitions have no
+    # lineage fallback under executor loss.  For the pathological
+    # corpus where the oversized set itself is huge (millions of
+    # distinct boilerplate templates, each its own mega-bucket), pass
+    # ``broadcast_oversized=False`` to take the shuffle tag join
+    # instead of an unbounded broadcast.
     oversized = (
         buckets.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("__cnt"), F.min(id_col).alias("__anchor"))
         .where(F.col("__cnt") > max_bucket)
         .select("band", "bucket", "__anchor")
-    ).localCheckpoint(eager=True)
-    tag = F.broadcast(oversized) if oversized.count() <= 1_000_000 else oversized
+    )
+    tag = F.broadcast(oversized) if broadcast_oversized else oversized
     tagged = buckets.join(tag, on=["band", "bucket"], how="left")
     small = tagged.where(F.col("__anchor").isNull()).select("band", "bucket", id_col)
     sa, sb = small.alias("a"), small.alias("b")
@@ -287,6 +292,7 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = 256,
+    broadcast_oversized: bool = True,
 ) -> DataFrame:
     """Candidate pairs from band-bucket collisions, verified with exact
     n-gram Jaccard ≥ threshold.  Returns (a, b, jaccard), a < b.
@@ -294,12 +300,15 @@ def minhash_lsh_pairs(
     ``max_bucket`` caps oversized buckets via star pairing (see
     :func:`_capped_candidates`) so boilerplate text cannot go quadratic
     pre-verify; ``None`` disables the cap (exact all-collisions, for
-    oracle verification on small inputs)."""
+    oracle verification on small inputs).  ``broadcast_oversized``
+    picks the oversized-bucket tag-join strategy — broadcast map-side
+    lookup (default; the oversized set is tiny for real corpora) vs
+    shuffle join (for corpora with unbounded distinct mega-buckets)."""
     rows_per_band = _rows_per_band(num_hashes, bands)
     docs = _minhash_docs(df, text_col, id_col, num_hashes, ngram)
     sh_df = docs.select(F.col(id_col), "sh")
     buckets = minhash_band_buckets(docs, id_col, bands, rows_per_band)
-    cand = _capped_candidates(buckets, id_col, max_bucket)
+    cand = _capped_candidates(buckets, id_col, max_bucket, broadcast_oversized)
     left = sh_df.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     right = sh_df.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     return (

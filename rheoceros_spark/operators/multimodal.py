@@ -342,7 +342,17 @@ def audio_features(
                 if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
                     rows.append(null_row)
                     continue
-                a = decode_wav(b)
+                # decode failures (corrupt chunks, non-PCM compression,
+                # unsupported widths, zero sample rate) emit the NULL
+                # row like any other undecodable payload — one bad blob
+                # in a 100 TB corpus must not kill the job
+                try:
+                    a = decode_wav(b)
+                    if a.sample_rate <= 0:
+                        raise ValueError("zero sample rate")
+                except Exception:
+                    rows.append(null_row)
+                    continue
                 if a.sample_width == 2:
                     x = np.frombuffer(a.pcm, dtype="<i2").astype(np.float64) / 32768.0
                 else:  # 8-bit WAV PCM is unsigned, midpoint 128

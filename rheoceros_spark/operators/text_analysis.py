@@ -367,8 +367,12 @@ def bm25_topk(
         raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
     norm_len = F.length(normalize_text(F.col(text_col)))
     dl = F.when(norm_len == 0, F.lit(0)).otherwise(F.size(tokens(F.col(text_col))))
+    # NULL ids are excluded up front: the oracle's dls join drops them,
+    # and a NULL id would otherwise sort FIRST on a score tie (asc
+    # nulls-first) and silently displace a real doc from the top-k
     toks = (
-        corpus.select(
+        corpus.where(F.col(id_col).isNotNull())
+        .select(
             F.col(id_col),
             dl.alias("__dl"),
             F.explode(tokens(F.col(text_col))).alias("token"),
@@ -387,7 +391,8 @@ def bm25_topk(
         F.avg("__dl").alias("__avgdl"),
     )
     q_terms = (
-        queries.select(
+        queries.where(F.col(query_id_col).isNotNull())
+        .select(
             F.col(query_id_col), F.explode(tokens(F.col(query_text_col))).alias("token")
         )
         .where(F.col("token") != "")

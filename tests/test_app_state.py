@@ -253,3 +253,61 @@ class TestDevStatePersistence:
         )
         with pytest.raises(Exception):
             a.save_dev_state()
+
+
+class TestReferentialIntegrity:
+    """Ported: reference test_aws_application_create_and_query.py:693-734
+    (test_application_update_data_referential_integrity_error) — a
+    spec-changing node update with live dependents is refused by
+    default; forcing it leaves a topology activate() rejects until
+    every dependent is re-patched with the fresh reference."""
+
+    def _build(self, spark, tmp_path):
+        a = Application("ref_integrity", str(tmp_path / "ristore"), spark)
+        root = a.create_data(
+            id="root",
+            inputs=[],
+            compute_targets=SparkSQL("SELECT 1 AS one"),
+            output_dimension_spec={"dim": {"type": "STRING"}},
+        )
+        a.create_data(
+            id="child1",
+            inputs={"root_alias1": root, "root_alias2": root.as_reference()},
+            compute_targets=SparkSQL("SELECT 1 AS one"),
+        )
+        a.create_data(id="child2", inputs=[root], compute_targets=SparkSQL("SELECT 1 AS one"))
+        return a
+
+    def test_spec_change_with_dependents_refused_by_default(self, spark, tmp_path):
+        a = self._build(spark, tmp_path)
+        with pytest.raises(ValueError, match="child1.*child2|consume it"):
+            a.patch_data("root", output_dimension_spec={"dim_new": {"type": "STRING"}})
+        # refusal must leave the previous definition intact
+        assert a["root"].dimension_names() == ["dim"]
+        a.activate()  # still a consistent topology
+
+    def test_forced_change_blocks_activate_until_repatch(self, spark, tmp_path):
+        a = self._build(spark, tmp_path)
+        root2 = a.patch_data(
+            "root",
+            output_dimension_spec={"dim_new": {"type": "STRING"}},
+            enforce_referential_integrity=False,
+        )
+        assert root2.dimension_names() == ["dim_new"]
+        # children still hold the old 'dim' reference → inconsistent
+        with pytest.raises(TypeError, match="stale input references"):
+            a.activate()
+        a.patch_data(
+            "child1",
+            inputs={"root_alias1": root2, "root_alias2": root2.as_reference()},
+        )
+        with pytest.raises(TypeError, match="child2"):
+            a.activate()  # child2 still stale
+        a.patch_data("child2", inputs=[root2])
+        a.activate()  # topology consistent again
+
+    def test_same_spec_update_needs_no_force(self, spark, tmp_path):
+        a = self._build(spark, tmp_path)
+        # definition churn that keeps the signalling properties is fine
+        a.patch_data("root", compute_targets=SparkSQL("SELECT 2 AS two"))
+        a.activate()

@@ -178,3 +178,14 @@ class TestWavDecode:
         [r] = audio_features(df).collect()
         assert r.mime == "audio/wav"
         assert abs(r.peak - 0.9) < 0.05
+
+    def test_corrupt_riff_payload_yields_null_row_not_job_failure(self, spark):
+        from rheoceros_spark.operators.multimodal import audio_features
+
+        corrupt = b"RIFF\x00\x00\x00\x00WAVEgarbage-no-fmt-chunk"
+        df = spark.createDataFrame(
+            [(1, corrupt), (2, _wav_bytes())], "doc_id bigint, content binary"
+        )
+        out = {r.doc_id: r for r in audio_features(df).collect()}
+        assert out[1].mime is None and out[1].rms is None  # survived, NULL row
+        assert out[2].mime == "audio/wav"  # good row unaffected

@@ -240,7 +240,7 @@ class TestRound5PlanShapes:
         # the transform-lambda / inferred-isnotnull regressions both
         # showed up as 0 reused stages here)
         assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
-        assert "SortMergeJoin" not in plan or "ShuffledHashJoin" not in plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
     def test_bm25_all_joins_broadcast_one_corpus_subtree(self, spark, sf):
         df = entry.queries()["text_bm25_topk"](spark, sf)

@@ -158,3 +158,20 @@ def test_dsir_rejects_bad_buckets(spark):
     df = _docs(spark, [(1, "x")])
     with pytest.raises(ValueError, match="n_buckets must be >= 2"):
         dsir_weights(df, df, n_buckets=1)
+
+
+def test_bm25_null_id_rows_excluded(spark):
+    corpus = _docs(spark, [(None, "same text"), (1, "same text"), (2, "same text")])
+    queries = spark.createDataFrame([(7, "same")], "query_id bigint, text string")
+    rows = bm25_topk(corpus, queries, k=3).collect()
+    # the NULL-id row must not appear — and must not steal rank 1 on the tie
+    assert [r.doc_id for r in rows] == [1, 2]
+    assert rows[0].rank == 1
+
+
+def test_dsir_empty_target_raises_at_runtime(spark):
+    raw = _docs(spark, [(1, "a b c")])
+    empty_target = _docs(spark, [(9, "x y")]).where("doc_id < 0")
+    df = dsir_weights(raw, empty_target, n_buckets=64)  # lazy: no job yet
+    with pytest.raises(Exception, match="produced no features"):
+        df.collect()
