@@ -806,13 +806,24 @@ class Application:
     def execute(
         self,
         target: Signal,
+        material_inputs: Optional[Sequence[Signal]] = None,
         wait: bool = True,
         recursive: bool = False,
         update_dependency_tree: bool = False,
     ) -> str:
         """Run one partition-grain batch for ``target`` (an internal
         node view with material dimension values).  Returns the
-        materialized output path."""
+        materialized output path.
+
+        ``material_inputs`` optionally supplies explicit input views
+        (reference execute(), application.py:2981-3260 — the
+        with-material-inputs path, execution_control suite :761-903):
+        each is matched to a declared input by alias (or source
+        resource), must be material, and must actually map to ``target``
+        through the output link matrix — an input tuple that could never
+        trigger this output partition is refused rather than silently
+        computing mismatched data.  Unsupplied inputs are back-derived
+        as usual."""
         node = self._nodes.get(target.alias)
         if node is None:
             raise KeyError(f"{target.alias!r} is not an internal data node")
@@ -824,6 +835,55 @@ class Application:
                 "(index the view, e.g. node['NA']['2024-01-01'])"
             )
         out_values = dict(zip(node.output_signal.dimension_names(), out_filter.tip() or ()))
+
+        provided: Optional[dict[str, Signal]] = None
+        if material_inputs:
+            provided = {}
+            by_alias = {s.alias: s for s in node.link_node.signals}
+            for given in material_inputs:
+                alias = given.alias if given.alias in by_alias else None
+                if alias is None:
+                    matches = [
+                        s.alias
+                        for s in node.link_node.signals
+                        if s.resource_id == given.resource_id
+                    ]
+                    if len(matches) != 1:
+                        raise ValueError(
+                            f"execute: material input {given.alias!r} does not "
+                            f"match exactly one declared input of {node.id!r} "
+                            f"(candidates: {matches})"
+                        )
+                    alias = matches[0]
+                fin = given.filter.finalize()
+                if not fin.is_material:
+                    raise ValueError(
+                        f"execute: material input {alias!r} is not material: {given.filter!r}"
+                    )
+                m = by_alias[alias].clone()
+                m.filter = fin
+                provided[alias] = m
+            # trigger feasibility (reference validates on a cloned
+            # RuntimeLinkNode, application.py:3141-3177): the supplied
+            # tips must map to THIS output partition
+            seeds = {
+                alias: dict(zip([d.name for d in sig.spec], sig.filter.tip() or ()))
+                for alias, sig in provided.items()
+            }
+            known = node.link_node.propagate(seeds)
+            for link in node.output_links:
+                if link.reverse or link.literal is not None:
+                    continue
+                if not all(r[0] in known and r[1] in known[r[0]] for r in link.rhs):
+                    continue
+                mapped = (link.func or EQUALS)(*[known[r[0]][r[1]] for r in link.rhs])
+                want = out_values.get(link.output_dim)
+                if want is not None and str(mapped) != str(want):
+                    raise ValueError(
+                        f"execute: material inputs map output dim "
+                        f"{link.output_dim!r} to {mapped!r}, but the target is "
+                        f"{want!r} — these inputs could never trigger this partition"
+                    )
 
         if not wait:
             # async execution (reference execute/poll split,
@@ -843,7 +903,7 @@ class Application:
 
             def _runner():
                 try:
-                    self._run_node(node, out_values, recursive=recursive, record=record)
+                    self._run_node(node, out_values, recursive=recursive, record=record, material_inputs=provided)
                     if update_dependency_tree:
                         for child in self._descendants(node.id):
                             for child_values in self._derive_child_values(child, node.id, out_values):
@@ -856,7 +916,7 @@ class Application:
             t.start()
             return node.output_signal.source.materialize_paths(out_filter)[0]
 
-        path = self._run_node(node, out_values, recursive=recursive)
+        path = self._run_node(node, out_values, recursive=recursive, material_inputs=provided)
         if update_dependency_tree:
             for child in self._descendants(node.id):
                 for child_values in self._derive_child_values(child, node.id, out_values):
@@ -869,6 +929,7 @@ class Application:
         out_values: dict[str, Any],
         recursive: bool,
         record: Optional[ComputeRecord] = None,
+        material_inputs: Optional[dict[str, Signal]] = None,
     ) -> str:
         out_filter = DimensionFilter.load_raw(
             node.output_signal.spec, [out_values[d] for d in node.output_signal.dimension_names()]
@@ -896,7 +957,7 @@ class Application:
                     record.detail = "skipped: output_retention rejected target"
                 return node.output_signal.source.materialize_paths(out_filter)[0]
 
-        materialized = self._materialize_inputs(node, out_values)
+        materialized = self._materialize_inputs(node, out_values, provided=material_inputs)
 
         if recursive:
             # backfill missing internal ancestors first
@@ -1057,11 +1118,28 @@ class Application:
             hook(node, dict(out_values), path)
         return path
 
-    def _materialize_inputs(self, node: InternalDataNode, out_values: dict[str, Any]) -> list[Signal]:
+    def _materialize_inputs(
+        self,
+        node: InternalDataNode,
+        out_values: dict[str, Any],
+        provided: Optional[dict[str, Signal]] = None,
+    ) -> list[Signal]:
         """Back-derive material inputs from output values via the output
         link matrix, then propagate across the input link matrix
-        (reference get_materialized_inputs_for_output, signal.py:1105)."""
+        (reference get_materialized_inputs_for_output, signal.py:1105).
+
+        ``provided`` (alias → material signal) overrides derivation for
+        those inputs — the reference's ``execute(target,
+        material_inputs)`` path: user-supplied views are used verbatim
+        (their full range filters, not just tips), and their tip values
+        seed the link propagation so the remaining inputs derive
+        consistently."""
+        provided = provided or {}
         seeds: dict[str, dict[str, Any]] = {}
+        for alias, psig in provided.items():
+            tip = psig.filter.finalize().tip() or ()
+            for d, v in zip(psig.spec, tip):
+                seeds.setdefault(alias, {})[d.name] = v
         for link in node.output_links:
             if link.output_dim not in out_values:
                 continue
@@ -1081,6 +1159,11 @@ class Application:
 
         out: list[Signal] = []
         for sig in node.link_node.signals:
+            if sig.alias in provided:
+                m = provided[sig.alias].clone()
+                m.filter = m.filter.finalize()
+                out.append(m)
+                continue
             values = [known.get(sig.alias, {}).get(d.name, "*") for d in sig.spec]
             m = sig.materialize(values)
             if not m.domain_is_material:

@@ -122,6 +122,22 @@ def partition_ready(spark: SparkSession, descriptor: DatasetDescriptor, path: st
     return True
 
 
+def partition_exists(spark: SparkSession, descriptor: DatasetDescriptor, path: str) -> bool:
+    """Read-time EXISTENCE probe — deliberately weaker than
+    :func:`partition_ready`: the completion protocol (``_SUCCESS`` /
+    manifest) is the *orchestration* layer's gate (reference
+    analysis.py runs it before compute is ever submitted), while the
+    generated job script only verifies the partition object exists
+    before reading (``glueetl_default_ABI.py:225-241,269-277``
+    ``check_object``).  Keeping the read-time check at existence lets a
+    trigger proven complete by EVENT INGESTION (advanced_input_modes
+    range-check scenarios — e.g. S3-list eventual consistency hides a
+    fresh ``_SUCCESS``) load data the storage probe cannot yet attest."""
+    if isinstance(descriptor, GlueTable):
+        return partition_ready(spark, descriptor, path)
+    return _fs_exists(spark, path)
+
+
 _S3_BUCKET_RE = re.compile(r"^s3[an]?://([^/]+)/")
 
 
@@ -196,7 +212,7 @@ def load_signal(spark: SparkSession, signal: Signal) -> DataFrame:
     if signal.nearest_in_range:
         # S5: iterate newest→oldest (paths are TIP-first), first existing wins
         for p in paths:
-            if partition_ready(spark, desc, p):
+            if partition_exists(spark, desc, p):
                 paths = [p]
                 break
         else:
@@ -204,7 +220,7 @@ def load_signal(spark: SparkSession, signal: Signal) -> DataFrame:
                 f"nearest: no partition of {signal.alias!r} exists in range {paths}"
             )
     elif len(desc.spec) > 0:
-        existing = [p for p in paths if partition_ready(spark, desc, p)]
+        existing = [p for p in paths if partition_exists(spark, desc, p)]
         missing = [p for p in paths if p not in set(existing)]
         if missing and signal.range_check_required:
             raise FileNotFoundError(

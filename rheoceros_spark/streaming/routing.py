@@ -309,6 +309,14 @@ class RoutingTable:
             if signal.source is not None
             else f"{signal.resource_id}:{tip}"
         )
+        if signal.source is not None and not is_blocked:
+            # the event IS the completion notification (reference
+            # advanced_input_modes "range_check succeeds via event
+            # ingestion": an object-created/completion-file event proves
+            # the partition complete even when a storage probe cannot
+            # see it yet — S3 list eventual consistency); blocked events
+            # mark backfills in flight and prove nothing
+            self.completed_paths.add(path)
 
         outputs: list[str] = []
         for route in self.routes.values():

@@ -65,13 +65,15 @@ def test_completed_paths_probe_once_across_events(spark, tmp_path, events_days, 
 
     app.process(events["2024-01-03"])
     first_cycle = len(probe_counter)
-    # 3-wide range from the tip: exactly one probe per partition
-    assert first_cycle == 3
+    # 3-wide range from the tip: the tip itself is proven by ITS OWN
+    # EVENT (ingestion = completion notification, reference
+    # advanced_input_modes), so only the 2 older partitions are probed
+    assert first_cycle == 2
 
     app.process(events["2024-01-04"])
-    # new trigger group's range overlaps 2 completed paths → only the
-    # new tip partition is probed
-    assert len(probe_counter) - first_cycle == 1
+    # new trigger group's range overlaps the event-proven tip and 2
+    # completed paths → nothing left to probe at all
+    assert len(probe_counter) - first_cycle == 0
     assert len(set(probe_counter)) == len(probe_counter), "a path was probed twice"
 
 
@@ -89,5 +91,6 @@ def test_range_check_fails_fast_on_first_missing(spark, tmp_path, events_days, p
     outputs = app.process(events["2024-01-03"])
     assert outputs == []  # 2023-12-29..31 missing → not triggered
     # probes stop at the FIRST missing partition instead of walking the
-    # whole 6-day range: 01-03, 01-02, 01-01 complete, 2023-12-31 miss
-    assert len(probe_counter) == 4
+    # whole 6-day range: tip proven by its own event, then 01-02 and
+    # 01-01 complete, 2023-12-31 miss → stop
+    assert len(probe_counter) == 3

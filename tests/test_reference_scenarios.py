@@ -518,3 +518,163 @@ class TestExecutionChainPropagation:
         assert rows["lvl_tail"]["pending_nodes"] == 1
         assert rows["lvl_a"]["pending_nodes"] == 0
         assert rows["lvl_b"]["pending_nodes"] == 0
+
+
+class TestRangeCheckViaEventIngestion:
+    """Ported: reference advanced_input_modes
+    test_application_range_check_succeeds_via_event_ingestion (+ the
+    reverse-order variant, :366-520) — a range-checked trigger group
+    completes as later events prove the missing partitions, with the
+    events themselves counting as completion notifications (no storage
+    probe can see the partitions here: their _SUCCESS markers are
+    deliberately stripped), and a second ranged layer fires off the
+    cascaded internal outputs."""
+
+    DAYS = ["2024-01-01", "2024-01-02", "2024-01-03"]
+
+    @pytest.fixture()
+    def unmarked_events(self, spark, sf_dir, tmp_path):
+        import os
+
+        from rheoceros_spark.sources.io import normalize_ns_timestamps
+
+        root = str(tmp_path / "ev_unmarked")
+        ev = normalize_ns_timestamps(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), f"{sf_dir}/events.parquet"
+        )
+        for day in self.DAYS:
+            ev.where(F.to_date("ts") == day).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/{day}")
+            os.remove(f"{root}/{day}/_SUCCESS")  # probe must NOT succeed
+        return root
+
+    def test_reverse_order_events_complete_range_and_cascade(
+        self, spark, tmp_path, unmarked_events
+    ):
+        app = Application("range_ingest", str(tmp_path / "store"), spark)
+        events = app.marshal_external_data(
+            ParquetDataset(
+                unmarked_events + "/{}",
+                Dimension("day", DimensionType.DATETIME, {"format": "%Y-%m-%d"}),
+                integrity=IntegrityProtocol.SUCCESS_FILE,
+            ),
+            id="events",
+        )
+        a = app.create_data(
+            id="lvl_a",
+            inputs=[events[:-2].range_check(True)],
+            compute_targets=SparkSQL("SELECT count(*) AS n FROM events"),
+        )
+        b = app.create_data(
+            id="lvl_b",
+            inputs=[a[:-2].range_check(True)],
+            compute_targets=SparkSQL("SELECT CAST(sum(n) AS BIGINT) AS total FROM lvl_a"),
+        )
+        app.activate()
+
+        # tip first: range [01-01, 01-02] unproven → pending, no output
+        app.process(events["2024-01-02"])
+        assert app.poll(a["2024-01-02"], wait=False) == (None, None)
+
+        # REVERSE order: the older partition's event completes the range
+        # (the storage probe alone could never — no _SUCCESS anywhere)
+        app.process(events["2024-01-01"])
+        path_a, _ = app.poll(a["2024-01-02"])
+        assert path_a and path_a.endswith("lvl_a/2024-01-02")
+
+        # next tip completes instantly off the event-derived cache, and
+        # the cascaded internal outputs complete the second layer's range
+        app.process(events["2024-01-03"])
+        path_a3, _ = app.poll(a["2024-01-03"])
+        assert path_a3 is not None
+        path_b, _ = app.poll(b["2024-01-03"])
+        assert path_b and path_b.endswith("lvl_b/2024-01-03")
+        [row] = app.load_data(b["2024-01-03"]).collect()
+        n2 = spark.read.parquet(unmarked_events + "/2024-01-02").count()
+        n3 = spark.read.parquet(unmarked_events + "/2024-01-03").count()
+        assert row.total == (n2 + n3) + (n2 + spark.read.parquet(unmarked_events + "/2024-01-01").count())
+
+
+class TestEnforceAliasForSameInput:
+    """Ported: reference advanced_input_modes
+    test_application_enforce_alias_for_same_input (:954-976) — the same
+    signal twice in list form collides on alias and is refused; dict
+    form with distinct aliases is the supported spelling."""
+
+    def test_list_form_duplicate_rejected_dict_form_accepted(
+        self, spark, tmp_path, events_by_day
+    ):
+        app = make_app(spark, tmp_path, events_by_day, "alias_app")
+        ev = app["events"]
+        with pytest.raises(ValueError, match="duplicate input alias"):
+            app.create_data(
+                id="dup",
+                inputs=[ev["*"], ev[:-7]],
+                compute_targets=SparkSQL("SELECT 1 AS one"),
+            )
+        node = app.create_data(
+            id="dup",
+            inputs={"event_day": ev["*"], "last_week": ev[:-7]},
+            compute_targets=SparkSQL(
+                "SELECT count(*) AS n FROM event_day UNION ALL "
+                "SELECT count(*) AS n FROM last_week"
+            ),
+        )
+        assert node is not None
+
+
+class TestExecuteWithMaterialInputs:
+    """Ported: reference execution_control
+    test_application_execute_with_material_inputs (+ validations,
+    :684-903) — the user supplies explicit input views; they are
+    validated against the link matrix (an input tuple that could never
+    trigger the target partition is refused) and used verbatim for the
+    load, with unsupplied inputs back-derived."""
+
+    def _app(self, spark, tmp_path, events_by_day):
+        app = make_app(spark, tmp_path, events_by_day, "matinputs_app")
+        ev = app["events"]
+        node = app.create_data(
+            id="daily",
+            inputs=[ev],
+            compute_targets=SparkSQL(
+                "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+            ),
+        )
+        return app, node
+
+    def test_explicit_material_input_used_verbatim(self, spark, tmp_path, events_by_day):
+        app, node = self._app(spark, tmp_path, events_by_day)
+        ev = app["events"]
+        path = app.execute(node["2024-01-02"], material_inputs=[ev["2024-01-02"]])
+        assert path.endswith("daily/2024-01-02")
+        got = {(r.event_type, r.n) for r in app.load_data(node["2024-01-02"]).collect()}
+        exp = {
+            (r.event_type, r.n)
+            for r in spark.read.parquet(events_by_day + "/2024-01-02")
+            .groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+        }
+        assert got == exp
+
+    def test_infeasible_material_input_refused(self, spark, tmp_path, events_by_day):
+        app, node = self._app(spark, tmp_path, events_by_day)
+        ev = app["events"]
+        # day 01-03's event can never trigger the 01-02 output partition
+        with pytest.raises(ValueError, match="could never trigger"):
+            app.execute(node["2024-01-02"], material_inputs=[ev["2024-01-03"]])
+
+    def test_unknown_and_non_material_inputs_refused(self, spark, tmp_path, events_by_day):
+        app, node = self._app(spark, tmp_path, events_by_day)
+        ev = app["events"]
+        stranger = app.marshal_external_data(
+            ParquetDataset(
+                events_by_day + "/{}",
+                Dimension("day", DimensionType.DATETIME, {"format": "%Y-%m-%d"}),
+            ),
+            id="stranger",
+        )
+        with pytest.raises(ValueError, match="does not match exactly one"):
+            app.execute(node["2024-01-02"], material_inputs=[stranger["2024-01-02"]])
+        with pytest.raises(ValueError, match="not material"):
+            app.execute(node["2024-01-02"], material_inputs=[ev["*"]])
