@@ -2848,7 +2848,9 @@ _BM25_K1, _BM25_B = 1.2, 0.75
       FROM (SELECT doc_id, unnest({_TOK}) AS token FROM corp)
       WHERE token <> '' GROUP BY doc_id, token
     ), dls AS (
-      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id
+      SELECT doc_id,
+             CASE WHEN length({_NORM}) = 0 THEN 0 ELSE len({_TOK}) END AS dl
+      FROM corp
     ), stats AS (
       SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls
     ), qt AS (

@@ -331,26 +331,22 @@ def bm25_topk(
     first-class, oracle-checkable operator — the retrieval counterpart
     of the dense ANN family in :mod:`operators.similarity`.
 
-    Scale shape (the part that matters at 100 TB):
+    Scale shape (the part that matters at 100 TB): **the corpus-wide
+    token stream is never shuffled.**
 
-    * ONE corpus scan builds the postings aggregate ``(doc, token, tf,
-      dl)`` — document length is computed per row before the explode, so
-      no second per-doc aggregate/join is needed; the corpus-level
-      (N, avgdl) scalars ALSO derive from that postings exchange (one
-      tiny rollup, exchange reused), so the corpus text is scanned and
-      tokenized exactly once.  N therefore counts token-bearing
-      documents — token-free docs can never match a query and are
-      vanishing at corpus scale, so excluding them from the collection
-      stats is standard BM25 practice;
-    * the query side is tiny by construction and is **broadcast** into
-      the postings join, so the corpus-sized side never reshuffles for
-      the scoring join;
-    * ``df(token)`` is aggregated from the already-query-filtered
-      postings — one row per (doc, matched term) — NOT from the full
-      vocabulary: a corpus-wide df table would cost a second
-      corpus-scale shuffle and be unbroadcastable (web-scale vocab is
-      ~1e8 terms), while the matched slice is |query vocab|-bounded and
-      broadcasts back into the scoring join for free;
+    * the exploded token stream is filtered by the **broadcast** query
+      vocabulary BEFORE any aggregation, so the only token shuffle is
+      over query-term occurrences — |query vocab|-bounded per doc, not
+      corpus-bounded.  (An earlier variant aggregated full corpus
+      postings first and derived the collection stats from that
+      exchange; it looked like "one scan" but paid a full corpus token
+      shuffle — measured 4x slower at sf0.1 than this shape.)
+    * the corpus-level (N, avgdl) scalars come from a second, NARROW
+      pass: per-row ``size(tokens(text))`` straight into a map-side
+      scalar aggregate — tokenize-only CPU, no explode, no shuffle;
+    * ``df(token)`` aggregates the matched slice — one row per
+      (doc, matched term) IS the document frequency — never the full
+      vocabulary (web-scale vocab is ~1e8 terms, unbroadcastable);
     * top-k per query ranks ≤ |queries| × |matched docs| rows, window-
       partitioned by query — never the full corpus.
 
@@ -370,23 +366,27 @@ def bm25_topk(
     # NULL ids are excluded up front: the oracle's dls join drops them,
     # and a NULL id would otherwise sort FIRST on a score tie (asc
     # nulls-first) and silently displace a real doc from the top-k
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    # fan the scan out BEFORE the tokenize/explode CPU (a single-file
+    # corpus otherwise tokenizes on ONE core — the _minhash_docs
+    # lesson); at real scale the input arrives pre-split and this is
+    # a no-op
+    base = ensure_parallelism(
+        corpus.where(F.col(id_col).isNotNull()).select(id_col, text_col)
+    )
     toks = (
-        corpus.where(F.col(id_col).isNotNull())
-        .select(
+        base.select(
             F.col(id_col),
             dl.alias("__dl"),
             F.explode(tokens(F.col(text_col))).alias("token"),
         )
         .where(F.col("token") != "")
     )
-    postings = toks.groupBy(id_col, "token").agg(
-        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
-    )
-    # (N, avgdl) over token-bearing docs, derived from the postings
-    # exchange (NOT a second corpus scan): one row per doc first, then
-    # a scalar rollup.
-    doclens = postings.groupBy(id_col).agg(F.max("__dl").alias("__dl"))
-    stats = doclens.agg(
+    # (N, avgdl) over all NULL-free corpus docs (token-free ones too):
+    # a narrow tokenize-only pass, map-side scalar aggregate — the
+    # corpus never shuffles for this.
+    stats = base.select(dl.alias("__dl")).agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg("__dl").alias("__avgdl"),
     )
@@ -398,14 +398,24 @@ def bm25_topk(
         .where(F.col("token") != "")
         .distinct()
     )
-    # narrow to query-term postings FIRST (broadcast-filtered, no
-    # corpus shuffle); df per term then aggregates the matched slice —
-    # one row per (doc, term) — which IS the document frequency.
-    matched = postings.join(
-        F.broadcast(q_terms.select("token").distinct()), "token"
-    )
-    doc_freq = matched.groupBy("token").agg(
-        F.count(F.lit(1)).cast("double").alias("__df")
+    # broadcast-filter the token stream BEFORE aggregating: the only
+    # token shuffle is over query-term occurrences.  df(token) is a
+    # WINDOW over that same matched-postings exchange — one row per
+    # (doc, term) per partition-of-token IS the document frequency —
+    # rather than a separate groupBy branch: a second branch would
+    # re-execute the whole scan→explode→aggregate subtree to feed its
+    # own broadcast (measured: the branch shape ran the corpus pipeline
+    # twice and the queries scan three times — 9s vs ~3s at sf0.1).
+    from pyspark.sql import Window
+
+    matched = (
+        toks.join(F.broadcast(q_terms.select("token").distinct()), "token")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl"))
+        .withColumn(
+            "__df",
+            F.count(F.lit(1)).over(Window.partitionBy("token")).cast("double"),
+        )
     )
     idf = F.log(
         F.lit(1.0) + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
@@ -416,7 +426,6 @@ def bm25_topk(
     )
     contrib = (
         matched.join(F.broadcast(q_terms), "token")
-        .join(F.broadcast(doc_freq), "token")
         .crossJoin(F.broadcast(stats))
         .select(
             query_id_col,
@@ -425,8 +434,6 @@ def bm25_topk(
         )
     )
     scored = contrib.groupBy(query_id_col, id_col).agg(F.sum("__c").alias("__score_q"))
-    from pyspark.sql import Window
-
     w = Window.partitionBy(query_id_col).orderBy(F.col("__score_q").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

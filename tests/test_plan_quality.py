@@ -242,15 +242,20 @@ class TestRound5PlanShapes:
         assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
-    def test_bm25_all_joins_broadcast_one_corpus_subtree(self, spark, sf):
+    def test_bm25_all_joins_broadcast_no_corpus_token_shuffle(self, spark, sf):
         df = entry.queries()["text_bm25_topk"](spark, sf)
         df.collect()
         plan = physical_plan(df)
         # query terms / df / stats are all broadcast — the corpus-sized
-        # postings side must never reshuffle for the scoring join
+        # side must never reshuffle for the scoring join
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-        # stats derive from the postings exchange, not a second scan
-        assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
+        # the only hash exchanges are post-query-filter or query-side
+        # (matched postings agg, df window, per-(query,doc) score,
+        # query-term distincts) — a corpus-wide token aggregate would
+        # add to this count.  (The AQE dump repeats the plan under
+        # "== Initial Plan ==" — count the final section only.)
+        final_section = plan.split("== Initial Plan ==")[0]
+        assert final_section.count("Exchange hashpartitioning") <= 6
 
     def test_dsir_model_is_broadcast(self, spark, sf):
         df = entry.queries()["curation_dsir_weights"](spark, sf)
