@@ -672,8 +672,12 @@ def dsir_weights(
     if n_buckets < 2:
         raise ValueError(f"dsir_weights: n_buckets must be >= 2, got {n_buckets}")
 
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
     def feats(df: DataFrame) -> DataFrame:
-        return df.select(
+        # fan out before the n-gram/hash explode: a single-file corpus
+        # otherwise runs the whole feature pipeline on one core
+        return ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col),
             F.explode(
                 F.transform(

@@ -749,8 +749,11 @@ def substring_dup_spans(
     # runs the scan→explode→md5 stage twice); NULL-id rows are excluded
     # from span statistics either way (they still get an output row
     # with 0 windows via the left join).
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
     spans = (
-        df.select(F.col(id_col), toks.alias("__t"))
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("__t"))
         .where(F.col(id_col).isNotNull() & (F.size(F.col("__t")) >= window))
         .select(
             id_col,
