@@ -68,6 +68,9 @@ from rheoceros_spark.application import (  # noqa: F401
 from rheoceros_spark.diagnostics import (  # noqa: F401
     AlarmRule,
     AlarmState,
+    MetricDef,
+    MetricPeriod,
+    MetricSelector,
     MetricStatistic,
     alarm_state,
     metric_math,

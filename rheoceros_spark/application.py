@@ -196,6 +196,10 @@ class Application:
         self._records: list[ComputeRecord] = []
         self._kill_requested: set[tuple] = set()
         self._retention_checked: dict[str, float] = {}
+        self._metric_defs: set[str] = set()
+        self._alarms: dict[str, dict] = {}
+        self._composites: dict[str, Any] = {}
+        self._alarm_last: dict[str, str] = {}
         self._async_threads: dict[str, threading.Thread] = {}
 
     @property
@@ -253,6 +257,194 @@ class Application:
         sig = Signal(id, None, DimensionSpec(dims))
         self._external[id] = sig
         return sig.clone()
+
+    # ------------------------------------------------------------------
+    # diagnostics: metrics, alarms, composite alarms as first-class
+    # signals (reference create_metric/create_alarm/
+    # create_composite_alarm, application.py:826-1022; alarm signals
+    # feed create_data inputs — the alarm-ingestion reactor pattern,
+    # test_aws_application_alarming_and_metrics.py:500-663)
+    # ------------------------------------------------------------------
+    def create_metric(self, id: str):
+        """Declare an internal metric group; returns a
+        :class:`~rheoceros_spark.diagnostics.MetricDef` to index into
+        alarm selectors (``m["ERRORS"][stat][period]``) and to
+        ``emit_metric`` against."""
+        from rheoceros_spark.diagnostics import MetricDef
+
+        self._metric_defs.add(id)
+        return MetricDef(id)
+
+    def _metric_store(self, metric_id: str) -> str:
+        return os.path.join(self.storage_root, "metrics", metric_id)
+
+    def emit_metric(self, metric, name: str, value: float, ts=None) -> None:
+        """Append one datapoint to a metric group's internal store
+        (reference custom-metric ``emit``; storage is an append-only
+        parquet series per group — the in-process stand-in for CW)."""
+        from rheoceros_spark.diagnostics import MetricDef
+
+        metric_id = metric.metric_id if isinstance(metric, MetricDef) else str(metric)
+        if metric_id not in self._metric_defs:
+            raise ValueError(f"create_metric({metric_id!r}) first")
+        import datetime as _dt
+
+        ts = ts or _dt.datetime.now()
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        df = self.spark.createDataFrame(
+            [(str(name), float(value), ts)], "name string, value double, ts timestamp"
+        )
+        df.coalesce(1).write.mode("append").parquet(self._metric_store(metric_id))
+
+    def create_alarm(
+        self,
+        id: str,
+        target_metric_or_expression,
+        metrics: Optional[dict] = None,
+        threshold: float = 1.0,
+        comparison_operator: str = ">=",
+        number_of_evaluation_periods: int = 1,
+        number_of_datapoint_periods: Optional[int] = None,
+    ) -> Signal:
+        """Declare a metric alarm.  Two spellings, as in the reference:
+        a single complete metric selector
+        (``m["ERRORS"][SUM][MINUTES(5)]``), or a metric-math
+        ``expression`` string over named ``metrics`` selectors
+        (``"errors > 0 OR failures > 0"``).  Returns the alarm's
+        Signal — one STRING ``state`` dimension — usable directly as a
+        ``create_data`` input (``alarm["ALARM"]`` reactors)."""
+        from rheoceros_spark.diagnostics import (
+            COMPARISON_ALIASES,
+            MetricSelector,
+        )
+
+        comparison = COMPARISON_ALIASES.get(comparison_operator, comparison_operator)
+        if isinstance(target_metric_or_expression, MetricSelector):
+            operands = {"m": target_metric_or_expression.require_complete()}
+            expression = None
+        else:
+            if not metrics:
+                raise ValueError(
+                    "create_alarm: an expression alarm needs `metrics` selectors"
+                )
+            operands = {
+                alias: sel.require_complete() for alias, sel in metrics.items()
+            }
+            expression = str(target_metric_or_expression)
+        for alias, sel in operands.items():
+            if sel.metric_id not in self._metric_defs:
+                raise ValueError(
+                    f"create_alarm: unknown metric {sel.metric_id!r} for operand {alias!r}"
+                )
+        sig = Signal(id, None, DimensionSpec([Dimension("state", DimensionType.STRING)]))
+        self._external[id] = sig
+        self._alarms[id] = {
+            "operands": operands,
+            "expression": expression,
+            "threshold": float(threshold),
+            "comparison": comparison,
+            "evaluation_periods": int(number_of_evaluation_periods),
+            "datapoints": int(
+                number_of_datapoint_periods
+                if number_of_datapoint_periods is not None
+                else number_of_evaluation_periods
+            ),
+        }
+        return sig.clone()
+
+    def create_composite_alarm(self, id: str, alarm_rule) -> Signal:
+        """Composite alarm over member alarms via an
+        :class:`~rheoceros_spark.diagnostics.AlarmRule` tree
+        (``AlarmRule.of("a") & ~AlarmRule.of("b")``) — member names
+        are alarm ids declared with :meth:`create_alarm`."""
+        unknown = [n for n in alarm_rule.leaf_names() if n not in self._alarms]
+        if unknown:
+            raise ValueError(f"create_composite_alarm: unknown member alarms {unknown}")
+        sig = Signal(id, None, DimensionSpec([Dimension("state", DimensionType.STRING)]))
+        self._external[id] = sig
+        self._composites[id] = alarm_rule
+        return sig.clone()
+
+    def _alarm_current_state(self, alarm_id: str) -> str:
+        from pyspark.sql import functions as F
+
+        from rheoceros_spark.diagnostics import (
+            AlarmState,
+            alarm_state,
+            metric_math,
+            metric_period_stats,
+        )
+
+        d = self._alarms[alarm_id]
+        frames = {}
+        min_period = min(sel.period_secs for sel in d["operands"].values())
+        for alias, sel in d["operands"].items():
+            store = self._metric_store(sel.metric_id)
+            if not os.path.exists(store):
+                return AlarmState.INSUFFICIENT_DATA.value
+            series = self.spark.read.parquet(store).where(F.col("name") == sel.name)
+            stats = metric_period_stats(
+                series, period=f"{sel.period_secs} seconds", stats=[sel.stat]
+            )
+            frames[alias] = stats.select(
+                "period_start", F.col(sel.stat).alias("value")
+            )
+        if d["expression"] is not None:
+            val = metric_math(frames, d["expression"]).select(
+                "period_start", F.col("value").cast("double").alias("value")
+            )
+        else:
+            val = frames["m"]
+        st = alarm_state(
+            val.where(F.col("value").isNotNull()),
+            "value",
+            d["threshold"],
+            d["comparison"],
+            d["evaluation_periods"],
+            d["datapoints"],
+            period_seconds=min_period,
+        )
+        rows = st.orderBy(F.col("period_start").desc()).limit(1).collect()
+        if not rows:
+            return AlarmState.INSUFFICIENT_DATA.value
+        return rows[0]["state"]
+
+    def evaluate_alarms(self) -> dict[str, str]:
+        """Evaluate every alarm and composite against the metric
+        stores; on a state TRANSITION, inject the alarm's own signal
+        into the routing table so reactor nodes
+        (``inputs=[alarm["ALARM"]]``) trigger — the reference's
+        alarm-ingestion loop (CW alarm events → Lambda), collapsed to
+        an explicit tick.  Returns {alarm_id: state}."""
+        from rheoceros_spark.diagnostics import AlarmState
+
+        states: dict[str, str] = {}
+        for alarm_id in self._alarms:
+            states[alarm_id] = self._alarm_current_state(alarm_id)
+
+        def _rule_state(rule) -> str:
+            if rule.op == "LEAF":
+                return states[rule.leaf]
+            member = [_rule_state(r) for r in rule.operands]
+            if rule.op == "AND":
+                ok = all(s == AlarmState.ALARM.value for s in member)
+            elif rule.op == "OR":
+                ok = any(s == AlarmState.ALARM.value for s in member)
+            else:  # NOT
+                ok = member[0] != AlarmState.ALARM.value
+            return AlarmState.ALARM.value if ok else AlarmState.OK.value
+
+        for comp_id, rule in self._composites.items():
+            states[comp_id] = _rule_state(rule)
+
+        for sig_id, state in states.items():
+            prev = self._alarm_last.get(sig_id)
+            self._alarm_last[sig_id] = state
+            if prev != state and state != AlarmState.INSUFFICIENT_DATA.value:
+                if self.state == ApplicationState.ACTIVE and self._routing is not None:
+                    self.process(self._external[sig_id].materialize([state]))
+        return states
 
     def receive_raw(self, resource_path: str, **kwargs) -> list[str]:
         """Raw event ingestion (§2.9): map a physical resource path

@@ -31,6 +31,7 @@ composite evaluation joins tiny per-period state frames.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from enum import Enum
 from functools import reduce
 from typing import Optional, Sequence, Union
@@ -273,3 +274,76 @@ class AlarmRule:
             .otherwise(F.lit(AlarmState.OK.value))
             .alias(alias),
         )
+
+
+# ---------------------------------------------------------------------------
+# application-facing metric/alarm declaration sugar (reference api surface:
+# app.create_metric()["NAME"][MetricStatistic.SUM][MetricPeriod.MINUTES(5)])
+# ---------------------------------------------------------------------------
+
+class MetricPeriod:
+    """Period helpers mirroring the reference's ``MetricPeriod``
+    (``definitions/metric_alarm_defs.py``) — values are plain seconds."""
+
+    @staticmethod
+    def SECONDS(n: int) -> int:
+        return int(n)
+
+    @staticmethod
+    def MINUTES(n: int) -> int:
+        return int(n) * 60
+
+    @staticmethod
+    def HOURS(n: int) -> int:
+        return int(n) * 3600
+
+
+@dataclass(frozen=True)
+class MetricSelector:
+    """Fully-qualified metric series: (metric group, name, statistic,
+    period).  Built by indexing: ``metric["ERRORS"][stat][period]``."""
+
+    metric_id: str
+    name: str
+    stat: Optional[str] = None
+    period_secs: Optional[int] = None
+
+    def __getitem__(self, key) -> "MetricSelector":
+        from dataclasses import replace
+
+        if self.stat is None:
+            return replace(self, stat=MetricStatistic(key).value)
+        if self.period_secs is None:
+            return replace(self, period_secs=int(key))
+        raise TypeError(f"metric selector already complete: {self}")
+
+    def require_complete(self) -> "MetricSelector":
+        if self.stat is None or self.period_secs is None:
+            raise ValueError(
+                f"metric selector needs [statistic][period]: {self} "
+                "(e.g. metric['ERRORS'][MetricStatistic.SUM][MetricPeriod.MINUTES(5)])"
+            )
+        return self
+
+
+class MetricDef:
+    """Handle returned by ``Application.create_metric`` — index by
+    metric NAME to start a selector chain."""
+
+    def __init__(self, metric_id: str):
+        self.metric_id = metric_id
+
+    def __getitem__(self, name: str) -> MetricSelector:
+        return MetricSelector(self.metric_id, str(name))
+
+    def __repr__(self) -> str:
+        return f"MetricDef({self.metric_id!r})"
+
+
+#: reference AlarmComparisonOperator names → operator strings
+COMPARISON_ALIASES = {
+    "GreaterThanThreshold": ">",
+    "GreaterThanOrEqualToThreshold": ">=",
+    "LessThanThreshold": "<",
+    "LessThanOrEqualToThreshold": "<=",
+}

@@ -206,3 +206,116 @@ def test_alarm_m_of_n_range_window_ignores_sparse_gaps(spark):
         dense, "value", 50.0, evaluation_periods=3, period_seconds=3600
     ).orderBy("period_start").collect()
     assert fired[-1]["state"] == "ALARM"
+
+
+class TestAlarmIngestion:
+    """Ported: reference test_aws_application_alarming_and_metrics.py
+    :500-663 (test_application_alarming_and_metrics_alarm_ingestion) —
+    alarms declared over internal metrics become signals that trigger
+    reactor nodes on state TRANSITIONS; a composite alarm composes
+    member states through an AlarmRule tree."""
+
+    @pytest.fixture()
+    def alarm_app(self, spark, tmp_path):
+        from rheoceros_spark import (
+            AlarmRule,
+            Application,
+            InlinedCompute,
+            MetricPeriod,
+            MetricStatistic,
+            SparkSQL,
+        )
+
+        app = Application("alarm_ingest", str(tmp_path / "store"), spark)
+        metric = app.create_metric(id="my_app_error_metric_def")
+        alarm = app.create_alarm(
+            id="generic_error_alarm",
+            target_metric_or_expression="errors > 0 OR failures > 0",
+            metrics={
+                "errors": metric["MY_CUSTOM_ERROR"][MetricStatistic.SUM][
+                    MetricPeriod.MINUTES(5)
+                ],
+                "failures": metric["MY_CUSTOM_FAILURE"][MetricStatistic.SUM][
+                    MetricPeriod.MINUTES(5)
+                ],
+            },
+            number_of_evaluation_periods=1,
+            number_of_datapoint_periods=1,
+            comparison_operator="GreaterThanOrEqualToThreshold",
+            threshold=1,
+        )
+        fired = {"failure": 0, "health": 0, "composite": 0}
+
+        def _count(key):
+            def cb(input_map, output, params):
+                fired[key] += 1
+            return cb
+
+        app.create_data(
+            id="system_failure_reactor",
+            inputs=[alarm["ALARM"]],
+            compute_targets=[InlinedCompute(_count("failure")), SparkSQL("SELECT 1 AS one")],
+        )
+        app.create_data(
+            id="system_health_reactor",
+            inputs=[alarm["OK"]],
+            compute_targets=[InlinedCompute(_count("health")), SparkSQL("SELECT 1 AS one")],
+        )
+        composite = app.create_composite_alarm(
+            id="composite_alarm", alarm_rule=AlarmRule.of("generic_error_alarm")
+        )
+        app.create_data(
+            id="composite_reactor",
+            inputs=[composite["ALARM"]],
+            compute_targets=[InlinedCompute(_count("composite")), SparkSQL("SELECT 1 AS one")],
+        )
+        app.activate()
+        return app, metric, fired
+
+    def test_transitions_trigger_matching_reactors(self, alarm_app):
+        app, metric, fired = alarm_app
+        # healthy baseline: zero-valued datapoints → OK transition
+        app.emit_metric(metric, "MY_CUSTOM_ERROR", 0.0, ts="2024-01-01T10:00:00")
+        app.emit_metric(metric, "MY_CUSTOM_FAILURE", 0.0, ts="2024-01-01T10:00:30")
+        states = app.evaluate_alarms()
+        assert states["generic_error_alarm"] == "OK"
+        assert states["composite_alarm"] == "OK"
+        assert fired == {"failure": 0, "health": 1, "composite": 0}
+
+        # errors arrive → ALARM; failure + composite reactors fire
+        app.emit_metric(metric, "MY_CUSTOM_ERROR", 3.0, ts="2024-01-01T10:06:00")
+        states = app.evaluate_alarms()
+        assert states["generic_error_alarm"] == "ALARM"
+        assert states["composite_alarm"] == "ALARM"
+        assert fired == {"failure": 1, "health": 1, "composite": 1}
+
+        # steady ALARM: no NEW transition → no re-fire
+        app.emit_metric(metric, "MY_CUSTOM_ERROR", 5.0, ts="2024-01-01T10:07:00")
+        states = app.evaluate_alarms()
+        assert states["generic_error_alarm"] == "ALARM"
+        assert fired == {"failure": 1, "health": 1, "composite": 1}
+
+        # recovery → OK transition fires the health reactor again
+        app.emit_metric(metric, "MY_CUSTOM_ERROR", 0.0, ts="2024-01-01T10:12:00")
+        app.emit_metric(metric, "MY_CUSTOM_FAILURE", 0.0, ts="2024-01-01T10:12:30")
+        states = app.evaluate_alarms()
+        assert states["generic_error_alarm"] == "OK"
+        assert fired == {"failure": 1, "health": 2, "composite": 1}
+
+    def test_no_data_is_insufficient_and_fires_nothing(self, alarm_app):
+        app, metric, fired = alarm_app
+        states = app.evaluate_alarms()
+        assert states["generic_error_alarm"] == "INSUFFICIENT_DATA"
+        assert fired == {"failure": 0, "health": 0, "composite": 0}
+
+    def test_unknown_member_and_incomplete_selector_rejected(self, spark, tmp_path):
+        from rheoceros_spark import AlarmRule, Application, MetricStatistic
+
+        app = Application("alarm_val", str(tmp_path / "store2"), spark)
+        m = app.create_metric(id="m")
+        with pytest.raises(ValueError, match="unknown member"):
+            app.create_composite_alarm("c", AlarmRule.of("nope"))
+        with pytest.raises(ValueError, match="needs .statistic..period."):
+            app.create_alarm(
+                id="a", target_metric_or_expression=m["X"][MetricStatistic.SUM]
+            )
