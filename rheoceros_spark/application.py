@@ -446,6 +446,40 @@ class Application:
                     self.process(self._external[sig_id].materialize([state]))
         return states
 
+    def emit_route_metrics(self, metric=None, ts=None) -> None:
+        """Snapshot every route's orchestration counters (events /
+        triggers / completions / failures) into a metric group, so
+        alarms can watch orchestration health the way the reference
+        exposes routing-table hook metrics as alarmable signals
+        (test_aws_application_alarming_and_metrics.py:757-830).
+        Datapoint names are ``<node_id>.<counter>``; the group defaults
+        to an auto-created ``routing_table``."""
+        from rheoceros_spark.diagnostics import MetricDef
+
+        if metric is None:
+            if "routing_table" not in self._metric_defs:
+                self.create_metric("routing_table")
+            metric_id = "routing_table"
+        else:
+            metric_id = metric.metric_id if isinstance(metric, MetricDef) else str(metric)
+            if metric_id not in self._metric_defs:
+                raise ValueError(f"create_metric({metric_id!r}) first")
+        import datetime as _dt
+
+        ts = ts or _dt.datetime.now()
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        rows = [
+            (f"{node_id}.{counter}", float(v), ts)
+            for node_id, counters in self.get_route_metrics().items()
+            for counter, v in counters.items()
+        ]
+        if not rows:
+            return
+        self.spark.createDataFrame(
+            rows, "name string, value double, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(self._metric_store(metric_id))
+
     def receive_raw(self, resource_path: str, **kwargs) -> list[str]:
         """Raw event ingestion (§2.9): map a physical resource path
         (e.g. an object-created notification) onto the external signal

@@ -319,3 +319,78 @@ class TestAlarmIngestion:
             app.create_alarm(
                 id="a", target_metric_or_expression=m["X"][MetricStatistic.SUM]
             )
+
+
+class TestOrchestrationRouteMetricsAlarmable:
+    """Ported (semantics): reference alarming suite :757-830 — the
+    routing table's own per-route counters are observable by alarms
+    like any metric, closing the orchestration-health loop."""
+
+    @pytest.fixture()
+    def events_by_day(self, spark, sf_dir, tmp_path):
+        from rheoceros_spark.sources.io import normalize_ns_timestamps
+
+        root = str(tmp_path / "ev_orch")
+        ev = normalize_ns_timestamps(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), f"{sf_dir}/events.parquet"
+        )
+        ev.where(F.to_date("ts") == "2024-01-01").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/2024-01-01")
+        return root
+
+    def test_route_failure_counter_trips_alarm_reactor(self, spark, tmp_path, events_by_day):
+        from rheoceros_spark import (
+            Application,
+            InlinedCompute,
+            MetricPeriod,
+            MetricStatistic,
+            ParquetDataset,
+            SparkSQL,
+        )
+
+        app = Application("orch_metrics", str(tmp_path / "store"), spark)
+        from rheoceros_spark import Dimension, DimensionType
+
+        events = app.marshal_external_data(
+            ParquetDataset(
+                events_by_day + "/{}",
+                Dimension("day", DimensionType.DATETIME, {"format": "%Y-%m-%d"}),
+            ),
+            id="events",
+        )
+
+        def boom(input_map, output, params):
+            raise RuntimeError("synthetic compute failure")
+
+        app.create_data(
+            id="flaky_node",
+            inputs=[events],
+            compute_targets=[InlinedCompute(boom), SparkSQL("SELECT 1 AS one")],
+        )
+        orch = app.create_metric(id="routing_table")
+        alarm = app.create_alarm(
+            id="route_failure_alarm",
+            target_metric_or_expression=orch["flaky_node.failures"][
+                MetricStatistic.SUM
+            ][MetricPeriod.MINUTES(5)],
+            threshold=1,
+            comparison_operator=">=",
+        )
+        fired = []
+        app.create_data(
+            id="oncall_reactor",
+            inputs=[alarm["ALARM"]],
+            compute_targets=[
+                InlinedCompute(lambda i, o, p: fired.append(1)),
+                SparkSQL("SELECT 1 AS one"),
+            ],
+        )
+        app.activate()
+
+        with pytest.raises(RuntimeError, match="synthetic"):
+            app.process(events["2024-01-01"])
+        app.emit_route_metrics(ts="2024-01-01T00:01:00")
+        states = app.evaluate_alarms()
+        assert states["route_failure_alarm"] == "ALARM"
+        assert fired == [1]
