@@ -2904,10 +2904,8 @@ def _dsir_bucket_sql(nb: int) -> str:
     return f"unnest(list_transform({gram}, g -> {h} % {nb}))"
 
 
-@q(
-    "curation_dsir_weights",
-    oracle=f"""
-    WITH tgt AS (
+# shared CTE chain for both DSIR queries (weights + resample)
+_DSIR_CTES = f"""tgt AS (
       SELECT doc_id, {_TOK} AS t FROM documents WHERE lang = 'en'
     ), rw AS (
       SELECT doc_id, {_TOK} AS t FROM documents WHERE lang <> 'en'
@@ -2935,7 +2933,13 @@ def _dsir_bucket_sql(nb: int) -> str:
       SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
              round(CAST(sum(n * lr) AS DOUBLE) / 1e7, 6) AS dsir_logw
       FROM pd JOIN model USING (bkt) GROUP BY doc_id
-    )
+    )"""
+
+
+@q(
+    "curation_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_CTES}
     SELECT rw.doc_id, coalesce(s.n_feats, 0) AS n_feats, s.dsir_logw
     FROM rw LEFT JOIN scored s ON rw.doc_id = s.doc_id
     """,
@@ -2953,6 +2957,43 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=1024,
         ngram=2,
     )
+
+
+# seeded portable uniform for the Gumbel draw (seed 0)
+_GUMBEL_H = _H64.format(s="concat('0', ':', CAST(doc_id AS VARCHAR))")
+
+
+@q(
+    "curation_dsir_resample",
+    oracle=f"""
+    WITH {_DSIR_CTES}, keyed AS (
+      SELECT doc_id, dsir_logw,
+             CAST(round(dsir_logw * 1e7) AS BIGINT)
+             + CAST(round(-ln(-ln((CAST({_GUMBEL_H} AS DOUBLE) + 0.5)
+                                  / 1152921504606846976.0)) * 1e7) AS BIGINT)
+               AS key_q
+      FROM scored
+    )
+    SELECT doc_id, dsir_logw,
+           CAST(key_q AS DOUBLE) / 1e7 AS gumbel_key
+    FROM keyed ORDER BY key_q DESC, doc_id ASC LIMIT 60
+    """,
+)
+def curation_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step: Gumbel-top-k importance resampling of the
+    non-English slice by its DSIR log-weights (operators/curation.py
+    gumbel_topk_resample — seeded portable noise, integer-quantized
+    perturbed keys)."""
+    from rheoceros_spark.operators.curation import dsir_weights, gumbel_topk_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(
+        docs.where(F.col("lang") != "en"),
+        docs.where(F.col("lang") == "en"),
+        n_buckets=1024,
+        ngram=2,
+    )
+    return gumbel_topk_resample(w, "dsir_logw", k=60, seed=0)
 
 
 # ===========================================================================
@@ -2983,6 +3024,7 @@ _HEAD = [
     "dedup_substring_spans",
     "text_bm25_topk",
     "curation_dsir_weights",
+    "curation_dsir_resample",
     "multimodal_audio_stats",
     # all-pairs cross-join variant — the blocked path's exact
     # verification twin (dedup_embedding_blocked was certified in r04)

@@ -55,6 +55,7 @@ from rheoceros_spark.operators.curation import (  # noqa: F401
     dup_clusters,
     dup_clusters_star,
     filter_funnel,
+    gumbel_topk_resample,
     hash_sample,
     pack_sequences,
     pii_redact,

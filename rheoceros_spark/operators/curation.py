@@ -745,3 +745,62 @@ def dsir_weights(
             "dsir_logw",
         )
     )
+
+
+def gumbel_topk_resample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Importance resampling: draw ``k`` documents WITHOUT replacement
+    with probability ∝ exp(weight) via the Gumbel-top-k trick (Vieira
+    2014; the selection step of DSIR — Xie et al. 2023 sample by
+    importance weight exactly this way).  Adding independent Gumbel
+    noise to each log-weight and taking the top-k is distributionally
+    identical to sequential weighted sampling without replacement.
+
+    Deterministic at any parallelism: the "noise" is a seeded portable
+    hash of the id mapped to (0,1) — ``u = (h64(seed:id) + 0.5)/2^60``
+    — so every engine, retry, and partitioning draws the same sample
+    (the ``hash_sample`` philosophy applied to weighted sampling), and
+    a bumped ``seed`` is a fresh epoch.  The perturbed key is quantized
+    to a 1e-7 integer grid before ranking so cross-engine float
+    last-ulp drift cannot flip an ordering; ties break on ascending id.
+
+    Scale shape: one projection + one global top-k — Spark plans
+    ``orderBy(...).limit(k)`` as per-partition TakeOrdered partials and
+    a k-row driver merge, so nothing corpus-sized ever sorts globally
+    or collects.
+
+    Returns the sampled rows: (id, weight, gumbel_key) — join back to
+    the corpus on the id to carry full rows.
+    """
+    if k < 1:
+        raise ValueError(f"gumbel_topk_resample: k must be >= 1, got {k}")
+    two60 = float(1 << 60)
+    u = (h64(F.col(id_col).cast("string"), seed=seed).cast("double") + F.lit(0.5)) / F.lit(two60)
+    gumbel = -F.log(-F.log(u))
+    key_q = (
+        F.round(F.col(weight_col) * F.lit(1e7)).cast("bigint")
+        + F.round(gumbel * F.lit(1e7)).cast("bigint")
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            key_q.alias("__key_q"),
+        )
+        .orderBy(F.col("__key_q").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            weight_col,
+            # NOT re-rounded: key_q/1e7 is the same IEEE division on
+            # both engines (identical bits), while a round() at a
+            # decimal tie splits between HALF_UP (Java) and half-even
+            (F.col("__key_q").cast("double") / F.lit(1e7)).alias("gumbel_key"),
+        )
+    )

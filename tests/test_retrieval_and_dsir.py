@@ -175,3 +175,44 @@ def test_dsir_empty_target_raises_at_runtime(spark):
     df = dsir_weights(raw, empty_target, n_buckets=64)  # lazy: no job yet
     with pytest.raises(Exception, match="produced no features"):
         df.collect()
+
+
+# ---------------------------------------------------------------------------
+# Gumbel-top-k importance resampling
+# ---------------------------------------------------------------------------
+
+def test_gumbel_resample_deterministic_and_seeded(spark):
+    from rheoceros_spark.operators import gumbel_topk_resample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("double").alias("w")
+    )
+    a = [r.doc_id for r in gumbel_topk_resample(df, "w", k=50, seed=0).collect()]
+    b = [r.doc_id for r in gumbel_topk_resample(df, "w", k=50, seed=0).collect()]
+    assert a == b  # pure function of (ids, weights, seed)
+    c = {r.doc_id for r in gumbel_topk_resample(df, "w", k=50, seed=1).collect()}
+    assert set(a) != c  # new seed, new epoch
+
+
+def test_gumbel_resample_prefers_heavy_weights(spark):
+    from rheoceros_spark.operators import gumbel_topk_resample
+
+    # weight 20 vs 0: e^20 dominance → the heavy half should be picked
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, F.lit(20.0)).otherwise(F.lit(0.0)).alias("w"),
+    )
+    top = {r.doc_id for r in gumbel_topk_resample(df, "w", k=80, seed=0).collect()}
+    assert all(d < 100 for d in top)
+
+
+def test_gumbel_resample_drops_null_rows_and_validates_k(spark):
+    from rheoceros_spark.operators import gumbel_topk_resample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (None, 99.0), (2, None)], "doc_id bigint, w double"
+    )
+    rows = gumbel_topk_resample(df, "w", k=10).collect()
+    assert [r.doc_id for r in rows] == [1]
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        gumbel_topk_resample(df, "w", k=0)
