@@ -2571,6 +2571,65 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media)
 
 
+# concatenated-P6 stream geometry: "P6\n4 2\n255\n" header (11 B) + 24 B
+# pixels = 35 B per frame — the oracle predicts every offset from that
+_PPM_W, _PPM_H, _PPM_STRIDE = 4, 2, 35
+
+
+@q(
+    "multimodal_video_frames",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, doc_id % 5 + 2 AS total FROM documents
+    )
+    SELECT DISTINCT doc_id, CAST(total AS INT) AS n_frames_total,
+           CAST(pick AS INT) AS frame_idx,
+           CAST(pick * {_PPM_STRIDE} AS BIGINT) AS byte_offset,
+           CAST({_PPM_W} AS INT) AS width, CAST({_PPM_H} AS INT) AS height
+    FROM (
+      SELECT doc_id, total, least((i * total) // 3, total - 1) AS pick
+      FROM f, (SELECT unnest(range(0, 3)) AS i)
+    )
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-demux gate: per doc, synthesize a concatenated-P6
+    stream of ``doc_id % 5 + 2`` fixed-size frames, then demux with the
+    actual header/pixel-length parser and sample 3 evenly spaced frames
+    (operators/multimodal.py scan_ppm_stream / sample_frames_ppm).  The
+    oracle predicts every byte offset arithmetically from the frame
+    geometry — the stream round-trips a genuine encoder/parser."""
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    from rheoceros_spark.operators.multimodal import encode_ppm, sample_frames_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                n = int(doc_id) % 5 + 2
+                blob = b"".join(
+                    encode_ppm(_PPM_W, _PPM_H, bytes([i % 256]) * (_PPM_W * _PPM_H * 3))
+                    for i in range(n)
+                )
+                blobs.append(blob)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    media = docs.mapInPandas(
+        synth,
+        schema=_T.StructType(
+            [
+                _T.StructField("doc_id", _T.LongType(), False),
+                _T.StructField("content", _T.BinaryType(), False),
+            ]
+        ),
+    )
+    return sample_frames_ppm(media, n_frames=3).drop("frame")
+
+
 # ===========================================================================
 # incremental dedup (registered past the driver window on purpose: the
 # shape it adds — index probe — is oracle-checked locally; the window
@@ -3026,6 +3085,7 @@ _HEAD = [
     "curation_dsir_weights",
     "curation_dsir_resample",
     "multimodal_audio_stats",
+    "multimodal_video_frames",
     # all-pairs cross-join variant — the blocked path's exact
     # verification twin (dedup_embedding_blocked was certified in r04)
     "dedup_embedding_pairs",

@@ -21,6 +21,8 @@ from rheoceros_spark.operators.multimodal import (  # noqa: F401
     extract_features,
     resize_images,
     sample_frames,
+    sample_frames_ppm,
+    scan_ppm_stream,
 )
 from rheoceros_spark.operators.scale import (  # noqa: F401
     bucketed_join,

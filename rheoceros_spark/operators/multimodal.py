@@ -82,14 +82,14 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + bytes(pixels)
 
 
-def decode_ppm(blob: bytes) -> RawImage:
-    """Pure-Python binary PPM (P6) decoder: header tokens may be
-    separated by any whitespace and ``#`` comments."""
-    if blob[:2] != b"P6":
-        raise ValueError("not a P6 PPM payload")
+def _parse_ppm(blob: bytes, start: int = 0) -> tuple[RawImage, int]:
+    """Parse one P6 image at ``start``; returns (image, end offset) —
+    the end offset is what lets a concatenated stream demux exactly."""
+    if blob[start : start + 2] != b"P6":
+        raise ValueError(f"not a P6 PPM payload at offset {start}")
     # tokenize header: magic, width, height, maxval — then raw samples
     tokens: list[bytes] = []
-    i = 2
+    i = start + 2
     while len(tokens) < 3:
         while i < len(blob) and blob[i : i + 1].isspace():
             i += 1
@@ -97,10 +97,10 @@ def decode_ppm(blob: bytes) -> RawImage:
             while i < len(blob) and blob[i : i + 1] != b"\n":
                 i += 1
             continue
-        start = i
+        tok_start = i
         while i < len(blob) and not blob[i : i + 1].isspace():
             i += 1
-        tokens.append(blob[start:i])
+        tokens.append(blob[tok_start:i])
     i += 1  # single whitespace after maxval, then raw data
     width, height, maxval = (int(t) for t in tokens)
     if maxval != 255:
@@ -109,7 +109,14 @@ def decode_ppm(blob: bytes) -> RawImage:
     pixels = blob[i : i + n]
     if len(pixels) != n:
         raise ValueError(f"truncated PPM: {len(pixels)} of {n} bytes")
-    return RawImage(width, height, "RGB", bytes(pixels))
+    return RawImage(width, height, "RGB", bytes(pixels)), i + n
+
+
+def decode_ppm(blob: bytes) -> RawImage:
+    """Pure-Python binary PPM (P6) decoder: header tokens may be
+    separated by any whitespace and ``#`` comments."""
+    img, _ = _parse_ppm(blob)
+    return img
 
 
 def _resize_nearest(img: RawImage, width: int, height: int) -> RawImage:
@@ -371,3 +378,76 @@ def audio_features(
             yield pd.DataFrame(rows)
 
     return pruned.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def scan_ppm_stream(blob: bytes) -> list[tuple[int, int, int]]:
+    """Frame index of a concatenated-P6 video stream: [(byte_offset,
+    width, height)] per frame.  netpbm streams are literally
+    back-to-back P6 images (public format; ``ffmpeg -f image2pipe``
+    emits exactly this), which makes them the codec-free container for
+    a REAL demux path — offsets come from parsing actual headers and
+    pixel-block lengths, not arithmetic placeholders."""
+    frames: list[tuple[int, int, int]] = []
+    i = 0
+    while i < len(blob):
+        img, end = _parse_ppm(blob, i)
+        frames.append((i, img.width, img.height))
+        i = end
+    return frames
+
+
+PPM_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames_total", T.IntegerType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames_ppm(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id", n_frames: int = 4
+) -> DataFrame:
+    """REAL frame sampling over concatenated-P6 video payloads: demux
+    the stream (:func:`scan_ppm_stream`), pick ``n_frames`` evenly
+    spaced frames, and emit each as a standalone P6 image with its true
+    byte offset and dimensions — the honest counterpart of
+    :func:`sample_frames`'s placeholder offsets for opaque codecs.
+
+    Arrow-batched ``mapInPandas``; per-row independent, so the demux
+    parallelizes with the scan and frame rows (not whole videos) flow
+    downstream — feature extraction on sampled frames never re-reads
+    the full stream."""
+    if n_frames < 1:
+        raise ValueError(f"sample_frames_ppm: n_frames must be >= 1, got {n_frames}")
+    pruned = df.select(id_col, content_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(b)
+                index = scan_ppm_stream(b)
+                total = len(index)
+                picks = sorted({min(i * total // n_frames, total - 1) for i in range(n_frames)})
+                for fi in picks:
+                    off, w, h = index[fi]
+                    end = index[fi + 1][0] if fi + 1 < total else len(b)
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "n_frames_total": total,
+                            "frame_idx": fi,
+                            "byte_offset": off,
+                            "width": w,
+                            "height": h,
+                            "frame": b[off:end],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in PPM_FRAME_SCHEMA.fields])
+
+    return pruned.mapInPandas(batches, schema=PPM_FRAME_SCHEMA)
