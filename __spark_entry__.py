@@ -2937,7 +2937,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
       FROM contrib GROUP BY query_id, doc_id
     )
     SELECT query_id, doc_id, score, rank FROM (
-      SELECT query_id, doc_id, round(CAST(score_q AS DOUBLE) / 1e7, 6) AS score,
+      SELECT query_id, doc_id, CAST(score_q AS DOUBLE) / 1e7 AS score,
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY score_q DESC, doc_id ASC) AS INT) AS rank
       FROM scored

@@ -441,7 +441,11 @@ def bm25_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(F.col("__score_q").cast("double") / F.lit(1e7), 6).alias("score"),
+            # raw integer-derived division, NOT re-rounded: the same
+            # IEEE op gives identical bits on every engine, while a
+            # round() at a decimal tie (score_q ending in 5 — 1-in-10
+            # rows) splits between HALF_UP and half-even
+            (F.col("__score_q").cast("double") / F.lit(1e7)).alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
