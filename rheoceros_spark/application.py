@@ -287,13 +287,18 @@ class Application:
         metric_id = metric.metric_id if isinstance(metric, MetricDef) else str(metric)
         if metric_id not in self._metric_defs:
             raise ValueError(f"create_metric({metric_id!r}) first")
+        self._append_metric_rows(metric_id, [(str(name), float(value))], ts)
+
+    def _append_metric_rows(self, metric_id: str, rows, ts=None) -> None:
+        """Shared datapoint append for emit_metric / emit_route_metrics
+        — one place owns the store schema and timestamp normalization."""
         import datetime as _dt
 
         ts = ts or _dt.datetime.now()
         if isinstance(ts, str):
             ts = _dt.datetime.fromisoformat(ts)
         df = self.spark.createDataFrame(
-            [(str(name), float(value), ts)], "name string, value double, ts timestamp"
+            [(n, v, ts) for n, v in rows], "name string, value double, ts timestamp"
         )
         df.coalesce(1).write.mode("append").parquet(self._metric_store(metric_id))
 
@@ -440,10 +445,16 @@ class Application:
 
         for sig_id, state in states.items():
             prev = self._alarm_last.get(sig_id)
-            self._alarm_last[sig_id] = state
             if prev != state and state != AlarmState.INSUFFICIENT_DATA.value:
                 if self.state == ApplicationState.ACTIVE and self._routing is not None:
+                    # record-then-inject ONLY when the event can be
+                    # delivered: an evaluation before activate() must
+                    # not swallow the transition, or the reactor would
+                    # never fire until the alarm flapped again
+                    self._alarm_last[sig_id] = state
                     self.process(self._external[sig_id].materialize([state]))
+            else:
+                self._alarm_last[sig_id] = state
         return states
 
     def emit_route_metrics(self, metric=None, ts=None) -> None:
@@ -464,21 +475,17 @@ class Application:
             metric_id = metric.metric_id if isinstance(metric, MetricDef) else str(metric)
             if metric_id not in self._metric_defs:
                 raise ValueError(f"create_metric({metric_id!r}) first")
-        import datetime as _dt
-
-        ts = ts or _dt.datetime.now()
-        if isinstance(ts, str):
-            ts = _dt.datetime.fromisoformat(ts)
+        if self._routing is None:
+            # silent empty snapshots would leave alarms in
+            # INSUFFICIENT_DATA with no diagnostic
+            raise RuntimeError("emit_route_metrics: activate() the application first")
         rows = [
-            (f"{node_id}.{counter}", float(v), ts)
+            (f"{node_id}.{counter}", float(v))
             for node_id, counters in self.get_route_metrics().items()
             for counter, v in counters.items()
         ]
-        if not rows:
-            return
-        self.spark.createDataFrame(
-            rows, "name string, value double, ts timestamp"
-        ).coalesce(1).write.mode("append").parquet(self._metric_store(metric_id))
+        if rows:
+            self._append_metric_rows(metric_id, rows, ts)
 
     def receive_raw(self, resource_path: str, **kwargs) -> list[str]:
         """Raw event ingestion (§2.9): map a physical resource path
@@ -495,7 +502,9 @@ class Application:
             return []
         path = resource_path.rstrip("/")
         base = path.rsplit("/", 1)[-1]
-        if base in ("_SUCCESS", "manifest") or base.startswith("part-"):
+        is_marker_event = base in ("_SUCCESS", "manifest")
+        is_part_event = base.startswith("part-")
+        if is_marker_event or is_part_event:
             path = path.rsplit("/", 1)[0]
         if path.startswith("topic://"):
             body = path[len("topic://"):]
@@ -514,7 +523,20 @@ class Application:
             dims = desc.extract_dimensions(path)
             if dims is None:
                 continue
-            return self.process(sig.materialize(list(dims.values())), **kwargs)
+            # a part-file upload on a dataset with a declared completion
+            # protocol proves data is ARRIVING, not that the partition
+            # is complete — only the marker event (or any event on a
+            # protocol-less dataset) may seed the completed-range cache
+            from rheoceros_spark.sources.datasets import IntegrityProtocol as _IP
+
+            proves = is_marker_event or not (
+                is_part_event and desc.integrity != _IP.NONE
+            )
+            return self.process(
+                sig.materialize(list(dims.values())),
+                proves_completion=proves,
+                **kwargs,
+            )
         return []
 
     def project(
@@ -691,9 +713,14 @@ class Application:
 
     @staticmethod
     def _spec_signature(spec) -> tuple:
-        """The output's *signalling properties*: ordered (name, type)
-        pairs — the part downstream nodes latch onto."""
-        return tuple((d.name, d.type) for d in spec.dimensions)
+        """The output's *signalling properties*: ordered (name, type,
+        params) triples — params matter too (a DATETIME format change
+        re-renders every partition path, which breaks dependents just
+        as surely as a rename; callable params compare by repr)."""
+        return tuple(
+            (d.name, d.type, tuple(sorted((k, repr(v)) for k, v in d.params.items())))
+            for d in spec.dimensions
+        )
 
     def update_data(
         self, id: str, *, enforce_referential_integrity: bool = True, **kwargs
@@ -1098,7 +1125,25 @@ class Application:
             }
             known = node.link_node.propagate(seeds)
             for link in node.output_links:
-                if link.reverse or link.literal is not None:
+                if link.literal is not None:
+                    continue
+                if link.reverse:
+                    # input ← f(output): verify a PROVIDED input tip
+                    # matches what this output would back-derive —
+                    # reverse links otherwise bypass feasibility
+                    alias, dim = link.rhs[0]
+                    given_val = known.get(alias, {}).get(dim)
+                    want_val = out_values.get(link.output_dim)
+                    if given_val is None or alias not in provided or want_val is None:
+                        continue
+                    expect = (link.func or EQUALS)(want_val)
+                    if str(expect) != str(given_val):
+                        raise ValueError(
+                            f"execute: material input {alias}.{dim}={given_val!r} "
+                            f"does not match the target's back-derived value "
+                            f"{expect!r} — these inputs could never trigger this "
+                            "partition"
+                        )
                     continue
                 if not all(r[0] in known and r[1] in known[r[0]] for r in link.rhs):
                     continue
@@ -1373,10 +1418,14 @@ class Application:
                 continue
             if link.reverse:
                 # declared inverse: input ← func(output) — covers forward
-                # lambdas that equality inversion below cannot
+                # lambdas that equality inversion below cannot.
+                # setdefault, NOT assignment: an explicitly provided
+                # material input's tip must win over the back-derived
+                # value, or the provided view and its link-propagated
+                # siblings would silently target different partitions
                 alias, dim = link.rhs[0]
-                seeds.setdefault(alias, {})[dim] = (link.func or EQUALS)(
-                    out_values[link.output_dim]
+                seeds.setdefault(alias, {}).setdefault(
+                    dim, (link.func or EQUALS)(out_values[link.output_dim])
                 )
             elif link.func is EQUALS and len(link.rhs) == 1:
                 alias, dim = link.rhs[0]

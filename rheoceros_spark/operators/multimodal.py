@@ -332,7 +332,9 @@ def audio_features(
     size)."""
     import numpy as np
 
-    pruned = df.select(id_col, content_col)
+    # NULL ids are dropped up front: pandas coerces a nullable int64 id
+    # column to float64/NaN and int(doc_id) would kill the batch
+    pruned = df.where(F.col(id_col).isNotNull()).select(id_col, content_col)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -424,15 +426,25 @@ def sample_frames_ppm(
     the full stream."""
     if n_frames < 1:
         raise ValueError(f"sample_frames_ppm: n_frames must be >= 1, got {n_frames}")
-    pruned = df.select(id_col, content_col)
+    pruned = df.where(F.col(id_col).isNotNull()).select(id_col, content_col)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, b in zip(pdf[id_col], pdf[content_col]):
+                # NULL / empty / non-P6 payloads contribute no frame
+                # rows — one bad blob must not kill the job (the
+                # audio_features contract, applied to video)
+                if b is None:
+                    continue
                 b = bytes(b)
-                index = scan_ppm_stream(b)
+                try:
+                    index = scan_ppm_stream(b)
+                except ValueError:
+                    continue
                 total = len(index)
+                if total == 0:
+                    continue
                 picks = sorted({min(i * total // n_frames, total - 1) for i in range(n_frames)})
                 for fi in picks:
                     off, w, h = index[fi]

@@ -210,9 +210,16 @@ def load_signal(spark: SparkSession, signal: Signal) -> DataFrame:
     paths = desc.materialize_paths(signal.filter)
 
     if signal.nearest_in_range:
-        # S5: iterate newest→oldest (paths are TIP-first), first existing wins
+        # S5: iterate newest→oldest (paths are TIP-first), first
+        # COMPLETE partition wins.  Unlike the range-check branch below
+        # (existence only — orchestration already proved the exact
+        # range it triggered on), nearest picks its own partition at
+        # read time, so it must apply the completion protocol itself:
+        # an existence-only probe would let a mid-write tip partition
+        # shadow the older complete one the trigger's own nearest
+        # check verified.
         for p in paths:
-            if partition_exists(spark, desc, p):
+            if partition_ready(spark, desc, p):
                 paths = [p]
                 break
         else:

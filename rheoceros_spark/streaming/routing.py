@@ -295,7 +295,11 @@ class RoutingTable:
         self.completed_paths: set[str] = set()
 
     def receive(
-        self, signal: Signal, recursive_downstream: bool = True, is_blocked: bool = False
+        self,
+        signal: Signal,
+        recursive_downstream: bool = True,
+        is_blocked: bool = False,
+        proves_completion: bool = True,
     ) -> list[str]:
         """Inject one materialized event; run every route that becomes
         ready; completed outputs feed downstream routes (the dataflow
@@ -309,13 +313,18 @@ class RoutingTable:
             if signal.source is not None
             else f"{signal.resource_id}:{tip}"
         )
-        if signal.source is not None and not is_blocked:
-            # the event IS the completion notification (reference
-            # advanced_input_modes "range_check succeeds via event
-            # ingestion": an object-created/completion-file event proves
-            # the partition complete even when a storage probe cannot
-            # see it yet — S3 list eventual consistency); blocked events
-            # mark backfills in flight and prove nothing
+        if signal.source is not None and not is_blocked and proves_completion:
+            # a COMPLETION event IS the completion notification
+            # (reference advanced_input_modes "range_check succeeds via
+            # event ingestion": a completion-file event proves the
+            # partition complete even when a storage probe cannot see
+            # it yet — S3 list eventual consistency).  Callers pass
+            # ``proves_completion=False`` for events that only prove
+            # data is ARRIVING (a part-file object-created event on a
+            # dataset with a declared completion protocol — marking
+            # those complete would let every range check read
+            # half-written partitions); blocked events mark backfills
+            # in flight and prove nothing either way.
             self.completed_paths.add(path)
 
         outputs: list[str] = []

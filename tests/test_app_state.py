@@ -311,3 +311,22 @@ class TestReferentialIntegrity:
         # definition churn that keeps the signalling properties is fine
         a.patch_data("root", compute_targets=SparkSQL("SELECT 2 AS two"))
         a.activate()
+
+
+def test_param_change_also_trips_referential_integrity(spark, tmp_path):
+    """A DATETIME format change re-renders every partition path, so it
+    must count as a signalling-property change (review fix: the
+    signature now includes dimension params, not just name/type)."""
+    a = Application("ref_params", str(tmp_path / "rpstore"), spark)
+    root = a.create_data(
+        id="root",
+        inputs=[],
+        compute_targets=SparkSQL("SELECT 1 AS one"),
+        output_dimension_spec={"day": {"type": "DATETIME", "format": "%Y-%m-%d"}},
+    )
+    a.create_data(id="child", inputs=[root], compute_targets=SparkSQL("SELECT 1 AS one"))
+    with pytest.raises(ValueError, match="changes the output dimension spec"):
+        a.patch_data(
+            "root",
+            output_dimension_spec={"day": {"type": "DATETIME", "format": "%Y%m%d"}},
+        )

@@ -248,3 +248,15 @@ class TestPpmStreamFrames:
         df = spark.createDataFrame([(7, blob)], "doc_id bigint, content binary")
         rows = sample_frames_ppm(df, n_frames=5).collect()
         assert sorted(r.frame_idx for r in rows) == [0, 1]
+
+    def test_null_and_garbage_payloads_skip_rows_not_jobs(self, spark):
+        from rheoceros_spark.operators.multimodal import sample_frames_ppm
+
+        blob, _ = self._stream([(2, 2)] * 3)
+        df = spark.createDataFrame(
+            [(1, blob), (2, None), (3, b""), (4, b"not a stream"), (None, blob)],
+            "doc_id bigint, content binary",
+        )
+        rows = sample_frames_ppm(df, n_frames=2).collect()
+        # only the good row contributes frames; NULL/garbage/NULL-id skipped
+        assert {r.doc_id for r in rows} == {1}

@@ -18,6 +18,11 @@ def _round6(x):
     banker's — a 7th-digit tie would flip the last decimal)."""
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
+
+def _round_int(x):
+    """HALF_UP to an integer — the 1e-7 grid quantization twin."""
+    return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -65,7 +70,7 @@ def _py_bm25(corpus, queries, k1=1.2, b=0.75, k=5):
                     tf + k1 * (1.0 - b + b * dls[doc] / avgdl)
                 )
                 scores.setdefault(doc, 0)
-                scores[doc] += int(round(idf * tfn * 1e7))  # same 1e-7 grid
+                scores[doc] += _round_int(idf * tfn * 1e7)  # same 1e-7 grid, HALF_UP
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         for rank, (doc, sq) in enumerate(ranked, 1):
             out.append((qid, doc, sq / 1e7, rank))
@@ -158,7 +163,7 @@ def _py_dsir(raw, target, n_buckets):
             lr = math.log((tc.get(b, 0) + 1) / (T + n_buckets)) - math.log(
                 (rc.get(b, 0) + 1) / (R + n_buckets)
             )
-            total_q += cnt * int(round(lr * 1e7))
+            total_q += cnt * _round_int(lr * 1e7)
         out[i] = (sum(buckets.values()), _round6(total_q / 1e7))
     return out
 

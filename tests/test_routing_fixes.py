@@ -201,3 +201,50 @@ class TestSchemeConsistentContentIO:
         assert os.path.exists(f"{tmp_path}/artifacts/model.bin")
         assert not os.path.exists("file:")
         assert load_content(spark, target) == {"weights": [1, 2, 3]}
+
+
+class TestPartFileEventsDoNotProveCompletion:
+    """Review fix: a part-file object-created event on a dataset with a
+    declared completion protocol proves data is ARRIVING, not that the
+    partition completed — only the marker event may seed the
+    completed-range cache (half-written partitions must keep blocking
+    range checks)."""
+
+    def test_part_event_blocks_marker_event_completes(self, spark, tmp_path, events_day):
+        import os
+        import shutil
+
+        from rheoceros_spark.sources.datasets import IntegrityProtocol
+
+        # day 01 exists complete; day 02 is "mid-write": data file
+        # present, _SUCCESS stripped
+        root = str(tmp_path / "evp")
+        shutil.copytree(events_day + "/2024-01-01", root + "/2024-01-01")
+        shutil.copytree(events_day + "/2024-01-01", root + "/2024-01-02")
+        os.remove(root + "/2024-01-02/_SUCCESS")
+
+        a = Application("part_events", str(tmp_path / "store"), spark)
+        events = a.marshal_external_data(
+            ParquetDataset(
+                root + "/{}",
+                day_dim(),
+                integrity=IntegrityProtocol.SUCCESS_FILE,
+            ),
+            id="events",
+        )
+        a.create_data(
+            id="out",
+            inputs=[events[:-2].range_check(True)],
+            compute_targets=[SparkSQL("SELECT count(*) AS n FROM events")],
+        )
+        a.activate()
+
+        # part-file upload event for the mid-write tip: trigger group
+        # seeds, but the range must NOT verify (01-02 unproven)
+        outputs = a.receive_raw(root + "/2024-01-02/part-00000.parquet")
+        assert outputs == []
+        assert a._routing.routes["out"].pending_nodes, "group should wait"
+
+        # the marker event IS the completion notification → fires
+        outputs = a.receive_raw(root + "/2024-01-02/_SUCCESS")
+        assert any("out/2024-01-02" in p for p in outputs)
