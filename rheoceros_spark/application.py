@@ -1702,7 +1702,13 @@ class Application:
 
     def has_active_record(self, target: Signal) -> bool:
         """Is an execution for this materialized view in flight?
-        (reference ``has_active_record_for``, application.py:2339)."""
+        (reference ``has_active_record_for``, application.py:2339).
+
+        Imported upstream / external signals have no local executions —
+        they answer False rather than raising (the reference's
+        poll-on-upstream scenario checks exactly this)."""
+        if target.alias not in self._nodes:
+            return False
         node, out_values = self._target_values(target, "has_active_record")
         return any(
             r.node_id == node.id

@@ -84,3 +84,33 @@ def test_append_dataset_accumulates(spark, events_by_day, tmp_path):
     app.execute(rep["2024-01-01"])
     app.execute(rep["2024-01-01"])
     assert app.load_data(rep["2024-01-01"]).count() == 1
+
+
+def test_poll_on_upstream_data(spark, events_by_day, tmp_path):
+    """Ported: reference execution_control
+    test_application_poll_on_upstream_data (:575-640) — a downstream
+    app polls an imported upstream signal: (None, None) before the
+    upstream partition materializes, the physical path after."""
+    up = Application("producer2", str(tmp_path / "up2"), spark)
+    events = up.marshal_external_data(
+        ParquetDataset(events_by_day + "/{}", day_dim(), integrity=IntegrityProtocol.SUCCESS_FILE),
+        id="events",
+    )
+    daily = up.create_data(
+        id="daily",
+        inputs=[events],
+        compute_targets=SparkSQL("SELECT count(*) AS n FROM events"),
+    )
+
+    down = Application("consumer2", str(tmp_path / "down2"), spark)
+    imported = down.import_upstream(up, "daily")
+
+    # upstream hasn't produced the partition yet
+    assert down.poll(imported["2024-01-01"], wait=False) == (None, None)
+    assert not down.has_active_record(imported["2024-01-01"])
+
+    up.execute(daily["2024-01-01"])
+    path, _ = down.poll(imported["2024-01-01"])
+    assert path is not None and path.endswith("daily/2024-01-01")
+    # and the data reads through the downstream scope
+    assert down.load_data(imported["2024-01-01"]).collect()[0].n > 0
