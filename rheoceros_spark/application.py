@@ -1666,6 +1666,12 @@ class Application:
             raise ComputeKilledError(f"execution force-stopped: {key[0]} {dict(key[1])}")
 
     def _target_values(self, target: Signal, op: str) -> tuple[InternalDataNode, dict[str, Any]]:
+        if not isinstance(target, Signal):
+            # reference kill/poll validations reject raw ids — the API
+            # takes materialized VIEWS, not strings
+            raise ValueError(
+                f"{op} takes a materialized node view (Signal), got {type(target).__name__}"
+            )
         node = self._nodes.get(target.alias)
         if node is None:
             raise KeyError(f"{target.alias!r} is not an internal data node")

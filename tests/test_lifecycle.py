@@ -294,3 +294,22 @@ class TestAsyncExecute:
         path, meta = app.poll(node["2024-01-01"])
         assert (path, meta) == (None, None)
         assert app.compute_records("out")[-1].state == ComputeRecordState.KILLED
+
+
+class TestKillValidations:
+    """Ported: reference execution_control
+    test_application_kill_validations (:1465-1505) — kill takes only
+    materialized internal views; idle kills are harmless no-ops."""
+
+    def test_kill_rejects_raw_ids_and_external_signals(self, spark, tmp_path, events_day):
+        app, node = build_app(
+            spark, tmp_path, events_day, [SQL]
+        )
+        with pytest.raises(ValueError, match="materialized node view"):
+            app.kill("out")  # raw id, not a view
+        with pytest.raises(KeyError, match="not an internal data node"):
+            app.kill(app["events"]["2024-01-01"])  # external signal
+        # idle node: NOOP, returns False, no side effects
+        assert app.kill(node["2024-01-01"]) is False
+        # and the node still executes normally afterwards
+        assert app.execute(node["2024-01-01"])
