@@ -34,18 +34,46 @@ def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> D
     is a no-op; the guard only pays the small-input shuffle when the
     scan is narrower than the cluster.
 
-    The width probe counts the scan's input files — ``rdd
-    .getNumPartitions()`` would force plan→RDD conversion outside AQE
-    and report pre-AQE counts for shuffled inputs, so it can skip the
-    fan-out that execution actually needs.  A single file with many row
-    groups undercounts and repartitions once — harmless (AQE coalesces
-    what it doesn't need)."""
+    The width probe estimates **split count from bytes**, not file
+    count: Spark splits large files at ``spark.sql.files
+    .maxPartitionBytes`` boundaries, so a corpus stored as a few
+    thousand multi-GB parquet files scans as hundreds of thousands of
+    tasks even though ``len(inputFiles())`` is far below cluster width
+    — a file-count probe would full-shuffle 100 TB ahead of every
+    tokenize/explode operator that calls this.  The estimate mirrors
+    ``FilePartition.maxSplitBytes``: per-core bytes are padded with the
+    per-file open cost and capped at maxPartitionBytes, and the final
+    width is ``max(file count, ceil(total bytes / split size))`` —
+    file count still matters because one split never spans files.
+    Total bytes come from the optimized plan's stats (one JVM call; for
+    file relations this is the file-length sum scaled by column
+    pruning), so no per-file FileSystem RPCs are issued.  ``rdd
+    .getNumPartitions()`` is avoided on purpose: it forces plan→RDD
+    conversion outside AQE and reports pre-AQE counts for shuffled
+    inputs.  Non-file inputs (inputFiles() empty: shuffled/in-memory
+    frames) keep the conservative fan-out — AQE coalesces any shuffle
+    it doesn't need."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     try:
-        width = len(df.inputFiles())
+        n_files = len(df.inputFiles())
     except Exception:
-        width = 0
+        n_files = 0
+    width = n_files
+    if 0 < n_files < target:
+        try:
+            jconf = spark._jsparkSession.sessionState().conf()
+            max_split = int(jconf.filesMaxPartitionBytes())
+            open_cost = int(jconf.filesOpenCostInBytes())
+            total = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            bytes_per_core = (total + n_files * open_cost) // max(target, 1)
+            split = min(max_split, max(open_cost, bytes_per_core))
+            if split > 0:
+                width = max(n_files, -(-total // split))
+        except Exception:
+            width = n_files  # JVM probe unavailable: file-count fallback
     if width >= target:
         return df
     return df.repartition(target)

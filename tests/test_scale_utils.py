@@ -37,6 +37,76 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ord_b")
 
 
+class TestEnsureParallelism:
+    """The width probe must be bytes-based (splits), not file-count:
+    a 100 TB corpus stored as a few thousand multi-GB files scans as
+    ~800k maxPartitionBytes-sized splits — repartitioning it because
+    ``len(inputFiles())`` < cluster width would insert an avoidable
+    full-corpus shuffle ahead of every tokenize/explode operator."""
+
+    def _one_file_corpus(self, spark, tmp_path, rows: int) -> str:
+        path = str(tmp_path / "one_file")
+        (
+            spark.range(rows)
+            .select(
+                F.col("id"),
+                F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path
+
+    def test_one_big_file_is_not_reshuffled(self, spark, tmp_path):
+        from rheoceros_spark.operators.scale import ensure_parallelism
+
+        path = self._one_file_corpus(spark, tmp_path, 200_000)
+        prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+        # shrink the split size so this modest file stands in for a
+        # multi-GB production file under the default 128 MB splits
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        spark.conf.set("spark.sql.files.openCostInBytes", "16384")
+        try:
+            df = spark.read.parquet(path)
+            assert len(df.inputFiles()) == 1  # the old probe's trap
+            out = ensure_parallelism(df, min_partitions=8)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, (
+                "bytes-wide single file was repartitioned anyway:\n" + plan[:800]
+            )
+            # and the scan genuinely runs wide: Spark splits the file
+            assert out.rdd.getNumPartitions() >= 8
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+            spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
+
+    def test_tiny_file_still_fans_out(self, spark, tmp_path):
+        from rheoceros_spark.operators.scale import ensure_parallelism
+
+        path = self._one_file_corpus(spark, tmp_path, 50)
+        df = spark.read.parquet(path)
+        out = ensure_parallelism(df, min_partitions=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan or "exchange" in plan.lower(), (
+            "tiny single-split scan must fan out before CPU-heavy work"
+        )
+
+    def test_shuffled_input_keeps_conservative_fanout(self, spark, sf_dir):
+        from rheoceros_spark.operators.scale import ensure_parallelism
+
+        # no input files (in-memory frame): conservative repartition
+        df = (
+            spark.range(100)
+            .groupBy((F.col("id") % 3).alias("k"))
+            .agg(F.count("*").alias("n"))
+        )
+        assert len(df.inputFiles()) == 0
+        out = ensure_parallelism(df, min_partitions=64)
+        assert "Repartition" in out._jdf.queryExecution().logical().toString()
+
+
 def test_salted_aggregate_matches_plain(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     got = {
