@@ -216,6 +216,7 @@ def dup_clusters(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 20,
+    escalate_after: int = 6,
 ) -> DataFrame:
     """Group near-dup *pairs* into clusters: connected components by
     iterative min-label propagation, labels = min reachable node id.
@@ -236,11 +237,25 @@ def dup_clusters(
     ``sum(label)``, which would mask the fixpoint forever); decimal
     accumulator so the 64-bit hash sum cannot overflow.  Rounds needed = cluster diameter; near-dup
     clusters are shallow (docs chain through shared near-copies), so
-    this converges in a handful of rounds at any corpus size.  For
-    adversarially long chains, switch to the large-star/small-star
-    alternation (Kiveris et al.), which this structure accommodates
-    without API change.  Exhausting ``max_iter`` before fixpoint emits
-    a ``RuntimeWarning`` — the returned labels would under-merge."""
+    this converges in a handful of rounds at any corpus size.
+
+    **Adversarially long chains escalate automatically**: after
+    ``escalate_after`` rounds without fixpoint (near-dup ladders,
+    boilerplate that pairs only adjacently), the graph is *contracted*
+    by the current labels — each original edge (u, v) becomes
+    (label(u), label(v)), self-loops dropped — and the remaining
+    components are resolved with the O(log²·n)
+    :func:`dup_clusters_star` alternation on that (much smaller)
+    quotient graph, then composed back onto the per-node labels.  The
+    contraction is exact: a label class is connected through its label
+    node, so quotient components are in bijection with original
+    components and the quotient minimum IS the component minimum.
+    This makes the default entry point safe at unknown topology while
+    keeping the cheap per-round shape (one join + one partial-agg
+    shuffle) for the shallow clusters real corpora produce.  Pass
+    ``escalate_after=None`` to disable; exhausting ``max_iter``
+    without escalation emits a ``RuntimeWarning`` — the returned
+    labels would under-merge."""
     import warnings
 
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -258,6 +273,7 @@ def dup_clusters(
         return labels.select(*out_cols)
     prev_sum = None
     converged = False
+    rounds = 0
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges["v"] == labels["node"])
@@ -274,6 +290,7 @@ def dup_clusters(
             )
             .localCheckpoint()
         )
+        rounds += 1
         cur_sum = labels.agg(
             F.sum(F.xxhash64("label").cast("decimal(38,0)"))
         ).collect()[0][0]
@@ -281,6 +298,32 @@ def dup_clusters(
             converged = True
             break
         prev_sum = cur_sum
+        if escalate_after is not None and rounds >= escalate_after:
+            break
+    if not converged and escalate_after is not None and rounds >= escalate_after:
+        # Quotient the graph by the k-hop labels and finish with the
+        # round-bounded star alternation.  Labels already merged to a
+        # single supernode produce no quotient edge and keep their
+        # label through the coalesce.
+        lu = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+        lv = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+        quotient = (
+            edges.join(lu, "u")
+            .join(lv, "v")
+            .where(F.col("lu") != F.col("lv"))
+            .select("lu", "lv")
+            .distinct()
+        )
+        roots = dup_clusters_star(quotient, a_col="lu", b_col="lv").select(
+            F.col("doc_id").alias("label"), F.col("cluster_id").alias("root")
+        )
+        return (
+            labels.join(roots, "label", "left")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.coalesce(F.col("root"), F.col("label")).alias("cluster_id"),
+            )
+        )
     if not converged:
         warnings.warn(
             f"dup_clusters: no fixpoint after max_iter={max_iter} rounds; "

@@ -118,6 +118,53 @@ def test_dup_clusters_long_chain_converges(spark):
     assert set(got.values()) == {0} and len(got) == 16
 
 
+def test_dup_clusters_default_escalates_on_adversarial_chain(spark):
+    """A 1000-node path graph (diameter 999) through the DEFAULT entry
+    point: label propagation alone would need ~999 rounds; the
+    escalation to star alternation on the label-contracted quotient
+    must converge within the default budgets with no warning."""
+    import warnings
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a bigint, b bigint"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # under-merge warn → fail
+        got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert len(got) == n + 1
+    assert set(got.values()) == {0}
+
+
+def test_dup_clusters_escalation_disabled_warns(spark):
+    """escalate_after=None restores the pure label-propagation path:
+    exhausting max_iter under-merges and must say so."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a bigint, b bigint"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dup_clusters(pairs, max_iter=3, escalate_after=None).collect()
+    assert any("under-merged" in str(w.message) for w in caught)
+
+
+def test_dup_clusters_escalation_mixed_components_exact(spark):
+    """Escalation composes quotient roots back correctly when some
+    components already merged before the switch (their labels have no
+    quotient edge) and others are still mid-chain."""
+    edges = [(i, i + 1) for i in range(30)]          # long chain 0..30
+    edges += [(100, 101), (101, 102)]                # shallow island
+    edges += [(200, 201)]                            # pair
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, escalate_after=2).collect()}
+    assert {got[i] for i in range(31)} == {0}
+    assert got[100] == got[101] == got[102] == 100
+    assert got[200] == got[201] == 200
+    assert len(got) == 31 + 3 + 2
+
+
 def test_dup_clusters_string_ids_converge(spark):
     """String doc ids: the fixpoint check must be type-agnostic —
     a numeric sum(label) is NULL for strings, which would mask
