@@ -233,6 +233,12 @@ _PRESTO_RENAMES = {
     "week": "weekofyear",
     "week_of_year": "weekofyear",
     "day_of_month": "dayofmonth",
+    # Presto element_at: NULL on out-of-bounds index / absent map key,
+    # negative index from the end.  Spark's plain element_at raises
+    # under ANSI mode (the Spark 4 default) — try_element_at matches
+    # Presto on every Presto-VALID input (index 0 errors on Presto, so
+    # it is outside the translated domain).
+    "element_at": "try_element_at",
 }
 
 # Presto/Trino functions that either have NO Spark equivalent or — worse
@@ -256,8 +262,19 @@ _PRESTO_REJECTS = {
     "from_iso8601_date": "use to_date(str)",
     "from_unixtime": "Presto returns TIMESTAMP but Spark returns STRING — use timestamp_seconds",
     "to_unixtime": "Presto returns DOUBLE (fractional secs) but Spark unix_timestamp returns BIGINT — use unix_timestamp or extract epoch explicitly",
-    "date_add": "Presto's date_add(unit, n, ts) differs from Spark's date_add(date, days) — use date_add/timestampadd",
-    "date_diff": "Presto's date_diff(unit, a, b) differs — use datediff/timestampdiff",
+    "approx_percentile": "Presto's 3-arg form approx_percentile(x, w, p) is WEIGHTED but Spark reads the 3rd arg as accuracy (silent collision), and the sketches differ — call Spark percentile_approx(col, p[, accuracy]) explicitly",
+    "approx_most_frequent": "engine-specific sketch — use this engine's count-min heavy hitters (operators.sketches) or groupBy().count() with a limit",
+    "split_part": "Presto returns NULL past the last part but Spark split_part returns '' — use element_at(split(...), n) semantics explicitly",
+    "random": "Presto random(n) is an integer in [0, n) but Spark rand(n) reads n as a SEED — use floor(rand() * n) or rand() explicitly",
+    "json_parse": "Presto's JSON type has no Spark twin — keep the value as STRING and use get_json_object / from_json with a schema",
+    "json_format": "Presto's JSON type has no Spark twin — use to_json on a struct, or keep the STRING form",
+    "url_extract_host": "use parse_url(url, 'HOST')",
+    "url_extract_path": "use parse_url(url, 'PATH')",
+    "url_extract_port": "use CAST(parse_url(url, 'PORT') AS INT) — Presto returns bigint",
+    "url_extract_protocol": "use parse_url(url, 'PROTOCOL')",
+    "url_extract_query": "use parse_url(url, 'QUERY')",
+    "url_extract_fragment": "use parse_url(url, 'REF')",
+    "url_extract_parameter": "use parse_url(url, 'QUERY', name)",
     "day_of_week": "Presto ISO numbering (Mon=1) differs from Spark dayofweek (Sun=1) — use ((dayofweek(x) + 5) % 7) + 1",
     "dow": "Presto ISO numbering (Mon=1) differs from Spark dayofweek (Sun=1) — use ((dayofweek(x) + 5) % 7) + 1",
     "split": "Presto's delimiter is a LITERAL but Spark's is a REGEX (split(x, '.') silently diverges) — regex-escape the delimiter and call Spark split explicitly",
@@ -266,6 +283,24 @@ _PRESTO_REJECTS = {
     "year_of_week": "ISO week-year has no direct Spark builtin — derive from weekofyear/year",
     "yow": "ISO week-year has no direct Spark builtin — derive from weekofyear/year",
 }
+
+# Presto date_add(unit, n, ts) / date_diff(unit, a, b): the unit-string
+# forms translate to Spark timestampadd/timestampdiff — but ONLY for
+# fixed-length units, where both engines do exact microsecond-interval
+# arithmetic with truncation toward zero, so the results are provably
+# identical.  Calendar units (month/quarter/year) involve day-of-month
+# saturation rules that cannot be verified equivalent here, and
+# date_add with day/week on a DATE input returns DATE on Presto but
+# TIMESTAMP via timestampadd — both are rejected with a port hint
+# instead of silently shifting semantics or types.
+_PRESTO_UNIT_FNS = {"date_add": "timestampadd", "date_diff": "timestampdiff"}
+_PRESTO_ADD_UNITS = {"millisecond", "second", "minute", "hour"}
+_PRESTO_DIFF_UNITS = _PRESTO_ADD_UNITS | {"day", "week"}
+_PRESTO_UNIT_PORT = {
+    "date_add": "for day/week use Spark date_add(date, n)/dateadd, for month/quarter/year use add_months — check day-of-month saturation against your Presto output",
+    "date_diff": "for month/quarter/year use months_between/timestampdiff and check day-of-month edge cases against your Presto output",
+}
+_UNIT_LITERAL = re.compile(r"\s*'([A-Za-z_]+)'\s*,")
 
 # one pass: string literals AND comments ('--' line, '/* */' block) are
 # matched first (and skipped verbatim) so function names inside either
@@ -292,6 +327,20 @@ def translate_presto_sql(sql: str) -> str:
         if m.group(3) is None:  # string literal or comment — skip verbatim
             continue
         name = m.group(3).lower()
+        if name in _PRESTO_UNIT_FNS:
+            um = _UNIT_LITERAL.match(sql, m.end())
+            unit = um.group(1).lower() if um else None
+            allowed = _PRESTO_ADD_UNITS if name == "date_add" else _PRESTO_DIFF_UNITS
+            if unit not in allowed:
+                raise NotImplementedError(
+                    f"PrestoSQL: {name}({unit or '<non-literal unit>'}, ...) has no "
+                    f"exact-semantics Spark twin and is refused rather than silently "
+                    f"mis-run. Port: {_PRESTO_UNIT_PORT[name]}."
+                )
+            out.append(sql[last : m.start(3)])
+            out.append(f"{_PRESTO_UNIT_FNS[name]}({unit.upper()},")
+            last = um.end()
+            continue
         if name in _PRESTO_REJECTS:
             raise NotImplementedError(
                 f"PrestoSQL: {name!r} diverges between Presto and Spark SQL "
