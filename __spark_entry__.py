@@ -1864,7 +1864,12 @@ def _blocked_embedding_oracle(tables: int = 4, nbits: int = 4, dim: int = 64,
                               threshold: float = 0.4) -> str:
     """Rebuild the multi-table LSH candidate set + rerank in SQL: one
     UNION ALL branch per table, each with its slice of the md5 plane
-    matrix, then bucket-equijoin + exact cosine."""
+    matrix, then bucket-equijoin + exact cosine.
+
+    The cos value is dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b))) with
+    left-fold dots — the Spark operator carries the per-row sqrt as a
+    scalar and multiplies the two at rerank, which is the identical FP
+    sequence, so the 6-decimal rounding agrees bit-for-bit."""
     all_planes = _plane_sql_literal(tables * nbits, dim)
     branches = []
     for t in range(tables):
@@ -3066,62 +3071,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's correctness harness checks the FIRST 50 queries()
 #: entries only (CORRECTNESS_r01 covered positions 0-49 exactly).
-#: Rounds 1-4 ordered every distinct operator class inside the checked
-#: window and demoted 21 shape-redundant TPC-H variants past the cap;
-#: all 50 in-window queries earned green official rows through
-#: CORRECTNESS_r04.  Round 5 ROTATES: the 21 previously un-gated
-#: queries plus the 12 new round-5 queries (33 total, below) move to
-#: the head so they earn official rows — with 83 registered queries
-#: the 33 that fall past position 50 are exactly ones already
-#: certified in r04, so cross-round official coverage spans all 83
-#: (enforced by tests/test_plan_quality.py
-#: test_cross_round_official_coverage_is_total).  All 83 stay
-#: continuously gated by the local DuckDB oracle,
+#: Rotation discipline (round 6): the head holds exactly the 39
+#: queries whose most recent official row is CORRECTNESS_r04 (round 5
+#: certified the other 50), plus any queries new this round — so
+#: r05 ∪ r06 covers 100% of queries().  Everything that falls past
+#: position 50 this round is in CORRECTNESS_r05, enforced by
+#: tests/test_plan_quality.py test_cross_round_official_coverage_is_total.
+#: All queries stay continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
-    # round-5 session-2 additions — never certified, enter the window
-    "dedup_substring_spans",
-    "text_bm25_topk",
-    "curation_dsir_weights",
-    "curation_dsir_resample",
-    "multimodal_audio_stats",
-    "multimodal_video_frames",
-    # all-pairs cross-join variant — the blocked path's exact
-    # verification twin (dedup_embedding_blocked was certified in r04)
-    "dedup_embedding_pairs",
-    "q12_priority_by_linestatus",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q14_promo_revenue_share",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q20_part_shippers",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q5_local_supplier_volume",
-    "q15_top_supplier",
-    "q19_disjunctive_predicates",
-    "q22_wealthy_inactive",
-    "set_except",
-    "broadcast_join_enrich",
-    "agg_cube",
-    # new in round 5 — never certified, so they enter the window now
-    "curation_shuffle_shards",
-    "curation_pack_sequences",
-    "events_cohort_retention",
-    "events_funnel_3step",
-    "text_repetition",
-    "sketch_cms_topk",
-    "curation_source_mix",
-    "curation_filter_funnel",
-    "ann_pq_topk",
-    "curation_semantic_decon",
-    "text_unigram_nll",
-    "ann_ivf_appended",
+    # new in round 6 — never certified, enter the window first
+    # (none yet; prepend here)
+    # certified in r04, rotating back in so r05 ∪ r06 stays total
+    "events_tumbling_daily",
+    "events_sliding_2day",
+    "metric_threshold_alarm",
+    "metric_period_stats_hourly",
+    "alarm_m_of_n_state",
+    "composite_alarm_rule",
+    "topk_orders",
+    "ts_asof_join",
+    "ts_range_join_counts",
+    "ts_sessionize",
+    "sketch_kmv_distinct",
+    "sketch_histogram_quantiles",
+    "layout_zorder_key",
+    "q18_large_volume_orders",
+    "q11_important_parts",
+    "q21_sole_returner",
+    "pivot_returnflag_status",
+    "grouping_sets_revenue",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_blocked",
+    "ann_ivf_topk",
+    "ann_ivf_persisted",
+    "curation_stratified_sample",
+    "curation_pii_redact",
+    "curation_vocab_top_tokens",
+    "curation_contamination",
+    "dedup_clusters",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "dedup_incremental_index",
 ]
 
 

@@ -31,10 +31,8 @@ from rheoceros_spark.session import get_session  # noqa: E402
 from rheoceros_spark.sources.io import load_table  # noqa: E402
 
 # headline set: SURVEY §2 core + scalable extension variants.
-# Deliberately FROZEN at the set BASELINE.md measured — queries added in
-# later rounds (shuffle/pack, cohort/funnel) are oracle-gated for
-# correctness but excluded here so bench_total_sec stays comparable to
-# the baseline total round over round.
+# Deliberately FROZEN at the set BASELINE.md measured, so the core
+# total stays comparable to the baseline total round over round.
 BENCH_CORE = [
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -89,6 +87,32 @@ BENCH_CORE = [
     "multimodal_features",
 ]
 
+# round-5/6 operator families (SURVEY §2.12 outgrew the frozen core):
+# timed separately so BENCH_r{N} records a wall-clock number for every
+# declared operator, not just a plan-shape gate.  BASELINE.md §2b
+# records their measured baselines; acceptance is the same ≤2× bar.
+BENCH_EXT = [
+    "dedup_substring_spans",
+    "text_bm25_topk",
+    "curation_dsir_weights",
+    "curation_dsir_resample",
+    "ann_pq_topk",
+    "ann_ivf_appended",
+    "sketch_cms_topk",
+    "curation_filter_funnel",
+    "curation_semantic_decon",
+    "curation_source_mix",
+    "text_unigram_nll",
+    "text_repetition",
+    "curation_shuffle_shards",
+    "curation_pack_sequences",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
+    "events_funnel_3step",
+    "events_cohort_retention",
+    "dedup_embedding_blocked",
+]
+
 
 def scalable_extras(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -116,7 +140,7 @@ def main() -> None:
     run_once(load_table(spark, sf_dir, "region"))
 
     queries = entrymod.queries()
-    missing = [n for n in BENCH_CORE if n not in queries]
+    missing = [n for n in BENCH_CORE + BENCH_EXT if n not in queries]
     if missing:
         raise SystemExit(f"bench names drifted from queries(): {missing}")
 
@@ -135,7 +159,7 @@ def main() -> None:
     # without that residue; min-of-N below absorbs first-pass JIT.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warm_dir):
-        warm_q = {name: queries[name] for name in BENCH_CORE}
+        warm_q = {name: queries[name] for name in BENCH_CORE + BENCH_EXT}
         warm_q.update(scalable_extras(spark, warm_dir))
         for name, fn in warm_q.items():
             try:
@@ -156,7 +180,7 @@ def main() -> None:
     # (measured 2.0s early vs 6-7s late for identical plans); fronting
     # them times every query against comparable JVM state
     all_q = scalable_extras(spark, sf_dir)
-    all_q.update({name: queries[name] for name in BENCH_CORE})
+    all_q.update({name: queries[name] for name in BENCH_CORE + BENCH_EXT})
     for _ in range(max(1, iters)):
         for name, fn in all_q.items():
             if name in errors:
@@ -176,10 +200,18 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
     total = round(sum(timings.values()), 3)
+    ext_names = set(BENCH_EXT)
+    core_total = round(
+        sum(t for n, t in timings.items() if n not in ext_names), 3
+    )
     payload = {
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
+        # the frozen pre-round-5 set, comparable to BASELINE.md §2's
+        # 42.4 s total; `value` additionally covers BENCH_EXT
+        "core_sec": core_total,
+        "ext_sec": round(total - core_total, 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -505,29 +505,66 @@ def embedding_dup_pairs_blocked(
     construction as :func:`similarity.plane_matrix`, so an oracle can
     rebuild the identical candidate set.
     """
+    from rheoceros_spark.functions.portable import dot
+    from rheoceros_spark.operators.scale import ensure_parallelism
     from rheoceros_spark.operators.similarity import _check_vec_dim, plane_matrix, signature_col
 
     _check_vec_dim(df, vec_col, dim, "embedding_dup_pairs_blocked")
+    # a single-file corpus scans as ONE task, and the broadcast bucket
+    # join preserves stream-side partitioning — without fan-out the
+    # whole Σ bucket² rerank runs on one core (measured 3× of the total)
+    df = ensure_parallelism(df)
     planes = plane_matrix(tables * nbits, dim)
     sigs = F.array(
         *[signature_col(vec_col, planes[t * nbits:(t + 1) * nbits]) for t in range(tables)]
     )
+    # Pre-compute the SCALAR norm once per vector (n rows) so the
+    # per-candidate rerank is a single dot product plus one multiply —
+    # the rerank is the dominant cost (Σ bucket² pairs × dim ops) and
+    # this cuts it 3×.  Deliberately NOT a pre-normalized vector: a
+    # dim-wide normalized array would reference the dim-term norm from
+    # every element and Catalyst's project collapsing can inline it
+    # dim× (measured: a dim²-term expression, 5 MB task binaries, 2×
+    # SLOWER).  A scalar carries 8 bytes through the join and keeps
+    # the per-candidate expression a single fold.
+    v = F.col(vec_col)
     e = df.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        F.posexplode(sigs).alias("t", "sig"),
+        v.alias("__v"),
+        F.sqrt(dot(v, v)).alias("__n"),
+        sigs.alias("__sigs"),
+    ).select("__id", "__v", "__n", "__sigs", F.posexplode("__sigs").alias("t", "sig"))
+    a = e.select(
+        F.col("__id").alias("a"), F.col("__v").alias("va"), F.col("__n").alias("na"),
+        F.col("__sigs").alias("sa"), "t", "sig",
     )
-    a = e.select(F.col("__id").alias("a"), F.col("__v").alias("va"), "t", "sig")
-    b = e.select(F.col("__id").alias("b"), F.col("__v").alias("vb"), "t", "sig")
+    b = e.select(
+        F.col("__id").alias("b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"),
+        F.col("__sigs").alias("sb"), "t", "sig",
+    )
+    # keep a pair only at its FIRST colliding table: no earlier-table
+    # signature match.  This both deduplicates the candidate set BEFORE
+    # the rerank (a near-dup collides in most tables — up to `tables`×
+    # redundant cosine work) and removes the post-rerank distinct
+    # shuffle entirely.  Spelled as a flat OR over the (static) earlier
+    # table indices so it codegens with the rest of the filter.
+    earlier_match = F.lit(False)
+    for i in range(1, tables):  # 1-based array index i == earlier table i-1
+        earlier_match = earlier_match | (
+            (F.col("t") >= i) & (F.element_at("sa", i) == F.element_at("sb", i))
+        )
+    # try_divide: zero-norm → NULL cos → dropped by the threshold,
+    # same as cosine()'s contract (the oracle divides plainly — no
+    # zero-norm vectors exist, which the try_ keeps non-fatal anyway)
     return (
         a.join(b, on=["t", "sig"])
-        .where(F.col("a") < F.col("b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where((F.col("a") < F.col("b")) & ~earlier_match)
+        .withColumn(
+            "cos",
+            F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+        )
         .where(F.col("cos") >= threshold)
-        # a pair colliding in several tables yields identical rows —
-        # distinct collapses them (cheaper than a pre-rerank dedup join)
         .select("a", "b", F.round("cos", 6).alias("cos_r"))
-        .distinct()
     )
 
 

@@ -179,21 +179,22 @@ class TestDriverContract:
 
     def test_cross_round_official_coverage_is_total(self):
         """Every query is either inside this round's 50-entry driver
-        window or already earned a green official row in r04 — the
-        rotation may not orphan anything."""
+        window or already earned a green official row in the PREVIOUS
+        round (r05) — the rotation may not orphan anything, and
+        consecutive rounds must jointly cover 100% of queries()."""
         import json
         import os
 
         window = set(list(entry.queries())[:50])
-        r04_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r04.json")
-        with open(r04_path, "r", encoding="utf-8") as f:
-            r04 = json.load(f)
-        certified_r04 = {
+        r05_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r05.json")
+        with open(r05_path, "r", encoding="utf-8") as f:
+            r05 = json.load(f)
+        certified_r05 = {
             name
-            for name, res in r04.items()
+            for name, res in r05.items()
             if res.get("rows_match") and res.get("schema_match") and res.get("hash_match")
         }
-        uncovered = set(entry.queries()) - window - certified_r04
+        uncovered = set(entry.queries()) - window - certified_r05
         assert not uncovered, f"never driver-certified: {sorted(uncovered)}"
 
     def test_head_has_no_dangling_names(self):
