@@ -421,15 +421,24 @@ def bm25_topk(
     tf_norm = (tf * F.lit(k1 + 1.0)) / (
         tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl"))
     )
-    contrib = (
+    # the BM25 weight depends only on (doc, term) — quantize it on the
+    # |matched| rows BEFORE the query fan-out join.  Queries sharing
+    # vocabulary multiply matched rows (measured 115k → 4.4M at sf0.1);
+    # evaluating log/divide math per fanned-out row instead of per
+    # matched row was 40× redundant float work, while the fanned rows
+    # themselves are narrow integers that map-side partial aggregation
+    # collapses before the (query, doc) shuffle.
+    w_dt = (
         matched.join(F.broadcast(doc_freq), "token")
-        .join(F.broadcast(q_terms), "token")
         .crossJoin(F.broadcast(stats))
         .select(
-            query_id_col,
             id_col,
+            "token",
             F.round(idf * tf_norm * F.lit(1e7)).cast("bigint").alias("__c"),
         )
+    )
+    contrib = w_dt.join(F.broadcast(q_terms), "token").select(
+        query_id_col, id_col, "__c"
     )
     scored = contrib.groupBy(query_id_col, id_col).agg(F.sum("__c").alias("__score_q"))
     from pyspark.sql import Window
