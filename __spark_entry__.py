@@ -3061,6 +3061,190 @@ def curation_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# corpus shaping (round 6): domain caps, leakage-safe splits, negative
+# mining, per-source boilerplate, tf-idf keywords
+# ===========================================================================
+
+@q(
+    "curation_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_H64.format(s="concat('0', ':', CAST(doc_id AS VARCHAR))")},
+                        doc_id
+             ) AS src_rank
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank
+    FROM ranked WHERE src_rank <= 12
+    """,
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb-style anti-domination):
+    seeded-hash rank within source, keep the first 12
+    (operators/curation.py domain_cap — WindowGroupLimit plan shape)."""
+    from rheoceros_spark.operators.curation import domain_cap
+
+    return domain_cap(
+        load_table(spark, sf_dir, "documents"), cap=12, seed=0
+    ).select("doc_id", "source", F.col("src_rank").cast("bigint").alias("src_rank"))
+
+
+@q(
+    "curation_group_split",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE
+             WHEN ({_H64.format(s="concat('0', ':', source)")}) % 1000000 < 800000
+               THEN 'train'
+             WHEN ({_H64.format(s="concat('0', ':', source)")}) % 1000000 < 900000
+               THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def curation_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: whole sources land in one
+    split via portable hash buckets — near-dups can't straddle the
+    train/eval boundary (operators/curation.py group_split)."""
+    from rheoceros_spark.operators.curation import group_split
+
+    return group_split(
+        load_table(spark, sf_dir, "documents"),
+        group_col="source",
+        splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        seed=0,
+    ).select("doc_id", "source", "split")
+
+
+@q(
+    "curation_negative_samples",
+    oracle=f"""
+    WITH cand AS (
+      SELECT doc_id AS neg_id, source AS neg_source,
+             ({_H64.format(s="concat('0', ':', CAST(doc_id AS VARCHAR))")}) % 8 AS b
+      FROM documents
+    ), qry AS (
+      SELECT doc_id AS query_id, source AS qsrc,
+             ({_H64.format(s="concat('1', ':', CAST(doc_id AS VARCHAR))")}) % 8 AS b
+      FROM documents WHERE doc_id % 101 = 0
+    ), ranked AS (
+      SELECT query_id, neg_id, neg_source,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_H64.format(s="concat('2', ':', CAST(query_id AS VARCHAR), ':', CAST(neg_id AS VARCHAR))")},
+                        neg_id
+             ) AS neg_rank
+      FROM cand JOIN qry USING (b)
+      WHERE neg_source <> qsrc
+    )
+    SELECT query_id, neg_id, neg_source, CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM ranked WHERE neg_rank <= 4
+    """,
+)
+def curation_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bucketed negative mining for contrastive training:
+    each query (doc_id % 101 == 0) draws 4 different-source negatives
+    from one hash pool — equi-join on the bucket, never a crossJoin
+    (operators/curation.py negative_samples)."""
+    from rheoceros_spark.operators.curation import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents")
+    qry = docs.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"), "source"
+    )
+    return negative_samples(docs, qry, k=4, n_buckets=8, seed=0).select(
+        "query_id", "neg_id", "neg_source",
+        F.col("neg_rank").cast("bigint").alias("neg_rank"),
+    )
+
+
+@q(
+    "curation_boilerplate",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, {_TOK} AS t FROM documents WHERE doc_id IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, source, unnest(list_distinct({_ngrams_sql('t', 3)})) AS gram
+      FROM tk
+    ), cnt AS (
+      SELECT source, gram, count(*) AS dfq FROM grams GROUP BY source, gram
+    ), per AS (
+      SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN dfq >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             round(CAST(sum(CASE WHEN dfq >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS boiler_frac
+      FROM grams JOIN cnt USING (source, gram)
+      GROUP BY doc_id, source
+    )
+    SELECT d.doc_id, d.source,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_boiler, 0) AS n_boiler,
+           p.boiler_frac
+    FROM documents d LEFT JOIN per p USING (doc_id, source)
+    """,
+)
+def curation_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate fraction: trigrams shared by ≥3 documents
+    of the same source are site chrome; per doc, the fraction of its
+    distinct trigrams that are boilerplate (operators/curation.py
+    boilerplate_ngrams)."""
+    from rheoceros_spark.operators.curation import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        load_table(spark, sf_dir, "documents"), n=3, min_docs=3
+    )
+
+
+@q(
+    "text_tfidf_terms",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOK}) AS token
+      FROM documents WHERE doc_id IS NOT NULL
+    ), tk2 AS (
+      SELECT doc_id, token FROM tk WHERE token <> ''
+    ), pdt AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tk2 GROUP BY doc_id, token
+    ), dfq AS (
+      SELECT token, CAST(count(*) AS DOUBLE) AS dfv FROM pdt GROUP BY token
+    ), nd AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n
+      FROM documents WHERE doc_id IS NOT NULL
+    ), sc AS (
+      SELECT doc_id, token, tf,
+             tf * CAST(round(ln(n / dfv) * 1e7) AS BIGINT) AS sq
+      FROM pdt JOIN dfq USING (token), nd
+    ), ranked AS (
+      SELECT doc_id, token, tf, sq,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY sq DESC, token ASC
+             ) AS term_rank
+      FROM sc
+    )
+    SELECT doc_id, token, tf, CAST(sq AS DOUBLE) / 1e7 AS score,
+           CAST(term_rank AS BIGINT) AS term_rank
+    FROM ranked WHERE term_rank <= 3
+    """,
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document, integer-quantized IDF and
+    WindowGroupLimit top-k (operators/text_analysis.py
+    tfidf_topk_terms)."""
+    from rheoceros_spark.operators.text_analysis import tfidf_topk_terms
+
+    return tfidf_topk_terms(load_table(spark, sf_dir, "documents"), k=3).select(
+        "doc_id", "token", "tf", "score",
+        F.col("term_rank").cast("bigint").alias("term_rank"),
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -3081,7 +3265,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: scripts/check_oracle.py.
 _HEAD = [
     # new in round 6 — never certified, enter the window first
-    # (none yet; prepend here)
+    "curation_domain_cap",
+    "curation_group_split",
+    "curation_negative_samples",
+    "curation_boilerplate",
+    "text_tfidf_terms",
     # certified in r04, rotating back in so r05 ∪ r06 stays total
     "events_tumbling_daily",
     "events_sliding_2day",

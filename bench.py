@@ -111,6 +111,11 @@ BENCH_EXT = [
     "events_funnel_3step",
     "events_cohort_retention",
     "dedup_embedding_blocked",
+    "curation_domain_cap",
+    "curation_group_split",
+    "curation_negative_samples",
+    "curation_boilerplate",
+    "text_tfidf_terms",
 ]
 
 

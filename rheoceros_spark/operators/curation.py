@@ -847,3 +847,209 @@ def gumbel_topk_resample(
             (F.col("__key_q").cast("double") / F.lit(1e7)).alias("gumbel_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus shaping: per-domain caps, leakage-safe splits, negative mining,
+# per-source boilerplate
+# ---------------------------------------------------------------------------
+
+def domain_cap(
+    df: DataFrame,
+    source_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``cap`` documents per
+    ``source_col``, chosen by seeded-hash order — the RefinedWeb /
+    CCNet defense against a single domain (spam farms, auto-generated
+    mirrors) dominating the training mix.
+
+    The kept subset is deterministic and epoch-independent: rank within
+    each source by the portable hash of the id (``seed`` reshuffles),
+    so re-runs, retries, and incremental rebuilds all keep the same
+    documents.  Returns the surviving rows plus their ``src_rank``.
+
+    Scale shape: the ``row_number() <= cap`` filter sits directly above
+    its window, which Spark rewrites into ``WindowGroupLimit`` — each
+    map task keeps a per-source top-``cap`` heap BEFORE the exchange,
+    so the shuffle carries O(sources × cap × tasks) rows instead of the
+    corpus, and the reduce side never full-sorts a mega-domain
+    (plan-gated by tests/test_plan_quality.py).
+    """
+    if cap < 1:
+        raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
+    w = Window.partitionBy(source_col).orderBy(
+        h64(F.col(id_col).cast("string"), seed=seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("src_rank", F.row_number().over(w))
+        .where(F.col("src_rank") <= cap)
+    )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str = "source",
+    splits: Sequence[tuple] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row of a group
+    (domain, author, near-dup cluster id, …) lands in the SAME split,
+    so templated or near-duplicate documents cannot straddle the
+    train/eval boundary — the standard guard against split
+    contamination when row-level random splits leak via duplicates.
+
+    The group's hash bucket (portable ``h64 % 1e6``) is compared
+    against cumulative fraction thresholds; assignment is a pure
+    projection — zero shuffle, reproducible across engines and runs,
+    and adding rows to a group never moves the group (stable under
+    incremental ingest).  Fractions must sum to 1.
+    """
+    total = sum(fr for _, fr in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"group_split: fractions must sum to 1, got {total}")
+    bucket = _bucket(F.col(group_col), seed)
+    expr = F.lit(splits[-1][0])  # remainder bucket absorbs rounding
+    cum = 0.0
+    cases = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        cases.append((int(round(cum * SAMPLE_BUCKETS)), name))
+    for threshold, name in reversed(cases):
+        expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def negative_samples(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    query_id_col: str = "query_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic random negative mining for contrastive /
+    retrieval training: for each query document, pick ``k``
+    pseudo-random corpus documents from a DIFFERENT source (so
+    "negatives" are never same-site near-positives).
+
+    Sampling is bucketed so no crossJoin of query × corpus ever forms:
+    each corpus doc hashes into one of ``n_buckets`` pools, each query
+    probes exactly one pool (an equi-join on the bucket id), and the
+    per-query ranking hash picks ``k`` winners from that ~1/n_buckets
+    hash-sample of the corpus.  ``n_buckets`` is the pool-size knob: at
+    100 TB set it so a pool is ~10-100k docs (corpus_docs / n_buckets);
+    candidates scanned are |queries| × pool, never |queries| × corpus.
+
+    The ``row_number() <= k`` filter sits directly above its window →
+    ``WindowGroupLimit`` keeps a map-side top-k heap per query, so the
+    final shuffle carries O(queries × k) rows.  Everything is
+    hash-derived: the same (seed, corpus, queries) always yields the
+    same pairs, and a retry of one partition cannot change another's.
+
+    Returns (query_id, neg_id, neg_source, neg_rank).
+    """
+    if k < 1 or n_buckets < 1:
+        raise ValueError(f"negative_samples: k and n_buckets must be >= 1")
+    cand = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(source_col).alias("neg_source"),
+        (h64(F.col(id_col).cast("string"), seed=seed) % n_buckets).alias("__b"),
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(source_col).alias("__qsrc"),
+        (h64(F.col(query_id_col).cast("string"), seed=seed + 1) % n_buckets).alias("__b"),
+    )
+    joined = cand.join(probes, "__b").where(F.col("neg_source") != F.col("__qsrc"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        h64(
+            F.concat_ws(":", F.col(query_id_col).cast("string"), F.col("neg_id").cast("string")),
+            seed=seed + 2,
+        ),
+        F.col("neg_id"),
+    )
+    return (
+        joined.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select(query_id_col, "neg_id", "neg_source", "neg_rank")
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source boilerplate measurement: an n-gram is *boilerplate*
+    when it appears in ≥ ``min_docs`` distinct documents of the SAME
+    source — site chrome, navigation, license banners, template
+    headers.  Per document, returns how much of its distinct n-gram
+    vocabulary is source-boilerplate: the line-dedup signal CCNet /
+    trafilatura-style cleaners act on, grouped by origin because
+    boilerplate is a property of the site, not the corpus.
+
+    Scale shape: within-doc dedup is ``array_distinct`` BEFORE the
+    explode (row-local, no shuffle), so the exploded stream is one row
+    per (doc, distinct n-gram) — document-frequency counting is then a
+    plain map-side-combined ``groupBy(source, gram)`` count with no
+    count-distinct.  The boilerplate join is an equi-join on
+    (source, gram) — AQE skew-split applies when one template gram
+    covers a whole mega-site (a window over the gram partition would
+    serialize it onto one task).  No pair of documents is ever
+    compared; the whole operator is corpus-linear.
+
+    Returns (id, source, n_grams, n_boiler, boiler_frac); documents
+    with fewer than ``n`` tokens have ``n_grams = 0`` and NULL frac.
+    """
+    if n < 1 or min_docs < 2:
+        raise ValueError(
+            f"boilerplate_ngrams: need n >= 1 and min_docs >= 2, got {n}, {min_docs}"
+        )
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    stream = (
+        ensure_parallelism(df.select(id_col, source_col, text_col))
+        .where(F.col(id_col).isNotNull())
+        .select(
+            id_col,
+            source_col,
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+            ).alias("gram"),
+        )
+    )
+    counts = stream.groupBy(source_col, "gram").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    boiler = counts.where(F.col("__df") >= min_docs).select(
+        source_col, "gram", F.lit(1).alias("__is_boiler")
+    )
+    flagged = stream.join(boiler, [source_col, "gram"], "left")
+    per_doc = flagged.groupBy(id_col, source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.coalesce(F.col("__is_boiler"), F.lit(0))).cast("bigint").alias("n_boiler"),
+    )
+    return (
+        df.select(id_col, source_col)
+        .join(per_doc, [id_col, source_col], "left")
+        .select(
+            id_col,
+            source_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.round(
+                    F.col("n_boiler").cast("double") / F.col("n_grams").cast("double"), 6
+                ),
+            ).alias("boiler_frac"),
+        )
+    )

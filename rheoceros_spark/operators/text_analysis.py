@@ -9,7 +9,7 @@ scale, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rheoceros_spark.functions.portable import (
@@ -456,5 +456,80 @@ def bm25_topk(
             # rows) splits between HALF_UP and half-even
             (F.col("__score_q").cast("double") / F.lit(1e7)).alias("score"),
             F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by TF-IDF
+    (``tf(t,d) · ln(N / df(t))``) — the classic salience signal used
+    for corpus topic inspection, near-dup triage ("what is this cluster
+    about"), and cheap doc tagging before anything embedding-based.
+
+    Scale shape (wordcount-shaped, corpus-linear):
+
+    * explode → per-(doc, term) counts; the document-frequency table
+      aggregates FROM that same exchange (the unigram_nll trick), so
+      the corpus is tokenized once and the token-level shuffle feeds
+      both consumers;
+    * ``N`` comes from a narrow no-explode count pass, never a collect;
+    * the df(term) join is an equi-join on the term — AQE skew-split
+      handles stopword terms that appear in most of the corpus;
+    * the ``row_number() <= k`` filter sits directly above its window →
+      ``WindowGroupLimit`` keeps a map-side per-doc top-k heap, so the
+      final per-doc rank shuffles O(docs × k) rows, not every (doc,
+      term) pair.
+
+    Determinism: the IDF factor is quantized to an integer 1e-7 grid
+    before the tf multiply (absorbing last-ulp ``ln`` divergence across
+    libm builds), and rank ties break on ascending term — bit-identical
+    across engines.  Returns (id, token, tf, score, term_rank);
+    documents with no tokens produce no rows.
+    """
+    if k < 1:
+        raise ValueError(f"tfidf_topk_terms: k must be >= 1, got {k}")
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    base = ensure_parallelism(
+        df.where(F.col(id_col).isNotNull()).select(id_col, text_col)
+    )
+    toks = base.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    per_doc_tok = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    doc_freq = per_doc_tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    n_docs = base.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        per_doc_tok.join(doc_freq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("token"),
+            F.col("tf"),
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("__n") / F.col("__df")) * F.lit(1e7)).cast("bigint")
+            ).alias("__sq"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sq").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(
+            id_col,
+            "token",
+            "tf",
+            (F.col("__sq").cast("double") / F.lit(1e7)).alias("score"),
+            "term_rank",
         )
     )

@@ -463,3 +463,147 @@ class TestSemanticContamination:
                                    "vec_id long, embedding array<float>")
         with pytest.raises(ValueError, match="threshold"):
             semantic_contamination(df, df, threshold=1.5)
+
+
+# ---------------------------------------------------------------------------
+# round 6: corpus shaping — domain caps, splits, negatives, boilerplate
+# ---------------------------------------------------------------------------
+
+def _sourced(spark, n, n_sources):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % n_sources).cast("string")).alias("source"),
+    )
+
+
+class TestDomainCap:
+    def test_cap_enforced_and_deterministic(self, spark):
+        from rheoceros_spark.operators import domain_cap
+
+        df = _sourced(spark, 300, 3)  # 100 docs per source
+        out = domain_cap(df, cap=10).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.source, []).append(r.doc_id)
+        assert set(per) == {"src0", "src1", "src2"}
+        assert all(len(v) == 10 for v in per.values())
+        again = domain_cap(df, cap=10).collect()
+        assert sorted((r.source, r.doc_id) for r in out) == sorted(
+            (r.source, r.doc_id) for r in again
+        )
+
+    def test_cap_subset_monotone_and_seed_reshuffles(self, spark):
+        from rheoceros_spark.operators import domain_cap
+
+        df = _sourced(spark, 200, 2)
+        keep5 = {r.doc_id for r in domain_cap(df, cap=5).collect()}
+        keep20 = {r.doc_id for r in domain_cap(df, cap=20).collect()}
+        assert keep5 <= keep20  # same hash order => prefix property
+        other = {r.doc_id for r in domain_cap(df, cap=5, seed=7).collect()}
+        assert other != keep5
+
+    def test_small_domains_survive_whole(self, spark):
+        from rheoceros_spark.operators import domain_cap
+
+        df = _sourced(spark, 9, 3)  # 3 docs per source, cap above size
+        assert domain_cap(df, cap=10).count() == 9
+
+    def test_rejects_bad_cap(self, spark):
+        from rheoceros_spark.operators import domain_cap
+
+        with pytest.raises(ValueError, match="cap"):
+            domain_cap(_sourced(spark, 4, 2), cap=0)
+
+
+class TestGroupSplit:
+    def test_groups_never_straddle(self, spark):
+        from rheoceros_spark.operators import group_split
+
+        df = _sourced(spark, 1000, 40)
+        out = group_split(df).collect()
+        per_group = {}
+        for r in out:
+            per_group.setdefault(r.source, set()).add(r.split)
+        assert all(len(s) == 1 for s in per_group.values()), "a group straddled splits"
+        assert {r.split for r in out} <= {"train", "val", "test"}
+
+    def test_fractions_roughly_honored(self, spark):
+        from rheoceros_spark.operators import group_split
+
+        # many tiny groups => group-level buckets approach the fractions
+        df = _sourced(spark, 5000, 5000)
+        counts = {
+            r["split"]: r["n"]
+            for r in group_split(df, splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+            .groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert 0.7 < counts.get("train", 0) / 5000 < 0.9
+        assert 0.05 < counts.get("val", 0) / 5000 < 0.15
+        assert 0.05 < counts.get("test", 0) / 5000 < 0.15
+
+    def test_stable_under_new_rows(self, spark):
+        from rheoceros_spark.operators import group_split
+
+        small = _sourced(spark, 100, 10)
+        grown = _sourced(spark, 200, 10)  # same groups, more rows
+        a = {r.source: r.split for r in group_split(small).collect()}
+        b = {r.source: r.split for r in group_split(grown).collect()}
+        assert a == {g: b[g] for g in a}  # adding rows never moves a group
+
+    def test_rejects_bad_fractions(self, spark):
+        from rheoceros_spark.operators import group_split
+
+        with pytest.raises(ValueError, match="sum to 1"):
+            group_split(_sourced(spark, 4, 2), splits=(("train", 0.5), ("val", 0.1)))
+
+
+class TestNegativeSamples:
+    def test_k_negatives_never_same_source(self, spark):
+        from rheoceros_spark.operators import negative_samples
+
+        corpus = _sourced(spark, 400, 4)
+        qry = corpus.where(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("query_id"), "source"
+        )
+        out = negative_samples(corpus, qry, k=3, n_buckets=4).collect()
+        by_q = {}
+        src = {r.doc_id: r.source for r in corpus.collect()}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+            assert r.neg_source != src[r.query_id]
+        assert all(len(v) == 3 for v in by_q.values())
+        assert all(sorted(x.neg_rank for x in v) == [1, 2, 3] for v in by_q.values())
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from rheoceros_spark.operators import negative_samples
+
+        corpus = _sourced(spark, 200, 4)
+        qry = corpus.limit(5).select(F.col("doc_id").alias("query_id"), "source")
+        a = sorted((r.query_id, r.neg_id) for r in negative_samples(corpus, qry, k=2).collect())
+        b = sorted((r.query_id, r.neg_id) for r in negative_samples(corpus, qry, k=2).collect())
+        c = sorted((r.query_id, r.neg_id) for r in negative_samples(corpus, qry, k=2, seed=9).collect())
+        assert a == b
+        assert a != c
+
+
+class TestBoilerplateNgrams:
+    def test_template_grams_flagged_per_source(self, spark):
+        from rheoceros_spark.operators import boilerplate_ngrams
+
+        chrome = "copyright acme corp all rights reserved"
+        rows = [(i, f"{chrome} unique words {i} here now", "siteA") for i in range(5)]
+        rows += [(10, "totally different text entirely", "siteB")]
+        # same chrome on siteB only once -> NOT boilerplate there
+        rows += [(11, f"{chrome} single occurrence", "siteB")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        out = {r.doc_id: r for r in boilerplate_ngrams(df, n=3, min_docs=3).collect()}
+        assert all(out[i].n_boiler > 0 for i in range(5)), "siteA chrome missed"
+        assert out[10].n_boiler == 0 and out[11].n_boiler == 0, "cross-source leak"
+        assert all(0 <= out[i].boiler_frac <= 1 for i in range(5))
+
+    def test_rejects_bad_params(self, spark):
+        from rheoceros_spark.operators import boilerplate_ngrams
+
+        df = spark.createDataFrame([(1, "a b c", "s")], "doc_id bigint, text string, source string")
+        with pytest.raises(ValueError, match="min_docs"):
+            boilerplate_ngrams(df, min_docs=1)

@@ -732,3 +732,21 @@ class TestIvfAppend:
         ivf_write(emb, path, n_centroids=8)
         with pytest.raises(ValueError, match="must carry the index's columns"):
             ivf_append(spark, emb.withColumnRenamed("embedding", "vec"), path)
+
+
+def test_tfidf_topk_terms_ranks_rare_terms(spark):
+    from rheoceros_spark.operators import tfidf_topk_terms
+
+    rows = [
+        (1, "common common common rareword"),
+        (2, "common other words here"),
+        (3, "common more filler text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = tfidf_topk_terms(df, k=2).collect()
+    d1 = sorted([r for r in out if r.doc_id == 1], key=lambda r: r.term_rank)
+    # 'common' appears in every doc -> idf = ln(1) = 0; 'rareword' wins
+    assert d1[0].token == "rareword" and d1[0].score > 0
+    assert all(r.term_rank <= 2 for r in out)
+    ranks = {(r.doc_id, r.term_rank) for r in out}
+    assert len(ranks) == len(out)  # ranks are dense and unique per doc

@@ -270,3 +270,46 @@ class TestRound5PlanShapes:
         # the scoring join
         assert "BroadcastHashJoin" in plan
         assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
+
+
+class TestRound6PlanShapes:
+    """Plan gates for the round-6 corpus-shaping operators."""
+
+    def test_domain_cap_uses_window_group_limit(self, spark, sf):
+        # rank-filter above the window => map-side top-cap heap per
+        # source BEFORE the exchange; without it a mega-domain full-sorts
+        df = entry.queries()["curation_domain_cap"](spark, sf)
+        plan = physical_plan(df)
+        assert "WindowGroupLimit" in plan
+        assert plan.count("Exchange hashpartitioning") <= 1
+
+    def test_negative_samples_no_crossjoin_and_group_limit(self, spark, sf):
+        df = entry.queries()["curation_negative_samples"](spark, sf)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan and "CrossJoin" not in plan
+        assert "WindowGroupLimit" in plan
+
+    def test_tfidf_group_limit_and_exchange_reuse(self, spark, sf):
+        df = entry.queries()["text_tfidf_terms"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        assert "WindowGroupLimit" in plan
+        # df(term) aggregates FROM the per-(doc,term) exchange — the
+        # corpus is tokenized once (the unigram_nll trick)
+        assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
+
+    def test_group_split_is_shuffle_free(self, spark, sf):
+        df = entry.queries()["curation_group_split"](spark, sf)
+        plan = physical_plan(df)
+        assert "Exchange" not in plan, "split assignment must be a pure projection"
+
+    def test_boilerplate_no_pairwise_join(self, spark, sf):
+        df = entry.queries()["curation_boilerplate"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        # within-doc dedup is array_distinct (row-local): the exploded
+        # stream aggregates with a plain count, never a count-distinct
+        assert "distinct" not in plan.split("== Initial Plan ==")[0].lower().replace(
+            "array_distinct", ""
+        )
