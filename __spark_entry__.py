@@ -2994,8 +2994,11 @@ _DSIR_CTES = f"""tgt AS (
              ) * 1e7) AS BIGINT) AS lr
       FROM tc FULL JOIN rc USING (bkt), tt, rt
     ), scored AS (
+      -- NOT re-rounded to 6dp: integer sum / 1e7 is bit-identical on
+      -- both engines, while round() at a decimal half-way point splits
+      -- between BigDecimal HALF_UP (Spark) and double rounding (here)
       SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
-             round(CAST(sum(n * lr) AS DOUBLE) / 1e7, 6) AS dsir_logw
+             CAST(sum(n * lr) AS DOUBLE) / 1e7 AS dsir_logw
       FROM pd JOIN model USING (bkt) GROUP BY doc_id
     )"""
 
@@ -3270,6 +3273,11 @@ _HEAD = [
     "curation_negative_samples",
     "curation_boilerplate",
     "text_tfidf_terms",
+    # re-enter the window: dsir_logw is no longer 6dp-re-rounded (the
+    # sf1 half-way-boundary fix) — the official rows must re-certify
+    # the new values, not ride r05's
+    "curation_dsir_weights",
+    "curation_dsir_resample",
     # certified in r04, rotating back in so r05 ∪ r06 stays total
     "events_tumbling_daily",
     "events_sliding_2day",

@@ -775,9 +775,14 @@ def dsir_weights(
     )
     scored = per_doc.join(F.broadcast(model), "bkt").groupBy(id_col).agg(
         F.sum("__n").cast("bigint").alias("n_feats"),
-        F.round(
-            F.sum(F.col("__n") * F.col("__lr")).cast("double") / F.lit(1e7), 6
-        ).alias("dsir_logw"),
+        # NOT re-rounded to 6dp: the integer sum / 1e7 is the same IEEE
+        # division on every engine (identical bits), while a round() at
+        # a decimal half-way point splits between Java's BigDecimal
+        # HALF_UP and DuckDB's double rounding — one sf1 row (quantized
+        # sum ...2599255) landed exactly on that boundary
+        (F.sum(F.col("__n") * F.col("__lr")).cast("double") / F.lit(1e7)).alias(
+            "dsir_logw"
+        ),
     )
     return (
         raw.select(F.col(id_col))

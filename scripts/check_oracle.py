@@ -75,8 +75,17 @@ def main():
         extra_confs={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
     )
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written dataset directory → glob the part files
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'")
+        elif os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        # missing tables are skipped: synthetic scale dirs (e.g. the sf1
+        # stability corpus) carry only the tables under test
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = [n for n in qs if not only or n in only]

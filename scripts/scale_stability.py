@@ -1,151 +1,157 @@
-"""Scale-stability probe: run the heavy corpus operators at sf0.1 AND
-at a 10x corpus ("sf1"), assert ~linear wall-time growth, and stage a
-directory the DuckDB oracle harness can re-hash at the larger scale.
+"""sf0.1 → sf1 scale-stability probe for the heavy corpus operators.
 
-The 10x corpus is derived deterministically from the driver's sf0.1
-``documents`` table (TESTDATA.md inputs only — no synthetic rows):
-replica k offsets doc_id by k * 1_000_000 and prefixes every
-non-initial token with ``k<k>q`` so replica shingle/token sets are
-DISJOINT.  That keeps the near-dup structure per replica identical to
-sf0.1 while content grows 10x — the corpus-linear shape the operators
-claim.  A plain 10x copy would instead make every doc a 10-way exact
-dup and grow pair output quadratically in replicas, measuring the
-DATA's pathology rather than the engine's scaling.
+Synthesizes a 10× corpus (sf1-equivalent, 50k documents) from
+/root/testdata/sf0.1 by replicating every document 10 times with a
+DISJOINT token space per replica (every token gets a ``#r`` suffix and
+doc_ids shift by 100000·r).  Disjoint vocabularies keep the duplicate-
+pair/boilerplate structure of each replica identical to sf0.1, so a
+corpus-linear operator must grow ≈10× in output and ≈linearly in wall
+time — replicating the text verbatim instead would make every replica a
+near-dup of every other and the PAIR count (the honest output of dedup)
+would grow 100×, conflating operator scaling with workload scaling.
 
-Usage:
-  python scripts/scale_stability.py [--build-only]
+Two checks per operator:
+  * wall-time growth ratio at 10× data (min of N timed runs, noop sink)
+    — flags anything super-linear (quadratic candidate generation,
+    driver-side collects, broadcast of corpus-sized state);
+  * the DuckDB oracle re-run at sf1 via scripts/check_oracle.py for the
+    linear-oracle queries — determinism (integer quantization, ordered
+    folds, portable hashing) must hold as AQE re-plans at 10× the data.
 
-Outputs one JSON line:
-  {"ops": {name: {"sf01_sec": s, "sf1_sec": s, "growth": r}}, ...}
-
-Then re-hash the non-quadratic set at sf1 with:
-  python scripts/check_oracle.py /tmp/scale_sf1 dedup_substring_spans \
-      text_bm25_topk curation_dsir_weights text_unigram_nll text_repetition
+Usage: python scripts/scale_stability.py [--skip-oracle]
+Prints one JSON line with per-operator sf0.1/sf1 seconds + ratios.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+import __spark_entry__ as entrymod  # noqa: E402
+from rheoceros_spark.session import get_session  # noqa: E402
+from rheoceros_spark.sources.io import load_table  # noqa: E402
+
 SF01 = "/root/testdata/sf0.1"
-SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scale_sf1")
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 REPLICAS = 10
-ID_OFFSET = 1_000_000
+ID_STRIDE = 100_000
+
+#: heavy text/corpus operators (documents-table inputs only)
+HEAVIES = [
+    "dedup_substring_spans",
+    "text_bm25_topk",
+    "curation_dsir_weights",
+    "curation_boilerplate",
+    "text_tfidf_terms",
+    "text_unigram_nll",
+    "dedup_exact_docs",
+]
+#: bench-only scalable dedup variants (not in queries(); timed here too)
+SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
+#: subset whose DuckDB oracles are corpus-linear → safe to re-hash at sf1
+ORACLE_AT_SF1 = [
+    "dedup_substring_spans",
+    "text_bm25_topk",
+    "curation_dsir_weights",
+    "curation_boilerplate",
+    "text_tfidf_terms",
+    "text_unigram_nll",
+]
 
 
-def build_sf1(spark) -> None:
+def synthesize(spark) -> None:
+    if os.path.isdir(f"{SF1}/documents.parquet"):
+        return
     os.makedirs(SF1, exist_ok=True)
-    docs = spark.read.parquet(f"{SF01}/documents.parquet")
-    parts = []
-    for k in range(REPLICAS):
-        r = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * ID_OFFSET))
-        if k > 0:
-            r = r.withColumn(
-                "text", F.regexp_replace(F.col("text"), " ", f" k{k}q")
-            ).withColumn("n_chars", F.length("text").cast("long"))
-        parts.append(r.select("doc_id", "text", "lang", "source", "n_chars"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(32).write.mode("overwrite").parquet(f"{SF1}/documents.tmp")
-    # the loaders expect {dir}/documents.parquet; keep the written dir
-    import shutil
-
-    final = f"{SF1}/documents.parquet"
-    if os.path.islink(final) or os.path.isfile(final):
-        os.remove(final)
-    elif os.path.isdir(final):
-        shutil.rmtree(final)
-    os.rename(f"{SF1}/documents.tmp", final)
-    # other tables: symlink the sf0.1 parquet so any query runs here
-    for t in (
-        "region nation customer supplier part orders lineitem events embeddings"
-    ).split():
-        link = f"{SF1}/{t}.parquet"
-        if not os.path.exists(link):
-            os.symlink(f"{SF01}/{t}.parquet", link)
+    docs = load_table(spark, SF01, "documents")
+    reps = (
+        docs.crossJoin(
+            F.broadcast(
+                spark.range(REPLICAS).select(F.col("id").cast("int").alias("__r"))
+            )
+        )
+        .select(
+            (F.col("doc_id") + F.col("__r").cast("bigint") * ID_STRIDE).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit("#"), F.col("__r").cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            F.concat(F.col("source"), F.lit("#"), F.col("__r").cast("string")).alias(
+                "source"
+            ),
+            "n_chars",
+        )
+    )
+    reps.repartition(32).write.mode("overwrite").parquet(f"{SF1}/documents.parquet")
 
 
-def heavy_ops(queries):
-    from rheoceros_spark.operators import minhash_lsh_pairs, simhash_pairs
-    from rheoceros_spark.sources.io import load_table
-
-    return {
-        "dedup_minhash_lsh_scalable": lambda s, d: minhash_lsh_pairs(
-            load_table(s, d, "documents"), threshold=0.5
-        ),
-        "dedup_simhash_scalable": lambda s, d: simhash_pairs(
-            load_table(s, d, "documents"), max_hamming=3
-        ),
-        "dedup_substring_spans": queries["dedup_substring_spans"],
-        "text_bm25_topk": queries["text_bm25_topk"],
-        "curation_dsir_weights": queries["curation_dsir_weights"],
-        "text_unigram_nll": queries["text_unigram_nll"],
-        "text_repetition": queries["text_repetition"],
-    }
+def run_once(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
-    from rheoceros_spark.session import get_session
-
-    import __spark_entry__ as entrymod
-
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    skip_oracle = "--skip-oracle" in sys.argv
     spark = get_session(
         "scale_stability",
-        master=f"local[{cpus}]",
-        shuffle_partitions=max(int(cpus) * 2, 32) if cpus.isdigit() else 64,
-        extra_confs={"spark.ui.enabled": "false", "spark.driver.memory": "48g"},
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_confs={"spark.ui.enabled": "false"},
     )
-    build_sf1(spark)
-    if "--build-only" in sys.argv:
-        print(json.dumps({"built": SF1}))
-        return
+    synthesize(spark)
 
-    ops = heavy_ops(entrymod.queries())
+    from rheoceros_spark.operators import minhash_lsh_pairs, simhash_pairs
 
-    def run(fn, d):
-        fn(spark, d).write.format("noop").mode("overwrite").save()
+    def scalable(name, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        if name == "dedup_minhash_lsh_scalable":
+            return minhash_lsh_pairs(docs, threshold=0.5)
+        return simhash_pairs(docs, max_hamming=3)
 
-    # warm codegen at the smallest SF (same rationale as bench.py)
-    for fn in ops.values():
-        try:
-            run(fn, "/root/testdata/sf0.001")
-        except Exception:
-            pass
-
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    queries = entrymod.queries()
+    iters = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "2"))
     results: dict[str, dict] = {}
-    for name, fn in ops.items():
-        per = {}
-        for label, d in (("sf01_sec", SF01), ("sf1_sec", SF1)):
+    for name in HEAVIES + SCALABLE:
+        fn = (lambda s, d, _n=name: scalable(_n, d)) if name in SCALABLE else queries[name]
+        # warm the per-plan codegen at the small sf, untimed
+        run_once(fn(spark, "/root/testdata/sf0.001"))
+        t = {}
+        for sf_name, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
             best = None
             for _ in range(iters):
                 t0 = time.time()
-                run(fn, d)
+                run_once(fn(spark, sf_dir))
                 el = time.time() - t0
                 best = el if best is None or el < best else best
-            per[label] = round(best, 3)
-        per["growth"] = round(per["sf1_sec"] / max(per["sf01_sec"], 1e-9), 2)
-        results[name] = per
-        print(f"# {name}: {per}", file=sys.stderr)
+            t[sf_name] = round(best, 3)
+        t["ratio"] = round(t["sf1"] / t["sf0.1"], 2)
+        results[name] = t
+        print(f"{name}: {t}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "scale_stability_10x",
-                "replicas": REPLICAS,
-                "ops": results,
-            }
+    oracle = {}
+    if not skip_oracle:
+        proc = subprocess.run(
+            [sys.executable, "scripts/check_oracle.py", SF1, *ORACLE_AT_SF1],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
-    )
+        tail = proc.stdout.strip().splitlines()
+        oracle = {"rc": proc.returncode, "summary": tail[-1] if tail else ""}
+        print(proc.stdout, file=sys.stderr)
+
+    print(json.dumps({"metric": "scale_stability", "replicas": REPLICAS,
+                      "timings": results, "oracle_sf1": oracle}))
 
 
 if __name__ == "__main__":

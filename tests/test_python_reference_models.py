@@ -164,7 +164,10 @@ def _py_dsir(raw, target, n_buckets):
                 (rc.get(b, 0) + 1) / (R + n_buckets)
             )
             total_q += cnt * _round_int(lr * 1e7)
-        out[i] = (sum(buckets.values()), _round6(total_q / 1e7))
+        # not re-rounded to 6dp — mirrors the operator (integer sum /
+        # 1e7 is bit-identical everywhere; a decimal re-round splits
+        # engines at half-way points, caught by the sf1 hash gate)
+        out[i] = (sum(buckets.values()), total_q / 1e7)
     return out
 
 
