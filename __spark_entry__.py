@@ -3248,6 +3248,139 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# k-means codebook training, KL drift, dedup keep-list (round 6 depth)
+# ===========================================================================
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """Lloyd k-means in pure SQL: hash-sampled seeds, then ``iters``
+    assign→update rounds with 1e-7-grid quantized component means (the
+    determinism contract of operators/similarity.py kmeans_refine)."""
+    seeds = f"""
+    SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM emb ORDER BY {_H64.format(s="CAST(vec_id AS VARCHAR)")}, vec_id LIMIT {k}
+    """
+    ctes = [f"emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IS NOT NULL)",
+            f"c0 AS ({seeds})"]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        a, m, c = f"a{i}", f"m{i}", f"c{i}"
+        ctes.append(f"""{a} AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+        FROM emb e, {prev} c
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""{m} AS (
+      SELECT cell, list(mean ORDER BY pos) AS cv_new FROM (
+        SELECT cell, pos,
+               CAST(sum(CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1e7) AS BIGINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1e7) AS mean
+        FROM {a} CROSS JOIN (SELECT unnest(range(0, 64)) AS pos)
+        GROUP BY cell, pos
+      ) GROUP BY cell
+    )""")
+        ctes.append(f"""{c} AS (
+      SELECT p.cid, coalesce(m.cv_new, p.cv) AS cv
+      FROM {prev} p LEFT JOIN {m} m ON p.cid = m.cell
+    )""")
+        prev = c
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT vec_id, cid AS cell FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM emb e, {prev} c
+    ) WHERE rn = 1
+    """
+
+
+@q("ann_kmeans_refine", oracle=_kmeans_oracle())
+def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 2 rounds): hash-sampled seeds →
+    broadcast-assign (max_by argmax) → quantized component-mean update —
+    the codebook trainer behind IVF/PQ (operators/similarity.py
+    kmeans_refine).  An *iterative float* algorithm made bit-exact
+    across engines via 1e-7 integer-grid means."""
+    from rheoceros_spark.operators.similarity import kmeans_refine
+
+    return kmeans_refine(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+@q(
+    "text_source_kl",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, unnest({_TOK}) AS token FROM documents
+      WHERE source IS NOT NULL
+    ), tk2 AS (
+      SELECT source, token FROM tk WHERE token <> ''
+    ), ps AS (
+      SELECT source, token, count(*) AS cst FROM tk2 GROUP BY source, token
+    ), ct AS (
+      SELECT token, CAST(sum(cst) AS BIGINT) AS cct FROM ps GROUP BY token
+    ), st AS (
+      SELECT source, CAST(sum(cst) AS BIGINT) AS ns FROM ps GROUP BY source
+    ), g AS (
+      SELECT CAST(sum(cct) AS BIGINT) AS nc FROM ct
+    ), terms AS (
+      SELECT ps.source, st.ns,
+             ps.cst * CAST(round(ln(
+               (CAST(ps.cst AS DOUBLE) * CAST(g.nc AS DOUBLE))
+               / (CAST(ct.cct AS DOUBLE) * CAST(st.ns AS DOUBLE))
+             ) * 1e7) AS BIGINT) AS tq
+      FROM ps JOIN ct USING (token) JOIN st USING (source), g
+    )
+    SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+           CAST(sum(tq) AS DOUBLE) / (1e7 * CAST(max(ns) AS DOUBLE)) AS kl
+    FROM terms GROUP BY source
+    """,
+)
+def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(source ‖ corpus) token-distribution drift —
+    corpus monitoring for spammy/shifted sources
+    (operators/text_analysis.py source_kl_drift)."""
+    from rheoceros_spark.operators.text_analysis import source_kl_drift
+
+    return source_kl_drift(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS keep_id,
+           coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS is_dup
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+    """,
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actionable dedup output: per document, the minhash-cluster
+    representative to keep and the purge flag (operators/curation.py
+    dedup_keep_list — pairs → auto-escalating CC → corpus left join)."""
+    from rheoceros_spark.operators.curation import dedup_keep_list as keep_list
+    from rheoceros_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keep_list(docs, minhash_lsh_pairs(docs, threshold=0.5))
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -3273,6 +3406,9 @@ _HEAD = [
     "curation_negative_samples",
     "curation_boilerplate",
     "text_tfidf_terms",
+    "ann_kmeans_refine",
+    "text_source_kl",
+    "dedup_keep_list",
     # re-enter the window: dsir_logw is no longer 6dp-re-rounded (the
     # sf1 half-way-boundary fix) — the official rows must re-certify
     # the new values, not ride r05's

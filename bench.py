@@ -116,6 +116,9 @@ BENCH_EXT = [
     "curation_negative_samples",
     "curation_boilerplate",
     "text_tfidf_terms",
+    "ann_kmeans_refine",
+    "text_source_kl",
+    "dedup_keep_list",
 ]
 
 

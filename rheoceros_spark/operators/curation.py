@@ -1058,3 +1058,38 @@ def boilerplate_ngrams(
             ).alias("boiler_frac"),
         )
     )
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """The actionable end of the dedup pipeline: one row per document
+    with its cluster representative (``keep_id``) and a ``is_dup``
+    purge flag — what a curation job actually filters on, rather than
+    raw pairs or cluster labels.
+
+    ``keep_id`` is the minimum doc id of the document's near-dup
+    component (itself when it appears in no pair), so exactly one
+    representative survives per cluster and re-runs always pick the
+    same one.  Composes any pair emitter (MinHash / SimHash / n-gram /
+    embedding LSH) → :func:`dup_clusters` (auto-escalating connected
+    components) → one left join back to the corpus on the id — the
+    corpus-sized side joins against a clustered-docs-sized table, never
+    pair-sized.
+    """
+    clusters = dup_clusters(pairs, a_col=a_col, b_col=b_col)
+    return (
+        df.select(F.col(id_col))
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("keep_id"),
+            (
+                F.coalesce(F.col("cluster_id"), F.col(id_col)) != F.col(id_col)
+            ).alias("is_dup"),
+        )
+    )

@@ -589,3 +589,98 @@ def ivf_append(spark, df: DataFrame, path: str) -> None:
         .partitionBy("cell")
         .parquet(path + "/cells")
     )
+
+
+def _kmeans_update(base, k, vec_col, id_col, cents):
+    """One Lloyd round: broadcast-assign, then component-mean update.
+
+    The update is a ``posexplode`` into (cell, pos, val) rows feeding a
+    plain hash aggregate — map-side combine collapses each task's
+    contribution to ≤ k×dim rows before the exchange, so per-cluster
+    vector state never concentrates on one task (a ``collect_list`` of
+    member vectors would).  Each component is quantized to the 1e-7
+    integer grid BEFORE the sum, so the aggregate commutes exactly and
+    the mean is one IEEE division — the refined centroids are
+    bit-identical across engines and partitionings, which is what makes
+    an *iterative float* algorithm oracle-checkable.  An empty cluster
+    keeps its previous centroid (left join + coalesce), the standard
+    Lloyd fallback."""
+    assigned = ivf_assign(base, k, vec_col, id_col, cents=cents)
+    comp = assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    means = (
+        comp.groupBy("cell", "pos")
+        .agg(
+            F.sum(
+                F.round(F.col("val").cast("double") * F.lit(1e7)).cast("bigint")
+            ).alias("__sq"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .select(
+            "cell",
+            "pos",
+            (
+                F.col("__sq").cast("double")
+                / (F.col("__cnt").cast("double") * F.lit(1e7))
+            ).alias("__mean"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__mean"))),
+                lambda s: s["__mean"],
+            ).alias("__cv_new")
+        )
+    )
+    return cents.join(means, cents["cid"] == means["cell"], "left").select(
+        "cid", F.coalesce(F.col("__cv_new"), F.col("cv")).alias("cv")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed Lloyd k-means training — the codebook trainer the
+    IVF / PQ docstrings defer to ("a production deployment trains
+    k-means offline"): start from the deterministic hash-sampled seeds
+    (:func:`ivf_centroids`) and run ``iters`` assign→update rounds.
+    Returns the trained ``(cid, cv)`` centroid table — drop-in for the
+    ``cents`` parameter of ``ivf_assign`` / ``ivf_write`` /
+    ``pq_codebook``.  Per round the ≤k-row centroid table broadcasts
+    into the argmax assignment (the :func:`ivf_assign` max_by shape —
+    the shuffle carries n rows, never the n×k crossJoin) and the
+    update aggregate is corpus-linear; see :func:`_kmeans_update` for
+    the determinism argument.  Ties in the argmax break to the lowest
+    centroid id."""
+    if k < 1 or iters < 0:
+        raise ValueError(f"kmeans_centroids: need k >= 1 and iters >= 0, got {k}, {iters}")
+    base = df.where(F.col(id_col).isNotNull()).select(id_col, vec_col)
+    if cents is None:
+        cents = ivf_centroids(base, k, vec_col, id_col)
+    for _ in range(iters):
+        cents = _kmeans_update(base, k, vec_col, id_col, cents)
+        if iters > 3:
+            # truncate the per-round lineage the way dup_clusters does;
+            # the centroid table is ≤ k rows so this is driver-cheap
+            cents = cents.localCheckpoint(eager=False)
+    return cents
+
+
+def kmeans_refine(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Final ``(id, cell)`` assignment under :func:`kmeans_centroids`'
+    trained codebook — the operator form of "train k-means, then
+    partition the corpus by cell" that IVF persistence consumes."""
+    base = df.where(F.col(id_col).isNotNull()).select(id_col, vec_col)
+    trained = kmeans_centroids(base, k, iters, vec_col, id_col, cents=cents)
+    return ivf_assign(base, k, vec_col, id_col, cents=trained).select(id_col, "cell")

@@ -533,3 +533,75 @@ def tfidf_topk_terms(
             "term_rank",
         )
     )
+
+
+def source_kl_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source token-distribution drift against the whole corpus:
+    ``KL(p_source ‖ p_corpus) = Σ_t p_s(t) · ln(p_s(t) / p_c(t))`` —
+    the corpus-monitoring signal that flags a source whose vocabulary
+    diverges from the mix (a crawl gone spammy, a template flood, a
+    language shift) without reading a single document by hand.
+
+    No smoothing is needed: the corpus is a superset of every source,
+    so ``p_c(t) > 0`` wherever ``p_s(t) > 0`` and every term is finite.
+
+    Scale shape (wordcount-shaped, corpus-linear): explode → one
+    map-side-combined ``groupBy(source, token)`` count; the corpus
+    token totals and per-source totals both aggregate FROM that same
+    per-(source, token) frame (vocab-sized, not corpus-sized), so the
+    corpus is tokenized exactly once.  The corpus-vocab join is an
+    equi-join on the token (AQE skew-split handles stopwords); the
+    grand total is a 1-row broadcast.
+
+    Determinism: each token's log-ratio is quantized to the 1e-7
+    integer grid before the per-source sum (exact in any order); the
+    final KL is one IEEE division, never re-rounded — bit-identical
+    across engines (the dsir_weights lesson).  The ratio is computed in
+    doubles, not a bigint cross-product, so ``c_st · N_corpus`` cannot
+    overflow at 100 TB token counts.
+
+    Returns one row per source: (source, n_tokens, kl).
+    """
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    # the explicit isnotnull(source) matters for plan reuse, not just
+    # semantics (the substring_spans lesson): the scoring join infers
+    # it on its branch while the corpus-totals branch would not, and
+    # that one-filter difference breaks exchange canonicalization —
+    # the corpus would then be tokenized twice.  NULL-source rows
+    # cannot belong to any source's distribution either way.
+    toks = (
+        ensure_parallelism(
+            df.where(F.col(source_col).isNotNull()).select(source_col, text_col)
+        )
+        .select(source_col, F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    per_src = toks.groupBy(source_col, "token").agg(
+        F.count(F.lit(1)).alias("__cst")
+    )
+    corpus = per_src.groupBy("token").agg(F.sum("__cst").alias("__cct"))
+    src_tot = per_src.groupBy(source_col).agg(F.sum("__cst").alias("__ns"))
+    grand = corpus.agg(F.sum("__cct").alias("__nc"))
+    ratio = (
+        F.col("__cst").cast("double") * F.col("__nc").cast("double")
+    ) / (F.col("__cct").cast("double") * F.col("__ns").cast("double"))
+    term_q = F.col("__cst") * F.round(F.log(ratio) * F.lit(1e7)).cast("bigint")
+    return (
+        per_src.join(corpus, "token")
+        .join(F.broadcast(src_tot), source_col)
+        .crossJoin(F.broadcast(grand))
+        .select(source_col, F.col("__ns"), term_q.alias("__tq"))
+        .groupBy(source_col)
+        .agg(
+            F.max("__ns").cast("bigint").alias("n_tokens"),
+            (
+                F.sum("__tq").cast("double")
+                / (F.lit(1e7) * F.max("__ns").cast("double"))
+            ).alias("kl"),
+        )
+    )

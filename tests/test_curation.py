@@ -607,3 +607,21 @@ class TestBoilerplateNgrams:
         df = spark.createDataFrame([(1, "a b c", "s")], "doc_id bigint, text string, source string")
         with pytest.raises(ValueError, match="min_docs"):
             boilerplate_ngrams(df, min_docs=1)
+
+
+class TestDedupKeepList:
+    def test_chain_keeps_min_and_unpaired_keep_self(self, spark):
+        from rheoceros_spark.operators import dedup_keep_list
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(6)], "doc_id bigint"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "a bigint, b bigint"
+        )
+        out = {r.doc_id: (r.keep_id, r.is_dup) for r in dedup_keep_list(docs, pairs).collect()}
+        assert out[0] == (0, False)          # unpaired keeps itself
+        assert out[1] == (1, False)          # cluster representative
+        assert out[2] == (1, True)
+        assert out[3] == (1, True)           # chained through 2
+        assert out[4] == (4, False) and out[5] == (4, True)

@@ -750,3 +750,86 @@ def test_tfidf_topk_terms_ranks_rare_terms(spark):
     assert all(r.term_rank <= 2 for r in out)
     ranks = {(r.doc_id, r.term_rank) for r in out}
     assert len(ranks) == len(out)  # ranks are dense and unique per doc
+
+
+class TestKmeansRefine:
+    def _blobs(self, spark):
+        # two well-separated 4-d blobs (8 points each)
+        rows = []
+        for i in range(8):
+            rows.append((i, [10.0 + (i % 3) * 0.1, 10.0, 0.1, 0.0]))
+        for i in range(8, 16):
+            rows.append((i, [0.0, 0.1, 9.0 + (i % 3) * 0.1, 9.0]))
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def test_recovers_separated_blobs(self, spark):
+        from rheoceros_spark.operators import kmeans_refine
+
+        df = self._blobs(spark)
+        out = {r.vec_id: r.cell for r in kmeans_refine(df, k=2, iters=3).collect()}
+        blob_a = {out[i] for i in range(8)}
+        blob_b = {out[i] for i in range(8, 16)}
+        assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+    def test_deterministic_across_partitionings(self, spark):
+        from rheoceros_spark.operators import kmeans_refine
+
+        df = self._blobs(spark)
+        a = sorted((r.vec_id, r.cell) for r in kmeans_refine(df, k=3, iters=2).collect())
+        b = sorted(
+            (r.vec_id, r.cell)
+            for r in kmeans_refine(df.repartition(7), k=3, iters=2).collect()
+        )
+        assert a == b  # quantized means: partitioning cannot change the result
+
+    def test_zero_iters_matches_seed_assignment(self, spark):
+        from rheoceros_spark.operators import kmeans_refine
+        from rheoceros_spark.operators.similarity import ivf_assign, ivf_centroids
+
+        df = self._blobs(spark)
+        got = sorted((r.vec_id, r.cell) for r in kmeans_refine(df, k=2, iters=0).collect())
+        cents = ivf_centroids(df, 2)
+        want = sorted(
+            (r.vec_id, r.cell)
+            for r in ivf_assign(df, 2, cents=cents).select("vec_id", "cell").collect()
+        )
+        assert got == want
+
+    def test_trained_centroids_feed_ivf(self, spark):
+        from rheoceros_spark.operators import kmeans_centroids
+        from rheoceros_spark.operators.similarity import ivf_assign
+
+        df = self._blobs(spark)
+        cents = kmeans_centroids(df, k=2, iters=2)
+        rows = cents.collect()
+        assert len(rows) == 2 and all(len(r.cv) == 4 for r in rows)
+        assigned = ivf_assign(df, 2, cents=cents)
+        assert assigned.count() == 16
+
+    def test_rejects_bad_params(self, spark):
+        from rheoceros_spark.operators import kmeans_centroids
+
+        df = self._blobs(spark)
+        with pytest.raises(ValueError, match="k >= 1"):
+            kmeans_centroids(df, k=0)
+
+
+class TestSourceKlDrift:
+    def test_identical_sources_score_zero(self, spark):
+        from rheoceros_spark.operators import source_kl_drift
+
+        rows = [(i, "alpha beta gamma delta", f"src{i % 2}") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        out = {r.source: r for r in source_kl_drift(df).collect()}
+        # every source's distribution == corpus distribution -> KL = 0
+        assert all(abs(r.kl) < 1e-9 for r in out.values())
+        assert out["src0"].n_tokens == 40
+
+    def test_divergent_source_scores_higher(self, spark):
+        from rheoceros_spark.operators import source_kl_drift
+
+        rows = [(i, "alpha beta gamma delta", "normal") for i in range(20)]
+        rows += [(100 + i, "zzz zzz zzz spam spam", "weird") for i in range(2)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        out = {r.source: r.kl for r in source_kl_drift(df).collect()}
+        assert out["weird"] > out["normal"] >= 0

@@ -313,3 +313,25 @@ class TestRound6PlanShapes:
         assert "distinct" not in plan.split("== Initial Plan ==")[0].lower().replace(
             "array_distinct", ""
         )
+
+    def test_source_kl_single_scan_exchange_reuse(self, spark, sf):
+        df = entry.queries()["text_source_kl"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        final_section = plan.split("== Initial Plan ==")[0]
+        # corpus totals, per-source totals, and grand total all
+        # aggregate FROM the per-(source, token) exchange — one scan,
+        # one tokenize (the explicit isnotnull(source) keeps the
+        # branches canonical-identical)
+        assert final_section.count("Scan parquet") == 1
+        assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
+
+    def test_kmeans_refine_broadcast_only_no_cartesian(self, spark, sf):
+        df = entry.queries()["ann_kmeans_refine"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        final_section = plan.split("== Initial Plan ==")[0]
+        # every centroid table (≤k rows) broadcasts into its assignment;
+        # the corpus side never sort-merge-joins or cartesians
+        assert "CartesianProduct" not in final_section
+        assert "SortMergeJoin" not in final_section
