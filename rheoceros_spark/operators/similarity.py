@@ -108,16 +108,26 @@ def cosine_topk(
 
 def signature_col(vec_col: str, planes: list[list[float]]):
     """``nbits``-bit bucket signature of a vector column: bit i =
-    (v · plane_i) > 0, folded per-row, planes as literal arrays."""
-    terms = None
+    (v · plane_i) > 0, folded per-row, planes as literal arrays.
+
+    Built as ONE SQL expression string: each higher-order-function
+    Column costs ~10 ms of py4j round-trips at plan-build time, and
+    tables × nbits of them made driver-side CONSTRUCTION the dominant
+    cost of the LSH-blocked operators (measured 1.3–1.4 s of
+    dedup_embedding_blocked / semantic_decon wall; execution was
+    0.3–0.9 s).  One ``F.expr`` parses JVM-side in a single round-trip
+    and yields the identical analyzed expression — same left-fold dot,
+    same bit weights."""
+    terms = []
     for i, plane in enumerate(planes):
-        # one array literal per plane (not dim F.lit calls) — driver-side
-        # plan-build cost matters when stacking tables × nbits signatures
-        p = F.lit(plane)
-        d = dot(F.col(vec_col), p)
-        bit = F.when(d > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        terms = bit if terms is None else terms + bit
-    return terms
+        lits = ", ".join(_dlit(v) for v in plane)
+        d = (
+            f"aggregate(zip_with({vec_col}, array({lits}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << i}L ELSE 0L END)")
+    return F.expr(" + ".join(terms))
 
 
 def hyperplane_buckets(
@@ -421,21 +431,30 @@ def pq_codebook(
     return [_normalize_py([float(x) for x in r["cv"]]) for r in rows]
 
 
-def _pq_subdist(vec, codevec: list[float], start: int, sub: int):
+def _dlit(v: float) -> str:
+    """SQL double literal with exact round-trip (string→double parse ==
+    Python float, both IEEE shortest-repr semantics)."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _pq_subdist_expr(vec_sql: str, codevec: list[float], start: int, sub: int) -> str:
     """L2² between ``vec[start:start+sub]`` and the literal code
     subvector — a ``zip_with`` diff-square plus the same left fold from
     0.0 the portable dot uses, so the accumulation order (and therefore
     every bit of the result) is reproducible in the SQL oracle.
-    ``vec`` must already be double-typed (normalized)."""
-    lit_sub = F.array(*[F.lit(v) for v in codevec[start : start + sub]])
-    return F.aggregate(
-        F.zip_with(
-            F.slice(vec, start + 1, sub),
-            lit_sub,
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    ``vec_sql`` must reference an already double-typed (normalized)
+    column.
+
+    Built as a SQL STRING, not nested pyspark lambdas: each
+    higher-order-function Column costs ~10 ms of py4j round-trips, and
+    n_codes × m of them made plan CONSTRUCTION the dominant cost of
+    pq_topk (measured 2.3 s of a 2.9 s call; execution was 0.5 s).  One
+    ``F.expr`` per subspace parses JVM-side in one round-trip and
+    yields the identical analyzed expression."""
+    lits = ", ".join(_dlit(v) for v in codevec[start : start + sub])
+    return (
+        f"aggregate(zip_with(slice({vec_sql}, {start + 1}, {sub}), array({lits}), "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
 
 
@@ -473,13 +492,26 @@ def pq_encode(
             F.transform(vec0, lambda x: x.cast("double") / F.sqrt(F.col("__nsq"))),
         ).otherwise(F.transform(vec0, lambda x: F.lit(0.0))),
     )
-    vec = F.col("__vn")
     for s in range(m):
-        darr = F.array(
-            *[_pq_subdist(vec, cv, s * sub, sub) for cv in codebook]
+        darr = F.expr(
+            "array("
+            + ", ".join(
+                _pq_subdist_expr("__vn", cv, s * sub, sub) for cv in codebook
+            )
+            + ")"
         )
-        out = out.withColumn(f"code_{s}", F.array_position(darr, F.array_min(darr)))
-    return out.drop("__vn", "__nsq")
+        # stage the distance array as a NAMED column before the argmin:
+        # array_position(darr, array_min(darr)) references darr twice,
+        # and an inline darr is re-evaluated per reference — measured as
+        # 128 zip_with folds per row in the optimized plan instead of
+        # 64 (2× the whole encode CPU).  A staged expensive column
+        # survives CollapseProject (multi-reference, non-cheap), so each
+        # subdist fold runs once.
+        out = out.withColumn(f"__d_{s}", darr).withColumn(
+            f"code_{s}",
+            F.array_position(F.col(f"__d_{s}"), F.array_min(F.col(f"__d_{s}"))),
+        )
+    return out.drop("__vn", "__nsq", *[f"__d_{s}" for s in range(m)])
 
 
 def pq_topk(
@@ -519,7 +551,7 @@ def pq_topk(
         raise ValueError("pq_topk: query id matched no row")
     q = _normalize_py([float(x) for x in qrow[0][0]])
     # ADC table, computed with the same diff-square left fold as
-    # _pq_subdist / the SQL oracle (x*x, never pow())
+    # _pq_subdist_expr / the SQL oracle (x*x, never pow())
     dtab = []
     for s in range(m):
         row = []
@@ -535,7 +567,7 @@ def pq_topk(
     adist = None
     for s in range(m):
         lookup = F.element_at(
-            F.array(*[F.lit(v) for v in dtab[s]]), F.col(f"code_{s}").cast("int")
+            F.lit(dtab[s]), F.col(f"code_{s}").cast("int")
         )
         adist = lookup if adist is None else adist + lookup
     # the raw vector rides along through the TakeOrdered (rerank × dim
@@ -551,7 +583,7 @@ def pq_topk(
     )
     # the query vector was already collected for the ADC table — embed it
     # as a literal instead of re-scanning the corpus for one row
-    qv_lit = F.array(*[F.lit(float(x)) for x in qrow[0][0]])
+    qv_lit = F.lit([float(x) for x in qrow[0][0]])
     scored = cands.select(
         F.col(id_col), cosine(F.col(vec_col), qv_lit).alias("cos")
     )
