@@ -405,7 +405,11 @@ def bm25_topk(
     # the token partition: a stopword-ish query term can match most of
     # the corpus, and WindowExec cannot split a partition, while the
     # aggregate combines map-side and the re-executed matched subtree
-    # is a linear, fully parallel pass (measured faster at sf0.1 too).
+    # is a linear, fully parallel pass (measured faster at sf0.1 too;
+    # round 6 re-tested both localCheckpoint — plan→RDD conversion
+    # bypasses AQE, slower — and pruning-blocker dummy outputs to force
+    # exchange reuse — reuse never triggered and the heavier duplicate
+    # aggregate cost more — so the duplicate linear pass stands).
     matched = (
         toks.join(F.broadcast(q_terms.select("token").distinct()), "token")
         .groupBy(id_col, "token")
