@@ -52,6 +52,7 @@ HEAVIES = [
     "curation_boilerplate",
     "text_tfidf_terms",
     "text_unigram_nll",
+    "text_source_kl",
     "dedup_exact_docs",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
@@ -64,6 +65,7 @@ ORACLE_AT_SF1 = [
     "curation_boilerplate",
     "text_tfidf_terms",
     "text_unigram_nll",
+    "text_source_kl",
 ]
 
 
