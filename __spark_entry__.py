@@ -3380,6 +3380,89 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_list(docs, minhash_lsh_pairs(docs, threshold=0.5))
 
 
+@q(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id IS NOT NULL
+    ), st AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(1, len(t) - 8) + 1, 24)) AS s
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 24 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(t, s, s + 31)) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(t, s, s + 31), ' ') AS chunk_text
+    FROM st
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (32-token chunks, 8-token
+    overlap) — the RAG / long-doc context-window prep step
+    (operators/text_analysis.py chunk_documents; shuffle-free)."""
+    from rheoceros_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@q(
+    "curation_budget_mix",
+    oracle=f"""
+    WITH perdoc AS (
+      SELECT doc_id, source,
+             CASE WHEN length({_NORM}) = 0 THEN 0 ELSE len({_TOK}) END AS n_tokens
+      FROM documents
+    ), per AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS nt FROM perdoc GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(nt) AS BIGINT) AS tot FROM per
+    ), wq AS (
+      SELECT source,
+             CAST(round(sqrt(CAST(nt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e12)
+                  AS BIGINT) AS wq
+      FROM per, tot
+    ), ws AS (
+      SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM wq
+    ), quota AS (
+      SELECT source,
+             CAST(floor((CAST(wq AS DOUBLE) * 20000.0) / CAST(wsum AS DOUBLE))
+                  AS BIGINT) AS quota
+      FROM wq, ws
+    ), ranked AS (
+      SELECT d.doc_id, d.source, d.n_tokens, q.quota,
+             row_number() OVER w AS sel_rank,
+             coalesce(sum(d.n_tokens) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM perdoc d JOIN quota q USING (source)
+      WINDOW w AS (PARTITION BY d.source
+                   ORDER BY {_H64.format(s="concat('0', ':', CAST(d.doc_id AS VARCHAR))")},
+                            d.doc_id)
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sel_rank AS BIGINT) AS sel_rank, quota
+    FROM ranked WHERE cb < quota
+    """,
+)
+def curation_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture assembly: each source gets its sqrt-share
+    of a 20k-token budget, filled in deterministic hash order
+    (operators/curation.py budget_mix_select)."""
+    from rheoceros_spark.operators.curation import budget_mix_select
+    from rheoceros_spark.operators.text_analysis import token_count
+
+    docs = token_count(load_table(spark, sf_dir, "documents"))
+    return budget_mix_select(docs, token_budget=20000, alpha=0.5, seed=0).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "sel_rank",
+        "quota",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3409,11 +3492,16 @@ _HEAD = [
     "ann_kmeans_refine",
     "text_source_kl",
     "dedup_keep_list",
-    # re-enter the window: dsir_logw is no longer 6dp-re-rounded (the
-    # sf1 half-way-boundary fix) — the official rows must re-certify
-    # the new values, not ride r05's
-    "curation_dsir_weights",
-    "curation_dsir_resample",
+    "text_chunk_documents",
+    "curation_budget_mix",
+    # NOT re-entered despite changed output (dsir_logw is no longer
+    # 6dp-re-rounded — the sf1 half-way-boundary fix): the 50-slot
+    # window is exactly filled by the 10 never-certified queries above
+    # plus the 39 r04 rotations below, and dropping an r04 rotation
+    # would break r05 ∪ r06 totality.  curation_dsir_weights /
+    # curation_dsir_resample stay continuously gated by the local
+    # DuckDB oracle (scripts/check_oracle.py, incl. the sf1 run) and
+    # should rotate into the r07 window for fresh official rows.
     # certified in r04, rotating back in so r05 ∪ r06 stays total
     "events_tumbling_daily",
     "events_sliding_2day",

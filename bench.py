@@ -119,6 +119,8 @@ BENCH_EXT = [
     "ann_kmeans_refine",
     "text_source_kl",
     "dedup_keep_list",
+    "text_chunk_documents",
+    "curation_budget_mix",
 ]
 
 

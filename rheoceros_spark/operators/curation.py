@@ -1093,3 +1093,85 @@ def dedup_keep_list(
             ).alias("is_dup"),
         )
     )
+
+
+def budget_mix_select(
+    df: DataFrame,
+    token_budget: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Assemble a training mix to a token budget: give each source its
+    alpha-temperature share (:func:`source_mixture_weights`) of
+    ``token_budget`` tokens, then fill each source's quota with a
+    deterministic hash-ordered sample of its documents — the
+    "build the N-token corpus at the declared mixture" step that turns
+    mixture *weights* into an actual document list.
+
+    A document is selected while its source's running token total has
+    not yet reached the quota — the first document crossing the quota
+    is still included (pack_sequences' fill rule; the trainer trims),
+    so every source with a nonzero quota contributes at least one
+    document.  Re-runs, retries, and engines all pick the same
+    documents; bump ``seed`` to draw a fresh epoch.
+
+    Scale shape: the weights come from one map-side-combined groupBy
+    (sources-sized); quotas join back as a broadcast.  Selection is one
+    window pass per source (running sum in hash order) — the same
+    shard-partitioned window shape ``pack_sequences`` uses, linear per
+    source.  The quota is derived from the integer weight table with
+    ``floor((wq · budget) / wsum)`` evaluated in doubles — identical
+    IEEE ops on every engine, no decimal re-round (the dsir_weights
+    lesson).
+
+    Returns the selected rows: (id, source, tokens, sel_rank, quota).
+    """
+    if token_budget < 1:
+        raise ValueError(f"budget_mix_select: token_budget must be >= 1")
+    per = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col)).cast("bigint").alias("__nt")
+    )
+    w_all = Window.partitionBy()
+    wt = (
+        F.sqrt(F.col("__nt").cast("double") / F.col("__tot").cast("double"))
+        if alpha == 0.5
+        else (F.col("__nt").cast("double") / F.col("__tot").cast("double"))
+    )
+    if alpha not in (0.5, 1.0):
+        raise ValueError(f"budget_mix_select: alpha must be 0.5 or 1.0, got {alpha}")
+    quotas = (
+        per.withColumn("__tot", F.sum("__nt").over(w_all))
+        .withColumn("__wq", F.round(wt * F.lit(1e12)).cast("bigint"))
+        .withColumn("__wsum", F.sum("__wq").over(w_all))
+        .select(
+            source_col,
+            F.floor(
+                (F.col("__wq").cast("double") * F.lit(float(token_budget)))
+                / F.col("__wsum").cast("double")
+            )
+            .cast("bigint")
+            .alias("quota"),
+        )
+    )
+    key = h64(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy(source_col).orderBy(key, F.col(id_col))
+    ranked = (
+        df.select(id_col, source_col, token_col)
+        .join(F.broadcast(quotas), source_col)
+        .withColumn("sel_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "__cum_before",
+            F.coalesce(
+                F.sum(F.col(token_col)).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    return ranked.where(F.col("__cum_before") < F.col("quota")).select(
+        id_col, source_col, token_col, "sel_rank", "quota"
+    )

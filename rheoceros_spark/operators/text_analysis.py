@@ -609,3 +609,60 @@ def source_kl_drift(
             ).alias("kl"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the
+    context-window prep step both RAG indexing and long-document
+    training pipelines run before anything embedding- or
+    packing-related: ``chunk i`` covers tokens
+    ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``.
+
+    The trailing chunk may be shorter (never empty); a document shorter
+    than one chunk yields exactly one chunk with all its tokens.
+    Chunk ids are dense from 0, so ``(id, chunk_id)`` is a stable key
+    for downstream embedding/dedup joins.
+
+    Scale shape: pure per-row ``explode`` over the start-position
+    sequence — corpus-linear, shuffle-free, whole-stage codegen (the
+    token array is staged once per row and sliced per chunk).  Returns
+    (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if chunk_tokens < 2 or overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(
+            f"chunk_documents: need chunk_tokens >= 2 and 0 <= overlap < "
+            f"chunk_tokens, got {chunk_tokens}, {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    base = ensure_parallelism(
+        df.where(F.col(id_col).isNotNull()).select(id_col, text_col)
+    )
+    staged = base.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).select(
+        F.col(id_col),
+        F.col("__t"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), F.size(F.col("__t")) - F.lit(overlap)),
+                F.lit(stride),
+            )
+        ).alias("__start"),
+    )
+    piece = F.slice(F.col("__t"), F.col("__start"), chunk_tokens)
+    return staged.select(
+        F.col(id_col),
+        ((F.col("__start") - F.lit(1)) / F.lit(stride)).cast("bigint").alias("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -833,3 +833,87 @@ class TestSourceKlDrift:
         df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
         out = {r.source: r.kl for r in source_kl_drift(df).collect()}
         assert out["weird"] > out["normal"] >= 0
+
+
+class TestChunkDocuments:
+    def test_chunk_boundaries_and_overlap(self, spark):
+        from rheoceros_spark.operators import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        out = sorted(
+            chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # stride 3: starts 1,4,7 cover tokens [0..3],[3..6],[6..9]
+        assert [r.chunk_text for r in out] == [
+            "w0 w1 w2 w3",
+            "w3 w4 w5 w6",
+            "w6 w7 w8 w9",
+        ]
+        assert [r.chunk_id for r in out] == [0, 1, 2]
+        assert [r.n_chunk_tokens for r in out] == [4, 4, 4]
+
+    def test_trailing_partial_and_short_docs(self, spark):
+        from rheoceros_spark.operators import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "x y")], "doc_id bigint, text string"
+        )
+        out = {(r.doc_id, r.chunk_id): r for r in chunk_documents(df, 4, 1).collect()}
+        assert out[(1, 1)].chunk_text == "d e" and out[(1, 1)].n_chunk_tokens == 2
+        assert out[(2, 0)].chunk_text == "x y"  # shorter than one chunk
+        assert (2, 1) not in out
+
+    def test_chunks_are_shuffle_free(self, spark):
+        from rheoceros_spark.operators import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+        plan = chunk_documents(df, 4, 1)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_rejects_bad_params(self, spark):
+        from rheoceros_spark.operators import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+class TestBudgetMixSelect:
+    def _docs(self, spark):
+        rows = []
+        for i in range(100):
+            rows.append((i, "big", 100))          # 10k tokens
+        for i in range(100, 120):
+            rows.append((i, "small", 50))         # 1k tokens
+        return spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens int")
+
+    def test_quota_fill_rule_and_determinism(self, spark):
+        from rheoceros_spark.operators import budget_mix_select
+
+        df = self._docs(spark)
+        out = budget_mix_select(df, token_budget=3000).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.source, []).append(r)
+        # sqrt-share up-weights the small source above its 1/11 raw share
+        small_quota = per["small"][0].quota
+        assert small_quota / 3000 > 1000 / 11000
+        # fill rule: every selected doc except possibly the last fits;
+        # total tokens reach the quota and overflow by < one doc
+        for src, rows in per.items():
+            tot = sum(r.n_tokens for r in rows)
+            quota = rows[0].quota
+            assert tot >= min(quota, sum(x.n_tokens for x in rows))
+            assert tot - max(r.n_tokens for r in rows) < quota
+        again = budget_mix_select(df, token_budget=3000).collect()
+        assert sorted((r.doc_id) for r in out) == sorted((r.doc_id) for r in again)
+        other = budget_mix_select(df, token_budget=3000, seed=3).collect()
+        assert sorted(r.doc_id for r in out) != sorted(r.doc_id for r in other)
+
+    def test_rejects_bad_budget(self, spark):
+        from rheoceros_spark.operators import budget_mix_select
+
+        with pytest.raises(ValueError, match="token_budget"):
+            budget_mix_select(self._docs(spark), token_budget=0)
