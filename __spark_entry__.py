@@ -3169,7 +3169,8 @@ def curation_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_boilerplate",
     oracle=f"""
     WITH tk AS (
-      SELECT doc_id, source, {_TOK} AS t FROM documents WHERE doc_id IS NOT NULL
+      SELECT doc_id, source, {_TOK} AS t FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ), grams AS (
       SELECT doc_id, source, unnest(list_distinct({_ngrams_sql('t', 3)})) AS gram
       FROM tk
@@ -3384,7 +3385,8 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_chunk_documents",
     oracle=f"""
     WITH tk AS (
-      SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id IS NOT NULL
+      SELECT doc_id, {_TOK} AS t FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ), st AS (
       SELECT doc_id, t,
              unnest(range(1, greatest(1, len(t) - 8) + 1, 24)) AS s

@@ -1020,9 +1020,13 @@ def boilerplate_ngrams(
         )
     from rheoceros_spark.operators.scale import ensure_parallelism
 
+    # NULL text is filtered explicitly: size/greatest over a NULL token
+    # array otherwise manufactures one empty-string "gram" per NULL row
+    # (and DuckDB's greatest treats NULLs differently — the oracle
+    # would diverge); NULL-text docs report 0 grams via the left join
     stream = (
         ensure_parallelism(df.select(id_col, source_col, text_col))
-        .where(F.col(id_col).isNotNull())
+        .where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
         .select(
             id_col,
             source_col,

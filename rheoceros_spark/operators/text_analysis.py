@@ -643,8 +643,14 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     from rheoceros_spark.operators.scale import ensure_parallelism
 
+    # NULL text is filtered explicitly: sequence/greatest over a NULL
+    # token array otherwise emits one phantom all-NULL chunk per NULL
+    # row (and DuckDB's greatest treats NULLs differently — the oracle
+    # would diverge); NULL-text docs yield no chunks
     base = ensure_parallelism(
-        df.where(F.col(id_col).isNotNull()).select(id_col, text_col)
+        df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull()).select(
+            id_col, text_col
+        )
     )
     staged = base.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__t")
