@@ -917,3 +917,50 @@ class TestBudgetMixSelect:
 
         with pytest.raises(ValueError, match="token_budget"):
             budget_mix_select(self._docs(spark), token_budget=0)
+
+
+def test_chunk_reconstruction_invariant(spark):
+    """Concatenating chunks with the overlap stripped reproduces the
+    original token stream exactly — for several awkward lengths around
+    the stride boundaries."""
+    from rheoceros_spark.operators import chunk_documents
+
+    chunk, overlap = 8, 3
+    stride = chunk - overlap
+    docs = [(n, " ".join(f"t{n}_{i}" for i in range(n))) for n in
+            [1, 4, 5, 6, 7, 8, 9, 12, 13, 20, 37]]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = chunk_documents(df, chunk, overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+    for n, text in docs:
+        chunks = [by_doc[n][i] for i in sorted(by_doc[n])]
+        rebuilt = list(chunks[0])
+        for c in chunks[1:]:
+            assert rebuilt[-overlap:] == c[:overlap] or len(c) < overlap, (n, c)
+            rebuilt.extend(c[overlap:])
+        assert rebuilt == text.split(" "), f"doc len {n} not reconstructed"
+
+
+def test_budget_mix_quota_sum_bounds(spark):
+    """Floor-rounded quotas must sum to within n_sources of the budget
+    and each source with weight > 0 gets a quota."""
+    from rheoceros_spark.operators import budget_mix_select
+
+    rows = []
+    sizes = {"a": 100, "b": 400, "c": 2500, "d": 10}
+    did = 0
+    for src, n_docs in sizes.items():
+        for _ in range(n_docs):
+            rows.append((did, src, 37))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens int")
+    budget = 11313
+    out = budget_mix_select(df, token_budget=budget)
+    quotas = {r.source: r.quota for r in out.select("source", "quota").distinct().collect()}
+    assert set(quotas) == set(sizes)  # every source contributes
+    total = sum(quotas.values())
+    assert budget - len(sizes) <= total <= budget
+    # sqrt temperature: tiny source 'd' gets more than its raw share
+    assert quotas["d"] / budget > (10 * 37) / (3010 * 37)
