@@ -204,6 +204,7 @@ def ivf_write(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cents: DataFrame | None = None,
 ) -> None:
     """Build and persist the IVF index under ``path`` — the scale path
     the :func:`ivf_assign` docstring promises:
@@ -217,8 +218,14 @@ def ivf_write(
       (``n_centroids``/``vec_col``/``id_col``) so a probe with
       mismatched expectations fails loudly (same contract as the
       MinHash incremental index in dedup.py).
+
+    Pass ``cents`` (e.g. :func:`kmeans_centroids`' trained codebook) to
+    index under trained centroids instead of the hash-sampled default —
+    probes, appends, and streaming ingest all read the codebook back
+    from ``path/centroids``, so they work identically either way.
     """
-    cents = ivf_centroids(df, n_centroids, vec_col, id_col)
+    if cents is None:
+        cents = ivf_centroids(df, n_centroids, vec_col, id_col)
     assigned = ivf_assign(df, n_centroids, vec_col, id_col, cents=cents)
     (
         assigned.repartition("cell")

@@ -964,3 +964,36 @@ def test_budget_mix_quota_sum_bounds(spark):
     assert budget - len(sizes) <= total <= budget
     # sqrt temperature: tiny source 'd' gets more than its raw share
     assert quotas["d"] / budget > (10 * 37) / (3010 * 37)
+
+
+def test_ivf_write_with_trained_kmeans_codebook(spark, tmp_path):
+    """A kmeans-trained codebook drops into the persisted IVF path:
+    probes read it back from disk, prune to probed cells, and an
+    exhaustive probe equals brute force."""
+    from rheoceros_spark.operators import kmeans_centroids
+    from rheoceros_spark.operators.similarity import (
+        cosine_topk,
+        ivf_probe,
+        ivf_write,
+    )
+
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 else [0.0, 0.0, 1.0, 0.5]
+        rows.append((i, [v + 0.01 * (i % 7) for v in base]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "ivf_km")
+    trained = kmeans_centroids(df, k=4, iters=2)
+    ivf_write(df, path, n_centroids=4, cents=trained)
+
+    qv = [float(x) for x in rows[0][1]]
+    exhaustive = ivf_probe(spark, path, qv, k=5, n_probe=4, exclude_id=0)
+    brute = cosine_topk(df, query_id=0, k=5)
+    assert [(r.vec_id, r.cos_r) for r in exhaustive.collect()] == [
+        (r.vec_id, r.cos_r) for r in brute.collect()
+    ]
+    # pruned probe reads fewer cell dirs than the full index
+    pruned = ivf_probe(spark, path, qv, k=5, n_probe=1, exclude_id=0)
+    files = pruned.inputFiles()
+    assert files and all("cell=" in f for f in files)
+    assert len({f.split("cell=")[1].split("/")[0] for f in files}) == 1
