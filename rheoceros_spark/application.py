@@ -1176,9 +1176,7 @@ class Application:
                 try:
                     self._run_node(node, out_values, recursive=recursive, record=record, material_inputs=provided)
                     if update_dependency_tree:
-                        for child in self._descendants(node.id):
-                            for child_values in self._derive_child_values(child, node.id, out_values):
-                                self._run_node(child, child_values, recursive=False)
+                        self._propagate_dependency_tree(node, out_values)
                 except Exception:
                     pass  # state + error already captured on the record
 
@@ -1189,9 +1187,7 @@ class Application:
 
         path = self._run_node(node, out_values, recursive=recursive, material_inputs=provided)
         if update_dependency_tree:
-            for child in self._descendants(node.id):
-                for child_values in self._derive_child_values(child, node.id, out_values):
-                    self._run_node(child, child_values, recursive=False)
+            self._propagate_dependency_tree(node, out_values)
         return path
 
     def _run_node(
@@ -1461,6 +1457,52 @@ class Application:
                 seen.add(n.id)
                 uniq.append(n)
         return uniq
+
+    def _descendants_topo(self, root_id: str) -> list[InternalDataNode]:
+        """Descendants in TOPOLOGICAL order (Kahn over the descendant
+        subgraph).  The raw DFS order runs a diamond's join node before
+        its second parent — it would read a stale or missing partition."""
+        desc = {n.id: n for n in self._descendants(root_id)}
+        indeg = {
+            nid: sum(1 for up in n.upstream_aliases() if up in desc)
+            for nid, n in desc.items()
+        }
+        ready = sorted(nid for nid, d in indeg.items() if d == 0)
+        out: list[InternalDataNode] = []
+        while ready:
+            nid = ready.pop(0)
+            out.append(desc[nid])
+            for mid, m in desc.items():
+                if nid in m.upstream_aliases():
+                    indeg[mid] -= 1
+                    if indeg[mid] == 0:
+                        ready.append(mid)
+        return out
+
+    def _propagate_dependency_tree(self, node: InternalDataNode, out_values: dict[str, Any]) -> None:
+        """Run every descendant of ``node`` for the partitions implied
+        by this execution (reference execute(update_dependency_tree=True),
+        dependency-tree suite).
+
+        Each descendant derives its partition values from ITS OWN just-
+        materialized parents — not from the root — so grandchildren and
+        diamond joins propagate (the flat root-only derivation silently
+        skipped any descendant that doesn't input the root directly).
+        The walk is topological, and a node reachable through multiple
+        parents (diamond) runs ONCE per derived partition, after all its
+        in-tree parents."""
+        done: dict[str, list[dict[str, Any]]] = {node.id: [dict(out_values)]}
+        for child in self._descendants_topo(node.id):
+            child_vals: list[dict[str, Any]] = []
+            for parent_id in child.upstream_aliases():
+                for pv in done.get(parent_id, ()):
+                    for cv in self._derive_child_values(child, parent_id, pv):
+                        if cv not in child_vals:
+                            child_vals.append(cv)
+            for cv in child_vals:
+                self._run_node(child, cv, recursive=False)
+            if child_vals:
+                done[child.id] = child_vals
 
     def _derive_child_values(
         self, child: InternalDataNode, parent_id: str, parent_values: dict[str, Any]

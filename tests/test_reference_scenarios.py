@@ -678,3 +678,154 @@ class TestExecuteWithMaterialInputs:
             app.execute(node["2024-01-02"], material_inputs=[stranger["2024-01-02"]])
         with pytest.raises(ValueError, match="not material"):
             app.execute(node["2024-01-02"], material_inputs=[ev["*"]])
+
+
+class TestRecursiveRangedBackfill:
+    """Ported: reference test_aws_application_execution_recursive.py:160-233
+    (…_ranged / …_ranged_no_wait) — recursive execution over a child
+    whose input is a trailing RANGE of the parent must backfill ONLY the
+    missing historical partitions: the already-materialized TIP sees no
+    redundant execution, the gap partitions each get exactly one, and no
+    active records are left over."""
+
+    def test_ready_tip_not_reexecuted_gaps_backfilled(
+        self, spark, tmp_path, events_by_day
+    ):
+        from rheoceros_spark import ComputeRecordState, SparkSQL
+
+        app = make_app(spark, tmp_path, events_by_day, "recur_ranged_app")
+        ev = app["events"]
+        daily = app.create_data(
+            id="daily",
+            inputs=[ev],
+            compute_targets=SparkSQL(
+                "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+            ),
+        )
+        # make the TIP ready up front (reference: app.execute(a[today]))
+        app.execute(daily["2024-01-03"])
+        assert len(app.compute_records("daily")) == 1
+
+        agg = app.create_data(
+            id="agg3",
+            inputs=[daily[:-3]],
+            compute_targets=SparkSQL(
+                "SELECT event_type, sum(n) AS n FROM daily GROUP BY event_type"
+            ),
+        )
+        app.execute(agg["2024-01-03"], recursive=True)
+
+        recs = app.compute_records("daily")
+        by_day = {}
+        for r in recs:
+            by_day.setdefault(str(r.out_values["day"])[:10], []).append(r)
+        # TIP executed exactly once (the manual run) — no redundant run
+        assert len(by_day["2024-01-03"]) == 1, "redundant execution on ready TIP"
+        # each gap partition backfilled exactly once
+        assert len(by_day["2024-01-01"]) == 1 and len(by_day["2024-01-02"]) == 1
+        assert all(
+            r.state == ComputeRecordState.COMPLETED for rs in by_day.values() for r in rs
+        )
+        # nothing left in flight (reference: no left-over active records)
+        assert not app.compute_records(state=ComputeRecordState.PROCESSING)
+        assert app.poll(daily["2024-01-02"], wait=False)[0] is not None
+
+    def test_second_recursive_run_is_all_skips(self, spark, tmp_path, events_by_day):
+        from rheoceros_spark import SparkSQL
+
+        app = make_app(spark, tmp_path, events_by_day, "recur_ranged_app2")
+        ev = app["events"]
+        daily = app.create_data(
+            id="daily",
+            inputs=[ev],
+            compute_targets=SparkSQL(
+                "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+            ),
+        )
+        agg = app.create_data(
+            id="agg3",
+            inputs=[daily[:-3]],
+            compute_targets=SparkSQL(
+                "SELECT event_type, sum(n) AS n FROM daily GROUP BY event_type"
+            ),
+        )
+        app.execute(agg["2024-01-03"], recursive=True)
+        n_before = len(app.compute_records("daily"))
+        assert n_before == 3
+        # everything materialized: a second recursive run must not
+        # re-execute any ancestor partition
+        app.execute(agg["2024-01-03"], recursive=True)
+        assert len(app.compute_records("daily")) == n_before
+
+
+class TestDependencyTreeDiamond:
+    """Ported: reference test_aws_application_execution_dependency_tree.py:707+
+    (diamond hierarchy) — executing the apex with
+    ``update_dependency_tree=True`` must propagate level by level: the
+    join node at the bottom of a diamond runs ONCE, after BOTH parents,
+    and reads their fresh partitions.  (This caught two real bugs: the
+    flat walk derived every descendant from the ROOT's alias — silently
+    skipping any node that doesn't input the root directly — and the
+    DFS order ran the join node before its second parent.)"""
+
+    def test_diamond_propagates_once_after_both_parents(
+        self, spark, tmp_path, events_by_day
+    ):
+        from rheoceros_spark import ComputeRecordState, SparkSQL
+
+        app = make_app(spark, tmp_path, events_by_day, "diamond_app")
+        ev = app["events"]
+        a = app.create_data(
+            id="A", inputs=[ev],
+            compute_targets=SparkSQL(
+                "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+            ),
+        )
+        b = app.create_data(
+            id="B", inputs=[a],
+            compute_targets=SparkSQL("SELECT event_type, n * 2 AS n2 FROM A"),
+        )
+        c = app.create_data(
+            id="C", inputs=[a],
+            compute_targets=SparkSQL("SELECT event_type, n * 3 AS n3 FROM A"),
+        )
+        d = app.create_data(
+            id="D", inputs=[b, c],
+            compute_targets=SparkSQL(
+                "SELECT B.event_type, n2 + n3 AS t FROM B JOIN C USING (event_type)"
+            ),
+        )
+        app.execute(a["2024-01-01"], update_dependency_tree=True)
+
+        recs = app.compute_records()
+        order = [r.node_id for r in recs]
+        assert order.count("D") == 1, "diamond join node must run exactly once"
+        assert order.index("D") > order.index("B") and order.index("D") > order.index("C")
+        assert all(r.state == ComputeRecordState.COMPLETED for r in recs)
+        # D read FRESH parents: n2 + n3 == 5 * n for every type
+        base = {r.event_type: r.n for r in app.load_data(a["2024-01-01"]).collect()}
+        got = {r.event_type: r.t for r in app.load_data(d["2024-01-01"]).collect()}
+        assert got == {k: 5 * v for k, v in base.items()}
+
+    def test_grandchild_chain_propagates(self, spark, tmp_path, events_by_day):
+        from rheoceros_spark import SparkSQL
+
+        app = make_app(spark, tmp_path, events_by_day, "chain3_app")
+        ev = app["events"]
+        a = app.create_data(
+            id="A", inputs=[ev],
+            compute_targets=SparkSQL(
+                "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+            ),
+        )
+        b = app.create_data(
+            id="B", inputs=[a],
+            compute_targets=SparkSQL("SELECT event_type, n * 2 AS n2 FROM A"),
+        )
+        c = app.create_data(
+            id="C", inputs=[b],
+            compute_targets=SparkSQL("SELECT sum(n2) AS total FROM B"),
+        )
+        app.execute(a["2024-01-02"], update_dependency_tree=True)
+        assert [r.node_id for r in app.compute_records()] == ["A", "B", "C"]
+        assert app.load_data(c["2024-01-02"]).collect()[0].total > 0
