@@ -1445,10 +1445,24 @@ class Application:
             out.append(m)
         return out
 
+    @staticmethod
+    def _upstream_node_ids(node: InternalDataNode) -> set[str]:
+        """Producer node ids this node consumes.  Aliases alone are NOT
+        enough: dict-keyed inputs rename the alias (``{"b_today": b}``),
+        and an alias-only walk would miss the edge entirely — the
+        ``resource_id`` always carries the producer's node id."""
+        ids: set[str] = set()
+        for s in node.link_node.signals:
+            ids.add(s.alias)
+            rid = getattr(s, "resource_id", None)
+            if rid:
+                ids.add(rid)
+        return ids
+
     def _descendants(self, node_id: str) -> list[InternalDataNode]:
         out = []
         for node in self._nodes.values():
-            if node_id in node.upstream_aliases():
+            if node_id in self._upstream_node_ids(node):
                 out.append(node)
                 out.extend(self._descendants(node.id))
         seen, uniq = set(), []
@@ -1464,7 +1478,7 @@ class Application:
         its second parent — it would read a stale or missing partition."""
         desc = {n.id: n for n in self._descendants(root_id)}
         indeg = {
-            nid: sum(1 for up in n.upstream_aliases() if up in desc)
+            nid: sum(1 for up in self._upstream_node_ids(n) if up in desc)
             for nid, n in desc.items()
         }
         ready = sorted(nid for nid, d in indeg.items() if d == 0)
@@ -1494,9 +1508,19 @@ class Application:
         done: dict[str, list[dict[str, Any]]] = {node.id: [dict(out_values)]}
         for child in self._descendants_topo(node.id):
             child_vals: list[dict[str, Any]] = []
-            for parent_id in child.upstream_aliases():
-                for pv in done.get(parent_id, ()):
-                    for cv in self._derive_child_values(child, parent_id, pv):
+            # seed the link matrix by the child's OWN alias for each
+            # input signal produced by an already-propagated parent —
+            # a renamed alias ({"b_today": b}) seeds as "b_today", and a
+            # parent consumed under several aliases derives once per
+            # alias with equal values deduped (reference dtree
+            # ranged-access-same-input: no redundant executions)
+            for sig in child.link_node.signals:
+                rid = getattr(sig, "resource_id", None)
+                parent_id = rid if rid in done else (sig.alias if sig.alias in done else None)
+                if parent_id is None:
+                    continue
+                for pv in done[parent_id]:
+                    for cv in self._derive_child_values(child, sig.alias, pv):
                         if cv not in child_vals:
                             child_vals.append(cv)
             for cv in child_vals:

@@ -829,3 +829,46 @@ class TestDependencyTreeDiamond:
         app.execute(a["2024-01-02"], update_dependency_tree=True)
         assert [r.node_id for r in app.compute_records()] == ["A", "B", "C"]
         assert app.load_data(c["2024-01-02"]).collect()[0].total > 0
+
+
+class TestDependencyTreeRangedSameInput:
+    """Ported: reference test_aws_application_execution_dependency_tree.py:589-700
+    (ranged access, same input) — a child consuming the SAME parent
+    under two aliases (today + a trailing range) must re-execute exactly
+    ONCE per dtree propagation, for the tip-linked partition; renamed
+    aliases must not hide the edge from the descendant walk."""
+
+    def test_renamed_alias_and_range_no_redundant_runs(
+        self, spark, tmp_path, events_by_day
+    ):
+        from rheoceros_spark import SparkSQL
+
+        app = make_app(spark, tmp_path, events_by_day, "dtree_ranged_app")
+        ev = app["events"]
+        b = app.create_data(
+            id="B", inputs=[ev],
+            compute_targets=SparkSQL(
+                "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+            ),
+        )
+        # backfill B so the trailing range resolves during propagation
+        for day in ("2024-01-01", "2024-01-02"):
+            app.execute(b[day])
+        c = app.create_data(
+            id="C",
+            inputs={"b_today": b, "b_last2": b[:-2]},
+            compute_targets=SparkSQL(
+                "SELECT bt.event_type, bt.n AS today_n, sum(bl.n) AS range_n "
+                "FROM b_today bt JOIN b_last2 bl USING (event_type) "
+                "GROUP BY bt.event_type, bt.n"
+            ),
+        )
+        # dtree propagation from B's tip: C must be discovered through
+        # the renamed aliases and run exactly once, for 2024-01-02
+        app.execute(b["2024-01-02"], update_dependency_tree=True)
+        c_recs = app.compute_records("C")
+        assert len(c_recs) == 1, f"expected exactly one C run, got {len(c_recs)}"
+        assert str(c_recs[0].out_values["day"])[:10] == "2024-01-02"
+        out = {r.event_type: (r.today_n, r.range_n)
+               for r in app.load_data(c["2024-01-02"]).collect()}
+        assert out and all(rn >= tn for tn, rn in out.values())
