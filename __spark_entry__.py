@@ -3386,7 +3386,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tk AS (
       SELECT doc_id, {_TOK} AS t FROM documents
-      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      WHERE doc_id IS NOT NULL AND length({_NORM}) > 0
     ), st AS (
       SELECT doc_id, t,
              unnest(range(1, greatest(1, len(t) - 8) + 1, 24)) AS s
@@ -3416,7 +3416,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH perdoc AS (
       SELECT doc_id, source,
              CASE WHEN length({_NORM}) = 0 THEN 0 ELSE len({_TOK}) END AS n_tokens
-      FROM documents
+      FROM documents WHERE source IS NOT NULL
     ), per AS (
       SELECT source, CAST(sum(n_tokens) AS BIGINT) AS nt FROM perdoc GROUP BY source
     ), tot AS (

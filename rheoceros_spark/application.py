@@ -1460,22 +1460,31 @@ class Application:
         return ids
 
     def _descendants(self, node_id: str) -> list[InternalDataNode]:
-        out = []
-        for node in self._nodes.values():
-            if node_id in self._upstream_node_ids(node):
-                out.append(node)
-                out.extend(self._descendants(node.id))
-        seen, uniq = set(), []
-        for n in out:
-            if n.id not in seen:
-                seen.add(n.id)
-                uniq.append(n)
-        return uniq
+        # iterative BFS with a visited set: the naive recursion
+        # recomputed shared subtrees once per parent — exponential on
+        # stacked diamonds — and dependency-tree execute walks this on
+        # every call
+        out: list[InternalDataNode] = []
+        seen: set[str] = set()
+        frontier = [node_id]
+        while frontier:
+            nid = frontier.pop(0)
+            for node in self._nodes.values():
+                if node.id not in seen and nid in self._upstream_node_ids(node):
+                    seen.add(node.id)
+                    out.append(node)
+                    frontier.append(node.id)
+        return out
 
     def _descendants_topo(self, root_id: str) -> list[InternalDataNode]:
         """Descendants in TOPOLOGICAL order (Kahn over the descendant
         subgraph).  The raw DFS order runs a diamond's join node before
-        its second parent — it would read a stale or missing partition."""
+        its second parent — it would read a stale or missing partition.
+        Both the in-degree count and the decrement use
+        ``_upstream_node_ids`` (aliases + producer resource ids): mixing
+        the two (decrementing on aliases only) deadlocks any node
+        consumed solely under a renamed alias — it never reaches
+        in-degree 0 and is silently dropped."""
         desc = {n.id: n for n in self._descendants(root_id)}
         indeg = {
             nid: sum(1 for up in self._upstream_node_ids(n) if up in desc)
@@ -1487,7 +1496,7 @@ class Application:
             nid = ready.pop(0)
             out.append(desc[nid])
             for mid, m in desc.items():
-                if nid in m.upstream_aliases():
+                if nid in self._upstream_node_ids(m):
                     indeg[mid] -= 1
                     if indeg[mid] == 0:
                         ready.append(mid)

@@ -1085,7 +1085,11 @@ def dedup_keep_list(
     corpus-sized side joins against a clustered-docs-sized table, never
     pair-sized.
     """
-    clusters = dup_clusters(pairs, a_col=a_col, b_col=b_col)
+    # dup_clusters' output columns are fixed (doc_id, cluster_id);
+    # rename to the caller's id column so the join resolves for any id
+    clusters = dup_clusters(pairs, a_col=a_col, b_col=b_col).withColumnRenamed(
+        "doc_id", id_col
+    )
     return (
         df.select(F.col(id_col))
         .join(clusters, id_col, "left")
@@ -1135,6 +1139,11 @@ def budget_mix_select(
     """
     if token_budget < 1:
         raise ValueError(f"budget_mix_select: token_budget must be >= 1")
+    # NULL-source rows are excluded BEFORE the weights: they can never
+    # join a per-source quota (NULL = NULL never matches), so letting
+    # them into the groupBy would inflate __wsum and silently shrink
+    # every real source's quota — an unfillable budget share
+    df = df.where(F.col(source_col).isNotNull())
     per = df.groupBy(source_col).agg(
         F.sum(F.col(token_col)).cast("bigint").alias("__nt")
     )

@@ -119,10 +119,11 @@ def signature_col(vec_col: str, planes: list[list[float]]):
     and yields the identical analyzed expression — same left-fold dot,
     same bit weights."""
     terms = []
+    vec_ref = f"`{vec_col}`"  # backquote: F.col-style resolution for any name
     for i, plane in enumerate(planes):
         lits = ", ".join(_dlit(v) for v in plane)
         d = (
-            f"aggregate(zip_with({vec_col}, array({lits}), "
+            f"aggregate(zip_with({vec_ref}, array({lits}), "
             f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
@@ -226,6 +227,12 @@ def ivf_write(
     """
     if cents is None:
         cents = ivf_centroids(df, n_centroids, vec_col, id_col)
+    else:
+        # the manifest must record the CODEBOOK's actual size, not the
+        # default parameter — a trained codebook of a different k would
+        # otherwise persist a lying n_centroids (the count() is a tiny
+        # job on a ≤k-row frame)
+        n_centroids = cents.count()
     assigned = ivf_assign(df, n_centroids, vec_col, id_col, cents=cents)
     (
         assigned.repartition("cell")

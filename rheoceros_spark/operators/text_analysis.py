@@ -445,8 +445,6 @@ def bm25_topk(
         query_id_col, id_col, "__c"
     )
     scored = contrib.groupBy(query_id_col, id_col).agg(F.sum("__c").alias("__score_q"))
-    from pyspark.sql import Window
-
     w = Window.partitionBy(query_id_col).orderBy(F.col("__score_q").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -643,14 +641,18 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     from rheoceros_spark.operators.scale import ensure_parallelism
 
-    # NULL text is filtered explicitly: sequence/greatest over a NULL
-    # token array otherwise emits one phantom all-NULL chunk per NULL
-    # row (and DuckDB's greatest treats NULLs differently — the oracle
-    # would diverge); NULL-text docs yield no chunks
+    # NULL and empty/whitespace-only text are filtered explicitly:
+    # sequence/greatest over a NULL token array otherwise emits one
+    # phantom all-NULL chunk per NULL row (and DuckDB's greatest treats
+    # NULLs differently — the oracle would diverge), and tokens("") is
+    # [""] so an empty doc would emit one phantom 1-token chunk of ""
+    # — contradicting token_count's empty-text-is-0-tokens convention
+    # and leaking a fake token into packing budgets
     base = ensure_parallelism(
-        df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull()).select(
-            id_col, text_col
-        )
+        df.where(
+            F.col(id_col).isNotNull()
+            & (F.length(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))) > 0)
+        ).select(id_col, text_col)
     )
     staged = base.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__t")

@@ -625,3 +625,13 @@ class TestDedupKeepList:
         assert out[2] == (1, True)
         assert out[3] == (1, True)           # chained through 2
         assert out[4] == (4, False) and out[5] == (4, True)
+
+
+def test_dedup_keep_list_custom_id_column(spark):
+    from rheoceros_spark.operators import dedup_keep_list
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "vec_id bigint")
+    pairs = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    out = {r.vec_id: (r.keep_id, r.is_dup)
+           for r in dedup_keep_list(docs, pairs, id_col="vec_id").collect()}
+    assert out == {0: (0, False), 1: (1, False), 2: (1, True), 3: (3, False)}

@@ -872,3 +872,32 @@ class TestDependencyTreeRangedSameInput:
         out = {r.event_type: (r.today_n, r.range_n)
                for r in app.load_data(c["2024-01-02"]).collect()}
         assert out and all(rn >= tn for tn, rn in out.values())
+
+
+def test_dtree_renamed_alias_one_level_deep(spark, tmp_path, events_by_day):
+    """Kahn decrement regression: a descendant consumed ONLY under a
+    renamed alias one level below the propagation root must still reach
+    in-degree 0 and execute (the in-degree was counted through the
+    producer's resource_id but decremented through aliases only — the
+    node deadlocked and was silently dropped)."""
+    from rheoceros_spark import SparkSQL
+
+    app = make_app(spark, tmp_path, events_by_day, "deep_alias_app")
+    ev = app["events"]
+    a = app.create_data(
+        id="A", inputs=[ev],
+        compute_targets=SparkSQL(
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+    )
+    b = app.create_data(
+        id="B", inputs=[a],
+        compute_targets=SparkSQL("SELECT event_type, n * 2 AS n2 FROM A"),
+    )
+    c = app.create_data(
+        id="C", inputs={"b_renamed": b},
+        compute_targets=SparkSQL("SELECT sum(n2) AS total FROM b_renamed"),
+    )
+    app.execute(a["2024-01-01"], update_dependency_tree=True)
+    assert [r.node_id for r in app.compute_records()] == ["A", "B", "C"]
+    assert app.load_data(c["2024-01-01"]).collect()[0].total > 0
