@@ -344,3 +344,40 @@ def test_stream_ivf_append_grows_index_and_replays_idempotently(spark, sf_dir, t
     run("b")
     n_rows2 = spark.read.option("basePath", idx + "/cells").parquet(idx + "/cells").count()
     assert n_rows2 == n_rows
+
+
+def test_stream_chunk_documents_matches_batch(spark, sf_dir, tmp_path):
+    """Micro-batched chunking emits exactly the batch operator's chunk
+    set — stateless, so batching cannot change (id, chunk_id) keys or
+    chunk contents."""
+    from rheoceros_spark.operators.text_analysis import chunk_documents
+    from rheoceros_spark.streaming.stream import stream_chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    src_dir = str(tmp_path / "docs_chunk_src")
+    docs.coalesce(4).write.mode("overwrite").parquet(src_dir)
+    batch_docs = spark.read.parquet(src_dir)
+
+    expected = {
+        (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(batch_docs, chunk_tokens=32, overlap=8).collect()
+    }
+
+    sdf = spark.readStream.schema(batch_docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    out_dir = str(tmp_path / "chunks_out")
+    q = (
+        stream_chunk_documents(sdf, chunk_tokens=32, overlap=8)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "chunk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == expected and expected
