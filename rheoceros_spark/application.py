@@ -1709,9 +1709,20 @@ class Application:
         return out
 
     def search_data(self, keyword: str) -> list[str]:
-        """Substring search over node/signal ids (case-insensitive)."""
+        """Substring search over node/signal ids AND their source specs
+        (case-insensitive) — the reference's ``search_data`` matches
+        ``repr(access_spec())`` too (application.py:1830-1843), so a
+        path fragment like a bucket or folder name also finds the node."""
         kw = keyword.lower()
-        return [i for i in self.list_data() if kw in i.lower()]
+        out = []
+        for i in self.list_data():
+            hay = i.lower()
+            sig = self.get_data(i)
+            if sig is not None and sig.source is not None:
+                hay += " " + repr(sig.source).lower()
+            if kw in hay:
+                out.append(i)
+        return out
 
     def get_data(self, id: str) -> Optional[Signal]:
         """Signal by id, or None (non-raising twin of ``app[id]``)."""

@@ -131,6 +131,9 @@ def test_query_and_search_apis(spark, events_by_day, tmp_path):
     )
     assert set(app.list_data()) == {"events", "daily_stats", "weekly_rollup"}
     assert app.search_data("STATS") == ["daily_stats"]
+    # reference parity: search also matches the SOURCE spec (path
+    # fragments find the node, application.py:1830-1843)
+    assert "events" in app.search_data(events_by_day.rsplit("/", 1)[-1])
     assert app.get_data("daily_stats") is not None and app.get_data("nope") is None
     assert app.get_upstream("weekly_rollup") == ["daily_stats"]
     assert app.get_downstream("daily_stats") == ["weekly_rollup"]
