@@ -3465,6 +3465,45 @@ def curation_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "curation_corpus_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0
+                      THEN {_NORM} || ' legacy suffix' ELSE {_NORM} END) AS old_fp
+      FROM documents WHERE doc_id % 11 <> 0
+    ), new AS (
+      SELECT doc_id, md5({_NORM}) AS new_fp
+      FROM documents WHERE doc_id % 13 <> 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'removed'
+                WHEN o.old_fp <> n.new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_fp, n.new_fp
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+)
+def curation_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two simulated corpus versions: old drops
+    doc_id % 11 == 0 (→ 'added' in new) and carries a mutated text for
+    doc_id % 5 == 0 (→ 'changed'); new drops doc_id % 13 == 0
+    (→ 'removed') (operators/curation.py corpus_diff)."""
+    from rheoceros_spark.operators.curation import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" legacy suffix"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.where(F.col("doc_id") % 13 != 0)
+    return corpus_diff(old, new)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3496,6 +3535,7 @@ _HEAD = [
     "dedup_keep_list",
     "text_chunk_documents",
     "curation_budget_mix",
+    "curation_corpus_diff",
     # NOT re-entered despite changed output (dsir_logw is no longer
     # 6dp-re-rounded — the sf1 half-way-boundary fix): the 50-slot
     # window is exactly filled by the 10 never-certified queries above

@@ -121,6 +121,7 @@ BENCH_EXT = [
     "dedup_keep_list",
     "text_chunk_documents",
     "curation_budget_mix",
+    "curation_corpus_diff",
 ]
 
 

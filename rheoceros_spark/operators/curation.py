@@ -1188,3 +1188,41 @@ def budget_mix_select(
     return ranked.where(F.col("__cum_before") < F.col("quota")).select(
         id_col, source_col, token_col, "sel_rank", "quota"
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audit two corpus snapshots: per document id, whether it was
+    ``added``, ``removed``, ``changed`` (same id, different normalized
+    content), or ``unchanged`` — the incremental-ingest diff a managed
+    corpus pipeline reports between versions (what re-embeds, what
+    re-indexes, what purges downstream).
+
+    Content identity is the md5 of the normalized text (exact dedup's
+    fingerprint), so whitespace/case churn does not read as change.
+    Scale shape: each side reduces to ``(id, fp)`` in its scan, then one
+    full-outer hash join on the id — two narrow shuffles, corpus-linear,
+    AQE-skew-safe; no text ever shuffles.
+
+    Returns (id, status, old_fp, new_fp).
+    """
+    o = old.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("old_fp"),
+    )
+    n = new.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("new_fp"),
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(id_col, status.alias("status"), "old_fp", "new_fp")

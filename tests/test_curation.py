@@ -635,3 +635,19 @@ def test_dedup_keep_list_custom_id_column(spark):
     out = {r.vec_id: (r.keep_id, r.is_dup)
            for r in dedup_keep_list(docs, pairs, id_col="vec_id").collect()}
     assert out == {0: (0, False), 1: (1, False), 2: (1, True), 3: (3, False)}
+
+
+def test_corpus_diff_statuses(spark):
+    from rheoceros_spark.operators import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "to be removed")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "Same   TEXT"), (2, "changed now"), (4, "brand new doc")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    # normalization makes whitespace/case churn read as unchanged
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
