@@ -1532,10 +1532,53 @@ class Application:
                     for cv in self._derive_child_values(child, sig.alias, pv):
                         if cv not in child_vals:
                             child_vals.append(cv)
+            # PAST executions that transitively consumed an updated
+            # partition through a RANGE also refresh (reference
+            # dtree update_past_executions: C over b[:-7] re-runs its
+            # three existing weekly partitions when one covered B day
+            # changes): scan completed records' recorded materialized
+            # inputs for any just-refreshed parent partition.  The
+            # forward link derivation alone only reaches the tip-linked
+            # partition.
+            for cv in self._past_consumer_values(child, done):
+                if cv not in child_vals:
+                    child_vals.append(cv)
             for cv in child_vals:
                 self._run_node(child, cv, recursive=False)
             if child_vals:
                 done[child.id] = child_vals
+
+    def _past_consumer_values(
+        self, child: InternalDataNode, done: dict[str, list[dict[str, Any]]]
+    ) -> list[dict[str, Any]]:
+        """Output values of ``child``'s COMPLETED past executions whose
+        recorded materialized inputs contain any refreshed parent
+        partition in ``done`` (matched by producer id + stringified
+        branch values over the input's finalized — range-expanded —
+        filter)."""
+        refreshed: dict[str, set[tuple]] = {}
+        for pid, vals in done.items():
+            refreshed[pid] = {tuple(str(v) for v in pv.values()) for pv in vals}
+        out: list[dict[str, Any]] = []
+        for rec in list(self._records):
+            if rec.node_id != child.id or rec.state != ComputeRecordState.COMPLETED:
+                continue
+            hit = False
+            for m in rec.materialized_inputs:
+                rid = getattr(m, "resource_id", None) or m.alias
+                targets = refreshed.get(rid) or refreshed.get(m.alias)
+                if not targets:
+                    continue
+                try:
+                    branches = m.filter.finalize().values()
+                except Exception:
+                    continue
+                if any(tuple(str(v) for v in b) in targets for b in branches):
+                    hit = True
+                    break
+            if hit and dict(rec.out_values) not in out:
+                out.append(dict(rec.out_values))
+        return out
 
     def _derive_child_values(
         self, child: InternalDataNode, parent_id: str, parent_values: dict[str, Any]

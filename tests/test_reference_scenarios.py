@@ -901,3 +901,59 @@ def test_dtree_renamed_alias_one_level_deep(spark, tmp_path, events_by_day):
     app.execute(a["2024-01-01"], update_dependency_tree=True)
     assert [r.node_id for r in app.compute_records()] == ["A", "B", "C"]
     assert app.load_data(c["2024-01-01"]).collect()[0].total > 0
+
+
+class TestDependencyTreeUpdatesPastExecutions:
+    """Ported: reference test_aws_application_execution_dependency_tree.py:429-585
+    (two childs, update past executions) — C consumes a trailing RANGE
+    of B, and had successful past executions; re-executing one covered
+    B partition with ``update_dependency_tree=True`` must refresh EVERY
+    past C partition whose recorded inputs contained it — and nothing
+    else."""
+
+    def test_ranged_consumer_past_partitions_refresh(
+        self, spark, tmp_path, events_by_day
+    ):
+        from rheoceros_spark import SparkSQL
+
+        app = make_app(spark, tmp_path, events_by_day, "dtree_past_app")
+        ev = app["events"]
+        b = app.create_data(
+            id="B", inputs=[ev],
+            compute_targets=SparkSQL(
+                "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+            ),
+        )
+        for day in DAYS[:3]:  # 3 days of B
+            app.execute(b[day])
+        c = app.create_data(
+            id="C", inputs=[b[:-2]],  # trailing 2-day window
+            compute_targets=SparkSQL(
+                "SELECT event_type, sum(n) AS n2 FROM B GROUP BY event_type"
+            ),
+        )
+        # two past C executions, both covering B["2024-01-02"]:
+        # C[01-02] reads B[01-01..01-02]; C[01-03] reads B[01-02..01-03]
+        app.execute(c["2024-01-02"])
+        app.execute(c["2024-01-03"])
+        n_c = len(app.compute_records("C"))
+        assert n_c == 2
+
+        # refresh the shared B partition
+        app.execute(b["2024-01-02"], update_dependency_tree=True)
+
+        c_recs = app.compute_records("C")
+        days = sorted(str(r.out_values["day"])[:10] for r in c_recs)
+        # both past partitions re-ran exactly once each (2 old + 2 new);
+        # the forward tip link also maps C[01-02], deduped with the scan
+        assert days == ["2024-01-02", "2024-01-02", "2024-01-03", "2024-01-03"], days
+        assert len(app.compute_records("B")) == 3 + 1  # only B[01-02] re-ran
+
+        # a B partition outside every recorded window refreshes nothing
+        # beyond its own tip-linked C partition: B[01-01] is inside
+        # C[01-02]'s recorded window, so C[01-02] refreshes again, but
+        # C[01-03] (window 01-02..01-03) must NOT
+        before = len([d for d in (str(r.out_values["day"])[:10] for r in app.compute_records("C")) if d == "2024-01-03"])
+        app.execute(b["2024-01-01"], update_dependency_tree=True)
+        after = len([d for d in (str(r.out_values["day"])[:10] for r in app.compute_records("C")) if d == "2024-01-03"])
+        assert after == before, "C[2024-01-03] must not refresh for B[2024-01-01]"
