@@ -159,6 +159,10 @@ class ComputeRecord:
     #: test_aws_application_output_parametrization.py:93-110); lets
     #: callers audit what execute/process back-derived for each input
     materialized_inputs: list = field(default_factory=list)
+    #: wall-clock completion time (None while PROCESSING) — the search
+    #: key of the reference's inactive-record interval scan
+    #: (``dependency_tree_scan_end``)
+    completed_at: Optional[float] = None
 
 
 class ApplicationState(str, Enum):
@@ -1063,6 +1067,7 @@ class Application:
         wait: bool = True,
         recursive: bool = False,
         update_dependency_tree: bool = False,
+        dependency_tree_scan_end=None,
     ) -> str:
         """Run one partition-grain batch for ``target`` (an internal
         node view with material dimension values).  Returns the
@@ -1176,7 +1181,9 @@ class Application:
                 try:
                     self._run_node(node, out_values, recursive=recursive, record=record, material_inputs=provided)
                     if update_dependency_tree:
-                        self._propagate_dependency_tree(node, out_values)
+                        self._propagate_dependency_tree(
+                            node, out_values, scan_end=dependency_tree_scan_end
+                        )
                 except Exception:
                     pass  # state + error already captured on the record
 
@@ -1187,7 +1194,7 @@ class Application:
 
         path = self._run_node(node, out_values, recursive=recursive, material_inputs=provided)
         if update_dependency_tree:
-            self._propagate_dependency_tree(node, out_values)
+            self._propagate_dependency_tree(node, out_values, scan_end=dependency_tree_scan_end)
         return path
 
     def _run_node(
@@ -1221,6 +1228,7 @@ class Application:
                     # forever: poll() spins on has_active_record and the
                     # retention sweep treats PROCESSING as in-flight
                     record.state = ComputeRecordState.COMPLETED
+                    record.completed_at = time.time()
                     record.detail = "skipped: output_retention rejected target"
                 return node.output_signal.source.materialize_paths(out_filter)[0]
 
@@ -1350,6 +1358,7 @@ class Application:
             )
         except ComputeKilledError as e:
             record.state = ComputeRecordState.KILLED
+            record.completed_at = time.time()
             record.error = str(e)
             hook = node.hooks.get("on_failure")
             if hook:
@@ -1360,6 +1369,7 @@ class Application:
                 # kill interrupted the terminal write action — it
                 # surfaces as a job-cancelled error, not our own type
                 record.state = ComputeRecordState.KILLED
+                record.completed_at = time.time()
                 record.error = str(e)
                 hook = node.hooks.get("on_failure")
                 if hook:
@@ -1368,6 +1378,7 @@ class Application:
             # RouteExecutionHook.on_compute_failure / on_failure parity
             # (reference routing_runtime_constructs.py:856-1160)
             record.state = ComputeRecordState.FAILED
+            record.completed_at = time.time()
             record.error = str(e)
             hook = node.hooks.get("on_failure")
             if hook:
@@ -1379,6 +1390,7 @@ class Application:
             self._kill_requested.discard(key)
 
         record.state = ComputeRecordState.COMPLETED
+        record.completed_at = time.time()
         record.path = path
         hook = node.hooks.get("on_success")
         if hook:
@@ -1502,7 +1514,12 @@ class Application:
                         ready.append(mid)
         return out
 
-    def _propagate_dependency_tree(self, node: InternalDataNode, out_values: dict[str, Any]) -> None:
+    def _propagate_dependency_tree(
+        self,
+        node: InternalDataNode,
+        out_values: dict[str, Any],
+        scan_end=None,
+    ) -> None:
         """Run every descendant of ``node`` for the partitions implied
         by this execution (reference execute(update_dependency_tree=True),
         dependency-tree suite).
@@ -1540,7 +1557,7 @@ class Application:
             # inputs for any just-refreshed parent partition.  The
             # forward link derivation alone only reaches the tip-linked
             # partition.
-            for cv in self._past_consumer_values(child, done):
+            for cv in self._past_consumer_values(child, done, scan_end):
                 if cv not in child_vals:
                     child_vals.append(cv)
             for cv in child_vals:
@@ -1549,7 +1566,10 @@ class Application:
                 done[child.id] = child_vals
 
     def _past_consumer_values(
-        self, child: InternalDataNode, done: dict[str, list[dict[str, Any]]]
+        self,
+        child: InternalDataNode,
+        done: dict[str, list[dict[str, Any]]],
+        scan_end=None,
     ) -> list[dict[str, Any]]:
         """Output values of ``child``'s COMPLETED past executions whose
         recorded materialized inputs contain any refreshed parent
@@ -1560,8 +1580,19 @@ class Application:
         for pid, vals in done.items():
             refreshed[pid] = {tuple(str(v) for v in pv.values()) for pv in vals}
         out: list[dict[str, Any]] = []
+        if scan_end is not None and hasattr(scan_end, "timestamp"):
+            scan_end = scan_end.timestamp()
         for rec in list(self._records):
             if rec.node_id != child.id or rec.state != ComputeRecordState.COMPLETED:
+                continue
+            if (
+                scan_end is not None
+                and rec.completed_at is not None
+                and rec.completed_at > scan_end
+            ):
+                # reference execute(dependency_tree_scan_end=...): the
+                # past-execution search interval ends here — later
+                # completions are out of scope
                 continue
             hit = False
             for m in rec.materialized_inputs:

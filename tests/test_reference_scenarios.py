@@ -957,3 +957,48 @@ class TestDependencyTreeUpdatesPastExecutions:
         app.execute(b["2024-01-01"], update_dependency_tree=True)
         after = len([d for d in (str(r.out_values["day"])[:10] for r in app.compute_records("C")) if d == "2024-01-03"])
         assert after == before, "C[2024-01-03] must not refresh for B[2024-01-01]"
+
+
+def test_dtree_scan_end_bounds_past_refresh(spark, tmp_path, events_by_day):
+    """Ported: the reference's ``dependency_tree_scan_end`` bounds the
+    past-execution search interval — a scan end BEFORE the past
+    executions completed excludes them (only the forward tip-linked
+    partition refreshes)."""
+    from datetime import datetime, timedelta
+
+    from rheoceros_spark import SparkSQL
+
+    app = make_app(spark, tmp_path, events_by_day, "dtree_scanend_app")
+    ev = app["events"]
+    b = app.create_data(
+        id="B", inputs=[ev],
+        compute_targets=SparkSQL(
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+    )
+    for day in DAYS[:3]:
+        app.execute(b[day])
+    c = app.create_data(
+        id="C", inputs=[b[:-2]],
+        compute_targets=SparkSQL(
+            "SELECT event_type, sum(n) AS n2 FROM B GROUP BY event_type"
+        ),
+    )
+    app.execute(c["2024-01-02"])
+    app.execute(c["2024-01-03"])
+
+    # scan interval ends long before those C executions completed →
+    # C[2024-01-03] (reachable only through the record scan) must NOT
+    # refresh; C[2024-01-02] still does via the forward tip link
+    app.execute(
+        b["2024-01-02"],
+        update_dependency_tree=True,
+        dependency_tree_scan_end=datetime.now() - timedelta(hours=1),
+    )
+    days = sorted(str(r.out_values["day"])[:10] for r in app.compute_records("C"))
+    assert days == ["2024-01-02", "2024-01-02", "2024-01-03"], days
+
+    # completed_at is stamped on terminal records (the scan key)
+    assert all(
+        r.completed_at is not None for r in app.compute_records()
+    ), "terminal records must carry completed_at"
