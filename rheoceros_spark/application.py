@@ -1893,6 +1893,28 @@ class Application:
             if (node_id is None or r.node_id == node_id) and (state is None or r.state == state)
         ]
 
+    def get_active_compute_records(self, node=None) -> list[ComputeRecord]:
+        """In-flight records — reference RoutingTable active-record query
+        (execution_control suite).  ``node`` may be a node id, a Signal,
+        or an internal node handle."""
+        return self.compute_records(self._node_id_of(node), ComputeRecordState.PROCESSING)
+
+    def get_inactive_compute_records(self, node=None) -> list[ComputeRecord]:
+        """Terminal (completed/failed/killed) records — reference
+        inactive-record search, the dependency-tree scan's source."""
+        nid = self._node_id_of(node)
+        return [
+            r
+            for r in self.compute_records(nid)
+            if r.state != ComputeRecordState.PROCESSING
+        ]
+
+    @staticmethod
+    def _node_id_of(node) -> Optional[str]:
+        if node is None or isinstance(node, str):
+            return node
+        return getattr(node, "alias", None) or getattr(node, "id", None)
+
     def materialize(self, view: Signal) -> list[str]:
         sig = self[view.alias]
         desc = sig.source

@@ -715,6 +715,9 @@ class TestRecursiveRangedBackfill:
         )
         app.execute(agg["2024-01-03"], recursive=True)
 
+        # reference API names resolve the same history
+        assert app.get_inactive_compute_records("daily") == app.compute_records("daily")
+        assert app.get_active_compute_records() == []
         recs = app.compute_records("daily")
         by_day = {}
         for r in recs:
