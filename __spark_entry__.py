@@ -3470,17 +3470,21 @@ def curation_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH old AS (
       SELECT doc_id,
+             -- normalize AFTER suffixing, exactly like the Spark side
+             -- (normalize(concat(...)) — differs on whitespace-only text)
              md5(CASE WHEN doc_id % 5 = 0
-                      THEN {_NORM} || ' legacy suffix' ELSE {_NORM} END) AS old_fp
+                      THEN trim(regexp_replace(lower(text || ' legacy suffix'),
+                                               '\\s+', ' ', 'g'))
+                      ELSE {_NORM} END) AS old_fp
       FROM documents WHERE doc_id % 11 <> 0
     ), new AS (
       SELECT doc_id, md5({_NORM}) AS new_fp
       FROM documents WHERE doc_id % 13 <> 0
     )
     SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-           CASE WHEN o.old_fp IS NULL THEN 'added'
-                WHEN n.new_fp IS NULL THEN 'removed'
-                WHEN o.old_fp <> n.new_fp THEN 'changed'
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_fp IS DISTINCT FROM n.new_fp THEN 'changed'
                 ELSE 'unchanged' END AS status,
            o.old_fp, n.new_fp
     FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
@@ -3538,7 +3542,7 @@ _HEAD = [
     "curation_corpus_diff",
     # NOT re-entered despite changed output (dsir_logw is no longer
     # 6dp-re-rounded — the sf1 half-way-boundary fix): the 50-slot
-    # window is exactly filled by the 10 never-certified queries above
+    # window is exactly filled by the 11 never-certified queries above
     # plus the 39 r04 rotations below, and dropping an r04 rotation
     # would break r05 ∪ r06 totality.  curation_dsir_weights /
     # curation_dsir_resample stay continuously gated by the local

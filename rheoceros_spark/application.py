@@ -1085,6 +1085,9 @@ class Application:
         node = self._nodes.get(target.alias)
         if node is None:
             raise KeyError(f"{target.alias!r} is not an internal data node")
+        # validate BEFORE the root runs: a bad scan bound must not leave
+        # the dependency tree half-refreshed mid-propagation
+        dependency_tree_scan_end = _coerce_scan_end(dependency_tree_scan_end)
 
         out_filter = target.filter.finalize()
         if not out_filter.is_material:
@@ -1580,8 +1583,6 @@ class Application:
         for pid, vals in done.items():
             refreshed[pid] = {tuple(str(v) for v in pv.values()) for pv in vals}
         out: list[dict[str, Any]] = []
-        if scan_end is not None and hasattr(scan_end, "timestamp"):
-            scan_end = scan_end.timestamp()
         for rec in list(self._records):
             if rec.node_id != child.id or rec.state != ComputeRecordState.COMPLETED:
                 continue
@@ -1913,7 +1914,14 @@ class Application:
     def _node_id_of(node) -> Optional[str]:
         if node is None or isinstance(node, str):
             return node
-        return getattr(node, "alias", None) or getattr(node, "id", None)
+        # resource_id first: it is the stable producer identity across
+        # per-node aliasing — a renamed-alias view ({"b_today": b}) has
+        # alias "b_today" while records store node_id "B"
+        return (
+            getattr(node, "resource_id", None)
+            or getattr(node, "id", None)
+            or getattr(node, "alias", None)
+        )
 
     def materialize(self, view: Signal) -> list[str]:
         sig = self[view.alias]
@@ -1970,3 +1978,32 @@ class Application:
         if columns:
             df = df.select(*columns)
         return df.toPandas()
+
+
+def _coerce_scan_end(scan_end) -> Optional[float]:
+    """``dependency_tree_scan_end`` → epoch seconds.  Accepts datetime,
+    date, a day string in the same formats users index partitions with,
+    or an epoch number; rejects anything else loudly."""
+    if scan_end is None or isinstance(scan_end, (int, float)):
+        return scan_end
+    if isinstance(scan_end, str):
+        from datetime import datetime as _dt
+
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+            try:
+                return _dt.strptime(scan_end, fmt).timestamp()
+            except ValueError:
+                continue
+        raise TypeError(
+            f"dependency_tree_scan_end: unparseable datetime string {scan_end!r}"
+        )
+    if hasattr(scan_end, "timestamp"):
+        return scan_end.timestamp()
+    import datetime as _d
+
+    if isinstance(scan_end, _d.date):
+        return _d.datetime(scan_end.year, scan_end.month, scan_end.day).timestamp()
+    raise TypeError(
+        f"dependency_tree_scan_end must be a datetime/date/day-string/epoch, "
+        f"got {type(scan_end).__name__}"
+    )

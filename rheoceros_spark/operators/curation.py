@@ -1210,19 +1210,27 @@ def corpus_diff(
 
     Returns (id, status, old_fp, new_fp).
     """
+    # presence is tracked with explicit flags, NOT fingerprint nullity:
+    # a NULL-text doc has a NULL fp on both sides, and fp-nullity
+    # presence tests would misread it as 'added' even when it exists
+    # only in the old snapshot (review-caught).  Content comparison is
+    # null-safe for the same reason: two NULL-text versions of a doc
+    # are 'unchanged'.
     o = old.where(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         F.md5(normalize_text(F.col(text_col))).alias("old_fp"),
+        F.lit(True).alias("__in_old"),
     )
     n = new.where(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         F.md5(normalize_text(F.col(text_col))).alias("new_fp"),
+        F.lit(True).alias("__in_new"),
     )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(id_col, status.alias("status"), "old_fp", "new_fp")

@@ -638,22 +638,32 @@ def chunk_documents(
             f"chunk_documents: need chunk_tokens >= 2 and 0 <= overlap < "
             f"chunk_tokens, got {chunk_tokens}, {overlap}"
         )
-    stride = chunk_tokens - overlap
     from rheoceros_spark.operators.scale import ensure_parallelism
 
-    # NULL and empty/whitespace-only text are filtered explicitly:
-    # sequence/greatest over a NULL token array otherwise emits one
-    # phantom all-NULL chunk per NULL row (and DuckDB's greatest treats
-    # NULLs differently — the oracle would diverge), and tokens("") is
-    # [""] so an empty doc would emit one phantom 1-token chunk of ""
-    # — contradicting token_count's empty-text-is-0-tokens convention
-    # and leaking a fake token into packing budgets
-    base = ensure_parallelism(
-        df.where(
-            F.col(id_col).isNotNull()
-            & (F.length(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))) > 0)
-        ).select(id_col, text_col)
-    )
+    base = ensure_parallelism(_chunk_filter(df, text_col, id_col))
+    return _chunk_select(base, chunk_tokens, overlap, text_col, id_col)
+
+
+def _chunk_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """NULL and empty/whitespace-only text are filtered explicitly:
+    sequence/greatest over a NULL token array otherwise emits one
+    phantom all-NULL chunk per NULL row (and DuckDB's greatest treats
+    NULLs differently — the oracle would diverge), and tokens("") is
+    [""] so an empty doc would emit one phantom 1-token chunk of "" —
+    contradicting token_count's empty-text-is-0-tokens convention and
+    leaking a fake token into packing budgets."""
+    return df.where(
+        F.col(id_col).isNotNull()
+        & (F.length(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))) > 0)
+    ).select(id_col, text_col)
+
+
+def _chunk_select(
+    base: DataFrame, chunk_tokens: int, overlap: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared chunking core (batch + streaming twin): per-row explode
+    over the start-position sequence, dense chunk ids, sliced text."""
+    stride = chunk_tokens - overlap
     staged = base.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__t")
     ).select(

@@ -424,41 +424,18 @@ def stream_chunk_documents(
     per-row explode into overlapping fixed-token chunks.  Stateless —
     no watermark, no state store — so a micro-batched ingest emits
     exactly the chunks the batch operator would (``(id, chunk_id)``
-    keys are derived per row, independent of batching).  The inner
-    ``ensure_parallelism`` is skipped on streams (repartition of a
+    keys are derived per row, independent of batching).  Shares the
+    batch operator's filter + chunking core; only the batch-side
+    ``ensure_parallelism`` wrapper is skipped (repartition of a
     streaming DataFrame would force a stateful shuffle per batch;
     micro-batches arrive pre-parallelized by the source)."""
-    from pyspark.sql import functions as F
-
-    from rheoceros_spark.functions.portable import normalize_text, tokens
+    from rheoceros_spark.operators.text_analysis import _chunk_filter, _chunk_select
 
     if chunk_tokens < 2 or overlap < 0 or overlap >= chunk_tokens:
         raise ValueError(
             f"stream_chunk_documents: need chunk_tokens >= 2 and 0 <= overlap < "
             f"chunk_tokens, got {chunk_tokens}, {overlap}"
         )
-    stride = chunk_tokens - overlap
-    base = sdf.where(
-        F.col(id_col).isNotNull()
-        & (F.length(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))) > 0)
-    ).select(id_col, text_col)
-    staged = base.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__t")
-    ).select(
-        F.col(id_col),
-        F.col("__t"),
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.lit(1), F.size(F.col("__t")) - F.lit(overlap)),
-                F.lit(stride),
-            )
-        ).alias("__start"),
-    )
-    piece = F.slice(F.col("__t"), F.col("__start"), chunk_tokens)
-    return staged.select(
-        F.col(id_col),
-        ((F.col("__start") - F.lit(1)) / F.lit(stride)).cast("bigint").alias("chunk_id"),
-        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
-        F.array_join(piece, " ").alias("chunk_text"),
+    return _chunk_select(
+        _chunk_filter(sdf, text_col, id_col), chunk_tokens, overlap, text_col, id_col
     )

@@ -651,3 +651,19 @@ def test_corpus_diff_statuses(spark):
     out = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     # normalization makes whitespace/case churn read as unchanged
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_null_text_presence(spark):
+    """NULL-text docs must diff by PRESENCE, not fingerprint nullity
+    (review-caught: fp-null presence tests read every NULL-text row as
+    'added')."""
+    from rheoceros_spark.operators import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "now has text"), (3, None)], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "changed", 3: "unchanged"}

@@ -996,10 +996,18 @@ def test_dtree_scan_end_bounds_past_refresh(spark, tmp_path, events_by_day):
     app.execute(
         b["2024-01-02"],
         update_dependency_tree=True,
-        dependency_tree_scan_end=datetime.now() - timedelta(hours=1),
+        # a plain day string is accepted like everywhere else in the API
+        dependency_tree_scan_end="2024-01-01",
     )
     days = sorted(str(r.out_values["day"])[:10] for r in app.compute_records("C"))
     assert days == ["2024-01-02", "2024-01-02", "2024-01-03"], days
+    # a garbage scan bound fails BEFORE anything runs
+    import pytest as _pytest
+    n_before = len(app.compute_records())
+    with _pytest.raises(TypeError, match="dependency_tree_scan_end"):
+        app.execute(b["2024-01-02"], update_dependency_tree=True,
+                    dependency_tree_scan_end=object())
+    assert len(app.compute_records()) == n_before
 
     # completed_at is stamped on terminal records (the scan key)
     assert all(
