@@ -54,6 +54,9 @@ HEAVIES = [
     "text_unigram_nll",
     "text_source_kl",
     "dedup_exact_docs",
+    "ann_kmeans_refine",
+    "ann_pq_topk",
+    "ann_cosine_topk",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
@@ -97,6 +100,25 @@ def synthesize(spark) -> None:
         )
     )
     reps.repartition(32).write.mode("overwrite").parquet(f"{SF1}/documents.parquet")
+    # embeddings: same vectors under shifted ids — the embedding HEAVIES
+    # timed at sf1 (k-means, PQ, brute cosine) are corpus-LINEAR (no
+    # pairwise candidate generation), so duplicate vectors cannot blow
+    # up their output the way they would for the dedup-pair operators
+    # (which are deliberately NOT timed on this table)
+    emb = load_table(spark, SF01, "embeddings")
+    emb_reps = (
+        emb.crossJoin(
+            F.broadcast(
+                spark.range(REPLICAS).select(F.col("id").cast("int").alias("__r"))
+            )
+        )
+        .select(
+            (F.col("vec_id") + F.col("__r").cast("bigint") * ID_STRIDE).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    emb_reps.repartition(32).write.mode("overwrite").parquet(f"{SF1}/embeddings.parquet")
 
 
 def run_once(df) -> None:
