@@ -335,3 +335,30 @@ class TestRound6PlanShapes:
         # the corpus side never sort-merge-joins or cartesians
         assert "CartesianProduct" not in final_section
         assert "SortMergeJoin" not in final_section
+
+
+class TestBenchBaselineSync:
+    """BENCH_EXT and BASELINE.md §2b drifted once (round-5 queries were
+    declared but unmeasured for a whole round); pin the sync."""
+
+    def test_every_ext_query_has_a_recorded_baseline(self):
+        import re
+
+        import bench
+
+        text = open("/root/repo/BASELINE.md").read()
+        missing = [
+            name
+            for name in bench.BENCH_EXT
+            if not re.search(rf"\|\s*{re.escape(name)}\s*\|", text)
+        ]
+        assert not missing, (
+            f"BENCH_EXT queries without a BASELINE.md baseline row: {missing}"
+        )
+
+    def test_bench_names_resolve(self):
+        import bench
+
+        names = set(entry.queries())
+        drifted = [n for n in bench.BENCH_CORE + bench.BENCH_EXT if n not in names]
+        assert not drifted, drifted
