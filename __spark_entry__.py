@@ -3508,6 +3508,62 @@ def curation_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new)
 
 
+# DEFERRED to the round-7 window: with 101 registered queries, the
+# 50-slot driver window plus r05's 50 certified names could no longer
+# jointly cover everything (51 would fall outside), so this round caps
+# at 100 registered queries.  ngram_novelty ships as a tested operator
+# now; flip _q_novelty back to @q("curation_ngram_novelty", ...) in
+# round 7 together with the DSIR re-entries.
+_NOVELTY_DEFERRED = dict(
+    name="curation_ngram_novelty",
+    oracle=f"""
+    WITH corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), ref AS (
+      SELECT text FROM documents WHERE doc_id % 7 <> 0
+    ), cg AS (
+      SELECT doc_id, {_H64.format(s="g")} AS gh FROM (
+        SELECT doc_id, unnest(list_distinct({_ngrams_sql(_TOK, 8)})) AS g
+        FROM corp WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      )
+    ), rg AS (
+      SELECT DISTINCT {_H64.format(s="g")} AS gh FROM (
+        SELECT unnest(list_distinct({_ngrams_sql(_TOK, 8)})) AS g
+        FROM ref WHERE text IS NOT NULL
+      )
+    ), per AS (
+      SELECT cg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN rg.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM cg LEFT JOIN rg ON cg.gh = rg.gh
+      GROUP BY cg.doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_novel, 0) AS n_novel,
+           round(CAST(p.n_novel AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) AS novelty_ratio
+    FROM corp c LEFT JOIN per p USING (doc_id)
+    """,
+)
+
+
+def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty of the doc_id % 7 == 0 slice against the rest of the
+    corpus as the existing-training-data reference: fraction of each
+    document's distinct 8-grams seen nowhere in the reference —
+    membership via a gram-hash equi-join, never a broadcast (the
+    reference side is corpus-sized; operators/curation.py
+    ngram_novelty)."""
+    from rheoceros_spark.operators.curation import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs.where(F.col("doc_id") % 7 == 0),
+        docs.where(F.col("doc_id") % 7 != 0),
+        n=8,
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

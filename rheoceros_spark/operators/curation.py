@@ -1234,3 +1234,88 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(id_col, status.alias("status"), "old_fp", "new_fp")
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty against an EXISTING training corpus: the
+    fraction of a document's distinct word ``n``-grams that appear
+    nowhere in ``reference`` — the freshness signal used when deciding
+    how much of a new crawl actually adds information on top of data
+    already trained on (the inverse view of contamination, against a
+    different adversary).
+
+    The deliberate contrast with :func:`contamination_ngrams`: there the
+    benchmark gram set is MB-sized and **broadcasts**; here the
+    reference is another 100 TB corpus, so membership is an **equi-join
+    on the gram hash** — both sides shuffle by the hash, AQE skew-split
+    handles boilerplate grams, and nothing corpus-sized ever
+    concentrates on the driver or in a broadcast.  Within-doc dedup is
+    ``array_distinct`` before the explode (row-local), and the
+    reference side reduces to DISTINCT hashes before the join, so join
+    input is vocabulary-sized per side, not occurrence-sized.
+
+    Returns (id, n_grams, n_novel, novelty_ratio); documents with NULL
+    text report 0 grams and NULL ratio.
+    """
+    if n < 1:
+        raise ValueError(f"ngram_novelty: n must be >= 1, got {n}")
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    grams = (
+        ensure_parallelism(
+            corpus.where(
+                F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+            ).select(id_col, text_col)
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+            ).alias("__g"),
+        )
+        .select(id_col, h64(F.col("__g")).alias("gh"))
+    )
+    ref = (
+        ensure_parallelism(
+            reference.where(F.col(text_col).isNotNull()).select(text_col)
+        )
+        .select(
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+            ).alias("__g")
+        )
+        .select(h64(F.col("__g")).alias("gh"))
+        .distinct()
+        .select("gh", F.lit(1).alias("__seen"))
+    )
+    per_doc = (
+        grams.join(ref, "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.round(
+                    F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
+                ),
+            ).alias("novelty_ratio"),
+        )
+    )

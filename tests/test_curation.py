@@ -667,3 +667,47 @@ def test_corpus_diff_null_text_presence(spark):
     )
     out = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert out == {1: "removed", 2: "changed", 3: "unchanged"}
+
+
+def test_ngram_novelty_semantics_and_deferred_oracle(spark):
+    """ngram_novelty is deferred from the round-6 driver window (the
+    50-slot window hit its cap) but must stay cross-engine verified:
+    run the stashed oracle through DuckDB against the Spark operator at
+    sf0.001, plus direct semantics checks."""
+    from rheoceros_spark.operators import ngram_novelty
+
+    # semantics: fully-copied doc → 0 novelty; fresh doc → 1.0
+    ref_rows = [(100 + i, f"common text block number {i} with shared phrasing all around", ) for i in range(3)]
+    corpus_rows = [
+        (1, ref_rows[0][1]),
+        (2, "entirely fresh never seen words combination here today absolutely"),
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id bigint, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in ngram_novelty(corpus, ref, n=4).collect()}
+    assert out[1].novelty_ratio == 0.0
+    assert out[2].novelty_ratio == 1.0
+
+    # cross-engine: stashed oracle vs the Spark query shape, sf0.001
+    import duckdb
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from rheoceros_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    got = sorted(
+        tuple(r)
+        for r in ngram_novelty(
+            docs.where(F.col("doc_id") % 7 == 0),
+            docs.where(F.col("doc_id") % 7 != 0),
+            n=8,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(entry._NOVELTY_DEFERRED["oracle"]).fetchall())
+    assert got == want and got
