@@ -362,3 +362,40 @@ class TestBenchBaselineSync:
         names = set(entry.queries())
         drifted = [n for n in bench.BENCH_CORE + bench.BENCH_EXT if n not in names]
         assert not drifted, drifted
+
+
+class TestRound6TailPlanShapes:
+    def test_corpus_diff_prunes_scan_and_avoids_text_shuffle(self, spark, sf):
+        df = entry.queries()["curation_corpus_diff"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        final_section = plan.split("== Initial Plan ==")[0]
+        # each snapshot scan reads only (doc_id, text) — no other column
+        for read_schema in final_section.split("ReadSchema:")[1:]:
+            head = read_schema.splitlines()[0]
+            assert "lang" not in head and "n_chars" not in head, head
+        # the fp is computed inside the scan-side projects; the join
+        # exchanges carry (id, fp, flag) only — raw text never shuffles
+        for ex in final_section.splitlines():
+            if "Exchange hashpartitioning" in ex:
+                assert "text#" not in ex, ex
+        assert "CartesianProduct" not in final_section
+
+    def test_chunk_query_is_shuffle_free(self, spark, sf):
+        df = entry.queries()["text_chunk_documents"](spark, sf)
+        plan = physical_plan(df)
+        assert "Exchange hashpartitioning" not in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_budget_mix_single_corpus_scan(self, spark, sf):
+        df = entry.queries()["curation_budget_mix"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        final_section = plan.split("== Initial Plan ==")[0]
+        # two narrow passes by design (quota aggregate + ranked window —
+        # the quota side reduces to a sources-sized broadcast), never a
+        # cartesian, and the per-doc side shuffles once by source for
+        # the quota-fill window
+        assert "CartesianProduct" not in final_section
+        assert final_section.count("Scan parquet") <= 2
+        assert "BroadcastHashJoin" in final_section
