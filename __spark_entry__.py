@@ -61,12 +61,34 @@ SF001 = "/root/testdata/sf0.001"
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
+#: Verification twins retired from the driver window (round 7).  The
+#: 50-slot window + consecutive-round-coverage invariant caps the
+#: registry at 100 queries, so each NEW registration must retire one.
+#: Retirees stay fully implemented and DuckDB-oracle-gated — pytest
+#: (tests/test_retired_oracles.py) and scripts/check_oracle.py
+#: --retired run the same parity check the driver would; they are just
+#: no longer certified by official rows.  Selection principle: retire
+#: only queries whose *scalable sibling* holds a current official row,
+#: so no operator family loses certification.
+_RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_RETIRED_ORACLES: dict[str, str] = {}
+
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def q_retired(name: str, oracle: str | None = None):
+    def deco(fn):
+        _RETIRED_QUERIES[name] = fn
+        if oracle is not None:
+            _RETIRED_ORACLES[name] = oracle
         return fn
 
     return deco
@@ -770,7 +792,10 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+# Retired r7: a plain broadcast-join+agg demo — the broadcast-join
+# shape holds official rows via q2/q5/q7/q8/q9 and is plan-gated by
+# test_small_dims_broadcast; parity stays in tests/test_retired_oracles.py.
+@q_retired(
     "broadcast_join_enrich",
     oracle=f"""
     SELECT p_brand, count(*) AS n,
@@ -1786,7 +1811,11 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+# Retired r7 (VERDICT r6 ask #1): the quadratic all-pairs verification
+# twin of dedup_embedding_blocked (officially certified r6) — the
+# 100 TB operator is the blocked variant; the all-pairs twin exists to
+# verify it, which tests/test_retired_oracles.py keeps doing.
+@q_retired(
     "dedup_embedding_pairs",
     oracle=f"""
     SELECT a, b, round(cos, 6) AS cos_r FROM (
@@ -2008,7 +2037,11 @@ SELECT vec_id, rank, round(cos, 6) AS cos_r FROM (
 _IVF_APPEND_CACHE: dict[str, str] = {}
 
 
-@q(
+# Retired r7: exhaustive-probe (brute-force-oracle) verification of
+# ivf_append integration — the persisted/pruned IVF shape holds
+# official rows via ann_ivf_persisted (r6) and incremental APPEND via
+# dedup_incremental_index (r6); parity stays in tests/test_retired_oracles.py.
+@q_retired(
     "ann_ivf_appended",
     oracle=f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -2116,7 +2149,10 @@ def curation_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ann_pq_topk", oracle=_PQ_ORACLE)
+# Retired r7: whole-corpus ADC scan — the verification baseline for
+# ann_ivfpq_topk (registered r7), which certifies the same PQ codebook
+# + ADC path plus cell pruning; parity stays in tests/test_retired_oracles.py.
+@q_retired("ann_pq_topk", oracle=_PQ_ORACLE)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: per-subspace codes from a deterministic
     sampled codebook, asymmetric-distance candidate scan, exact cosine
@@ -3248,14 +3284,57 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle() -> str:
+    from rheoceros_spark.operators.text_analysis import (
+        BPE_DEMO_MERGES,
+        bpe_word_fold_duckdb,
+    )
+
+    fold = bpe_word_fold_duckdb(BPE_DEMO_MERGES)
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR length({_NORM}) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE flatten(list_transform(
+                         regexp_extract_all({_NORM}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'),
+                         w -> {fold})) END AS bpe
+      FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id, CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+           array_to_string(bpe[1:8], ' ') AS bpe_head
+    FROM b
+    """
+
+
+@q("text_bpe_tokens", oracle=_bpe_oracle())
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style BPE subword tokenization: BPE_REGEX pre-tokens
+    merged bottom-up from characters under a rank-ordered merge table
+    embedded as plan literals — per-row left-scan folds, shuffle-free,
+    no Python in the row path.  The n_bpe_tokens column is the real
+    model-token counter chunk/pack/budget compose with
+    (operators/text_analysis.py bpe_encode)."""
+    from rheoceros_spark.operators.text_analysis import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    return bpe_encode(docs).select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("bpe_head"),
+    )
+
+
 # ===========================================================================
 # k-means codebook training, KL drift, dedup keep-list (round 6 depth)
 # ===========================================================================
 
-def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
-    """Lloyd k-means in pure SQL: hash-sampled seeds, then ``iters``
+def _lloyd_ctes(k: int = 8, iters: int = 2) -> tuple[list[str], str]:
+    """Lloyd k-means as SQL CTEs: hash-sampled seeds, then ``iters``
     assign→update rounds with 1e-7-grid quantized component means (the
-    determinism contract of operators/similarity.py kmeans_refine)."""
+    determinism contract of operators/similarity.py kmeans_refine).
+    Returns (cte_list, final_centroid_cte_name); shared by the
+    ann_kmeans_refine and ann_ivfpq_topk oracles."""
     seeds = f"""
     SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
     FROM emb ORDER BY {_H64.format(s="CAST(vec_id AS VARCHAR)")}, vec_id LIMIT {k}
@@ -3287,6 +3366,11 @@ def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
       FROM {prev} p LEFT JOIN {m} m ON p.cid = m.cell
     )""")
         prev = c
+    return ctes, prev
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    ctes, prev = _lloyd_ctes(k, iters)
     return f"""
     WITH {', '.join(ctes)}
     SELECT vec_id, cid AS cell FROM (
@@ -3296,6 +3380,129 @@ def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
       FROM emb e, {prev} c
     ) WHERE rn = 1
     """
+
+
+def _ivfpq_oracle(
+    n_cells: int = 8,
+    iters: int = 2,
+    n_codes: int = 16,
+    m: int = 4,
+    dim: int = 64,
+    n_probe: int = 3,
+    rerank: int = 50,
+    k: int = 10,
+) -> str:
+    """IVFADC end-to-end in SQL: the trained Lloyd coarse codebook
+    (shared CTEs), max-cos cell assignment, per-vector residuals,
+    hash-sampled residual PQ codebook, per-subspace argmin codes,
+    per-probed-cell query-residual ADC tables, ADC candidate rank,
+    exact cosine rerank — every float step an order-fixed fold, so it
+    reproduces operators/similarity.py ivfpq_write + ivfpq_probe
+    bit-for-bit."""
+    sub = dim // m
+    ctes, cfinal = _lloyd_ctes(n_cells, iters)
+    hk = _H64.format(s="CAST(vec_id AS VARCHAR)")
+    code_cols = ",\n         ".join(
+        f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(m)
+    )
+    cand_joins = "\n  ".join(
+        f"JOIN qdist q{s} ON q{s}.cell = cp.cell AND q{s}.s = {s} AND q{s}.ord = cp.c{s}"
+        for s in range(m)
+    )
+    adist = "q0.d"
+    for s in range(1, m):
+        adist = f"({adist} + q{s}.d)"
+    ctes.append(f"""assigned AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+        FROM emb e, {cfinal} c
+      ) WHERE rn = 1
+    )""")
+    ctes.append(f"""resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1, {dim} + 1),
+                            j -> CAST(a.embedding[j] AS DOUBLE) - c.cv[j]) AS res
+      FROM assigned a JOIN {cfinal} c ON a.cell = c.cid
+    )""")
+    ctes.append(f"""cb AS (
+      SELECT res AS cv, row_number() OVER (ORDER BY {hk}, vec_id) AS ord
+      FROM resid ORDER BY {hk}, vec_id LIMIT {n_codes}
+    )""")
+    ctes.append(f"subs AS (SELECT unnest(range(0, {m})) AS s)")
+    ctes.append(f"""codes AS (
+      SELECT vec_id, cell, s, ord AS code FROM (
+        SELECT r.vec_id, r.cell, sb.s, c.ord,
+               row_number() OVER (PARTITION BY r.vec_id, sb.s
+                 ORDER BY {_pq_subdist_sql('r.res', 'c.cv', 'sb.s', sub)}, c.ord) AS rn
+        FROM resid r, cb c, subs sb
+      ) WHERE rn = 1
+    )""")
+    ctes.append(f"""codes_p AS (
+      SELECT vec_id, cell,
+         {code_cols}
+      FROM codes GROUP BY vec_id, cell
+    )""")
+    ctes.append("q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)")
+    ctes.append(f"""probes AS (
+      SELECT cid, cv FROM {cfinal}, q
+      ORDER BY {_cos_sql('cv', 'qv')} DESC, cid LIMIT {n_probe}
+    )""")
+    ctes.append(f"""qres AS (
+      SELECT p.cid AS cell,
+             list_transform(range(1, {dim} + 1),
+                            j -> CAST(qv[j] AS DOUBLE) - p.cv[j]) AS res
+      FROM probes p, q
+    )""")
+    ctes.append(f"""qdist AS (
+      SELECT r.cell, sb.s, c.ord,
+             {_pq_subdist_sql('r.res', 'c.cv', 'sb.s', sub)} AS d
+      FROM qres r, cb c, subs sb
+    )""")
+    ctes.append(f"""cand AS (
+      SELECT cp.vec_id FROM codes_p cp
+  {cand_joins}
+      WHERE cp.vec_id != 0
+      ORDER BY {adist}, cp.vec_id LIMIT {rerank}
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT vec_id, rank, round(cos, 6) AS cos_r FROM (
+      SELECT e.vec_id, {_cos_sql('e.embedding', 'qv')} AS cos,
+             row_number() OVER (ORDER BY {_cos_sql('e.embedding', 'qv')} DESC, e.vec_id) AS rank
+      FROM embeddings e JOIN cand USING (vec_id), q
+    ) WHERE rank <= {k}
+    """
+
+
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+@q("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite index — the actual 100 TB ANN architecture
+    (IVFADC): trained Lloyd coarse cells (k=8, 2 rounds), per-cell
+    PQ-encoded residuals (16 codes × 4 subspaces), persisted
+    cell-partitioned layout; the probe reads ONLY its 3 nearest cell
+    directories (inputFiles() gate in tests/test_operators.py), ADC-
+    scans their codes against per-cell query-residual tables, and
+    exactly reranks the 50 best by cosine (operators/similarity.py
+    ivfpq_write / ivfpq_probe)."""
+    import tempfile
+
+    from rheoceros_spark.operators.similarity import ivfpq_probe, ivfpq_write
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="rheoceros_ivfpq_")
+        ivfpq_write(emb, path, n_cells=8, iters=2, n_codes=16, m=4)
+        _IVFPQ_INDEX_CACHE[sf_dir] = path
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return ivfpq_probe(spark, path, qv, k=10, n_probe=3, rerank=50, exclude_id=0).select(
+        "vec_id", F.col("rank").cast("bigint").alias("rank"), "cos_r"
+    )
 
 
 @q("ann_kmeans_refine", oracle=_kmeans_oracle())
@@ -3508,14 +3715,71 @@ def curation_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new)
 
 
-# DEFERRED to the round-7 window: with 101 registered queries, the
-# 50-slot driver window plus r05's 50 certified names could no longer
-# jointly cover everything (51 would fall outside), so this round caps
-# at 100 registered queries.  ngram_novelty ships as a tested operator
-# now; flip _q_novelty back to @q("curation_ngram_novelty", ...) in
-# round 7 together with the DSIR re-entries.
-_NOVELTY_DEFERRED = dict(
-    name="curation_ngram_novelty",
+_FP_INDEX_CACHE: dict[str, str] = {}
+
+
+@q(
+    "corpus_diff_indexed",
+    oracle=f"""
+    WITH old AS (
+      SELECT doc_id,
+             -- normalize AFTER suffixing, exactly like the Spark side
+             md5(CASE WHEN doc_id % 6 = 0
+                      THEN trim(regexp_replace(lower(text || ' archival rev'),
+                                               '\\s+', ' ', 'g'))
+                      ELSE {_NORM} END) AS old_fp
+      FROM documents WHERE doc_id % 9 <> 0
+    ), new AS (
+      SELECT doc_id, md5({_NORM}) AS new_fp
+      FROM documents WHERE doc_id % 10 <> 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_fp IS DISTINCT FROM n.new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_fp, n.new_fp
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+)
+def corpus_diff_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus diff against a PERSISTED (id, fp) fingerprint
+    index — the managed-pipeline shape where the previous snapshot
+    exists only as its index (built once, APPEND-maintained; here built
+    in two halves to exercise the append path) and the old corpus text
+    is never rescanned.  Old snapshot simulated as doc_id % 9 != 0 with
+    a mutated text for doc_id % 6 == 0; new crawl is doc_id % 10 != 0
+    (operators/curation.py corpus_diff_indexed /
+    fingerprint_index_write)."""
+    import tempfile
+
+    from rheoceros_spark.operators.curation import (
+        corpus_diff_indexed,
+        fingerprint_index_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _FP_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        old = docs.where(F.col("doc_id") % 9 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(F.col("text"), F.lit(" archival rev")),
+            ).otherwise(F.col("text")),
+        )
+        path = tempfile.mkdtemp(prefix="rheoceros_fp_idx_")
+        fingerprint_index_write(old.where(F.col("doc_id") % 2 == 0), path)
+        fingerprint_index_write(old.where(F.col("doc_id") % 2 == 1), path, mode="append")
+        _FP_INDEX_CACHE[sf_dir] = path
+    index = spark.read.parquet(path)
+    return corpus_diff_indexed(docs.where(F.col("doc_id") % 10 != 0), index)
+
+
+# Registered r7 (was deferred in r6 by window arithmetic; the slot was
+# freed by retiring the dedup_embedding_pairs quadratic twin).
+@q(
+    "curation_ngram_novelty",
     oracle=f"""
     WITH corp AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
@@ -3575,75 +3839,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's correctness harness checks the FIRST 50 queries()
 #: entries only (CORRECTNESS_r01 covered positions 0-49 exactly).
-#: Rotation discipline (round 6): the head holds exactly the 39
-#: queries whose most recent official row is CORRECTNESS_r04 (round 5
-#: certified the other 50), plus any queries new this round — so
-#: r05 ∪ r06 covers 100% of queries().  Everything that falls past
-#: position 50 this round is in CORRECTNESS_r05, enforced by
-#: tests/test_plan_quality.py test_cross_round_official_coverage_is_total.
-#: All queries stay continuously gated by the local DuckDB oracle,
+#: Rotation discipline (round 7): the registry is capped at 100
+#: queries — the 50-slot window plus the consecutive-round-coverage
+#: invariant (r06 ∪ r07 must certify everything) admits no more, so
+#: every NEW registration this round retired one verification twin to
+#: pytest-only parity (see _RETIRED_QUERIES).  The head holds the 4
+#: never-certified round-7 queries plus the 46 remaining queries whose
+#: most recent official row is CORRECTNESS_r05 (round 6 certified the
+#: other 50).  Enforced by tests/test_plan_quality.py
+#: test_cross_round_official_coverage_is_total.  All queries — retired
+#: ones included — stay continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
-    # new in round 6 — never certified, enter the window first
-    "curation_domain_cap",
-    "curation_group_split",
-    "curation_negative_samples",
-    "curation_boilerplate",
-    "text_tfidf_terms",
-    "ann_kmeans_refine",
-    "text_source_kl",
-    "dedup_keep_list",
-    "text_chunk_documents",
-    "curation_budget_mix",
-    "curation_corpus_diff",
-    # NOT re-entered despite changed output (dsir_logw is no longer
-    # 6dp-re-rounded — the sf1 half-way-boundary fix): the 50-slot
-    # window is exactly filled by the 11 never-certified queries above
-    # plus the 39 r04 rotations below, and dropping an r04 rotation
-    # would break r05 ∪ r06 totality.  curation_dsir_weights /
-    # curation_dsir_resample stay continuously gated by the local
-    # DuckDB oracle (scripts/check_oracle.py, incl. the sf1 run) and
-    # should rotate into the r07 window for fresh official rows.
-    # certified in r04, rotating back in so r05 ∪ r06 stays total
-    "events_tumbling_daily",
-    "events_sliding_2day",
-    "metric_threshold_alarm",
-    "metric_period_stats_hourly",
-    "alarm_m_of_n_state",
-    "composite_alarm_rule",
-    "topk_orders",
-    "ts_asof_join",
-    "ts_range_join_counts",
-    "ts_sessionize",
-    "sketch_kmv_distinct",
-    "sketch_histogram_quantiles",
-    "layout_zorder_key",
-    "q18_large_volume_orders",
-    "q11_important_parts",
-    "q21_sole_returner",
-    "pivot_returnflag_status",
-    "grouping_sets_revenue",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "dedup_embedding_blocked",
-    "ann_ivf_topk",
-    "ann_ivf_persisted",
-    "curation_stratified_sample",
-    "curation_pii_redact",
-    "curation_vocab_top_tokens",
-    "curation_contamination",
-    "dedup_clusters",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "dedup_incremental_index",
+    # new in round 7 — never certified, enter the window first
+    "curation_ngram_novelty",
+    "text_bpe_tokens",
+    "ann_ivfpq_topk",
+    "corpus_diff_indexed",
+    # changed output in r6 (the sf1 de-rounding fix landed after their
+    # r5 official rows) — re-certify first among the rotations
+    "curation_dsir_weights",
+    "curation_dsir_resample",
+    # certified in r05, rotating back in so r06 ∪ r07 stays total
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_part_shippers",
+    "q22_wealthy_inactive",
+    "scan_pruned_projection",
+    "partition_ranged_union",
+    "nearest_partition_asof",
+    "agg_rollup",
+    "agg_cube",
+    "window_topn_per_group",
+    "window_running_total",
+    "set_intersect",
+    "set_except",
+    "scalar_functions",
+    "json_extract_events",
+    "events_funnel_3step",
+    "events_cohort_retention",
+    "sketch_cms_topk",
+    "dedup_substring_spans",
+    "text_bm25_topk",
+    "text_unigram_nll",
+    "text_repetition",
+    "curation_filter_funnel",
+    "curation_semantic_decon",
+    "curation_source_mix",
+    "curation_shuffle_shards",
+    "curation_pack_sequences",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
 ]
 
 
@@ -3657,3 +3918,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return _ordered(_ORACLES)
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Verification twins no longer in the driver window (see
+    _RETIRED_QUERIES).  Still oracle-gated: tests/test_retired_oracles.py
+    and ``scripts/check_oracle.py --retired`` run the same Spark-vs-
+    DuckDB parity the driver harness would."""
+    return dict(_RETIRED_QUERIES)
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    return dict(_RETIRED_ORACLES)

@@ -150,7 +150,10 @@ def main() -> None:
     # JVM/codegen warmup outside the timed region
     run_once(load_table(spark, sf_dir, "region"))
 
-    queries = entrymod.queries()
+    # BENCH_CORE/EXT are frozen at the sets BASELINE.md measured, so
+    # retired-from-the-driver-window queries (still real operators)
+    # keep their timings comparable round over round.
+    queries = {**entrymod.retired_queries(), **entrymod.queries()}
     missing = [n for n in BENCH_CORE + BENCH_EXT if n not in queries]
     if missing:
         raise SystemExit(f"bench names drifted from queries(): {missing}")
@@ -233,6 +236,22 @@ def main() -> None:
         payload["errors"] = errors
         payload["partial"] = True
     print(json.dumps(payload))
+    # The driver's artifact keeps only the TAIL of stdout (BENCH_r06
+    # captured the last 2000 chars and lost the headline totals printed
+    # at the front of the big line).  Repeat the totals as a compact
+    # final line so any tail capture stays machine-readable.
+    tail = {
+        "metric": "bench_totals",
+        "value": total,
+        "unit": "sec",
+        "core_sec": core_total,
+        "ext_sec": round(total - core_total, 3),
+        "sf": payload["sf"],
+    }
+    if errors:
+        tail["partial"] = True
+        tail["n_errors"] = len(errors)
+    print(json.dumps(tail))
 
 
 if __name__ == "__main__":

@@ -536,8 +536,10 @@ def source_mixture_weights(
     # Both window sums are over BIGINTs (token totals, pico-quantized
     # weights) — integer sums are exact in any addition order, so the
     # result is engine/partitioning-independent (same determinism trick
-    # as the TPC-H cents() helper).
-    w_all = Window.partitionBy()
+    # as the TPC-H cents() helper).  The constant partition key keeps
+    # WindowExec's data-sized-window warning out of logs for a window
+    # that is sources-sized by construction.
+    w_all = Window.partitionBy(F.lit(0))
     out = per.withColumn("__tot", F.sum("n_tokens").over(w_all)).withColumn(
         "share", F.col("n_tokens").cast("double") / F.col("__tot").cast("double")
     )
@@ -1147,7 +1149,13 @@ def budget_mix_select(
     per = df.groupBy(source_col).agg(
         F.sum(F.col(token_col)).cast("bigint").alias("__nt")
     )
-    w_all = Window.partitionBy()
+    # totals over the ALREADY-AGGREGATED sources-sized frame (see the
+    # source_mixture_weights comment for why this beats agg+crossJoin:
+    # one corpus scan, exact BIGINT sums).  The constant partition key
+    # states the intent — this window is tiny BY CONSTRUCTION — and
+    # keeps WindowExec's data-sized-window warning out of bench logs,
+    # where a real unpartitioned window should stand out.
+    w_all = Window.partitionBy(F.lit(0))
     wt = (
         F.sqrt(F.col("__nt").cast("double") / F.col("__tot").cast("double"))
         if alpha == 0.5
@@ -1219,6 +1227,112 @@ def corpus_diff(
     o = old.where(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         F.md5(normalize_text(F.col(text_col))).alias("old_fp"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("new_fp"),
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(id_col, status.alias("status"), "old_fp", "new_fp")
+
+
+#: fingerprint scheme recorded in persisted indexes — md5 over
+#: whitespace/case-normalized text (exact dedup's identity).  Bump the
+#: tag if the normalization ever changes so stale indexes fail loudly.
+FINGERPRINT_ALGO = "md5_norm_v1"
+
+
+def fingerprint_index_write(
+    df: DataFrame,
+    path: Optional[str] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist a corpus snapshot's ``(id, fp)`` fingerprint index — the
+    standing state an incremental-ingest pipeline diffs each new crawl
+    against (:func:`corpus_diff_indexed`) without ever rescanning the
+    old corpus text.
+
+    The index is narrow (id + 32-char fp + algo tag), i.e. ~50 bytes a
+    document vs the corpus's KBs — the 100 TB corpus persists as a
+    ~GB-scale index.  ``mode="append"`` is the incremental step for
+    newly accepted documents; ids must stay unique across appends
+    (append only the ``added`` output of the previous diff — an id
+    appended twice would fan out in later diff joins).
+
+    The fingerprint scheme is recorded in the ``fp_algo`` column;
+    :func:`corpus_diff_indexed` rejects an index built under a
+    different scheme (silent mismatches would misread every unchanged
+    document as ``changed``).
+
+    Pass ``path=None`` to get the unpersisted index plan for custom
+    sinks (e.g. a managed dataset partition).
+    """
+    idx = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("fp"),
+        F.lit(FINGERPRINT_ALGO).alias("fp_algo"),
+    )
+    if path is not None:
+        idx.write.mode(mode).parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return idx
+
+
+def _check_fp_index(index: DataFrame, id_col: str) -> None:
+    """Fail fast on a structurally wrong or scheme-mismatched
+    fingerprint index (one limit-1 driver-side read, mirroring
+    dedup's ``_check_index_params``)."""
+    missing = {id_col, "fp"} - set(index.columns)
+    if missing:
+        raise ValueError(
+            f"fingerprint index is missing column(s) {sorted(missing)} — "
+            f"expected the ({id_col}, fp) layout written by fingerprint_index_write"
+        )
+    if "fp_algo" in index.columns:
+        row = index.select("fp_algo").limit(1).collect()
+        if row and row[0][0] != FINGERPRINT_ALGO:
+            raise ValueError(
+                f"fingerprint index was built with fp_algo={row[0][0]!r}, this "
+                f"engine computes {FINGERPRINT_ALGO!r} — every unchanged document "
+                "would misread as 'changed'; rebuild the index"
+            )
+
+
+def corpus_diff_indexed(
+    new: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`corpus_diff` against a PERSISTED fingerprint index instead
+    of the old snapshot itself: the managed-pipeline shape, where the
+    previous corpus exists only as its ``(id, fp)`` index
+    (:func:`fingerprint_index_write`, APPEND-maintained) and each new
+    crawl diffs against it — ``added`` feeds ingestion + an index
+    append, ``changed`` re-embeds/re-indexes, ``removed`` purges.
+
+    Scale shape: the new crawl reduces to ``(id, fp)`` inside its scan
+    (text never shuffles); the index is already that narrow — one
+    full-outer hash join on the id, both sides corpus-count-sized but
+    ~50 B/row.  Old text cost: zero scans.
+
+    Returns (id, status, old_fp, new_fp) — identical semantics to
+    :func:`corpus_diff` when the index matches the old snapshot.
+    """
+    _check_fp_index(index, id_col)
+    o = index.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.col("fp").alias("old_fp"),
         F.lit(True).alias("__in_old"),
     )
     n = new.where(F.col(id_col).isNotNull()).select(

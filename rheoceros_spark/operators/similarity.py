@@ -230,8 +230,12 @@ def ivf_write(
     else:
         # the manifest must record the CODEBOOK's actual size, not the
         # default parameter — a trained codebook of a different k would
-        # otherwise persist a lying n_centroids (the count() is a tiny
-        # job on a ≤k-row frame)
+        # otherwise persist a lying n_centroids.  localCheckpoint first:
+        # a trained codebook (kmeans_centroids) is an expensive
+        # multi-round corpus plan, and without materialization the
+        # count() action here would execute that whole training lineage
+        # once for the count and AGAIN inside ivf_assign/persist.
+        cents = cents.localCheckpoint(eager=True)
         n_centroids = cents.count()
     assigned = ivf_assign(df, n_centroids, vec_col, id_col, cents=cents)
     (
@@ -477,6 +481,7 @@ def pq_encode(
     codebook: list[list[float]],
     m: int = 4,
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """Add ``code_0..code_{m-1}`` columns: per subspace, the 1-based
     sampling-order index of the nearest (L2) code subvector over the
@@ -485,27 +490,37 @@ def pq_encode(
     math over a literal codebook: zero shuffle, zero Python, compresses
     ``dim`` floats to ``m`` small ints — the point of PQ at 100 TB (a
     64-d float corpus stored as 4 bytes/vector plus one shared
-    codebook)."""
+    codebook).
+
+    ``normalize=False`` encodes the raw (double-cast) vector instead —
+    the residual-PQ path (:func:`ivfpq_write`), where the input is
+    already a centered residual and L2 on it IS the target metric, so
+    unit-sphere projection would only destroy the geometry."""
     dim = len(codebook[0])
     if dim % m != 0:
         raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
     sub = dim // m
-    # stage the squared norm as a NAMED column: referenced inside the
-    # normalize lambda it is a cheap bound reference, while an inlined
-    # fold would be re-evaluated per element (dim× the work per row)
     vec0 = F.col(vec_col)
-    nsq = F.aggregate(
-        F.transform(vec0, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    out = df.withColumn("__nsq", nsq).withColumn(
-        "__vn",
-        F.when(
-            F.col("__nsq") > 0,
-            F.transform(vec0, lambda x: x.cast("double") / F.sqrt(F.col("__nsq"))),
-        ).otherwise(F.transform(vec0, lambda x: F.lit(0.0))),
-    )
+    if normalize:
+        # stage the squared norm as a NAMED column: referenced inside the
+        # normalize lambda it is a cheap bound reference, while an inlined
+        # fold would be re-evaluated per element (dim× the work per row)
+        nsq = F.aggregate(
+            F.transform(vec0, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = df.withColumn("__nsq", nsq).withColumn(
+            "__vn",
+            F.when(
+                F.col("__nsq") > 0,
+                F.transform(vec0, lambda x: x.cast("double") / F.sqrt(F.col("__nsq"))),
+            ).otherwise(F.transform(vec0, lambda x: F.lit(0.0))),
+        )
+    else:
+        out = df.withColumn("__nsq", F.lit(0.0)).withColumn(
+            "__vn", F.transform(vec0, lambda x: x.cast("double"))
+        )
     for s in range(m):
         darr = F.expr(
             "array("
@@ -730,3 +745,234 @@ def kmeans_refine(
     base = df.where(F.col(id_col).isNotNull()).select(id_col, vec_col)
     trained = kmeans_centroids(base, k, iters, vec_col, id_col, cents=cents)
     return ivf_assign(base, k, vec_col, id_col, cents=trained).select(id_col, "cell")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite index: coarse k-means cells + per-cell PQ residuals
+# ---------------------------------------------------------------------------
+
+def residual_codebook(
+    resid: DataFrame,
+    n_codes: int = 16,
+    res_col: str = "__res",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Driver-side residual-PQ codebook: the residual vectors of the
+    ``n_codes`` ids that hash lowest, in sampling order — the same
+    deterministic hash-sample stand-in :func:`pq_codebook` uses, but
+    WITHOUT L2 normalization: a residual is already centered on its
+    cell and plain L2 on it is the metric ADC approximates
+    (``||q−x||² = ||(q−c)−(x−c)||²`` within a cell), so unit-sphere
+    projection would destroy exactly the geometry PQ needs.  Always
+    ``n_codes × dim`` doubles — driver-sized at any corpus scale."""
+    rows = (
+        resid.select(
+            F.col(res_col).alias("cv"),
+            h64(F.col(id_col).cast("string")).alias("__hk"),
+            F.col(id_col).alias("__id"),
+        )
+        .orderBy("__hk", "__id")
+        .limit(n_codes)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("residual_codebook: empty input")
+    return [[float(x) for x in r["cv"]] for r in rows]
+
+
+def ivfpq_write(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    iters: int = 2,
+    n_codes: int = 16,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents: DataFrame | None = None,
+) -> None:
+    """Build and persist the IVF-PQ composite index — the actual 100 TB
+    ANN architecture (Jégou et al. 2011's IVFADC): coarse k-means cells
+    for pruning, per-cell PQ-encoded **residuals** for in-cell scanning.
+
+    Composition of the already-certified pieces: the coarse codebook is
+    :func:`kmeans_centroids`' trained Lloyd output (broadcast-assign +
+    quantized component means — bit-exact across engines), the layout
+    is :func:`ivf_write`'s hive ``cell=`` partitioning (probes read
+    only their ``n_probe`` cell directories), and the in-cell code is
+    :func:`pq_encode` over ``x − c_cell`` with ``normalize=False``.
+
+    Persists under ``path``:
+
+    * ``cells/`` — ``(id, vec, code_0..m-1, cell)`` parquet partitioned
+      by ``cell``.  The raw vector rides along for the exact rerank —
+      at 100 TB the ADC scan reads only (id, codes) thanks to parquet
+      column pruning; the vectors of the ``rerank`` winners are read
+      by position from the same row groups.
+    * ``centroids/`` — trained coarse codebook + literal build params
+      (``n_cells``/``m``/``n_codes``/``vec_col``/``id_col``) so a
+      mismatched probe fails loudly (``_check_index_params`` contract).
+    * ``codebook/`` — the ``(ord, cv)`` residual code vectors in
+      sampling order (``ord`` is 1-based, matching the 1-based
+      ``array_position`` codes).
+
+    Everything heavier than a ≤``n_codes``-row collect is corpus-linear:
+    one training pass per Lloyd round, one assign, one encode-and-write;
+    the only shuffles are the assign argmax aggregate and the
+    ``repartition("cell")`` layout write.
+    """
+    base = df.where(F.col(id_col).isNotNull()).select(id_col, vec_col)
+    if cents is None:
+        cents = kmeans_centroids(base, n_cells, iters, vec_col, id_col)
+    # the trained-codebook plan is multiple corpus scans — materialize
+    # once; every consumer below (count, assign, residuals, manifest)
+    # then reads the ≤k-row table, not the training lineage
+    cents = cents.localCheckpoint(eager=True)
+    n_cells = cents.count()
+    assigned = ivf_assign(base, n_cells, vec_col, id_col, cents=cents)
+    resid = assigned.join(
+        F.broadcast(cents), assigned["cell"] == cents["cid"]
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        # component-wise double subtraction: exact IEEE, reproducible
+        # in any engine — no fold, no rounding
+        F.zip_with(
+            F.col(vec_col), F.col("cv"), lambda x, y: x.cast("double") - y
+        ).alias("__res"),
+    )
+    cb = residual_codebook(resid, n_codes, "__res", id_col)
+    encoded = pq_encode(resid, cb, m, "__res", normalize=False).select(
+        id_col, vec_col, "cell", *[f"code_{s}" for s in range(m)]
+    )
+    (
+        encoded.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/cells")
+    )
+    (
+        cents.select(
+            "cid",
+            "cv",
+            F.lit(n_cells).alias("n_cells"),
+            F.lit(n_codes).alias("n_codes"),
+            F.lit(m).alias("m"),
+            F.lit(vec_col).alias("vec_col"),
+            F.lit(id_col).alias("id_col"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/centroids")
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i + 1, cv) for i, cv in enumerate(cb)], f"ord INT, cv ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
+
+
+def ivfpq_probe(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 50,
+    exclude_id=None,
+) -> DataFrame:
+    """Top-k probe of a persisted :func:`ivfpq_write` index: rank the
+    coarse cells driver-side, read ONLY the ``n_probe`` nearest cell
+    directories, ADC-scan their codes against per-cell query-residual
+    distance tables, exact cosine rerank of the ``rerank`` best.
+
+    The per-cell ADC tables are ``n_probe × m × n_codes`` doubles built
+    driver-side from the tiny persisted codebooks (the query's residual
+    differs per cell — IVFADC's asymmetric trick), embedded as literals
+    so the scan is pure column math: table lookup per subspace, fixed
+    left-to-right sum, TakeOrdered — no shuffle, no Python, and parquet
+    prunes the scan to (id, codes[, vec]) columns.  Every arithmetic
+    step is an order-fixed fold, so a SQL oracle reproduces the result
+    exactly."""
+    import math
+
+    from rheoceros_spark.sources.io import _fs_exists
+
+    meta = spark.read.parquet(path + "/centroids").collect()
+    if not meta:
+        raise ValueError(f"empty IVF-PQ centroid manifest at {path}/centroids")
+    vec_col, id_col = meta[0]["vec_col"], meta[0]["id_col"]
+    m, n_codes = int(meta[0]["m"]), int(meta[0]["n_codes"])
+    cb_rows = spark.read.parquet(path + "/codebook").orderBy("ord").collect()
+    if len(cb_rows) != n_codes:
+        raise ValueError(
+            f"IVF-PQ codebook at {path}/codebook has {len(cb_rows)} codes, "
+            f"manifest says {n_codes} — index is inconsistent, rebuild it"
+        )
+    cb = [[float(x) for x in r["cv"]] for r in cb_rows]
+    dim = len(cb[0])
+    sub = dim // m
+    qv = [float(x) for x in query_vec]
+    if len(qv) != dim:
+        raise ValueError(f"ivfpq_probe: query dim {len(qv)} != index dim {dim}")
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    qnorm = math.sqrt(_dot(qv, qv))
+
+    def _cos(c):
+        denom = math.sqrt(_dot(c, c)) * qnorm
+        return _dot(c, qv) / denom if denom > 0.0 else float("-inf")
+
+    cents = {int(r["cid"]): [float(x) for x in r["cv"]] for r in meta}
+    ranked = sorted((-_cos(cv), cid) for cid, cv in cents.items())
+    probes = [cid for _, cid in ranked[:n_probe]]
+
+    cell_dirs = [f"{path}/cells/cell={cid}" for cid in probes]
+    existing = [d for d in cell_dirs if _fs_exists(spark, d)]
+    if not existing:
+        raise ValueError(f"none of the probed cells {probes} exist under {path}/cells")
+    cells = spark.read.option("basePath", path + "/cells").parquet(*existing)
+    if exclude_id is not None:
+        cells = cells.where(F.col(id_col) != exclude_id)
+
+    # per probed cell: q's residual against THAT cell, then the m ×
+    # n_codes subspace distance table (same left-to-right diff-square
+    # fold as pq_topk's ADC table and the SQL oracle)
+    dtab: dict[int, list[list[float]]] = {}
+    for cid in probes:
+        cv = cents[cid]
+        qres = [qv[j] - cv[j] for j in range(dim)]
+        rows = []
+        for s in range(m):
+            row = []
+            for code in cb:
+                acc = 0.0
+                for j in range(s * sub, (s + 1) * sub):
+                    d = qres[j] - code[j]
+                    acc = acc + d * d
+                row.append(acc)
+            rows.append(row)
+        dtab[cid] = rows
+
+    adist = None
+    for s in range(m):
+        lookup = None
+        for cid in probes:
+            hit = F.element_at(F.lit(dtab[cid][s]), F.col(f"code_{s}").cast("int"))
+            branch = F.when(F.col("cell") == cid, hit)
+            lookup = branch if lookup is None else lookup.when(F.col("cell") == cid, hit)
+        adist = lookup if adist is None else adist + lookup
+    cands = (
+        cells.select(F.col(id_col), F.col(vec_col), adist.alias("__adist"))
+        .orderBy(F.col("__adist").asc_nulls_last(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    scored = cands.select(
+        F.col(id_col), cosine(F.col(vec_col), F.lit(qv)).alias("cos")
+    )
+    return _ranked_topk(scored, id_col, k)

@@ -615,6 +615,7 @@ def chunk_documents(
     overlap: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Split documents into overlapping fixed-token chunks — the
     context-window prep step both RAG indexing and long-document
@@ -632,6 +633,14 @@ def chunk_documents(
     sequence — corpus-linear, shuffle-free, whole-stage codegen (the
     token array is staged once per row and sliced per chunk).  Returns
     (id, chunk_id, n_chunk_tokens, chunk_text).
+
+    Pass ``tokens_col`` to chunk on a PRECOMPUTED token array instead
+    of whitespace-splitting ``text_col`` — e.g. :func:`bpe_encode`'s
+    ``bpe_tokens``, so chunk budgets count real model tokens.
+    ``chunk_text`` is then the space-joined token slice (lossless for
+    whitespace tokens; for subword tokens the token slice itself is the
+    training payload).  Empty/NULL token arrays are filtered like
+    empty text.
     """
     if chunk_tokens < 2 or overlap < 0 or overlap >= chunk_tokens:
         raise ValueError(
@@ -640,6 +649,13 @@ def chunk_documents(
         )
     from rheoceros_spark.operators.scale import ensure_parallelism
 
+    if tokens_col is not None:
+        base = ensure_parallelism(
+            df.where(
+                F.col(id_col).isNotNull() & (F.size(F.col(tokens_col)) > 0)
+            ).select(id_col, tokens_col)
+        )
+        return _chunk_select(base, chunk_tokens, overlap, text_col, id_col, tokens_col)
     base = ensure_parallelism(_chunk_filter(df, text_col, id_col))
     return _chunk_select(base, chunk_tokens, overlap, text_col, id_col)
 
@@ -659,13 +675,21 @@ def _chunk_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _chunk_select(
-    base: DataFrame, chunk_tokens: int, overlap: int, text_col: str, id_col: str
+    base: DataFrame,
+    chunk_tokens: int,
+    overlap: int,
+    text_col: str,
+    id_col: str,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Shared chunking core (batch + streaming twin): per-row explode
     over the start-position sequence, dense chunk ids, sliced text."""
     stride = chunk_tokens - overlap
+    tok_expr = (
+        F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
+    )
     staged = base.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+        F.col(id_col), tok_expr.alias("__t")
     ).select(
         F.col(id_col),
         F.col("__t"),
@@ -684,3 +708,134 @@ def _chunk_select(
         F.size(piece).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# subword tokenization: GPT-2-style BPE over a broadcast merge table
+# ---------------------------------------------------------------------------
+
+#: Demo BPE merge table (GPT-2's construction at toy scale): rules in
+#: training-rank order over common English character pairs.  WELL-FORMED
+#: by the BPE training invariant — every operand is a base character or
+#: the product of an EARLIER rule — which is exactly what makes
+#: sequential rank-order application equivalent to the reference
+#: "repeatedly merge the lowest-rank pair present" loop (a later rule
+#: can only create symbols that feed later rules, never resurrect an
+#: earlier pair).  A production deployment ships its trained 50k-rule
+#: table through the same parameter.
+BPE_DEMO_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("i", "n"), ("a", "n"), ("o", "n"), ("e", "r"),
+    ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"),
+    ("th", "e"), ("an", "d"), ("in", "g"), ("t", "o"), ("o", "u"),
+    ("i", "t"), ("o", "f"), ("a", "l"), ("e", "d"), ("i", "s"),
+    ("a", "r"), ("s", "t"), ("l", "e"), ("th", "is"),
+]
+
+
+def _check_merges(merges: list[tuple[str, str]]) -> None:
+    """Enforce the well-formedness invariant the equivalence proof
+    (sequential == lowest-rank-first) rests on, and the charset the
+    generated SQL literals assume."""
+    formed: set[str] = set()
+    for i, (p1, p2) in enumerate(merges):
+        for p in (p1, p2):
+            if not p or not p.isalnum() or not p.isascii():
+                raise ValueError(
+                    f"bpe merge rule {i}: operand {p!r} must be non-empty ASCII "
+                    "alphanumeric (it is embedded as a SQL literal)"
+                )
+            if len(p) > 1 and p not in formed:
+                raise ValueError(
+                    f"bpe merge rule {i}: operand {p!r} is multi-character but "
+                    "no earlier rule forms it — the merge table is not in "
+                    "training-rank order, so sequential application would "
+                    "diverge from the lowest-rank-first reference loop"
+                )
+        formed.add(p1 + p2)
+
+
+def _bpe_word_fold_sql(merges: list[tuple[str, str]]) -> str:
+    """One SQL expression merging a word ``w`` (lambda variable) into
+    its BPE symbol array: start from characters, then one left-scan
+    fold per rule.  Each fold replicates the reference merge pass —
+    scan left to right, merge non-overlapping occurrences (a freshly
+    merged symbol never re-merges in the same pass because
+    ``p1 + p2 != p1`` for non-empty ``p2``).  Built as ONE string for
+    the same py4j plan-build-cost reason as ``signature_col``."""
+    expr = "filter(split(w, ''), x -> x <> '')"
+    for p1, p2 in merges:
+        expr = (
+            f"aggregate({expr}, cast(array() as array<string>), "
+            f"(acc, x) -> CASE WHEN size(acc) > 0 "
+            f"AND element_at(acc, -1) = '{p1}' AND x = '{p2}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{p1}{p2}')) "
+            f"ELSE concat(acc, array(x)) END)"
+        )
+    return expr
+
+
+def bpe_word_fold_duckdb(merges: list[tuple[str, str]]) -> str:
+    """The DuckDB twin of :func:`_bpe_word_fold_sql` for oracle
+    construction: DuckDB's ``list_reduce`` accumulator must have the
+    element type, so the scan state is the symbol list joined on the
+    0x1F unit separator (operands are ASCII alnum, so the separator
+    can never collide)."""
+    _check_merges(merges)
+    expr = "list_transform(range(1, length(w) + 1), i -> w[i])"
+    for p1, p2 in merges:
+        red = (
+            f"list_reduce({expr}, (acc, x) -> CASE WHEN "
+            f"(acc = '{p1}' OR ends_with(acc, chr(31) || '{p1}')) AND x = '{p2}' "
+            f"THEN left(acc, length(acc) - {len(p1)}) || '{p1}{p2}' "
+            f"ELSE acc || chr(31) || x END)"
+        )
+        expr = f"string_split({red}, chr(31))"
+    return expr
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-2-style BPE subword tokenization as pure column algebra: the
+    pre-tokenizer is the shared ``BPE_REGEX`` (letter runs / digits /
+    punctuation over normalized text), then each pre-token is merged
+    bottom-up from characters under the rank-ordered merge table.
+
+    Adds ``bpe_tokens`` (array<string>) and ``n_bpe_tokens`` (bigint);
+    NULL/empty text yields an empty array and 0.  This is the
+    *model-token* counter the token-budget operators compose with:
+    ``chunk_documents(tokens_col="bpe_tokens")``,
+    ``pack_sequences(token_col="n_bpe_tokens")``,
+    ``budget_mix_select(token_col="n_bpe_tokens")`` all budget in real
+    BPE tokens instead of whitespace words.
+
+    Scale shape: the merge table is embedded as plan literals (the
+    broadcast-a-KB-table pattern — rules ride the serialized plan to
+    every executor), evaluation is per-row left-scan folds over
+    built-in higher-order functions — shuffle-free, corpus-linear, no
+    Python in the row path — and cost is O(rules × word length) per
+    word.  Sequential rank-order application is exact, not an
+    approximation: see ``BPE_DEMO_MERGES`` for the invariant.
+
+    Reference: Sennrich et al. 2016 (BPE); Radford et al. 2019 §2.2
+    (GPT-2's byte-level variant — byte-level pre-tokenization collapses
+    to character-level here because ``BPE_REGEX`` is ASCII-classed).
+    """
+    if merges is None:
+        merges = BPE_DEMO_MERGES
+    _check_merges(merges)
+    norm = normalize_text(F.col(text_col))
+    words = F.when(
+        F.col(text_col).isNull() | (F.length(norm) == 0),
+        F.array().cast("array<string>"),
+    ).otherwise(F.regexp_extract_all(norm, F.lit(BPE_REGEX), F.lit(0)))
+    fold = _bpe_word_fold_sql(merges)
+    out = df.withColumn("__bpe_words", words).withColumn(
+        "bpe_tokens", F.expr(f"flatten(transform(__bpe_words, w -> {fold}))")
+    )
+    return out.withColumn(
+        "n_bpe_tokens", F.size("bpe_tokens").cast("bigint")
+    ).drop("__bpe_words")

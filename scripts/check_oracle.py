@@ -88,6 +88,12 @@ def main():
         # stability corpus) carry only the tables under test
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if "--retired" in only or any(n in entrymod.retired_queries() for n in only):
+        # include driver-window retirees (verification twins) so they
+        # stay parity-gated even without official rows
+        only = [n for n in only if n != "--retired"]
+        qs = {**qs, **entrymod.retired_queries()}
+        oracles = {**oracles, **entrymod.retired_oracle_sql()}
     names = [n for n in qs if not only or n in only]
     results = {}
     for name in names:

@@ -1,0 +1,128 @@
+"""BPE subword tokenization + real-token-budget composition."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark.operators.text_analysis import (
+    BPE_DEMO_MERGES,
+    bpe_encode,
+    bpe_word_fold_duckdb,
+    chunk_documents,
+)
+
+
+def test_hand_computed_merges(spark):
+    df = spark.createDataFrame(
+        [(1, "the thing is interesting and this!"), (2, None), (3, "   ")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in bpe_encode(df).collect()}
+    # 'interesting' -> in t er es t ing under the demo table;
+    # 'this' -> (t,h)->th then (th,is)->this (the rank-order invariant)
+    assert rows[1].bpe_tokens == [
+        "the", "th", "ing", "is", "in", "t", "er", "es", "t", "ing",
+        "and", "this", "!",
+    ]
+    assert rows[1].n_bpe_tokens == 13
+    assert rows[2].bpe_tokens == [] and rows[2].n_bpe_tokens == 0
+    assert rows[3].bpe_tokens == [] and rows[3].n_bpe_tokens == 0
+
+
+def test_merge_all_occurrences_nonoverlapping(spark):
+    # 'aaa' under (a,a): left scan merges the FIRST pair only -> [aa, a]
+    df = spark.createDataFrame([(1, "aaa")], "doc_id bigint, text string")
+    out = bpe_encode(df, merges=[("a", "a")]).collect()[0]
+    assert out.bpe_tokens == ["aa", "a"]
+
+
+def test_malformed_merge_table_rejected(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="no earlier rule forms it"):
+        bpe_encode(df, merges=[("ab", "c")])
+    with pytest.raises(ValueError, match="ASCII alphanumeric"):
+        bpe_encode(df, merges=[("a", "'")])
+
+
+def test_matches_duckdb_fold_on_corpus(spark, sf_dir):
+    from rheoceros_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    got = {
+        r.doc_id: (r.n_bpe_tokens, tuple(r.bpe_tokens[:8]))
+        for r in bpe_encode(docs).select("doc_id", "n_bpe_tokens", "bpe_tokens").collect()
+    }
+    fold = bpe_word_fold_duckdb(BPE_DEMO_MERGES)
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    exp = {
+        r[0]: (r[1], tuple(r[2][:8]))
+        for r in duckdb.sql(
+            f"""
+            SELECT doc_id, len(bpe), bpe FROM (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR length({norm}) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE flatten(list_transform(
+                                 regexp_extract_all({norm}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'),
+                                 w -> {fold})) END AS bpe
+              FROM '{sf_dir}/documents.parquet' WHERE doc_id IS NOT NULL)
+            """
+        ).fetchall()
+    }
+    assert got == exp
+
+
+class TestRealTokenBudgets:
+    """The VERDICT-r6 composition contract: chunk/pack/budget budget in
+    model (BPE) tokens when given the bpe columns."""
+
+    def _encoded(self, spark):
+        rows = [
+            (1, "s1", "the thing is interesting and this thing is the thing"),
+            (2, "s1", "other words entirely here without merges x y z"),
+            (3, "s2", "and and and and and and"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        return bpe_encode(df)
+
+    def test_chunk_documents_on_bpe_tokens(self, spark):
+        enc = self._encoded(spark)
+        chunks = chunk_documents(
+            enc, chunk_tokens=4, overlap=1, tokens_col="bpe_tokens"
+        ).collect()
+        by_doc = {}
+        for r in chunks:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        n_bpe = {r.doc_id: r.n_bpe_tokens for r in enc.collect()}
+        for doc_id, rs in by_doc.items():
+            rs.sort(key=lambda r: r.chunk_id)
+            # every chunk's tokens are a slice of the doc's bpe stream:
+            # stride accounting must reproduce the total exactly
+            total = n_bpe[doc_id]
+            covered = (len(rs) - 1) * 3 + rs[-1].n_chunk_tokens  # stride 3
+            assert covered == total, (doc_id, covered, total)
+            assert all(r.n_chunk_tokens <= 4 for r in rs)
+            # chunk_text is the space-joined token slice
+            assert rs[0].chunk_text.count(" ") == rs[0].n_chunk_tokens - 1
+
+    def test_pack_and_budget_accept_bpe_counts(self, spark):
+        from rheoceros_spark.operators.curation import (
+            budget_mix_select,
+            pack_sequences,
+            shuffle_shards,
+        )
+
+        enc = self._encoded(spark)
+        sharded = shuffle_shards(enc, n_shards=1)
+        packed = pack_sequences(sharded, budget=8, token_col="n_bpe_tokens")
+        assert {r.bin_id for r in packed.collect()} != set()
+        sel = budget_mix_select(enc, token_budget=10, token_col="n_bpe_tokens")
+        rows = sel.collect()
+        assert rows
+        # quotas were computed from BPE totals, not whitespace counts
+        n_by_source = {}
+        for r in enc.collect():
+            n_by_source[r.source] = n_by_source.get(r.source, 0) + r.n_bpe_tokens
+        assert {r.quota for r in rows} <= {
+            q for q in range(0, max(n_by_source.values()) + 11)
+        }

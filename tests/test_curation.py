@@ -709,5 +709,7 @@ def test_ngram_novelty_semantics_and_deferred_oracle(spark):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
     )
-    want = sorted(tuple(r) for r in con.execute(entry._NOVELTY_DEFERRED["oracle"]).fetchall())
+    want = sorted(
+        tuple(r) for r in con.execute(entry._ORACLES["curation_ngram_novelty"]).fetchall()
+    )
     assert got == want and got

@@ -997,3 +997,64 @@ def test_ivf_write_with_trained_kmeans_codebook(spark, tmp_path):
     files = pruned.inputFiles()
     assert files and all("cell=" in f for f in files)
     assert len({f.split("cell=")[1].split("/")[0] for f in files}) == 1
+
+
+class TestIvfPq:
+    """IVF-PQ composite (IVFADC): trained coarse cells + per-cell PQ
+    residuals, persisted cell-pruned layout, ADC scan + exact rerank."""
+
+    def test_probe_reads_only_probed_cells(self, emb, spark, tmp_path):
+        from rheoceros_spark.operators.similarity import ivfpq_probe, ivfpq_write
+
+        path = str(tmp_path / "ivfpq")
+        ivfpq_write(emb, path, n_cells=8, iters=1, n_codes=16, m=4)
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+        out = ivfpq_probe(spark, path, qv, k=5, n_probe=3, rerank=20, exclude_id=0)
+        rows = out.collect()
+        assert len(rows) == 5
+        files = out.inputFiles()
+        cells_read = {f.split("/cells/")[1].split("/")[0] for f in files}
+        assert files and len(cells_read) <= 3, cells_read
+        # deterministic: same probe, same answer
+        again = ivfpq_probe(spark, path, qv, k=5, n_probe=3, rerank=20, exclude_id=0)
+        assert [tuple(r) for r in again.collect()] == [tuple(r) for r in rows]
+
+    def test_exhaustive_probe_with_full_rerank_equals_brute_force(
+        self, emb, spark, tmp_path
+    ):
+        """With every cell probed and the rerank budget covering the
+        whole corpus, the ADC approximation cannot drop anything — the
+        result must equal exact brute-force cosine top-k."""
+        from rheoceros_spark.operators.similarity import (
+            cosine_topk,
+            ivfpq_probe,
+            ivfpq_write,
+        )
+
+        path = str(tmp_path / "ivfpq_ex")
+        n = emb.count()
+        ivfpq_write(emb, path, n_cells=4, iters=1, n_codes=8, m=4)
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+        got = ivfpq_probe(spark, path, qv, k=10, n_probe=4, rerank=n, exclude_id=0)
+        brute = cosine_topk(emb, query_id=0, k=10)
+        assert [tuple(r) for r in got.collect()] == [tuple(r) for r in brute.collect()]
+
+    def test_inconsistent_index_and_bad_query_dim_fail_loudly(
+        self, emb, spark, tmp_path
+    ):
+        from rheoceros_spark.operators.similarity import ivfpq_probe, ivfpq_write
+
+        path = str(tmp_path / "ivfpq_bad")
+        ivfpq_write(emb, path, n_cells=4, iters=0, n_codes=8, m=4)
+        with pytest.raises(ValueError, match="query dim"):
+            ivfpq_probe(spark, path, [1.0, 2.0], k=3)
+        # truncate the codebook behind the manifest's back → loud error
+        cb = spark.read.parquet(path + "/codebook").where(F.col("ord") <= 4)
+        cb.write.mode("overwrite").parquet(path + "/codebook2")
+        import shutil
+
+        shutil.rmtree(path + "/codebook")
+        shutil.move(path + "/codebook2", path + "/codebook")
+        dim = len(emb.first()["embedding"])
+        with pytest.raises(ValueError, match="inconsistent"):
+            ivfpq_probe(spark, path, [0.1] * dim, k=3)

@@ -71,7 +71,7 @@ class TestScanQuality:
 
 class TestJoinQuality:
     def test_small_dims_broadcast(self, spark, sf):
-        q = entry._QUERIES["broadcast_join_enrich"](spark, sf)
+        q = entry._RETIRED_QUERIES["broadcast_join_enrich"](spark, sf)
         assert "BroadcastHashJoin" in physical_plan(q)
 
     def test_semi_join_stays_semi(self, spark, sf):
@@ -180,22 +180,30 @@ class TestDriverContract:
     def test_cross_round_official_coverage_is_total(self):
         """Every query is either inside this round's 50-entry driver
         window or already earned a green official row in the PREVIOUS
-        round (r05) — the rotation may not orphan anything, and
+        round (r06) — the rotation may not orphan anything, and
         consecutive rounds must jointly cover 100% of queries()."""
         import json
         import os
 
         window = set(list(entry.queries())[:50])
-        r05_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r05.json")
-        with open(r05_path, "r", encoding="utf-8") as f:
-            r05 = json.load(f)
-        certified_r05 = {
+        r06_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r06.json")
+        with open(r06_path, "r", encoding="utf-8") as f:
+            r06 = json.load(f)
+        certified_r06 = {
             name
-            for name, res in r05.items()
+            for name, res in r06.items()
             if res.get("rows_match") and res.get("schema_match") and res.get("hash_match")
         }
-        uncovered = set(entry.queries()) - window - certified_r05
+        uncovered = set(entry.queries()) - window - certified_r06
         assert not uncovered, f"never driver-certified: {sorted(uncovered)}"
+
+    def test_registry_capped_at_window_arithmetic(self):
+        """50-slot window + consecutive-round totality ⇒ at most 100
+        registered queries; growth must retire verification twins
+        (which keep full oracle parity in test_retired_oracles.py)."""
+        assert len(entry.queries()) <= 100
+        # retired twins keep their oracles — nothing silently dropped
+        assert set(entry.retired_queries()) == set(entry.retired_oracle_sql())
 
     def test_head_has_no_dangling_names(self):
         names = set(entry.queries())
@@ -359,7 +367,9 @@ class TestBenchBaselineSync:
     def test_bench_names_resolve(self):
         import bench
 
-        names = set(entry.queries())
+        # BENCH sets are frozen at what BASELINE.md measured; driver-
+        # window retirees stay benched through retired_queries()
+        names = set(entry.queries()) | set(entry.retired_queries())
         drifted = [n for n in bench.BENCH_CORE + bench.BENCH_EXT if n not in names]
         assert not drifted, drifted
 

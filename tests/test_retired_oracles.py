@@ -1,0 +1,70 @@
+"""Driver-window retirees keep full DuckDB-oracle parity.
+
+Round 7 capped the driver registry at 100 queries (50-slot window +
+consecutive-round totality), retiring four verification twins whose
+scalable siblings hold current official rows.  This suite runs the
+exact Spark-vs-DuckDB comparison the driver harness would — row count,
+column names, order-insensitive value parity — so retirement never
+weakens the correctness gate, only the *official-row* bookkeeping.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _canon(v):
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _lines(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def test_retired_set_is_exactly_the_round7_retirees():
+    assert set(entry.retired_queries()) == {
+        "broadcast_join_enrich",
+        "dedup_embedding_pairs",
+        "ann_pq_topk",
+        "ann_ivf_appended",
+    }
+
+
+@pytest.mark.parametrize("name", sorted(entry.retired_queries()))
+def test_retired_query_matches_oracle(name, spark, sf_dir, duck):
+    df = entry.retired_queries()[name](spark, sf_dir)
+    scols = df.columns
+    srows = [tuple(r) for r in df.collect()]
+    pdf = duck.sql(entry.retired_oracle_sql()[name]).df()
+    dcols = list(pdf.columns)
+    drows = list(pdf.itertuples(index=False, name=None))
+    assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
+    assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols)
+    got, want = _lines(scols, srows), _lines(dcols, drows)
+    assert got == want, f"{name}: first diff {next((a, b) for a, b in zip(got, want) if a != b)}"
