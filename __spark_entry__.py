@@ -3136,9 +3136,12 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, source,
            CASE
-             WHEN ({_H64.format(s="concat('0', ':', source)")}) % 1000000 < 800000
+             -- NULL-propagating ||, NOT concat() (which skips NULLs and
+             -- would hash '0:'): a NULL source must fall through to the
+             -- last split, matching the operator's explicit NULL routing
+             WHEN ({_H64.format(s="'0' || ':' || source")}) % 1000000 < 800000
                THEN 'train'
-             WHEN ({_H64.format(s="concat('0', ':', source)")}) % 1000000 < 900000
+             WHEN ({_H64.format(s="'0' || ':' || source")}) % 1000000 < 900000
                THEN 'val'
              ELSE 'test'
            END AS split

@@ -913,6 +913,13 @@ def group_split(
     projection — zero shuffle, reproducible across engines and runs,
     and adding rows to a group never moves the group (stable under
     incremental ingest).  Fractions must sum to 1.
+
+    Rows with a NULL group value land — explicitly, not by CASE
+    fall-through — in the LAST split: they form one cohort (group
+    identity unknown ⇒ must stay together to be leakage-safe), and the
+    last split is the eval side under the conventional
+    (train, …, test) ordering, so unknown-provenance rows can never
+    contaminate training.
     """
     total = sum(fr for _, fr in splits)
     if abs(total - 1.0) > 1e-9:
@@ -926,6 +933,7 @@ def group_split(
         cases.append((int(round(cum * SAMPLE_BUCKETS)), name))
     for threshold, name in reversed(cases):
         expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)
+    expr = F.when(F.col(group_col).isNull(), F.lit(splits[-1][0])).otherwise(expr)
     return df.withColumn("split", expr)
 
 
@@ -958,7 +966,16 @@ def negative_samples(
     hash-derived: the same (seed, corpus, queries) always yields the
     same pairs, and a retry of one partition cannot change another's.
 
-    Returns (query_id, neg_id, neg_source, neg_rank).
+    Returns (query_id, neg_id, neg_source, neg_rank).  ``neg_rank`` may
+    stop SHORT of ``k`` (down to zero) when a query's single probed
+    pool holds fewer than ``k`` cross-source docs — a function of
+    ``n_buckets`` vs corpus size (expected pool ≈ corpus/n_buckets
+    docs), by design: probing a second pool on under-fill would make a
+    query's negatives depend on global pool occupancy, losing the
+    retry-stable per-partition determinism.  Size ``n_buckets`` so
+    pools are ≫ k (the 10-100k guidance above) and under-fill is a
+    non-event; callers that must guarantee k can re-mine the shortfall
+    with ``seed+1``.
     """
     if k < 1 or n_buckets < 1:
         raise ValueError(f"negative_samples: k and n_buckets must be >= 1")
@@ -1013,8 +1030,11 @@ def boilerplate_ngrams(
     serialize it onto one task).  No pair of documents is ever
     compared; the whole operator is corpus-linear.
 
-    Returns (id, source, n_grams, n_boiler, boiler_frac); documents
-    with fewer than ``n`` tokens have ``n_grams = 0`` and NULL frac.
+    Returns (id, source, n_grams, n_boiler, boiler_frac).  A non-empty
+    document with fewer than ``n`` tokens still emits exactly ONE
+    (truncated) gram — ``word_ngrams`` floors the window count at 1 —
+    so only NULL-text / NULL-id documents report ``n_grams = 0`` (and
+    NULL frac).
     """
     if n < 1 or min_docs < 2:
         raise ValueError(

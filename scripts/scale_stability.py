@@ -57,10 +57,26 @@ HEAVIES = [
     "ann_kmeans_refine",
     "ann_pq_topk",
     "ann_cosine_topk",
+    # round-7 additions (VERDICT r6 ask #6 + the new registrations):
+    # keep_list's iterative CC is the slowest ext query; negative
+    # mining and budget mix are window-pass corpus scans; bpe is the
+    # hot per-row fold; ivfpq's min-of-N settles on the post-build
+    # probe, so its ratio measures the CELL-PRUNED read path (the
+    # index build itself is timed once by bench.py per round)
+    "dedup_keep_list",
+    "curation_negative_samples",
+    "curation_budget_mix",
+    "text_bpe_tokens",
+    "ann_ivfpq_topk",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
-#: subset whose DuckDB oracles are corpus-linear → safe to re-hash at sf1
+#: subset whose DuckDB oracles are corpus-linear → safe to re-hash at sf1.
+#: dedup_keep_list stays timing-only: its oracle walks the pair graph
+#: with a recursive CTE (pair-quadratic in cluster size on DuckDB's
+#: single node); curation_negative_samples stays timing-only: its
+#: oracle ranks every (query × pool) candidate with a window, which is
+#: oracle-side-quadratic in the probed pool.
 ORACLE_AT_SF1 = [
     "dedup_substring_spans",
     "text_bm25_topk",
@@ -69,6 +85,8 @@ ORACLE_AT_SF1 = [
     "text_tfidf_terms",
     "text_unigram_nll",
     "text_source_kl",
+    "curation_budget_mix",
+    "text_bpe_tokens",
 ]
 
 
@@ -96,8 +114,12 @@ def synthesize(spark) -> None:
             F.concat(F.col("source"), F.lit("#"), F.col("__r").cast("string")).alias(
                 "source"
             ),
-            "n_chars",
         )
+        # n_chars must describe the REWRITTEN text (every token gained a
+        # '#r' suffix) — carrying the source value through would leave
+        # the sf1 corpus internally inconsistent for any future heavy
+        # that reads n_chars
+        .withColumn("n_chars", F.length("text"))
     )
     reps.repartition(32).write.mode("overwrite").parquet(f"{SF1}/documents.parquet")
     # embeddings: same vectors under shifted ids — the embedding HEAVIES
@@ -143,7 +165,8 @@ def main() -> None:
             return minhash_lsh_pairs(docs, threshold=0.5)
         return simhash_pairs(docs, max_hamming=3)
 
-    queries = entrymod.queries()
+    # driver-window retirees (ann_pq_topk) stay probed for scale
+    queries = {**entrymod.retired_queries(), **entrymod.queries()}
     iters = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "2"))
     results: dict[str, dict] = {}
     for name in HEAVIES + SCALABLE:

@@ -556,6 +556,36 @@ class TestGroupSplit:
         with pytest.raises(ValueError, match="sum to 1"):
             group_split(_sourced(spark, 4, 2), splits=(("train", 0.5), ("val", 0.1)))
 
+    def test_null_group_lands_in_last_split_and_matches_oracle(self, spark):
+        from rheoceros_spark.operators import group_split
+
+        df = spark.createDataFrame(
+            [(1, "siteA"), (2, None), (3, "siteB"), (4, None)],
+            "doc_id bigint, source string",
+        )
+        got = {r.doc_id: r.split for r in group_split(df).collect()}
+        assert got[2] == "test" and got[4] == "test"
+        # cross-engine: the NULL-propagating || oracle agrees (concat()
+        # would skip the NULL and hash '0:' into a real bucket)
+        import duckdb
+
+        want = {
+            r[0]: r[1]
+            for r in duckdb.sql(
+                """
+                SELECT doc_id, CASE
+                  WHEN (CAST(('0x' || substr(md5('0' || ':' || source), 1, 15)) AS BIGINT))
+                       % 1000000 < 900000 THEN 'train'
+                  WHEN (CAST(('0x' || substr(md5('0' || ':' || source), 1, 15)) AS BIGINT))
+                       % 1000000 < 950000 THEN 'val'
+                  ELSE 'test' END AS split
+                FROM (VALUES (1, 'siteA'), (2, NULL), (3, 'siteB'), (4, NULL))
+                     AS t(doc_id, source)
+                """
+            ).fetchall()
+        }
+        assert got == want
+
 
 class TestNegativeSamples:
     def test_k_negatives_never_same_source(self, spark):
