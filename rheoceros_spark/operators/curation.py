@@ -536,10 +536,8 @@ def source_mixture_weights(
     # Both window sums are over BIGINTs (token totals, pico-quantized
     # weights) — integer sums are exact in any addition order, so the
     # result is engine/partitioning-independent (same determinism trick
-    # as the TPC-H cents() helper).  The constant partition key keeps
-    # WindowExec's data-sized-window warning out of logs for a window
-    # that is sources-sized by construction.
-    w_all = Window.partitionBy(F.lit(0))
+    # as the TPC-H cents() helper).
+    w_all = Window.partitionBy()
     out = per.withColumn("__tot", F.sum("n_tokens").over(w_all)).withColumn(
         "share", F.col("n_tokens").cast("double") / F.col("__tot").cast("double")
     )
@@ -1171,11 +1169,13 @@ def budget_mix_select(
     )
     # totals over the ALREADY-AGGREGATED sources-sized frame (see the
     # source_mixture_weights comment for why this beats agg+crossJoin:
-    # one corpus scan, exact BIGINT sums).  The constant partition key
-    # states the intent — this window is tiny BY CONSTRUCTION — and
-    # keeps WindowExec's data-sized-window warning out of bench logs,
-    # where a real unpartitioned window should stand out.
-    w_all = Window.partitionBy(F.lit(0))
+    # one corpus scan, exact BIGINT sums).  WindowExec's data-sized-
+    # window warning is a false positive for this tiny-by-construction
+    # frame — a constant partition key does NOT silence it (Catalyst
+    # folds literals out of the partition spec), so the bench harness
+    # scopes that logger down instead and the plan gates stay the real
+    # guard against accidental data-sized windows.
+    w_all = Window.partitionBy()
     wt = (
         F.sqrt(F.col("__nt").cast("double") / F.col("__tot").cast("double"))
         if alpha == 0.5

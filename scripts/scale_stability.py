@@ -155,6 +155,9 @@ def main() -> None:
         shuffle_partitions=64,
         extra_confs={"spark.ui.enabled": "false"},
     )
+    from bench import quiet_tiny_window_warnings
+
+    quiet_tiny_window_warnings(spark)
     synthesize(spark)
 
     from rheoceros_spark.operators import minhash_lsh_pairs, simhash_pairs

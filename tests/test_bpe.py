@@ -44,6 +44,26 @@ def test_malformed_merge_table_rejected(spark):
         bpe_encode(df, merges=[("a", "'")])
 
 
+def test_arrow_and_sql_impls_bit_identical(spark, sf_dir):
+    """The Arrow fast path (lowest-rank-first reference loop, memoized)
+    and the pure-column-algebra fold twin (sequential rank order) are
+    the SAME function on well-formed merge tables — corpus-wide."""
+    from rheoceros_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    a = {
+        r.doc_id: tuple(r.bpe_tokens)
+        for r in bpe_encode(docs, impl="arrow").select("doc_id", "bpe_tokens").collect()
+    }
+    s = {
+        r.doc_id: tuple(r.bpe_tokens)
+        for r in bpe_encode(docs, impl="sql").select("doc_id", "bpe_tokens").collect()
+    }
+    assert a == s and a
+    with pytest.raises(ValueError, match="impl"):
+        bpe_encode(docs, impl="rust")
+
+
 def test_matches_duckdb_fold_on_corpus(spark, sf_dir):
     from rheoceros_spark.sources.io import load_table
 
