@@ -2672,9 +2672,8 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# incremental dedup (registered past the driver window on purpose: the
-# shape it adds — index probe — is oracle-checked locally; the window
-# slots stay with the distinct per-operator queries above)
+# incremental dedup (entered the driver window in r6 — official row in
+# CORRECTNESS_r06; originally registered past the r5 window)
 # ===========================================================================
 
 @q(

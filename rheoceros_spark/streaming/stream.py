@@ -419,6 +419,7 @@ def stream_chunk_documents(
     overlap: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`~rheoceros_spark.operators.text_analysis.chunk_documents`:
     per-row explode into overlapping fixed-token chunks.  Stateless —
@@ -436,6 +437,13 @@ def stream_chunk_documents(
             f"stream_chunk_documents: need chunk_tokens >= 2 and 0 <= overlap < "
             f"chunk_tokens, got {chunk_tokens}, {overlap}"
         )
+    if tokens_col is not None:
+        # precomputed token arrays (e.g. bpe_encode's bpe_tokens — the
+        # pandas UDF is stream-capable, so BPE→chunk composes in-stream)
+        base = sdf.where(
+            F.col(id_col).isNotNull() & (F.size(F.col(tokens_col)) > 0)
+        ).select(id_col, tokens_col)
+        return _chunk_select(base, chunk_tokens, overlap, text_col, id_col, tokens_col)
     return _chunk_select(
         _chunk_filter(sdf, text_col, id_col), chunk_tokens, overlap, text_col, id_col
     )

@@ -146,3 +146,63 @@ class TestRealTokenBudgets:
         assert {r.quota for r in rows} <= {
             q for q in range(0, max(n_by_source.values()) + 11)
         }
+
+
+# ---------------------------------------------------------------------------
+# property: arrow (lowest-rank-first) ≡ sql (sequential rank order) on
+# ANY well-formed merge table — the equivalence the docstring proves
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rheoceros_spark.operators.text_analysis import _bpe_merge_word, _check_merges
+
+
+@st.composite
+def wellformed_merges(draw):
+    """Random merge tables honoring the BPE training invariant: every
+    operand is a base character or the product of an earlier rule."""
+    base = ["a", "b", "c"]
+    formed = list(base)
+    rules = []
+    n = draw(st.integers(min_value=1, max_value=8))
+    for _ in range(n):
+        p1 = draw(st.sampled_from(formed))
+        p2 = draw(st.sampled_from(formed))
+        rules.append((p1, p2))
+        formed.append(p1 + p2)
+    return rules
+
+
+def _sequential_reference(word, merges):
+    """Pure-python twin of the SQL fold cascade: apply every rule once,
+    in rank order, merging left-scan non-overlapping."""
+    syms = list(word)
+    for p1, p2 in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == p1 and syms[i + 1] == p2:
+                out.append(p1 + p2)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@given(wellformed_merges(), st.text(alphabet="abc", min_size=1, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_lowest_rank_first_equals_sequential_rank_order(merges, word):
+    """The reference BPE loop (merge the lowest-rank pair present,
+    repeat) and one sequential pass per rule in rank order are the SAME
+    function on well-formed tables — the invariant both engine impls
+    and the DuckDB oracle rest on."""
+    _check_merges(merges)
+    ranks = {}
+    for i, p in enumerate(merges):
+        ranks.setdefault(p, i)  # duplicate rules: first (lowest) rank wins
+    got = _bpe_merge_word(word, tuple(merges), ranks, {})
+    want = _sequential_reference(word, merges)
+    assert got == want, (merges, word)

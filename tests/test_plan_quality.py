@@ -409,3 +409,55 @@ class TestRound6TailPlanShapes:
         assert "CartesianProduct" not in final_section
         assert final_section.count("Scan parquet") <= 2
         assert "BroadcastHashJoin" in final_section
+
+
+class TestRound7PlanShapes:
+    """Plan gates for the round-7 registrations."""
+
+    def test_bpe_is_arrow_batched_and_shuffle_free(self, spark, sf):
+        """The BPE fast path must be ArrowEvalPython (vectorized batch
+        transfer), never row-at-a-time BatchEvalPython, and pure
+        per-row: zero Exchange, one corpus scan."""
+        df = entry.queries()["text_bpe_tokens"](spark, sf)
+        plan = physical_plan(df)
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_bpe_sql_twin_is_python_free(self, spark, sf):
+        from rheoceros_spark.operators.text_analysis import bpe_encode
+
+        docs = load_table(spark, sf, "documents")
+        plan = physical_plan(
+            bpe_encode(docs, impl="sql").select("doc_id", "n_bpe_tokens")
+        )
+        assert "EvalPython" not in plan  # neither Arrow nor Batch
+        assert "Exchange" not in plan
+
+    def test_corpus_diff_indexed_two_narrow_scans_no_text_shuffle(self, spark, sf):
+        """New-crawl side reduces to (id, fp) inside its scan; index is
+        already narrow — one full-outer join, no cartesian, and the
+        text column never crosses an exchange."""
+        df = entry.queries()["corpus_diff_indexed"](spark, sf)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert plan.count("Scan parquet") == 2
+        # the only text reference allowed is inside the scan/project
+        # BELOW the exchanges: no plan node above an Exchange carries it
+        above_exchange = plan.split("Exchange")[0]
+        assert "text" not in above_exchange
+
+    def test_ngram_novelty_no_cartesian_distinct_before_explode(self, spark, sf):
+        df = entry.queries()["curation_ngram_novelty"](spark, sf)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        # within-doc dedup is row-local array_distinct BEFORE the
+        # explode — the exploded stream must be distinct-gram-sized
+        assert "array_distinct" in plan
+    def test_ivfpq_probe_plan_reads_only_probed_cells(self, spark, sf):
+        """The registered query's own plan (persisted index) must show
+        ≤ n_probe cell directories in its input files."""
+        df = entry.queries()["ann_ivfpq_topk"](spark, sf)
+        cells = {f.split("/cells/")[1].split("/")[0] for f in df.inputFiles() if "/cells/" in f}
+        assert cells and len(cells) <= 3, cells

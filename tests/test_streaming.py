@@ -381,3 +381,45 @@ def test_stream_chunk_documents_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == expected and expected
+
+
+def test_stream_bpe_chunk_composition_matches_batch(spark, sf_dir, tmp_path):
+    """Real-token streaming composition: bpe_encode (Arrow pandas UDF —
+    stream-capable) feeding stream_chunk_documents(tokens_col=…) emits
+    exactly the batch pipeline's chunk set, with budgets counted in BPE
+    tokens."""
+    from rheoceros_spark.operators.text_analysis import bpe_encode, chunk_documents
+    from rheoceros_spark.streaming.stream import stream_chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    src_dir = str(tmp_path / "docs_bpe_src")
+    docs.coalesce(3).write.mode("overwrite").parquet(src_dir)
+    batch_docs = spark.read.parquet(src_dir)
+
+    expected = {
+        (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(
+            bpe_encode(batch_docs), chunk_tokens=16, overlap=4, tokens_col="bpe_tokens"
+        ).collect()
+    }
+
+    sdf = spark.readStream.schema(batch_docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    out_dir = str(tmp_path / "bpe_chunks_out")
+    q = (
+        stream_chunk_documents(
+            bpe_encode(sdf), chunk_tokens=16, overlap=4, tokens_col="bpe_tokens"
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "bpe_chunk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == expected and expected
