@@ -3833,6 +3833,165 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# STAGED for the round-8 window.  The registry is capped at 100 (see the
+# _HEAD comment), so these ship now as fully implemented operators with
+# stashed oracles and pytest parity gates (tests/test_staged_r8.py), and
+# register in r8 against two slot-freeing retirements.  R8 WINDOW PLAN:
+#   * retire dedup_ngram_jaccard_pairs (quadratic all-pairs verification
+#     twin — its scalable LSH-blocked sibling is what ngram_jaccard_pairs
+#     runs with blocked=True; parity moves to test_retired_oracles.py)
+#   * retire ann_cosine_topk (the brute-force baseline — every ANN
+#     oracle embeds it, and all approximate variants hold official rows)
+#   * register dedup_semantic_pairs + text_quality_classifier in the
+#     window head, followed by the 48 r06-certified rotations
+#   (arithmetic: r07 certifies its 50-name window; the r8 window must
+#   hold the other 50 r06-certified names — two retirements from that
+#   set make room for exactly two new registrations.)
+# ===========================================================================
+
+_STAGED_R8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_STAGED_R8_ORACLES: dict[str, str] = {}
+
+
+def q_staged_r8(name: str, oracle: str):
+    def deco(fn):
+        _STAGED_R8_QUERIES[name] = fn
+        _STAGED_R8_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _semantic_pairs_oracle(k: int = 8, iters: int = 2, threshold: float = 0.4) -> str:
+    ctes, cfinal = _lloyd_ctes(k, iters)
+    ctes.append(f"""assigned AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+        FROM emb e, {cfinal} c
+      ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT a, b, cell, round(cos, 6) AS cos_r FROM (
+      SELECT x.vec_id AS a, y.vec_id AS b, x.cell,
+             {_cos_sql('x.embedding', 'y.embedding')} AS cos
+      FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    ) WHERE cos >= {threshold}
+    """
+
+
+def _quality_classifier_oracle(
+    n_buckets: int = 64, iters: int = 2, lr: float = 0.5
+) -> str:
+    """The full distributed-LR training loop + linear scorer in SQL:
+    hashed-bucket integer features, broadcast-LUT sigmoid (no exp() in
+    either engine), exact BIGINT logit/gradient sums, floor-requantized
+    updates — reproduces operators/text_analysis.py logreg_train +
+    quality_classifier_score bit-for-bit."""
+    from rheoceros_spark.functions.portable import h64_sql
+    from rheoceros_spark.operators.text_analysis import SIGMOID_CLAMP_Q, sigmoid_lut_q
+
+    lut = "[" + ", ".join(str(v) for v in sigmoid_lut_q()) + "]"
+    off = SIGMOID_CLAMP_Q + 1
+    hk = h64_sql("t", seed="'0'")
+    ctes = [
+        """docs0 AS (
+      SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents WHERE doc_id IS NOT NULL
+    )""",
+        f"""feats AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, CAST({hk} % {n_buckets} AS INT) AS bucket FROM (
+          SELECT doc_id, unnest({_TOK}) AS t FROM docs0 WHERE text IS NOT NULL
+        ) WHERE t <> ''
+      ) GROUP BY doc_id, bucket
+      UNION ALL
+      SELECT doc_id, CAST(-1 AS INT) AS bucket, CAST(1 AS BIGINT) AS cnt FROM docs0
+    )""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs0)",
+        f"""w0 AS (
+      SELECT CAST(unnest(range(-1, {n_buckets})) AS INT) AS bucket,
+             CAST(0 AS BIGINT) AS wq
+    )""",
+    ]
+    prev = "w0"
+    for i in range(1, iters + 1):
+        sig = (
+            f"({lut})[CAST(greatest(-{SIGMOID_CLAMP_Q}, least({SIGMOID_CLAMP_Q}, "
+            f"CAST(floor((CAST(lq AS DOUBLE) / 1e7) * 100.0) AS BIGINT))) + {off} AS INT)]"
+        )
+        ctes.append(f"""l{i} AS (
+      SELECT f.doc_id, CAST(sum(w.wq * f.cnt) AS BIGINT) AS lq
+      FROM feats f JOIN {prev} w USING (bucket) GROUP BY f.doc_id
+    )""")
+        ctes.append(f"""r{i} AS (
+      SELECT l.doc_id, CAST({sig} - d.y * 10000000 AS BIGINT) AS rq
+      FROM l{i} l JOIN docs0 d USING (doc_id)
+    )""")
+        ctes.append(f"""g{i} AS (
+      SELECT f.bucket, CAST(sum(r.rq * f.cnt) AS BIGINT) AS gq
+      FROM r{i} r JOIN feats f USING (doc_id) GROUP BY f.bucket
+    )""")
+        ctes.append(f"""w{i} AS (
+      SELECT w.bucket,
+             CAST(w.wq - CAST(floor((CAST(coalesce(g.gq, 0) AS DOUBLE) * {lr!r}) / nn.n)
+                         AS BIGINT) AS BIGINT) AS wq
+      FROM {prev} w LEFT JOIN g{i} g USING (bucket) CROSS JOIN nn
+    )""")
+        prev = f"w{i}"
+    return f"""
+    WITH {', '.join(ctes)}, lf AS (
+      SELECT f.doc_id, CAST(sum(w.wq * f.cnt) AS BIGINT) AS lq
+      FROM feats f JOIN {prev} w USING (bucket) GROUP BY f.doc_id
+    )
+    SELECT doc_id, CAST(lq AS DOUBLE) / 1e7 AS logit,
+           CASE WHEN CAST(lq AS DOUBLE) / 1e7 >= 0.0 THEN 1 ELSE 0 END AS keep
+    FROM lf
+    """
+
+
+@q_staged_r8("text_quality_classifier", oracle=_quality_classifier_oracle())
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/CCNet-style learned quality filter: distributed full-batch
+    logistic regression over hashed token features (lang='en' as the
+    curated-target label at demo scale), then linear scoring with a
+    logit-space threshold.  Iterative float training made bit-exact
+    across engines: 1e-7-grid weights, exact integer logit/gradient
+    sums, broadcast sigmoid LUT instead of libm exp, floor
+    re-quantization (operators/text_analysis.py logreg_train /
+    quality_classifier_score)."""
+    from rheoceros_spark.operators.text_analysis import (
+        logreg_train,
+        quality_classifier_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    labeled = docs.withColumn(
+        "__label", F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    )
+    w = logreg_train(labeled, "__label", n_buckets=64, iters=2, lr=0.5)
+    return quality_classifier_score(docs, w, n_buckets=64).select(
+        "doc_id", "logit", "keep"
+    )
+
+
+@q_staged_r8("dedup_semantic_pairs", oracle=_semantic_pairs_oracle())
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style near-dup pairs: trained Lloyd k-means cells bound
+    the candidate set (a pair must share a coarse cluster), exact
+    cosine rerank inside — the learned-cluster complement of the
+    LSH-blocked path (operators/dedup.py semantic_dup_pairs; Abbas et
+    al. 2023)."""
+    from rheoceros_spark.operators.dedup import semantic_dup_pairs
+
+    return semantic_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, k=8, iters=2
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 

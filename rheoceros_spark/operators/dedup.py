@@ -834,3 +834,81 @@ def substring_dup_spans(
             ).alias("dup_window_frac"),
         )
     )
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    k: int = 8,
+    iters: int = 2,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style near-dup pairs (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): TRAINED k-means cells bound the candidate set — a
+    pair must share a coarse cluster — then an exact cosine rerank
+    inside the cell.  The trained-cluster complement of
+    :func:`embedding_dup_pairs_blocked`'s random-hyperplane blocking:
+    LSH buckets are metric-blind slices with tunable recall, while
+    learned cells concentrate semantic neighborhoods, which is why the
+    SemDeDup recipe prunes training corpora with cluster blocking.
+
+    Scale shape: the coarse codebook is :func:`similarity.kmeans_centroids`'
+    trained Lloyd output (broadcast-assign, quantized component means —
+    bit-exact across engines), assignment is the max_by argmax (shuffle
+    carries n rows), candidates come from a self-equi-join on ``cell``
+    (no cartesian node anywhere), and each pair costs one dot product
+    against pre-computed scalar norms — the same rerank economics as
+    the LSH-blocked path.  Within-cell pair count is O(Σ cell²); size
+    ``k`` so cells are ~10-100k docs at the target corpus (SemDeDup
+    used 100k clusters for LAION-scale), and AQE's skew-join split
+    handles a hot cell.
+
+    Returns (a, b, cell, cos_r) with a < b and cosine ≥ ``threshold``.
+    Deterministic end-to-end (hash-sampled seeds, quantized means,
+    ordered folds) — a SQL oracle reproduces the exact pair set.
+    """
+    from rheoceros_spark.functions.portable import dot
+    from rheoceros_spark.operators.scale import ensure_parallelism
+    from rheoceros_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    base = ensure_parallelism(
+        df.where(F.col(id_col).isNotNull()).select(id_col, vec_col)
+    )
+    if cents is None:
+        cents = kmeans_centroids(base, k, iters, vec_col, id_col)
+    # multi-round training lineage: materialize once (ivf_write's
+    # localCheckpoint rationale), then assignment + both join branches
+    # read the <= k-row table
+    cents = cents.localCheckpoint(eager=True)
+    assigned = ivf_assign(base, k, vec_col, id_col, cents=cents)
+    v = F.col(vec_col)
+    e = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        # scalar norm, NOT a pre-normalized vector — see
+        # embedding_dup_pairs_blocked for the Catalyst-inlining measurement
+        F.sqrt(dot(v, v)).alias("__n"),
+    # both self-join branches consume the assignment: materialize it
+    # once (lazy — computed on first action) or the broadcast-assign +
+    # argmax aggregate would run TWICE, one full corpus pass per branch
+    ).localCheckpoint(eager=False)
+    a = e.select(
+        "cell", F.col("__id").alias("a"), F.col("__v").alias("va"), F.col("__n").alias("na")
+    )
+    b = e.select(
+        "cell", F.col("__id").alias("b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+    )
+    return (
+        a.join(b, on="cell")
+        .where(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos",
+            F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cell", F.round("cos", 6).alias("cos_r"))
+    )

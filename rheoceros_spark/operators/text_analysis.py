@@ -881,9 +881,11 @@ def bpe_encode(
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import ArrayType, StringType
 
-        # re.ASCII pins \s and the classes to the same ASCII semantics
-        # Java regexes use in normalize_text / BPE_REGEX
-        ws = _re.compile(r"\s+", _re.ASCII)
+        # the explicit class matches normalize_text's deliberate
+        # [ \t\n\f\r] (RE2's \s — NO vertical tab; Python's ASCII \s
+        # would include \x0B and silently diverge on \x0B-bearing text,
+        # the exact trap test_portable_parity pins for the engines)
+        ws = _re.compile(r"[ \t\n\f\r]+")
         pre = _re.compile(BPE_REGEX, _re.ASCII)
         merges_t = tuple(merges)
         ranks = {p: i for i, p in enumerate(merges_t)}
@@ -925,3 +927,197 @@ def bpe_encode(
     else:
         raise ValueError(f"bpe_encode: impl must be 'arrow' or 'sql', got {impl!r}")
     return out.withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# fasttext/CCNet-style quality classifier: hashed bag-of-tokens features,
+# distributed logistic-regression training, linear scoring
+# ---------------------------------------------------------------------------
+
+#: sigmoid lookup grid: logit resolution 0.01, clamped to ±8 (σ is
+#: within 3.4e-4 of its asymptote past that).  The table is computed
+#: ONCE driver-side and embedded as the same literal in the Spark plan
+#: and the SQL oracle — neither engine ever calls exp(), whose libm
+#: rounding is NOT specified by IEEE 754 and differs between Java and
+#: C (the reason a naive distributed LR can never be bit-reproduced).
+SIGMOID_CLAMP_Q = 800  # grid units of 0.01
+
+
+def sigmoid_lut_q() -> list[int]:
+    """σ(k/100) quantized to the 1e-7 integer grid for k in
+    [-800, 800] — 1601 ints, ~13 KB as a plan literal."""
+    import math
+
+    return [
+        int(round(1e7 / (1.0 + math.exp(-k / 100.0))))
+        for k in range(-SIGMOID_CLAMP_Q, SIGMOID_CLAMP_Q + 1)
+    ]
+
+
+def hashed_token_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Hashed bag-of-tokens features: (id, bucket, cnt) rows, one per
+    (document, occupied bucket), plus an implicit bias feature as
+    bucket −1 with count 1 for every document (so NULL/empty-text
+    documents still carry the intercept).  Counts are exact integers —
+    the base of the trainer's engine-reproducible arithmetic.  The
+    hashing-trick feature map of fasttext (Joulin et al. 2016) /
+    Weinberger et al. 2009, on the portable seeded h64."""
+    base = df.where(F.col(id_col).isNotNull())
+    toks = base.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).where(F.col("__t") != "")
+    counts = (
+        toks.select(
+            F.col(id_col), (h64(F.col("__t"), seed=seed) % n_buckets).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    bias = base.select(
+        F.col(id_col),
+        F.lit(-1).cast("int").alias("bucket"),
+        F.lit(1).cast("bigint").alias("cnt"),
+    )
+    return counts.select(id_col, F.col("bucket").cast("int"), "cnt").unionByName(bias)
+
+
+def _clamped_sigma_q(logit_q_col, lut_lit):
+    """σ(logit) on the 1e-7 grid via the broadcast LUT: floor (exact on
+    doubles, unlike decimal round whose half-up/half-even split between
+    engines was the round-6 DSIR bug) + clamp + 1-based lookup."""
+    z100 = F.floor(
+        (logit_q_col.cast("double") / F.lit(1e7)) * F.lit(100.0)
+    ).cast("bigint")
+    k = F.greatest(
+        F.lit(-SIGMOID_CLAMP_Q).cast("bigint"),
+        F.least(F.lit(SIGMOID_CLAMP_Q).cast("bigint"), z100),
+    )
+    return F.element_at(lut_lit, (k + F.lit(SIGMOID_CLAMP_Q + 1)).cast("int"))
+
+
+def logreg_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    iters: int = 2,
+    lr: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Distributed full-batch logistic-regression training over hashed
+    token features — the quality-filter trainer of the GPT-3 / CCNet
+    lineage (a linear classifier separating 'looks like the curated
+    target' from 'raw crawl'), with the same engine-bit-exactness
+    contract as the k-means trainer:
+
+    * weights live on the 1e-7 integer grid, so per-document logits are
+      exact BIGINT dot products (``Σ wq·cnt`` commutes in any
+      aggregation order);
+    * σ comes from the broadcast :func:`sigmoid_lut_q` table — no
+      ``exp()`` in either engine (libm rounding is engine-specific);
+    * the gradient ``Σ (σq − y·1e7)·cnt`` per bucket is again an exact
+      integer aggregate with map-side combine;
+    * the update re-quantizes through ``floor`` (exact on doubles),
+      never decimal rounding.
+
+    Scale shape per round: one broadcast join of the ≤(n_buckets+1)-row
+    weight table into the feature stream, one groupBy(id) logit
+    aggregate, one groupBy(bucket) gradient aggregate — two corpus-
+    linear shuffles, nothing data-sized on the driver; the feature
+    frame is materialized once (lazy localCheckpoint) and reused by
+    every round.  Returns the trained (bucket, wq) table — wq in 1e-7
+    grid units, bucket −1 is the bias.
+    """
+    if iters < 0 or n_buckets < 1:
+        raise ValueError(
+            f"logreg_train: need iters >= 0 and n_buckets >= 1, got {iters}, {n_buckets}"
+        )
+    spark = df.sparkSession
+    feats = hashed_token_features(df, text_col, id_col, n_buckets, seed).localCheckpoint(
+        eager=False
+    )
+    labels = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col), F.col(label_col).cast("bigint").alias("__y")
+    )
+    n = labels.count()  # one scalar action, like the k-means convergence probes
+    if n == 0:
+        raise ValueError("logreg_train: empty training frame")
+    lut = F.lit(sigmoid_lut_q())
+    w = spark.createDataFrame(
+        [(b, 0) for b in range(-1, n_buckets)], "bucket int, wq bigint"
+    )
+    for _ in range(iters):
+        logits = (
+            feats.join(F.broadcast(w), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("wq") * F.col("cnt")).alias("__lq"))
+        )
+        resid = logits.join(labels, id_col).select(
+            F.col(id_col),
+            (_clamped_sigma_q(F.col("__lq"), lut) - F.col("__y") * F.lit(10_000_000)).alias(
+                "__rq"
+            ),
+        )
+        grads = (
+            resid.join(feats, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("__rq") * F.col("cnt")).alias("__gq"))
+        )
+        w = (
+            w.join(grads, "bucket", "left")
+            .select(
+                "bucket",
+                (
+                    F.col("wq")
+                    - F.floor(
+                        F.coalesce(F.col("__gq"), F.lit(0)).cast("double")
+                        * F.lit(lr)
+                        / F.lit(float(n))
+                    ).cast("bigint")
+                ).alias("wq"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return w
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 0,
+    logit_threshold: float = 0.0,
+) -> DataFrame:
+    """Score documents under a trained :func:`logreg_train` weight
+    table: ``logit = (Σ wq·cnt)/1e7`` (exact integer dot product, one
+    IEEE division — no re-round), ``keep = logit ≥ threshold``.  The
+    threshold is in LOGIT space on purpose: σ is monotonic, so a
+    probability cut σ(z) ≥ p is exactly z ≥ ln(p/(1−p)) — the scorer
+    never needs the sigmoid at all, keeping the 100 TB scoring pass
+    pure integer/broadcast arithmetic.  Returns (id, logit, keep)."""
+    feats = hashed_token_features(df, text_col, id_col, n_buckets, seed)
+    logits = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("wq") * F.col("cnt")).alias("__lq"))
+    )
+    return logits.select(
+        F.col(id_col),
+        (F.col("__lq").cast("double") / F.lit(1e7)).alias("logit"),
+        F.when(
+            F.col("__lq").cast("double") / F.lit(1e7) >= F.lit(logit_threshold),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("keep"),
+    )

@@ -44,6 +44,17 @@ def test_malformed_merge_table_rejected(spark):
         bpe_encode(df, merges=[("a", "'")])
 
 
+def test_vertical_tab_parity_between_impls(spark):
+    """normalize_text deliberately does NOT treat \\x0B as whitespace
+    (RE2 parity); the Arrow path's Python regex must agree."""
+    df = spark.createDataFrame([(1, "a\x0bb c")], "doc_id bigint, text string")
+    a = bpe_encode(df, impl="arrow").collect()[0].bpe_tokens
+    s = bpe_encode(df, impl="sql").collect()[0].bpe_tokens
+    assert a == s
+    # \x0b survives normalization as a punctuation-class pre-token
+    assert "\x0b" in "".join(a)
+
+
 def test_arrow_and_sql_impls_bit_identical(spark, sf_dir):
     """The Arrow fast path (lowest-rank-first reference loop, memoized)
     and the pure-column-algebra fold twin (sequential rank order) are

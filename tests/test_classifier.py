@@ -1,0 +1,86 @@
+"""Learned quality filter: distributed LR trainer semantics +
+engine-determinism properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark.operators.text_analysis import (
+    hashed_token_features,
+    logreg_train,
+    quality_classifier_score,
+    sigmoid_lut_q,
+)
+
+
+def _toy(spark, n=40):
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            rows.append((i, "clean prose with goodword and structure here", 1))
+        else:
+            rows.append((i, "spam spam badword badword zzz qqq", 0))
+    return spark.createDataFrame(rows, "doc_id bigint, text string, y int")
+
+
+def test_training_separates_separable_classes(spark):
+    df = _toy(spark)
+    w = logreg_train(df, "y", n_buckets=32, iters=3, lr=1.0)
+    scored = {r.doc_id: r for r in quality_classifier_score(df, w, n_buckets=32).collect()}
+    pos = [scored[i].logit for i in range(0, 40, 2)]
+    neg = [scored[i].logit for i in range(1, 40, 2)]
+    assert min(pos) > max(neg), (min(pos), max(neg))
+    assert all(scored[i].keep == 1 for i in range(0, 40, 2))
+    assert all(scored[i].keep == 0 for i in range(1, 40, 2))
+
+
+def test_weights_partition_invariant(spark):
+    """The bit-exactness contract: integer logit/gradient sums commute,
+    so training is independent of physical partitioning."""
+    df = _toy(spark)
+    w1 = {r.bucket: r.wq for r in logreg_train(df, "y", n_buckets=16, iters=2).collect()}
+    w2 = {
+        r.bucket: r.wq
+        for r in logreg_train(df.repartition(7), "y", n_buckets=16, iters=2).collect()
+    }
+    assert w1 == w2 and any(v != 0 for v in w1.values())
+
+
+def test_zero_iters_gives_zero_weights_and_neutral_scores(spark):
+    df = _toy(spark, 6)
+    w = logreg_train(df, "y", n_buckets=8, iters=0)
+    assert all(r.wq == 0 for r in w.collect())
+    scored = quality_classifier_score(df, w, n_buckets=8).collect()
+    assert all(r.logit == 0.0 and r.keep == 1 for r in scored)
+
+
+def test_bias_carries_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None, 1), (2, "", 0), (3, "words here", 1)],
+        "doc_id bigint, text string, y int",
+    )
+    feats = hashed_token_features(df, n_buckets=8)
+    by_doc = {}
+    for r in feats.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.bucket, r.cnt))
+    # every doc carries the bias feature; token-free docs carry ONLY it
+    assert by_doc[1] == [(-1, 1)] and by_doc[2] == [(-1, 1)]
+    assert len(by_doc[3]) > 1
+    # trainer + scorer handle them end-to-end
+    w = logreg_train(df, "y", n_buckets=8, iters=1)
+    assert quality_classifier_score(df, w, n_buckets=8).count() == 3
+
+
+def test_validation(spark):
+    df = _toy(spark, 4)
+    with pytest.raises(ValueError, match="iters"):
+        logreg_train(df, "y", iters=-1)
+    with pytest.raises(ValueError, match="empty"):
+        logreg_train(df.where(F.col("doc_id") < 0), "y")
+
+
+def test_sigmoid_lut_shape():
+    lut = sigmoid_lut_q()
+    assert len(lut) == 1601
+    assert lut[800] == 5_000_000          # sigma(0) = 0.5
+    assert lut[0] + lut[-1] == 10_000_000  # symmetry on the grid
+    assert all(a <= b for a, b in zip(lut, lut[1:]))  # monotone
