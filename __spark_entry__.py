@@ -1804,7 +1804,12 @@ SELECT a, b, jaccard FROM (
 """
 
 
-@q("dedup_ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
+# Retired r8 (the staged window plan, executed): the quadratic
+# all-pairs verification twin — the 100 TB operator is the LSH-blocked
+# variant behind dedup_minhash_lsh_pairs / the blocked=True sibling,
+# which holds the official row.  Parity stays live through
+# tests/test_retired_oracles.py and scripts/check_oracle.py --retired.
+@q_retired("dedup_ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5, blocked=False
@@ -1835,7 +1840,12 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search (extensions)
 # ===========================================================================
 
-@q(
+# Retired r8 (the staged window plan, executed): the brute-force
+# cosine baseline — every approximate-ANN oracle embeds this exact
+# computation as its rerank/ground-truth stage, and all approximate
+# variants (LSH / IVF / IVF-persisted / IVF-PQ / k-means) hold
+# official rows.  Parity stays live in test_retired_oracles.py.
+@q_retired(
     "ann_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -3833,30 +3843,26 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# STAGED for the round-8 window.  The registry is capped at 100 (see the
-# _HEAD comment), so these ship now as fully implemented operators with
-# stashed oracles and pytest parity gates (tests/test_staged_r8.py), and
-# register in r8 against two slot-freeing retirements.  R8 WINDOW PLAN:
-#   * retire dedup_ngram_jaccard_pairs (quadratic all-pairs verification
-#     twin — its scalable LSH-blocked sibling is what ngram_jaccard_pairs
-#     runs with blocked=True; parity moves to test_retired_oracles.py)
-#   * retire ann_cosine_topk (the brute-force baseline — every ANN
-#     oracle embeds it, and all approximate variants hold official rows)
-#   * register dedup_semantic_pairs + text_quality_classifier in the
-#     window head, followed by the 48 r06-certified rotations
-#   (arithmetic: r07 certifies its 50-name window; the r8 window must
-#   hold the other 50 r06-certified names — two retirements from that
-#   set make room for exactly two new registrations.)
+# Round-8 window executed as staged in r7: dedup_ngram_jaccard_pairs and
+# ann_cosine_topk retired (verification twins — scalable siblings hold
+# official rows), dedup_semantic_pairs + text_quality_classifier
+# registered at the window head, followed by the 48 r06-certified
+# rotations.  r07 ∪ r08 = 100/100 registered queries.
+#
+# The staging area below is the standing mechanism for future rounds:
+# new operators whose registration must wait for a slot-freeing
+# retirement ship here fully implemented, with stashed oracles and
+# pytest parity gates (tests/test_staged.py).
 # ===========================================================================
 
-_STAGED_R8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-_STAGED_R8_ORACLES: dict[str, str] = {}
+_STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_STAGED_ORACLES: dict[str, str] = {}
 
 
-def q_staged_r8(name: str, oracle: str):
+def q_staged(name: str, oracle: str):
     def deco(fn):
-        _STAGED_R8_QUERIES[name] = fn
-        _STAGED_R8_ORACLES[name] = oracle
+        _STAGED_QUERIES[name] = fn
+        _STAGED_ORACLES[name] = oracle
         return fn
 
     return deco
@@ -3952,7 +3958,7 @@ def _quality_classifier_oracle(
     """
 
 
-@q_staged_r8("text_quality_classifier", oracle=_quality_classifier_oracle())
+@q("text_quality_classifier", oracle=_quality_classifier_oracle())
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3/CCNet-style learned quality filter: distributed full-batch
     logistic regression over hashed token features (lang='en' as the
@@ -3977,7 +3983,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q_staged_r8("dedup_semantic_pairs", oracle=_semantic_pairs_oracle())
+@q("dedup_semantic_pairs", oracle=_semantic_pairs_oracle())
 def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style near-dup pairs: trained Lloyd k-means cells bound
     the candidate set (a pair must share a coarse cluster), exact
@@ -4002,72 +4008,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's correctness harness checks the FIRST 50 queries()
 #: entries only (CORRECTNESS_r01 covered positions 0-49 exactly).
-#: Rotation discipline (round 7): the registry is capped at 100
-#: queries — the 50-slot window plus the consecutive-round-coverage
-#: invariant (r06 ∪ r07 must certify everything) admits no more, so
-#: every NEW registration this round retired one verification twin to
-#: pytest-only parity (see _RETIRED_QUERIES).  The head holds the 4
-#: never-certified round-7 queries plus the 46 remaining queries whose
-#: most recent official row is CORRECTNESS_r05 (round 6 certified the
-#: other 50).  Enforced by tests/test_plan_quality.py
+#: Rotation discipline (round 8, executing the plan staged in r7): the
+#: registry is capped at 100 queries — the 50-slot window plus the
+#: consecutive-round-coverage invariant (r07 ∪ r08 must certify
+#: everything) admits no more, so the two NEW registrations this round
+#: (dedup_semantic_pairs, text_quality_classifier) each retired one
+#: verification twin to pytest-only parity (dedup_ngram_jaccard_pairs,
+#: ann_cosine_topk — see _RETIRED_QUERIES).  The head holds the 2
+#: never-certified registrations first, then the 48 remaining queries
+#: whose most recent official row is CORRECTNESS_r06 (round 7
+#: certified the other 50).  Enforced by tests/test_plan_quality.py
 #: test_cross_round_official_coverage_is_total.  All queries — retired
 #: ones included — stay continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
-    # new in round 7 — never certified, enter the window first
-    "curation_ngram_novelty",
-    "text_bpe_tokens",
-    "ann_ivfpq_topk",
-    "corpus_diff_indexed",
-    # changed output in r6 (the sf1 de-rounding fix landed after their
-    # r5 official rows) — re-certify first among the rotations
-    "curation_dsir_weights",
-    "curation_dsir_resample",
-    # certified in r05, rotating back in so r06 ∪ r07 stays total
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q12_priority_by_linestatus",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_part_shippers",
-    "q22_wealthy_inactive",
-    "scan_pruned_projection",
-    "partition_ranged_union",
-    "nearest_partition_asof",
-    "agg_rollup",
-    "agg_cube",
-    "window_topn_per_group",
-    "window_running_total",
-    "set_intersect",
-    "set_except",
-    "scalar_functions",
-    "json_extract_events",
-    "events_funnel_3step",
-    "events_cohort_retention",
-    "sketch_cms_topk",
-    "dedup_substring_spans",
-    "text_bm25_topk",
-    "text_unigram_nll",
-    "text_repetition",
-    "curation_filter_funnel",
-    "curation_semantic_decon",
-    "curation_source_mix",
-    "curation_shuffle_shards",
-    "curation_pack_sequences",
-    "multimodal_audio_stats",
-    "multimodal_video_frames",
+    # new in round 8 — never certified, enter the window first
+    "dedup_semantic_pairs",
+    "text_quality_classifier",
+    # certified in r06, rotating back in so r07 ∪ r08 stays total
+    "q11_important_parts",
+    "q18_large_volume_orders",
+    "q21_sole_returner",
+    "topk_orders",
+    "pivot_returnflag_status",
+    "grouping_sets_revenue",
+    "events_tumbling_daily",
+    "events_sliding_2day",
+    "metric_threshold_alarm",
+    "metric_period_stats_hourly",
+    "alarm_m_of_n_state",
+    "composite_alarm_rule",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_embedding_blocked",
+    "dedup_clusters",
+    "dedup_keep_list",
+    "dedup_incremental_index",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_persisted",
+    "ann_kmeans_refine",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "text_chunk_documents",
+    "text_tfidf_terms",
+    "text_source_kl",
+    "curation_stratified_sample",
+    "curation_pii_redact",
+    "curation_vocab_top_tokens",
+    "curation_contamination",
+    "curation_domain_cap",
+    "curation_group_split",
+    "curation_negative_samples",
+    "curation_boilerplate",
+    "curation_budget_mix",
+    "curation_corpus_diff",
+    "sketch_kmv_distinct",
+    "sketch_histogram_quantiles",
+    "ts_asof_join",
+    "ts_range_join_counts",
+    "ts_sessionize",
+    "layout_zorder_key",
+    "multimodal_features",
+    "multimodal_frame_sample",
 ]
 
 

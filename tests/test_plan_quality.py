@@ -180,21 +180,21 @@ class TestDriverContract:
     def test_cross_round_official_coverage_is_total(self):
         """Every query is either inside this round's 50-entry driver
         window or already earned a green official row in the PREVIOUS
-        round (r06) — the rotation may not orphan anything, and
+        round (r07) — the rotation may not orphan anything, and
         consecutive rounds must jointly cover 100% of queries()."""
         import json
         import os
 
         window = set(list(entry.queries())[:50])
-        r06_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r06.json")
-        with open(r06_path, "r", encoding="utf-8") as f:
-            r06 = json.load(f)
-        certified_r06 = {
+        r07_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r07.json")
+        with open(r07_path, "r", encoding="utf-8") as f:
+            r07 = json.load(f)
+        certified_r07 = {
             name
-            for name, res in r06.items()
+            for name, res in r07.items()
             if res.get("rows_match") and res.get("schema_match") and res.get("hash_match")
         }
-        uncovered = set(entry.queries()) - window - certified_r06
+        uncovered = set(entry.queries()) - window - certified_r07
         assert not uncovered, f"never driver-certified: {sorted(uncovered)}"
 
     def test_registry_capped_at_window_arithmetic(self):
