@@ -1319,12 +1319,20 @@ def _check_fp_index(index: DataFrame, id_col: str) -> None:
             f"expected the ({id_col}, fp) layout written by fingerprint_index_write"
         )
     if "fp_algo" in index.columns:
-        row = index.select("fp_algo").limit(1).collect()
-        if row and row[0][0] != FINGERPRINT_ALGO:
+        # distinct, not limit(1): an APPEND-maintained index can mix
+        # schemes across appends (half written under a future algo) —
+        # a single-row sample would pass and silently misclassify the
+        # other half's documents as 'changed'.  The distinct of a
+        # one-(or few-)valued column is a tiny driver read.
+        algos = sorted(
+            r[0] for r in index.select("fp_algo").distinct().collect() if r[0]
+        )
+        if algos and algos != [FINGERPRINT_ALGO]:
             raise ValueError(
-                f"fingerprint index was built with fp_algo={row[0][0]!r}, this "
-                f"engine computes {FINGERPRINT_ALGO!r} — every unchanged document "
-                "would misread as 'changed'; rebuild the index"
+                f"fingerprint index carries fp_algo values {algos!r}, this "
+                f"engine computes {FINGERPRINT_ALGO!r} — documents indexed "
+                "under another scheme would misread as 'changed'; rebuild "
+                "the index under one algorithm"
             )
 
 

@@ -843,6 +843,11 @@ def ivfpq_write(
         ).alias("__res"),
     )
     cb = residual_codebook(resid, n_codes, "__res", id_col)
+    # a corpus smaller than n_codes yields a shorter codebook; record
+    # the ACTUAL size in the manifest or every later probe would fail
+    # its len(codebook) == n_codes consistency check with a misleading
+    # "rebuild it" error on a perfectly good index
+    n_codes = len(cb)
     encoded = pq_encode(resid, cb, m, "__res", normalize=False).select(
         id_col, vec_col, "cell", *[f"code_{s}" for s in range(m)]
     )
@@ -868,7 +873,7 @@ def ivfpq_write(
     )
     spark = df.sparkSession
     spark.createDataFrame(
-        [(i + 1, cv) for i, cv in enumerate(cb)], f"ord INT, cv ARRAY<DOUBLE>"
+        [(i + 1, cv) for i, cv in enumerate(cb)], "ord INT, cv ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
 
 

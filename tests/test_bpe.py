@@ -46,13 +46,28 @@ def test_malformed_merge_table_rejected(spark):
 
 def test_vertical_tab_parity_between_impls(spark):
     """normalize_text deliberately does NOT treat \\x0B as whitespace
-    (RE2 parity); the Arrow path's Python regex must agree."""
-    df = spark.createDataFrame([(1, "a\x0bb c")], "doc_id bigint, text string")
-    a = bpe_encode(df, impl="arrow").collect()[0].bpe_tokens
-    s = bpe_encode(df, impl="sql").collect()[0].bpe_tokens
+    (RE2 parity); the Arrow path's Python regex must agree — including
+    at string EDGES, where a bare Python str.strip() would eat \\x0b /
+    \\xa0 / \\x1c-\\x1f that Spark's trim (and the DuckDB oracle)
+    leaves in place."""
+    rows = [
+        (1, "a\x0bb c"),            # mid-string \x0b
+        (2, "\x0bleading vt"),      # leading \x0b
+        (3, "trailing vt\x0b"),     # trailing \x0b
+        (4, "\xa0nbsp edges\xa0"),  # non-breaking spaces at both edges
+        (5, " \x1c fs \x1f "),      # file/unit separators inside spaces
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, impl="arrow").collect()}
+    s = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, impl="sql").collect()}
     assert a == s
-    # \x0b survives normalization as a punctuation-class pre-token
-    assert "\x0b" in "".join(a)
+    # the exotic chars survive normalization (not stripped, not collapsed)
+    assert "\x0b" in "".join(a[1])
+    assert "".join(a[2]).startswith("\x0b")
+    assert "".join(a[3]).endswith("\x0b")
+    joined4 = "".join(a[4])
+    assert joined4.startswith("\xa0") and joined4.endswith("\xa0")
+    assert "\x1c" in "".join(a[5]) and "\x1f" in "".join(a[5])
 
 
 def test_arrow_and_sql_impls_bit_identical(spark, sf_dir):

@@ -743,3 +743,27 @@ def test_ngram_novelty_semantics_and_deferred_oracle(spark):
         tuple(r) for r in con.execute(entry._ORACLES["curation_ngram_novelty"]).fetchall()
     )
     assert got == want and got
+
+
+def test_corpus_diff_indexed_rejects_mixed_algo_index(spark):
+    """An APPEND-maintained index that mixes fingerprint schemes across
+    appends must fail loudly — a single-row sample check would pass and
+    silently misclassify the other scheme's documents as 'changed'."""
+    from rheoceros_spark.operators.curation import (
+        FINGERPRINT_ALGO,
+        corpus_diff_indexed,
+        fingerprint_index_write,
+    )
+
+    good = fingerprint_index_write(
+        spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id bigint, text string")
+    )
+    rogue = good.limit(1).withColumn("fp_algo", F.lit("md5_norm_v2"))
+    mixed = good.union(rogue)
+    new = spark.createDataFrame([(1, "alpha")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="md5_norm_v2"):
+        corpus_diff_indexed(new, mixed)
+    # a uniform index under the engine's algo still works
+    out = {r.doc_id: r.status for r in corpus_diff_indexed(new, good).collect()}
+    assert out[1] == "unchanged" and out[2] == "removed"
+    assert FINGERPRINT_ALGO == "md5_norm_v1"

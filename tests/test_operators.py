@@ -1039,6 +1039,23 @@ class TestIvfPq:
         brute = cosine_topk(emb, query_id=0, k=10)
         assert [tuple(r) for r in got.collect()] == [tuple(r) for r in brute.collect()]
 
+    def test_small_corpus_records_actual_codebook_size(self, emb, spark, tmp_path):
+        """A corpus with fewer rows than n_codes yields a shorter
+        residual codebook; the manifest must record the ACTUAL size or
+        every later probe fails its consistency check with a misleading
+        'rebuild it' error on a perfectly good index."""
+        from rheoceros_spark.operators.similarity import ivfpq_probe, ivfpq_write
+
+        path = str(tmp_path / "ivfpq_small")
+        small = emb.where(F.col("vec_id") < 6)  # 6 rows << n_codes=32
+        ivfpq_write(small, path, n_cells=2, iters=1, n_codes=32, m=4)
+        manifest = spark.read.parquet(path + "/centroids").select("n_codes").head()[0]
+        n_cb = spark.read.parquet(path + "/codebook").count()
+        assert manifest == n_cb <= 6
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+        rows = ivfpq_probe(spark, path, qv, k=3, n_probe=2, exclude_id=0).collect()
+        assert len(rows) == 3
+
     def test_inconsistent_index_and_bad_query_dim_fail_loudly(
         self, emb, spark, tmp_path
     ):
