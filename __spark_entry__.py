@@ -3997,6 +3997,76 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _paragraph_spans_oracle(span_tokens: int = 4, min_docs: int = 2) -> str:
+    S = int(span_tokens)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOK} AS t FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        AND len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+    ),
+    segs AS (
+      SELECT doc_id, CAST((s - 1) / {S} AS INT) AS span_id,
+             array_to_string(
+               t[CAST(s AS INT):CAST(least(s + {S} - 1, len(t)) AS INT)], ' '
+             ) AS span_text
+      FROM (SELECT doc_id, t, unnest(range(1, len(t)+1, {S})) AS s FROM docs)
+    ),
+    segs2 AS (SELECT doc_id, span_id, span_text, md5(span_text) AS fp FROM segs),
+    dupfp AS (
+      SELECT fp FROM segs2 GROUP BY fp HAVING count(DISTINCT doc_id) >= {min_docs}
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.span_id, s.span_text,
+             row_number() OVER (PARTITION BY s.fp ORDER BY s.doc_id, s.span_id) AS rn,
+             d.fp IS NOT NULL AS is_dup
+      FROM segs2 s LEFT JOIN dupfp d USING (fp)
+    ),
+    marked AS (
+      SELECT doc_id, span_id, span_text, (is_dup AND rn > 1) AS purge FROM ranked
+    ),
+    reb AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN purge THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+             array_to_string(
+               list(span_text ORDER BY span_id) FILTER (WHERE NOT purge), ' '
+             ) AS clean_text,
+             array_to_string(
+               list(CAST(span_id AS VARCHAR) ORDER BY span_id) FILTER (WHERE purge), ','
+             ) AS purged_span_ids
+      FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN r.doc_id IS NULL THEN NULL
+                ELSE coalesce(r.clean_text, '') END AS clean_text,
+           coalesce(r.n_spans, 0) AS n_spans,
+           coalesce(r.n_purged, 0) AS n_purged,
+           coalesce(r.purged_span_ids, '') AS purged_span_ids
+    FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+    LEFT JOIN reb r USING (doc_id)
+    """
+
+
+@q_staged("dedup_paragraph_spans", oracle=_paragraph_spans_oracle())
+def dedup_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granular dedup (C4 line dedup / RefinedWeb repeated-span
+    removal): purge spans repeated across >= min_docs DISTINCT
+    documents while KEEPING the documents, reassembling each text
+    minus its purged spans — what document-level dedup cannot express
+    (licence blocks, navigation chrome).  Token-window segmentation
+    (the synthetic corpus has no paragraph delimiters; real corpora
+    pass delim="\\n\\n").  One fp hash-shuffle + one per-doc rollup,
+    nothing quadratic (operators/dedup.py paragraph_dedup; Raffel et
+    al. 2020 §2.2, Penedo et al. 2023 §3.4; reference slot surface
+    api_ext.py:107-190)."""
+    from rheoceros_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(
+        load_table(spark, sf_dir, "documents"), span_tokens=4, min_docs=2
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

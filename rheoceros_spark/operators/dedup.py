@@ -912,3 +912,195 @@ def semantic_dup_pairs(
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cell", F.round("cos", 6).alias("cos_r"))
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph / span-granular dedup (C4 / RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+def paragraph_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str | None = None,
+    span_tokens: int | None = None,
+) -> DataFrame:
+    """Segment documents into ordered, NON-overlapping spans — the unit
+    :func:`paragraph_dedup` fingerprints and purges.
+
+    Exactly one segmentation mode:
+
+    * ``delim`` — split on a LITERAL delimiter string (``"\\n\\n"`` for
+      real paragraph-structured corpora).  Empty segments are kept
+      (they carry the document's structure: joining all segments with
+      ``delim`` reproduces the original bytes exactly); they are never
+      counted or purged.
+    * ``span_tokens`` — fixed windows of whitespace tokens, stride ==
+      window (no overlap), trailing span shorter.  Joining all span
+      texts with a single space reproduces the normalized token
+      stream.  The mode for corpora without explicit paragraph
+      delimiters.
+
+    Scale shape: pure per-row split/explode — corpus-linear,
+    shuffle-free, codegen'd.  Returns (id, span_id [0-based],
+    span_text) for non-NULL ids; NULL text yields no rows (the caller
+    left-joins originals back).
+    """
+    if (delim is None) == (span_tokens is None):
+        raise ValueError(
+            "paragraph_segments: pass exactly one of delim / span_tokens"
+        )
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    base = ensure_parallelism(
+        df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull()).select(
+            id_col, text_col
+        )
+    )
+    if delim is not None:
+        # \Q..\E literal-quotes the delimiter for Java's regex split, so
+        # the split/join duality (the reassembly invariant) holds for
+        # any delimiter string, regex metacharacters included
+        return base.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), "\\Q" + delim + "\\E", -1)
+            ).alias("span_id", "span_text"),
+        )
+    if span_tokens < 1:
+        raise ValueError(
+            f"paragraph_segments: span_tokens must be >= 1, got {span_tokens}"
+        )
+    toks = tokens(F.col(text_col))
+    staged = base.select(F.col(id_col), toks.alias("__t")).where(
+        # tokens("") == [""] — treat empty/whitespace-only text like
+        # chunk_documents does: no spans (not one phantom "" span)
+        (F.size(F.col("__t")) > 1)
+        | (F.element_at(F.col("__t"), 1) != F.lit(""))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.posexplode(
+            F.sequence(
+                F.lit(1), F.size(F.col("__t")), F.lit(int(span_tokens))
+            )
+        ).alias("span_id", "__start"),
+    ).select(
+        F.col(id_col),
+        F.col("span_id"),
+        F.concat_ws(
+            " ", F.slice(F.col("__t"), F.col("__start"), F.lit(int(span_tokens)))
+        ).alias("span_text"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    delim: str | None = None,
+    span_tokens: int | None = None,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Span-granular dedup: purge REPEATED SPANS across documents while
+    keeping the documents — the C4 line-dedup / RefinedWeb
+    repeated-span removal that document-level dedup cannot express
+    (licence blocks, navigation chrome, boilerplate paragraphs
+    embedded in otherwise-unique pages).  C4 (Raffel et al. 2020 §2.2)
+    discards all but one occurrence of any repeated line; RefinedWeb
+    (Penedo et al. 2023 §3.4) removes duplicated spans in-place.
+    Reference slot surface: the same whole-DataFrame curation hook
+    that runs doc-level dedup (reference api_ext.py:107-190).
+
+    A span is *boilerplate* when its normalized fingerprint occurs in
+    at least ``min_docs`` DISTINCT documents (in-document repetition
+    alone never purges).  With ``keep_first`` the single occurrence at
+    the globally least ``(id, span_id)`` survives — deterministic, no
+    connected components, stable under parallelism (the house survivor
+    rule); with ``keep_first=False`` every occurrence is purged.
+
+    Scale shape: segmentation is a shuffle-free explode; fingerprint
+    statistics are ONE hash-shuffle on the span fingerprint with
+    map-side partial aggregation (one row per distinct span per
+    partition crosses the wire); marking is an equi-join on the
+    fingerprint against the (usually tiny, but never assumed
+    broadcastable) boilerplate set; reassembly is one per-document
+    aggregate whose state is bounded by document length.  No pairs,
+    nothing quadratic, no driver state — corpus-linear at 100 TB.
+
+    Returns one row per non-NULL-id input document: (id, clean_text,
+    n_spans, n_purged, purged_span_ids CSV-string).  NULL-text
+    documents keep NULL clean_text and 0 spans.  Reassembly invariant
+    (pinned by tests): joining kept+purged spans back in span order
+    reproduces the original bytes (``delim`` mode) / the normalized
+    token stream (``span_tokens`` mode) exactly.
+    """
+    if min_docs < 2:
+        raise ValueError(f"paragraph_dedup: min_docs must be >= 2, got {min_docs}")
+    segs = paragraph_segments(df, text_col, id_col, delim, span_tokens)
+    fp = F.md5(normalize_text(F.col("span_text")))
+    eligible = segs.where(
+        F.length(normalize_text(F.col("span_text"))) > 0
+    ).select(F.col(id_col), F.col("span_id"), fp.alias("__fp"))
+    stats = (
+        eligible.groupBy("__fp")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min(F.struct(F.col(id_col), F.col("span_id"))).alias("__keeper"),
+        )
+        .where(F.col("__nd") >= min_docs)
+        .select("__fp", "__keeper")
+    )
+    marked = (
+        segs.select(
+            F.col(id_col), F.col("span_id"), F.col("span_text"), fp.alias("__fp")
+        )
+        .join(stats, "__fp", "left")
+        .select(
+            F.col(id_col),
+            F.col("span_id"),
+            F.col("span_text"),
+            (
+                F.col("__keeper").isNotNull()
+                & ~(
+                    F.lit(bool(keep_first))
+                    & (F.col("__keeper") == F.struct(F.col(id_col), F.col("span_id")))
+                )
+            ).alias("__purge"),
+        )
+    )
+    sep = delim if delim is not None else " "
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("span_id"), F.col("span_text"), F.col("__purge")))
+    )
+    rebuilt = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("__purge").cast("int")).cast("bigint").alias("n_purged"),
+        F.array_join(
+            F.transform(
+                F.filter(arr, lambda x: ~x["__purge"]), lambda x: x["span_text"]
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.array_join(
+            F.transform(
+                F.filter(arr, lambda x: x["__purge"]),
+                lambda x: x["span_id"].cast("string"),
+            ),
+            ",",
+        ).alias("purged_span_ids"),
+    )
+    return (
+        df.where(F.col(id_col).isNotNull())
+        .select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("clean_text"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_purged"), F.lit(0)).cast("bigint").alias("n_purged"),
+            F.coalesce(F.col("purged_span_ids"), F.lit("")).alias("purged_span_ids"),
+        )
+    )
