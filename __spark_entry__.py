@@ -4067,6 +4067,53 @@ def dedup_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q_staged(
+    "text_bigram_nll",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id IS NOT NULL
+    ), pairs AS (
+      SELECT doc_id, t[CAST(p AS INT)] AS v, t[CAST(p + 1 AS INT)] AS w
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS p
+            FROM docs WHERE len(t) >= 2)
+      WHERE t[CAST(p AS INT)] <> '' AND t[CAST(p + 1 AS INT)] <> ''
+    ), per_doc AS (
+      SELECT doc_id, v, w, count(*) AS n FROM pairs GROUP BY doc_id, v, w
+    ), model AS (
+      SELECT v, w, CAST(sum(n) AS BIGINT) AS cnt FROM per_doc GROUP BY v, w
+    ), prefix AS (
+      SELECT v, CAST(sum(cnt) AS BIGINT) AS c_v FROM model GROUP BY v
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT token) AS DOUBLE) AS V
+      FROM (SELECT unnest(t) AS token FROM docs) WHERE token <> ''
+    ), scored AS (
+      SELECT d.doc_id, d.n,
+             CAST(round(-ln((CAST(m.cnt AS DOUBLE) + 0.1)
+                            / (CAST(p.c_v AS DOUBLE) + 0.1 * vb.V)) * 1e7)
+                  AS BIGINT) AS lpq
+      FROM per_doc d JOIN model m USING (v, w) JOIN prefix p USING (v), vocab vb
+    ), agg AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_scored,
+             round(CAST(sum(n * lpq) AS DOUBLE)
+                   / (1e7 * CAST(sum(n) AS DOUBLE)), 6) AS nll
+      FROM scored GROUP BY doc_id
+    )
+    SELECT documents.doc_id, coalesce(a.n_scored, 0) AS n_scored, a.nll
+    FROM documents LEFT JOIN agg a ON documents.doc_id = a.doc_id
+    """,
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained add-k bigram LM fluency per document — the CCNet
+    KenLM-perplexity fidelity step past unigram_nll: conditioning on
+    the previous token separates fluent text from shuffled-word soup.
+    Integer-quantized log terms keep the iterative-free float math
+    bit-exact across engines (operators/text_analysis.py bigram_nll;
+    Wenzek et al. 2020)."""
+    from rheoceros_spark.operators.text_analysis import bigram_nll
+
+    return bigram_nll(load_table(spark, sf_dir, "documents"), k=0.1)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -311,6 +311,130 @@ def unigram_nll(
     )
 
 
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.1,
+    bigram_counts: DataFrame | None = None,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-k-smoothed
+    BIGRAM model — the next step toward CCNet's KenLM perplexity filter
+    (Wenzek et al. 2020) that :func:`unigram_nll` stands in for:
+    ``P(w|v) = (c(v,w) + k) / (c(v,·) + k·V)``, scored over every
+    adjacent token pair, ``nll`` the per-pair mean of ``−ln P``.
+    Conditioning on the previous token is what actually separates
+    fluent text from shuffled-word soup — a unigram model scores both
+    identically.
+
+    Self-trains on the input corpus by default; pass ``bigram_counts``
+    ((v, w, cnt) from a reference corpus) plus an explicit
+    ``vocab_size`` (auditable, like unigram_nll's stance on its
+    reference vocab) to score against a fixed model — unseen bigrams
+    then back off to the add-k floor ``k / (c(v,·) + k·V)`` and unseen
+    prefixes to ``1/V``, so every document is scoreable.
+
+    Bit-exact across engines by the house quantization discipline:
+    each pair's ``−ln P`` is rounded to an INTEGER 1e-7-nat grid
+    before the per-doc sum (integer sums are addition-order exact;
+    the grid absorbs last-ulp libm differences), division happens once
+    at the end.
+
+    Scale shape is wordcount-shaped throughout: per-row adjacent-pair
+    explode (shuffle-free), per-(doc, v, w) local counts, the
+    model derived FROM that aggregate (the unigram_nll exchange-reuse
+    trick — one corpus scan, one bigram-level shuffle), prefix totals
+    off the model (model-sized), vocabulary count as a broadcast
+    scalar, one equi-join per model table, one per-doc rollup.  The
+    model is bigram-vocabulary-sized, never corpus-sized; nothing is
+    collected to the driver.
+
+    Returns one row per input row: (id, n_scored, nll) where
+    ``n_scored`` counts scored pairs; documents with < 2 tokens score
+    NULL with 0 pairs.
+    """
+    if (bigram_counts is None) != (vocab_size is None):
+        raise ValueError(
+            "bigram_nll: pass bigram_counts WITH vocab_size (the reference "
+            "model's vocabulary is an explicit parameter) or neither"
+        )
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    toks_arr = tokens(F.col(text_col))
+    base = ensure_parallelism(
+        df.where(F.col(id_col).isNotNull()).select(id_col, text_col)
+    ).select(F.col(id_col), toks_arr.alias("__t"))
+    pairs = (
+        base.where(F.size("__t") >= 2)
+        .select(
+            F.col(id_col),
+            F.col("__t"),
+            F.explode(F.sequence(F.lit(1), F.size("__t") - 1)).alias("__p"),
+        )
+        .select(
+            F.col(id_col),
+            F.element_at("__t", F.col("__p")).alias("v"),
+            F.element_at("__t", F.col("__p") + 1).alias("w"),
+        )
+        .where((F.col("v") != "") & (F.col("w") != ""))
+    )
+    per_doc_bg = pairs.groupBy(id_col, "v", "w").agg(F.count(F.lit(1)).alias("n"))
+    if bigram_counts is None:
+        bigram_counts = per_doc_bg.groupBy("v", "w").agg(F.sum("n").alias("cnt"))
+        vocab = (
+            base.select(F.explode("__t").alias("token"))
+            .where(F.col("token") != "")
+            .agg(F.countDistinct("token").cast("double").alias("__V"))
+        )
+    else:
+        bigram_counts = bigram_counts.select(
+            "v", "w", F.col("cnt").cast("bigint").alias("cnt")
+        )
+        vocab = df.sparkSession.range(1).select(
+            F.lit(float(vocab_size)).alias("__V")
+        )
+    prefix = bigram_counts.groupBy("v").agg(F.sum("cnt").alias("c_v"))
+    scored = (
+        per_doc_bg.join(bigram_counts, ["v", "w"], "left")
+        .join(prefix, "v", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.col("n"),
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(float(k)))
+                    / (
+                        F.coalesce(F.col("c_v"), F.lit(0)).cast("double")
+                        + F.lit(float(k)) * F.col("__V")
+                    )
+                )
+                * F.lit(1e7)
+            )
+            .cast("bigint")
+            .alias("__lpq"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("n").cast("bigint").alias("n_scored"),
+        F.round(
+            F.sum(F.col("n") * F.col("__lpq")).cast("double")
+            / (F.lit(1e7) * F.sum("n").cast("double")),
+            6,
+        ).alias("nll"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_scored"), F.lit(0)).cast("bigint").alias("n_scored"),
+            "nll",
+        )
+    )
+
+
 def bm25_topk(
     corpus: DataFrame,
     queries: DataFrame,

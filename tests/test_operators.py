@@ -682,6 +682,70 @@ class TestUnigramNll:
         assert 0 < stats[0] < stats[1]
 
 
+class TestBigramNll:
+    def test_hand_computed_self_trained(self, spark):
+        from math import log
+
+        from rheoceros_spark.operators.text_analysis import bigram_nll
+
+        # corpus bigrams: doc1 "a b a b" -> (a,b)x2 (b,a)x1; doc2 "a b"
+        # model: c(a,b)=3, c(b,a)=1; c(a,.)=3, c(b,.)=1; k=0.1;
+        # vocabulary includes doc 3's unpaired token -> V=3
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b"), (3, "solo"), (4, "")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.n_scored, r.nll) for r in bigram_nll(df, k=0.1).collect()}
+        p_ab = (3 + 0.1) / (3 + 0.1 * 3)
+        p_ba = (1 + 0.1) / (1 + 0.1 * 3)
+        # quantized-term arithmetic, as the operator computes it
+        q_ab, q_ba = round(-log(p_ab) * 1e7), round(-log(p_ba) * 1e7)
+        nll1 = round((2 * q_ab + 1 * q_ba) / (1e7 * 3), 6)
+        nll2 = round(q_ab / 1e7, 6)
+        assert got[1][0] == 3 and abs(got[1][1] - nll1) < 2e-6
+        assert got[2][0] == 1 and abs(got[2][1] - nll2) < 2e-6
+        # single-token and empty docs: nothing scoreable
+        assert got[3] == (0, None) and got[4] == (0, None)
+
+    def test_reference_model_backoff(self, spark):
+        from math import log
+
+        from rheoceros_spark.operators.text_analysis import bigram_nll
+
+        docs = spark.createDataFrame([(1, "x y q r")], "doc_id long, text string")
+        model = spark.createDataFrame(
+            [("x", "y", 4), ("x", "z", 1)], "v string, w string, cnt long"
+        )
+        r = bigram_nll(docs, bigram_counts=model, vocab_size=10, k=0.5).collect()[0]
+        # (x,y) seen; (y,q) unseen prefix -> k/(kV) = 1/V; (q,r) unseen too
+        p_xy = (4 + 0.5) / (5 + 0.5 * 10)
+        p_floor = 0.5 / (0.5 * 10)
+        q = lambda p: round(-log(p) * 1e7)
+        want = round((q(p_xy) + 2 * q(p_floor)) / (1e7 * 3), 6)
+        assert r.n_scored == 3 and abs(r.nll - want) < 2e-6
+
+    def test_fluent_order_scores_lower_than_shuffled(self, spark):
+        """The whole point over unigram: same bag of words, different
+        order -> different score, with the corpus-typical order lower."""
+        from rheoceros_spark.operators.text_analysis import bigram_nll
+
+        rows = [(i, "the cat sat on the mat") for i in range(1, 9)]
+        rows.append((9, "mat the on sat cat the"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.nll for r in bigram_nll(df).collect()}
+        assert got[1] < got[9]
+
+    def test_argument_contract(self, spark):
+        from rheoceros_spark.operators.text_analysis import bigram_nll
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        model = spark.createDataFrame([("a", "b", 1)], "v string, w string, cnt long")
+        with pytest.raises(ValueError, match="vocab_size"):
+            bigram_nll(df, bigram_counts=model)
+        with pytest.raises(ValueError, match="vocab_size"):
+            bigram_nll(df, vocab_size=5)
+
+
 class TestIvfAppend:
     def test_appended_vectors_become_probeable(self, emb, spark, tmp_path):
         from rheoceros_spark.operators.similarity import ivf_append, ivf_probe, ivf_write
