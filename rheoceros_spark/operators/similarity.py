@@ -877,6 +877,77 @@ def ivfpq_write(
     ).coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
 
 
+def ivfpq_append(spark, df: DataFrame, path: str) -> None:
+    """Append new vectors to a persisted :func:`ivfpq_write` index
+    without rebuilding it — the IVF-PQ completion of the incremental
+    family (:func:`ivf_append` for plain IVF, curation.py
+    ``corpus_diff_indexed`` for fingerprints): a crawl keeps producing
+    embeddings; re-training cells and residual codebooks per batch at
+    100 TB is not an option.
+
+    The batch is encoded against the index's OWN persisted artifacts —
+    coarse assignment against the stored ``centroids/``, residuals
+    against the assigned centroid, PQ codes against the stored
+    ``codebook/`` (read back, never recomputed: a recomputed codebook
+    would differ and silently split the index across two quantizers, so
+    appended codes are bit-equal to what a fresh :func:`ivfpq_write`
+    of the union would produce under the SAME trained artifacts).
+    Appended rows land in the hive ``cell=`` directories, where
+    :func:`ivfpq_probe` picks them up with the unchanged
+    n_probe-cells-only scan.  Mismatched batches fail loudly: missing
+    index columns, wrong vector dimension, or an inconsistent
+    manifest/codebook all raise before anything is written.  Id
+    uniqueness across batches is the caller's contract, as everywhere
+    in the index family."""
+    meta = spark.read.parquet(path + "/centroids")
+    head = meta.take(1)
+    if not head:
+        raise ValueError(f"empty IVF-PQ centroid manifest at {path}/centroids")
+    vec_col, id_col = head[0]["vec_col"], head[0]["id_col"]
+    m, n_codes = int(head[0]["m"]), int(head[0]["n_codes"])
+    if vec_col not in df.columns or id_col not in df.columns:
+        raise ValueError(
+            f"ivfpq_append: batch must carry the index's columns "
+            f"({id_col!r}, {vec_col!r}); got {df.columns}"
+        )
+    cb_rows = spark.read.parquet(path + "/codebook").orderBy("ord").collect()
+    if len(cb_rows) != n_codes:
+        raise ValueError(
+            f"IVF-PQ codebook at {path}/codebook has {len(cb_rows)} codes, "
+            f"manifest says {n_codes} — index is inconsistent, rebuild it"
+        )
+    cb = [[float(x) for x in r["cv"]] for r in cb_rows]
+    dim = len(cb[0])
+    sample = df.where(F.col(id_col).isNotNull()).select(vec_col).take(1)
+    if sample and sample[0][0] is not None and len(sample[0][0]) != dim:
+        raise ValueError(
+            f"ivfpq_append: batch vector dim {len(sample[0][0])} != index "
+            f"dim {dim}"
+        )
+    cents = meta.select("cid", "cv")
+    base = df.where(F.col(id_col).isNotNull()).select(id_col, vec_col)
+    assigned = ivf_assign(base, vec_col=vec_col, id_col=id_col, cents=cents)
+    resid = assigned.join(
+        F.broadcast(cents), assigned["cell"] == cents["cid"]
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        F.zip_with(
+            F.col(vec_col), F.col("cv"), lambda x, y: x.cast("double") - y
+        ).alias("__res"),
+    )
+    encoded = pq_encode(resid, cb, m, "__res", normalize=False).select(
+        id_col, vec_col, "cell", *[f"code_{s}" for s in range(m)]
+    )
+    (
+        encoded.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path + "/cells")
+    )
+
+
 def ivfpq_probe(
     spark,
     path: str,

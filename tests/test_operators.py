@@ -1120,6 +1120,74 @@ class TestIvfPq:
         rows = ivfpq_probe(spark, path, qv, k=3, n_probe=2, exclude_id=0).collect()
         assert len(rows) == 3
 
+    def test_append_then_probe_parity_and_bit_equal_codes(
+        self, emb, spark, tmp_path
+    ):
+        """ivfpq_append encodes a new batch against the PERSISTED
+        centroids + residual codebook: (a) appended vectors become
+        retrievable through the unchanged probe, (b) an exhaustive
+        probe over the appended index equals brute force over the
+        union, (c) appended codes are bit-equal to a fresh encode
+        under the same stored artifacts."""
+        from rheoceros_spark.operators.similarity import (
+            cosine_topk,
+            ivfpq_append,
+            ivfpq_probe,
+            ivfpq_write,
+            pq_encode,
+        )
+
+        path = str(tmp_path / "ivfpq_app")
+        first = emb.where(F.col("vec_id") % 2 == 0)
+        rest = emb.where(F.col("vec_id") % 2 == 1)
+        ivfpq_write(first, path, n_cells=4, iters=1, n_codes=8, m=4)
+        ivfpq_append(spark, rest, path)
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+        n = emb.count()
+        got = ivfpq_probe(spark, path, qv, k=10, n_probe=4, rerank=n, exclude_id=0)
+        brute = cosine_topk(emb, query_id=0, k=10)
+        assert [tuple(r) for r in got.collect()] == [tuple(r) for r in brute.collect()]
+        # odd ids (the appended batch) are reachable
+        assert any(r.vec_id % 2 == 1 for r in got.collect())
+        # (c) codes bit-equal to a fresh encode against the stored artifacts
+        cells = spark.read.parquet(path + "/cells")
+        stored = {
+            r.vec_id: (r.cell, r.code_0, r.code_1, r.code_2, r.code_3)
+            for r in cells.where(F.col("vec_id") % 2 == 1).collect()
+        }
+        cb = [
+            [float(x) for x in r.cv]
+            for r in spark.read.parquet(path + "/codebook").orderBy("ord").collect()
+        ]
+        cents = spark.read.parquet(path + "/centroids").select("cid", "cv")
+        from rheoceros_spark.operators.similarity import ivf_assign
+
+        assigned = ivf_assign(rest, vec_col="embedding", id_col="vec_id", cents=cents)
+        resid = assigned.join(
+            F.broadcast(cents), assigned["cell"] == cents["cid"]
+        ).select(
+            "vec_id",
+            "cell",
+            F.zip_with("embedding", "cv", lambda x, y: x.cast("double") - y).alias("__res"),
+        )
+        fresh = {
+            r.vec_id: (r.cell, r.code_0, r.code_1, r.code_2, r.code_3)
+            for r in pq_encode(resid, cb, 4, "__res", normalize=False).collect()
+        }
+        assert stored == fresh and stored
+
+    def test_append_rejects_mismatched_batch(self, emb, spark, tmp_path):
+        from rheoceros_spark.operators.similarity import ivfpq_append, ivfpq_write
+
+        path = str(tmp_path / "ivfpq_rej")
+        ivfpq_write(emb, path, n_cells=4, iters=1, n_codes=8, m=4)
+        bad_cols = emb.withColumnRenamed("embedding", "vec")
+        with pytest.raises(ValueError, match="columns"):
+            ivfpq_append(spark, bad_cols, path)
+        bad_dim = emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+        with pytest.raises(ValueError, match="dim"):
+            ivfpq_append(spark, bad_dim, path)
+
     def test_inconsistent_index_and_bad_query_dim_fail_loudly(
         self, emb, spark, tmp_path
     ):
