@@ -1052,3 +1052,19 @@ def ivfpq_probe(
         F.col(id_col), cosine(F.col(vec_col), F.lit(qv)).alias("cos")
     )
     return _ranked_topk(scored, id_col, k)
+
+
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, id_col: str = "vec_id"
+) -> float:
+    """Fraction of the exact top-k ids the approximate top-k recovered —
+    the retrieval-quality number the ANN family's determinism
+    certificates deliberately do not cover.  Both inputs are ≤k-row
+    top-k frames (:func:`cosine_topk`-shaped), so the comparison is a
+    trivial driver-side set op; use scripts/ann_recall.py to sweep
+    (n_probe, rerank) and produce the evidence table in BASELINE.md."""
+    want = {r[id_col] for r in exact.select(id_col).collect()}
+    if not want:
+        raise ValueError("recall_at_k: exact top-k is empty")
+    got = {r[id_col] for r in approx.select(id_col).collect()}
+    return len(got & want) / len(want)
