@@ -4114,6 +4114,266 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_nll(load_table(spark, sf_dir, "documents"), k=0.1)
 
 
+def _pipeline_oracle(
+    budget: int = 20000,
+    chunk_tokens: int = 32,
+    n_shards: int = 8,
+    pack_budget: int = 256,
+    cont_max: float = 0.2,
+) -> str:
+    """The whole pretraining-corpus pipeline as ONE DuckDB query —
+    funnel gates → minhash keep-list purge → n-gram decon → BPE →
+    sqrt-temperature token-budget mix → BPE-token chunking →
+    shard+pack — certifying that the operators COMPOSE, not just that
+    each piece matches in isolation.  Every CTE block is the certified
+    shape of its standalone oracle (filter_funnel / dedup_keep_list /
+    curation_contamination / text_bpe_tokens / curation_budget_mix /
+    text_chunk_documents / curation_pack_sequences), re-rooted on the
+    previous stage's output instead of the raw table."""
+    from rheoceros_spark.operators.text_analysis import (
+        BPE_DEMO_MERGES,
+        bpe_word_fold_duckdb,
+    )
+
+    fold = bpe_word_fold_duckdb(BPE_DEMO_MERGES)
+    # minhash pair CTEs re-rooted on the funnel-survivor set ("FROM
+    # documents" appears exactly once in the template — the ex scan)
+    mh = _MINHASH_CTES.replace("FROM documents", "FROM surv")
+    assert "FROM surv" in mh and "FROM documents" not in mh
+    mix_key = _H64.format(s="concat('0', ':', CAST(b.doc_id AS VARCHAR))")
+    shard_key = _H64.format(s="concat('7', ':', ck)")
+    S = int(chunk_tokens)
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE doc_id IS NOT NULL AND doc_id % 97 <> 0
+    ),
+    feat AS (
+      SELECT doc_id, md5({_NORM}) AS fp, {_LANG_SCORES_SQL},
+             least(CAST(len({_TOK}) AS DOUBLE) / 100.0, 1.0) AS len_score,
+             CASE WHEN length({_NORM}) > 0
+                  THEN CAST(len(regexp_extract_all({_NORM}, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                       / CAST(length({_NORM}) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len({_TOK}) > 0
+                  THEN CAST(len(list_filter({_TOK}, t -> list_contains({_LANG_SETS['en']}, t))) AS DOUBLE)
+                       / CAST(len({_TOK}) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+             round(CASE WHEN length({_NORM}) > 0
+                   THEN (len({_TOK}) - len(list_distinct({_TOK})))
+                        / CAST(len({_TOK}) AS DOUBLE)
+                   ELSE 0.0 END, 6) AS dup_token_frac
+      FROM corpus
+    ),
+    flags AS (
+      SELECT doc_id, fp,
+             (CASE
+               WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+               WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+               WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+               WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+               ELSE 'de'
+             END = 'en') AS p1,
+             round(0.3 * len_score + 0.3 * (1.0 - punct_ratio)
+                   + 0.4 * least(5.0 * stop_ratio, 1.0), 6) AS quality,
+             dup_token_frac
+      FROM feat
+    ),
+    gated AS (
+      SELECT doc_id, fp,
+             p1 AND quality >= 0.55 AND dup_token_frac <= 0.5 AS p3
+      FROM flags
+    ),
+    dedup0 AS (
+      SELECT doc_id,
+             p3 AND doc_id = min(CASE WHEN p3 THEN doc_id END)
+                             OVER (PARTITION BY fp) AS p4
+      FROM gated
+    ),
+    surv AS (
+      SELECT c.doc_id, c.text, c.source
+      FROM corpus c JOIN dedup0 u USING (doc_id) WHERE u.p4
+    ),
+    {mh},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id
+    ),
+    pairs AS (
+      SELECT a, b FROM (
+        SELECT c.a, c.b, {_JACCARD_DA_DB} AS jaccard
+        FROM cand c JOIN docs da ON c.a = da.doc_id JOIN docs db ON c.b = db.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    clean AS (
+      SELECT s.doc_id, s.text, s.source
+      FROM surv s LEFT JOIN clusters c USING (doc_id)
+      WHERE coalesce(c.cluster_id, s.doc_id) = s.doc_id
+    ),
+    bgrams AS (
+      SELECT DISTINCT {_H64.format(s="g")} AS gh FROM (
+        SELECT unnest(list_distinct({_ngrams_sql(_TOK, 8)})) AS g
+        FROM documents WHERE doc_id IS NOT NULL AND doc_id % 97 = 0
+      )
+    ),
+    cgrams AS (
+      SELECT doc_id, {_H64.format(s="g")} AS gh FROM (
+        SELECT doc_id, unnest(list_distinct({_ngrams_sql(_TOK, 8)})) AS g FROM clean
+      )
+    ),
+    cont AS (
+      SELECT c.doc_id,
+             CAST(sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS ratio
+      FROM cgrams c LEFT JOIN bgrams b USING (gh) GROUP BY c.doc_id
+    ),
+    bad AS (SELECT doc_id FROM cont WHERE ratio > {cont_max!r}),
+    decon AS (
+      SELECT c.doc_id, c.text, c.source
+      FROM clean c LEFT JOIN bad b USING (doc_id) WHERE b.doc_id IS NULL
+    ),
+    bt AS (
+      SELECT doc_id, source,
+             CASE WHEN text IS NULL OR length({_NORM}) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE flatten(list_transform(
+                         regexp_extract_all({_NORM}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'),
+                         w -> {fold})) END AS bpe
+      FROM decon
+    ),
+    btn AS (
+      SELECT doc_id, source, bpe, CAST(len(bpe) AS BIGINT) AS n_bpe FROM bt
+      WHERE source IS NOT NULL
+    ),
+    per AS (SELECT source, CAST(sum(n_bpe) AS BIGINT) AS nt FROM btn GROUP BY source),
+    tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tot FROM per),
+    wq AS (
+      SELECT source,
+             CAST(round(sqrt(CAST(nt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e12)
+                  AS BIGINT) AS wq
+      FROM per, tot
+    ),
+    ws AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM wq),
+    quota AS (
+      SELECT source,
+             CAST(floor((CAST(wq AS DOUBLE) * {float(budget)!r}) / CAST(wsum AS DOUBLE))
+                  AS BIGINT) AS quota
+      FROM wq, ws
+    ),
+    ranked AS (
+      SELECT b.doc_id, b.bpe, b.n_bpe, q.quota,
+             coalesce(sum(b.n_bpe) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM btn b JOIN quota q USING (source)
+      WINDOW w AS (PARTITION BY b.source ORDER BY {mix_key}, b.doc_id)
+    ),
+    picked AS (SELECT doc_id, bpe FROM ranked WHERE cb < quota),
+    st AS (
+      SELECT doc_id, bpe AS t,
+             unnest(range(1, greatest(1, len(bpe)) + 1, {S})) AS s
+      FROM picked WHERE len(bpe) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, CAST((s - 1) / {S} AS BIGINT) AS chunk_id,
+             CAST(len(list_slice(t, s, s + {S - 1})) AS BIGINT) AS n_chunk_tokens,
+             array_to_string(list_slice(t, s, s + {S - 1}), ' ') AS chunk_text
+      FROM st
+    ),
+    keyed AS (
+      SELECT *, CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR) AS ck
+      FROM chunks
+    ),
+    shd AS (SELECT *, {shard_key} AS sort_key FROM keyed),
+    shd2 AS (SELECT *, CAST(sort_key % {n_shards} AS INT) AS shard FROM shd)
+    SELECT doc_id, chunk_id, shard, n_chunk_tokens,
+           CAST(floor((sum(n_chunk_tokens) OVER (PARTITION BY shard
+                                                 ORDER BY sort_key, ck
+                                                 ROWS UNBOUNDED PRECEDING)
+                       - n_chunk_tokens) / {float(pack_budget)!r}) AS BIGINT) AS bin_id,
+           chunk_text
+    FROM shd2
+    """
+
+
+@q_staged("pipeline_pretrain_corpus", oracle=_pipeline_oracle())
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining-corpus build as ONE query — the
+    composition certificate for the whole curation surface: filter
+    funnel (lang/quality/repetition/exact-dedup) → minhash keep-list
+    near-dup purge → 8-gram eval decontamination (doc_id % 97 slice as
+    the benchmark, the curation_contamination convention) → BPE
+    tokenization → sqrt-temperature 20k-BPE-token budget mix → 32-BPE-
+    token chunking → deterministic shard + 256-token greedy packing.
+    Output: the packed training manifest (doc, chunk, shard, bin,
+    chunk payload).
+
+    Scale shape is the sum of its certified parts: one scan + one fp
+    shuffle (funnel), banded LSH join (pairs), broadcast benchmark
+    gram probe (decon), Arrow BPE, sources-sized quota broadcast
+    (mix), shuffle-free explode (chunk), one shard-partitioned window
+    (pack) — nothing quadratic, no corpus-sized broadcast or collect
+    anywhere (reference slot surface api_ext.py:107-190 composes the
+    same stages imperatively)."""
+    from rheoceros_spark.operators.curation import (
+        budget_mix_select,
+        contamination_ngrams,
+        dedup_keep_list,
+        funnel_survivors,
+        pack_sequences,
+        shuffle_shards,
+    )
+    from rheoceros_spark.operators.dedup import minhash_lsh_pairs
+    from rheoceros_spark.operators.text_analysis import bpe_encode, chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+
+    surv = funnel_survivors(corpus)
+    keep = dedup_keep_list(surv, minhash_lsh_pairs(surv, threshold=0.5))
+    clean = surv.join(
+        keep.where(~F.col("is_dup")).select("doc_id"), "doc_id"
+    ).select(*surv.columns)
+    cont = contamination_ngrams(clean, bench, n=8)
+    bad = cont.where(F.col("contamination_ratio") > 0.2).select("doc_id")
+    decon = clean.join(bad, "doc_id", "left_anti")
+
+    bpe = bpe_encode(decon)
+    sel = budget_mix_select(
+        bpe, token_budget=20000, alpha=0.5, token_col="n_bpe_tokens", seed=0
+    )
+    picked = bpe.join(sel.select("doc_id"), "doc_id")
+
+    chunks = chunk_documents(
+        picked, chunk_tokens=32, overlap=0, tokens_col="bpe_tokens"
+    )
+    keyed = chunks.withColumn(
+        "chunk_key",
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("#"), F.col("chunk_id").cast("string")
+        ),
+    )
+    sh = shuffle_shards(keyed, id_col="chunk_key", n_shards=8, seed=7)
+    packed = pack_sequences(
+        sh, budget=256, token_col="n_chunk_tokens", order_col="sort_key",
+        id_col="chunk_key",
+    )
+    return packed.select(
+        "doc_id", "chunk_id", "shard", "n_chunk_tokens", "bin_id", "chunk_text"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -555,6 +555,67 @@ def source_mixture_weights(
     )
 
 
+def _funnel_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang: str,
+    min_quality: float,
+    max_dup_token_frac: float,
+) -> DataFrame:
+    """Shared gate core of the filter funnel: the input frame plus the
+    cumulative pass flags ``__p1``..``__p4`` (lang → quality →
+    repetition → first-per-fingerprint exact dedup) and the content
+    fingerprint ``__fp``.  :func:`filter_funnel` aggregates these into
+    stage counts; :func:`funnel_survivors` filters on the final gate —
+    one definition, so the counts and the survivor set can never
+    disagree."""
+    from rheoceros_spark.operators.text_analysis import (
+        lang_id,
+        quality_score,
+        repetition_metrics,
+    )
+
+    d = repetition_metrics(
+        quality_score(lang_id(df, text_col), text_col), text_col
+    )
+    d = d.withColumn("__fp", F.md5(normalize_text(F.col(text_col))))
+    p1 = F.col("lang_pred") == lang
+    p2 = p1 & (F.col("quality") >= min_quality)
+    p3 = p2 & (F.col("dup_token_frac") <= max_dup_token_frac)
+    d = (
+        d.withColumn("__p1", p1.cast("int"))
+        .withColumn("__p2", p2.cast("int"))
+        .withColumn("__p3", p3.cast("int"))
+    )
+    first_pass_id = F.min(F.when(F.col("__p3") == 1, F.col(id_col))).over(
+        Window.partitionBy("__fp")
+    )
+    return d.withColumn(
+        "__p4",
+        ((F.col("__p3") == 1) & (F.col(id_col) == first_pass_id)).cast("int"),
+    )
+
+
+def funnel_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.55,
+    max_dup_token_frac: float = 0.5,
+) -> DataFrame:
+    """The documents that make it through every :func:`filter_funnel`
+    stage — the survivor FRAME the downstream pipeline (near-dup purge,
+    decontamination, mixing) consumes, where ``filter_funnel`` reports
+    only the per-stage counts.  Same gates, same single-scan +
+    one-fingerprint-shuffle cost; returns the input's own columns."""
+    flagged = _funnel_flags(
+        df, text_col, id_col, lang, min_quality, max_dup_token_frac
+    )
+    return flagged.where(F.col("__p4") == 1).select(*df.columns)
+
+
 def filter_funnel(
     df: DataFrame,
     text_col: str = "text",
@@ -581,31 +642,7 @@ def filter_funnel(
     cumulative (a stage only sees prior survivors), matching how the
     stages compose in production.
     """
-    from rheoceros_spark.operators.text_analysis import (
-        lang_id,
-        quality_score,
-        repetition_metrics,
-    )
-
-    d = repetition_metrics(
-        quality_score(lang_id(df, text_col), text_col), text_col
-    )
-    d = d.withColumn("__fp", F.md5(normalize_text(F.col(text_col))))
-    p1 = F.col("lang_pred") == lang
-    p2 = p1 & (F.col("quality") >= min_quality)
-    p3 = p2 & (F.col("dup_token_frac") <= max_dup_token_frac)
-    d = (
-        d.withColumn("__p1", p1.cast("int"))
-        .withColumn("__p2", p2.cast("int"))
-        .withColumn("__p3", p3.cast("int"))
-    )
-    first_pass_id = F.min(F.when(F.col("__p3") == 1, F.col(id_col))).over(
-        Window.partitionBy("__fp")
-    )
-    d = d.withColumn(
-        "__p4",
-        ((F.col("__p3") == 1) & (F.col(id_col) == first_pass_id)).cast("int"),
-    )
+    d = _funnel_flags(df, text_col, id_col, lang, min_quality, max_dup_token_frac)
     agg = d.agg(
         F.count(F.lit(1)).alias("n0"),
         F.sum("__p1").alias("n1"),
