@@ -4340,16 +4340,23 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
 
-    surv = funnel_survivors(corpus)
+    # stage materialization at the three frames that feed TWO consumers
+    # each (surv → pair-emitter + purge join; clean → decon probe +
+    # anti join; bpe → quota ranking + chunk explode): without it every
+    # branch recomputes the whole upstream funnel scan — the in-query
+    # equivalent of how the Application graph persists each node's
+    # output between stages (and dedup_keep_list's own pair
+    # checkpoint).  Measured ~9 → ~7 s at sf0.1.
+    surv = funnel_survivors(corpus).localCheckpoint()
     keep = dedup_keep_list(surv, minhash_lsh_pairs(surv, threshold=0.5))
     clean = surv.join(
         keep.where(~F.col("is_dup")).select("doc_id"), "doc_id"
     ).select(*surv.columns)
     cont = contamination_ngrams(clean, bench, n=8)
     bad = cont.where(F.col("contamination_ratio") > 0.2).select("doc_id")
-    decon = clean.join(bad, "doc_id", "left_anti")
+    decon = clean.join(bad, "doc_id", "left_anti").localCheckpoint()
 
-    bpe = bpe_encode(decon)
+    bpe = bpe_encode(decon).localCheckpoint()
     sel = budget_mix_select(
         bpe, token_budget=20000, alpha=0.5, token_col="n_bpe_tokens", seed=0
     )

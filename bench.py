@@ -131,6 +131,11 @@ BENCH_EXT = [
     # round-8 registrations (staged in r7, certified r8)
     "dedup_semantic_pairs",
     "text_quality_classifier",
+    # round-8 staging (oracle-gated via tests/test_staged.py, awaiting
+    # a round-9 window slot)
+    "dedup_paragraph_spans",
+    "text_bigram_nll",
+    "pipeline_pretrain_corpus",
 ]
 
 
@@ -185,7 +190,13 @@ def main() -> None:
     # BENCH_CORE/EXT are frozen at the sets BASELINE.md measured, so
     # retired-from-the-driver-window queries (still real operators)
     # keep their timings comparable round over round.
-    queries = {**entrymod.retired_queries(), **entrymod.queries()}
+    # staged queries (implemented + oracle-gated, awaiting a driver-window
+    # slot) are benched too, so their baselines exist BEFORE registration
+    queries = {
+        **entrymod.retired_queries(),
+        **entrymod._STAGED_QUERIES,
+        **entrymod.queries(),
+    }
     missing = [n for n in BENCH_CORE + BENCH_EXT if n not in queries]
     if missing:
         raise SystemExit(f"bench names drifted from queries(): {missing}")

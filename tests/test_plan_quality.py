@@ -368,8 +368,13 @@ class TestBenchBaselineSync:
         import bench
 
         # BENCH sets are frozen at what BASELINE.md measured; driver-
-        # window retirees stay benched through retired_queries()
-        names = set(entry.queries()) | set(entry.retired_queries())
+        # window retirees stay benched through retired_queries(), and
+        # staged-for-next-round queries are benched pre-registration
+        names = (
+            set(entry.queries())
+            | set(entry.retired_queries())
+            | set(entry._STAGED_QUERIES)
+        )
         drifted = [n for n in bench.BENCH_CORE + bench.BENCH_EXT if n not in names]
         assert not drifted, drifted
 
