@@ -4114,6 +4114,80 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_nll(load_table(spark, sf_dir, "documents"), k=0.1)
 
 
+def _bpe_train_oracle(n_merges: int = 12) -> str:
+    """BPE merge-table TRAINING reproduced in DuckDB: the distinct-word
+    count table, then ``n_merges`` rounds of (pair count → integer+
+    lexicographic argmax → one merge fold), each round a CTE stage —
+    the same generated-iteration pattern as _lloyd_ctes.  The per-round
+    merge pair is a 1-row CTE cross-joined into the fold (operators/
+    text_analysis.py bpe_train picks it with a 1-row collect)."""
+    ctes = [
+        f"""w0 AS (
+      SELECT list_filter(list_transform(range(1, length(w) + 1), j -> w[j]),
+                         x -> x <> '') AS syms,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(regexp_extract_all({_NORM}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS w
+        FROM documents WHERE doc_id IS NOT NULL
+      ) GROUP BY w
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(f"""p{i} AS (
+      SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+        SELECT syms[j] AS a, syms[j + 1] AS b, cnt FROM (
+          SELECT syms, cnt, unnest(range(1, len(syms))) AS j
+          FROM {prev} WHERE len(syms) >= 2
+        )
+      )
+      WHERE regexp_matches(a, '^[A-Za-z0-9]+$')
+        AND regexp_matches(b, '^[A-Za-z0-9]+$')
+      GROUP BY a, b
+    )""")
+        ctes.append(f"""m{i} AS (
+      SELECT a, b FROM p{i} WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1
+    )""")
+        ctes.append(f"""w{i} AS (
+      SELECT string_split(
+               list_reduce(s.syms, (acc, x) -> CASE
+                 WHEN (acc = m.a OR ends_with(acc, chr(31) || m.a)) AND x = m.b
+                 THEN left(acc, length(acc) - length(m.a)) || m.a || m.b
+                 ELSE acc || chr(31) || x END),
+               chr(31)) AS syms,
+             s.cnt
+      FROM {prev} s CROSS JOIN m{i} m
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS INT) AS rank, a AS lhs, b AS rhs FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    {unions}
+    """
+
+
+@q_staged("text_bpe_train", oracle=_bpe_train_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE tokenizer TRAINING (the other half of
+    text_bpe_tokens): one corpus scan into the distinct-word count
+    table, then 12 rounds of most-frequent-pair merge with integer
+    counts + lexicographic tie-break — every engine learns the
+    identical table (operators/text_analysis.py bpe_train; Sennrich et
+    al. 2016 §3.2).  The learned table feeds bpe_encode directly
+    (training-rank order satisfies _check_merges by construction —
+    pytest composes them)."""
+    from rheoceros_spark.operators.text_analysis import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string",
+    )
+
+
 def _pipeline_oracle(
     budget: int = 20000,
     chunk_tokens: int = 32,

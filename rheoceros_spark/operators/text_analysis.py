@@ -1077,6 +1077,122 @@ def bpe_encode(
     return out.withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("bigint"))
 
 
+def _bpe_apply_pair_sql(sym_expr: str, p1: str, p2: str) -> str:
+    """One left-scan merge pass of the single pair ``(p1, p2)`` over a
+    symbol-array SQL expression — the per-round body of the training
+    loop (the same fold :func:`_bpe_word_fold_sql` chains once per rule
+    of a FIXED table).  Operands are validated ASCII-alnum, so the
+    embedded literals cannot break out."""
+    for p in (p1, p2):
+        if not p or not p.isalnum() or not p.isascii():
+            raise ValueError(f"bpe pair operand {p!r} must be ASCII alphanumeric")
+    return (
+        f"aggregate({sym_expr}, cast(array() as array<string>), "
+        f"(acc, x) -> CASE WHEN size(acc) > 0 "
+        f"AND element_at(acc, -1) = '{p1}' AND x = '{p2}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{p1}{p2}')) "
+        f"ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge table on the corpus — the TRAINING half of the
+    tokenizer story (:func:`bpe_encode` applies a table; this learns
+    one), the standard algorithm (Sennrich et al. 2016 §3.2): start
+    from characters, repeatedly merge the globally most-frequent
+    adjacent symbol pair, ``n_merges`` times.
+
+    Scale shape — the part that matters at 100 TB: the corpus is
+    scanned ONCE, into a **distinct-word count table** (``BPE_REGEX``
+    pre-tokens → groupBy(word).count()) — vocabulary-sized, orders of
+    magnitude smaller than the corpus, and the only state the loop
+    touches (GPT-2 trained exactly this way: counts first, merges on
+    the counts).  Each round is then one pair-explode + map-side-
+    combined groupBy over the vocab table, one **single-row** argmax
+    collect (``cnt DESC, a, b`` — integer counts + lexicographic
+    tie-break, so every engine picks the same pair), and one codegen'd
+    fold applying the merge; the symbol state re-checkpoints every
+    ``checkpoint_every`` rounds so the plan never grows unboundedly.
+    Driver state is one (a, b) pair per round — scalars, never data.
+
+    The pre-tokenizer isolates punctuation into single-character
+    pre-tokens, so every multi-symbol word is alphanumeric and the
+    learned operands automatically satisfy :func:`_check_merges`'
+    ASCII-alnum contract; candidate pairs are alnum-filtered anyway as
+    a defensive invariant.  Returns the merge list in training-rank
+    order — by construction every multi-char operand was formed by an
+    earlier rule, so the output always passes ``_check_merges`` and
+    feeds straight into :func:`bpe_encode`.
+
+    Training stops early when no pair repeats (every word fully
+    merged); the table then has fewer than ``n_merges`` rules.
+
+    Reference: reference slot surface runs arbitrary tokenizer-training
+    code (api_ext.py:107-190); Sennrich et al. 2016; Radford et al.
+    2019 §2.2.
+    """
+    if n_merges < 1:
+        raise ValueError(f"bpe_train: n_merges must be >= 1, got {n_merges}")
+    norm = normalize_text(F.col(text_col))
+    words = F.when(
+        F.col(text_col).isNull() | (F.length(norm) == 0),
+        F.array().cast("array<string>"),
+    ).otherwise(F.regexp_extract_all(norm, F.lit(BPE_REGEX), F.lit(0)))
+    wc = (
+        df.where(F.col(id_col).isNotNull())
+        .select(F.explode(words).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+        .select(
+            F.expr("filter(split(__w, ''), x -> x <> '')").alias("__syms"),
+            F.col("__cnt"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for r in range(n_merges):
+        pairs = (
+            wc.where(F.size("__syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__syms) - 1), i -> "
+                        "struct(element_at(__syms, i) AS a, "
+                        "element_at(__syms, i + 1) AS b))"
+                    )
+                ).alias("__p"),
+                "__cnt",
+            )
+            .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"), "__cnt")
+            .where(
+                F.col("a").rlike("^[A-Za-z0-9]+$") & F.col("b").rlike("^[A-Za-z0-9]+$")
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("__cnt").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()
+        # a pair that appears only once gains nothing by merging and
+        # (for cross-word singletons) would make the rank order
+        # corpus-partitioning-independent only via the tie-break; stop
+        # at frequency 1 like reference implementations do
+        if not top or top[0].cnt < 2:
+            break
+        a, b = top[0].a, top[0].b
+        merges.append((a, b))
+        wc = wc.withColumn("__syms", F.expr(_bpe_apply_pair_sql("__syms", a, b)))
+        if (r + 1) % checkpoint_every == 0:
+            wc = wc.localCheckpoint()
+    return merges
+
+
 # ---------------------------------------------------------------------------
 # fasttext/CCNet-style quality classifier: hashed bag-of-tokens features,
 # distributed logistic-regression training, linear scoring

@@ -94,6 +94,12 @@ def main():
         only = [n for n in only if n != "--retired"]
         qs = {**qs, **entrymod.retired_queries()}
         oracles = {**oracles, **entrymod.retired_oracle_sql()}
+    if "--staged" in only or any(n in entrymod._STAGED_QUERIES for n in only):
+        # staged-for-next-round queries are parity-gated here the same
+        # way pytest's test_staged.py gates them at the small sfs
+        only = [n for n in only if n != "--staged"]
+        qs = {**qs, **entrymod._STAGED_QUERIES}
+        oracles = {**oracles, **entrymod._STAGED_ORACLES}
     names = [n for n in qs if not only or n in only]
     results = {}
     for name in names:

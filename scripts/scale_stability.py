@@ -68,6 +68,18 @@ HEAVIES = [
     "curation_budget_mix",
     "text_bpe_tokens",
     "ann_ivfpq_topk",
+    # round-8 additions: the two new registrations plus the r9-staged
+    # trio.  dedup_semantic_pairs is deliberately EXCLUDED: the sf1
+    # embeddings are verbatim replicas (same vectors, shifted ids), so
+    # every vector has 9 exact dups — its PAIR output would grow ~100×
+    # by workload construction, not operator shape (same reason the
+    # other dedup-pair emitters skip the embeddings table here);
+    # text_quality_classifier and the composed pipeline are
+    # corpus-linear, paragraph/bigram follow the usual text shape
+    "text_quality_classifier",
+    "dedup_paragraph_spans",
+    "text_bigram_nll",
+    "pipeline_pretrain_corpus",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
@@ -87,6 +99,13 @@ ORACLE_AT_SF1 = [
     "text_source_kl",
     "curation_budget_mix",
     "text_bpe_tokens",
+    # round-8: linear oracles (paragraph fp rollup; bigram model join;
+    # SQL LR train+score).  pipeline_pretrain_corpus stays timing-only:
+    # its oracle embeds the recursive-CTE pair closure (single-node
+    # quadratic), like dedup_keep_list
+    "dedup_paragraph_spans",
+    "text_bigram_nll",
+    "text_quality_classifier",
 ]
 
 
@@ -168,8 +187,13 @@ def main() -> None:
             return minhash_lsh_pairs(docs, threshold=0.5)
         return simhash_pairs(docs, max_hamming=3)
 
-    # driver-window retirees (ann_pq_topk) stay probed for scale
-    queries = {**entrymod.retired_queries(), **entrymod.queries()}
+    # driver-window retirees (ann_pq_topk) and staged-for-next-round
+    # queries stay probed for scale
+    queries = {
+        **entrymod.retired_queries(),
+        **entrymod._STAGED_QUERIES,
+        **entrymod.queries(),
+    }
     iters = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "2"))
     results: dict[str, dict] = {}
     for name in HEAVIES + SCALABLE:

@@ -232,3 +232,79 @@ def test_lowest_rank_first_equals_sequential_rank_order(merges, word):
     got = _bpe_merge_word(word, tuple(merges), ranks, {})
     want = _sequential_reference(word, merges)
     assert got == want, (merges, word)
+
+
+# ---------------------------------------------------------------------------
+# bpe_train: corpus-scale merge-table training
+# ---------------------------------------------------------------------------
+
+class TestBpeTrain:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_hand_computed_training(self, spark):
+        """'aaab' x3 (one distinct word, cnt=3).  Round 1 pairs:
+        (a,a)=6 (two non-overlap... the left scan counts positions:
+        (a,a),(a,a),(a,b) -> (a,a)=6? No: pair COUNTS are positional —
+        (a,a) at i=1,2 and (a,b) at i=3, each weighted cnt=3, so
+        (a,a)=6, (a,b)=3 -> merge (a,a): [aa, a, b].  Round 2:
+        (aa,a)=3, (a,b)=3 -> tie, lexicographic: 'a' < 'aa' -> merge
+        (a,b): [aa, ab].  Round 3: (aa,ab)=3 -> merge (aa,ab)."""
+        from rheoceros_spark.operators.text_analysis import bpe_train
+
+        m = bpe_train(self._df(spark, ["aaab"] * 3), n_merges=3)
+        assert m == [("a", "a"), ("a", "b"), ("aa", "ab")]
+
+    def test_trained_table_feeds_encode(self, spark):
+        """Training-rank order satisfies _check_merges by construction;
+        the trained table composes with both encode impls,
+        bit-identically."""
+        from rheoceros_spark.operators.text_analysis import (
+            _check_merges,
+            bpe_encode,
+            bpe_train,
+        )
+
+        df = self._df(
+            spark,
+            ["the theme there then", "the then the", "other anthem", None, ""],
+        )
+        m = bpe_train(df, n_merges=8)
+        assert m, "expected at least one merge on a repetitive corpus"
+        _check_merges(m)
+        a = sorted(
+            map(tuple, bpe_encode(df, merges=m, impl="arrow").select(
+                "doc_id", "bpe_tokens").collect())
+        )
+        s = sorted(
+            map(tuple, bpe_encode(df, merges=m, impl="sql").select(
+                "doc_id", "bpe_tokens").collect())
+        )
+        assert a == s
+
+    def test_early_stop_when_no_pair_repeats(self, spark):
+        """All-distinct single-char words have no repeating pair —
+        training stops immediately with an empty table."""
+        from rheoceros_spark.operators.text_analysis import bpe_train
+
+        assert bpe_train(self._df(spark, ["a b c", "d e f"]), n_merges=5) == []
+
+    def test_punctuation_never_enters_merges(self, spark):
+        """The pre-tokenizer isolates punctuation into 1-char
+        pre-tokens, so learned operands are always alnum (and the
+        table is safe to embed as SQL literals)."""
+        from rheoceros_spark.operators.text_analysis import bpe_train
+
+        m = bpe_train(
+            self._df(spark, ["it's it's it's can't can't don't!!!"]), n_merges=6
+        )
+        for a, b in m:
+            assert a.isalnum() and b.isalnum(), (a, b)
+
+    def test_rejects_bad_n_merges(self, spark):
+        from rheoceros_spark.operators.text_analysis import bpe_train
+
+        with pytest.raises(ValueError, match="n_merges"):
+            bpe_train(self._df(spark, ["x"]), n_merges=0)

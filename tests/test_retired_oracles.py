@@ -47,12 +47,16 @@ def duck(sf_dir):
     return con
 
 
-def test_retired_set_is_exactly_the_round7_retirees():
+def test_retired_set_is_exactly_the_certified_retirees():
+    # r7 retired the first four; r8's certification window retired the
+    # two verification twins whose scalable siblings hold official rows
     assert set(entry.retired_queries()) == {
         "broadcast_join_enrich",
         "dedup_embedding_pairs",
         "ann_pq_topk",
         "ann_ivf_appended",
+        "dedup_ngram_jaccard_pairs",
+        "ann_cosine_topk",
     }
 
 
