@@ -4114,6 +4114,128 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_nll(load_table(spark, sf_dir, "documents"), k=0.1)
 
 
+def _hybrid_rrf_oracle(k: int = 10, k_rrf: int = 60) -> str:
+    """Sparse BM25 (text_bm25_topk's certified chain at k=10) + dense
+    brute cosine, fused by reciprocal rank: contribution
+    floor(1e7/(k_rrf+rank)) per list — IEEE-exact division + floor, no
+    half-way rounding at any k_rrf — integer-summed, ranked
+    (sum DESC, doc ASC)."""
+    return f"""
+    WITH corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 101 <> 0
+    ), qry AS (
+      SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 101 = 0
+    ), postings AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOK}) AS token FROM corp)
+      WHERE token <> '' GROUP BY doc_id, token
+    ), dls AS (
+      SELECT doc_id,
+             CASE WHEN length({_NORM}) = 0 THEN 0 ELSE len({_TOK}) END AS dl
+      FROM corp
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls
+    ), qt AS (
+      SELECT DISTINCT query_id, token
+      FROM (SELECT query_id, unnest({_TOK}) AS token FROM qry)
+      WHERE token <> ''
+    ), m AS (
+      SELECT p.doc_id, p.token, p.tf FROM postings p
+      JOIN (SELECT DISTINCT token FROM qt) USING (token)
+    ), dfreq AS (
+      SELECT token, CAST(count(*) AS DOUBLE) AS df FROM m GROUP BY token
+    ), bco AS (
+      SELECT q.query_id, m.doc_id,
+             CAST(round(
+               ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * (CAST(m.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(m.tf AS DOUBLE)
+                  + {_BM25_K1} * (1.0 - {_BM25_B}
+                                  + {_BM25_B} * CAST(d.dl AS DOUBLE) / s.avgdl))
+               * 1e7) AS BIGINT) AS c
+      FROM m JOIN qt q USING (token) JOIN dfreq f USING (token)
+             JOIN dls d ON m.doc_id = d.doc_id, stats s
+    ), bscored AS (
+      SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_q
+      FROM bco GROUP BY query_id, doc_id
+    ), sparse AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_q DESC, doc_id ASC) AS rank
+        FROM bscored
+      ) WHERE rank <= {k}
+    ), emb_c AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id IS NOT NULL AND vec_id % 101 <> 0
+    ), emb_q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IS NOT NULL AND vec_id % 101 = 0
+    ), dense AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_cos_sql('c.embedding', 'q.qv')} DESC, c.vec_id ASC) AS rank
+        FROM emb_c c CROSS JOIN emb_q q WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= {k}
+    ), contrib AS (
+      SELECT query_id, doc_id,
+             CAST(floor(1e7 / ({float(k_rrf)!r} + CAST(rank AS DOUBLE))) AS BIGINT) AS c
+      FROM sparse
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(floor(1e7 / ({float(k_rrf)!r} + CAST(rank AS DOUBLE))) AS BIGINT) AS c
+      FROM dense
+    ), fused AS (
+      SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_q,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, CAST(rrf_q AS DOUBLE) / 1e7 AS rrf_score,
+           n_lists, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rrf_q DESC, doc_id ASC) AS INT) AS rank
+      FROM fused
+    ) WHERE rank <= {k}
+    """
+
+
+@q_staged("retrieval_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the fusion step every production RAG stack
+    runs: BM25 sparse top-10 and exact dense cosine top-10 per query
+    (every 101st doc plays the query, the text_bm25_topk convention;
+    the embeddings table is doc-aligned), merged by reciprocal-rank
+    fusion (Cormack et al. 2009).  Rank-based fusion needs no score
+    calibration across the incomparable BM25/cosine scales; the
+    quantized contribution discipline keeps the fused ranking
+    bit-identical across engines (operators/similarity.py rrf_fuse,
+    cosine_topk_multi; text_analysis.py bm25_topk)."""
+    from rheoceros_spark.operators.similarity import cosine_topk_multi, rrf_fuse
+    from rheoceros_spark.operators.text_analysis import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 101 != 0)
+    queries_df = docs.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    sparse = bm25_topk(corpus, queries_df, k1=_BM25_K1, b=_BM25_B, k=10)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = cosine_topk_multi(
+        emb.where(F.col("vec_id") % 101 != 0),
+        emb.where(F.col("vec_id") % 101 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=10,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+
+    return rrf_fuse(
+        [sparse.select("query_id", "doc_id", "rank"), dense], k=10, k_rrf=60
+    )
+
+
 def _bpe_train_oracle(n_merges: int = 12) -> str:
     """BPE merge-table TRAINING reproduced in DuckDB: the distinct-word
     count table, then ``n_merges`` rounds of (pair count → integer+

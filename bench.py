@@ -136,6 +136,8 @@ BENCH_EXT = [
     "dedup_paragraph_spans",
     "text_bigram_nll",
     "pipeline_pretrain_corpus",
+    "text_bpe_train",
+    "retrieval_hybrid_rrf",
 ]
 
 

@@ -106,6 +106,120 @@ def cosine_topk(
     return _ranked_topk(sims, id_col, k)
 
 
+def cosine_topk_multi(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch exact top-k: the multi-query form of :func:`cosine_topk`
+    — every query in ``queries`` (a (query_id, vec) frame) scored
+    against the corpus in ONE plan.  The query frame **broadcasts**
+    (query batches are ~KBs against a ~100 TB corpus, the bm25_topk
+    vocabulary argument), the corpus side is scan → broadcast-join →
+    cosine → per-query WindowGroupLimit top-k — the corpus is read
+    once for the whole batch instead of once per query, and never
+    shuffles by itself: the only exchange carries ≤ |queries| × |corpus
+    matched| scored rows hashed by query.
+
+    ``exclude_self`` drops the ``id == query_id`` row (the
+    :func:`cosine_topk` convention when queries are corpus members).
+    Ties break on ascending id; ``cos_r`` is the 6-dp rounded cosine,
+    ordering happens on the raw ordered-fold value (bit-identical in
+    the SQL twin).  Returns (query_id, id, rank, cos_r)."""
+    if k < 1:
+        raise ValueError(f"cosine_topk_multi: k must be >= 1, got {k}")
+    qv = query_vec_col or vec_col
+    q = queries.select(
+        F.col(query_id_col), F.col(qv).alias("__qv")
+    ).where(F.col(query_id_col).isNotNull())
+    joined = df.where(F.col(id_col).isNotNull()).crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col(id_col) != F.col(query_id_col))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qv")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "rank", F.round("cos", 6).alias("cos_r")
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): combine any number
+    of per-query rankings — sparse BM25, dense ANN, whatever emits
+    (query, id, rank) — by ``score(d) = Σ_lists 1/(k_rrf + rank_l(d))``,
+    the standard hybrid-retrieval merge (rank-based, so the lists'
+    incomparable score scales never need calibration).
+
+    Bit-exact across engines by the house discipline: each list
+    contribution is ``floor(1e7 / (k_rrf + rank))`` — one IEEE-exact
+    division then floor, no half-way rounding cases at ANY k_rrf —
+    summed as integers (addition-order independent), divided back once
+    at the end.  Ties break on ascending id.
+
+    Scale shape: inputs are already per-query top-k frames (k-bounded
+    per query), so the union + groupBy shuffles ≤ |lists|·k rows per
+    query — query-batch-sized, never corpus-sized.  Returns
+    (query, id, rrf_score, n_lists, rank ≤ k)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k < 1 or k_rrf < 1:
+        raise ValueError(f"rrf_fuse: k and k_rrf must be >= 1, got {k}, {k_rrf}")
+    from functools import reduce
+
+    contribs = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.floor(
+                F.lit(1e7) / (F.lit(float(k_rrf)) + F.col(rank_col).cast("double"))
+            )
+            .cast("bigint")
+            .alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = reduce(DataFrame.unionByName, contribs)
+    agg = u.groupBy(query_col, id_col).agg(
+        F.sum("__c").alias("__rrf_q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("__rrf_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            query_col,
+            id_col,
+            (F.col("__rrf_q").cast("double") / F.lit(1e7)).alias("rrf_score"),
+            "n_lists",
+            "rank",
+        )
+    )
+
+
 def signature_col(vec_col: str, planes: list[list[float]]):
     """``nbits``-bit bucket signature of a vector column: bit i =
     (v · plane_i) > 0, folded per-row, planes as literal arrays.

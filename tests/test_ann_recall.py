@@ -99,3 +99,91 @@ def test_recall_at_k_helper_contract(spark, clustered):
     empty = exact.where(F.lit(False))
     with pytest.raises(ValueError, match="empty"):
         recall_at_k(exact, empty)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: cosine_topk_multi + rrf_fuse
+# ---------------------------------------------------------------------------
+
+class TestHybridRetrieval:
+    def test_multi_matches_single_query_topk(self, spark, clustered):
+        """The batch scorer must agree with cosine_topk per query."""
+        from rheoceros_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_multi,
+        )
+        from pyspark.sql import functions as F
+
+        qids = [0, 97, 194]
+        multi = cosine_topk_multi(
+            clustered,
+            clustered.where(F.col("vec_id").isin(qids)).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=5,
+        ).collect()
+        for qid in qids:
+            single = {
+                (r.vec_id, r.rank)
+                for r in cosine_topk(clustered, query_id=qid, k=5).collect()
+            }
+            got = {(r.vec_id, r.rank) for r in multi if r.query_id == qid}
+            assert got == single, qid
+
+    def test_rrf_agreement_beats_single_list(self, spark):
+        """A doc ranked mid-list in BOTH lists outscores a doc that
+        tops one list but misses the other (rank 1 one-list: 1/61 =
+        163934; rank 3+3 both-lists: 2/63 = 317460)."""
+        from rheoceros_spark.operators.similarity import rrf_fuse
+
+        l1 = spark.createDataFrame(
+            [(1, 10, 1), (1, 20, 2), (1, 30, 3)], "query_id long, doc_id long, rank int"
+        )
+        l2 = spark.createDataFrame(
+            [(1, 40, 1), (1, 50, 2), (1, 30, 3)], "query_id long, doc_id long, rank int"
+        )
+        out = {r.doc_id: r for r in rrf_fuse([l1, l2], k=10).collect()}
+        assert out[30].rank == 1 and out[30].n_lists == 2
+        assert out[10].n_lists == 1
+        assert out[30].rrf_score > out[10].rrf_score
+
+    def test_rrf_tie_breaks_on_id(self, spark):
+        from rheoceros_spark.operators.similarity import rrf_fuse
+
+        l1 = spark.createDataFrame(
+            [(1, 20, 1), (1, 10, 2)], "query_id long, doc_id long, rank int"
+        )
+        l2 = spark.createDataFrame(
+            [(1, 10, 1), (1, 20, 2)], "query_id long, doc_id long, rank int"
+        )
+        rows = sorted(rrf_fuse([l1, l2], k=2).collect(), key=lambda r: r.rank)
+        # identical fused scores -> ascending id wins
+        assert [r.doc_id for r in rows] == [10, 20]
+
+    def test_rrf_validates_inputs(self, spark):
+        import pytest as _pt
+
+        from rheoceros_spark.operators.similarity import rrf_fuse
+
+        with _pt.raises(ValueError, match="at least one"):
+            rrf_fuse([], k=5)
+        l1 = spark.createDataFrame([(1, 10, 1)], "query_id long, doc_id long, rank int")
+        with _pt.raises(ValueError, match="k and k_rrf"):
+            rrf_fuse([l1], k=0)
+
+    def test_multi_excludes_self_and_validates_k(self, spark, clustered):
+        import pytest as _pt
+
+        from pyspark.sql import functions as F
+
+        from rheoceros_spark.operators.similarity import cosine_topk_multi
+
+        q = clustered.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = cosine_topk_multi(clustered, q, k=5).collect()
+        assert all(r.vec_id != 0 for r in got)
+        kept = cosine_topk_multi(clustered, q, k=5, exclude_self=False).collect()
+        assert any(r.vec_id == 0 and r.rank == 1 for r in kept)
+        with _pt.raises(ValueError, match="k must be"):
+            cosine_topk_multi(clustered, q, k=0)

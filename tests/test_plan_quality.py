@@ -466,3 +466,52 @@ class TestRound7PlanShapes:
         df = entry.queries()["ann_ivfpq_topk"](spark, sf)
         cells = {f.split("/cells/")[1].split("/")[0] for f in df.inputFiles() if "/cells/" in f}
         assert cells and len(cells) <= 3, cells
+
+
+class TestRound8PlanShapes:
+    """Plan gates for the round-8 staged hybrid-retrieval operators."""
+
+    def test_cosine_topk_multi_broadcasts_queries_no_corpus_self_shuffle(
+        self, spark, sf
+    ):
+        """The batch dense scorer must broadcast the query frame (KB-
+        sized against a ~100 TB corpus) — the corpus side joins without
+        shuffling by itself; the only hash exchange carries the scored
+        (query_id, id, cos) rows for the per-query window top-k."""
+        from pyspark.sql import functions as F
+
+        from rheoceros_spark.operators.similarity import cosine_topk_multi
+
+        emb = load_table(spark, sf, "embeddings")
+        df = cosine_topk_multi(
+            emb.where(F.col("vec_id") % 101 != 0),
+            emb.where(F.col("vec_id") % 101 == 0).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=10,
+        )
+        plan = physical_plan(df)
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+        # no embedding vector crosses a hash exchange: the scored rows
+        # shuffle as (query_id, id, cos) only
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "embedding#" not in line and "__qv#" not in line, line
+        # per-query top-k runs as a rank-filter window, map-side limited
+        assert "WindowGroupLimit" in plan
+
+    def test_rrf_fuse_shuffles_only_k_bounded_contributions(self, spark, sf):
+        """RRF fuses per-query TOP-K frames: the union + groupBy must
+        shuffle only (query, id, contribution) triples — never text,
+        embeddings, or raw scores — and stay cartesian-free with a
+        partial (map-side) aggregate before the exchange."""
+        df = entry._STAGED_QUERIES["retrieval_hybrid_rrf"](spark, sf)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        final_section = plan.split("== Initial Plan ==")[0]
+        for line in final_section.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "text#" not in line and "embedding#" not in line, line
+        # the fusion aggregate partial-aggregates before its exchange
+        assert "partial_sum" in plan
