@@ -4236,6 +4236,78 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qdot_sql(a: str, b: str) -> str:
+    """Integer dot of two BIGINT code lists — exact in any engine."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+    )
+
+
+def _qcos_sql(a: str, b: str) -> str:
+    return (
+        f"(CAST({_qdot_sql(a, b)} AS DOUBLE) / "
+        f"nullif(sqrt(CAST({_qdot_sql(a, a)} AS DOUBLE)) "
+        f"* sqrt(CAST({_qdot_sql(b, b)} AS DOUBLE)), 0))"
+    )
+
+
+def _int8_topk_oracle(query_id: int = 0, k: int = 10, n_cand: int = 40) -> str:
+    """operators/similarity.py quantize_embeddings + ann_int8_topk
+    reproduced: half-up floor quantization, integer-dot candidate
+    ranking, exact fp32 rerank of the candidate set."""
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings WHERE vec_id IS NOT NULL
+    ), qz AS (
+      SELECT vec_id,
+             CASE WHEN maxabs = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5)
+                                 AS BIGINT)) END AS qvec
+      FROM base
+    ), qq AS (
+      SELECT qvec AS qq FROM qz WHERE vec_id = {query_id}
+    ), cand AS (
+      SELECT vec_id FROM (
+        SELECT z.vec_id,
+               row_number() OVER (ORDER BY {_qcos_sql('z.qvec', 'q.qq')} DESC,
+                                  z.vec_id ASC) AS rn
+        FROM qz z, qq q WHERE z.vec_id <> {query_id}
+      ) WHERE rn <= {n_cand}
+    ), qv AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}
+    )
+    SELECT vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_r
+    FROM (
+      SELECT e.vec_id, {_cos_sql('e.embedding', 'q.qv')} AS cos,
+             row_number() OVER (ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC,
+                                e.vec_id ASC) AS rank
+      FROM embeddings e JOIN cand USING (vec_id), qv q
+    ) WHERE rank <= {k}
+    """
+
+
+@q_staged("ann_int8_topk", oracle=_int8_topk_oracle())
+def ann_int8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-compressed ANN: the hot pass reads int8 codes (4× fewer
+    bytes than the fp32 store — at a 100 TB embedding corpus this is
+    the difference between an in-page-cache scan and a disk-bound
+    one), deterministic integer-dot candidate selection, exact rerank
+    of the 4k-candidate set only (operators/similarity.py
+    quantize_embeddings / qcosine / ann_int8_topk)."""
+    from rheoceros_spark.operators.similarity import ann_int8_topk
+
+    return ann_int8_topk(
+        load_table(spark, sf_dir, "embeddings"), query_id=0, k=10
+    ).select("vec_id", F.col("rank").cast("bigint").alias("rank"), "cos_r")
+
+
 def _bpe_train_oracle(n_merges: int = 12) -> str:
     """BPE merge-table TRAINING reproduced in DuckDB: the distinct-word
     count table, then ``n_merges`` rounds of (pair count → integer+

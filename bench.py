@@ -138,6 +138,7 @@ BENCH_EXT = [
     "pipeline_pretrain_corpus",
     "text_bpe_train",
     "retrieval_hybrid_rrf",
+    "ann_int8_topk",
 ]
 
 

@@ -220,6 +220,116 @@ def rrf_fuse(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the compressed-store
+    path for a standing ~100 TB embedding corpus: 4× fewer scan bytes
+    than float32, and downstream similarity becomes exact INTEGER
+    arithmetic (see :func:`qdot`), which is what makes a quantized
+    index oracle-checkable at all.
+
+    ``q_i = floor(v_i·127/maxabs + 0.5)`` (half-up via the IEEE-exact
+    ``floor(x + 0.5)`` — never the engine's ``round``, whose half-even
+    vs half-away behavior differs across engines), codes in
+    ``[-127, 127]``; ``scale = maxabs/127`` dequantizes.  An all-zero
+    vector yields all-zero codes with scale 0.0.  Per-vector scales
+    cancel in cosine, so quantized ranking needs only the codes.
+
+    Pure per-row projection — no shuffle, no Python; runs inside the
+    scan stage, so writing the quantized store is a single pass."""
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    codes = F.when(
+        maxabs == F.lit(0.0),
+        F.transform(v, lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(
+                x.cast("double") * F.lit(127.0) / maxabs + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        codes.alias(code_col),
+        (maxabs / F.lit(127.0)).alias(scale_col),
+    )
+
+
+def qdot(a, b):
+    """Integer dot product of two int-code arrays as BIGINT — exact,
+    accumulation-order independent, bit-identical in any engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def qcosine(a, b):
+    """Cosine over int8 codes: exact integer dots, one IEEE-exact
+    sqrt/division pair on top — deterministic across engines.  NULL on
+    a zero-code vector (sorts last desc), like :func:`~rheoceros_spark.
+    functions.portable.cosine`."""
+    return F.try_divide(
+        qdot(a, b).cast("double"),
+        F.sqrt(qdot(a, a).cast("double")) * F.sqrt(qdot(b, b).cast("double")),
+    )
+
+
+def ann_int8_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    candidates: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-rerank top-k over the int8-quantized corpus — the
+    production scan-compressed ANN shape: the hot scan touches only
+    (id, int8 codes) (~4× fewer bytes than the fp32 store), quantized
+    cosine picks ``candidates`` (default 4k) via TakeOrdered, then the
+    fp32 vectors of ONLY those candidates are re-read (broadcast
+    id-semijoin — candidate-bounded, never a second full-corpus
+    shuffle) for exact cosine rerank.
+
+    Candidate selection is deterministic (exact integer dots, ties on
+    id), so the whole operator stays bit-identical across engines
+    despite being two-stage approximate-then-exact.  Returns
+    (id, rank, cos_r) — the ANN-family contract."""
+    if k < 1:
+        raise ValueError(f"ann_int8_topk: k must be >= 1, got {k}")
+    n_cand = candidates if candidates is not None else 4 * k
+    if n_cand < k:
+        raise ValueError(
+            f"ann_int8_topk: candidates={n_cand} must be >= k={k}"
+        )
+    qz = quantize_embeddings(df, vec_col=vec_col, id_col=id_col)
+    q = qz.where(F.col(id_col) == query_id).select(F.col("qvec").alias("__qq"))
+    _one_query_row(q, "ann_int8_topk")
+    cand = (
+        qz.where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), qcosine(F.col("qvec"), F.col("__qq")).alias("qcos"))
+        .orderBy(F.col("qcos").desc(), F.col(id_col).asc())
+        .limit(n_cand)
+        .select(id_col)
+    )
+    qv = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    rer = (
+        df.join(F.broadcast(cand), on=id_col, how="inner")
+        .crossJoin(F.broadcast(qv))
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
+    )
+    return _ranked_topk(rer, id_col, k)
+
+
 def signature_col(vec_col: str, planes: list[list[float]]):
     """``nbits``-bit bucket signature of a vector column: bit i =
     (v · plane_i) > 0, folded per-row, planes as literal arrays.

@@ -187,3 +187,67 @@ class TestHybridRetrieval:
         assert any(r.vec_id == 0 and r.rank == 1 for r in kept)
         with _pt.raises(ValueError, match="k must be"):
             cosine_topk_multi(clustered, q, k=0)
+
+
+# ---------------------------------------------------------------------------
+# int8 scan-compression: quantize_embeddings + ann_int8_topk
+# ---------------------------------------------------------------------------
+
+class TestInt8Quantization:
+    def test_codes_in_range_and_scale_dequantizes(self, spark, clustered):
+        from rheoceros_spark.operators.similarity import quantize_embeddings
+
+        qz = quantize_embeddings(clustered).collect()
+        orig = {r.vec_id: r.embedding for r in clustered.collect()}
+        for r in qz[:50]:
+            assert all(-127 <= c <= 127 for c in r.qvec)
+            # dequantized values within half a quantization step
+            v = orig[r.vec_id]
+            for c, x in zip(r.qvec, v):
+                assert abs(c * r.qscale - x) <= r.qscale / 2 + 1e-9
+
+    def test_zero_vector_quantizes_to_zero_codes(self, spark):
+        from rheoceros_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        r = quantize_embeddings(df).first()
+        assert r.qvec == [0, 0, 0] and r.qscale == 0.0
+
+    def test_exhaustive_candidates_match_brute_force(self, spark, clustered):
+        """With the candidate pool set to the whole corpus, the exact
+        rerank must reproduce brute-force cosine_topk identically."""
+        from rheoceros_spark.operators.similarity import ann_int8_topk
+
+        brute = [
+            (r.vec_id, r.rank) for r in cosine_topk(clustered, 0, k=K).collect()
+        ]
+        int8 = [
+            (r.vec_id, r.rank)
+            for r in ann_int8_topk(clustered, 0, k=K, candidates=N).collect()
+        ]
+        assert int8 == brute
+
+    def test_default_candidates_recall_floor(self, spark, clustered):
+        """4k-candidate int8 preselection must keep recall@10 >= 0.9 vs
+        brute force on the clustered corpus."""
+        from rheoceros_spark.operators.similarity import ann_int8_topk
+
+        recs = []
+        for qid in QIDS:
+            exact = cosine_topk(clustered, qid, k=K)
+            approx = ann_int8_topk(clustered, qid, k=K)
+            recs.append(recall_at_k(exact, approx))
+        mean = sum(recs) / len(recs)
+        assert mean >= 0.9, f"int8 mean recall@{K} {mean:.3f} < 0.9"
+
+    def test_validates_k_and_candidates(self, spark, clustered):
+        from rheoceros_spark.operators.similarity import ann_int8_topk
+
+        with pytest.raises(ValueError, match="k must be"):
+            ann_int8_topk(clustered, 0, k=0)
+        with pytest.raises(ValueError, match="candidates"):
+            ann_int8_topk(clustered, 0, k=10, candidates=5)
+        with pytest.raises(ValueError, match="query id matched no row"):
+            ann_int8_topk(clustered, -1, k=5).collect()

@@ -515,3 +515,21 @@ class TestRound8PlanShapes:
                 assert "text#" not in line and "embedding#" not in line, line
         # the fusion aggregate partial-aggregates before its exchange
         assert "partial_sum" in plan
+
+    def test_int8_topk_quantized_scan_and_candidate_bounded_rerank(
+        self, spark, sf
+    ):
+        """The int8 ANN plan must stay scan-shaped: quantization is a
+        per-row projection (no exchange before TakeOrdered), the query
+        and the candidate id-set broadcast, and nothing is cartesian."""
+        df = entry._STAGED_QUERIES["ann_int8_topk"](spark, sf)
+        plan = physical_plan(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+        # candidate selection must NOT hash-shuffle the corpus — the
+        # only exchanges are broadcasts
+        final_section = plan.split("== Initial Plan ==")[0]
+        for line in final_section.splitlines():
+            if "Exchange hashpartitioning" in line:
+                raise AssertionError(f"unexpected corpus shuffle: {line}")
