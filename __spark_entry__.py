@@ -4236,6 +4236,129 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_oracle(
+    n_cand: int = 20, k: int = 5, lam_q: int = 700
+) -> str:
+    """operators/similarity.py mmr_rerank replayed CTE-by-CTE: dense
+    top-``n_cand`` candidates per query, floor(cos·1e7)-quantized
+    relevance and pairwise sims, then the k greedy rounds unrolled
+    (the Lloyd/LR oracle convention for iterative algorithms)."""
+    lam, oml = lam_q, 1000 - lam_q
+    ctes = [
+        """emb_c AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id IS NOT NULL AND vec_id % 101 <> 0
+    )""",
+        """emb_q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IS NOT NULL AND vec_id % 101 = 0
+    )""",
+        f"""dense AS (
+      SELECT query_id, doc_id FROM (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_cos_sql('c.embedding', 'q.qv')} DESC, c.vec_id ASC) AS rn
+        FROM emb_c c CROSS JOIN emb_q q WHERE c.vec_id <> q.query_id
+      ) WHERE rn <= {n_cand}
+    )""",
+        f"""cands AS (
+      SELECT d.query_id, d.doc_id,
+             CAST(floor({_cos_sql('c.embedding', 'q.qv')} * 1e7) AS BIGINT) AS qrel,
+             c.embedding
+      FROM dense d JOIN emb_c c ON d.doc_id = c.vec_id
+                   JOIN emb_q q USING (query_id)
+    )""",
+        f"""pair AS (
+      SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+             CAST(floor({_cos_sql('x.embedding', 'y.embedding')} * 1e7) AS BIGINT) AS qsim
+      FROM cands x JOIN cands y
+        ON x.query_id = y.query_id AND x.doc_id <> y.doc_id
+    )""",
+        f"""sel1 AS (
+      SELECT query_id, doc_id, 1 AS step, score FROM (
+        SELECT query_id, doc_id, {lam} * qrel AS score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY {lam} * qrel DESC, doc_id ASC) AS rn
+        FROM cands
+      ) WHERE rn = 1
+    )""",
+    ]
+    prev = "sel1"
+    for step in range(2, k + 1):
+        ctes.append(f"""sel{step} AS (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT query_id, doc_id, {step} AS step, score FROM (
+        SELECT c.query_id, c.doc_id,
+               {lam} * c.qrel - {oml} * m.maxsim AS score,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY {lam} * c.qrel - {oml} * m.maxsim DESC,
+                          c.doc_id ASC) AS rn
+        FROM cands c
+        JOIN (SELECT p.query_id, p.a AS doc_id, max(p.qsim) AS maxsim
+              FROM pair p JOIN {prev} s
+                ON p.query_id = s.query_id AND p.b = s.doc_id
+              GROUP BY p.query_id, p.a) m
+          ON c.query_id = m.query_id AND c.doc_id = m.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                          WHERE s.query_id = c.query_id
+                            AND s.doc_id = c.doc_id)
+      ) WHERE rn = 1
+    )""")
+        prev = f"sel{step}"
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT query_id, doc_id, CAST(step AS INT) AS step,
+           CAST(score AS DOUBLE) / 1e10 AS mmr_score
+    FROM {prev}
+    """
+
+
+@q_staged("retrieval_mmr_rerank", oracle=_mmr_oracle())
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified rerank — the step between retrieval and a RAG
+    context window: dense top-20 candidates per query (the hybrid-
+    retrieval query convention: every 101st vector plays the query),
+    then greedy λ=0.7 maximal-marginal-relevance selection of 5, all
+    in exact integer arithmetic (operators/similarity.py mmr_rerank).
+    Every frame past retrieval is candidate-bounded: c=20 per query,
+    so the pairwise-sim self-join is 400 rows per query, never
+    corpus-sized."""
+    from rheoceros_spark.operators.similarity import (
+        cosine_topk_multi,
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 101 != 0)
+    qdf = emb.where(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    from rheoceros_spark.functions.portable import cosine
+
+    cand_ids = cosine_topk_multi(
+        corpus,
+        qdf.select("query_id", F.col("__qv").alias("embedding")),
+        k=20,
+    ).select("query_id", F.col("vec_id").alias("doc_id"))
+    cands = (
+        cand_ids.join(
+            corpus.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            on="doc_id",
+        )
+        .join(F.broadcast(qdf), on="query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(cosine(F.col("embedding"), F.col("__qv")) * F.lit(1e7))
+            .cast("bigint")
+            .alias("qrel"),
+            "embedding",
+        )
+    )
+    return mmr_rerank(cands, k=5, lam_q=700)
+
+
 def _qdot_sql(a: str, b: str) -> str:
     """Integer dot of two BIGINT code lists — exact in any engine."""
     return (

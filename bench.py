@@ -139,6 +139,7 @@ BENCH_EXT = [
     "text_bpe_train",
     "retrieval_hybrid_rrf",
     "ann_int8_topk",
+    "retrieval_mmr_rerank",
 ]
 
 

@@ -330,6 +330,141 @@ def ann_int8_topk(
     return _ranked_topk(rer, id_col, k)
 
 
+def mmr_rerank(
+    cands: DataFrame,
+    k: int = 5,
+    lam_q: int = 700,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "qrel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998) — the standard rerank between retrieval and a RAG
+    context window: greedily pick ``k`` of each query's candidates,
+    trading relevance against redundancy with what's already picked:
+    ``score(d) = lam·rel(d) − (1−lam)·max_{s∈S} sim(d, s)``.
+
+    Inputs are per-query candidate frames (query, id, ``rel_col`` a
+    BIGINT-quantized relevance, vector) — k-bounded per query from a
+    top-k retrieval stage, so every join here is query-batch-sized;
+    the corpus is never touched.  Pairwise candidate sims are computed
+    once by a per-query self-join (c² rows per query, c = candidate
+    count), quantized ``floor(cos·1e7)``; ``lam_q`` is λ·1000, and the
+    greedy scores are exact integer arithmetic — the selection is
+    bit-reproducible in any engine, which is what lets a DuckDB twin
+    replay it CTE-by-CTE.  Greedy selection is inherently sequential in
+    k, so the k rounds are unrolled into the plan (k is small by
+    construction: a context window holds a handful of passages).
+
+    Step 1 picks argmax relevance (the empty-set convention); ties
+    break on ascending id at every step.  Returns (query, id, step ∈
+    1..k, mmr_score = score/1e7)."""
+    if k < 1:
+        raise ValueError(f"mmr_rerank: k must be >= 1, got {k}")
+    if not 0 <= lam_q <= 1000:
+        raise ValueError(f"mmr_rerank: lam_q must be in [0, 1000], got {lam_q}")
+    base = cands.select(
+        F.col(query_col), F.col(id_col), F.col(rel_col), F.col(vec_col)
+    ).localCheckpoint(eager=False)
+    a = base.select(
+        F.col(query_col),
+        F.col(id_col).alias("__a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = base.select(
+        F.col(query_col),
+        F.col(id_col).alias("__b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    pair = (
+        a.join(b, on=query_col)
+        .where(F.col("__a") != F.col("__b"))
+        .select(
+            F.col(query_col),
+            "__a",
+            "__b",
+            F.floor(cosine(F.col("__va"), F.col("__vb")) * F.lit(1e7))
+            .cast("bigint")
+            .alias("__qsim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lam = F.lit(int(lam_q)).cast("bigint")
+    one_m_lam = F.lit(int(1000 - lam_q)).cast("bigint")
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    )
+    first = (
+        base.select(
+            F.col(query_col),
+            F.col(id_col),
+            (lam * F.col(rel_col).cast("bigint")).alias("__score"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(query_col),
+            F.col(id_col),
+            F.lit(1).alias("step"),
+            F.col("__score"),
+        )
+    )
+    selected = first
+    for step in range(2, k + 1):
+        picked = selected.select(query_col, id_col)
+        maxsim = (
+            pair.join(
+                picked.withColumnRenamed(id_col, "__b"),
+                on=[query_col, "__b"],
+            )
+            .groupBy(query_col, "__a")
+            .agg(F.max("__qsim").alias("__maxsim"))
+        )
+        scored = (
+            base.join(
+                picked.withColumn("__taken", F.lit(1)),
+                on=[query_col, id_col],
+                how="left_anti",
+            )
+            .join(
+                maxsim.withColumnRenamed("__a", id_col),
+                on=[query_col, id_col],
+            )
+            .select(
+                F.col(query_col),
+                F.col(id_col),
+                (
+                    lam * F.col(rel_col).cast("bigint")
+                    - one_m_lam * F.col("__maxsim")
+                ).alias("__score"),
+            )
+        )
+        nxt = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                F.col(query_col),
+                F.col(id_col),
+                F.lit(step).alias("step"),
+                F.col("__score"),
+            )
+        )
+        # each round is checkpointed: sel_i is referenced by every later
+        # round's anti-join AND the final union — without truncation the
+        # recompute tree doubles per step (2^k small shuffle stages)
+        selected = selected.unionByName(nxt).localCheckpoint(eager=False)
+    return selected.select(
+        F.col(query_col),
+        F.col(id_col),
+        F.col("step").cast("int").alias("step"),
+        (F.col("__score").cast("double") / F.lit(1e7 * 1000.0)).alias(
+            "mmr_score"
+        ),
+    )
+
+
 def signature_col(vec_col: str, planes: list[list[float]]):
     """``nbits``-bit bucket signature of a vector column: bit i =
     (v · plane_i) > 0, folded per-row, planes as literal arrays.

@@ -251,3 +251,67 @@ class TestInt8Quantization:
             ann_int8_topk(clustered, 0, k=10, candidates=5)
         with pytest.raises(ValueError, match="query id matched no row"):
             ann_int8_topk(clustered, -1, k=5).collect()
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification
+# ---------------------------------------------------------------------------
+
+class TestMMRRerank:
+    def _cands(self, spark):
+        """One query, four candidates: two near-identical high-relevance
+        docs (10, 11), one diverse mid-relevance doc (20), one weak
+        doc (30).  qrel is the quantized relevance."""
+        rows = [
+            (1, 10, 9_500_000, [1.0, 0.0, 0.0]),
+            (1, 11, 9_400_000, [0.999, 0.01, 0.0]),
+            (1, 20, 7_000_000, [0.0, 1.0, 0.0]),
+            (1, 30, 3_000_000, [0.0, 0.0, 1.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "query_id long, doc_id long, qrel bigint, embedding array<float>"
+        )
+
+    def test_step1_is_argmax_relevance(self, spark):
+        from rheoceros_spark.operators.similarity import mmr_rerank
+
+        out = {r.step: r.doc_id for r in mmr_rerank(self._cands(spark), k=3).collect()}
+        assert out[1] == 10
+
+    def test_diversity_defers_near_duplicate(self, spark):
+        """With lambda=0.7 the near-duplicate of pick 1 (doc 11, cosine
+        ~1.0 to doc 10) must lose step 2 to the orthogonal doc 20
+        despite higher relevance: 0.7*0.94 - 0.3*1.0 < 0.7*0.70 - 0."""
+        from rheoceros_spark.operators.similarity import mmr_rerank
+
+        out = {r.step: r.doc_id for r in mmr_rerank(self._cands(spark), k=3).collect()}
+        assert out[2] == 20
+        # doc 11 re-enters at step 3: 0.7*0.94 - 0.3*1.0 = 0.358 still
+        # beats doc 30's 0.7*0.30 = 0.21 — MMR defers, not bans
+        assert out[3] == 11
+
+    def test_lambda_1000_reduces_to_pure_relevance(self, spark):
+        from rheoceros_spark.operators.similarity import mmr_rerank
+
+        out = {
+            r.step: r.doc_id
+            for r in mmr_rerank(self._cands(spark), k=4, lam_q=1000).collect()
+        }
+        assert [out[s] for s in (1, 2, 3, 4)] == [10, 11, 20, 30]
+
+    def test_scores_monotone_nonincreasing_is_not_required_but_steps_unique(
+        self, spark
+    ):
+        from rheoceros_spark.operators.similarity import mmr_rerank
+
+        rows = mmr_rerank(self._cands(spark), k=4).collect()
+        assert sorted(r.step for r in rows) == [1, 2, 3, 4]
+        assert len({r.doc_id for r in rows}) == 4  # no doc picked twice
+
+    def test_validates_inputs(self, spark):
+        from rheoceros_spark.operators.similarity import mmr_rerank
+
+        with pytest.raises(ValueError, match="k must be"):
+            mmr_rerank(self._cands(spark), k=0)
+        with pytest.raises(ValueError, match="lam_q"):
+            mmr_rerank(self._cands(spark), k=2, lam_q=1001)

@@ -533,3 +533,16 @@ class TestRound8PlanShapes:
         for line in final_section.splitlines():
             if "Exchange hashpartitioning" in line:
                 raise AssertionError(f"unexpected corpus shuffle: {line}")
+
+    def test_mmr_rounds_are_checkpoint_bounded(self, spark, sf):
+        """The unrolled greedy rounds must be lineage-truncated: every
+        round's frame appears in later rounds' anti-joins AND the final
+        union, so without per-round checkpoints the recompute tree
+        doubles per step.  The executed plan must stay cartesian-free
+        and carry LocalTableScan/checkpoint RDD scans for the rounds."""
+        df = entry._STAGED_QUERIES["retrieval_mmr_rerank"](spark, sf)
+        df.write.format("noop").mode("overwrite").save()
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        # the checkpointed rounds surface as ExistingRDD scans
+        assert "Scan ExistingRDD" in plan
