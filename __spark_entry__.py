@@ -4236,6 +4236,72 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pr_curve_oracle(grid: int = 100) -> str:
+    """operators/text_analysis.py pr_curve over the trained classifier's
+    logits: the full LR-training oracle as a subquery, labels rejoined
+    from documents, histogram + cumulative sweep in exact BIGINTs with
+    integer division (// here, div in Spark)."""
+    cls = _quality_classifier_oracle()
+    return f"""
+    WITH lab AS (
+      SELECT c.logit, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM ({cls}) c JOIN documents d USING (doc_id)
+    ), per AS (
+      SELECT CAST(floor(logit * {float(grid)!r}) AS BIGINT) AS bucket,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      FROM lab GROUP BY 1
+    ), cum AS (
+      SELECT bucket,
+             CAST(sum(n_pos) OVER (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+             CAST(sum(n_neg) OVER (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+             CAST(sum(n_pos) OVER () AS BIGINT) AS tot
+      FROM per
+    ), pr AS (
+      SELECT bucket, tp, fp, tot - tp AS fn,
+             tp * 1000000 // (tp + fp) AS precision_q,
+             CASE WHEN tot > 0 THEN tp * 1000000 // tot END AS recall_q
+      FROM cum
+    )
+    SELECT CAST(bucket AS DOUBLE) / {float(grid)!r} AS thr,
+           tp, fp, fn, precision_q,
+           CAST(coalesce(recall_q, 0) AS BIGINT) AS recall_q,
+           CAST(coalesce(2 * precision_q * recall_q
+                         // nullif(precision_q + recall_q, 0), 0) AS BIGINT) AS f1_q
+    FROM pr
+    """
+
+
+@q_staged("text_quality_pr_curve", oracle=_pr_curve_oracle())
+def text_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration for the learned quality filter: train the
+    text_quality_classifier LR (same params), score the corpus, then
+    sweep precision/recall/F1 over a 0.01-step logit grid — ONE
+    corpus-sized histogram shuffle, all subsequent windows run over
+    the grid-sized frame (operators/text_analysis.py pr_curve).  This
+    is how the classifier's keep-threshold becomes evidence-based
+    instead of a hardcoded 0.0."""
+    from rheoceros_spark.operators.text_analysis import (
+        logreg_train,
+        pr_curve,
+        quality_classifier_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    labeled = docs.withColumn(
+        "__label", F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    )
+    w = logreg_train(labeled, "__label", n_buckets=64, iters=2, lr=0.5)
+    scored = quality_classifier_score(docs, w, n_buckets=64).join(
+        labeled.select("doc_id", F.col("__label").alias("y")), on="doc_id"
+    )
+    return pr_curve(scored, score_col="logit", label_col="y", grid=100)
+
+
 def _mmr_oracle(
     n_cand: int = 20, k: int = 5, lam_q: int = 700
 ) -> str:

@@ -140,6 +140,7 @@ BENCH_EXT = [
     "retrieval_hybrid_rrf",
     "ann_int8_topk",
     "retrieval_mmr_rerank",
+    "text_quality_pr_curve",
 ]
 
 

@@ -1385,3 +1385,90 @@ def quality_classifier_score(
         .cast("int")
         .alias("keep"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str = "logit",
+    label_col: str = "y",
+    grid: int = 100,
+) -> DataFrame:
+    """Precision/recall threshold sweep for a scored corpus — the
+    calibration step after :func:`logreg_train`: pick the classifier's
+    keep-threshold from evidence, not folklore.  One aggregation
+    shuffle over the corpus reduces it to a ``1/grid``-step score
+    histogram; the cumulative sweep then runs over the GRID-sized
+    frame (hundreds of buckets, never corpus rows), so the
+    unpartitioned windows here are bucket-sized by construction — no
+    global corpus sort anywhere.
+
+    All counters are exact BIGINTs and the ratios use integer
+    division (``div`` / DuckDB ``//`` — never float division, whose
+    ``floor(a*1e6/b)`` double product overflows 2^53 exactness around
+    1e12-row corpora): ``precision_q = tp·1e6 div (tp+fp)`` etc., so
+    the sweep is bit-identical across engines at any corpus size.
+
+    Row at bucket b = metrics for threshold ``thr = b/grid`` (predict
+    keep ⟺ score ≥ thr, since ``floor(score·grid) ≥ b ⟺ score·grid ≥
+    b``).  Returns (thr, tp, fp, fn, precision_q, recall_q, f1_q) —
+    ``*_q`` are ×1e6-quantized and total (0 when undefined: recall
+    with no positive labels, F1 at p + r = 0 — NON-NULL by design,
+    since a nullable int degrades to float in Arrow/pandas
+    consumers)."""
+    if grid < 1:
+        raise ValueError(f"pr_curve: grid must be >= 1, got {grid}")
+    per = (
+        df.select(
+            F.floor(F.col(score_col) * F.lit(float(grid)))
+            .cast("bigint")
+            .alias("bucket"),
+            F.col(label_col).cast("bigint").alias("__y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("__y").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("__y")).alias("n_neg"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "bucket",
+        F.sum("n_pos").over(w_cum).cast("bigint").alias("tp"),
+        F.sum("n_neg").over(w_cum).cast("bigint").alias("fp"),
+        F.sum("n_pos").over(w_all).cast("bigint").alias("__tot"),
+    )
+    pr = cum.select(
+        "bucket",
+        "tp",
+        "fp",
+        (F.col("__tot") - F.col("tp")).alias("fn"),
+        F.expr("tp * 1000000L div (tp + fp)").alias("precision_q"),
+        F.when(
+            F.col("__tot") > 0, F.expr("tp * 1000000L div __tot")
+        ).alias("recall_q"),
+    )
+    return pr.select(
+        (F.col("bucket").cast("double") / F.lit(float(grid))).alias("thr"),
+        "tp",
+        "fp",
+        "fn",
+        "precision_q",
+        F.coalesce(F.col("recall_q"), F.lit(0)).cast("bigint").alias("recall_q"),
+        # F1 = 0 when undefined (p + r = 0, or no positive labels) — the
+        # standard convention, and it keeps the column NON-NULL: a
+        # nullable int degrades to float in Arrow/pandas consumers,
+        # which breaks cross-engine value comparison
+        F.coalesce(
+            F.expr(
+                "2L * precision_q * recall_q div nullif(precision_q + recall_q, 0L)"
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("f1_q"),
+    )

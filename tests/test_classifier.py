@@ -84,3 +84,63 @@ def test_sigmoid_lut_shape():
     assert lut[800] == 5_000_000          # sigma(0) = 0.5
     assert lut[0] + lut[-1] == 10_000_000  # symmetry on the grid
     assert all(a <= b for a, b in zip(lut, lut[1:]))  # monotone
+
+
+# ---------------------------------------------------------------------------
+# pr_curve threshold sweep
+# ---------------------------------------------------------------------------
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "logit double, y int")
+
+
+def test_pr_curve_hand_computed(spark):
+    from rheoceros_spark.operators.text_analysis import pr_curve
+
+    rows = [(0.95, 1), (0.85, 1), (0.75, 0), (0.55, 1), (0.45, 0)]
+    out = {
+        round(r.thr, 2): r
+        for r in pr_curve(_scored(spark, rows), score_col="logit",
+                          label_col="y", grid=10).collect()
+    }
+    assert set(out) == {0.9, 0.8, 0.7, 0.5, 0.4}
+    r = out[0.9]
+    assert (r.tp, r.fp, r.fn) == (1, 0, 2)
+    assert (r.precision_q, r.recall_q, r.f1_q) == (1_000_000, 333_333, 499_999)
+    r = out[0.8]
+    assert (r.tp, r.fp, r.fn) == (2, 0, 1)
+    assert (r.precision_q, r.recall_q, r.f1_q) == (1_000_000, 666_666, 799_999)
+    r = out[0.7]
+    assert (r.precision_q, r.recall_q, r.f1_q) == (666_666, 666_666, 666_666)
+    r = out[0.5]
+    assert (r.tp, r.fp) == (3, 1)
+    assert (r.precision_q, r.recall_q, r.f1_q) == (750_000, 1_000_000, 857_142)
+    r = out[0.4]
+    assert (r.precision_q, r.recall_q, r.f1_q) == (600_000, 1_000_000, 750_000)
+
+
+def test_pr_curve_monotone_recall_and_total_columns(spark):
+    from rheoceros_spark.operators.text_analysis import pr_curve
+
+    rows = [(float(i) / 10.0, i % 2) for i in range(20)]
+    got = sorted(
+        pr_curve(_scored(spark, rows), grid=10).collect(), key=lambda r: -r.thr
+    )
+    recalls = [r.recall_q for r in got]
+    assert recalls == sorted(recalls), "recall must rise as thr falls"
+    assert all(r.f1_q is not None and r.recall_q is not None for r in got)
+
+
+def test_pr_curve_no_positives_yields_zero_not_null(spark):
+    from rheoceros_spark.operators.text_analysis import pr_curve
+
+    rows = [(0.9, 0), (0.1, 0)]
+    for r in pr_curve(_scored(spark, rows), grid=10).collect():
+        assert r.recall_q == 0 and r.f1_q == 0 and r.tp == 0
+
+
+def test_pr_curve_validates_grid(spark):
+    from rheoceros_spark.operators.text_analysis import pr_curve
+
+    with pytest.raises(ValueError, match="grid"):
+        pr_curve(_scored(spark, [(0.5, 1)]), grid=0)

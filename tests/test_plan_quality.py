@@ -546,3 +546,23 @@ class TestRound8PlanShapes:
         assert "CartesianProduct" not in plan
         # the checkpointed rounds surface as ExistingRDD scans
         assert "Scan ExistingRDD" in plan
+
+    def test_pr_curve_single_corpus_shuffle_grid_sized_windows(self, spark, sf):
+        """The sweep must reduce the corpus with ONE histogram shuffle;
+        the cumulative windows then run over the grid-sized bucket
+        frame (an intentional single-partition window over ~hundreds
+        of rows), never over corpus rows."""
+        from pyspark.sql import functions as F
+
+        from rheoceros_spark.operators.text_analysis import pr_curve
+
+        docs = load_table(spark, sf, "documents")
+        scored = docs.select(
+            (F.col("doc_id") % 100 / 10.0).alias("logit"),
+            (F.col("doc_id") % 2).alias("y"),
+        )
+        plan = physical_plan(pr_curve(scored))
+        final_section = plan.split("== Initial Plan ==")[0]
+        assert final_section.count("Exchange hashpartitioning") == 1
+        # map-side combine before the histogram exchange
+        assert "partial_sum" in plan or "partial_count" in plan
