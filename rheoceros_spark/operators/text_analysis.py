@@ -1472,3 +1472,57 @@ def pr_curve(
         .cast("bigint")
         .alias("f1_q"),
     )
+
+
+def classifier_score_rowlocal(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 0,
+    logit_threshold: float = 0.0,
+) -> DataFrame:
+    """Row-LOCAL twin of :func:`quality_classifier_score`: the trained
+    weight table (n_buckets+1 rows, KBs) is collected once into a plan
+    literal map, and each document's logit is a per-row token fold —
+    ``logit_q = wq[-1] + Σ_t wq[h64(t) % n_buckets]`` — with NO
+    explode, NO join, NO shuffle.  Integer addition is commutative, so
+    the fold is bit-equal to the batch scorer's per-bucket
+    ``Σ wq·cnt`` (parity-tested).
+
+    This is the scoring shape for the two places the join-based scorer
+    can't go: Structured Streaming (stateless — no state store, no
+    watermark; see streaming.stream.stream_classifier_score) and the
+    100 TB scoring pass where even one corpus shuffle is the cost
+    driver.  Returns (id, logit, keep) like the batch scorer."""
+    rows = {int(r["bucket"]): int(r["wq"]) for r in weights.collect()}
+    if not rows:
+        raise ValueError("classifier_score_rowlocal: empty weight table")
+    bias = rows.pop(-1, 0)
+    keys = sorted(rows)
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(k).cast("int") for k in keys]),
+        F.array(*[F.lit(rows[k]).cast("bigint") for k in keys]),
+    )
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    bucket = lambda t: (h64(t, seed=seed) % F.lit(n_buckets)).cast("int")  # noqa: E731
+    lq = F.coalesce(
+        F.aggregate(
+            toks,
+            F.lit(bias).cast("bigint"),
+            lambda acc, t: acc
+            + F.coalesce(F.element_at(wmap, bucket(t)), F.lit(0).cast("bigint")),
+        ),
+        F.lit(bias).cast("bigint"),
+    )
+    return df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        (lq.cast("double") / F.lit(1e7)).alias("logit"),
+        F.when(
+            lq.cast("double") / F.lit(1e7) >= F.lit(logit_threshold), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("keep"),
+    )

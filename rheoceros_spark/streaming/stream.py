@@ -447,3 +447,33 @@ def stream_chunk_documents(
     return _chunk_select(
         _chunk_filter(sdf, text_col, id_col), chunk_tokens, overlap, text_col, id_col
     )
+
+
+def stream_classifier_score(
+    sdf: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 0,
+    logit_threshold: float = 0.0,
+) -> DataFrame:
+    """Streaming twin of the LEARNED quality filter (the trained-model
+    counterpart of :func:`stream_quality_gate`'s heuristics): scores
+    each micro-batch row under a trained logreg_train weight table via
+    the row-local literal-map fold (text_analysis.
+    classifier_score_rowlocal) — stateless, no state store, no
+    watermark, and bit-equal to the batch scorer (parity-tested).
+    ``weights`` is a BATCH frame (the persisted model), collected once
+    at plan-build time into the incremental plan."""
+    from rheoceros_spark.operators.text_analysis import classifier_score_rowlocal
+
+    return classifier_score_rowlocal(
+        sdf,
+        weights,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        seed=seed,
+        logit_threshold=logit_threshold,
+    )

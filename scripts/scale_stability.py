@@ -80,6 +80,18 @@ HEAVIES = [
     "dedup_paragraph_spans",
     "text_bigram_nll",
     "pipeline_pretrain_corpus",
+    # round-8 session additions.  retrieval_hybrid_rrf and
+    # retrieval_mmr_rerank are deliberately EXCLUDED for the same
+    # reason as dedup_semantic_pairs: their query set is carved from
+    # the corpus (every 101st vector), so at 10× replicas the dense
+    # |Q|×|C| work grows ~100× by workload construction — and unlike
+    # BM25 (whose #r-suffixed token spaces keep each replica's queries
+    # matching only its own replica), embedding vectors can't be
+    # suffix-disjointed.  Their corpus-side scan shape is probed via
+    # ann_int8_topk / ann_cosine_topk instead.
+    "ann_int8_topk",
+    "text_bpe_train",
+    "text_quality_pr_curve",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
@@ -106,6 +118,12 @@ ORACLE_AT_SF1 = [
     "dedup_paragraph_spans",
     "text_bigram_nll",
     "text_quality_classifier",
+    # round-8 session additions: all corpus-linear in the oracle too
+    # (quantize+brute over 10× vectors; merge rounds over the distinct-
+    # word table; LR train + grid histogram)
+    "ann_int8_topk",
+    "text_bpe_train",
+    "text_quality_pr_curve",
 ]
 
 
@@ -168,6 +186,10 @@ def run_once(df) -> None:
 
 def main() -> None:
     skip_oracle = "--skip-oracle" in sys.argv
+    only: list[str] | None = None
+    for arg in sys.argv[1:]:
+        if arg.startswith("--only="):
+            only = [n for n in arg.split("=", 1)[1].split(",") if n]
     spark = get_session(
         "scale_stability",
         master="local[32]",
@@ -196,7 +218,10 @@ def main() -> None:
     }
     iters = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "2"))
     results: dict[str, dict] = {}
-    for name in HEAVIES + SCALABLE:
+    probe_names = [
+        n for n in HEAVIES + SCALABLE if only is None or n in only
+    ]
+    for name in probe_names:
         fn = (lambda s, d, _n=name: scalable(_n, d)) if name in SCALABLE else queries[name]
         # warm the per-plan codegen at the small sf, untimed
         run_once(fn(spark, "/root/testdata/sf0.001"))
@@ -214,9 +239,12 @@ def main() -> None:
         print(f"{name}: {t}", file=sys.stderr)
 
     oracle = {}
-    if not skip_oracle:
+    oracle_names = [
+        n for n in ORACLE_AT_SF1 if only is None or n in only
+    ]
+    if not skip_oracle and oracle_names:
         proc = subprocess.run(
-            [sys.executable, "scripts/check_oracle.py", SF1, *ORACLE_AT_SF1],
+            [sys.executable, "scripts/check_oracle.py", SF1, *oracle_names],
             capture_output=True, text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )

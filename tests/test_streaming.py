@@ -423,3 +423,62 @@ def test_stream_bpe_chunk_composition_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == expected and expected
+
+
+def test_stream_classifier_score_matches_batch_scorer_bit_for_bit(
+    spark, sf_dir, tmp_path
+):
+    """The row-local literal-map fold (streaming scorer) must produce
+    the SAME (doc_id, logit, keep) rows as the batch explode→join→
+    groupBy scorer: integer addition is commutative, so per-token and
+    per-bucket summation agree exactly."""
+    from rheoceros_spark.operators.text_analysis import (
+        classifier_score_rowlocal,
+        logreg_train,
+        quality_classifier_score,
+    )
+    from rheoceros_spark.streaming.stream import stream_classifier_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id").isNotNull()
+    )
+    labeled = docs.withColumn(
+        "__label", F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    )
+    w = logreg_train(labeled, "__label", n_buckets=64, iters=2, lr=0.5)
+    batch = {
+        r.doc_id: (r.logit, r.keep)
+        for r in quality_classifier_score(docs, w, n_buckets=64).collect()
+    }
+    rowlocal = {
+        r.doc_id: (r.logit, r.keep)
+        for r in classifier_score_rowlocal(docs, w, n_buckets=64).collect()
+    }
+    assert rowlocal == batch
+
+    # streaming: same rows through a real micro-batch plan
+    src = str(tmp_path / "score_src")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    out = []
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        stream_classifier_score(sdf, w, n_buckets=64)
+        .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cls"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r.doc_id: (r.logit, r.keep) for r in out}
+    assert streamed == batch
+
+
+def test_rowlocal_scorer_validates_empty_weights(spark):
+    from rheoceros_spark.operators.text_analysis import classifier_score_rowlocal
+
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "bucket int, wq bigint")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty weight table"):
+        classifier_score_rowlocal(docs, empty)
