@@ -4236,6 +4236,85 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_profile_oracle(k: int = 8, iters: int = 2) -> str:
+    """operators/curation.py cluster_profile: Lloyd cells + assignment
+    (the shared _lloyd_ctes), the text_quality oracle's quality
+    expression quantized half-up, exact BIGINT cell aggregates,
+    dominant source by (count desc, source asc)."""
+    ctes, cfinal = _lloyd_ctes(k, iters)
+    ctes.append(f"""assigned AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+        FROM emb e, {cfinal} c
+      ) WHERE rn = 1
+    )""")
+    ctes.append(f"""dq AS (
+      SELECT doc_id, source,
+             coalesce(CAST(floor(
+               round(0.3 * least(CAST(len({_TOK}) AS DOUBLE) / 100.0, 1.0)
+                     + 0.3 * (1.0 - CASE WHEN length({_NORM}) > 0
+                         THEN CAST(len(regexp_extract_all({_NORM}, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                              / CAST(length({_NORM}) AS DOUBLE) ELSE 0.0 END)
+                     + 0.4 * least(5.0 * CASE WHEN len({_TOK}) > 0
+                         THEN CAST(len(list_filter({_TOK},
+                              t -> list_contains({_LANG_SETS['en']}, t))) AS DOUBLE)
+                              / CAST(len({_TOK}) AS DOUBLE) ELSE 0.0 END, 1.0), 6)
+               * 1e6 + 0.5) AS BIGINT), 0) AS qq,
+             coalesce(CAST(len({_TOK}) AS BIGINT), 0) AS ntok
+      FROM documents WHERE doc_id IS NOT NULL
+    )""")
+    ctes.append("""j AS (
+      SELECT a.cell, d.doc_id, d.source, d.qq, d.ntok
+      FROM dq d JOIN assigned a ON d.doc_id = a.vec_id
+    )""")
+    ctes.append("""cells AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             CAST(sum(qq) AS BIGINT) AS sq
+      FROM j GROUP BY cell
+    )""")
+    ctes.append("""top AS (
+      SELECT cell, source AS top_source, cnt AS top_source_docs FROM (
+        SELECT cell, source, CAST(count(*) AS BIGINT) AS cnt,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY count(*) DESC, source ASC) AS rn
+        FROM j GROUP BY cell, source
+      ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT c.cell, c.n_docs, c.total_tokens,
+           CAST(c.sq // c.n_docs AS BIGINT) AS mean_quality_q,
+           t.top_source, t.top_source_docs
+    FROM cells c JOIN top t USING (cell)
+    """
+
+
+@q_staged("curation_cluster_profile", oracle=_cluster_profile_oracle())
+def curation_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cartography: per learned-semantic-cluster document
+    counts, token totals, mean quality, and dominant source — the
+    reporting layer that tells a 100 TB curation run WHICH regions of
+    embedding space to keep, cap, or drop (operators/curation.py
+    cluster_profile; the SemDeDup clustered-curation recipe's
+    companion view)."""
+    from rheoceros_spark.operators.curation import cluster_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    prof = cluster_profile(docs, emb, k=8, iters=2)
+    return prof.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_docs",
+        "total_tokens",
+        "mean_quality_q",
+        "top_source",
+        "top_source_docs",
+    )
+
+
 def _pr_curve_oracle(grid: int = 100) -> str:
     """operators/text_analysis.py pr_curve over the trained classifier's
     logits: the full LR-training oracle as a subquery, labels rejoined

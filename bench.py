@@ -141,6 +141,7 @@ BENCH_EXT = [
     "ann_int8_topk",
     "retrieval_mmr_rerank",
     "text_quality_pr_curve",
+    "curation_cluster_profile",
 ]
 
 

@@ -1498,3 +1498,85 @@ def ngram_novelty(
             ).alias("novelty_ratio"),
         )
     )
+
+
+def cluster_profile(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus cartography: profile the corpus per LEARNED semantic
+    cluster — the reporting layer of the SemDeDup/clustered-curation
+    recipe (what is each region of embedding space made of, and is it
+    worth keeping?).  Trains Lloyd cells on the embeddings (or reuses
+    ``cents``), assigns every document, and aggregates per cell:
+    document count, total whitespace tokens, mean heuristic quality
+    (×1e6-quantized, integer division), and the dominant source with
+    its count (ties on ascending source name).
+
+    Scale shape: the codebook is ≤k rows (broadcast); assignment is
+    the max_by argmax scan; ONE doc_id equi-shuffle joins documents to
+    their cell; both aggregates are map-side combined, and the
+    dominant-source pick is a WindowGroupLimit over (cell, source)
+    counts — cells × sources rows, never corpus rows.  Output is
+    k rows.  All counters exact BIGINTs; quality quantized half-up
+    (floor(x+0.5)) with NULL-text documents contributing 0 — the
+    cross-engine discipline."""
+    from rheoceros_spark.functions.portable import tokens
+    from rheoceros_spark.operators.similarity import ivf_assign, kmeans_centroids
+    from rheoceros_spark.operators.text_analysis import quality_score
+
+    base = emb.where(F.col(vec_id_col).isNotNull()).select(vec_id_col, vec_col)
+    if cents is None:
+        cents = kmeans_centroids(base, k, iters, vec_col, vec_id_col)
+    cents = cents.localCheckpoint(eager=True)
+    assigned = ivf_assign(base, k, vec_col, vec_id_col, cents=cents).select(
+        F.col(vec_id_col).alias(doc_id_col), "cell"
+    )
+    scored = quality_score(docs.where(F.col(doc_id_col).isNotNull()), text_col)
+    d = scored.select(
+        F.col(doc_id_col),
+        F.col(source_col),
+        F.coalesce(
+            F.floor(F.col("quality") * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("__qq"),
+        F.coalesce(
+            F.size(tokens(F.col(text_col))).cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("__ntok"),
+    )
+    j = d.join(assigned, on=doc_id_col)
+    cells = j.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__ntok").alias("total_tokens"),
+        F.sum("__qq").alias("__sq"),
+    )
+    cells = cells.select(
+        "cell",
+        "n_docs",
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("__sq div n_docs").cast("bigint").alias("mean_quality_q"),
+    )
+    srcs = j.groupBy("cell", source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("__cnt").desc(), F.col(source_col).asc()
+    )
+    top = (
+        srcs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "cell",
+            F.col(source_col).alias("top_source"),
+            F.col("__cnt").alias("top_source_docs"),
+        )
+    )
+    return cells.join(top, on="cell")

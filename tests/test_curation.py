@@ -767,3 +767,73 @@ def test_corpus_diff_indexed_rejects_mixed_algo_index(spark):
     out = {r.doc_id: r.status for r in corpus_diff_indexed(new, good).collect()}
     assert out[1] == "unchanged" and out[2] == "removed"
     assert FINGERPRINT_ALGO == "md5_norm_v1"
+
+
+# ---------------------------------------------------------------------------
+# cluster_profile — corpus cartography
+# ---------------------------------------------------------------------------
+
+def test_cluster_profile_partitions_and_aggregates(spark, sf_dir):
+    """Every embedded document lands in exactly one cell; per-cell
+    counts sum to the joined corpus; the dominant source really is the
+    cell's modal source."""
+    from rheoceros_spark.operators.curation import cluster_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    prof = cluster_profile(docs, emb, k=4, iters=1).collect()
+    assert 1 <= len(prof) <= 4
+    joined_n = (
+        docs.where(F.col("doc_id").isNotNull())
+        .join(
+            emb.where(F.col("vec_id").isNotNull()).select(
+                F.col("vec_id").alias("doc_id")
+            ),
+            "doc_id",
+        )
+        .count()
+    )
+    assert sum(r.n_docs for r in prof) == joined_n
+    for r in prof:
+        assert r.top_source_docs <= r.n_docs
+        assert 0 <= r.mean_quality_q <= 1_000_000
+        assert r.total_tokens >= r.n_docs  # every doc has >= 1 token here
+
+
+def test_cluster_profile_reuses_provided_centroids(spark, sf_dir):
+    """Passing a trained codebook must skip retraining and produce the
+    same cells as training inline with identical params."""
+    from rheoceros_spark.operators.curation import cluster_profile
+    from rheoceros_spark.operators.similarity import kmeans_centroids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id").isNotNull()).select("vec_id", "embedding")
+    cents = kmeans_centroids(base, 4, 1, "embedding", "vec_id")
+    a = {
+        r.cell: (r.n_docs, r.top_source)
+        for r in cluster_profile(docs, emb, k=4, iters=1).collect()
+    }
+    b = {
+        r.cell: (r.n_docs, r.top_source)
+        for r in cluster_profile(docs, emb, k=4, iters=1, cents=cents).collect()
+    }
+    assert a == b
+
+
+def test_cluster_profile_modal_source_tie_breaks_ascending(spark):
+    from rheoceros_spark.operators.curation import cluster_profile
+
+    # 4 identical vectors -> one cell; sources split 2/2 -> 'a' wins tie
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    docs = spark.createDataFrame(
+        [(0, "x y z", "b"), (1, "x y", "a"), (2, "z", "b"), (3, "w", "a")],
+        "doc_id long, text string, source string",
+    )
+    prof = cluster_profile(docs, emb, k=1, iters=1).collect()
+    assert len(prof) == 1
+    r = prof[0]
+    assert r.n_docs == 4 and r.top_source == "a" and r.top_source_docs == 2
+    assert r.total_tokens == 7

@@ -566,3 +566,23 @@ class TestRound8PlanShapes:
         assert final_section.count("Exchange hashpartitioning") == 1
         # map-side combine before the histogram exchange
         assert "partial_sum" in plan or "partial_count" in plan
+
+    def test_cluster_profile_broadcast_codebook_single_doc_shuffle(
+        self, spark, sf
+    ):
+        """The profile plan must broadcast the <=k-row codebook (no
+        corpus x codebook shuffle) and keep the doc-to-cell join an
+        equi-join; the modal-source window runs over (cell, source)
+        counts, so a WindowGroupLimit-or-rank filter never sees corpus
+        rows.  No cartesian nodes anywhere."""
+        df = entry._STAGED_QUERIES["curation_cluster_profile"](spark, sf)
+        df.write.format("noop").mode("overwrite").save()
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
+        # embedding vectors must not cross a hash exchange: assignment
+        # reduces to (id, cell) before any shuffle
+        final_section = plan.split("== Initial Plan ==")[0]
+        for line in final_section.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "embedding#" not in line, line
