@@ -4236,6 +4236,60 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash_embed_topk_oracle(
+    dim: int = 32, query_id: int = 0, k: int = 10
+) -> str:
+    """operators/text_analysis.py hash_embed (normalize=False) + brute
+    cosine_topk reproduced: per-token portable h64, per-dim sign-bit
+    folds as exact BIGINTs, then the standard ordered-fold cosine
+    rank."""
+    th = _H64.format(s="'0:' || t")
+    hemb = f"""
+      SELECT doc_id AS vec_id,
+             list_transform(range(0, {dim}), d -> CAST(
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter({_TOK}, t -> t <> ''),
+                   t -> 2 * (({th} >> d) & 1) - 1)),
+                 (acc, x) -> acc + x) AS DOUBLE)) AS embedding
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    """
+    return f"""
+    WITH hemb AS ({hemb}), qv AS (
+      SELECT embedding AS qv FROM hemb WHERE vec_id = {query_id}
+    )
+    SELECT vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_r
+    FROM (
+      SELECT h.vec_id, {_cos_sql('h.embedding', 'q.qv')} AS cos,
+             row_number() OVER (ORDER BY {_cos_sql('h.embedding', 'q.qv')} DESC,
+                                h.vec_id ASC) AS rank
+      FROM hemb h, qv q WHERE h.vec_id <> {query_id}
+    ) WHERE rank <= {k}
+    """
+
+
+@q_staged("text_hash_embed_topk", oracle=_hash_embed_topk_oracle())
+def text_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free dense retrieval: feature-hashing embeddings derived
+    from the text itself (operators/text_analysis.py hash_embed — one
+    md5 per token, per-dim sign-bit folds, exact integer components),
+    fed straight into the ANN family's brute cosine top-k.  Makes the
+    text→ANN pipeline self-contained for corpora without an embedding
+    column; every similarity operator (IVF/PQ/int8/MMR) composes with
+    the derived vectors unchanged."""
+    from rheoceros_spark.operators.similarity import cosine_topk
+    from rheoceros_spark.operators.text_analysis import hash_embed
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    emb = hash_embed(docs, dim=32, normalize=False)
+    return cosine_topk(emb, query_id=0, k=10, id_col="doc_id").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "cos_r",
+    )
+
+
 def _cluster_profile_oracle(k: int = 8, iters: int = 2) -> str:
     """operators/curation.py cluster_profile: Lloyd cells + assignment
     (the shared _lloyd_ctes), the text_quality oracle's quality

@@ -142,6 +142,7 @@ BENCH_EXT = [
     "retrieval_mmr_rerank",
     "text_quality_pr_curve",
     "curation_cluster_profile",
+    "text_hash_embed_topk",
 ]
 
 

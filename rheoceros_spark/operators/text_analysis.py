@@ -1526,3 +1526,54 @@ def classifier_score_rowlocal(
         .cast("int")
         .alias("keep"),
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing text embedder (random-projection signs from the
+    portable h64 — the hashing-trick counterpart of random indexing):
+    ``v_d = Σ_t (2·bit_d(h64(t)) − 1)``, one md5 per TOKEN (the per-dim
+    signs are bits of that single hash — never dim hashes per token),
+    then per-dim bit folds in exact integer arithmetic.
+
+    This makes the text→ANN pipeline self-contained: corpora without a
+    model-embedding column still get a deterministic dense vector that
+    preserves bag-of-tokens cosine structure, and every downstream
+    similarity operator (cosine_topk / IVF / PQ / int8 / MMR) composes
+    with it unchanged.  Component sums are exact BIGINTs (cross-engine
+    bit-identical by construction); with ``normalize=True`` one IEEE
+    sqrt/division pair maps onto the unit sphere.  A NULL text yields a
+    NULL vector; an empty text yields the zero vector (unnormalized —
+    the zero-norm guard).
+
+    Scale shape: pure per-row projection — no shuffle, no Python, no
+    joins; runs inside the scan stage like quantize_embeddings."""
+    if not 1 <= dim <= 60:
+        raise ValueError(f"hash_embed: dim must be in [1, 60], got {dim}")
+    toks_f = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    harr = F.transform(toks_f, lambda t: h64(t, seed=seed))
+    base = df.where(F.col(id_col).isNotNull()).withColumn("__harr", harr)
+    comp = F.expr(
+        f"transform(sequence(0, {dim - 1}), d -> "
+        f"aggregate(__harr, 0L, (acc, h) -> acc + (2L * ((h >> d) & 1L) - 1L)))"
+    )
+    # aggregate(NULL, ...) is NULL per element while sequence() is not,
+    # so an unguarded transform would yield [NULL, NULL, ...] for a
+    # NULL text instead of the documented NULL vector
+    out = base.withColumn(
+        "__comp", F.when(F.col("__harr").isNotNull(), comp)
+    )
+    dvec = F.transform(F.col("__comp"), lambda x: x.cast("double"))
+    if not normalize:
+        return out.select(F.col(id_col), dvec.alias("embedding"))
+    from rheoceros_spark.functions.portable import dot
+
+    norm = F.sqrt(dot(dvec, dvec))
+    unit = F.when(norm > 0, F.transform(dvec, lambda x: x / norm)).otherwise(dvec)
+    return out.select(F.col(id_col), unit.alias("embedding"))

@@ -315,3 +315,70 @@ class TestMMRRerank:
             mmr_rerank(self._cands(spark), k=0)
         with pytest.raises(ValueError, match="lam_q"):
             mmr_rerank(self._cands(spark), k=2, lam_q=1001)
+
+
+# ---------------------------------------------------------------------------
+# hash_embed — feature-hashing text embedder
+# ---------------------------------------------------------------------------
+
+class TestHashEmbed:
+    def test_deterministic_and_bag_sensitive(self, spark):
+        from rheoceros_spark.operators.text_analysis import hash_embed
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.embedding for r in hash_embed(docs, dim=16).collect()}
+        assert out[1] == out[2]          # same bag -> same vector
+        assert out[1] != out[3]
+        # unit norm after normalize=True
+        assert abs(sum(x * x for x in out[1]) - 1.0) < 1e-9
+
+    def test_token_multiplicity_counts(self, spark):
+        from rheoceros_spark.operators.text_analysis import hash_embed
+
+        docs = spark.createDataFrame(
+            [(1, "word"), (2, "word word")], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r.embedding
+            for r in hash_embed(docs, dim=8, normalize=False).collect()
+        }
+        assert [2 * x for x in out[1]] == out[2]  # tf scaling, exact ints
+
+    def test_empty_and_null_text_edges(self, spark):
+        from rheoceros_spark.operators.text_analysis import hash_embed
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, None)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.embedding for r in hash_embed(docs, dim=4).collect()}
+        assert out[1] == [0.0, 0.0, 0.0, 0.0]  # zero vector, not NaN
+        assert out[2] is None
+
+    def test_composes_with_similarity_family(self, spark):
+        """The derived vectors must run through quantize + int8 topk
+        unchanged — the self-contained text->ANN path."""
+        from rheoceros_spark.operators.similarity import ann_int8_topk
+        from rheoceros_spark.operators.text_analysis import hash_embed
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 5} tok{i % 3} tok{i % 7} filler common words")
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+        emb = hash_embed(docs, dim=24, normalize=False).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        got = ann_int8_topk(emb, query_id=0, k=5, candidates=40).collect()
+        assert len(got) == 5 and got[0].rank == 1
+
+    def test_validates_dim(self, spark):
+        from rheoceros_spark.operators.text_analysis import hash_embed
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="dim"):
+            hash_embed(docs, dim=0)
+        with pytest.raises(ValueError, match="dim"):
+            hash_embed(docs, dim=61)

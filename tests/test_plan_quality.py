@@ -586,3 +586,16 @@ class TestRound8PlanShapes:
         for line in final_section.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "embedding#" not in line, line
+
+    def test_hash_embed_is_shuffle_free_projection(self, spark, sf):
+        """The embedder must run entirely inside the scan stage: no
+        exchange, no Python eval, one parquet scan."""
+        from pyspark.sql import functions as F
+
+        from rheoceros_spark.operators.text_analysis import hash_embed
+
+        docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+        plan = physical_plan(hash_embed(docs, dim=32))
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+        assert plan.count("Scan parquet") == 1
