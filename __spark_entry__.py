@@ -3853,6 +3853,41 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # new operators whose registration must wait for a slot-freeing
 # retirement ship here fully implemented, with stashed oracles and
 # pytest parity gates (tests/test_staged.py).
+#
+# ---- Round-9 certification plan (worked out in r8; 10 staged) -------------
+# The 50-slot window + 2-round totality caps the registry at 100, so the
+# 10 staged queries register over TWO rounds, 5 per round, each against 5
+# retirements to pytest-only oracle parity (the dedup_ngram_jaccard /
+# ann_cosine precedent — retirees keep full DuckDB gates in
+# test_retired_oracles.py and check_oracle --retired):
+#
+# r9 registers: pipeline_pretrain_corpus, retrieval_hybrid_rrf,
+#   ann_int8_topk, dedup_paragraph_spans, text_bigram_nll.
+# r9 retires (from the r7-certified pool — NOT in the r8 window, so the
+# r8∪r9 totality is unaffected; each is the weakest marginal row of an
+# otherwise multiply-certified shape family):
+#   agg_rollup            (rollup ⊂ agg_cube's grouping lattice),
+#   set_intersect         (set-op family held by set_except),
+#   window_running_total  (running/sliding frames held by
+#                          events_sliding_2day + metric_period_stats_hourly;
+#                          rank windows by window_topn_per_group),
+#   q6_revenue_forecast   (single-table filter-agg ⊂ q1/q14/q19 shapes),
+#   events_funnel_3step   (sequential-condition agg ⊂ events_cohort_retention).
+# r9 window = the 5 new + the remaining 45 r7-certified rotations — that
+# is EXACTLY 50, and r8∪r9 = 100/100.
+#
+# r10 registers: text_bpe_train, retrieval_mmr_rerank,
+#   text_quality_pr_curve, curation_cluster_profile, text_hash_embed_topk,
+#   text_gopher_rules, curation_ppl_buckets,
+# against 7 retirements from the r8-certified pool (candidates, same
+# weakest-marginal-row test: dedup_minhash_lsh_pairs + dedup_simhash_pairs
+# — quadratic verification twins whose scalable siblings are benched and
+# probed; pivot_returnflag_status — pivot is grouping-set sugar held by
+# grouping_sets_revenue; q11_important_parts / q18_large_volume_orders —
+# having/semi-join shapes held by q21 + topk_orders;
+# broadcast_join_enrich — broadcast-dim enrich is plan-gated and embedded
+# in every TPC-H dim join; events_tumbling_daily — tumbling ⊂ the sliding
+# window held by events_sliding_2day).
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -4067,9 +4102,11 @@ def dedup_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q_staged(
-    "text_bigram_nll",
-    oracle=f"""
+def _bigram_nll_sql() -> str:
+    """The full self-trained add-k bigram NLL in DuckDB (shared by the
+    text_bigram_nll oracle and the ppl-bucket oracle that scores with
+    it)."""
+    return f"""
     WITH docs AS (
       SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id IS NOT NULL
     ), pairs AS (
@@ -4100,8 +4137,10 @@ def dedup_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT documents.doc_id, coalesce(a.n_scored, 0) AS n_scored, a.nll
     FROM documents LEFT JOIN agg a ON documents.doc_id = a.doc_id
-    """,
-)
+    """
+
+
+@q_staged("text_bigram_nll", oracle=_bigram_nll_sql())
 def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained add-k bigram LM fluency per document — the CCNet
     KenLM-perplexity fidelity step past unigram_nll: conditioning on
@@ -4968,6 +5007,148 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.select(
         "doc_id", "chunk_id", "shard", "n_chunk_tokens", "bin_id", "chunk_text"
+    )
+
+
+def _gopher_rules_oracle() -> str:
+    """Every Gopher rule replayed in DuckDB on exact integer arithmetic
+    — the same ``10·n_sym ≤ n_words`` comparisons and ``·1e6 // n``
+    quantized ratios as operators/text_analysis.py gopher_rules."""
+    stops = ", ".join(f"'{s}'" for s in ["the", "be", "to", "of", "and", "that", "have", "with"])
+    return f"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS raw,
+             trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, raw, norm,
+             CAST(CASE WHEN length(norm) = 0 THEN 0
+                  ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_words,
+             string_split(norm, ' ') AS toks,
+             string_split(raw, chr(10)) AS lines
+      FROM base
+    ), cnt AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0
+                  THEN CAST(length(norm) AS BIGINT) - (n_words - 1)
+                  ELSE 0 END AS wc,
+             CAST(length(raw) - length(replace(raw, '#', '')) AS BIGINT)
+               + CAST(length(raw) - length(replace(raw, '…', '')) AS BIGINT)
+               + CAST(len(regexp_extract_all(raw, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT) AS n_bul,
+             CAST(len(list_filter(lines,
+               l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+               AS BIGINT) AS n_ell,
+             CASE WHEN n_words > 0
+                  THEN CAST(len(list_filter(toks,
+                       t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+                  ELSE 0 END AS n_alpha,
+             CAST(len(list_intersect(toks, [{stops}])) AS BIGINT) AS stop_hits
+      FROM feat
+    )
+    SELECT doc_id, n_words, n_lines, stop_hits,
+           CASE WHEN n_words > 0
+                THEN CAST(wc * 1000000 // n_words AS DOUBLE) / 1e6 END AS mean_word_len,
+           CASE WHEN n_words > 0
+                THEN CAST(n_sym * 1000000 // n_words AS DOUBLE) / 1e6 END AS symbol_word_ratio,
+           CASE WHEN n_lines > 0
+                THEN CAST(n_bul * 1000000 // n_lines AS DOUBLE) / 1e6 END AS bullet_line_frac,
+           CASE WHEN n_lines > 0
+                THEN CAST(n_ell * 1000000 // n_lines AS DOUBLE) / 1e6 END AS ellipsis_line_frac,
+           CASE WHEN n_words > 0
+                THEN CAST(n_alpha * 1000000 // n_words AS DOUBLE) / 1e6 END AS alpha_word_frac,
+           CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS g_word_count,
+           CAST(n_words > 0 AND wc >= 3 * n_words AND wc <= 10 * n_words AS INT)
+             AS g_mean_word_len,
+           CAST(10 * n_sym <= n_words AS INT) AS g_symbol_ratio,
+           CAST(10 * n_bul <= 9 * n_lines AS INT) AS g_bullet_lines,
+           CAST(10 * n_ell <= 3 * n_lines AS INT) AS g_ellipsis_lines,
+           CAST(n_words > 0 AND 10 * n_alpha >= 8 * n_words AS INT) AS g_alpha_words,
+           CAST(stop_hits >= 2 AS INT) AS g_stop_words,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND n_words > 0 AND wc >= 3 * n_words AND wc <= 10 * n_words
+                AND 10 * n_sym <= n_words
+                AND 10 * n_bul <= 9 * n_lines
+                AND 10 * n_ell <= 3 * n_lines
+                AND 10 * n_alpha >= 8 * n_words
+                AND stop_hits >= 2 AS INT) AS gopher_pass
+    FROM cnt
+    """
+
+
+@q_staged("text_gopher_rules", oracle=_gopher_rules_oracle())
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule flags per document (Rae et al. 2021
+    §A1.1, the non-repetition half — text_repetition certifies the
+    repetition half): word-count / mean-word-length / symbol-ratio /
+    bullet-line / ellipsis-line / alpha-word / stop-word rules, every
+    threshold an exact integer comparison so the flags carry no float
+    seam.  Pure per-row column algebra — one scan at 100 TB, zero
+    shuffle (operators/text_analysis.py gopher_rules)."""
+    from rheoceros_spark.operators.text_analysis import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "n_lines", "stop_hits", "mean_word_len",
+        "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+        "alpha_word_frac", "g_word_count", "g_mean_word_len",
+        "g_symbol_ratio", "g_bullet_lines", "g_ellipsis_lines",
+        "g_alpha_words", "g_stop_words", "gopher_pass",
+    )
+
+
+def _ppl_buckets_oracle(head_pct: int = 30, tail_pct: int = 30) -> str:
+    """Bigram-NLL scoring (the certified _bigram_nll_sql chain as a
+    subquery) + the value-granular head/middle/tail cut in exact
+    integer arithmetic — operators/curation.py ppl_buckets replayed."""
+    mid_pct = 100 - tail_pct
+    bigram = _bigram_nll_sql().strip().rstrip()
+    return f"""
+    WITH bn AS ({bigram}
+    ), scored AS (
+      SELECT d.doc_id, d.source, b.n_scored, b.nll,
+             CAST(round(b.nll * 1e6) AS BIGINT) AS sq
+      FROM documents d JOIN bn b ON d.doc_id = b.doc_id
+    ), hist AS (
+      SELECT source, sq, CAST(count(*) AS BIGINT) AS c
+      FROM scored WHERE sq IS NOT NULL GROUP BY source, sq
+    ), lab AS (
+      SELECT source, sq,
+             CASE WHEN 100 * cum <= {head_pct} * n THEN 'head'
+                  WHEN 100 * cum <= {mid_pct} * n THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM (
+        SELECT source, sq,
+               sum(c) OVER (PARTITION BY source ORDER BY sq
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM hist
+      )
+    )
+    SELECT s.doc_id, s.source, s.n_scored, s.nll, l.ppl_bucket
+    FROM scored s LEFT JOIN lab l ON s.source = l.source AND s.sq = l.sq
+    """
+
+
+@q_staged("curation_ppl_buckets", oracle=_ppl_buckets_oracle())
+def curation_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing per source (Wenzek
+    et al. 2020 §3.3): self-trained bigram NLL as the LM score, then a
+    value-granular 30/40/30 percentile cut per source — the corpus-
+    sized work is one histogram groupBy; the cumulative pass runs on
+    the histogram only and labels return by broadcast join
+    (operators/curation.py ppl_buckets)."""
+    from rheoceros_spark.operators.curation import ppl_buckets
+    from rheoceros_spark.operators.text_analysis import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    nll = bigram_nll(docs, k=0.1)
+    scored = (
+        docs.select("doc_id", "source").join(nll, "doc_id").localCheckpoint()
+    )
+    return ppl_buckets(scored, score_col="nll", group_col="source").select(
+        "doc_id", "source", "n_scored", "nll", "ppl_bucket"
     )
 
 

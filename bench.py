@@ -143,6 +143,8 @@ BENCH_EXT = [
     "text_quality_pr_curve",
     "curation_cluster_profile",
     "text_hash_embed_topk",
+    "text_gopher_rules",
+    "curation_ppl_buckets",
 ]
 
 

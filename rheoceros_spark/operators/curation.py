@@ -1580,3 +1580,77 @@ def cluster_profile(
         )
     )
     return cells.join(top, on="cell")
+
+
+def ppl_buckets(
+    df: DataFrame,
+    score_col: str = "nll",
+    group_col: str = "source",
+    head_pct: int = 30,
+    tail_pct: int = 30,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): split
+    each group's documents into ``head`` / ``middle`` / ``tail`` by LM
+    score percentile — head = lowest-NLL (most fluent) ``head_pct``
+    percent, tail = highest ``tail_pct`` percent.  CCNet keeps head+
+    middle for pretraining and inspects the tail.
+
+    Value-granular by design: the cut is on the SCORE value's
+    cumulative frequency, so all rows sharing a score land in one
+    bucket and the labeling is independent of partitioning, row order,
+    and engine — no row_number tie-break lottery.  A boundary score
+    whose cumulative count crosses the cut belongs to the higher
+    bucket (exact integer comparison ``100·cum ≤ pct·n``; no float
+    percentile seam).  Rows with NULL score get a NULL bucket.
+
+    Scale shape: the corpus-sized work is ONE map-side-combined
+    groupBy to the (group, quantized-score) histogram; the cumulative
+    window runs over that histogram-sized frame only (the
+    source_mixture_weights pattern), and labels return via a
+    broadcast equi-join — no corpus-sized window, sort, or collect.
+    The input is consumed twice (histogram + label join): cache or
+    ``localCheckpoint`` an expensive upstream (e.g. a bigram_nll
+    chain) before calling.
+
+    Reference-extension operator (SURVEY.md §2.12).
+    """
+    if not (0 < head_pct and 0 < tail_pct and head_pct + tail_pct < 100):
+        raise ValueError(
+            f"ppl_buckets: need 0 < head_pct, 0 < tail_pct, head_pct + tail_pct "
+            f"< 100; got {head_pct}/{tail_pct}"
+        )
+    mid_pct = 100 - tail_pct
+    # 1e-6 grid: score_col is already round(x, 6)-quantized by the NLL
+    # operators, so this is a lossless integer key, not a re-round
+    sq = F.round(F.col(score_col) * F.lit(1e6)).cast("bigint")
+    keyed = df.withColumn("__sq", sq)
+    hist = (
+        keyed.where(F.col("__sq").isNotNull())
+        .groupBy(group_col, "__sq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("__sq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    lab = (
+        hist.withColumn("__cum", F.sum("__c").over(w_cum))
+        .withColumn("__n", F.sum("__c").over(w_all))
+        .select(
+            group_col,
+            "__sq",
+            F.when(
+                F.lit(100) * F.col("__cum") <= F.lit(head_pct) * F.col("__n"),
+                F.lit("head"),
+            )
+            .when(
+                F.lit(100) * F.col("__cum") <= F.lit(mid_pct) * F.col("__n"),
+                F.lit("middle"),
+            )
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+    return keyed.join(F.broadcast(lab), [group_col, "__sq"], "left").drop("__sq")

@@ -233,6 +233,125 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Gopher's "stop word" rule set (Rae et al. 2021 §A1.1): a document
+#: must contain at least two of these to pass the final quality rule.
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: line-leading bullet glyphs for the bullet-line rule
+GOPHER_BULLETS = ["-", "*", "•"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, §A1.1 — the
+    non-repetition half; :func:`repetition_metrics` covers the
+    repetition half): per-document pass/fail flags for
+
+    * ``g_word_count``     — word count in ``[min_words, max_words]``
+    * ``g_mean_word_len``  — mean word length in ``[3, 10]`` chars
+    * ``g_symbol_ratio``   — (``#`` + ellipsis)-to-word ratio ≤ 0.1
+    * ``g_bullet_lines``   — ≤ 90% of lines start with a bullet glyph
+    * ``g_ellipsis_lines`` — ≤ 30% of lines end with an ellipsis
+    * ``g_alpha_words``    — ≥ 80% of words contain a letter
+    * ``g_stop_words``     — ≥ 2 distinct Gopher stop words present
+    * ``gopher_pass``      — conjunction of all seven
+
+    Every threshold comparison is EXACT INTEGER arithmetic
+    (``10·n_sym ≤ n_words`` instead of ``n_sym/n_words ≤ 0.1``), so the
+    flags are bit-identical across engines with no float-rounding seam;
+    the reported ratio columns are integer-quantized (``·1e6 div n``,
+    then one IEEE division by 1e6 — the dsir_logw discipline).  Word
+    totals come from ``length(norm) − (n_words − 1)``: normalization
+    collapses runs to single spaces, so the subtraction recovers the
+    summed word length without a per-word fold.
+
+    Pure per-row column algebra — zero shuffle, no UDFs, whole-stage
+    codegen; cost at 100 TB is exactly one scan, and the operator is
+    stateless so the Structured Streaming twin is the same expression
+    tree (streaming/stream.py stream_gopher_rules).
+
+    Reference-extension operator (SURVEY.md §2.12); rule set is public
+    per the Gopher paper's data-quality appendix.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    norm = normalize_text(raw)
+    toks = tokens(raw)
+    n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(toks)).cast("long")
+    word_chars = F.when(
+        n_words > 0, F.length(norm).cast("long") - (n_words - F.lit(1))
+    ).otherwise(F.lit(0))
+
+    # symbols counted on the RAW text (normalization strips nothing
+    # relevant, but the rule is about the document as authored)
+    n_hash = (F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))).cast("long")
+    n_uni_ell = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("…"), F.lit("")))
+    ).cast("long")
+    n_dot_ell = F.regexp_count(raw, F.lit(r"\.\.\.")).cast("long")
+    n_sym = n_hash + n_uni_ell + n_dot_ell
+
+    lines = F.split(raw, "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_first = lambda l: F.substring(F.ltrim(l), 1, 1).isin(*GOPHER_BULLETS)
+    n_bullet = F.size(F.filter(lines, bullet_first)).cast("long")
+    ell_end = lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…")
+    n_ell_lines = F.size(F.filter(lines, ell_end)).cast("long")
+
+    alpha = lambda t: t.rlike("[a-z]")  # norm tokens are lowercased
+    n_alpha = F.when(n_words > 0, F.size(F.filter(toks, alpha))).otherwise(F.lit(0)).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(F.array(*[F.lit(s) for s in GOPHER_STOPS]), toks)
+    ).cast("long")
+
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("__wc", word_chars)
+        .withColumn("__sym", n_sym)
+        .withColumn("n_lines", n_lines)
+        .withColumn("__bul", n_bullet)
+        .withColumn("__ell", n_ell_lines)
+        .withColumn("__alpha", n_alpha)
+        .withColumn("stop_hits", stop_hits)
+    )
+    q6 = lambda num, den: F.when(
+        F.col(den) > 0, F.expr(f"{num} * 1000000L div {den}").cast("double") / F.lit(1e6)
+    )
+    out = (
+        out.withColumn("mean_word_len", q6("__wc", "n_words"))
+        .withColumn("symbol_word_ratio", q6("__sym", "n_words"))
+        .withColumn("bullet_line_frac", q6("__bul", "n_lines"))
+        .withColumn("ellipsis_line_frac", q6("__ell", "n_lines"))
+        .withColumn("alpha_word_frac", q6("__alpha", "n_words"))
+    )
+    rules = {
+        "g_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "g_mean_word_len": (F.col("n_words") > 0)
+        & (F.col("__wc") >= F.lit(min_mean_word_len) * F.col("n_words"))
+        & (F.col("__wc") <= F.lit(max_mean_word_len) * F.col("n_words")),
+        "g_symbol_ratio": F.lit(10) * F.col("__sym") <= F.col("n_words"),
+        "g_bullet_lines": F.lit(10) * F.col("__bul") <= F.lit(9) * F.col("n_lines"),
+        "g_ellipsis_lines": F.lit(10) * F.col("__ell") <= F.lit(3) * F.col("n_lines"),
+        "g_alpha_words": (F.col("n_words") > 0)
+        & (F.lit(10) * F.col("__alpha") >= F.lit(8) * F.col("n_words")),
+        "g_stop_words": F.col("stop_hits") >= 2,
+    }
+    gpass = None
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond.cast("int"))
+        c = F.col(name) == 1
+        gpass = c if gpass is None else gpass & c
+    return out.withColumn("gopher_pass", gpass.cast("int")).drop(
+        "__wc", "__sym", "__bul", "__ell", "__alpha"
+    )
+
+
 def unigram_nll(
     df: DataFrame,
     text_col: str = "text",

@@ -335,6 +335,19 @@ def stream_quality_gate(
     return d.withColumn("accepted", accepted)
 
 
+def stream_gopher_rules(sdf: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming twin of the Gopher quality-rule flags
+    (text_analysis.gopher_rules): per-micro-batch-row rule evaluation —
+    pure column expressions, exact integer threshold comparisons,
+    stateless (no watermark, no state store), so the incremental plan
+    is the batch expression tree verbatim and batch≡stream parity is
+    structural, not coincidental (parity-tested in
+    tests/test_streaming.py)."""
+    from rheoceros_spark.operators.text_analysis import gopher_rules
+
+    return gopher_rules(sdf, text_col)
+
+
 def quality_split_sink(
     sdf: DataFrame,
     out_root: str,

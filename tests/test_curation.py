@@ -837,3 +837,64 @@ def test_cluster_profile_modal_source_tie_breaks_ascending(spark):
     r = prof[0]
     assert r.n_docs == 4 and r.top_source == "a" and r.top_source_docs == 2
     assert r.total_tokens == 7
+
+
+class TestPplBuckets:
+    """CCNet head/middle/tail bucketing: value-granular cuts, exact
+    integer boundary semantics, per-group independence, NULL scores."""
+
+    def _buckets(self, spark, rows, **kw):
+        from rheoceros_spark.operators.curation import ppl_buckets
+
+        df = spark.createDataFrame(rows, "doc_id long, source string, nll double")
+        out = ppl_buckets(df, score_col="nll", group_col="source", **kw)
+        return {r.doc_id: r.ppl_bucket for r in out.collect()}
+
+    def test_even_split_30_40_30(self, spark):
+        # 10 distinct scores: cum% = 10,20,...,100 -> 3 head, 4 middle, 3 tail
+        rows = [(i, "a", float(i)) for i in range(10)]
+        got = self._buckets(spark, rows)
+        assert [got[i] for i in range(10)] == (
+            ["head"] * 3 + ["middle"] * 4 + ["tail"] * 3
+        )
+
+    def test_tied_scores_share_one_bucket(self, spark):
+        # 4 rows share the lowest score: cum 4/10 = 40% > 30% -> ALL middle
+        rows = [(i, "a", 1.0) for i in range(4)] + [
+            (i, "a", float(i)) for i in range(4, 10)
+        ]
+        got = self._buckets(spark, rows)
+        assert {got[i] for i in range(4)} == {"middle"}
+        # no row is head: the first distinct value already crosses the cut
+        assert "head" not in got.values()
+
+    def test_boundary_is_inclusive(self, spark):
+        # 10 rows, head_pct=30: cum 3 -> 100*3 <= 30*10 holds, row 2 is head
+        rows = [(i, "a", float(i)) for i in range(10)]
+        got = self._buckets(spark, rows, head_pct=30, tail_pct=30)
+        assert got[2] == "head" and got[3] == "middle"
+
+    def test_groups_cut_independently(self, spark):
+        rows = [(i, "a", float(i)) for i in range(10)] + [
+            (100 + i, "b", float(1000 + i)) for i in range(10)
+        ]
+        got = self._buckets(spark, rows)
+        # same positional buckets despite disjoint score ranges
+        assert got[0] == "head" and got[100] == "head"
+        assert got[9] == "tail" and got[109] == "tail"
+
+    def test_null_score_gets_null_bucket(self, spark):
+        rows = [(0, "a", None)] + [(i, "a", float(i)) for i in range(1, 11)]
+        got = self._buckets(spark, rows)
+        assert got[0] is None and got[1] == "head"
+
+    def test_rejects_bad_percentages(self, spark):
+        import pytest as _pt
+
+        from rheoceros_spark.operators.curation import ppl_buckets
+
+        df = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, source string, nll double")
+        with _pt.raises(ValueError, match="head_pct"):
+            ppl_buckets(df, head_pct=60, tail_pct=50)
+        with _pt.raises(ValueError, match="head_pct"):
+            ppl_buckets(df, head_pct=0, tail_pct=30)

