@@ -3878,8 +3878,8 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # r10 registers: text_bpe_train, retrieval_mmr_rerank,
 #   text_quality_pr_curve, curation_cluster_profile, text_hash_embed_topk,
-#   text_gopher_rules, curation_ppl_buckets,
-# against 7 retirements from the r8-certified pool (candidates, same
+#   text_gopher_rules, curation_ppl_buckets, curation_c4_lines,
+# against 8 retirements from the r8-certified pool (candidates, same
 # weakest-marginal-row test: dedup_minhash_lsh_pairs + dedup_simhash_pairs
 # — quadratic verification twins whose scalable siblings are benched and
 # probed; pivot_returnflag_status — pivot is grouping-set sugar held by
@@ -3887,7 +3887,8 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # having/semi-join shapes held by q21 + topk_orders;
 # broadcast_join_enrich — broadcast-dim enrich is plan-gated and embedded
 # in every TPC-H dim join; events_tumbling_daily — tumbling ⊂ the sliding
-# window held by events_sliding_2day).
+# window held by events_sliding_2day; json_extract_events — JSON scalar
+# extraction ⊂ the scalar-function family held by scalar_functions).
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -5095,6 +5096,74 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alpha_word_frac", "g_word_count", "g_mean_word_len",
         "g_symbol_ratio", "g_bullet_lines", "g_ellipsis_lines",
         "g_alpha_words", "g_stop_words", "gopher_pass",
+    )
+
+
+def _c4_lines_oracle(min_line_words: int = 3, min_kept_lines: int = 5) -> str:
+    """Every C4 line rule replayed in DuckDB, including the byte-exact
+    ``clean_text`` reassembly.  The synthetic corpus has no punctuation
+    or newlines, so the query first LINE-IFIES it deterministically
+    (nested fixed-string replace — identical left-to-right non-overlap
+    semantics in both engines): ' table ' → '.\\ntable ' and ' query '
+    → '?\\nquery ' give variable line counts, terminal-punct endings,
+    and short-line rejects to exercise each rule on real data."""
+    lineify = (
+        "replace(replace(coalesce(text, ''), ' table ', '.' || chr(10) || 'table '),"
+        " ' query ', '?' || chr(10) || 'query ')"
+    )
+    words = "len(string_split(trim(regexp_replace(l, '\\s+', ' ', 'g')), ' '))"
+    term = ("(ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')"
+            " OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '\"'))")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {lineify} AS raw FROM documents
+    ), feat AS (
+      SELECT doc_id, raw, string_split(raw, chr(10)) AS lines FROM base
+    ), k AS (
+      SELECT doc_id, raw, CAST(len(lines) AS BIGINT) AS n_lines,
+             list_filter(lines, l -> {term}
+               AND {words} >= {min_line_words}
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM feat
+    )
+    SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(contains(lower(raw), 'lorem ipsum') AS INT) AS has_lorem,
+           CAST(contains(raw, '{{') AS INT) AS has_brace,
+           CAST(len(kept) >= {min_kept_lines}
+                AND NOT contains(lower(raw), 'lorem ipsum')
+                AND NOT contains(raw, '{{') AS INT) AS c4_pass,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+    FROM k
+    """
+
+
+@q_staged("curation_c4_lines", oracle=_c4_lines_oracle())
+def curation_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
+    ending in terminal punctuation with ≥3 words and no 'javascript';
+    page passes with ≥5 kept lines and no 'lorem ipsum'/brace.  The
+    synthetic corpus is line-ified deterministically first (fixed-
+    string replaces, engine-identical) so every rule sees real
+    variation; clean_text certifies byte-exact reassembly.  Per-row
+    array algebra — zero shuffle, one scan at 100 TB
+    (operators/text_analysis.py c4_line_filter)."""
+    from rheoceros_spark.operators.text_analysis import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__lineified",
+        F.replace(
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" table "),
+                F.lit(".\ntable "),
+            ),
+            F.lit(" query "),
+            F.lit("?\nquery "),
+        ),
+    )
+    return c4_line_filter(docs, text_col="__lineified").select(
+        "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace", "c4_pass",
+        "clean_text",
     )
 
 

@@ -145,6 +145,7 @@ BENCH_EXT = [
     "text_hash_embed_topk",
     "text_gopher_rules",
     "curation_ppl_buckets",
+    "curation_c4_lines",
 ]
 
 

@@ -352,6 +352,73 @@ def gopher_rules(
     )
 
 
+#: C4 terminal punctuation: period, exclamation, question mark, end quote
+C4_TERMINALS = [".", "!", "?", '"']
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_kept_lines: int = 5,
+) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020, §2.2) — the
+    LINE-granular complement to :func:`gopher_rules`' document-granular
+    filters:
+
+    * a line is KEPT iff it ends in terminal punctuation (``. ! ? "``
+      after right-trimming spaces), has ≥ ``min_line_words`` words, and
+      does not contain the word ``javascript`` (case-insensitive);
+    * the page PASSES iff ≥ ``min_kept_lines`` lines survive, and the
+      raw page contains neither ``lorem ipsum`` (case-insensitive) nor
+      a curly brace ``{``.
+
+    Adds ``n_lines`` / ``n_kept`` / ``has_lorem`` / ``has_brace`` /
+    ``c4_pass`` and ``clean_text`` — the kept lines rejoined with
+    ``\\n``, byte-identical to the source lines (reassembly is
+    certified in the oracle, which compares the full string).  C4's
+    remaining rules are covered elsewhere: bad-word filtering is a
+    wordlist lookup (out of scope — the list itself is the operator),
+    and three-sentence-span dedup is :func:`~rheoceros_spark.operators.
+    dedup.paragraph_dedup` at a different granularity.
+
+    Pure per-row array algebra — zero shuffle, no UDFs, one scan at
+    100 TB; exact counts, no float thresholds anywhere.
+
+    Reference-extension operator (SURVEY.md §2.12); rule set is public
+    per the C4 paper.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(raw, "\n")
+
+    def kept_line(l: Column) -> Column:
+        rt = F.rtrim(l)
+        terminal = None
+        for t in C4_TERMINALS:
+            c = rt.endswith(t)
+            terminal = c if terminal is None else terminal | c
+        words = F.size(F.split(F.trim(F.regexp_replace(l, "[ \t\n\f\r]+", " ")), " "))
+        return terminal & (words >= min_line_words) & (
+            ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, kept_line)
+    has_lorem = F.lower(raw).contains("lorem ipsum")
+    has_brace = raw.contains("{")
+    n_kept = F.size(kept).cast("long")
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_kept", n_kept)
+        .withColumn("has_lorem", has_lorem.cast("int"))
+        .withColumn("has_brace", has_brace.cast("int"))
+        .withColumn(
+            "c4_pass",
+            ((n_kept >= min_kept_lines) & ~has_lorem & ~has_brace).cast("int"),
+        )
+        .withColumn("clean_text", F.array_join(kept, "\n"))
+    )
+
+
 def unigram_nll(
     df: DataFrame,
     text_col: str = "text",

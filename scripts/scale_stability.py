@@ -92,6 +92,12 @@ HEAVIES = [
     "ann_int8_topk",
     "text_bpe_train",
     "text_quality_pr_curve",
+    # round-8 session-3 additions: gopher and c4 are pure per-row scans
+    # (should be ~linear wall growth, flat per-byte); ppl_buckets is
+    # bigram_nll + a histogram cut (growth should track text_bigram_nll)
+    "text_gopher_rules",
+    "curation_ppl_buckets",
+    "curation_c4_lines",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
@@ -126,6 +132,11 @@ ORACLE_AT_SF1 = [
     # it, like dedup_keep_list's recursive-CTE oracle
     "ann_int8_topk",
     "text_quality_pr_curve",
+    # round-8 session-3: all three oracles are corpus-linear (per-row
+    # rules; bigram join + histogram cut; per-row line filter)
+    "text_gopher_rules",
+    "curation_ppl_buckets",
+    "curation_c4_lines",
 ]
 
 

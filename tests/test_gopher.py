@@ -118,3 +118,69 @@ def test_stream_twin_matches_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert {r.doc_id: tuple(r) for r in out} == batch
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level filter (the line-granular complement; same test home)
+# ---------------------------------------------------------------------------
+
+
+def _c4_one(spark, text, **kw):
+    from rheoceros_spark.operators.text_analysis import c4_line_filter
+
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return c4_line_filter(df, **kw).collect()[0]
+
+
+def test_c4_keeps_only_terminal_punct_lines(spark):
+    t = "this line ends well.\nno terminal here\nthis one asks a question?\nshort.\nquoted line ends \"\nbang it ends!"
+    r = _c4_one(spark, t)
+    # 'short.' fails the 3-word minimum; 'no terminal here' fails punct
+    assert r.n_lines == 6 and r.n_kept == 4
+    assert r.clean_text == (
+        'this line ends well.\nthis one asks a question?\n'
+        'quoted line ends "\nbang it ends!'
+    )
+
+
+def test_c4_trailing_spaces_ignored_for_terminal_check(spark):
+    r = _c4_one(spark, "ends with dot and spaces.   \nplain line here")
+    assert r.n_kept == 1
+
+
+def test_c4_javascript_lines_removed_case_insensitive(spark):
+    t = "enable JavaScript to continue viewing.\na real content line stays."
+    r = _c4_one(spark, t)
+    assert r.n_kept == 1 and "real content" in r.clean_text
+
+
+def test_c4_page_flags(spark):
+    base = "\n".join([f"good line number {i} stays." for i in range(6)])
+    assert _c4_one(spark, base).c4_pass == 1
+    assert _c4_one(spark, base + "\nLorem Ipsum dolor sit.").has_lorem == 1
+    assert _c4_one(spark, base + "\nfunction() { return; }").has_brace == 1
+    assert _c4_one(spark, base + "\nfunction() { return; }").c4_pass == 0
+    # 4 kept lines < 5 -> page fails even with clean content
+    few = "\n".join([f"good line number {i} stays." for i in range(4)])
+    assert _c4_one(spark, few).c4_pass == 0
+
+
+def test_c4_min_line_words_boundary(spark):
+    # exactly 3 words passes, 2 fails
+    r = _c4_one(spark, "one two three.\none two.")
+    assert r.n_kept == 1 and r.clean_text == "one two three."
+
+
+def test_c4_empty_and_null(spark):
+    from rheoceros_spark.operators.text_analysis import c4_line_filter
+
+    df = spark.createDataFrame([(0, ""), (1, None)], "doc_id long, text string")
+    for r in c4_line_filter(df).collect():
+        assert r.n_kept == 0 and r.c4_pass == 0 and r.clean_text == ""
+
+
+def test_c4_reassembly_preserves_kept_bytes(spark):
+    # kept lines survive byte-for-byte, including inner runs of spaces
+    t = "keep  this   exact line.\ndrop me\nand  keep  this one too!"
+    r = _c4_one(spark, t)
+    assert r.clean_text == "keep  this   exact line.\nand  keep  this one too!"

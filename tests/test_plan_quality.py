@@ -637,3 +637,13 @@ class TestRound8TailPlanShapes:
         # every Window operator line appears after a HashAggregate in
         # the formatted tree (the histogram branch)
         assert "Window" in plan and "HashAggregate" in plan
+
+    def test_c4_lines_is_shuffle_free_single_scan(self, spark, sf):
+        """Line filtering + reassembly is per-row array algebra: no
+        exchange, no Python eval, one parquet scan."""
+        from rheoceros_spark.operators.text_analysis import c4_line_filter
+
+        plan = physical_plan(c4_line_filter(load_table(spark, sf, "documents")))
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+        assert plan.count("Scan parquet") == 1
