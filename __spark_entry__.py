@@ -3879,7 +3879,8 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r10 registers: text_bpe_train, retrieval_mmr_rerank,
 #   text_quality_pr_curve, curation_cluster_profile, text_hash_embed_topk,
 #   text_gopher_rules, curation_ppl_buckets, curation_c4_lines,
-# against 8 retirements from the r8-certified pool (candidates, same
+#   curation_source_overlap,
+# against 9 retirements from the r8-certified pool (candidates, same
 # weakest-marginal-row test: dedup_minhash_lsh_pairs + dedup_simhash_pairs
 # — quadratic verification twins whose scalable siblings are benched and
 # probed; pivot_returnflag_status — pivot is grouping-set sugar held by
@@ -3888,7 +3889,9 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast_join_enrich — broadcast-dim enrich is plan-gated and embedded
 # in every TPC-H dim join; events_tumbling_daily — tumbling ⊂ the sliding
 # window held by events_sliding_2day; json_extract_events — JSON scalar
-# extraction ⊂ the scalar-function family held by scalar_functions).
+# extraction ⊂ the scalar-function family held by scalar_functions;
+# metric_threshold_alarm — single-threshold ⊂ the windowed m-of-n alarm
+# family held by alarm_m_of_n_state + composite_alarm_rule).
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -5165,6 +5168,53 @@ def curation_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace", "c4_pass",
         "clean_text",
     )
+
+
+def _source_overlap_oracle(n: int = 8) -> str:
+    """The overlap matrix via the straightforward gram×gram self-join
+    (fine single-node; the engine uses per-gram source-sets instead) —
+    same distinct-gram hashing, same integer-quantized ratios."""
+    from rheoceros_spark.functions.portable import h64_sql, word_ngrams_sql
+
+    grams = word_ngrams_sql(_TOK, n)
+    gh = h64_sql("g")
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT source AS s, {gh} AS gh FROM (
+        SELECT source, unnest(list_distinct({grams})) AS g
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+      )
+    ), per AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS ng FROM d GROUP BY s
+    ), com AS (
+      SELECT x.s AS source_a, y.s AS source_b, CAST(count(*) AS BIGINT) AS c
+      FROM d x JOIN d y ON x.gh = y.gh AND x.s < y.s
+      GROUP BY x.s, y.s
+    )
+    SELECT pa.s AS source_a, pb.s AS source_b,
+           pa.ng AS n_grams_a, pb.ng AS n_grams_b,
+           coalesce(c, 0) AS n_common,
+           CAST(coalesce(c, 0) * 1000000 // pa.ng AS DOUBLE) / 1e6 AS containment_a,
+           CAST(coalesce(c, 0) * 1000000 // pb.ng AS DOUBLE) / 1e6 AS containment_b,
+           CAST(coalesce(c, 0) * 1000000
+                // (pa.ng + pb.ng - coalesce(c, 0)) AS DOUBLE) / 1e6 AS jaccard
+    FROM per pa JOIN per pb ON pa.s < pb.s
+    LEFT JOIN com ON com.source_a = pa.s AND com.source_b = pb.s
+    """
+
+
+@q_staged("curation_source_overlap", oracle=_source_overlap_oracle())
+def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source 8-gram overlap matrix (containments +
+    Jaccard, integer-quantized): which sources in a multi-source mix
+    are near-copies of each other — mirror crawls and shared
+    boilerplate contribute less marginal data than their token counts
+    suggest.  Per-gram sorted source-sets bound pair generation by the
+    source count, so the work is vocabulary-linear — no corpus-sized
+    self-join (operators/curation.py source_overlap)."""
+    from rheoceros_spark.operators.curation import source_overlap
+
+    return source_overlap(load_table(spark, sf_dir, "documents"), n=8)
 
 
 def _ppl_buckets_oracle(head_pct: int = 30, tail_pct: int = 30) -> str:

@@ -146,6 +146,7 @@ BENCH_EXT = [
     "text_gopher_rules",
     "curation_ppl_buckets",
     "curation_c4_lines",
+    "curation_source_overlap",
 ]
 
 

@@ -1654,3 +1654,110 @@ def ppl_buckets(
         )
     )
     return keyed.join(F.broadcast(lab), [group_col, "__sq"], "left").drop("__sq")
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 8,
+) -> DataFrame:
+    """Pairwise cross-source n-gram overlap matrix — the corpus-
+    cartography view that tells a multi-source 100 TB pretraining mix
+    which sources are near-copies of each other (mirror crawls, shared
+    boilerplate, republished content) BEFORE mixture weights are
+    assigned: two sources with high containment contribute less
+    marginal data than their token counts suggest (the cross-SOURCE
+    counterpart of per-document dedup, and the symmetric view of
+    :func:`ngram_novelty`'s corpus-vs-reference membership).
+
+    One row per unordered source pair: distinct-gram counts, the
+    common-gram count, both containments (``common/|A|``, ``common/|B|``)
+    and Jaccard — ratios integer-quantized (``·1e6 div n``, one IEEE
+    division) so the matrix is engine-exact.  Pairs sharing no gram
+    still appear (zero row) — an all-pairs report with holes reads as
+    "forgot to check", not "checked, disjoint".
+
+    Scale shape: per-row ``array_distinct`` before the explode, one
+    DISTINCT to the (source, gram)-vocabulary frame, then per-gram
+    sorted source-sets via ``collect_set`` (bounded by the source
+    count, NOT corpus size) exploded into pairs — per-gram cost is
+    ≤ k² for k sources, so total work is vocabulary-linear with a tiny
+    constant; the final aggregates and joins are all k- or k²-sized.
+    No corpus-sized self-join: the gram×gram equi-join formulation is
+    kept only in the DuckDB oracle.
+
+    Reference-extension operator (SURVEY.md §2.12).
+    """
+    if n < 1:
+        raise ValueError(f"source_overlap: n must be >= 1, got {n}")
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    d = (
+        ensure_parallelism(
+            df.where(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+            .select(source_col, text_col)
+        )
+        .select(
+            F.col(source_col).alias("__s"),
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+            ).alias("__g"),
+        )
+        .select("__s", h64(F.col("__g")).alias("__gh"))
+    )
+    # ONE vocabulary-sized exchange: collect_set dedups (gram, source)
+    # occurrences during the partial aggregation, so a separate
+    # DISTINCT pass (a second full-vocabulary shuffle) is unnecessary —
+    # per-source totals then come from the already-deduped sets via a
+    # k-keyed map-side-combined count, and the frame feeds both
+    # consumers off the same exchange
+    sets_all = d.groupBy("__gh").agg(
+        F.sort_array(F.collect_set("__s")).alias("__ss")
+    )
+    per = (
+        sets_all.select(F.explode("__ss").alias("__s"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    # per-gram sorted source set (≤ k elements) → unordered pairs
+    sets = sets_all.where(F.size("__ss") >= 2)
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__ss") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("__ss"), i + F.lit(1), F.size("__ss")),
+                lambda b: F.struct(
+                    F.element_at(F.col("__ss"), i).alias("a"), b.alias("b")
+                ),
+            ),
+        )
+    )
+    common = (
+        sets.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.a").alias("source_a"), F.col("__p.b").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    # complete k×k/2 matrix: zero-common pairs included
+    pa = per.select(F.col("__s").alias("source_a"), F.col("__n").alias("n_grams_a"))
+    pb = per.select(F.col("__s").alias("source_b"), F.col("__n").alias("n_grams_b"))
+    allp = pa.crossJoin(pb).where(F.col("source_a") < F.col("source_b"))
+    out = allp.join(F.broadcast(common), ["source_a", "source_b"], "left").withColumn(
+        "n_common", F.coalesce(F.col("n_common"), F.lit(0).cast("bigint"))
+    )
+    q6 = lambda num, den: F.expr(f"{num} * 1000000L div {den}").cast("double") / F.lit(
+        1e6
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_grams_a",
+        "n_grams_b",
+        "n_common",
+        q6("n_common", "n_grams_a").alias("containment_a"),
+        q6("n_common", "n_grams_b").alias("containment_b"),
+        F.expr(
+            "n_common * 1000000L div (n_grams_a + n_grams_b - n_common)"
+        ).cast("double").alias("__jq"),
+    ).withColumn("jaccard", F.col("__jq") / F.lit(1e6)).drop("__jq")

@@ -94,10 +94,14 @@ HEAVIES = [
     "text_quality_pr_curve",
     # round-8 session-3 additions: gopher and c4 are pure per-row scans
     # (should be ~linear wall growth, flat per-byte); ppl_buckets is
-    # bigram_nll + a histogram cut (growth should track text_bigram_nll)
+    # bigram_nll + a histogram cut (growth should track text_bigram_nll);
+    # source_overlap is vocabulary-linear with a per-gram sources²
+    # factor — at sf1 the replica token spaces are disjoint, so each
+    # gram's source-set stays replica-local (≤ the sf0.1 source count)
     "text_gopher_rules",
     "curation_ppl_buckets",
     "curation_c4_lines",
+    "curation_source_overlap",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
@@ -132,11 +136,13 @@ ORACLE_AT_SF1 = [
     # it, like dedup_keep_list's recursive-CTE oracle
     "ann_int8_topk",
     "text_quality_pr_curve",
-    # round-8 session-3: all three oracles are corpus-linear (per-row
-    # rules; bigram join + histogram cut; per-row line filter)
+    # round-8 session-3: all four oracles are corpus-linear (per-row
+    # rules; bigram join + histogram cut; per-row line filter; gram-
+    # level equi-join)
     "text_gopher_rules",
     "curation_ppl_buckets",
     "curation_c4_lines",
+    "curation_source_overlap",
 ]
 
 

@@ -898,3 +898,57 @@ class TestPplBuckets:
             ppl_buckets(df, head_pct=60, tail_pct=50)
         with _pt.raises(ValueError, match="head_pct"):
             ppl_buckets(df, head_pct=0, tail_pct=30)
+
+
+class TestSourceOverlap:
+    """Cross-source n-gram overlap matrix: hand-computed counts,
+    zero-pair completeness, quantized ratio exactness."""
+
+    def _mat(self, spark, rows, n=1):
+        from rheoceros_spark.operators.curation import source_overlap
+
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = source_overlap(df, n=n)
+        return {(r.source_a, r.source_b): r for r in out.collect()}
+
+    def test_hand_computed_unigram_overlap(self, spark):
+        rows = [(1, "a", "w x"), (2, "a", "y"), (3, "b", "w z"), (4, "c", "q")]
+        m = self._mat(spark, rows, n=1)
+        # complete matrix: all 3 unordered pairs present
+        assert set(m) == {("a", "b"), ("a", "c"), ("b", "c")}
+        ab = m[("a", "b")]
+        assert (ab.n_grams_a, ab.n_grams_b, ab.n_common) == (3, 2, 1)
+        assert ab.containment_a == 0.333333  # floor(1e6/3)/1e6 — exact
+        assert ab.containment_b == 0.5
+        assert ab.jaccard == 0.25
+        assert m[("a", "c")].n_common == 0 and m[("b", "c")].jaccard == 0.0
+
+    def test_multiplicity_ignored(self, spark):
+        # repeated grams within/between docs of one source count once
+        rows = [(1, "a", "w w w"), (2, "a", "w"), (3, "b", "w")]
+        m = self._mat(spark, rows, n=1)
+        r = m[("a", "b")]
+        assert (r.n_grams_a, r.n_grams_b, r.n_common) == (1, 1, 1)
+        assert r.jaccard == 1.0
+
+    def test_short_docs_use_partial_gram_convention(self, spark):
+        # <n tokens -> ONE padded partial gram (the ngram_novelty
+        # convention); identical short docs across sources overlap fully
+        rows = [(1, "a", "w x"), (2, "b", "w x")]
+        m = self._mat(spark, rows, n=3)
+        r = m[("a", "b")]
+        assert (r.n_grams_a, r.n_grams_b, r.n_common) == (1, 1, 1)
+
+    def test_three_source_gram_yields_all_pairs(self, spark):
+        rows = [(1, "a", "w"), (2, "b", "w"), (3, "c", "w")]
+        m = self._mat(spark, rows, n=1)
+        assert all(m[p].n_common == 1 for p in m) and len(m) == 3
+
+    def test_rejects_bad_n(self, spark):
+        import pytest as _pt
+
+        from rheoceros_spark.operators.curation import source_overlap
+
+        df = spark.createDataFrame([(1, "a", "w")], "doc_id long, source string, text string")
+        with _pt.raises(ValueError, match="n must be"):
+            source_overlap(df, n=0)

@@ -647,3 +647,15 @@ class TestRound8TailPlanShapes:
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
         assert plan.count("Scan parquet") == 1
+
+    def test_source_overlap_no_gram_self_join(self, spark, sf):
+        """Pair generation must come from per-gram source-sets, never a
+        corpus-sized gram×gram self-join: no sort-merge/shuffled-hash
+        join and no cartesian product anywhere; the only nested-loop
+        join is the k×k source-matrix cross of two aggregated frames."""
+        from rheoceros_spark.operators.curation import source_overlap
+
+        plan = physical_plan(source_overlap(load_table(spark, sf, "documents")))
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
