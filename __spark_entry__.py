@@ -3879,8 +3879,8 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r10 registers: text_bpe_train, retrieval_mmr_rerank,
 #   text_quality_pr_curve, curation_cluster_profile, text_hash_embed_topk,
 #   text_gopher_rules, curation_ppl_buckets, curation_c4_lines,
-#   curation_source_overlap,
-# against 9 retirements from the r8-certified pool (candidates, same
+#   curation_source_overlap, retrieval_quality_metrics,
+# against 10 retirements from the r8-certified pool (candidates, same
 # weakest-marginal-row test: dedup_minhash_lsh_pairs + dedup_simhash_pairs
 # — quadratic verification twins whose scalable siblings are benched and
 # probed; pivot_returnflag_status — pivot is grouping-set sugar held by
@@ -3891,7 +3891,9 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window held by events_sliding_2day; json_extract_events — JSON scalar
 # extraction ⊂ the scalar-function family held by scalar_functions;
 # metric_threshold_alarm — single-threshold ⊂ the windowed m-of-n alarm
-# family held by alarm_m_of_n_state + composite_alarm_rule).
+# family held by alarm_m_of_n_state + composite_alarm_rule; the 10th
+# slot picks the weakest marginal row of the r9 window at build time,
+# same test).
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -5168,6 +5170,105 @@ def curation_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace", "c4_pass",
         "clean_text",
     )
+
+
+def _retrieval_metrics_oracle(k: int = 10) -> str:
+    """Dense top-k retrieval + the full metric battery in SQL.  The DCG
+    position weights and ideal-DCG prefix sums are the SAME Python-
+    computed integer literals the Spark plan embeds
+    (similarity._dcg_weights_q), so no engine evaluates a log anywhere
+    — the one place the house 1e-7-grid-after-round trick is replaced
+    by construction-time equality."""
+    from rheoceros_spark.operators.similarity import _dcg_weights_q
+
+    w_q = _dcg_weights_q(k)
+    prefix = [0]
+    for v in w_q:
+        prefix.append(prefix[-1] + v)
+    wlit = "[" + ", ".join(str(v) for v in w_q) + "]"
+    plit = "[" + ", ".join(str(v) for v in prefix) + "]"
+    return f"""
+    WITH corp AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id IS NOT NULL AND vec_id % 101 <> 0
+    ), qry AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IS NOT NULL AND vec_id % 101 = 0
+    ), res AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_cos_sql('c.embedding', 'q.qv')} DESC, c.vec_id ASC) AS rank
+        FROM corp c CROSS JOIN qry q WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= {k}
+    ), qrels AS (
+      SELECT q.query_id, c.vec_id AS doc_id FROM qry q, corp c
+      WHERE c.vec_id % 7 = q.query_id % 7 AND c.vec_id <> q.query_id
+    ), nrel AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+      FROM qrels GROUP BY query_id
+    ), j AS (
+      SELECT r.query_id, r.rank,
+             CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM res r LEFT JOIN qrels qr
+        ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+    ), per AS (
+      SELECT query_id, CAST(sum(hit) AS BIGINT) AS hits_at_k,
+             CAST(coalesce(min(CASE WHEN hit = 1 THEN rank END), 0) AS INT)
+               AS first_rel_rank,
+             CAST(sum(CASE WHEN hit = 1 THEN ({wlit})[rank] ELSE 0 END)
+                  AS BIGINT) AS dcg_q
+      FROM j GROUP BY query_id
+    )
+    SELECT p.query_id, coalesce(n.n_rel, 0) AS n_rel, p.hits_at_k,
+           CAST(p.hits_at_k * 1000000 // {k} AS DOUBLE) / 1e6 AS precision_at_k,
+           CASE WHEN coalesce(n.n_rel, 0) > 0
+                THEN CAST(p.hits_at_k * 1000000 // n.n_rel AS DOUBLE) / 1e6
+           END AS recall_at_k,
+           p.first_rel_rank,
+           coalesce(CAST(1000000 // nullif(p.first_rel_rank, 0) AS DOUBLE) / 1e6,
+                    0.0) AS mrr,
+           CASE WHEN coalesce(n.n_rel, 0) > 0
+                THEN CAST(p.dcg_q * 1000000
+                          // ({plit})[least({k}, CAST(n.n_rel AS INT)) + 1]
+                     AS DOUBLE) / 1e6
+           END AS ndcg
+    FROM per p LEFT JOIN nrel n USING (query_id)
+    """
+
+
+@q_staged("retrieval_quality_metrics", oracle=_retrieval_metrics_oracle())
+def retrieval_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-evaluation battery (nDCG@10 / MRR / precision / recall
+    / first-hit rank) over the dense top-10 results, against a
+    deterministic synthetic qrels table (relevant ⇔ same vec_id mod-7
+    bucket as the query — a stand-in for externally supplied judgment
+    labels).  DCG log weights are Python-computed integer literals
+    embedded in both engines, so the metric layer has no libm seam;
+    everything downstream of retrieval is query-batch-sized
+    (operators/similarity.py retrieval_metrics)."""
+    from rheoceros_spark.operators.similarity import (
+        cosine_topk_multi,
+        retrieval_metrics,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id").isNotNull())
+    corpus = emb.where(F.col("vec_id") % 101 != 0)
+    queries = emb.where(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    results = cosine_topk_multi(corpus, queries, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    qrels = (
+        F.broadcast(queries.select("query_id"))
+        .crossJoin(corpus.select(F.col("vec_id").alias("doc_id")))
+        .where(
+            (F.col("doc_id") % 7 == F.col("query_id") % 7)
+            & (F.col("doc_id") != F.col("query_id"))
+        )
+    )
+    return retrieval_metrics(results, qrels, k=10)
 
 
 def _source_overlap_oracle(n: int = 8) -> str:

@@ -147,6 +147,7 @@ BENCH_EXT = [
     "curation_ppl_buckets",
     "curation_c4_lines",
     "curation_source_overlap",
+    "retrieval_quality_metrics",
 ]
 
 

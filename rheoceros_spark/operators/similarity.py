@@ -220,6 +220,130 @@ def rrf_fuse(
     )
 
 
+def _dcg_weights_q(k: int) -> list[int]:
+    """Quantized DCG position weights: ``round(1e7·ln2/ln(r+1))`` for
+    ranks 1..k — computed ONCE in Python and embedded as plan literals
+    in BOTH engines, so the weights are bit-equal by construction (no
+    per-engine log2 evaluation anywhere)."""
+    import math
+
+    return [round(1e7 * math.log(2.0) / math.log(r + 1.0)) for r in range(1, k + 1)]
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval-quality metrics over any (query, id, rank)
+    result frame — BM25, dense ANN, hybrid RRF, MMR all emit this shape
+    — against a binary relevance table ``qrels`` (query, id):
+
+    * ``n_rel``          — relevant docs for the query (from qrels)
+    * ``hits_at_k``      — relevant docs inside the top-k
+    * ``precision_at_k`` / ``recall_at_k`` — the usual ratios
+    * ``first_rel_rank`` — rank of the first relevant hit (0 if none —
+      kept non-nullable: nullable ints degrade to float in Arrow/pandas
+      consumers, the pr_curve rule)
+    * ``mrr``            — 1/first_rel_rank (0.0 if none in top-k)
+    * ``ndcg``           — DCG@k / ideal-DCG@k (NULL when n_rel = 0)
+
+    Bit-exact by the house discipline, with one twist for the log:
+    the DCG position weights ``1/log2(rank+1)`` are NOT evaluated by
+    either engine — :func:`_dcg_weights_q` quantizes them once in
+    Python and both the Spark plan and the SQL oracle embed the SAME
+    integer literals, so there is no libm seam at all.  DCG is then an
+    exact integer sum of table lookups; the ideal DCG is the prefix sum
+    of the same table at ``min(k, n_rel)`` (binary relevance makes the
+    ideal ranking a closed form); ratios are ``·1e6 div``-quantized.
+
+    Scale shape: ``results`` is k-bounded per query and ``qrels`` joins
+    by (query, id) equi-keys — everything downstream of retrieval is
+    query-batch-sized; the corpus is never touched.  Queries present in
+    ``results`` but absent from ``qrels`` report ``n_rel`` 0.
+    """
+    if k < 1:
+        raise ValueError(f"retrieval_metrics: k must be >= 1, got {k}")
+    w_q = _dcg_weights_q(k)
+    idcg_prefix = [0]
+    for v in w_q:
+        idcg_prefix.append(idcg_prefix[-1] + v)
+    weights = F.array(*[F.lit(v) for v in w_q])
+    ideal = F.array(*[F.lit(v) for v in idcg_prefix])
+
+    rel = qrels.select(
+        F.col(query_col), F.col(id_col), F.lit(1).alias("__rel")
+    ).distinct()
+    n_rel = rel.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    # qrels are judgment labels — human- or heuristic-label-bounded
+    # (KBs..MBs), never corpus-sized — so both the relevance probe and
+    # the per-query totals broadcast: the metric layer adds ZERO
+    # shuffles on top of the retrieval output
+    j = (
+        results.where(F.col(rank_col) <= k)
+        .join(F.broadcast(rel), [query_col, id_col], "left")
+        .withColumn("__hit", F.coalesce(F.col("__rel"), F.lit(0)))
+    )
+    per = j.groupBy(query_col).agg(
+        F.sum("__hit").cast("bigint").alias("hits_at_k"),
+        F.coalesce(
+            F.min(F.when(F.col("__hit") == 1, F.col(rank_col))), F.lit(0)
+        ).alias("first_rel_rank"),
+        F.sum(
+            F.when(
+                F.col("__hit") == 1, F.element_at(weights, F.col(rank_col))
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("__dcg_q"),
+    )
+    out = (
+        per.join(F.broadcast(n_rel), query_col, "left")
+        .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0).cast("bigint")))
+        .withColumn(
+            "__idcg_q",
+            F.element_at(
+                ideal, F.least(F.lit(k), F.col("n_rel").cast("int")) + F.lit(1)
+            ).cast("bigint"),
+        )
+    )
+    q6 = lambda num, den: F.expr(f"{num} * 1000000L div {den}").cast("double") / F.lit(
+        1e6
+    )
+    return out.select(
+        query_col,
+        "n_rel",
+        "hits_at_k",
+        q6("hits_at_k", str(k)).alias("precision_at_k"),
+        F.when(F.col("n_rel") > 0, F.expr("hits_at_k * 1000000L div n_rel"))
+        .cast("double")
+        .alias("__rq"),
+        "first_rel_rank",
+        F.coalesce(
+            F.expr("1000000L div nullif(first_rel_rank, 0)").cast("double")
+            / F.lit(1e6),
+            F.lit(0.0),
+        ).alias("mrr"),
+        F.when(F.col("n_rel") > 0, F.expr("__dcg_q * 1000000L div __idcg_q"))
+        .cast("double")
+        .alias("__nq"),
+    ).select(
+        query_col,
+        "n_rel",
+        "hits_at_k",
+        "precision_at_k",
+        (F.col("__rq") / F.lit(1e6)).alias("recall_at_k"),
+        "first_rel_rank",
+        "mrr",
+        (F.col("__nq") / F.lit(1e6)).alias("ndcg"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -89,6 +89,8 @@ HEAVIES = [
     # matching only its own replica), embedding vectors can't be
     # suffix-disjointed.  Their corpus-side scan shape is probed via
     # ann_int8_topk / ann_cosine_topk instead.
+    # retrieval_quality_metrics is excluded for the same reason: its
+    # dense retrieval leg is the same query-carved |Q|x|C| workload.
     "ann_int8_topk",
     "text_bpe_train",
     "text_quality_pr_curve",

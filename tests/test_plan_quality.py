@@ -659,3 +659,13 @@ class TestRound8TailPlanShapes:
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
         assert "ShuffledHashJoin" not in plan
+
+    def test_retrieval_metrics_stays_query_batch_sized(self, spark, sf):
+        """The metric layer must never touch the corpus: downstream of
+        the k-bounded results frame everything joins broadcast/hash on
+        query keys — no sort-merge join, no cartesian product."""
+        plan = physical_plan(
+            entry._STAGED_QUERIES["retrieval_quality_metrics"](spark, sf)
+        )
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan

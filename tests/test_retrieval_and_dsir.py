@@ -216,3 +216,86 @@ def test_gumbel_resample_drops_null_rows_and_validates_k(spark):
     assert [r.doc_id for r in rows] == [1]
     with pytest.raises(ValueError, match="k must be >= 1"):
         gumbel_topk_resample(df, "w", k=0)
+
+
+class TestRetrievalMetrics:
+    """nDCG/MRR/precision/recall battery: hand-computed values against
+    the Python-literal DCG weight table, non-nullable first_rel_rank,
+    zero-relevance edge cases."""
+
+    def _run(self, spark, results, qrels, k=3):
+        from rheoceros_spark.operators.similarity import retrieval_metrics
+
+        r = spark.createDataFrame(results, "query_id long, doc_id long, rank int")
+        q = spark.createDataFrame(qrels, "query_id long, doc_id long")
+        out = retrieval_metrics(r, q, k=k)
+        return {row.query_id: row for row in out.collect()}
+
+    def test_hand_computed_single_query(self, spark):
+        from rheoceros_spark.operators.similarity import _dcg_weights_q
+
+        w = _dcg_weights_q(3)
+        # q1 top-3 = docs 10, 11, 12; relevant = {11, 99} (99 not retrieved)
+        m = self._run(
+            spark,
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            [(1, 11), (1, 99)],
+        )
+        r = m[1]
+        assert (r.n_rel, r.hits_at_k, r.first_rel_rank) == (2, 1, 2)
+        assert r.precision_at_k == 0.333333  # floor(1e6/3)/1e6
+        assert r.recall_at_k == 0.5
+        assert r.mrr == 0.5
+        expected_ndcg = (w[1] * 1_000_000 // (w[0] + w[1])) / 1e6
+        assert r.ndcg == expected_ndcg
+
+    def test_perfect_ranking_scores_one(self, spark):
+        m = self._run(
+            spark,
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            [(1, 10), (1, 11), (1, 12)],
+        )
+        r = m[1]
+        assert r.ndcg == 1.0 and r.mrr == 1.0 and r.recall_at_k == 1.0
+
+    def test_no_relevant_in_topk_and_no_relevant_at_all(self, spark):
+        m = self._run(
+            spark,
+            [(1, 10, 1), (2, 20, 1)],
+            [(1, 99)],  # q1 has an unretrieved rel; q2 absent from qrels
+        )
+        r1, r2 = m[1], m[2]
+        assert (r1.first_rel_rank, r1.mrr, r1.hits_at_k) == (0, 0.0, 0)
+        assert r1.ndcg == 0.0 and r1.recall_at_k == 0.0
+        assert (r2.n_rel, r2.first_rel_rank, r2.mrr) == (0, 0, 0.0)
+        assert r2.ndcg is None and r2.recall_at_k is None
+
+    def test_duplicate_qrel_rows_count_once(self, spark):
+        m = self._run(
+            spark,
+            [(1, 10, 1)],
+            [(1, 10), (1, 10), (1, 10)],
+        )
+        assert (m[1].n_rel, m[1].hits_at_k) == (1, 1)
+
+    def test_ideal_dcg_caps_at_k(self, spark):
+        # 5 relevant docs but k=3: IDCG uses only the top-3 weights
+        from rheoceros_spark.operators.similarity import _dcg_weights_q
+
+        w = _dcg_weights_q(3)
+        m = self._run(
+            spark,
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            [(1, d) for d in (10, 11, 12, 98, 99)],
+        )
+        assert m[1].ndcg == 1.0  # dcg == idcg == w1+w2+w3 despite n_rel=5
+        assert m[1].recall_at_k == (3 * 1_000_000 // 5) / 1e6
+
+    def test_rejects_bad_k(self, spark):
+        import pytest as _pt
+
+        from rheoceros_spark.operators.similarity import retrieval_metrics
+
+        r = spark.createDataFrame([(1, 10, 1)], "query_id long, doc_id long, rank int")
+        with _pt.raises(ValueError, match="k must be"):
+            retrieval_metrics(r, r.select("query_id", "doc_id"), k=0)
