@@ -348,6 +348,17 @@ def stream_gopher_rules(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     return gopher_rules(sdf, text_col)
 
 
+def stream_c4_lines(sdf: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming twin of the C4 line-level cleaner
+    (text_analysis.c4_line_filter): per-micro-batch-row line filtering
+    + clean_text reassembly — pure column expressions, stateless, the
+    batch expression tree verbatim (parity-tested in
+    tests/test_streaming.py)."""
+    from rheoceros_spark.operators.text_analysis import c4_line_filter
+
+    return c4_line_filter(sdf, text_col)
+
+
 def quality_split_sink(
     sdf: DataFrame,
     out_root: str,

@@ -184,3 +184,99 @@ def test_c4_reassembly_preserves_kept_bytes(spark):
     t = "keep  this   exact line.\ndrop me\nand  keep  this one too!"
     r = _c4_one(spark, t)
     assert r.clean_text == "keep  this   exact line.\nand  keep  this one too!"
+
+
+def test_c4_stream_twin_matches_batch(spark, sf_dir, tmp_path):
+    from rheoceros_spark.operators.text_analysis import c4_line_filter
+    from rheoceros_spark.streaming.stream import stream_c4_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id").isNotNull()
+    )
+    cols = ["doc_id", "n_lines", "n_kept", "c4_pass", "clean_text"]
+    batch = {r.doc_id: tuple(r) for r in c4_line_filter(docs).select(cols).collect()}
+
+    src = str(tmp_path / "c4_src")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    out = []
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        stream_c4_lines(sdf)
+        .select(cols)
+        .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_c4"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id: tuple(r) for r in out} == batch
+
+
+# ---------------------------------------------------------------------------
+# adversarial cross-engine parity: the staged oracles re-run over the
+# portable-parity corpus (unicode, emoji, \x0b, combining marks, CJK —
+# far nastier than the driver's word-soup documents)
+# ---------------------------------------------------------------------------
+
+
+def _adversarial_docs(spark, tmp_path):
+    from tests.test_portable_parity import _corpus
+
+    strs = _corpus()
+    # add line-structured adversaries the flat corpus lacks
+    strs = strs + [
+        "- bullet…\n* star...\n• dot.\nplain end.\nnbsp\xa0line.",
+        "ends…\nends...\nends.\" \nno end\n#tag line.",
+        "\x0bvertical start.\nlorem IPSUM inside.\n{ brace }",
+    ]
+    df = spark.createDataFrame(
+        [(i, s, "x") for i, s in enumerate(strs)],
+        "doc_id long, text string, source string",
+    )
+    path = str(tmp_path / "adv_docs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return df, path
+
+
+@pytest.mark.parametrize("name", ["text_gopher_rules", "curation_c4_lines"])
+def test_staged_oracle_parity_on_adversarial_corpus(spark, tmp_path, name):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from rheoceros_spark.operators.text_analysis import c4_line_filter, gopher_rules
+
+    df, path = _adversarial_docs(spark, tmp_path)
+    if name == "text_gopher_rules":
+        out = gopher_rules(df).drop("text", "lang", "source")
+    else:
+        # mirror the staged query's deterministic line-ification
+        lineified = df.withColumn(
+            "__lineified",
+            F.replace(
+                F.replace(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit(" table "),
+                    F.lit(".\ntable "),
+                ),
+                F.lit(" query "),
+                F.lit("?\nquery "),
+            ),
+        )
+        out = c4_line_filter(lineified, text_col="__lineified").select(
+            "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace",
+            "c4_pass", "clean_text",
+        )
+    scols = out.columns
+    srows = sorted(
+        tuple("NULL" if v is None else str(v) for v in r) for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    pdf = con.sql(entry._STAGED_ORACLES[name]).df()[scols]
+    drows = sorted(
+        tuple("NULL" if v != v or v is None else str(v) for v in r)
+        for r in pdf.itertuples(index=False, name=None)
+    )
+    assert srows == drows
