@@ -3879,8 +3879,8 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r10 registers: text_bpe_train, retrieval_mmr_rerank,
 #   text_quality_pr_curve, curation_cluster_profile, text_hash_embed_topk,
 #   text_gopher_rules, curation_ppl_buckets, curation_c4_lines,
-#   curation_source_overlap, retrieval_quality_metrics,
-# against 10 retirements from the r8-certified pool (candidates, same
+#   curation_source_overlap, retrieval_quality_metrics, text_bpe_fertility,
+# against 11 retirements from the r8-certified pool (candidates, same
 # weakest-marginal-row test: dedup_minhash_lsh_pairs + dedup_simhash_pairs
 # — quadratic verification twins whose scalable siblings are benched and
 # probed; pivot_returnflag_status — pivot is grouping-set sugar held by
@@ -3891,9 +3891,9 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window held by events_sliding_2day; json_extract_events — JSON scalar
 # extraction ⊂ the scalar-function family held by scalar_functions;
 # metric_threshold_alarm — single-threshold ⊂ the windowed m-of-n alarm
-# family held by alarm_m_of_n_state + composite_alarm_rule; the 10th
-# slot picks the weakest marginal row of the r9 window at build time,
-# same test).
+# family held by alarm_m_of_n_state + composite_alarm_rule; the last
+# two slots pick the weakest marginal rows of the r9 window at build
+# time, same test).
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -5170,6 +5170,61 @@ def curation_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace", "c4_pass",
         "clean_text",
     )
+
+
+def _bpe_fertility_oracle() -> str:
+    """Per-source fertility/compression over the full BPE merge cascade
+    (the certified word-fold twin) + token_count word conventions —
+    exact BIGINT totals, ·1e6-div-quantized ratios."""
+    from rheoceros_spark.operators.text_analysis import (
+        BPE_DEMO_MERGES,
+        bpe_word_fold_duckdb,
+    )
+
+    fold = bpe_word_fold_duckdb(BPE_DEMO_MERGES)
+    return f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             CASE WHEN text IS NULL OR length({_NORM}) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE flatten(list_transform(
+                         regexp_extract_all({_NORM}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'),
+                         w -> {fold})) END AS bpe,
+             {_NORM} AS norm
+      FROM documents WHERE doc_id IS NOT NULL
+    ), f AS (
+      SELECT source, CAST(len(bpe) AS BIGINT) AS nb,
+             CAST(CASE WHEN length(norm) = 0 THEN 0
+                  ELSE len(string_split(norm, ' ')) END AS BIGINT) AS nw,
+             CAST(CASE WHEN length(norm) = 0 THEN 0
+                  ELSE length(norm) - (len(string_split(norm, ' ')) - 1)
+                  END AS BIGINT) AS wc
+      FROM b
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nw) AS BIGINT) AS total_words,
+           CAST(sum(nb) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(wc) AS BIGINT) AS total_word_chars,
+           CASE WHEN sum(nw) > 0
+                THEN CAST(sum(nb) * 1000000 // sum(nw) AS DOUBLE) / 1e6
+           END AS fertility,
+           CASE WHEN sum(nb) > 0
+                THEN CAST(sum(wc) * 1000000 // sum(nb) AS DOUBLE) / 1e6
+           END AS chars_per_token
+    FROM f GROUP BY source
+    """
+
+
+@q_staged("text_bpe_fertility", oracle=_bpe_fertility_oracle())
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE tokens per word) + chars-per-token
+    compression per source — the evaluation loop for the trained merge
+    table: which corpus slices the tokenizer fragments.  Arrow BPE
+    encode is the only corpus-sized stage; the report is one map-side-
+    combined groupBy (operators/text_analysis.py bpe_fertility)."""
+    from rheoceros_spark.operators.text_analysis import bpe_fertility
+
+    return bpe_fertility(load_table(spark, sf_dir, "documents"))
 
 
 def _retrieval_metrics_oracle(k: int = 10) -> str:

@@ -148,6 +148,7 @@ BENCH_EXT = [
     "curation_c4_lines",
     "curation_source_overlap",
     "retrieval_quality_metrics",
+    "text_bpe_fertility",
 ]
 
 

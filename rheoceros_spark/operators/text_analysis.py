@@ -1381,6 +1381,75 @@ def bpe_train(
 
 # ---------------------------------------------------------------------------
 # fasttext/CCNet-style quality classifier: hashed bag-of-tokens features,
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-efficiency report per group: **fertility** (BPE tokens
+    per whitespace word — THE standard subword-tokenizer quality metric;
+    ~1.2–1.5 for a well-fitted vocabulary, higher means the tokenizer
+    fragments this group's text) and **chars_per_token** (compression),
+    with the exact integer totals behind both.  Run per source or per
+    language to see which corpus slices a trained merge table serves
+    poorly — the evaluation loop for :func:`bpe_train`, the same way
+    :func:`~rheoceros_spark.operators.similarity.retrieval_metrics`
+    closes the retrieval loop.
+
+    Word totals use the token_count conventions (empty text = 0 words;
+    ``length(norm) − (n_words − 1)`` recovers summed word chars without
+    a per-word fold); ratios are ``·1e6 div``-quantized on exact BIGINT
+    sums, NULL when the denominator group is empty.
+
+    Scale shape: the BPE encode is the per-row Arrow stage
+    (:func:`bpe_encode`, corpus-linear, shuffle-free); everything after
+    is one map-side-combined groupBy to a groups-sized frame.
+
+    Reference-extension operator (SURVEY.md §2.12).
+    """
+    enc = bpe_encode(
+        df.where(F.col(id_col).isNotNull()), merges, text_col=text_col, id_col=id_col
+    )
+    norm = normalize_text(F.col(text_col))
+    n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(tokens(F.col(text_col)))
+    ).cast("long")
+    word_chars = F.when(
+        n_words > 0, F.length(norm).cast("long") - (n_words - F.lit(1))
+    ).otherwise(F.lit(0))
+    per = (
+        enc.withColumn("__nw", n_words)
+        .withColumn("__wc", word_chars)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__nw").cast("bigint").alias("total_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+            F.sum("__wc").cast("bigint").alias("total_word_chars"),
+        )
+    )
+    return per.select(
+        group_col,
+        "n_docs",
+        "total_words",
+        "total_bpe_tokens",
+        "total_word_chars",
+        F.when(
+            F.col("total_words") > 0,
+            F.expr("total_bpe_tokens * 1000000L div total_words").cast("double")
+            / F.lit(1e6),
+        ).alias("fertility"),
+        F.when(
+            F.col("total_bpe_tokens") > 0,
+            F.expr("total_word_chars * 1000000L div total_bpe_tokens").cast("double")
+            / F.lit(1e6),
+        ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # distributed logistic-regression training, linear scoring
 # ---------------------------------------------------------------------------
 

@@ -104,6 +104,9 @@ HEAVIES = [
     "curation_ppl_buckets",
     "curation_c4_lines",
     "curation_source_overlap",
+    # fertility = the Arrow BPE scan (text_bpe_tokens' shape) + a
+    # groups-sized rollup
+    "text_bpe_fertility",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
@@ -145,6 +148,9 @@ ORACLE_AT_SF1 = [
     "curation_ppl_buckets",
     "curation_c4_lines",
     "curation_source_overlap",
+    # fertility's oracle replays the word-fold cascade per DISTINCT
+    # word like text_bpe_tokens' (already probed linear at sf1)
+    "text_bpe_fertility",
 ]
 
 

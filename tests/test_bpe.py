@@ -308,3 +308,47 @@ class TestBpeTrain:
 
         with pytest.raises(ValueError, match="n_merges"):
             bpe_train(self._df(spark, ["x"]), n_merges=0)
+
+
+class TestBpeFertility:
+    """Tokenizer-efficiency report: hand-computed totals/ratios under
+    the demo merge table, empty-group and empty-text conventions."""
+
+    def test_hand_computed_single_source(self, spark):
+        from rheoceros_spark.operators.text_analysis import bpe_encode, bpe_fertility
+
+        rows = [(1, "a", "the cat"), (2, "a", "in the hat")]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        enc = {r.doc_id: r.n_bpe_tokens for r in bpe_encode(df).collect()}
+        total_bpe = enc[1] + enc[2]
+        out = {r.source: r for r in bpe_fertility(df).collect()}
+        r = out["a"]
+        # words: 2 + 3; word chars: len('the cat')-1 + len('in the hat')-2
+        assert (r.n_docs, r.total_words, r.total_word_chars) == (2, 5, 14)
+        assert r.total_bpe_tokens == total_bpe
+        assert r.fertility == (total_bpe * 1_000_000 // 5) / 1e6
+        assert r.chars_per_token == (14 * 1_000_000 // total_bpe) / 1e6
+
+    def test_empty_and_null_text_counts_zero(self, spark):
+        from rheoceros_spark.operators.text_analysis import bpe_fertility
+
+        df = spark.createDataFrame(
+            [(1, "a", ""), (2, "a", None), (3, "a", "   ")],
+            "doc_id long, source string, text string",
+        )
+        r = bpe_fertility(df).collect()[0]
+        assert (r.n_docs, r.total_words, r.total_bpe_tokens) == (3, 0, 0)
+        assert r.fertility is None and r.chars_per_token is None
+
+    def test_groups_are_independent(self, spark):
+        from rheoceros_spark.operators.text_analysis import bpe_fertility
+
+        df = spark.createDataFrame(
+            [(1, "a", "the the the"), (2, "b", "zzzz qqqq xxxx")],
+            "doc_id long, source string, text string",
+        )
+        out = {r.source: r for r in bpe_fertility(df).collect()}
+        # 'the' merges to one token (fertility 1.0); letter-soup words
+        # stay fragmented (fertility > 1)
+        assert out["a"].fertility == 1.0
+        assert out["b"].fertility > 1.0
