@@ -3880,7 +3880,8 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   text_quality_pr_curve, curation_cluster_profile, text_hash_embed_topk,
 #   text_gopher_rules, curation_ppl_buckets, curation_c4_lines,
 #   curation_source_overlap, retrieval_quality_metrics, text_bpe_fertility,
-# against 11 retirements from the r8-certified pool (candidates, same
+#   curation_decon_spans,
+# against 12 retirements from the r8-certified pool (candidates, same
 # weakest-marginal-row test: dedup_minhash_lsh_pairs + dedup_simhash_pairs
 # — quadratic verification twins whose scalable siblings are benched and
 # probed; pivot_returnflag_status — pivot is grouping-set sugar held by
@@ -5170,6 +5171,89 @@ def curation_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace", "c4_pass",
         "clean_text",
     )
+
+
+def _decon_spans_oracle(n: int = 8, span_tokens: int = 16) -> str:
+    """Span-level decontamination replayed in DuckDB: benchmark gram
+    set (all word 8-grams, every offset), token-window segmentation
+    (the paragraph-oracle CTE), span-gram ∩ benchmark probe, rebuild."""
+    from rheoceros_spark.functions.portable import h64_sql, word_ngrams_sql
+
+    S = int(span_tokens)
+    doc_grams = word_ngrams_sql(_TOK, n)
+    span_toks = "string_split(trim(regexp_replace(lower(span_text), '\\s+', ' ', 'g')), ' ')"
+    span_grams = word_ngrams_sql(span_toks, n)
+    gh = h64_sql("g")
+    return f"""
+    WITH bgrams AS (
+      SELECT DISTINCT {gh} AS gh FROM (
+        SELECT unnest(list_distinct({doc_grams})) AS g
+        FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL
+      )
+    ), docs AS (
+      SELECT doc_id, {_TOK} AS t FROM documents
+      WHERE doc_id IS NOT NULL AND doc_id % 97 <> 0 AND text IS NOT NULL
+        AND len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+    ), segs AS (
+      SELECT doc_id, CAST((s - 1) / {S} AS INT) AS span_id,
+             array_to_string(
+               t[CAST(s AS INT):CAST(least(s + {S} - 1, len(t)) AS INT)], ' '
+             ) AS span_text
+      FROM (SELECT doc_id, t, unnest(range(1, len(t)+1, {S})) AS s FROM docs)
+    ), hits AS (
+      SELECT DISTINCT doc_id, span_id FROM (
+        SELECT doc_id, span_id, unnest(list_distinct({span_grams})) AS g
+        FROM segs
+        WHERE len(trim(regexp_replace(lower(span_text), '\\s+', ' ', 'g'))) > 0
+      ) sg JOIN bgrams ON {gh} = bgrams.gh
+    ), marked AS (
+      SELECT s.doc_id, s.span_id, s.span_text,
+             h.doc_id IS NOT NULL AS purge
+      FROM segs s LEFT JOIN hits h
+        ON s.doc_id = h.doc_id AND s.span_id = h.span_id
+    ), reb AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN purge THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+             array_to_string(
+               list(span_text ORDER BY span_id) FILTER (WHERE NOT purge), ' '
+             ) AS clean_text,
+             array_to_string(
+               list(CAST(span_id AS VARCHAR) ORDER BY span_id) FILTER (WHERE purge), ','
+             ) AS purged_span_ids
+      FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN r.doc_id IS NULL THEN NULL
+                ELSE coalesce(r.clean_text, '') END AS clean_text,
+           coalesce(r.n_spans, 0) AS n_spans,
+           coalesce(r.n_purged, 0) AS n_purged,
+           coalesce(r.purged_span_ids, '') AS purged_span_ids
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id IS NOT NULL AND doc_id % 97 <> 0) d
+    LEFT JOIN reb r USING (doc_id)
+    """
+
+
+@q_staged("curation_decon_spans", oracle=_decon_spans_oracle(n=4))
+def curation_decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval decontamination: purge the 16-token spans that
+    share any word 4-gram with the benchmark slice (doc_id % 97, the
+    curation_contamination convention) while keeping the documents —
+    removal, not flagging (GPT-3 appendix C / FLAN-style).  4-grams
+    here because the synthetic word-soup corpus shares no 8-gram
+    across the benchmark split (real corpora use the n=8 default —
+    the operator is n-agnostic); at n=4 the gate certifies REAL purges
+    (8 spans across 8 docs at sf0.01), not a no-op.  Benchmark grams
+    broadcast; the corpus never shuffles text; reassembly is the
+    paragraph_dedup rebuild with its byte invariant
+    (operators/dedup.py decontaminate_spans)."""
+    from rheoceros_spark.operators.dedup import decontaminate_spans
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate_spans(corpus, bench, n=4, span_tokens=16)
 
 
 def _bpe_fertility_oracle() -> str:

@@ -149,6 +149,7 @@ BENCH_EXT = [
     "curation_source_overlap",
     "retrieval_quality_metrics",
     "text_bpe_fertility",
+    "curation_decon_spans",
 ]
 
 

@@ -1072,6 +1072,16 @@ def paragraph_dedup(
         )
     )
     sep = delim if delim is not None else " "
+    return _rebuild_spans(df, marked, id_col, sep)
+
+
+def _rebuild_spans(df: DataFrame, marked: DataFrame, id_col: str, sep: str) -> DataFrame:
+    """Shared reassembly tail of the span-purge operators
+    (:func:`paragraph_dedup`, :func:`decontaminate_spans`): per-document
+    sort-by-span-id rebuild of kept spans + purge bookkeeping, left-
+    joined back to every non-NULL-id input row.  ``marked`` is
+    (id, span_id, span_text, __purge boolean); aggregate state is
+    bounded by document length."""
     arr = F.sort_array(
         F.collect_list(F.struct(F.col("span_id"), F.col("span_text"), F.col("__purge")))
     )
@@ -1104,3 +1114,64 @@ def paragraph_dedup(
             F.coalesce(F.col("purged_span_ids"), F.lit("")).alias("purged_span_ids"),
         )
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str | None = None,
+    span_tokens: int | None = None,
+) -> DataFrame:
+    """Span-granular eval decontamination: REMOVE the spans that share
+    a word ``n``-gram with the benchmark while KEEPING the documents —
+    the surgical variant of :func:`~rheoceros_spark.operators.curation.
+    contamination_ngrams` (which only flags whole documents).  Real
+    pipelines prefer removal when a page is largely clean but quotes a
+    benchmark item verbatim (GPT-3 appendix C and the FLAN collection
+    both describe span/substring-level decontamination).
+
+    Segmentation and reassembly are :func:`paragraph_segments` /
+    the :func:`paragraph_dedup` rebuild (same modes, same reassembly
+    invariant: kept+purged spans in span order reproduce the original);
+    the purge criterion is a BROADCAST probe of the benchmark's
+    distinct gram hashes — eval suites are MBs against a 100 TB
+    corpus, so the corpus never shuffles its text: explode spans →
+    explode span grams → broadcast semi-join → distinct contaminated
+    (id, span_id) → mark → per-doc rebuild.  Gram convention matches
+    contamination_ngrams (padded partial gram for < n-token texts,
+    applied on BOTH sides).
+
+    Returns one row per non-NULL-id corpus document: (id, clean_text,
+    n_spans, n_purged, purged_span_ids).
+    """
+    if n < 1:
+        raise ValueError(f"decontaminate_spans: n must be >= 1, got {n}")
+    grams = F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+    bench = (
+        benchmark.where(F.col(text_col).isNotNull())
+        .select(F.explode(grams).alias("__g"))
+        .select(h64(F.col("__g")).alias("__gh"))
+        .distinct()
+    )
+    segs = paragraph_segments(corpus, text_col, id_col, delim, span_tokens)
+    span_grams = F.array_distinct(word_ngrams(tokens(F.col("span_text")), n))
+    hits = (
+        segs.where(F.length(normalize_text(F.col("span_text"))) > 0)
+        .select(F.col(id_col), F.col("span_id"), F.explode(span_grams).alias("__g"))
+        .select(id_col, "span_id", h64(F.col("__g")).alias("__gh"))
+        .join(F.broadcast(bench), "__gh", "left_semi")
+        .select(id_col, "span_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    marked = segs.join(hits, [id_col, "span_id"], "left").select(
+        F.col(id_col),
+        F.col("span_id"),
+        F.col("span_text"),
+        F.col("__hit").isNotNull().alias("__purge"),
+    )
+    sep = delim if delim is not None else " "
+    return _rebuild_spans(corpus, marked, id_col, sep)

@@ -107,6 +107,9 @@ HEAVIES = [
     # fertility = the Arrow BPE scan (text_bpe_tokens' shape) + a
     # groups-sized rollup
     "text_bpe_fertility",
+    # decon spans: segmentation explode + broadcast gram probe + per-doc
+    # rebuild — corpus-linear like dedup_paragraph_spans
+    "curation_decon_spans",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
@@ -151,6 +154,8 @@ ORACLE_AT_SF1 = [
     # fertility's oracle replays the word-fold cascade per DISTINCT
     # word like text_bpe_tokens' (already probed linear at sf1)
     "text_bpe_fertility",
+    # decon-spans oracle is gram-equi-join + rebuild — corpus-linear
+    "curation_decon_spans",
 ]
 
 

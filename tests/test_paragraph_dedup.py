@@ -190,3 +190,71 @@ def test_plan_no_cartesian_and_partial_aggregation(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # fp statistics combine map-side: partial_count before the exchange
     assert "partial_count" in plan
+
+
+class TestDecontaminateSpans:
+    """Span-level decontamination: only benchmark-overlapping spans
+    purge; documents survive; reassembly invariant holds."""
+
+    def _run(self, spark, corpus_rows, bench_rows, **kw):
+        from rheoceros_spark.operators.dedup import decontaminate_spans
+
+        c = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        b = spark.createDataFrame(bench_rows, "doc_id long, text string")
+        out = decontaminate_spans(c, b, **kw)
+        return {r.doc_id: r for r in out.collect()}
+
+    def test_only_overlapping_span_purged(self, spark):
+        # doc 1: span0 quotes the benchmark verbatim, span1 is clean
+        quoted = "what is the capital of france paris obviously"
+        corpus = [(1, quoted + " " + "clean words follow here after that quiz")]
+        bench = [(100, "quiz item what is the capital of france paris")]
+        m = self._run(spark, corpus, bench, n=4, span_tokens=8)
+        r = m[1]
+        assert r.n_spans == 2 and r.n_purged == 1
+        assert r.purged_span_ids == "0"
+        assert r.clean_text == "clean words follow here after that quiz"
+
+    def test_clean_docs_untouched_byte_exact(self, spark):
+        text = "totally unrelated content with zero overlap anywhere at all"
+        m = self._run(spark, [(1, text)], [(100, "benchmark about other things entirely")],
+                      n=4, span_tokens=8)
+        # span_tokens mode reassembles the NORMALIZED token stream
+        assert m[1].n_purged == 0 and m[1].clean_text == text
+
+    def test_delim_mode_preserves_bytes(self, spark):
+        # paragraph mode: untouched paragraphs keep exact bytes (inner
+        # double spaces survive)
+        corpus = [(1, "keep  me  intact\n\nthe quiz answer is forty two exactly")]
+        bench = [(100, "the quiz answer is forty two exactly")]
+        m = self._run(spark, corpus, bench, n=4, delim="\n\n")
+        r = m[1]
+        assert r.n_purged == 1 and r.clean_text == "keep  me  intact"
+
+    def test_all_spans_purged_yields_empty_text(self, spark):
+        text = "the exact benchmark sentence appears here"
+        m = self._run(spark, [(1, text)], [(100, text)], n=4, span_tokens=8)
+        assert m[1].n_purged == m[1].n_spans == 1 and m[1].clean_text == ""
+
+    def test_null_text_doc_survives_with_zero_spans(self, spark):
+        m = self._run(spark, [(1, None), (2, "the quiz answer is forty two ok")],
+                      [(100, "quiz")], n=4, span_tokens=8)
+        assert m[1].clean_text is None and m[1].n_spans == 0
+
+    def test_short_span_partial_gram_convention(self, spark):
+        # spans shorter than n produce ONE padded partial gram (the
+        # contamination_ngrams convention) — it matches only an equal
+        # benchmark partial, so a 2-token span never matches 4-gram
+        # benchmark text
+        m = self._run(spark, [(1, "tiny tail")], [(100, "long benchmark text with many words")],
+                      n=4, span_tokens=8)
+        assert m[1].n_purged == 0
+
+    def test_rejects_bad_n(self, spark):
+        import pytest as _pt
+
+        from rheoceros_spark.operators.dedup import decontaminate_spans
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pt.raises(ValueError, match="n must be"):
+            decontaminate_spans(df, df, n=0, span_tokens=8)

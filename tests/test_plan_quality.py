@@ -669,3 +669,12 @@ class TestRound8TailPlanShapes:
         )
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
+
+    def test_decon_spans_broadcasts_benchmark_grams(self, spark, sf):
+        """The benchmark gram probe must broadcast (eval suites are MBs
+        against the corpus); the corpus side never cartesians."""
+        plan = physical_plan(
+            entry._STAGED_QUERIES["curation_decon_spans"](spark, sf)
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
