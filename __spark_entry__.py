@@ -3880,8 +3880,8 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   text_quality_pr_curve, curation_cluster_profile, text_hash_embed_topk,
 #   text_gopher_rules, curation_ppl_buckets, curation_c4_lines,
 #   curation_source_overlap, retrieval_quality_metrics, text_bpe_fertility,
-#   curation_decon_spans,
-# against 12 retirements from the r8-certified pool (candidates, same
+#   curation_decon_spans, text_lang_segments,
+# against 13 retirements from the r8-certified pool (candidates, same
 # weakest-marginal-row test: dedup_minhash_lsh_pairs + dedup_simhash_pairs
 # — quadratic verification twins whose scalable siblings are benched and
 # probed; pivot_returnflag_status — pivot is grouping-set sugar held by
@@ -5170,6 +5170,83 @@ def curation_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(docs, text_col="__lineified").select(
         "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace", "c4_pass",
         "clean_text",
+    )
+
+
+def _lang_segments_oracle(span_tokens: int = 16) -> str:
+    """Per-span marker lang-id + document rollup in DuckDB: the
+    text_lang_id scoring over token-window spans, modal non-'und'
+    language with ascending tie-break."""
+    S = int(span_tokens)
+    span_toks = (
+        "string_split(trim(regexp_replace(lower(span_text), '\\s+', ' ', 'g')), ' ')"
+    )
+    scores = ", ".join(
+        f"len(list_filter({span_toks}, t -> list_contains({_LANG_SETS[l]}, t)))"
+        f" AS score_{l}"
+        for l in ("en", "es", "fr", "de")
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOK} AS t FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        AND len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+    ), segs AS (
+      SELECT doc_id, CAST((s - 1) / {S} AS INT) AS span_id,
+             array_to_string(
+               t[CAST(s AS INT):CAST(least(s + {S} - 1, len(t)) AS INT)], ' '
+             ) AS span_text
+      FROM (SELECT doc_id, t, unnest(range(1, len(t)+1, {S})) AS s FROM docs)
+    ), sc AS (
+      SELECT doc_id, span_id,
+             CASE
+               WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+               WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+               WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+               WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+               ELSE 'de'
+             END AS lang_pred
+      FROM (SELECT doc_id, span_id, {scores} FROM segs)
+    ), per AS (
+      SELECT doc_id, lang_pred, CAST(count(*) AS BIGINT) AS c
+      FROM sc GROUP BY doc_id, lang_pred
+    ), tot AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans FROM per GROUP BY doc_id
+    ), dom AS (
+      SELECT doc_id, lang_pred AS dominant_lang, c AS dominant_spans FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, lang_pred ASC) AS rn
+        FROM per WHERE lang_pred <> 'und'
+      ) WHERE rn = 1
+    ), nl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_langs
+      FROM per WHERE lang_pred <> 'und' GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(t.n_spans, 0) AS n_spans,
+           coalesce(dom.dominant_lang, 'und') AS dominant_lang,
+           coalesce(dom.dominant_spans, 0) AS dominant_spans,
+           coalesce(nl.n_langs, 0) AS n_langs,
+           CAST(coalesce(nl.n_langs, 0) >= 2 AS INT) AS multilingual
+    FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN dom USING (doc_id)
+    LEFT JOIN nl USING (doc_id)
+    """
+
+
+@q_staged("text_lang_segments", oracle=_lang_segments_oracle())
+def text_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular language profile (Wenzek et al. 2020 §3.2 —
+    CCNet runs lang-id per paragraph so mixed-language pages surface
+    instead of averaging away): 16-token-span marker lang-id rolled up
+    to dominant language / identified-language count / multilingual
+    flag per document.  Shuffle-free explode + one (id, lang) count —
+    the only bytes on the wire are per-doc language tallies
+    (operators/text_analysis.py lang_segments)."""
+    from rheoceros_spark.operators.text_analysis import lang_segments
+
+    return lang_segments(
+        load_table(spark, sf_dir, "documents"), span_tokens=16
     )
 
 

@@ -150,6 +150,7 @@ BENCH_EXT = [
     "retrieval_quality_metrics",
     "text_bpe_fertility",
     "curation_decon_spans",
+    "text_lang_segments",
 ]
 
 

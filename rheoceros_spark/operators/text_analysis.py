@@ -51,6 +51,86 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
+def lang_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str | None = None,
+    span_tokens: int | None = None,
+) -> DataFrame:
+    """Per-SPAN language identification rolled up to a document
+    language profile — the CCNet practice of running lang-id at
+    paragraph granularity (Wenzek et al. 2020 §3.2) so mixed-language
+    pages are detected instead of averaged away: a page that is half
+    English half German scores as confidently 'en' under document-level
+    lang_id but shows ``n_langs = 2`` here.
+
+    Segmentation modes are :func:`~rheoceros_spark.operators.dedup.
+    paragraph_segments`' (literal ``delim`` or fixed token windows);
+    each span runs the marker-set :func:`lang_id`.  Returns one row
+    per non-NULL-id document: ``n_spans``, ``dominant_lang`` (modal
+    non-'und' span language, ties broken ascending; 'und' when no span
+    identifies), ``dominant_spans``, ``n_langs`` (distinct identified
+    languages), ``multilingual`` (int flag, ≥2).
+
+    Scale shape: shuffle-free segment explode + per-row marker scoring,
+    ONE (id, lang) map-side-combined count (≤ 5 rows per doc), then
+    doc-bounded argmax — corpus-linear, no text shuffle (the lang
+    counts are the only thing on the wire).
+
+    Reference-extension operator (SURVEY.md §2.12).
+    """
+    from rheoceros_spark.operators.dedup import paragraph_segments
+
+    segs = paragraph_segments(df, text_col, id_col, delim, span_tokens)
+    scored = lang_id(segs, "span_text")
+    per = scored.groupBy(id_col, "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    # ONE rollup for totals + argmax + distinct count: three separate
+    # consumers of `per` (totals frame, ranked-window frame, count
+    # frame) would re-run the segment explode + scoring per consumer —
+    # measured 3 corpus scans; the struct-max folds them into the same
+    # aggregate.  Tie-break: max picks the larger struct, so the
+    # second field ranks languages in REVERSE alphabetical order to
+    # make the alphabetically-first language win equal counts.
+    known = sorted(LANG_MARKERS)
+    rev_rank = F.create_map(
+        *[x for i, l in enumerate(known) for x in (F.lit(l), F.lit(len(known) - i))]
+    )
+    identified = F.col("lang_pred") != "und"
+    dom_struct = F.when(
+        identified,
+        F.struct(
+            F.col("__c").alias("c"),
+            rev_rank[F.col("lang_pred")].alias("r"),
+            F.col("lang_pred").alias("lang"),
+        ),
+    )
+    roll = per.groupBy(id_col).agg(
+        F.sum("__c").cast("bigint").alias("n_spans"),
+        F.max(dom_struct).alias("__dom"),
+        F.count(F.when(identified, F.lit(1))).cast("bigint").alias("n_langs"),
+    )
+    return (
+        df.where(F.col(id_col).isNotNull())
+        .select(id_col)
+        .join(roll, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("__dom.lang"), F.lit("und")).alias("dominant_lang"),
+            F.coalesce(F.col("__dom.c"), F.lit(0))
+            .cast("bigint")
+            .alias("dominant_spans"),
+            F.coalesce(F.col("n_langs"), F.lit(0)).cast("bigint").alias("n_langs"),
+            (F.coalesce(F.col("n_langs"), F.lit(0)) >= 2).cast("int").alias(
+                "multilingual"
+            ),
+        )
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``n_tokens`` (whitespace) and ``n_bpe`` (BPE-ish regex
     pre-token count).  Empty / whitespace-only text counts 0 tokens —

@@ -110,6 +110,8 @@ HEAVIES = [
     # decon spans: segmentation explode + broadcast gram probe + per-doc
     # rebuild — corpus-linear like dedup_paragraph_spans
     "curation_decon_spans",
+    # lang segments: explode + per-row marker scoring + (id, lang) count
+    "text_lang_segments",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
@@ -156,6 +158,8 @@ ORACLE_AT_SF1 = [
     "text_bpe_fertility",
     # decon-spans oracle is gram-equi-join + rebuild — corpus-linear
     "curation_decon_spans",
+    # lang-segments oracle is per-span scoring + doc rollup — linear
+    "text_lang_segments",
 ]
 
 

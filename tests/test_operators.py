@@ -1207,3 +1207,45 @@ class TestIvfPq:
         dim = len(emb.first()["embedding"])
         with pytest.raises(ValueError, match="inconsistent"):
             ivfpq_probe(spark, path, [0.1] * dim, k=3)
+
+
+class TestLangSegments:
+    """Per-span lang-id rollup: mixed-language detection, tie-breaks,
+    und handling, empty docs."""
+
+    def _run(self, spark, rows, **kw):
+        from rheoceros_spark.operators.text_analysis import lang_segments
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in lang_segments(df, **kw).collect()}
+
+    def test_mixed_language_doc_detected(self, spark):
+        en = "the cat and the dog in a house that is for it "
+        de = "der hund und die katze von dem haus mit den ist nicht zu "
+        m = self._run(spark, [(1, en * 2 + de * 2)], span_tokens=12)
+        r = m[1]
+        assert r.n_langs == 2 and r.multilingual == 1
+        assert r.dominant_lang in ("en", "de")
+
+    def test_monolingual_doc(self, spark):
+        en = "the cat and the dog in a house that is for it "
+        r = self._run(spark, [(1, en * 4)], span_tokens=12)[1]
+        assert (r.dominant_lang, r.n_langs, r.multilingual) == ("en", 1, 0)
+
+    def test_no_markers_is_und(self, spark):
+        r = self._run(spark, [(1, "zzz qqq xxx www vvv")], span_tokens=4)[1]
+        assert (r.dominant_lang, r.n_langs, r.dominant_spans) == ("und", 0, 0)
+        assert r.n_spans == 2
+
+    def test_dominant_tie_breaks_ascending(self, spark):
+        # one clearly-en span + one clearly-de span -> counts tie 1-1,
+        # 'de' < 'en' wins the ascending tie-break
+        en = "the cat and the dog in a house that is for it"
+        de = "der hund und die katze von dem haus mit den ist nicht"
+        r = self._run(spark, [(1, en + " " + de)], span_tokens=12)[1]
+        assert r.dominant_lang == "de" and r.n_langs == 2
+
+    def test_null_and_empty_text(self, spark):
+        m = self._run(spark, [(1, None), (2, ""), (3, "   ")], span_tokens=8)
+        for r in m.values():
+            assert (r.n_spans, r.dominant_lang, r.multilingual) == (0, "und", 0)

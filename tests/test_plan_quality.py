@@ -678,3 +678,14 @@ class TestRound8TailPlanShapes:
         )
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+    def test_lang_segments_single_segment_scan(self, spark, sf):
+        """The rollup must fold totals/argmax/distinct-count into ONE
+        aggregate over the (id, lang) counts: at most two parquet scans
+        (segments + the narrow doc_id join-back), never one per
+        consumer."""
+        plan = physical_plan(
+            entry._STAGED_QUERIES["text_lang_segments"](spark, sf)
+        )
+        assert plan.count("Scan parquet") <= 2
+        assert "CartesianProduct" not in plan
