@@ -3881,7 +3881,8 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   text_gopher_rules, curation_ppl_buckets, curation_c4_lines,
 #   curation_source_overlap, retrieval_quality_metrics, text_bpe_fertility,
 #   curation_decon_spans, text_lang_segments,
-# against 13 retirements from the r8-certified pool (candidates, same
+#   curation_source_overlap_minhash,
+# against 14 retirements from the r8-certified pool (candidates, same
 # weakest-marginal-row test: dedup_minhash_lsh_pairs + dedup_simhash_pairs
 # — quadratic verification twins whose scalable siblings are benched and
 # probed; pivot_returnflag_status — pivot is grouping-set sugar held by
@@ -5170,6 +5171,59 @@ def curation_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(docs, text_col="__lineified").select(
         "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace", "c4_pass",
         "clean_text",
+    )
+
+
+def _source_overlap_minhash_oracle(n: int = 8, num_hashes: int = 64) -> str:
+    """Per-source MinHash signatures replayed in DuckDB: same h64 gram
+    hashes, same affine permutations, min per permutation per source,
+    pairwise component-match count (unrolled CASE sum)."""
+    from rheoceros_spark.functions.portable import h64_sql, word_ngrams_sql
+    from rheoceros_spark.operators.dedup import MINHASH_P
+
+    grams = word_ngrams_sql(_TOK, n)
+    gh = h64_sql("g")
+    mins = ",\n             ".join(
+        f"min(({2 * i + 1} * h + {i}) % {MINHASH_P}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT source AS s, {gh} % 4294967296 AS h FROM (
+        SELECT source, unnest(list_distinct({grams})) AS g
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+      )
+    ), sigs AS (
+      SELECT s, {mins}
+      FROM hashed GROUP BY s
+    )
+    SELECT a.s AS source_a, b.s AS source_b,
+           CAST({match_sum} AS BIGINT) AS n_matches,
+           CAST(CAST({match_sum} AS BIGINT) * 1000000 // {num_hashes}
+                AS DOUBLE) / 1e6 AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.s < b.s
+    """
+
+
+@q_staged(
+    "curation_source_overlap_minhash",
+    oracle=_source_overlap_minhash_oracle(),
+)
+def curation_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch twin of the exact cross-source overlap matrix —
+    the 100 TB scale path: per-source 64-component signatures (map-side
+    partial mins; sources×64 integers cross the wire instead of the
+    gram vocabulary), pairwise Jaccard estimated as the matching-
+    component fraction.  Deterministic portable hashes make even the
+    ESTIMATE bit-exact across engines
+    (operators/curation.py source_overlap_minhash)."""
+    from rheoceros_spark.operators.curation import source_overlap_minhash
+
+    return source_overlap_minhash(
+        load_table(spark, sf_dir, "documents"), n=8, num_hashes=64
     )
 
 

@@ -151,6 +151,7 @@ BENCH_EXT = [
     "text_bpe_fertility",
     "curation_decon_spans",
     "text_lang_segments",
+    "curation_source_overlap_minhash",
 ]
 
 

@@ -1761,3 +1761,79 @@ def source_overlap(
             "n_common * 1000000L div (n_grams_a + n_grams_b - n_common)"
         ).cast("double").alias("__jq"),
     ).withColumn("jaccard", F.col("__jq") / F.lit(1e6)).drop("__jq")
+
+
+def source_overlap_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 8,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash sketch sibling of :func:`source_overlap` — the 100 TB
+    scale path: per-SOURCE MinHash signatures over the distinct-gram
+    stream (Broder 1997), pairwise Jaccard then ESTIMATED as the
+    fraction of matching signature components.  The exact operator
+    shuffles the (source, gram) vocabulary; this one shuffles exactly
+    ``sources × num_hashes`` integers — per-partition partial mins
+    combine map-side, so one row per source per partition crosses the
+    wire no matter the corpus size (the dedup minhash_sigs shape,
+    grouped by source instead of document).
+
+    Deterministic and engine-exact by construction: the same portable
+    h64 gram hashes and affine permutations
+    (``(2i+1)·h32 + i mod 2³¹−1``) as the dedup family — min over a
+    set is order-independent, so the signature is bit-identical in
+    any engine, and the ESTIMATE itself is certified by the oracle
+    (accuracy vs the exact matrix is a separate statistical pytest).
+
+    Returns one row per unordered source pair: ``n_matches``,
+    ``est_jaccard`` (``·1e6 div num_hashes``-quantized).  Sources with
+    no grams (all-empty text) produce all-identical degenerate
+    signatures — filter empty sources upstream if that matters.
+    """
+    if n < 1 or num_hashes < 1:
+        raise ValueError(
+            f"source_overlap_minhash: n and num_hashes must be >= 1, "
+            f"got {n}, {num_hashes}"
+        )
+    from rheoceros_spark.operators.dedup import MINHASH_P
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    ex = (
+        ensure_parallelism(
+            df.where(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+            .select(source_col, text_col)
+        )
+        .select(
+            F.col(source_col).alias("__s"),
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+            ).alias("__g"),
+        )
+        .select("__s", (h64(F.col("__g")) % F.lit(4294967296)).alias("__h"))
+    )
+    mins = [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("__h") + F.lit(i)) % F.lit(MINHASH_P)
+        ).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = ex.groupBy("__s").agg(*mins)
+    sig_arr = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    sigs = sigs.select(F.col("__s"), sig_arr.alias("__sig"))
+    a = sigs.select(F.col("__s").alias("source_a"), F.col("__sig").alias("__sa"))
+    b = sigs.select(F.col("__s").alias("source_b"), F.col("__sig").alias("__sb"))
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("source_a") < F.col("source_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("bigint")
+    return pairs.select(
+        "source_a", "source_b", matches.alias("n_matches")
+    ).withColumn(
+        "est_jaccard",
+        F.expr(f"n_matches * 1000000L div {num_hashes}").cast("double") / F.lit(1e6),
+    )

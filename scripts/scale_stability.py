@@ -112,6 +112,8 @@ HEAVIES = [
     "curation_decon_spans",
     # lang segments: explode + per-row marker scoring + (id, lang) count
     "text_lang_segments",
+    # minhash overlap sketch: gram explode + sources-sized partial-min agg
+    "curation_source_overlap_minhash",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
@@ -160,6 +162,8 @@ ORACLE_AT_SF1 = [
     "curation_decon_spans",
     # lang-segments oracle is per-span scoring + doc rollup — linear
     "text_lang_segments",
+    # minhash-overlap oracle is gram-hash mins per source — linear
+    "curation_source_overlap_minhash",
 ]
 
 

@@ -952,3 +952,61 @@ class TestSourceOverlap:
         df = spark.createDataFrame([(1, "a", "w")], "doc_id long, source string, text string")
         with _pt.raises(ValueError, match="n must be"):
             source_overlap(df, n=0)
+
+
+class TestSourceOverlapMinhash:
+    """MinHash sketch twin of the exact overlap matrix: identical
+    sources estimate 1.0 exactly, disjoint near 0, and the estimate
+    tracks the exact Jaccard within the k=64 statistical bound."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_identical_sources_estimate_one(self, spark):
+        from rheoceros_spark.operators.curation import source_overlap_minhash
+
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = self._docs(spark, [(1, "a", text), (2, "b", text)])
+        r = source_overlap_minhash(df, n=3, num_hashes=32).collect()[0]
+        assert r.n_matches == 32 and r.est_jaccard == 1.0
+
+    def test_disjoint_sources_estimate_near_zero(self, spark):
+        from rheoceros_spark.operators.curation import source_overlap_minhash
+
+        df = self._docs(
+            spark,
+            [(1, "a", "aa bb cc dd ee ff gg hh"), (2, "b", "qq ww rr tt yy uu ii oo")],
+        )
+        r = source_overlap_minhash(df, n=3, num_hashes=64).collect()[0]
+        assert r.est_jaccard < 0.1
+
+    def test_estimate_tracks_exact_on_corpus(self, spark, sf_dir):
+        from rheoceros_spark.operators.curation import (
+            source_overlap,
+            source_overlap_minhash,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        exact = {
+            (r.source_a, r.source_b): r.jaccard
+            for r in source_overlap(docs, n=8).collect()
+        }
+        est = {
+            (r.source_a, r.source_b): r.est_jaccard
+            for r in source_overlap_minhash(docs, n=8, num_hashes=64).collect()
+        }
+        assert set(est) == set(exact)
+        # 4-sigma bound at k=64: sigma = sqrt(J(1-J)/64) <= 0.0625
+        for pair, j in exact.items():
+            assert abs(est[pair] - j) <= 0.25, (pair, j, est[pair])
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pt
+
+        from rheoceros_spark.operators.curation import source_overlap_minhash
+
+        df = self._docs(spark, [(1, "a", "x")])
+        with _pt.raises(ValueError, match="must be"):
+            source_overlap_minhash(df, n=0)
+        with _pt.raises(ValueError, match="must be"):
+            source_overlap_minhash(df, num_hashes=0)

@@ -689,3 +689,16 @@ class TestRound8TailPlanShapes:
         )
         assert plan.count("Scan parquet") <= 2
         assert "CartesianProduct" not in plan
+
+    def test_source_overlap_minhash_shuffles_signatures_only(self, spark, sf):
+        """The sketch must aggregate mins map-side over the gram stream
+        — no vocabulary DISTINCT, no gram-keyed join; the only joins
+        are over the sources-sized signature frame."""
+        from rheoceros_spark.operators.curation import source_overlap_minhash
+
+        plan = physical_plan(
+            source_overlap_minhash(load_table(spark, sf, "documents"))
+        )
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("HashAggregate") >= 2  # partial + final mins
