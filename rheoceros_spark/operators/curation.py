@@ -1837,3 +1837,104 @@ def source_overlap_minhash(
         "est_jaccard",
         F.expr(f"n_matches * 1000000L div {num_hashes}").cast("double") / F.lit(1e6),
     )
+
+
+def ppl_thresholds(
+    df: DataFrame,
+    score_col: str = "nll",
+    group_col: str = "source",
+    head_pct: int = 30,
+    tail_pct: int = 30,
+) -> DataFrame:
+    """The per-group CUT VALUES behind :func:`ppl_buckets` as a tiny
+    persistable table — the production CCNet shape: thresholds are
+    trained once on a reference crawl, persisted, and applied to every
+    new crawl / stream micro-batch without recomputing the histogram
+    (the corpus_diff_indexed standing-artifact pattern).
+
+    Returns one row per group: ``head_max_q`` / ``mid_max_q`` — the
+    largest 1e-6-quantized scores whose cumulative share stays within
+    ``head_pct`` / ``100 − tail_pct`` — and ``n_scored``.  A NULL
+    ``head_max_q`` means the group's smallest score already crosses
+    the head cut (no head bucket), same for ``mid_max_q``.  By
+    monotonicity of the cumulative count, ``score_q ≤ head_max_q`` is
+    EXACTLY ppl_buckets' ``100·cum ≤ head_pct·n`` labeling —
+    :func:`ppl_bucket_assign` + these thresholds reproduce
+    :func:`ppl_buckets` bit-for-bit (parity-pinned in pytest).
+
+    Same scale shape as ppl_buckets' internal histogram: one map-side-
+    combined groupBy, cumulative windows over the histogram frame only,
+    groups-sized output.
+    """
+    if not (0 < head_pct and 0 < tail_pct and head_pct + tail_pct < 100):
+        raise ValueError(
+            f"ppl_thresholds: need 0 < head_pct, 0 < tail_pct, head_pct + "
+            f"tail_pct < 100; got {head_pct}/{tail_pct}"
+        )
+    mid_pct = 100 - tail_pct
+    sq = F.round(F.col(score_col) * F.lit(1e6)).cast("bigint")
+    hist = (
+        df.withColumn("__sq", sq)
+        .where(F.col("__sq").isNotNull())
+        .groupBy(group_col, "__sq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("__sq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w_cum)).withColumn(
+        "__n", F.sum("__c").over(w_all)
+    )
+    return cum.groupBy(group_col).agg(
+        F.max(
+            F.when(
+                F.lit(100) * F.col("__cum") <= F.lit(head_pct) * F.col("__n"),
+                F.col("__sq"),
+            )
+        ).alias("head_max_q"),
+        F.max(
+            F.when(
+                F.lit(100) * F.col("__cum") <= F.lit(mid_pct) * F.col("__n"),
+                F.col("__sq"),
+            )
+        ).alias("mid_max_q"),
+        F.max("__n").alias("n_scored"),
+    )
+
+
+def ppl_bucket_assign(
+    df: DataFrame,
+    thresholds: DataFrame,
+    score_col: str = "nll",
+    group_col: str = "source",
+) -> DataFrame:
+    """Label rows head/middle/tail against a PERSISTED
+    :func:`ppl_thresholds` table — stateless per-row work after one
+    broadcast join (thresholds are groups-sized), so it applies
+    unchanged to new crawls and to Structured Streaming micro-batches
+    (streaming/stream.py stream_ppl_gate).  Rows whose group is absent
+    from the thresholds table, or with NULL score, get a NULL bucket.
+    """
+    sq = F.round(F.col(score_col) * F.lit(1e6)).cast("bigint")
+    j = df.withColumn("__sq", sq).join(F.broadcast(thresholds), group_col, "left")
+    bucket = (
+        F.when(
+            F.col("__sq").isNull() | F.col("n_scored").isNull(), F.lit(None)
+        )
+        .when(
+            F.col("head_max_q").isNotNull()
+            & (F.col("__sq") <= F.col("head_max_q")),
+            F.lit("head"),
+        )
+        .when(
+            F.col("mid_max_q").isNotNull() & (F.col("__sq") <= F.col("mid_max_q")),
+            F.lit("middle"),
+        )
+        .otherwise(F.lit("tail"))
+    )
+    return j.withColumn("ppl_bucket", bucket).drop(
+        "__sq", "head_max_q", "mid_max_q", "n_scored"
+    )

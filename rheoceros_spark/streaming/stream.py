@@ -359,6 +359,24 @@ def stream_c4_lines(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     return c4_line_filter(sdf, text_col)
 
 
+def stream_ppl_gate(
+    sdf: DataFrame,
+    thresholds: DataFrame,
+    score_col: str = "nll",
+    group_col: str = "source",
+) -> DataFrame:
+    """Streaming twin of the CCNet perplexity gate: label each
+    micro-batch row head/middle/tail against a PERSISTED
+    ppl_thresholds table (curation.ppl_bucket_assign — the trained-
+    thresholds counterpart of stream_classifier_score's trained-weights
+    pattern).  ``thresholds`` is a BATCH frame, broadcast into the
+    incremental plan; the stream stays stateless — no watermark, no
+    state store."""
+    from rheoceros_spark.operators.curation import ppl_bucket_assign
+
+    return ppl_bucket_assign(sdf, thresholds, score_col, group_col)
+
+
 def quality_split_sink(
     sdf: DataFrame,
     out_root: str,

@@ -1010,3 +1010,92 @@ class TestSourceOverlapMinhash:
             source_overlap_minhash(df, n=0)
         with _pt.raises(ValueError, match="must be"):
             source_overlap_minhash(df, num_hashes=0)
+
+
+class TestPplThresholds:
+    """Persisted-threshold form of the perplexity gate: assign against
+    ppl_thresholds must reproduce ppl_buckets bit-for-bit, survive
+    persistence round-trips, and stream statelessly."""
+
+    def _scored(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, source string, nll double")
+
+    def test_assign_reproduces_ppl_buckets(self, spark):
+        from rheoceros_spark.operators.curation import (
+            ppl_bucket_assign,
+            ppl_buckets,
+            ppl_thresholds,
+        )
+
+        rows = (
+            [(i, "a", float(i)) for i in range(10)]
+            + [(100 + i, "b", 5.0) for i in range(4)]  # all-tied group
+            + [(200 + i, "c", float(i % 3)) for i in range(9)]
+            + [(300, "a", None)]
+        )
+        df = self._scored(spark, rows)
+        direct = {r.doc_id: r.ppl_bucket for r in ppl_buckets(df).collect()}
+        thr = ppl_thresholds(df)
+        assigned = {
+            r.doc_id: r.ppl_bucket for r in ppl_bucket_assign(df, thr).collect()
+        }
+        assert assigned == direct
+
+    def test_thresholds_survive_parquet_roundtrip(self, spark, tmp_path):
+        from rheoceros_spark.operators.curation import (
+            ppl_bucket_assign,
+            ppl_buckets,
+            ppl_thresholds,
+        )
+
+        train = self._scored(spark, [(i, "a", float(i)) for i in range(10)])
+        p = str(tmp_path / "thr.parquet")
+        ppl_thresholds(train).write.mode("overwrite").parquet(p)
+        thr = spark.read.parquet(p)
+        # NEW data labeled against the trained cuts: scores 0-2 head,
+        # 3-6 middle, 7+ tail (the 30/40/30 cuts of the train set)
+        new = self._scored(spark, [(50, "a", 1.0), (51, "a", 5.0), (52, "a", 9.5)])
+        got = {r.doc_id: r.ppl_bucket for r in ppl_bucket_assign(new, thr).collect()}
+        assert got == {50: "head", 51: "middle", 52: "tail"}
+
+    def test_unknown_group_and_null_score_get_null_bucket(self, spark):
+        from rheoceros_spark.operators.curation import (
+            ppl_bucket_assign,
+            ppl_thresholds,
+        )
+
+        train = self._scored(spark, [(i, "a", float(i)) for i in range(10)])
+        thr = ppl_thresholds(train)
+        new = self._scored(spark, [(1, "zz", 1.0), (2, "a", None)])
+        got = {r.doc_id: r.ppl_bucket for r in ppl_bucket_assign(new, thr).collect()}
+        assert got == {1: None, 2: None}
+
+    def test_stream_gate_matches_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from rheoceros_spark.operators.curation import (
+            ppl_bucket_assign,
+            ppl_thresholds,
+        )
+        from rheoceros_spark.streaming.stream import stream_ppl_gate
+
+        train = self._scored(spark, [(i, "a", float(i)) for i in range(10)])
+        thr = ppl_thresholds(train)
+        new = self._scored(
+            spark, [(i, "a", float(i) + 0.5) for i in range(10)]
+        )
+        batch = {r.doc_id: r.ppl_bucket for r in ppl_bucket_assign(new, thr).collect()}
+
+        src = str(tmp_path / "ppl_src")
+        new.coalesce(1).write.mode("overwrite").parquet(src)
+        out = []
+        sdf = spark.readStream.schema(new.schema).parquet(src)
+        q = (
+            stream_ppl_gate(sdf, thr)
+            .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_ppl"))
+            .start()
+        )
+        q.awaitTermination(120)
+        assert {r.doc_id: r.ppl_bucket for r in out} == batch
