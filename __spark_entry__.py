@@ -3881,8 +3881,8 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   text_gopher_rules, curation_ppl_buckets, curation_c4_lines,
 #   curation_source_overlap, retrieval_quality_metrics, text_bpe_fertility,
 #   curation_decon_spans, text_lang_segments,
-#   curation_source_overlap_minhash,
-# against 14 retirements from the r8-certified pool (candidates, same
+#   curation_source_overlap_minhash, dedup_exact_best_docs,
+# against 15 retirements from the r8-certified pool (candidates, same
 # weakest-marginal-row test: dedup_minhash_lsh_pairs + dedup_simhash_pairs
 # — quadratic verification twins whose scalable siblings are benched and
 # probed; pivot_returnflag_status — pivot is grouping-set sugar held by
@@ -5171,6 +5171,42 @@ def curation_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(docs, text_col="__lineified").select(
         "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace", "c4_pass",
         "clean_text",
+    )
+
+
+@q_staged(
+    "dedup_exact_best_docs",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars, md5({_NORM}) AS k
+      FROM documents WHERE text IS NOT NULL
+    ), w AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY k
+          ORDER BY coalesce(CAST(n_chars AS DOUBLE), '-infinity'::DOUBLE) DESC,
+                   doc_id ASC) AS rn
+        FROM keyed
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d JOIN w USING (doc_id)
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars FROM documents WHERE text IS NULL
+    """,
+)
+def dedup_exact_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with the QUALITY survivor rule — keep the copy with
+    the most characters per normalized-text group (the RefinedWeb
+    keep-longest convention; any score column works, e.g. a trained
+    classifier's logit), ties to min id.  Same 32-byte-key shuffle
+    shape as dedup_exact; the winner is an order-independent
+    max(struct(score, −id)) aggregate
+    (operators/dedup.py dedup_exact_best)."""
+    from rheoceros_spark.operators.dedup import dedup_exact_best
+
+    return dedup_exact_best(
+        load_table(spark, sf_dir, "documents"), score_col="n_chars"
     )
 
 

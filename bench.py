@@ -152,6 +152,7 @@ BENCH_EXT = [
     "curation_decon_spans",
     "text_lang_segments",
     "curation_source_overlap_minhash",
+    "dedup_exact_best_docs",
 ]
 
 

@@ -86,6 +86,43 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return survivors.unionByName(null_rows)
 
 
+def dedup_exact_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dedup_exact` with a QUALITY survivor rule: within each
+    exact-duplicate group keep the row with the highest ``score_col``
+    (ties broken by min id) — what real curation runs do when the
+    copies differ in the metadata that matters (a cleaner mirror, a
+    higher classifier score, a later crawl with fixed mojibake) and
+    "first id wins" would throw the better copy away.
+
+    Same scale shape as dedup_exact: the shuffle carries
+    (32-byte key, score, id) — never documents — and the winner is an
+    order-independent ``max(struct(score, −id))`` aggregate, so the
+    survivor is deterministic under any partitioning.  NULL scores
+    rank below every non-NULL score (Spark's struct-max NULL-last on
+    descending... explicitly: NULL score is coalesced to the minimum
+    long, so a scored copy always beats an unscored one).  NULL-text
+    rows pass through untouched, as in dedup_exact.
+    """
+    key = F.md5(normalize_text(F.col(text_col))).alias("__key")
+    keyed = df.select(
+        F.col(id_col),
+        key,
+        F.coalesce(F.col(score_col), F.lit(float("-inf"))).alias("__sc"),
+    ).where(F.col("__key").isNotNull())
+    winners = keyed.groupBy("__key").agg(
+        F.max(F.struct(F.col("__sc"), (-F.col(id_col)).alias("__nid"))).alias("__w")
+    )
+    winner_ids = winners.select((-F.col("__w.__nid")).alias(id_col))
+    survivors = df.join(winner_ids, on=id_col, how="left_semi")
+    null_rows = df.where(F.col(text_col).isNull())
+    return survivors.unionByName(null_rows)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

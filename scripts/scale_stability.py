@@ -114,6 +114,8 @@ HEAVIES = [
     "text_lang_segments",
     # minhash overlap sketch: gram explode + sources-sized partial-min agg
     "curation_source_overlap_minhash",
+    # keep-best exact dedup: same 32-byte-key shuffle as dedup_exact
+    "dedup_exact_best_docs",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
@@ -164,6 +166,8 @@ ORACLE_AT_SF1 = [
     "text_lang_segments",
     # minhash-overlap oracle is gram-hash mins per source — linear
     "curation_source_overlap_minhash",
+    # keep-best oracle is one ranked window per md5 group — linear
+    "dedup_exact_best_docs",
 ]
 
 

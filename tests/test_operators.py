@@ -1249,3 +1249,42 @@ class TestLangSegments:
         m = self._run(spark, [(1, None), (2, ""), (3, "   ")], span_tokens=8)
         for r in m.values():
             assert (r.n_spans, r.dominant_lang, r.multilingual) == (0, "und", 0)
+
+
+class TestDedupExactBest:
+    """Quality-survivor exact dedup: best score wins, min-id tie-break,
+    NULL score loses, NULL text passes through."""
+
+    def _run(self, spark, rows):
+        from rheoceros_spark.operators.dedup import dedup_exact_best
+
+        df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+        return {r.doc_id for r in dedup_exact_best(df, "quality").collect()}
+
+    def test_highest_score_survives(self, spark):
+        got = self._run(
+            spark,
+            [(1, "same text", 0.2), (2, "same text", 0.9), (3, "same text", 0.5),
+             (4, "other", 0.1)],
+        )
+        assert got == {2, 4}
+
+    def test_tie_breaks_to_min_id(self, spark):
+        got = self._run(spark, [(5, "dup", 0.7), (3, "dup", 0.7), (9, "dup", 0.1)])
+        assert got == {3}
+
+    def test_null_score_loses_to_scored_copy(self, spark):
+        got = self._run(spark, [(1, "dup", None), (2, "dup", 0.01)])
+        assert got == {2}
+        # all-NULL group still keeps exactly one (min id)
+        got2 = self._run(spark, [(7, "dup", None), (4, "dup", None)])
+        assert got2 == {4}
+
+    def test_null_text_rows_pass_through(self, spark):
+        got = self._run(spark, [(1, None, 0.5), (2, None, 0.9), (3, "t", 0.1)])
+        assert got == {1, 2, 3}
+
+    def test_normalization_matches_dedup_exact(self, spark):
+        # same normalized text (case/whitespace) collapses, like dedup_exact
+        got = self._run(spark, [(1, "The  Cat", 0.3), (2, "the cat", 0.8)])
+        assert got == {2}
