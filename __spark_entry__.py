@@ -3882,7 +3882,11 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   curation_source_overlap, retrieval_quality_metrics, text_bpe_fertility,
 #   curation_decon_spans, text_lang_segments,
 #   curation_source_overlap_minhash, dedup_exact_best_docs,
-# against 15 retirements from the r8-certified pool (candidates, same
+# — 15 staged; if justifying 15 retirements in one round strains the
+# weakest-marginal-row test, the tail spills to an r11 batch at the
+# practiced 5-8/round cadence (every staged query is already fully
+# oracle-gated in pytest either way, so registration remains pure
+# bookkeeping).  Retirement candidates from the r8-certified pool (same
 # weakest-marginal-row test: dedup_minhash_lsh_pairs + dedup_simhash_pairs
 # — quadratic verification twins whose scalable siblings are benched and
 # probed; pivot_returnflag_status — pivot is grouping-set sugar held by
