@@ -5044,9 +5044,9 @@ def _gopher_rules_oracle() -> str:
              CASE WHEN n_words > 0
                   THEN CAST(length(norm) AS BIGINT) - (n_words - 1)
                   ELSE 0 END AS wc,
-             CAST(length(raw) - length(replace(raw, '#', '')) AS BIGINT)
-               + CAST(length(raw) - length(replace(raw, '…', '')) AS BIGINT)
-               + CAST(len(regexp_extract_all(raw, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+             CAST(length(raw) - length(replace(raw, '#', '')) AS BIGINT) AS n_hsh,
+             CAST(length(raw) - length(replace(raw, '…', '')) AS BIGINT)
+               + CAST(len(regexp_extract_all(raw, '\\.\\.\\.')) AS BIGINT) AS n_el2,
              CAST(len(lines) AS BIGINT) AS n_lines,
              CAST(len(list_filter(lines,
                l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT) AS n_bul,
@@ -5064,7 +5064,9 @@ def _gopher_rules_oracle() -> str:
            CASE WHEN n_words > 0
                 THEN CAST(wc * 1000000 // n_words AS DOUBLE) / 1e6 END AS mean_word_len,
            CASE WHEN n_words > 0
-                THEN CAST(n_sym * 1000000 // n_words AS DOUBLE) / 1e6 END AS symbol_word_ratio,
+                THEN CAST(n_hsh * 1000000 // n_words AS DOUBLE) / 1e6 END AS hash_word_ratio,
+           CASE WHEN n_words > 0
+                THEN CAST(n_el2 * 1000000 // n_words AS DOUBLE) / 1e6 END AS ellipsis_word_ratio,
            CASE WHEN n_lines > 0
                 THEN CAST(n_bul * 1000000 // n_lines AS DOUBLE) / 1e6 END AS bullet_line_frac,
            CASE WHEN n_lines > 0
@@ -5074,14 +5076,15 @@ def _gopher_rules_oracle() -> str:
            CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS g_word_count,
            CAST(n_words > 0 AND wc >= 3 * n_words AND wc <= 10 * n_words AS INT)
              AS g_mean_word_len,
-           CAST(10 * n_sym <= n_words AS INT) AS g_symbol_ratio,
+           CAST(10 * n_hsh <= n_words AND 10 * n_el2 <= n_words AS INT)
+             AS g_symbol_ratio,
            CAST(10 * n_bul <= 9 * n_lines AS INT) AS g_bullet_lines,
            CAST(10 * n_ell <= 3 * n_lines AS INT) AS g_ellipsis_lines,
            CAST(n_words > 0 AND 10 * n_alpha >= 8 * n_words AS INT) AS g_alpha_words,
            CAST(stop_hits >= 2 AS INT) AS g_stop_words,
            CAST(n_words >= 50 AND n_words <= 100000
                 AND n_words > 0 AND wc >= 3 * n_words AND wc <= 10 * n_words
-                AND 10 * n_sym <= n_words
+                AND 10 * n_hsh <= n_words AND 10 * n_el2 <= n_words
                 AND 10 * n_bul <= 9 * n_lines
                 AND 10 * n_ell <= 3 * n_lines
                 AND 10 * n_alpha >= 8 * n_words
@@ -5103,14 +5106,15 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return gopher_rules(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "n_words", "n_lines", "stop_hits", "mean_word_len",
-        "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+        "hash_word_ratio", "ellipsis_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac",
         "alpha_word_frac", "g_word_count", "g_mean_word_len",
         "g_symbol_ratio", "g_bullet_lines", "g_ellipsis_lines",
         "g_alpha_words", "g_stop_words", "gopher_pass",
     )
 
 
-def _c4_lines_oracle(min_line_words: int = 3, min_kept_lines: int = 5) -> str:
+def _c4_lines_oracle(min_line_words: int = 5, min_kept_lines: int = 3) -> str:
     """Every C4 line rule replayed in DuckDB, including the byte-exact
     ``clean_text`` reassembly.  The synthetic corpus has no punctuation
     or newlines, so the query first LINE-IFIES it deterministically
@@ -5122,7 +5126,8 @@ def _c4_lines_oracle(min_line_words: int = 3, min_kept_lines: int = 5) -> str:
         "replace(replace(coalesce(text, ''), ' table ', '.' || chr(10) || 'table '),"
         " ' query ', '?' || chr(10) || 'query ')"
     )
-    words = "len(string_split(trim(regexp_replace(l, '\\s+', ' ', 'g')), ' '))"
+    words = ("CASE WHEN length(trim(regexp_replace(l, '\\s+', ' ', 'g'))) = 0 "
+             "THEN 0 ELSE len(string_split(trim(regexp_replace(l, '\\s+', ' ', 'g')), ' ')) END")
     term = ("(ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')"
             " OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '\"'))")
     return f"""
@@ -5150,9 +5155,10 @@ def _c4_lines_oracle(min_line_words: int = 3, min_kept_lines: int = 5) -> str:
 
 @q_staged("curation_c4_lines", oracle=_c4_lines_oracle())
 def curation_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
-    ending in terminal punctuation with ≥3 words and no 'javascript';
-    page passes with ≥5 kept lines and no 'lorem ipsum'/brace.  The
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, thresholds per
+    the canonical c4_utils reference implementation): keep lines ending
+    in terminal punctuation with ≥5 words and no 'javascript'; page
+    passes with ≥3 kept lines and no 'lorem ipsum'/brace.  The
     synthetic corpus is line-ified deterministically first (fixed-
     string replaces, engine-identical) so every rule sees real
     variation; clean_text certifies byte-exact reassembly.  Per-row
@@ -5235,6 +5241,7 @@ def _source_overlap_minhash_oracle(n: int = 8, num_hashes: int = 64) -> str:
       SELECT source AS s, {gh} % 4294967296 AS h FROM (
         SELECT source, unnest(list_distinct({grams})) AS g
         FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+          AND length({_NORM}) > 0
       )
     ), sigs AS (
       SELECT s, {mins}
@@ -5594,6 +5601,7 @@ def _source_overlap_oracle(n: int = 8) -> str:
       SELECT DISTINCT source AS s, {gh} AS gh FROM (
         SELECT source, unnest(list_distinct({grams})) AS g
         FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+          AND length({_NORM}) > 0
       )
     ), per AS (
       SELECT s, CAST(count(*) AS BIGINT) AS ng FROM d GROUP BY s

@@ -1605,55 +1605,26 @@ def ppl_buckets(
 
     Scale shape: the corpus-sized work is ONE map-side-combined
     groupBy to the (group, quantized-score) histogram; the cumulative
-    window runs over that histogram-sized frame only (the
-    source_mixture_weights pattern), and labels return via a
-    broadcast equi-join — no corpus-sized window, sort, or collect.
-    The input is consumed twice (histogram + label join): cache or
+    window runs over that frame only, and — because the cut is
+    monotone in the score — the histogram collapses to a GROUPS-sized
+    threshold table (:func:`ppl_thresholds`) before anything is
+    broadcast back: labeling is :func:`ppl_bucket_assign` against two
+    cut values per group.  (The earlier form broadcast the full
+    (group, distinct-score) label frame — near-corpus-sized for
+    1e-6-quantized NLL scores, where per-document scores are almost
+    all distinct; review-caught and fixed.)  Known shape limit shared
+    with any exact percentile: the cumulative window runs one task
+    per group over that group's distinct scores — CCNet itself cuts
+    on a sample; pre-bucket the score (coarser quantization) if a
+    single group's distinct-score count is a problem.  The input is
+    consumed twice (histogram + label join): cache or
     ``localCheckpoint`` an expensive upstream (e.g. a bigram_nll
     chain) before calling.
 
     Reference-extension operator (SURVEY.md §2.12).
     """
-    if not (0 < head_pct and 0 < tail_pct and head_pct + tail_pct < 100):
-        raise ValueError(
-            f"ppl_buckets: need 0 < head_pct, 0 < tail_pct, head_pct + tail_pct "
-            f"< 100; got {head_pct}/{tail_pct}"
-        )
-    mid_pct = 100 - tail_pct
-    # 1e-6 grid: score_col is already round(x, 6)-quantized by the NLL
-    # operators, so this is a lossless integer key, not a re-round
-    sq = F.round(F.col(score_col) * F.lit(1e6)).cast("bigint")
-    keyed = df.withColumn("__sq", sq)
-    hist = (
-        keyed.where(F.col("__sq").isNotNull())
-        .groupBy(group_col, "__sq")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
-    )
-    w_cum = (
-        Window.partitionBy(group_col)
-        .orderBy("__sq")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy(group_col)
-    lab = (
-        hist.withColumn("__cum", F.sum("__c").over(w_cum))
-        .withColumn("__n", F.sum("__c").over(w_all))
-        .select(
-            group_col,
-            "__sq",
-            F.when(
-                F.lit(100) * F.col("__cum") <= F.lit(head_pct) * F.col("__n"),
-                F.lit("head"),
-            )
-            .when(
-                F.lit(100) * F.col("__cum") <= F.lit(mid_pct) * F.col("__n"),
-                F.lit("middle"),
-            )
-            .otherwise(F.lit("tail"))
-            .alias("ppl_bucket"),
-        )
-    )
-    return keyed.join(F.broadcast(lab), [group_col, "__sq"], "left").drop("__sq")
+    thr = ppl_thresholds(df, score_col, group_col, head_pct, tail_pct)
+    return ppl_bucket_assign(df, thr, score_col, group_col)
 
 
 def source_overlap(
@@ -1693,10 +1664,17 @@ def source_overlap(
         raise ValueError(f"source_overlap: n must be >= 1, got {n}")
     from rheoceros_spark.operators.scale import ensure_parallelism
 
+    # empty/whitespace-only rows are excluded BEFORE gram extraction:
+    # tokens('') is [''] and word_ngrams pads it to one '' gram, which
+    # would otherwise count as "shared content" between any two sources
+    # that each contain a blank row (review-caught)
     d = (
         ensure_parallelism(
-            df.where(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
-            .select(source_col, text_col)
+            df.where(
+                F.col(text_col).isNotNull()
+                & F.col(source_col).isNotNull()
+                & (F.length(normalize_text(F.col(text_col))) > 0)
+            ).select(source_col, text_col)
         )
         .select(
             F.col(source_col).alias("__s"),
@@ -1800,10 +1778,15 @@ def source_overlap_minhash(
     from rheoceros_spark.operators.dedup import MINHASH_P
     from rheoceros_spark.operators.scale import ensure_parallelism
 
+    # same blank-row guard as source_overlap: a padded '' gram from
+    # empty text must not make two all-blank sources estimate 1.0
     ex = (
         ensure_parallelism(
-            df.where(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
-            .select(source_col, text_col)
+            df.where(
+                F.col(text_col).isNotNull()
+                & F.col(source_col).isNotNull()
+                & (F.length(normalize_text(F.col(text_col))) > 0)
+            ).select(source_col, text_col)
         )
         .select(
             F.col(source_col).alias("__s"),
@@ -1919,22 +1902,28 @@ def ppl_bucket_assign(
     from the thresholds table, or with NULL score, get a NULL bucket.
     """
     sq = F.round(F.col(score_col) * F.lit(1e6)).cast("bigint")
-    j = df.withColumn("__sq", sq).join(F.broadcast(thresholds), group_col, "left")
+    # namespace the threshold columns before the join: the scored frame
+    # commonly carries its own n_scored (bigram_nll emits one) and an
+    # un-aliased join would be AMBIGUOUS_REFERENCE
+    thr = thresholds.select(
+        F.col(group_col),
+        F.col("head_max_q").alias("__thr_head"),
+        F.col("mid_max_q").alias("__thr_mid"),
+        F.col("n_scored").alias("__thr_n"),
+    )
+    j = df.withColumn("__sq", sq).join(F.broadcast(thr), group_col, "left")
     bucket = (
-        F.when(
-            F.col("__sq").isNull() | F.col("n_scored").isNull(), F.lit(None)
-        )
+        F.when(F.col("__sq").isNull() | F.col("__thr_n").isNull(), F.lit(None))
         .when(
-            F.col("head_max_q").isNotNull()
-            & (F.col("__sq") <= F.col("head_max_q")),
+            F.col("__thr_head").isNotNull() & (F.col("__sq") <= F.col("__thr_head")),
             F.lit("head"),
         )
         .when(
-            F.col("mid_max_q").isNotNull() & (F.col("__sq") <= F.col("mid_max_q")),
+            F.col("__thr_mid").isNotNull() & (F.col("__sq") <= F.col("__thr_mid")),
             F.lit("middle"),
         )
         .otherwise(F.lit("tail"))
     )
     return j.withColumn("ppl_bucket", bucket).drop(
-        "__sq", "head_max_q", "mid_max_q", "n_scored"
+        "__sq", "__thr_head", "__thr_mid", "__thr_n"
     )

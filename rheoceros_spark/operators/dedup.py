@@ -101,23 +101,26 @@ def dedup_exact_best(
 
     Same scale shape as dedup_exact: the shuffle carries
     (32-byte key, score, id) — never documents — and the winner is an
-    order-independent ``max(struct(score, −id))`` aggregate, so the
-    survivor is deterministic under any partitioning.  NULL scores
-    rank below every non-NULL score (Spark's struct-max NULL-last on
-    descending... explicitly: NULL score is coalesced to the minimum
-    long, so a scored copy always beats an unscored one).  NULL-text
-    rows pass through untouched, as in dedup_exact.
+    order-independent ``min(struct(−score, id))`` aggregate (min of
+    the NEGATED score is the max score; the struct's second field then
+    takes the min id on ties), so the survivor is deterministic under
+    any partitioning and the id column keeps its own type — string ids
+    work exactly like dedup_exact's.  NULL scores coalesce to −∞
+    (negated: +∞), so a scored copy always beats an unscored one.
+    NULL-text rows pass through untouched, as in dedup_exact.
     """
     key = F.md5(normalize_text(F.col(text_col))).alias("__key")
     keyed = df.select(
         F.col(id_col),
         key,
-        F.coalesce(F.col(score_col), F.lit(float("-inf"))).alias("__sc"),
+        (-F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))).alias(
+            "__nsc"
+        ),
     ).where(F.col("__key").isNotNull())
     winners = keyed.groupBy("__key").agg(
-        F.max(F.struct(F.col("__sc"), (-F.col(id_col)).alias("__nid"))).alias("__w")
+        F.min(F.struct(F.col("__nsc"), F.col(id_col).alias("__id"))).alias("__w")
     )
-    winner_ids = winners.select((-F.col("__w.__nid")).alias(id_col))
+    winner_ids = winners.select(F.col("__w.__id").alias(id_col))
     survivors = df.join(winner_ids, on=id_col, how="left_semi")
     null_rows = df.where(F.col(text_col).isNull())
     return survivors.unionByName(null_rows)

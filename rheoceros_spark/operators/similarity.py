@@ -237,6 +237,7 @@ def retrieval_metrics(
     query_col: str = "query_id",
     id_col: str = "doc_id",
     rank_col: str = "rank",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query retrieval-quality metrics over any (query, id, rank)
     result frame — BM25, dense ANN, hybrid RRF, MMR all emit this shape
@@ -259,6 +260,19 @@ def retrieval_metrics(
     exact integer sum of table lookups; the ideal DCG is the prefix sum
     of the same table at ``min(k, n_rel)`` (binary relevance makes the
     ideal ranking a closed form); ratios are ``·1e6 div``-quantized.
+
+    Ranks are 1-BASED (row_number convention — every ranking operator
+    here emits it); rows with rank < 1 or > k are filtered out rather
+    than crashing the DCG table lookup on a 0-based frame.
+
+    A retrieval system can return ZERO rows for a query (BM25 with no
+    matching term) — such queries are absent from ``results`` and
+    would silently vanish from the metric frame, overstating averages
+    by excluding exactly the complete misses (review-caught).  Pass
+    ``queries`` (a frame with ``query_col``, e.g. the query set you
+    evaluated) to report those as explicit zero rows: hits 0, mrr 0.0,
+    recall/ndcg 0.0 when the query has relevant docs (NULL when it has
+    none to find).
 
     Scale shape: ``results`` is k-bounded per query and ``qrels`` joins
     by (query, id) equi-keys — everything downstream of retrieval is
@@ -285,7 +299,7 @@ def retrieval_metrics(
     # the per-query totals broadcast: the metric layer adds ZERO
     # shuffles on top of the retrieval output
     j = (
-        results.where(F.col(rank_col) <= k)
+        results.where((F.col(rank_col) >= 1) & (F.col(rank_col) <= k))
         .join(F.broadcast(rel), [query_col, id_col], "left")
         .withColumn("__hit", F.coalesce(F.col("__rel"), F.lit(0)))
     )
@@ -302,6 +316,16 @@ def retrieval_metrics(
         .cast("bigint")
         .alias("__dcg_q"),
     )
+    if queries is not None:
+        universe = queries.select(query_col).distinct()
+        per = universe.join(per, query_col, "left").select(
+            F.col(query_col),
+            F.coalesce(F.col("hits_at_k"), F.lit(0).cast("bigint")).alias(
+                "hits_at_k"
+            ),
+            F.coalesce(F.col("first_rel_rank"), F.lit(0)).alias("first_rel_rank"),
+            F.coalesce(F.col("__dcg_q"), F.lit(0).cast("bigint")).alias("__dcg_q"),
+        )
     out = (
         per.join(F.broadcast(n_rel), query_col, "left")
         .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0).cast("bigint")))

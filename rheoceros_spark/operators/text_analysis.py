@@ -335,7 +335,9 @@ def gopher_rules(
 
     * ``g_word_count``     — word count in ``[min_words, max_words]``
     * ``g_mean_word_len``  — mean word length in ``[3, 10]`` chars
-    * ``g_symbol_ratio``   — (``#`` + ellipsis)-to-word ratio ≤ 0.1
+    * ``g_symbol_ratio``   — hash-to-word ratio ≤ 0.1 AND
+      ellipsis-to-word ratio ≤ 0.1 (the paper applies the threshold to
+      EITHER symbol separately, not to their sum)
     * ``g_bullet_lines``   — ≤ 90% of lines start with a bullet glyph
     * ``g_ellipsis_lines`` — ≤ 30% of lines end with an ellipsis
     * ``g_alpha_words``    — ≥ 80% of words contain a letter
@@ -374,7 +376,7 @@ def gopher_rules(
         F.length(raw) - F.length(F.replace(raw, F.lit("…"), F.lit("")))
     ).cast("long")
     n_dot_ell = F.regexp_count(raw, F.lit(r"\.\.\.")).cast("long")
-    n_sym = n_hash + n_uni_ell + n_dot_ell
+    n_ell = n_uni_ell + n_dot_ell
 
     lines = F.split(raw, "\n")
     n_lines = F.size(lines).cast("long")
@@ -392,7 +394,8 @@ def gopher_rules(
     out = (
         df.withColumn("n_words", n_words)
         .withColumn("__wc", word_chars)
-        .withColumn("__sym", n_sym)
+        .withColumn("__hsh", n_hash)
+        .withColumn("__ell2", n_ell)
         .withColumn("n_lines", n_lines)
         .withColumn("__bul", n_bullet)
         .withColumn("__ell", n_ell_lines)
@@ -404,7 +407,8 @@ def gopher_rules(
     )
     out = (
         out.withColumn("mean_word_len", q6("__wc", "n_words"))
-        .withColumn("symbol_word_ratio", q6("__sym", "n_words"))
+        .withColumn("hash_word_ratio", q6("__hsh", "n_words"))
+        .withColumn("ellipsis_word_ratio", q6("__ell2", "n_words"))
         .withColumn("bullet_line_frac", q6("__bul", "n_lines"))
         .withColumn("ellipsis_line_frac", q6("__ell", "n_lines"))
         .withColumn("alpha_word_frac", q6("__alpha", "n_words"))
@@ -415,7 +419,8 @@ def gopher_rules(
         "g_mean_word_len": (F.col("n_words") > 0)
         & (F.col("__wc") >= F.lit(min_mean_word_len) * F.col("n_words"))
         & (F.col("__wc") <= F.lit(max_mean_word_len) * F.col("n_words")),
-        "g_symbol_ratio": F.lit(10) * F.col("__sym") <= F.col("n_words"),
+        "g_symbol_ratio": (F.lit(10) * F.col("__hsh") <= F.col("n_words"))
+        & (F.lit(10) * F.col("__ell2") <= F.col("n_words")),
         "g_bullet_lines": F.lit(10) * F.col("__bul") <= F.lit(9) * F.col("n_lines"),
         "g_ellipsis_lines": F.lit(10) * F.col("__ell") <= F.lit(3) * F.col("n_lines"),
         "g_alpha_words": (F.col("n_words") > 0)
@@ -428,7 +433,7 @@ def gopher_rules(
         c = F.col(name) == 1
         gpass = c if gpass is None else gpass & c
     return out.withColumn("gopher_pass", gpass.cast("int")).drop(
-        "__wc", "__sym", "__bul", "__ell", "__alpha"
+        "__wc", "__hsh", "__ell2", "__bul", "__ell", "__alpha"
     )
 
 
@@ -439,19 +444,26 @@ C4_TERMINALS = [".", "!", "?", '"']
 def c4_line_filter(
     df: DataFrame,
     text_col: str = "text",
-    min_line_words: int = 3,
-    min_kept_lines: int = 5,
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
 ) -> DataFrame:
     """C4's line-level cleaning rules (Raffel et al. 2020, §2.2) — the
     LINE-granular complement to :func:`gopher_rules`' document-granular
     filters:
 
     * a line is KEPT iff it ends in terminal punctuation (``. ! ? "``
-      after right-trimming spaces), has ≥ ``min_line_words`` words, and
-      does not contain the word ``javascript`` (case-insensitive);
-    * the page PASSES iff ≥ ``min_kept_lines`` lines survive, and the
-      raw page contains neither ``lorem ipsum`` (case-insensitive) nor
-      a curly brace ``{``.
+      after right-trimming spaces), has ≥ ``min_line_words`` words
+      (default 5), and does not contain the word ``javascript``
+      (case-insensitive);
+    * the page PASSES iff ≥ ``min_kept_lines`` lines survive
+      (default 3), and the raw page contains neither ``lorem ipsum``
+      (case-insensitive) nor a curly brace ``{``.
+
+    Defaults follow the REFERENCE IMPLEMENTATION
+    (tensorflow_datasets c4_utils: ``_MIN_WORDS_PER_LINE = 5``,
+    ``_MIN_NUM_SENTENCES = 3``); note the paper's prose states the
+    pairing the other way around — the code is canonical C4, and both
+    thresholds stay parameters.
 
     Adds ``n_lines`` / ``n_kept`` / ``has_lorem`` / ``has_brace`` /
     ``c4_pass`` and ``clean_text`` — the kept lines rejoined with
@@ -477,7 +489,12 @@ def c4_line_filter(
         for t in C4_TERMINALS:
             c = rt.endswith(t)
             terminal = c if terminal is None else terminal | c
-        words = F.size(F.split(F.trim(F.regexp_replace(l, "[ \t\n\f\r]+", " ")), " "))
+        norm_l = F.trim(F.regexp_replace(l, "[ \t\n\f\r]+", " "))
+        # split("") is [""] — a whitespace-only line must count 0 words,
+        # not 1 (review-caught: min_line_words=1 otherwise kept it)
+        words = F.when(F.length(norm_l) == 0, F.lit(0)).otherwise(
+            F.size(F.split(norm_l, " "))
+        )
         return terminal & (words >= min_line_words) & (
             ~F.lower(l).contains("javascript")
         )
@@ -1459,8 +1476,6 @@ def bpe_train(
     return merges
 
 
-# ---------------------------------------------------------------------------
-# fasttext/CCNet-style quality classifier: hashed bag-of-tokens features,
 def bpe_fertility(
     df: DataFrame,
     merges: list[tuple[str, str]] | None = None,
@@ -1530,6 +1545,7 @@ def bpe_fertility(
 
 
 # ---------------------------------------------------------------------------
+# fasttext/CCNet-style quality classifier: hashed bag-of-tokens features,
 # distributed logistic-regression training, linear scoring
 # ---------------------------------------------------------------------------
 

@@ -1099,3 +1099,29 @@ class TestPplThresholds:
         )
         q.awaitTermination(120)
         assert {r.doc_id: r.ppl_bucket for r in out} == batch
+
+
+def test_source_overlap_ignores_blank_rows(spark):
+    # review-caught: blank rows padded a '' gram shared by any two
+    # sources containing one; both the exact matrix and the minhash
+    # twin must treat all-blank sources as having NO shared content
+    from rheoceros_spark.operators.curation import (
+        source_overlap,
+        source_overlap_minhash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "real words here"), (2, "a", ""), (3, "b", "   "),
+         (4, "b", "other text entirely"), (5, "c", "")],
+        "doc_id long, source string, text string",
+    )
+    exact = {(r.source_a, r.source_b): r for r in source_overlap(df, n=2).collect()}
+    assert exact[("a", "b")].n_common == 0
+    # source c has ONLY blank rows -> no grams -> absent from the matrix
+    assert ("a", "c") not in exact and ("b", "c") not in exact
+    est = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_minhash(df, n=2, num_hashes=16).collect()
+    }
+    assert est[("a", "b")].est_jaccard < 1.0
+    assert ("a", "c") not in est

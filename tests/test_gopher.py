@@ -33,16 +33,20 @@ def test_mean_word_len_is_exact_integer_comparison(spark):
     assert _one(spark, "abcdefghijk abcdefghij abcdefghij abcdefghij").g_mean_word_len == 0
 
 
-def test_symbol_ratio_counts_hash_and_both_ellipses(spark):
-    # 20 words, 2 symbols -> 0.1 boundary passes (10*2 <= 20)
-    r = _one(spark, "word " * 19 + "tail# …")
-    assert r.n_words == 21 and r.g_symbol_ratio == 1
-    # 3 symbols over 21 words: 30 > 21 fails; '...' counted non-overlapping
-    r2 = _one(spark, "word " * 19 + "tail# … ...")
+def test_symbol_ratio_is_per_symbol_type(spark):
+    # the paper thresholds hash and ellipsis SEPARATELY at 0.1 each:
+    # 2 hashes + 2 ellipses over 24 words passes (each 10*2 <= 24)
+    # even though the sum (4/24 > 0.1 combined) would have failed
+    r = _one(spark, "word " * 20 + "a# b# c… d…")
+    assert r.n_words == 24 and r.g_symbol_ratio == 1
+    assert r.hash_word_ratio == pytest.approx(2 / 24, abs=1e-6)
+    assert r.ellipsis_word_ratio == pytest.approx(2 / 24, abs=1e-6)
+    # 3 ellipses over 21 words: 30 > 21 fails on the ellipsis side alone
+    r2 = _one(spark, "word " * 19 + "tail… … ...")
     assert r2.g_symbol_ratio == 0
     # '....' is ONE '...' occurrence in both engines (leftmost, non-overlap)
     r3 = _one(spark, "a .... b")
-    assert r3.symbol_word_ratio == pytest.approx(1 / 3, abs=1e-6)
+    assert r3.ellipsis_word_ratio == pytest.approx(1 / 3, abs=1e-6)
 
 
 def test_bullet_and_ellipsis_line_rules(spark):
@@ -133,13 +137,15 @@ def _c4_one(spark, text, **kw):
 
 
 def test_c4_keeps_only_terminal_punct_lines(spark):
-    t = "this line ends well.\nno terminal here\nthis one asks a question?\nshort.\nquoted line ends \"\nbang it ends!"
+    t = ("this line ends quite well.\nno terminal punctuation right here\n"
+         "this one asks a question?\nshort line.\n"
+         "the quoted line ends with \"\nbang this line loudly ends!")
     r = _c4_one(spark, t)
-    # 'short.' fails the 3-word minimum; 'no terminal here' fails punct
+    # 'short line.' fails the 5-word minimum; line 2 fails punct
     assert r.n_lines == 6 and r.n_kept == 4
     assert r.clean_text == (
-        'this line ends well.\nthis one asks a question?\n'
-        'quoted line ends "\nbang it ends!'
+        'this line ends quite well.\nthis one asks a question?\n'
+        'the quoted line ends with "\nbang this line loudly ends!'
     )
 
 
@@ -149,7 +155,7 @@ def test_c4_trailing_spaces_ignored_for_terminal_check(spark):
 
 
 def test_c4_javascript_lines_removed_case_insensitive(spark):
-    t = "enable JavaScript to continue viewing.\na real content line stays."
+    t = "please enable JavaScript to continue viewing.\na real content line stays."
     r = _c4_one(spark, t)
     assert r.n_kept == 1 and "real content" in r.clean_text
 
@@ -160,15 +166,27 @@ def test_c4_page_flags(spark):
     assert _c4_one(spark, base + "\nLorem Ipsum dolor sit.").has_lorem == 1
     assert _c4_one(spark, base + "\nfunction() { return; }").has_brace == 1
     assert _c4_one(spark, base + "\nfunction() { return; }").c4_pass == 0
-    # 4 kept lines < 5 -> page fails even with clean content
-    few = "\n".join([f"good line number {i} stays." for i in range(4)])
+    # 2 kept lines < 3 -> page fails even with clean content
+    few = "\n".join([f"good line number {i} stays." for i in range(2)])
     assert _c4_one(spark, few).c4_pass == 0
 
 
 def test_c4_min_line_words_boundary(spark):
-    # exactly 3 words passes, 2 fails
-    r = _c4_one(spark, "one two three.\none two.")
-    assert r.n_kept == 1 and r.clean_text == "one two three."
+    # exactly 5 words passes (the c4_utils _MIN_WORDS_PER_LINE), 4 fails
+    r = _c4_one(spark, "one two three four five.\none two three four.")
+    assert r.n_kept == 1 and r.clean_text == "one two three four five."
+
+
+def test_c4_word_count_edge_semantics(spark):
+    # '   .' trims to '.' — ONE word under split() semantics, exactly
+    # what the reference c4_utils counts, so min_line_words=1 keeps it
+    r = _c4_one(spark, "   .\nreal words sit right here.", min_line_words=1)
+    assert r.n_kept == 2
+    # a whitespace-only line counts ZERO words (split('') is [''] —
+    # guarded), though the terminal-punct rule already rejects it;
+    # the guard keeps the count honest for any future rule reuse
+    r2 = _c4_one(spark, "     \nreal words sit right here.", min_line_words=0)
+    assert r2.n_kept == 1
 
 
 def test_c4_empty_and_null(spark):
@@ -181,9 +199,9 @@ def test_c4_empty_and_null(spark):
 
 def test_c4_reassembly_preserves_kept_bytes(spark):
     # kept lines survive byte-for-byte, including inner runs of spaces
-    t = "keep  this   exact line.\ndrop me\nand  keep  this one too!"
+    t = "always keep  this   exact line.\ndrop me\nand  keep  this one too!"
     r = _c4_one(spark, t)
-    assert r.clean_text == "keep  this   exact line.\nand  keep  this one too!"
+    assert r.clean_text == "always keep  this   exact line.\nand  keep  this one too!"
 
 
 def test_c4_stream_twin_matches_batch(spark, sf_dir, tmp_path):

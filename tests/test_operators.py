@@ -1288,3 +1288,15 @@ class TestDedupExactBest:
         # same normalized text (case/whitespace) collapses, like dedup_exact
         got = self._run(spark, [(1, "The  Cat", 0.3), (2, "the cat", 0.8)])
         assert got == {2}
+
+    def test_string_ids_work(self, spark):
+        # the review-found bug: negating the id for tie-breaks assumed
+        # numeric ids; the min(struct(-score, id)) form keeps id typed
+        from rheoceros_spark.operators.dedup import dedup_exact_best
+
+        df = spark.createDataFrame(
+            [("doc-b", "dup", 0.2), ("doc-a", "dup", 0.9), ("doc-c", "dup", 0.9)],
+            "doc_id string, text string, quality double",
+        )
+        got = {r.doc_id for r in dedup_exact_best(df, "quality").collect()}
+        assert got == {"doc-a"}  # max score, tie to min (string) id

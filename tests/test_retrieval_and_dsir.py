@@ -299,3 +299,37 @@ class TestRetrievalMetrics:
         r = spark.createDataFrame([(1, 10, 1)], "query_id long, doc_id long, rank int")
         with _pt.raises(ValueError, match="k must be"):
             retrieval_metrics(r, r.select("query_id", "doc_id"), k=0)
+
+    def test_zero_result_queries_reported_via_universe(self, spark):
+        # review-caught: a query with NO result rows vanished from the
+        # frame, overstating averages by excluding complete misses
+        from rheoceros_spark.operators.similarity import retrieval_metrics
+
+        r = spark.createDataFrame([(1, 10, 1)], "query_id long, doc_id long, rank int")
+        q = spark.createDataFrame([(1, 10), (2, 42)], "query_id long, doc_id long")
+        uni = spark.createDataFrame([(1,), (2,), (3,)], "query_id long")
+        m = {
+            row.query_id: row
+            for row in retrieval_metrics(r, q, k=3, queries=uni).collect()
+        }
+        assert set(m) == {1, 2, 3}
+        # q2 has a relevant doc but zero results: explicit zero row
+        r2 = m[2]
+        assert (r2.n_rel, r2.hits_at_k, r2.mrr, r2.ndcg, r2.recall_at_k) == (
+            1, 0, 0.0, 0.0, 0.0,
+        )
+        # q3 has nothing to find: NULL recall/ndcg, zero hits
+        assert m[3].n_rel == 0 and m[3].ndcg is None
+
+    def test_out_of_range_ranks_filtered_not_crashing(self, spark):
+        from rheoceros_spark.operators.similarity import retrieval_metrics
+
+        # rank 0 (0-based misuse) and rank > k rows are dropped, not
+        # crashed on the 1-based DCG table lookup
+        r = spark.createDataFrame(
+            [(1, 9, 0), (1, 10, 1), (1, 11, 99)],
+            "query_id long, doc_id long, rank int",
+        )
+        q = spark.createDataFrame([(1, 10)], "query_id long, doc_id long")
+        row = retrieval_metrics(r, q, k=3).collect()[0]
+        assert (row.hits_at_k, row.first_rel_rank) == (1, 1)
