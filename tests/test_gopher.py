@@ -256,16 +256,29 @@ def _adversarial_docs(spark, tmp_path):
     return df, path
 
 
-@pytest.mark.parametrize("name", ["text_gopher_rules", "curation_c4_lines"])
+@pytest.mark.parametrize(
+    "name",
+    ["text_gopher_rules", "curation_c4_lines", "text_lang_segments",
+     "text_bpe_fertility"],
+)
 def test_staged_oracle_parity_on_adversarial_corpus(spark, tmp_path, name):
     import duckdb
 
     import __spark_entry__ as entry
-    from rheoceros_spark.operators.text_analysis import c4_line_filter, gopher_rules
+    from rheoceros_spark.operators.text_analysis import (
+        bpe_fertility,
+        c4_line_filter,
+        gopher_rules,
+        lang_segments,
+    )
 
     df, path = _adversarial_docs(spark, tmp_path)
     if name == "text_gopher_rules":
         out = gopher_rules(df).drop("text", "lang", "source")
+    elif name == "text_lang_segments":
+        out = lang_segments(df, span_tokens=16)
+    elif name == "text_bpe_fertility":
+        out = bpe_fertility(df)
     else:
         # mirror the staged query's deterministic line-ification
         lineified = df.withColumn(
