@@ -237,7 +237,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "q6_revenue_forecast",
     oracle=f"""
     SELECT CAST(sum({_c('l_extendedprice')} * {_c('l_discount')}) AS DOUBLE) / 10000.0 AS revenue,
@@ -328,7 +328,7 @@ def nearest_partition_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "agg_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -382,7 +382,7 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "window_running_total",
     oracle=f"""
     SELECT o_custkey, o_orderkey,
@@ -406,7 +406,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "set_intersect",
     oracle="""
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
@@ -555,7 +555,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "events_funnel_3step",
     oracle="""
     WITH f AS (
@@ -3854,52 +3854,61 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # retirement ship here fully implemented, with stashed oracles and
 # pytest parity gates (tests/test_staged.py).
 #
-# ---- Round-9 certification plan (worked out in r8; 10 staged) -------------
-# The 50-slot window + 2-round totality caps the registry at 100, so the
-# 10 staged queries register over TWO rounds, 5 per round, each against 5
-# retirements to pytest-only oracle parity (the dedup_ngram_jaccard /
-# ann_cosine precedent — retirees keep full DuckDB gates in
-# test_retired_oracles.py and check_oracle --retired):
+# ---- Round-9 window: EXECUTED as staged in r8 -----------------------------
+# r9 registered pipeline_pretrain_corpus, retrieval_hybrid_rrf,
+# ann_int8_topk, dedup_paragraph_spans, text_bigram_nll at the window
+# head and retired the five named r7-certified weakest-marginal rows
+# (agg_rollup — rollup ⊂ agg_cube's grouping lattice; set_intersect —
+# set-op family held by set_except; window_running_total —
+# running/sliding frames held by events_sliding_2day +
+# metric_period_stats_hourly, rank windows by window_topn_per_group;
+# q6_revenue_forecast — single-table filter-agg ⊂ q1/q14/q19 shapes;
+# events_funnel_3step — sequential-condition agg ⊂
+# events_cohort_retention).  r9 window = 5 new + 45 r7-certified
+# rotations = EXACTLY 50; r8 ∪ r9 = 100/100 registered queries.
 #
-# r9 registers: pipeline_pretrain_corpus, retrieval_hybrid_rrf,
-#   ann_int8_topk, dedup_paragraph_spans, text_bigram_nll.
-# r9 retires (from the r7-certified pool — NOT in the r8 window, so the
-# r8∪r9 totality is unaffected; each is the weakest marginal row of an
-# otherwise multiply-certified shape family):
-#   agg_rollup            (rollup ⊂ agg_cube's grouping lattice),
-#   set_intersect         (set-op family held by set_except),
-#   window_running_total  (running/sliding frames held by
-#                          events_sliding_2day + metric_period_stats_hourly;
-#                          rank windows by window_topn_per_group),
-#   q6_revenue_forecast   (single-table filter-agg ⊂ q1/q14/q19 shapes),
-#   events_funnel_3step   (sequential-condition agg ⊂ events_cohort_retention).
-# r9 window = the 5 new + the remaining 45 r7-certified rotations — that
-# is EXACTLY 50, and r8∪r9 = 100/100.
-#
+# ---- Round-10 certification batch (8 of the 15 staged) --------------------
 # r10 registers: text_bpe_train, retrieval_mmr_rerank,
-#   text_quality_pr_curve, curation_cluster_profile, text_hash_embed_topk,
+#   text_quality_pr_curve, curation_cluster_profile,
 #   text_gopher_rules, curation_ppl_buckets, curation_c4_lines,
-#   curation_source_overlap, retrieval_quality_metrics, text_bpe_fertility,
-#   curation_decon_spans, text_lang_segments,
-#   curation_source_overlap_minhash, dedup_exact_best_docs,
-# — 15 staged; if justifying 15 retirements in one round strains the
-# weakest-marginal-row test, the tail spills to an r11 batch at the
-# practiced 5-8/round cadence (every staged query is already fully
-# oracle-gated in pytest either way, so registration remains pure
-# bookkeeping).  Retirement candidates from the r8-certified pool (same
-# weakest-marginal-row test: dedup_minhash_lsh_pairs + dedup_simhash_pairs
-# — quadratic verification twins whose scalable siblings are benched and
-# probed; pivot_returnflag_status — pivot is grouping-set sugar held by
-# grouping_sets_revenue; q11_important_parts / q18_large_volume_orders —
-# having/semi-join shapes held by q21 + topk_orders;
-# broadcast_join_enrich — broadcast-dim enrich is plan-gated and embedded
-# in every TPC-H dim join; events_tumbling_daily — tumbling ⊂ the sliding
-# window held by events_sliding_2day; json_extract_events — JSON scalar
-# extraction ⊂ the scalar-function family held by scalar_functions;
-# metric_threshold_alarm — single-threshold ⊂ the windowed m-of-n alarm
-# family held by alarm_m_of_n_state + composite_alarm_rule; the last
-# two slots pick the weakest marginal rows of the r9 window at build
-# time, same test).
+#   curation_source_overlap.
+# r10 retires (from the r8-certified pool — the r10 window is 8 new +
+# 42 r8-certified rotations, so exactly these 8 leave the registry;
+# each is the weakest marginal row of a multiply-certified family):
+#   dedup_minhash_lsh_pairs  (pair-emission twin; the MinHash family is
+#                             held by dedup_clusters + dedup_keep_list +
+#                             dedup_incremental_index, all r8-certified),
+#   dedup_simhash_pairs      (Hamming-pair twin; banded/blocked siblings
+#                             dedup_embedding_blocked + semantic_pairs hold rows),
+#   pivot_returnflag_status  (pivot is grouping-set sugar held by
+#                             grouping_sets_revenue),
+#   q11_important_parts      (group-HAVING ⊂ q21 + topk_orders shapes),
+#   q18_large_volume_orders  (semi-join-on-agg ⊂ q21 + topk_orders),
+#   events_tumbling_daily    (tumbling ⊂ the sliding window held by
+#                             events_sliding_2day),
+#   metric_threshold_alarm   (single-threshold ⊂ the windowed m-of-n
+#                             family held by alarm_m_of_n_state +
+#                             composite_alarm_rule),
+#   curation_corpus_diff     (snapshot twin; the scalable indexed form
+#                             corpus_diff_indexed is r9-window-certified).
+#
+# ---- Round-11 certification batch (the remaining 7 staged) ----------------
+# r11 registers: text_hash_embed_topk, retrieval_quality_metrics,
+#   text_bpe_fertility, curation_decon_spans, text_lang_segments,
+#   curation_source_overlap_minhash, dedup_exact_best_docs.
+# r11 retires (from the r9-certified pool, same weakest-marginal test):
+#   json_extract_events      (JSON scalar extraction ⊂ scalar_functions),
+#   text_unigram_nll         (unigram LM ⊂ text_bigram_nll, r9-certified),
+#   curation_dsir_weights    (⊂ curation_dsir_resample, which composes
+#                             the weights with hash-resampling),
+#   q4_order_priority        (EXISTS-semi ⊂ q20 + q21 semi/anti shapes),
+#   q12_priority_by_linestatus (conditional case-sum ⊂ q8 + q14),
+#   q17_small_quantity_revenue (correlated per-group avg ⊂ q2 + q15),
+#   q10_returned_revenue     (join+group+sum ⊂ q3 + q5 identical shape).
+# Queries staged during round 9 itself (e.g. the trained language
+# classifier) join the r11/r12 batches under the same cadence; every
+# staged query is already fully oracle-gated in pytest either way, so
+# registration remains pure bookkeeping.
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -4095,7 +4104,7 @@ def _paragraph_spans_oracle(span_tokens: int = 4, min_docs: int = 2) -> str:
     """
 
 
-@q_staged("dedup_paragraph_spans", oracle=_paragraph_spans_oracle())
+@q("dedup_paragraph_spans", oracle=_paragraph_spans_oracle())
 def dedup_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-granular dedup (C4 line dedup / RefinedWeb repeated-span
     removal): purge spans repeated across >= min_docs DISTINCT
@@ -4152,7 +4161,7 @@ def _bigram_nll_sql() -> str:
     """
 
 
-@q_staged("text_bigram_nll", oracle=_bigram_nll_sql())
+@q("text_bigram_nll", oracle=_bigram_nll_sql())
 def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained add-k bigram LM fluency per document — the CCNet
     KenLM-perplexity fidelity step past unigram_nll: conditioning on
@@ -4252,7 +4261,7 @@ def _hybrid_rrf_oracle(k: int = 10, k_rrf: int = 60) -> str:
     """
 
 
-@q_staged("retrieval_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+@q("retrieval_hybrid_rrf", oracle=_hybrid_rrf_oracle())
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval — the fusion step every production RAG stack
     runs: BM25 sparse top-10 and exact dense cosine top-10 per query
@@ -4666,7 +4675,7 @@ def _int8_topk_oracle(query_id: int = 0, k: int = 10, n_cand: int = 40) -> str:
     """
 
 
-@q_staged("ann_int8_topk", oracle=_int8_topk_oracle())
+@q("ann_int8_topk", oracle=_int8_topk_oracle())
 def ann_int8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-compressed ANN: the hot pass reads int8 codes (4× fewer
     bytes than the fp32 store — at a 100 TB embedding corpus this is
@@ -4947,7 +4956,7 @@ def _pipeline_oracle(
     """
 
 
-@q_staged("pipeline_pretrain_corpus", oracle=_pipeline_oracle())
+@q("pipeline_pretrain_corpus", oracle=_pipeline_oracle())
 def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end pretraining-corpus build as ONE query — the
     composition certificate for the whole curation surface: filter
@@ -5701,72 +5710,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's correctness harness checks the FIRST 50 queries()
 #: entries only (CORRECTNESS_r01 covered positions 0-49 exactly).
-#: Rotation discipline (round 8, executing the plan staged in r7): the
+#: Rotation discipline (round 9, executing the plan staged in r8): the
 #: registry is capped at 100 queries — the 50-slot window plus the
-#: consecutive-round-coverage invariant (r07 ∪ r08 must certify
-#: everything) admits no more, so the two NEW registrations this round
-#: (dedup_semantic_pairs, text_quality_classifier) each retired one
-#: verification twin to pytest-only parity (dedup_ngram_jaccard_pairs,
-#: ann_cosine_topk — see _RETIRED_QUERIES).  The head holds the 2
-#: never-certified registrations first, then the 48 remaining queries
-#: whose most recent official row is CORRECTNESS_r06 (round 7
+#: consecutive-round-coverage invariant (r08 ∪ r09 must certify
+#: everything) admits no more, so the five NEW registrations this
+#: round (pipeline_pretrain_corpus, retrieval_hybrid_rrf, ann_int8_topk,
+#: dedup_paragraph_spans, text_bigram_nll) each retired one r7-certified
+#: query whose shape family stays multiply certified (agg_rollup,
+#: set_intersect, window_running_total, q6_revenue_forecast,
+#: events_funnel_3step — see _RETIRED_QUERIES).  The head holds the 5
+#: never-certified registrations first, then the 45 remaining queries
+#: whose most recent official row is CORRECTNESS_r07 (round 8
 #: certified the other 50).  Enforced by tests/test_plan_quality.py
 #: test_cross_round_official_coverage_is_total.  All queries — retired
 #: ones included — stay continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
-    # new in round 8 — never certified, enter the window first
-    "dedup_semantic_pairs",
-    "text_quality_classifier",
-    # certified in r06, rotating back in so r07 ∪ r08 stays total
-    "q11_important_parts",
-    "q18_large_volume_orders",
-    "q21_sole_returner",
-    "topk_orders",
-    "pivot_returnflag_status",
-    "grouping_sets_revenue",
-    "events_tumbling_daily",
-    "events_sliding_2day",
-    "metric_threshold_alarm",
-    "metric_period_stats_hourly",
-    "alarm_m_of_n_state",
-    "composite_alarm_rule",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "dedup_embedding_blocked",
-    "dedup_clusters",
-    "dedup_keep_list",
-    "dedup_incremental_index",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_persisted",
-    "ann_kmeans_refine",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "text_chunk_documents",
-    "text_tfidf_terms",
-    "text_source_kl",
-    "curation_stratified_sample",
-    "curation_pii_redact",
-    "curation_vocab_top_tokens",
-    "curation_contamination",
-    "curation_domain_cap",
-    "curation_group_split",
-    "curation_negative_samples",
-    "curation_boilerplate",
-    "curation_budget_mix",
-    "curation_corpus_diff",
-    "sketch_kmv_distinct",
-    "sketch_histogram_quantiles",
-    "ts_asof_join",
-    "ts_range_join_counts",
-    "ts_sessionize",
-    "layout_zorder_key",
-    "multimodal_features",
-    "multimodal_frame_sample",
+    # new in round 9 (staged in r8, executed as planned) — never
+    # certified, enter the window first
+    "pipeline_pretrain_corpus",
+    "retrieval_hybrid_rrf",
+    "ann_int8_topk",
+    "dedup_paragraph_spans",
+    "text_bigram_nll",
+    # certified in r07, rotating back in so r08 ∪ r09 stays total
+    # (the five r7-certified retirees — agg_rollup, set_intersect,
+    # window_running_total, q6_revenue_forecast, events_funnel_3step —
+    # moved to _RETIRED_QUERIES; scalable/superset siblings hold rows)
+    "curation_ngram_novelty",
+    "text_bpe_tokens",
+    "ann_ivfpq_topk",
+    "corpus_diff_indexed",
+    "curation_dsir_weights",
+    "curation_dsir_resample",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_part_shippers",
+    "q22_wealthy_inactive",
+    "scan_pruned_projection",
+    "partition_ranged_union",
+    "nearest_partition_asof",
+    "agg_cube",
+    "window_topn_per_group",
+    "set_except",
+    "scalar_functions",
+    "json_extract_events",
+    "events_cohort_retention",
+    "sketch_cms_topk",
+    "dedup_substring_spans",
+    "text_bm25_topk",
+    "text_unigram_nll",
+    "text_repetition",
+    "curation_filter_funnel",
+    "curation_semantic_decon",
+    "curation_source_mix",
+    "curation_shuffle_shards",
+    "curation_pack_sequences",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
 ]
 
 

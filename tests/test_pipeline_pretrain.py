@@ -11,7 +11,7 @@ from rheoceros_spark.operators.curation import filter_funnel, funnel_survivors
 
 @pytest.fixture(scope="module")
 def manifest(spark, sf_dir):
-    df = entry._STAGED_QUERIES["pipeline_pretrain_corpus"](spark, sf_dir)
+    df = entry.queries()["pipeline_pretrain_corpus"](spark, sf_dir)
     df = df.localCheckpoint()
     return df
 
@@ -76,7 +76,7 @@ def test_no_benchmark_docs_in_manifest(manifest):
 
 def test_plan_has_no_cartesian_product(manifest, spark, sf_dir):
     plan = (
-        entry._STAGED_QUERIES["pipeline_pretrain_corpus"](spark, sf_dir)
+        entry.queries()["pipeline_pretrain_corpus"](spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -30,7 +30,8 @@ def sf(sf_dir):
 
 class TestScanQuality:
     def test_filter_pushdown_reaches_parquet(self, spark, sf):
-        q = entry._QUERIES["q6_revenue_forecast"](spark, sf)
+        # q6 retired to _RETIRED_QUERIES in the r9 window; the plan gate stays
+        q = entry.retired_queries()["q6_revenue_forecast"](spark, sf)
         plan = physical_plan(q)
         assert "PushedFilters: [" in plan
         # the shipdate range must be pushed, not evaluated post-scan only
@@ -180,21 +181,21 @@ class TestDriverContract:
     def test_cross_round_official_coverage_is_total(self):
         """Every query is either inside this round's 50-entry driver
         window or already earned a green official row in the PREVIOUS
-        round (r07) — the rotation may not orphan anything, and
+        round (r08) — the rotation may not orphan anything, and
         consecutive rounds must jointly cover 100% of queries()."""
         import json
         import os
 
         window = set(list(entry.queries())[:50])
-        r07_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r07.json")
-        with open(r07_path, "r", encoding="utf-8") as f:
-            r07 = json.load(f)
-        certified_r07 = {
+        r08_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r08.json")
+        with open(r08_path, "r", encoding="utf-8") as f:
+            r08 = json.load(f)
+        certified_r08 = {
             name
-            for name, res in r07.items()
+            for name, res in r08.items()
             if res.get("rows_match") and res.get("schema_match") and res.get("hash_match")
         }
-        uncovered = set(entry.queries()) - window - certified_r07
+        uncovered = set(entry.queries()) - window - certified_r08
         assert not uncovered, f"never driver-certified: {sorted(uncovered)}"
 
     def test_registry_capped_at_window_arithmetic(self):
@@ -506,7 +507,7 @@ class TestRound8PlanShapes:
         shuffle only (query, id, contribution) triples — never text,
         embeddings, or raw scores — and stay cartesian-free with a
         partial (map-side) aggregate before the exchange."""
-        df = entry._STAGED_QUERIES["retrieval_hybrid_rrf"](spark, sf)
+        df = entry.queries()["retrieval_hybrid_rrf"](spark, sf)
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan
         final_section = plan.split("== Initial Plan ==")[0]
@@ -522,7 +523,7 @@ class TestRound8PlanShapes:
         """The int8 ANN plan must stay scan-shaped: quantization is a
         per-row projection (no exchange before TakeOrdered), the query
         and the candidate id-set broadcast, and nothing is cartesian."""
-        df = entry._STAGED_QUERIES["ann_int8_topk"](spark, sf)
+        df = entry.queries()["ann_int8_topk"](spark, sf)
         plan = physical_plan(df)
         assert "TakeOrderedAndProject" in plan
         assert "BroadcastExchange" in plan

@@ -48,8 +48,10 @@ def duck(sf_dir):
 
 
 def test_retired_set_is_exactly_the_certified_retirees():
-    # r7 retired the first four; r8's certification window retired the
-    # two verification twins whose scalable siblings hold official rows
+    # r7 retired the first four; r8's window retired the two
+    # verification twins; r9's window retired five r7-certified
+    # weakest-marginal rows (each family stays multiply certified —
+    # see the staging-plan comment in __spark_entry__.py)
     assert set(entry.retired_queries()) == {
         "broadcast_join_enrich",
         "dedup_embedding_pairs",
@@ -57,6 +59,11 @@ def test_retired_set_is_exactly_the_certified_retirees():
         "ann_ivf_appended",
         "dedup_ngram_jaccard_pairs",
         "ann_cosine_topk",
+        "agg_rollup",
+        "set_intersect",
+        "window_running_total",
+        "q6_revenue_forecast",
+        "events_funnel_3step",
     }
 
 
