@@ -4705,7 +4705,15 @@ def _bpe_train_oracle(n_merges: int = 12) -> str:
       FROM (
         SELECT unnest(regexp_extract_all({_NORM}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS w
         FROM documents WHERE doc_id IS NOT NULL
-      ) GROUP BY w
+      )
+      -- chr(31) is this oracle's internal symbol separator; a U+001F
+      -- pre-token (necessarily the single char — the alnum classes
+      -- can't contain it) would corrupt the rebuilt symbol arrays in
+      -- the merge folds.  Dropping it is parity-neutral: a 1-symbol
+      -- word contributes no pairs, and merge operands are
+      -- alnum-validated so it can never appear in the output.
+      WHERE w <> chr(31)
+      GROUP BY w
     )"""
     ]
     for i in range(1, n_merges + 1):
@@ -5064,7 +5072,7 @@ def _gopher_rules_oracle() -> str:
                AS BIGINT) AS n_ell,
              CASE WHEN n_words > 0
                   THEN CAST(len(list_filter(toks,
-                       t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+                       t -> regexp_matches(t, '\\p{{L}}'))) AS BIGINT)
                   ELSE 0 END AS n_alpha,
              CAST(len(list_intersect(toks, [{stops}])) AS BIGINT) AS stop_hits
       FROM feat

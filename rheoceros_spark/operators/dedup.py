@@ -121,7 +121,13 @@ def dedup_exact_best(
         F.min(F.struct(F.col("__nsc"), F.col(id_col).alias("__id"))).alias("__w")
     )
     winner_ids = winners.select(F.col("__w.__id").alias(id_col))
-    survivors = df.join(winner_ids, on=id_col, how="left_semi")
+    # NULL-text rows are excluded from the semi-join input (not just
+    # appended after): under non-unique ids a NULL-text row sharing a
+    # survivor's id would otherwise be emitted twice — once via the
+    # semi-join, once via the union
+    survivors = df.where(F.col(text_col).isNotNull()).join(
+        winner_ids, on=id_col, how="left_semi"
+    )
     null_rows = df.where(F.col(text_col).isNull())
     return survivors.unionByName(null_rows)
 
@@ -998,13 +1004,22 @@ def paragraph_segments(
         )
     )
     if delim is not None:
+        if delim == "":
+            # an empty delimiter would split per-character (Java regex
+            # "\Q\E" matches the empty string) — reject it loudly
+            raise ValueError("paragraph_segments: delim must be non-empty")
         # \Q..\E literal-quotes the delimiter for Java's regex split, so
         # the split/join duality (the reassembly invariant) holds for
-        # any delimiter string, regex metacharacters included
+        # any delimiter string, regex metacharacters included.  A
+        # literal "\E" inside the delimiter would terminate the quote
+        # early, so it is re-escaped the way java.util.regex
+        # Pattern.quote does: close the quote, emit an escaped \E,
+        # reopen the quote.
+        quoted = "\\Q" + delim.replace("\\E", "\\E\\\\E\\Q") + "\\E"
         return base.select(
             F.col(id_col),
             F.posexplode(
-                F.split(F.col(text_col), "\\Q" + delim + "\\E", -1)
+                F.split(F.col(text_col), quoted, -1)
             ).alias("span_id", "span_text"),
         )
     if span_tokens < 1:

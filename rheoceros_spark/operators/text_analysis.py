@@ -385,7 +385,10 @@ def gopher_rules(
     ell_end = lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…")
     n_ell_lines = F.size(F.filter(lines, ell_end)).cast("long")
 
-    alpha = lambda t: t.rlike("[a-z]")  # norm tokens are lowercased
+    # \p{L} (any Unicode letter) rather than [a-z]: Gopher's rule is
+    # "contains at least one alphabetic character", which must hold for
+    # é/ü/ñ… too; Java and RE2 (the DuckDB oracle) agree on \p{L}
+    alpha = lambda t: t.rlike(r"\p{L}")
     n_alpha = F.when(n_words > 0, F.size(F.filter(toks, alpha))).otherwise(F.lit(0)).cast("long")
     stop_hits = F.size(
         F.array_intersect(F.array(*[F.lit(s) for s in GOPHER_STOPS]), toks)
@@ -1769,7 +1772,14 @@ def pr_curve(
     if grid < 1:
         raise ValueError(f"pr_curve: grid must be >= 1, got {grid}")
     per = (
-        df.select(
+        # degenerate rows are dropped, not miscounted: a NULL label
+        # would silently count as a negative (n_neg = count − sum(y)),
+        # and a NULL score would form a NULL bucket whose positives
+        # inflate the recall denominator while being unreachable at
+        # any threshold — both violate the exact-by-construction
+        # contract
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
             F.floor(F.col(score_col) * F.lit(float(grid)))
             .cast("bigint")
             .alias("bucket"),

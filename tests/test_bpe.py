@@ -352,3 +352,33 @@ class TestBpeFertility:
         # stay fragmented (fertility > 1)
         assert out["a"].fertility == 1.0
         assert out["b"].fertility > 1.0
+
+
+def test_bpe_train_oracle_survives_u001f_corpus(spark, tmp_path):
+    """A corpus document containing U+001F (the oracle's internal
+    symbol separator) used to corrupt the oracle's rebuilt symbol
+    arrays; the oracle now pre-filters that pre-token (parity-neutral:
+    a 1-symbol word has no pairs and merge operands are
+    alnum-validated)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from rheoceros_spark.operators.text_analysis import bpe_train
+
+    texts = ["low low lower \x1f lowest", "low\x1flow newer", "\x1f\x1f"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "u001f_docs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    merges = bpe_train(df, n_merges=12)
+    want = [(str(i), a, b) for i, (a, b) in enumerate(merges)]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    pdf = con.sql(entry._STAGED_ORACLES["text_bpe_train"]).df()
+    got = [(str(r[0]), r[1], r[2]) for r in pdf.itertuples(index=False, name=None)]
+    assert got == want and got, got

@@ -131,6 +131,26 @@ def test_pr_curve_monotone_recall_and_total_columns(spark):
     assert all(r.f1_q is not None and r.recall_q is not None for r in got)
 
 
+def test_pr_curve_drops_null_score_and_label_rows(spark):
+    from rheoceros_spark.operators.text_analysis import pr_curve
+
+    clean = [(0.95, 1), (0.85, 1), (0.75, 0), (0.55, 1), (0.45, 0)]
+    dirty = clean + [(None, 1), (None, 0), (0.65, None)]
+    df = spark.createDataFrame(dirty, "logit double, y int")
+    got = sorted(
+        tuple(r) for r in pr_curve(df, score_col="logit", label_col="y",
+                                   grid=10).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in pr_curve(_scored(spark, clean), score_col="logit",
+                          label_col="y", grid=10).collect()
+    )
+    # NULL label must not count as a negative; NULL score must not form
+    # an unreachable bucket that inflates the recall denominator
+    assert got == want
+
+
 def test_pr_curve_no_positives_yields_zero_not_null(spark):
     from rheoceros_spark.operators.text_analysis import pr_curve
 

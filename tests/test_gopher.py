@@ -74,6 +74,15 @@ def test_alpha_words_and_stop_words(spark):
     assert _one(spark, "the cat and dog").stop_hits == 2
 
 
+def test_alpha_words_unicode_letters(spark):
+    # Gopher's rule is "contains at least one ALPHABETIC character" —
+    # words of non-ASCII letters must count (was ASCII-only [a-z])
+    assert _one(spark, "café über niño 12 34").g_alpha_words == 0  # 3/5
+    assert _one(spark, "café über niño mañana 12").g_alpha_words == 1  # 4/5
+    # digits/punct-only words still non-alphabetic
+    assert _one(spark, "123 456 !!! ... ---").g_alpha_words == 0
+
+
 def test_empty_and_null_text(spark):
     df = spark.createDataFrame(
         [(0, ""), (1, None), (2, "   \n  ")], "doc_id long, text string"

@@ -1289,6 +1289,20 @@ class TestDedupExactBest:
         got = self._run(spark, [(1, "The  Cat", 0.3), (2, "the cat", 0.8)])
         assert got == {2}
 
+    def test_null_text_with_survivor_id_emits_once(self, spark):
+        # under non-unique ids, a NULL-text row sharing a survivor's id
+        # must not ride the semi-join AND the null union (was emitted
+        # twice)
+        from rheoceros_spark.operators.dedup import dedup_exact_best
+
+        df = spark.createDataFrame(
+            [(1, "dup", 1.0), (2, "dup", 2.0), (2, None, None)],
+            "doc_id long, text string, quality double",
+        )
+        rows = dedup_exact_best(df, "quality").collect()
+        assert len(rows) == 2
+        assert sorted((r.doc_id, r.text or "") for r in rows) == [(2, ""), (2, "dup")]
+
     def test_string_ids_work(self, spark):
         # the review-found bug: negating the id for tie-breaks assumed
         # numeric ids; the min(struct(-score, id)) form keeps id typed

@@ -258,3 +258,24 @@ class TestDecontaminateSpans:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pt.raises(ValueError, match="n must be"):
             decontaminate_spans(df, df, n=0, span_tokens=8)
+
+
+def test_delim_containing_backslash_e_is_literal(spark):
+    # "\E" inside the delimiter used to terminate the \Q..\E quote
+    # early, silently switching the remainder to regex mode; the
+    # Pattern.quote re-escape keeps any delimiter fully literal
+    df = spark.createDataFrame(
+        [(1, r"a\Eb.c\Ed"), (2, "no delim .")], "doc_id long, text string"
+    )
+    segs = {
+        (r.doc_id, r.span_id): r.span_text
+        for r in paragraph_segments(df, delim=r"\E").collect()
+    }
+    assert segs == {(1, 0): "a", (1, 1): "b.c", (1, 2): "d",
+                    (2, 0): "no delim ."}
+
+
+def test_empty_delim_rejected(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        paragraph_segments(df, delim="")
