@@ -278,6 +278,10 @@ def main() -> None:
         for name, fn in all_q.items():
             if name in errors:
                 continue  # failed once: don't burn iterations re-failing
+            # operators that cache an intermediate internally (bm25's
+            # matched frame) must not get a warm-cache second iteration
+            # — min-of-N times the cold plan every time
+            spark.catalog.clearCache()
             t0 = time.time()
             # per-query fault isolation: one broken query must not zero
             # the whole round's artifact (round 3 lost all perf data to

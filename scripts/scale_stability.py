@@ -18,8 +18,14 @@ Two checks per operator:
     linear-oracle queries — determinism (integer quantization, ordered
     folds, portable hashing) must hold as AQE re-plans at 10× the data.
 
-Usage: python scripts/scale_stability.py [--skip-oracle]
+Usage: python scripts/scale_stability.py [--skip-oracle] [--isolated]
 Prints one JSON line with per-operator sf0.1/sf1 seconds + ratios.
+
+``--isolated`` is the CANONICAL per-round protocol (VERDICT r8 ask
+#2): one fresh JVM per operator, so no probe inherits another's
+broadcast/code-cache state — the r8 single-session artifact inflated
+two late entries 4–13× and had to annotate fresh-JVM re-runs;
+BASELINE.md §3 quotes the isolated numbers verbatim.
 """
 
 from __future__ import annotations
@@ -143,11 +149,11 @@ ORACLE_AT_SF1 = [
     "text_bigram_nll",
     "text_quality_classifier",
     # round-8 session additions (quantize+brute over 10× vectors; LR
-    # train + grid histogram).  text_bpe_train stays timing-only at
-    # sf1: its DuckDB twin materializes the 12-round merge-cascade CTE
-    # chain over the 10× distinct-word table and OOMs single-node
-    # (measured 2026-08-15) — the sf0.01/sf0.1 hash gates still certify
-    # it, like dedup_keep_list's recursive-CTE oracle
+    # train + grid histogram).  text_bpe_train is NOT in this list:
+    # its 12-round CTE-cascade twin OOMs single-node at the 10×
+    # vocabulary, so bpe_oracle_sf1() replays it round-by-round
+    # through temp tables instead (bounded memory, same merges) —
+    # reported under oracle_sf1.text_bpe_train_sf1 in --isolated runs
     "ann_int8_topk",
     "text_quality_pr_curve",
     # round-8 session-3: all four oracles are corpus-linear (per-row
@@ -228,12 +234,138 @@ def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bpe_oracle_sf1(spark) -> dict:
+    """sf1 DuckDB oracle for text_bpe_train, replayed ROUND-BY-ROUND
+    through temp tables instead of one 12-stage CTE cascade (which
+    materializes every intermediate word table at once and OOMs
+    single-node at the 10× vocabulary — measured 2026-08-15).  Each
+    round holds exactly one word table + one pair table in memory, so
+    the replay is bounded by the vocabulary like the Spark side.
+
+    Returns {"rows_match": bool, "n": int} comparing the full merge
+    table (rank, lhs, rhs) against the staged Spark query at SF1."""
+    import duckdb
+
+    qs = {**entrymod._STAGED_QUERIES, **entrymod.queries()}
+    sdf = qs["text_bpe_train"](spark, SF1)
+    got = [(int(r[0]), r[1], r[2]) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF1}/documents.parquet/*.parquet'"
+    )
+    norm = entrymod._NORM  # the exact normalizer the CTE oracle uses
+    con.execute(f"""
+      CREATE TEMP TABLE w AS
+      SELECT list_filter(list_transform(range(1, length(w) + 1), j -> w[j]),
+                         x -> x <> '') AS syms,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(regexp_extract_all({norm},
+                      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS w
+        FROM documents WHERE doc_id IS NOT NULL
+      )
+      WHERE w <> chr(31)
+      GROUP BY w
+    """)
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(12):
+        row = con.execute("""
+          SELECT a, b FROM (
+            SELECT syms[j] AS a, syms[j + 1] AS b, cnt FROM (
+              SELECT syms, cnt, unnest(range(1, len(syms))) AS j
+              FROM w WHERE len(syms) >= 2
+            )
+          )
+          WHERE regexp_matches(a, '^[A-Za-z0-9]+$')
+            AND regexp_matches(b, '^[A-Za-z0-9]+$')
+          GROUP BY a, b HAVING sum(cnt) >= 2
+          ORDER BY sum(cnt) DESC, a, b LIMIT 1
+        """).fetchone()
+        if row is None:
+            break
+        a, b = row
+        merges.append((rank, a, b))
+        con.execute(
+            """
+          CREATE TEMP TABLE w2 AS
+          SELECT string_split(
+                   list_reduce(syms, (acc, x) -> CASE
+                     WHEN (acc = $a OR ends_with(acc, chr(31) || $a)) AND x = $b
+                     THEN left(acc, length(acc) - length($a)) || $a || $b
+                     ELSE acc || chr(31) || x END),
+                   chr(31)) AS syms, cnt
+          FROM w
+        """,
+            {"a": a, "b": b},
+        )
+        con.execute("DROP TABLE w")
+        con.execute("ALTER TABLE w2 RENAME TO w")
+    return {"rows_match": got == merges, "n": len(merges)}
+
+
+def isolated(probe_names: list[str], skip_oracle: bool) -> None:
+    """One fresh JVM per probe (VERDICT r8 ask #2): a long same-JVM
+    run contaminates late entries — accumulated broadcast/code-cache
+    state inflated two r8 operators 4–13× (bm25 5.65× vs 3.82× fresh;
+    bpe 12.93× vs 1.11× fresh).  The canonical artifact times every
+    operator against identical cold-JVM state; BASELINE.md §3 quotes
+    these numbers verbatim."""
+    here = os.path.abspath(__file__)
+    merged: dict[str, dict] = {}
+    for name in probe_names:
+        proc = subprocess.run(
+            [sys.executable, here, f"--only={name}", "--skip-oracle"],
+            capture_output=True, text=True,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+        try:
+            part = json.loads(line)["timings"]
+        except (json.JSONDecodeError, KeyError):
+            part = {name: {"error": (proc.stderr or "no output")[-300:]}}
+        merged.update(part)
+        for n, t in part.items():
+            print(f"[isolated] {n}: {t}", file=sys.stderr)
+
+    oracle: dict = {}
+    if not skip_oracle:
+        proc = subprocess.run(
+            [sys.executable, "scripts/check_oracle.py", SF1,
+             *[n for n in ORACLE_AT_SF1 if n in probe_names or not probe_names]],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(here)),
+        )
+        tail = proc.stdout.strip().splitlines()
+        oracle = {"rc": proc.returncode, "summary": tail[-1] if tail else ""}
+        print(proc.stdout, file=sys.stderr)
+        # bpe_train's sf1 oracle runs round-by-round in its own JVM
+        if "text_bpe_train" in probe_names:
+            proc = subprocess.run(
+                [sys.executable, here, "--bpe-oracle-sf1"],
+                capture_output=True, text=True,
+            )
+            line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
+            try:
+                oracle["text_bpe_train_sf1"] = json.loads(line)
+            except json.JSONDecodeError:
+                oracle["text_bpe_train_sf1"] = {"error": (proc.stderr or "?")[-300:]}
+            print(f"bpe sf1 oracle: {oracle['text_bpe_train_sf1']}", file=sys.stderr)
+
+    print(json.dumps({"metric": "scale_stability", "replicas": REPLICAS,
+                      "protocol": "fresh-jvm-per-operator",
+                      "timings": merged, "oracle_sf1": oracle}))
+
+
 def main() -> None:
     skip_oracle = "--skip-oracle" in sys.argv
     only: list[str] | None = None
     for arg in sys.argv[1:]:
         if arg.startswith("--only="):
             only = [n for n in arg.split("=", 1)[1].split(",") if n]
+    if "--isolated" in sys.argv:
+        isolated([n for n in HEAVIES + SCALABLE if only is None or n in only],
+                 skip_oracle)
+        return
     spark = get_session(
         "scale_stability",
         master="local[32]",
@@ -244,6 +376,9 @@ def main() -> None:
 
     quiet_tiny_window_warnings(spark)
     synthesize(spark)
+    if "--bpe-oracle-sf1" in sys.argv:
+        print(json.dumps(bpe_oracle_sf1(spark)))
+        return
 
     from rheoceros_spark.operators import minhash_lsh_pairs, simhash_pairs
 
@@ -273,6 +408,9 @@ def main() -> None:
         for sf_name, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
             best = None
             for _ in range(iters):
+                # cold-cache every iteration (bm25 caches its matched
+                # frame internally; min-of-N must not time a warm cache)
+                spark.catalog.clearCache()
                 t0 = time.time()
                 run_once(fn(spark, sf_dir))
                 el = time.time() - t0
