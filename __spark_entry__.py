@@ -3895,7 +3895,9 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- Round-11 certification batch (the remaining 7 staged) ----------------
 # r11 registers: text_hash_embed_topk, retrieval_quality_metrics,
 #   text_bpe_fertility, curation_decon_spans, text_lang_segments,
-#   curation_source_overlap_minhash, dedup_exact_best_docs.
+#   curation_source_overlap_minhash, dedup_exact_best_docs
+#   (+ text_lang_classifier, staged in r9, slots into r12 with the
+#   same weakest-marginal retirement test unless an r11 slot frees).
 # r11 retires (from the r9-certified pool, same weakest-marginal test):
 #   json_extract_events      (JSON scalar extraction ⊂ scalar_functions),
 #   text_unigram_nll         (unigram LM ⊂ text_bigram_nll, r9-certified),
@@ -5705,6 +5707,140 @@ def curation_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl_buckets(scored, score_col="nll", group_col="source").select(
         "doc_id", "source", "n_scored", "nll", "ppl_bucket"
     )
+
+
+def _lang_classifier_oracle(
+    n_buckets: int = 64, iters: int = 2, lr: float = 2.0
+) -> str:
+    """The full multiclass softmax-LR training loop + argmax scorer in
+    SQL: L1-normalized hashed integer features, broadcast-LUT exp (no
+    libm ``exp``), exact BIGINT logit/gradient sums on the 1e-11 grid,
+    integer softmax ratios (all operands non-negative, so Spark ``div``
+    ≡ DuckDB ``//``), floor-requantized updates — reproduces
+    operators/text_analysis.py lang_classifier_train +
+    lang_classifier_score bit-for-bit."""
+    from rheoceros_spark.functions.portable import h64_sql
+    from rheoceros_spark.operators.text_analysis import (
+        EXP_CLAMP_Q,
+        FEAT_NORM_SCALE,
+        exp_lut_q,
+    )
+
+    lut = "[" + ", ".join(str(v) for v in exp_lut_q()) + "]"
+    off = EXP_CLAMP_Q + 1
+    hk = h64_sql("t", seed="'0'")
+    ctes = [
+        """docs0 AS (
+      SELECT doc_id, text, lang FROM documents
+      WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+    )""",
+        f"""rawf AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, CAST({hk} % {n_buckets} AS INT) AS bucket FROM (
+          SELECT doc_id, unnest({_TOK}) AS t FROM docs0 WHERE text IS NOT NULL
+        ) WHERE t <> ''
+      ) GROUP BY doc_id, bucket
+    )""",
+        f"""feats AS (
+      SELECT doc_id, bucket,
+             CAST(cnt * {FEAT_NORM_SCALE} // sum(cnt) OVER (PARTITION BY doc_id)
+                  AS BIGINT) AS cnt_q
+      FROM rawf
+      UNION ALL
+      SELECT doc_id, CAST(-1 AS INT) AS bucket,
+             CAST({FEAT_NORM_SCALE} AS BIGINT) AS cnt_q
+      FROM docs0
+    )""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs0)",
+        """cls AS (SELECT DISTINCT lang AS class FROM docs0)""",
+        f"""w0 AS (
+      SELECT c.class, CAST(unnest(range(-1, {n_buckets})) AS INT) AS bucket,
+             CAST(0 AS BIGINT) AS wq
+      FROM cls c
+    )""",
+    ]
+    prev = "w0"
+    eq = (
+        f"({lut})[CAST(greatest(-{EXP_CLAMP_Q}, least({EXP_CLAMP_Q}, "
+        f"CAST(floor((CAST(lq AS DOUBLE) / 1e11) * 100.0) AS BIGINT))) + {off} AS INT)]"
+    )
+    for i in range(1, iters + 1):
+        ctes.append(f"""l{i} AS (
+      SELECT f.doc_id, w.class, CAST(sum(w.wq * f.cnt_q) AS BIGINT) AS lq
+      FROM feats f JOIN {prev} w USING (bucket) GROUP BY f.doc_id, w.class
+    )""")
+        ctes.append(f"""p{i} AS (
+      SELECT doc_id, class,
+             CAST(eq * 10000000 // sum(eq) OVER (PARTITION BY doc_id)
+                  AS BIGINT) AS pq
+      FROM (SELECT doc_id, class, {eq} AS eq FROM l{i})
+    )""")
+        ctes.append(f"""r{i} AS (
+      SELECT p.doc_id, p.class,
+             CAST(p.pq - CASE WHEN d.lang = p.class THEN 10000000 ELSE 0 END
+                  AS BIGINT) AS rq
+      FROM p{i} p JOIN docs0 d USING (doc_id)
+    )""")
+        ctes.append(f"""g{i} AS (
+      SELECT r.class, f.bucket, CAST(sum(r.rq * f.cnt_q) AS BIGINT) AS gq
+      FROM r{i} r JOIN feats f USING (doc_id) GROUP BY r.class, f.bucket
+    )""")
+        ctes.append(f"""w{i} AS (
+      SELECT w.class, w.bucket,
+             CAST(w.wq - CAST(floor((CAST(coalesce(g.gq, 0) AS DOUBLE) * {lr!r})
+                              / (nn.n * {FEAT_NORM_SCALE}))
+                         AS BIGINT) AS BIGINT) AS wq
+      FROM {prev} w LEFT JOIN g{i} g USING (class, bucket) CROSS JOIN nn
+    )""")
+        prev = f"w{i}"
+    return f"""
+    WITH {', '.join(ctes)}, alldocs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+    ), rawall AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, CAST({hk} % {n_buckets} AS INT) AS bucket FROM (
+          SELECT doc_id, unnest({_TOK}) AS t FROM alldocs WHERE text IS NOT NULL
+        ) WHERE t <> ''
+      ) GROUP BY doc_id, bucket
+    ), featall AS (
+      SELECT doc_id, bucket,
+             CAST(cnt * {FEAT_NORM_SCALE} // sum(cnt) OVER (PARTITION BY doc_id)
+                  AS BIGINT) AS cnt_q
+      FROM rawall
+      UNION ALL
+      SELECT doc_id, CAST(-1 AS INT) AS bucket,
+             CAST({FEAT_NORM_SCALE} AS BIGINT) AS cnt_q
+      FROM alldocs
+    ), sf AS (
+      SELECT f.doc_id, w.class, CAST(sum(w.wq * f.cnt_q) AS BIGINT) AS lq
+      FROM featall f JOIN {prev} w USING (bucket) GROUP BY f.doc_id, w.class
+    )
+    SELECT doc_id, class AS pred_lang, lq AS logit_q FROM (
+      SELECT doc_id, class, lq,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY lq DESC, class ASC) AS rn
+      FROM sf
+    ) WHERE rn = 1
+    """
+
+
+@q_staged("text_lang_classifier", oracle=_lang_classifier_oracle())
+def text_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language identification (CCNet replaces marker
+    heuristics with a learned fastText classifier, Wenzek et al. 2020
+    §3.2): distributed multiclass softmax LR over L1-normalized hashed
+    token features, then argmax scoring — the same broadcast-LUT /
+    exact-integer discipline that made the binary quality classifier
+    and k-means bit-exact across engines (operators/text_analysis.py
+    lang_classifier_train / lang_classifier_score)."""
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_score,
+        lang_classifier_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    w = lang_classifier_train(docs, "lang", n_buckets=64, iters=2, lr=2.0)
+    return lang_classifier_score(docs, w, n_buckets=64)
 
 
 # ===========================================================================

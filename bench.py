@@ -151,6 +151,7 @@ BENCH_EXT = [
     "text_bpe_fertility",
     "curation_decon_spans",
     "text_lang_segments",
+    "text_lang_classifier",
     "curation_source_overlap_minhash",
     "dedup_exact_best_docs",
 ]

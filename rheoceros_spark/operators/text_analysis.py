@@ -57,6 +57,9 @@ def lang_segments(
     id_col: str = "doc_id",
     delim: str | None = None,
     span_tokens: int | None = None,
+    classifier_weights: DataFrame | None = None,
+    n_buckets: int = 64,
+    seed: int = 0,
 ) -> DataFrame:
     """Per-SPAN language identification rolled up to a document
     language profile — the CCNet practice of running lang-id at
@@ -78,12 +81,40 @@ def lang_segments(
     doc-bounded argmax — corpus-linear, no text shuffle (the lang
     counts are the only thing on the wire).
 
+    ``classifier_weights``: pass a trained
+    :func:`lang_classifier_train` table to score each span with the
+    LEARNED classifier instead of the marker lists — the full CCNet
+    shape (trained model at paragraph granularity).  The classifier
+    always predicts a class (argmax over trained languages, no 'und'),
+    so every span counts as identified; the scoring join stays a
+    broadcast of the K·(n_buckets+1)-row weight table.
+
     Reference-extension operator (SURVEY.md §2.12).
     """
     from rheoceros_spark.operators.dedup import paragraph_segments
 
     segs = paragraph_segments(df, text_col, id_col, delim, span_tokens)
-    scored = lang_id(segs, "span_text")
+    if classifier_weights is not None:
+        key = F.concat_ws(
+            "\x1f", F.col(id_col).cast("string"), F.col("span_id").cast("string")
+        )
+        keyed = segs.withColumn("__sk", key)
+        pred = lang_classifier_score(
+            keyed.select(F.col("__sk").alias("__sid"), "span_text"),
+            classifier_weights,
+            text_col="span_text",
+            id_col="__sid",
+            n_buckets=n_buckets,
+            seed=seed,
+        )
+        scored = keyed.join(
+            pred.select(
+                F.col("__sid").alias("__sk"), F.col("pred_lang").alias("lang_pred")
+            ),
+            "__sk",
+        )
+    else:
+        scored = lang_id(segs, "span_text")
     per = scored.groupBy(id_col, "lang_pred").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
     )
@@ -94,22 +125,21 @@ def lang_segments(
     # aggregate.  Tie-break: max picks the larger struct, so the
     # second field ranks languages in REVERSE alphabetical order to
     # make the alphabetically-first language win equal counts.
-    known = sorted(LANG_MARKERS)
-    rev_rank = F.create_map(
-        *[x for i, l in enumerate(known) for x in (F.lit(l), F.lit(len(known) - i))]
-    )
     identified = F.col("lang_pred") != "und"
+    # min(struct(−count, lang)) = modal language with ties to the
+    # alphabetically-first — works for ANY class set (the previous
+    # reverse-rank map only covered the marker languages, which would
+    # break under a trained classifier's label space)
     dom_struct = F.when(
         identified,
         F.struct(
-            F.col("__c").alias("c"),
-            rev_rank[F.col("lang_pred")].alias("r"),
+            (-F.col("__c")).alias("nc"),
             F.col("lang_pred").alias("lang"),
         ),
     )
     roll = per.groupBy(id_col).agg(
         F.sum("__c").cast("bigint").alias("n_spans"),
-        F.max(dom_struct).alias("__dom"),
+        F.min(dom_struct).alias("__dom"),
         F.count(F.when(identified, F.lit(1))).cast("bigint").alias("n_langs"),
     )
     return (
@@ -120,7 +150,7 @@ def lang_segments(
             id_col,
             F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
             F.coalesce(F.col("__dom.lang"), F.lit("und")).alias("dominant_lang"),
-            F.coalesce(F.col("__dom.c"), F.lit(0))
+            F.coalesce(-F.col("__dom.nc"), F.lit(0))
             .cast("bigint")
             .alias("dominant_spans"),
             F.coalesce(F.col("n_langs"), F.lit(0)).cast("bigint").alias("n_langs"),
@@ -1629,6 +1659,51 @@ def hashed_token_features(
     return counts.select(id_col, F.col("bucket").cast("int"), "cnt").unionByName(bias)
 
 
+FEAT_NORM_SCALE = 10_000  # L1-normalized feature grid (1e-4)
+
+
+def hashed_token_features_norm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """L1-NORMALIZED hashed bag-of-tokens: (id, bucket, cnt_q) with
+    ``cnt_q = cnt·1e4 div n_tokens(doc)`` — the integer form of
+    fastText's mean pooling (Joulin et al. 2016 average the token
+    vectors; unnormalized counts saturate a clamped softmax on long
+    documents, collapsing multiclass training).  The bias row (bucket
+    −1) carries cnt_q = 1e4 ≡ 1.0, so token-free documents still have
+    the intercept.  All values are exact integers; a document's token
+    features sum to ≤ 1e4 (floor division loses < n_buckets grid
+    units)."""
+    base = df.where(F.col(id_col).isNotNull())
+    toks = base.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).where(F.col("__t") != "")
+    counts = (
+        toks.select(
+            F.col(id_col), (h64(F.col("__t"), seed=seed) % n_buckets).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    norm = counts.select(
+        F.col(id_col),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.expr(
+            f"cnt * {FEAT_NORM_SCALE}L div sum(cnt) over (partition by {id_col})"
+        ).cast("bigint").alias("cnt_q"),
+    )
+    bias = base.select(
+        F.col(id_col),
+        F.lit(-1).cast("int").alias("bucket"),
+        F.lit(FEAT_NORM_SCALE).cast("bigint").alias("cnt_q"),
+    )
+    return norm.unionByName(bias)
+
+
 def _clamped_sigma_q(logit_q_col, lut_lit):
     """σ(logit) on the 1e-7 grid via the broadcast LUT: floor (exact on
     doubles, unlike decimal round whose half-up/half-even split between
@@ -1762,6 +1837,197 @@ def quality_classifier_score(
         .otherwise(F.lit(0))
         .cast("int")
         .alias("keep"),
+    )
+
+
+EXP_CLAMP_Q = 800  # grid units of 0.01 → logits clamp to [-8, 8]
+EXP_SCALE = 1_000_000
+
+
+def exp_lut_q() -> list[int]:
+    """e^(k/100) scaled to 1e6 integers for k in [-800, 800] — 1601
+    ints (max e^8·1e6 ≈ 2.98e9, comfortably BIGINT), ~15 KB as a plan
+    literal.  The softmax counterpart of :func:`sigmoid_lut_q`: no
+    ``exp()`` runs in either engine, so the softmax numerators are
+    identical integers everywhere."""
+    import math
+
+    return [
+        int(round(math.exp(k / 100.0) * EXP_SCALE))
+        for k in range(-EXP_CLAMP_Q, EXP_CLAMP_Q + 1)
+    ]
+
+
+def _clamped_exp_q(logit_q_col, lut_lit, grid: float = 1e7):
+    """e^logit on the 1e6 grid via the broadcast LUT — floor + clamp +
+    1-based lookup, the :func:`_clamped_sigma_q` discipline.  ``grid``
+    is the integer grid the logit column lives on (1e11 for the
+    normalized-feature trainer: 1e-7 weights × 1e-4 features)."""
+    z100 = F.floor(
+        (logit_q_col.cast("double") / F.lit(grid)) * F.lit(100.0)
+    ).cast("bigint")
+    k = F.greatest(
+        F.lit(-EXP_CLAMP_Q).cast("bigint"),
+        F.least(F.lit(EXP_CLAMP_Q).cast("bigint"), z100),
+    )
+    return F.element_at(lut_lit, (k + F.lit(EXP_CLAMP_Q + 1)).cast("int"))
+
+
+def lang_classifier_train(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    iters: int = 2,
+    lr: float = 0.5,
+    seed: int = 0,
+    classes: list[str] | None = None,
+) -> DataFrame:
+    """Distributed multiclass (softmax) logistic regression over hashed
+    token features — the TRAINED language classifier of the CCNet
+    pipeline (Wenzek et al. 2020 §3.2 uses a fastText model; this is
+    its linear bag-of-hashed-tokens equivalent, trainable and scorable
+    entirely inside the engine), generalizing :func:`logreg_train`
+    from sigmoid to softmax under the same bit-exactness contract:
+
+    * features are the L1-normalized integer counts of
+      :func:`hashed_token_features_norm` (fastText mean pooling —
+      unnormalized counts saturate the clamped softmax on long
+      documents), so per-(doc, class) logits are exact BIGINT dot
+      products on the 1e-11 grid (1e-7 weights × 1e-4 features) and
+      bounded by the weight range, never by document length;
+    * softmax numerators come from the broadcast :func:`exp_lut_q`
+      table (no libm ``exp`` in either engine) and the probabilities
+      are integer ratios ``expq·1e7 div Σ expq`` — all operands
+      non-negative, so Spark ``div`` and DuckDB ``//`` agree;
+    * the per-(class, bucket) gradient ``Σ (pq − y·1e7)·cnt`` is an
+      exact integer aggregate with map-side combine;
+    * updates re-quantize through ``floor`` (exact on doubles).
+
+    Scale shape per round: the weight table is K·(n_buckets+1) rows
+    (a few hundred for real language sets — always broadcastable); one
+    broadcast join fans the feature stream by K, one groupBy(id,
+    class) logit aggregate, a per-doc window for the softmax
+    denominator (K rows per doc — never data-sized), one groupBy
+    (class, bucket) gradient aggregate.  Two corpus-linear shuffles
+    per round, nothing data-sized on the driver; the feature frame is
+    materialized once and reused by every round.
+
+    ``classes`` defaults to the sorted distinct non-NULL labels (one
+    bounded collect — label-space-sized, like the k-means centroid
+    reads).  Returns the trained (class, bucket, wq) table; bucket −1
+    is the per-class bias.
+    """
+    if iters < 0 or n_buckets < 1:
+        raise ValueError(
+            f"lang_classifier_train: need iters >= 0 and n_buckets >= 1, "
+            f"got {iters}, {n_buckets}"
+        )
+    spark = df.sparkSession
+    base = df.where(F.col(id_col).isNotNull() & F.col(label_col).isNotNull())
+    if classes is None:
+        classes = sorted(
+            r[0] for r in base.select(label_col).distinct().collect()
+        )
+    if not classes:
+        raise ValueError("lang_classifier_train: empty class set")
+    feats = hashed_token_features_norm(
+        base, text_col, id_col, n_buckets, seed
+    ).localCheckpoint(eager=False)
+    labels = base.select(F.col(id_col), F.col(label_col).alias("__label"))
+    n = labels.count()  # one scalar action, like logreg_train's
+    if n == 0:
+        raise ValueError("lang_classifier_train: empty training frame")
+    lut = F.lit(exp_lut_q())
+    w = spark.createDataFrame(
+        [(c, b, 0) for c in classes for b in range(-1, n_buckets)],
+        "class string, bucket int, wq bigint",
+    )
+    for _ in range(iters):
+        # logits live on the 1e-11 grid: 1e-7 weights × 1e-4 features
+        logits = (
+            feats.join(F.broadcast(w), "bucket")
+            .groupBy(id_col, "class")
+            .agg(F.sum(F.col("wq") * F.col("cnt_q")).alias("__lq"))
+        )
+        sm = logits.select(
+            F.col(id_col),
+            "class",
+            _clamped_exp_q(F.col("__lq"), lut, grid=1e11).alias("__eq"),
+        )
+        probs = sm.select(
+            F.col(id_col),
+            "class",
+            F.expr("__eq * 10000000L div sum(__eq) over (partition by "
+                   f"{id_col})").alias("__pq"),
+        )
+        resid = probs.join(labels, id_col).select(
+            F.col(id_col),
+            "class",
+            (
+                F.col("__pq")
+                - F.when(F.col("class") == F.col("__label"), F.lit(10_000_000))
+                .otherwise(F.lit(0))
+            ).alias("__rq"),
+        )
+        grads = (
+            resid.join(feats, id_col)
+            .groupBy("class", "bucket")
+            .agg(F.sum(F.col("__rq") * F.col("cnt_q")).alias("__gq"))
+        )
+        # __gq is on the 1e-11 grid (1e-7 residual × 1e-4 feature); the
+        # extra FEAT_NORM_SCALE divisor returns the update to the 1e-7
+        # weight grid
+        w = (
+            w.join(grads, ["class", "bucket"], "left")
+            .select(
+                "class",
+                "bucket",
+                (
+                    F.col("wq")
+                    - F.floor(
+                        F.coalesce(F.col("__gq"), F.lit(0)).cast("double")
+                        * F.lit(lr)
+                        / F.lit(float(n * FEAT_NORM_SCALE))
+                    ).cast("bigint")
+                ).alias("wq"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return w
+
+
+def lang_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Score documents under a trained :func:`lang_classifier_train`
+    weight table: per-class exact integer logits, prediction = argmax
+    with ties to the lexicographically smallest class (the
+    ``min(struct(−logit, class))`` fold — order-independent under any
+    partitioning, argmax never needs the softmax since it is
+    monotonic in the logit).  Returns (id, pred_lang, logit_q) —
+    logit_q is the winning logit on the 1e-11 integer grid (1e-7
+    weights × 1e-4 normalized features)."""
+    feats = hashed_token_features_norm(df, text_col, id_col, n_buckets, seed)
+    logits = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col, "class")
+        .agg(F.sum(F.col("wq") * F.col("cnt_q")).alias("__lq"))
+    )
+    best = logits.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("__lq")).alias("nl"), F.col("class").alias("c")))
+        .alias("__w")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("__w.c").alias("pred_lang"),
+        (-F.col("__w.nl")).cast("bigint").alias("logit_q"),
     )
 
 

@@ -118,6 +118,9 @@ HEAVIES = [
     "curation_decon_spans",
     # lang segments: explode + per-row marker scoring + (id, lang) count
     "text_lang_segments",
+    # trained softmax lang classifier: per round one broadcast weight
+    # join + two corpus-linear shuffles; scoring is the same shape
+    "text_lang_classifier",
     # minhash overlap sketch: gram explode + sources-sized partial-min agg
     "curation_source_overlap_minhash",
     # keep-best exact dedup: same 32-byte-key shuffle as dedup_exact
@@ -170,6 +173,9 @@ ORACLE_AT_SF1 = [
     "curation_decon_spans",
     # lang-segments oracle is per-span scoring + doc rollup — linear
     "text_lang_segments",
+    # softmax-LR oracle: per-round joins/windows over the feature
+    # table — corpus-linear like the binary classifier's
+    "text_lang_classifier",
     # minhash-overlap oracle is gram-hash mins per source — linear
     "curation_source_overlap_minhash",
     # keep-best oracle is one ranked window per md5 group — linear

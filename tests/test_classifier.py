@@ -164,3 +164,128 @@ def test_pr_curve_validates_grid(spark):
 
     with pytest.raises(ValueError, match="grid"):
         pr_curve(_scored(spark, [(0.5, 1)]), grid=0)
+
+
+# ---------------------------------------------------------------------------
+# multiclass softmax language classifier
+# ---------------------------------------------------------------------------
+
+def _lang_corpus(spark):
+    import random
+
+    vocab = {
+        "en": "the of and to in is was for with that".split(),
+        "de": "der die und das ist nicht ein mit von zu".split(),
+        "fr": "le la et les des une dans pour est que".split(),
+    }
+    rng = random.Random(7)
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for _ in range(40):
+            rows.append((i, " ".join(rng.choice(words) for _ in range(20)), lang))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_lang_classifier_learns_separable_vocabularies(spark):
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_score,
+        lang_classifier_train,
+    )
+    from pyspark.sql import functions as F
+
+    df = _lang_corpus(spark)
+    w = lang_classifier_train(df, "lang", n_buckets=64, iters=2, lr=0.5)
+    assert w.count() == 3 * 65  # K classes x (n_buckets + bias)
+    pred = lang_classifier_score(df, w).join(df.select("doc_id", "lang"), "doc_id")
+    acc = pred.select(
+        F.avg((F.col("pred_lang") == F.col("lang")).cast("double")).alias("a")
+    ).collect()[0].a
+    assert acc == 1.0
+
+
+def test_lang_classifier_untrained_ties_break_to_min_class(spark):
+    # zero iterations -> all weights 0 -> every class logit equal ->
+    # the min(struct(-logit, class)) fold must pick the
+    # lexicographically smallest class deterministically
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_score,
+        lang_classifier_train,
+    )
+
+    df = _lang_corpus(spark)
+    w = lang_classifier_train(df, "lang", iters=0)
+    preds = {r.doc_id: r.pred_lang for r in lang_classifier_score(df, w).collect()}
+    assert set(preds.values()) == {"de"}
+
+
+def test_lang_classifier_score_is_deterministic(spark):
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_score,
+        lang_classifier_train,
+    )
+
+    df = _lang_corpus(spark)
+    w = lang_classifier_train(df, "lang", iters=2, lr=0.5)
+    a = sorted(tuple(r) for r in lang_classifier_score(df, w).collect())
+    b = sorted(tuple(r) for r in lang_classifier_score(df.repartition(7), w).collect())
+    assert a == b
+
+
+def test_normalized_features_bounded_and_biased(spark):
+    from pyspark.sql import functions as F
+    from rheoceros_spark.operators.text_analysis import (
+        FEAT_NORM_SCALE,
+        hashed_token_features_norm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    rows = hashed_token_features_norm(df, n_buckets=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc keeps its bias row, even NULL/empty text
+    for d in (1, 2, 3):
+        assert any(r.bucket == -1 and r.cnt_q == FEAT_NORM_SCALE for r in by_doc[d])
+    # token features L1-sum to <= 1e4 (floor division slack only)
+    tok_sum = sum(r.cnt_q for r in by_doc[1] if r.bucket >= 0)
+    assert FEAT_NORM_SCALE - 8 <= tok_sum <= FEAT_NORM_SCALE
+    # NULL/empty docs carry only the bias
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+
+
+def test_lang_classifier_validates_inputs(spark):
+    from rheoceros_spark.operators.text_analysis import lang_classifier_train
+
+    df = _lang_corpus(spark)
+    with pytest.raises(ValueError, match="iters"):
+        lang_classifier_train(df, "lang", iters=-1)
+    with pytest.raises(ValueError, match="empty class set"):
+        lang_classifier_train(df, "lang", classes=[])
+    with pytest.raises(ValueError, match="empty training frame"):
+        lang_classifier_train(df.where("doc_id < 0"), "lang", classes=["en"])
+
+
+def test_lang_segments_with_trained_classifier(spark):
+    from pyspark.sql import functions as F
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_train,
+        lang_segments,
+    )
+
+    df = _lang_corpus(spark)
+    w = lang_classifier_train(df, "lang", n_buckets=64, iters=2, lr=0.5)
+    out = lang_segments(df, span_tokens=10, classifier_weights=w, n_buckets=64)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == df.count()
+    truth = {r.doc_id: r.lang for r in df.collect()}
+    # a perfectly-separable corpus: every span classifies to the doc's
+    # language, so the document profile is monolingual and correct
+    hits = sum(1 for d, r in rows.items() if r.dominant_lang == truth[d])
+    assert hits == len(rows)
+    assert all(r.n_langs == 1 and r.multilingual == 0 for r in rows.values())
+    # the classifier never emits 'und' — every span identifies
+    assert all(r.dominant_spans > 0 for r in rows.values())

@@ -703,3 +703,23 @@ class TestRound8TailPlanShapes:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
         assert plan.count("HashAggregate") >= 2  # partial + final mins
+
+
+class TestRound9PlanShapes:
+    """Plan gates for the round-9 session operators."""
+
+    def test_lang_classifier_scoring_broadcasts_weights(self, spark, sf):
+        """The trained weight table (K·65 rows) joins the feature
+        stream by broadcast; the softmax/argmax windows partition by
+        doc id (never global); no shuffle-side join of the corpus."""
+        df = entry._STAGED_QUERIES["text_lang_classifier"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # feature agg, per-doc normalization/argmax exchanges only
+        final_section = plan.split("== Initial Plan ==")[0]
+        assert final_section.count("Exchange hashpartitioning") <= 4
+        # no global (empty partition-by) window
+        assert "windowspecdefinition()" not in plan
