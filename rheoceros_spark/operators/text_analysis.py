@@ -751,6 +751,111 @@ def bigram_nll(
     )
 
 
+def bigram_score_rowlocal(
+    df: DataFrame,
+    bigram_counts: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.1,
+    passthrough: bool = False,
+) -> DataFrame:
+    """Row-LOCAL twin of :func:`bigram_nll`'s fixed-model path: the
+    reference bigram model rides along as ONE broadcast row holding a
+    ``v → (w → cnt, c_v)`` nested map column (built executor-side with
+    ``map_from_entries`` — the model is DATA, never a plan literal, so
+    a multi-MB model doesn't bloat codegen), and each document's NLL
+    is a per-row fold over its adjacent token pairs — NO explode, NO
+    per-pair shuffle, NO per-doc aggregation.
+
+    Per-pair ``−ln P`` is rounded to the same 1e-7 integer grid as the
+    batch scorer before the per-doc sum, and integer addition
+    commutes, so the fold is bit-equal to
+    ``bigram_nll(df, bigram_counts=…, vocab_size=…)`` (parity-tested).
+    Unseen bigrams back off to ``k/(c_v + k·V)`` and unseen prefixes
+    to ``1/V``, exactly as there.
+
+    This is the scoring shape for Structured Streaming (stateless —
+    the batch path's per-(doc, v, w) groupBy would need a state store;
+    see streaming.stream.stream_bigram_score) and for scoring passes
+    where even one corpus shuffle matters.  The model must be a
+    bounded REFERENCE model (model-sized like classifier weights and
+    IVF codebooks — pass a top-M-pruned table for web-scale vocabularies,
+    never a corpus-derived frame of unbounded width).
+
+    Returns (id, n_scored, nll) like :func:`bigram_nll`.
+    """
+    if vocab_size is None or vocab_size <= 0:
+        raise ValueError(
+            f"bigram_score_rowlocal: vocab_size must be > 0, got {vocab_size}"
+        )
+    V = float(vocab_size)
+    per_v = bigram_counts.groupBy("v").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("cnt").cast("bigint")))
+        ).alias("m"),
+        F.sum("cnt").cast("bigint").alias("c_v"),
+    )
+    model = per_v.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("v"), F.struct("m", "c_v")))
+        ).alias("__model")
+    ).withColumn("__one", F.lit(1))
+
+    base = df.where(F.col(id_col).isNotNull()).withColumn("__one", F.lit(1))
+    joined = base.join(F.broadcast(model), "__one").drop("__one")
+
+    t = tokens(F.col(text_col))
+    idxs = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def pair_lpq(i):
+        v = F.element_at(t, i.cast("int"))
+        w = F.element_at(t, i.cast("int") + 1)
+        e = F.element_at(F.col("__model"), v)
+        cnt = F.coalesce(F.element_at(e.getField("m"), w), F.lit(0).cast("bigint"))
+        c_v = F.coalesce(e.getField("c_v"), F.lit(0).cast("bigint"))
+        lpq = F.round(
+            -F.log(
+                (cnt.cast("double") + F.lit(float(k)))
+                / (c_v.cast("double") + F.lit(float(k)) * F.lit(V))
+            )
+            * F.lit(1e7)
+        ).cast("bigint")
+        return F.when((v != "") & (w != ""), lpq)
+
+    acc0 = F.struct(
+        F.lit(0).cast("bigint").alias("s"), F.lit(0).cast("bigint").alias("n")
+    )
+    folded = F.aggregate(
+        idxs,
+        acc0,
+        lambda acc, i: F.when(
+            pair_lpq(i).isNotNull(),
+            F.struct(
+                (acc.getField("s") + pair_lpq(i)).alias("s"),
+                (acc.getField("n") + F.lit(1).cast("bigint")).alias("n"),
+            ),
+        ).otherwise(acc),
+    )
+    head = (
+        [F.col(c) for c in df.columns] if passthrough else [F.col(id_col)]
+    )
+    return joined.select(
+        *head,
+        folded.getField("n").alias("n_scored"),
+        F.when(
+            folded.getField("n") > 0,
+            F.round(
+                folded.getField("s").cast("double")
+                / (F.lit(1e7) * folded.getField("n").cast("double")),
+                6,
+            ),
+        ).alias("nll"),
+    )
+
+
 def bm25_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -2133,6 +2238,7 @@ def classifier_score_rowlocal(
     n_buckets: int = 64,
     seed: int = 0,
     logit_threshold: float = 0.0,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Row-LOCAL twin of :func:`quality_classifier_score`: the trained
     weight table (n_buckets+1 rows, KBs) is collected once into a plan
@@ -2167,8 +2273,11 @@ def classifier_score_rowlocal(
         ),
         F.lit(bias).cast("bigint"),
     )
+    head = (
+        [F.col(c) for c in df.columns] if passthrough else [F.col(id_col)]
+    )
     return df.where(F.col(id_col).isNotNull()).select(
-        F.col(id_col),
+        *head,
         (lq.cast("double") / F.lit(1e7)).alias("logit"),
         F.when(
             lq.cast("double") / F.lit(1e7) >= F.lit(logit_threshold), F.lit(1)

@@ -519,3 +519,103 @@ def stream_classifier_score(
         seed=seed,
         logit_threshold=logit_threshold,
     )
+
+
+def stream_bigram_score(
+    sdf: DataFrame,
+    bigram_counts: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.1,
+) -> DataFrame:
+    """Streaming twin of :func:`~rheoceros_spark.operators.text_analysis.
+    bigram_nll`'s fixed-model path: per-row NLL via the broadcast-model
+    token-pair fold (text_analysis.bigram_score_rowlocal) — the batch
+    path's per-(doc, v, w) groupBy would need a state store; the fold
+    is stateless and bit-equal to it (parity-tested).  ``bigram_counts``
+    is a BATCH frame (the persisted reference LM) joined in as one
+    broadcast map row; input columns pass through with (n_scored, nll)
+    appended."""
+    from rheoceros_spark.operators.text_analysis import bigram_score_rowlocal
+
+    return bigram_score_rowlocal(
+        sdf,
+        bigram_counts,
+        vocab_size,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        passthrough=True,
+    )
+
+
+def stream_curation_gate(
+    sdf: DataFrame,
+    classifier_weights: DataFrame,
+    ppl_thresholds: DataFrame,
+    bigram_counts: DataFrame,
+    vocab_size: int,
+    *,
+    k: float = 0.1,
+    n_buckets: int = 64,
+    seed: int = 0,
+    logit_threshold: float = 0.0,
+    allowed_buckets: tuple[str, ...] = ("head", "middle"),
+    chunk_tokens: int = 32,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """The curation pipeline's STATELESS prefix as one streaming
+    operator — raw crawl rows → Gopher document rules ∧ C4 line
+    cleaning ∧ CCNet perplexity gate ∧ trained-classifier keep →
+    fixed-token chunking of the C4-cleaned text.  Every stage is a
+    pure column expression against PERSISTED model artifacts (the
+    trained logreg weights, the ppl threshold table, the reference
+    bigram LM), so the whole chain runs in ONE stateless micro-batch
+    stage: no watermark, no state store, no shuffle — the incremental
+    plan is the batch expression tree verbatim, and batch≡stream
+    parity is structural (parity-tested against the same stages
+    composed in batch, tests/test_streaming.py).
+
+    The stages that need GLOBAL state stay batch-side by design:
+    near-dup purge (pair graph), budget mix (corpus quotas), packing
+    (bin state) — the reference routes those through the scheduler's
+    materialized nodes, and :func:`stream_dedup_against_index` covers
+    the incremental-dedup seam.
+
+    Returns the chunk frame of surviving documents: (id, chunk_id,
+    n_chunk_tokens, chunk_text) over ``clean_text``."""
+    g = stream_gopher_rules(sdf, text_col)
+    c = stream_c4_lines(g, text_col)
+    n = stream_bigram_score(
+        c, bigram_counts, vocab_size, text_col=text_col, id_col=id_col, k=k
+    )
+    p = stream_ppl_gate(n, ppl_thresholds, score_col="nll", group_col=group_col)
+    from rheoceros_spark.operators.text_analysis import classifier_score_rowlocal
+
+    s = classifier_score_rowlocal(
+        p,
+        classifier_weights,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        seed=seed,
+        logit_threshold=logit_threshold,
+        passthrough=True,
+    )
+    gated = s.where(
+        (F.col("gopher_pass") == 1)
+        & (F.col("c4_pass") == 1)
+        & F.col("ppl_bucket").isin(*allowed_buckets)
+        & (F.col("keep") == 1)
+    )
+    return stream_chunk_documents(
+        gated.select(F.col(id_col), F.col("clean_text")),
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+        text_col="clean_text",
+        id_col=id_col,
+    )

@@ -90,7 +90,51 @@ AUDIT = [
     "text_lang_classifier",
     "curation_source_overlap_minhash",
     "dedup_exact_best_docs",
+    # round-9: the composed stateless streaming gate, audited over a
+    # batch frame (identical expression tree — that is the twin claim)
+    "stream_curation_gate_batch_twin",
 ]
+
+
+def _curation_gate_batch_twin(spark, sf_dir):
+    """The stream_curation_gate expression tree applied to a batch
+    frame: ONE codegen'd scan stage — every gate is a column
+    expression against broadcast model artifacts; the only exchanges
+    belong to the (cheap, bounded) artifact-training subplans."""
+    from pyspark.sql import functions as F
+
+    from rheoceros_spark.functions.portable import tokens
+    from rheoceros_spark.operators.curation import ppl_thresholds
+    from rheoceros_spark.operators.text_analysis import bigram_nll, logreg_train
+    from rheoceros_spark.sources.io import load_table
+    from rheoceros_spark.streaming.stream import stream_curation_gate
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    labeled = docs.withColumn(
+        "__label", F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    )
+    weights = logreg_train(labeled, "__label", n_buckets=64, iters=1, lr=0.5)
+    t = docs.select("doc_id", tokens(F.col("text")).alias("__t"))
+    model = (
+        t.where(F.size("__t") >= 2)
+        .select("__t", F.explode(F.sequence(F.lit(1), F.size("__t") - 1)).alias("__p"))
+        .select(
+            F.element_at("__t", F.col("__p")).alias("v"),
+            F.element_at("__t", F.col("__p") + 1).alias("w"),
+        )
+        .where((F.col("v") != "") & (F.col("w") != ""))
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    vocab = (
+        t.select(F.explode("__t").alias("tok"))
+        .where(F.col("tok") != "")
+        .agg(F.countDistinct("tok"))
+        .collect()[0][0]
+    )
+    scored = docs.join(bigram_nll(docs, bigram_counts=model, vocab_size=vocab), "doc_id")
+    thr = ppl_thresholds(scored, score_col="nll", group_col="source")
+    return stream_curation_gate(docs, weights, thr, model, vocab)
 
 
 def main() -> None:
@@ -101,6 +145,7 @@ def main() -> None:
     # retirees (broadcast_join_enrich, ann_pq_topk) keep their plan
     # audit; staged-for-next-round queries are audited pre-registration
     qs = {**entry.retired_queries(), **entry._STAGED_QUERIES, **entry.queries()}
+    qs["stream_curation_gate_batch_twin"] = _curation_gate_batch_twin
     out = [
         "# PLANS — formatted physical plans of headline queries",
         "",

@@ -1314,3 +1314,100 @@ class TestDedupExactBest:
         )
         got = {r.doc_id for r in dedup_exact_best(df, "quality").collect()}
         assert got == {"doc-a"}  # max score, tie to min (string) id
+
+
+class TestBigramScoreRowlocal:
+    """The broadcast-model per-row fold must be bit-equal to the batch
+    fixed-model scorer (same 1e-7 per-pair quantization; integer sums
+    commute), including the backoff seams."""
+
+    def _model(self, spark, docs):
+        from pyspark.sql import functions as F
+        from rheoceros_spark.functions.portable import tokens
+
+        t = docs.select("doc_id", tokens(F.col("text")).alias("__t"))
+        model = (
+            t.where(F.size("__t") >= 2)
+            .select(
+                "__t",
+                F.explode(F.sequence(F.lit(1), F.size("__t") - 1)).alias("__p"),
+            )
+            .select(
+                F.element_at("__t", F.col("__p")).alias("v"),
+                F.element_at("__t", F.col("__p") + 1).alias("w"),
+            )
+            .where((F.col("v") != "") & (F.col("w") != ""))
+            .groupBy("v", "w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        vocab = (
+            t.select(F.explode("__t").alias("tok"))
+            .where(F.col("tok") != "")
+            .agg(F.countDistinct("tok"))
+            .collect()[0][0]
+        )
+        return model, vocab
+
+    def test_matches_batch_fixed_model_scorer(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from rheoceros_spark.operators.text_analysis import (
+            bigram_nll,
+            bigram_score_rowlocal,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+            F.col("doc_id").isNotNull()
+        )
+        model, vocab = self._model(spark, docs.where(F.col("doc_id") % 2 == 0))
+        score_on = docs.where(F.col("doc_id") % 2 == 1)
+        a = sorted(
+            tuple(r)
+            for r in bigram_nll(
+                score_on, bigram_counts=model, vocab_size=vocab
+            ).collect()
+        )
+        b = sorted(
+            tuple(r) for r in bigram_score_rowlocal(score_on, model, vocab).collect()
+        )
+        assert a == b and a
+
+    def test_backoff_and_degenerate_rows(self, spark):
+        from rheoceros_spark.operators.text_analysis import (
+            bigram_nll,
+            bigram_score_rowlocal,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "a b a b c")], "doc_id long, text string"
+        )
+        model, vocab = self._model(spark, train)
+        # unseen bigram (b a is seen; c a unseen), unseen prefix (z),
+        # single-token and empty/NULL docs
+        new = spark.createDataFrame(
+            [(1, "a b"), (2, "c a"), (3, "z z"), (4, "a"), (5, ""), (6, None)],
+            "doc_id long, text string",
+        )
+        a = {r.doc_id: (r.n_scored, r.nll) for r in bigram_nll(
+            new, bigram_counts=model, vocab_size=vocab).collect()}
+        b = {r.doc_id: (r.n_scored, r.nll) for r in bigram_score_rowlocal(
+            new, model, vocab).collect()}
+        assert a == b
+        assert a[4] == (0, None) and a[5] == (0, None) and a[6] == (0, None)
+
+    def test_passthrough_keeps_columns(self, spark):
+        from rheoceros_spark.operators.text_analysis import bigram_score_rowlocal
+
+        train = spark.createDataFrame(
+            [(1, "a b a", "web")], "doc_id long, text string, source string"
+        )
+        model, vocab = self._model(spark, train)
+        out = bigram_score_rowlocal(train, model, vocab, passthrough=True)
+        assert out.columns == ["doc_id", "text", "source", "n_scored", "nll"]
+
+    def test_rejects_bad_vocab_size(self, spark):
+        from rheoceros_spark.operators.text_analysis import bigram_score_rowlocal
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        model, _ = self._model(spark, df)
+        with pytest.raises(ValueError, match="vocab_size"):
+            bigram_score_rowlocal(df, model, 0)

@@ -482,3 +482,121 @@ def test_rowlocal_scorer_validates_empty_weights(spark):
 
     with _pt.raises(ValueError, match="empty weight table"):
         classifier_score_rowlocal(docs, empty)
+
+
+def test_stream_curation_gate_matches_batch_prefix(spark, sf_dir, tmp_path):
+    """The composed stateless gate (gopher ∧ C4 ∧ ppl ∧ classifier →
+    chunk) must emit exactly the chunks the same stages produce in
+    batch — each stage is a pure column expression over persisted
+    model artifacts, so parity is structural."""
+    from rheoceros_spark.functions.portable import tokens
+    from rheoceros_spark.operators.curation import ppl_bucket_assign, ppl_thresholds
+    from rheoceros_spark.operators.text_analysis import (
+        bigram_nll,
+        c4_line_filter,
+        chunk_documents,
+        gopher_rules,
+        logreg_train,
+        quality_classifier_score,
+    )
+    from rheoceros_spark.streaming.stream import stream_curation_gate
+
+    # a constructed crawl: the driver corpus is punctuation-free word
+    # soup that fails C4/Gopher wholesale, which would make the parity
+    # vacuous — this one has known survivors AND known rejects
+    good_line = "the cat sat on the mat with a hat and that was nice to see."
+    good = " \n".join([good_line] * 6)  # 6 clean lines, 72 words, stops
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:
+            rows.append((i, good, "en", "web"))
+        elif i % 3 == 1:
+            rows.append((i, "short no end", "en", "web"))  # fails C4+Gopher
+        else:
+            rows.append((i, good + "\n{ code }", "de", "books"))  # brace
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    # persisted artifacts, trained batch-side as the pipeline would
+    labeled = docs.withColumn(
+        "__label", F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    )
+    weights = logreg_train(labeled, "__label", n_buckets=64, iters=2, lr=0.5)
+    t = docs.select("doc_id", tokens(F.col("text")).alias("__t"))
+    model = (
+        t.where(F.size("__t") >= 2)
+        .select(
+            "__t",
+            F.explode(F.sequence(F.lit(1), F.size("__t") - 1)).alias("__p"),
+        )
+        .select(
+            F.element_at("__t", F.col("__p")).alias("v"),
+            F.element_at("__t", F.col("__p") + 1).alias("w"),
+        )
+        .where((F.col("v") != "") & (F.col("w") != ""))
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    vocab = (
+        t.select(F.explode("__t").alias("tok"))
+        .where(F.col("tok") != "")
+        .agg(F.countDistinct("tok"))
+        .collect()[0][0]
+    )
+    scored = docs.join(
+        bigram_nll(docs, bigram_counts=model, vocab_size=vocab), "doc_id"
+    )
+    thr = ppl_thresholds(scored, score_col="nll", group_col="source")
+
+    # ---- batch composition of the same stages ----
+    b = c4_line_filter(gopher_rules(docs), "text")
+    b = b.join(
+        bigram_nll(docs, bigram_counts=model, vocab_size=vocab), "doc_id"
+    )
+    b = ppl_bucket_assign(b, thr, score_col="nll", group_col="source")
+    b = b.join(
+        quality_classifier_score(docs, weights, n_buckets=64).select(
+            "doc_id", "keep"
+        ),
+        "doc_id",
+    )
+    gated = b.where(
+        (F.col("gopher_pass") == 1)
+        & (F.col("c4_pass") == 1)
+        & F.col("ppl_bucket").isin("head", "middle")
+        & (F.col("keep") == 1)
+    )
+    batch_chunks = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(
+            gated.select("doc_id", "clean_text"),
+            chunk_tokens=32,
+            overlap=0,
+            text_col="clean_text",
+        ).collect()
+    }
+    assert batch_chunks, "batch prefix produced no chunks — test is vacuous"
+
+    # ---- the streaming twin over a real micro-batch plan ----
+    src = str(tmp_path / "gate_src")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    out = []
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        stream_curation_gate(
+            sdf, weights, thr, model, vocab,
+            chunk_tokens=32, overlap=0,
+        )
+        .writeStream.foreachBatch(lambda b_, i: out.extend(b_.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_gate"))
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text) for r in out
+    }
+    assert streamed == batch_chunks
+    # the gate actually discriminates: survivors exist and rejects exist
+    surviving_docs = {d for d, _ in streamed}
+    assert surviving_docs and surviving_docs < {r[0] for r in rows}
