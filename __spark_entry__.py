@@ -3896,8 +3896,9 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r11 registers: text_hash_embed_topk, retrieval_quality_metrics,
 #   text_bpe_fertility, curation_decon_spans, text_lang_segments,
 #   curation_source_overlap_minhash, dedup_exact_best_docs
-#   (+ text_lang_classifier, staged in r9, slots into r12 with the
-#   same weakest-marginal retirement test unless an r11 slot frees).
+#   (+ text_lang_classifier and pipeline_ccnet_corpus, staged in r9,
+#   slot into r12 with the same weakest-marginal retirement test
+#   unless r11 slots free).
 # r11 retires (from the r9-certified pool, same weakest-marginal test):
 #   json_extract_events      (JSON scalar extraction ⊂ scalar_functions),
 #   text_unigram_nll         (unigram LM ⊂ text_bigram_nll, r9-certified),
@@ -5841,6 +5842,83 @@ def text_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     w = lang_classifier_train(docs, "lang", n_buckets=64, iters=2, lr=2.0)
     return lang_classifier_score(docs, w, n_buckets=64)
+
+
+def _ccnet_pipeline_oracle(head_pct: int = 30, tail_pct: int = 30) -> str:
+    """The CCNet §3 composition replayed end-to-end in DuckDB: the full
+    trained-lang-classifier oracle (softmax LR training + argmax) as
+    one subquery, the self-trained bigram-NLL chain as another, then
+    the value-granular head/middle/tail percentile cut PER PREDICTED
+    LANGUAGE and the head+middle keep — every stage the already-
+    certified oracle of its standalone query."""
+    mid_pct = 100 - tail_pct
+    lc = _lang_classifier_oracle().strip()
+    bn = _bigram_nll_sql().strip()
+    return f"""
+    WITH lc AS ({lc}
+    ), bn AS ({bn}
+    ), scored AS (
+      SELECT c.doc_id, c.pred_lang, b.n_scored, b.nll,
+             CAST(round(b.nll * 1e6) AS BIGINT) AS sq
+      FROM lc c JOIN bn b USING (doc_id)
+    ), hist AS (
+      SELECT pred_lang, sq, CAST(count(*) AS BIGINT) AS c
+      FROM scored WHERE sq IS NOT NULL GROUP BY pred_lang, sq
+    ), lab AS (
+      SELECT pred_lang, sq,
+             CASE WHEN 100 * cum <= {head_pct} * n THEN 'head'
+                  WHEN 100 * cum <= {mid_pct} * n THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM (
+        SELECT pred_lang, sq,
+               sum(c) OVER (PARTITION BY pred_lang ORDER BY sq
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY pred_lang) AS n
+        FROM hist
+      )
+    )
+    SELECT s.doc_id, s.pred_lang, s.n_scored, s.nll, l.ppl_bucket
+    FROM scored s JOIN lab l ON s.pred_lang = l.pred_lang AND s.sq = l.sq
+    WHERE l.ppl_bucket IN ('head', 'middle')
+    """
+
+
+@q_staged("pipeline_ccnet_corpus", oracle=_ccnet_pipeline_oracle())
+def pipeline_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet monolingual-corpus pipeline (Wenzek et al. 2020 §3) as
+    ONE query: trained language classification (multiclass softmax LR,
+    §3.2's fastText role) → self-trained bigram-LM fluency scoring →
+    head/middle/tail perplexity cut PER PREDICTED LANGUAGE (§3.3) →
+    keep head+middle.  The composition certificate for the trained-
+    model curation path, the way pipeline_pretrain_corpus certifies
+    the heuristic-gate path.
+
+    Scale shape is the sum of certified parts: classifier training
+    (broadcast weight joins + two corpus-linear shuffles per round),
+    one argmax scoring pass, the wordcount-shaped bigram chain, ONE
+    (lang, score) histogram groupBy for the cut — nothing quadratic,
+    nothing corpus-sized on the driver."""
+    from rheoceros_spark.operators.curation import ppl_buckets
+    from rheoceros_spark.operators.text_analysis import (
+        bigram_nll,
+        lang_classifier_score,
+        lang_classifier_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    w = lang_classifier_train(docs, "lang", n_buckets=64, iters=2, lr=2.0)
+    pred = lang_classifier_score(docs, w, n_buckets=64).select(
+        "doc_id", "pred_lang"
+    )
+    nll = bigram_nll(docs, k=0.1)
+    # one checkpoint at the dual-consumer frame (histogram + label
+    # join), the pipeline_pretrain_corpus convention
+    scored = pred.join(nll, "doc_id").localCheckpoint()
+    return (
+        ppl_buckets(scored, score_col="nll", group_col="pred_lang")
+        .where(F.col("ppl_bucket").isin("head", "middle"))
+        .select("doc_id", "pred_lang", "n_scored", "nll", "ppl_bucket")
+    )
 
 
 # ===========================================================================

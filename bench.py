@@ -152,6 +152,7 @@ BENCH_EXT = [
     "curation_decon_spans",
     "text_lang_segments",
     "text_lang_classifier",
+    "pipeline_ccnet_corpus",
     "curation_source_overlap_minhash",
     "dedup_exact_best_docs",
 ]

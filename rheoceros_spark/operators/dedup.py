@@ -81,7 +81,13 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     key = F.md5(normalize_text(F.col(text_col))).alias("__key")
     keyed = df.select(F.col(id_col), key).where(F.col("__key").isNotNull())
     winners = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
-    survivors = df.join(winners.select(id_col), on=id_col, how="left_semi")
+    # NULL-text rows are excluded from the semi-join input (not just
+    # appended): under non-unique ids a NULL-text row sharing a
+    # survivor's id would otherwise be emitted twice — the
+    # dedup_exact_best fix, applied to this twin too
+    survivors = df.where(F.col(text_col).isNotNull()).join(
+        winners.select(id_col), on=id_col, how="left_semi"
+    )
     null_rows = df.where(F.col(text_col).isNull())
     return survivors.unionByName(null_rows)
 

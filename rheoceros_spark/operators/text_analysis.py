@@ -828,16 +828,18 @@ def bigram_score_rowlocal(
     acc0 = F.struct(
         F.lit(0).cast("bigint").alias("s"), F.lit(0).cast("bigint").alias("n")
     )
+    # evaluate each pair's lpq ONCE via transform, then fold — HOF
+    # lambdas get no codegen subexpression elimination, so a
+    # when(lpq.isNotNull(), acc + lpq) guard would run the two map
+    # lookups + ln twice per pair on this hot row-local path
+    lpqs = F.filter(F.transform(idxs, pair_lpq), lambda x: x.isNotNull())
     folded = F.aggregate(
-        idxs,
+        lpqs,
         acc0,
-        lambda acc, i: F.when(
-            pair_lpq(i).isNotNull(),
-            F.struct(
-                (acc.getField("s") + pair_lpq(i)).alias("s"),
-                (acc.getField("n") + F.lit(1).cast("bigint")).alias("n"),
-            ),
-        ).otherwise(acc),
+        lambda acc, x: F.struct(
+            (acc.getField("s") + x).alias("s"),
+            (acc.getField("n") + F.lit(1).cast("bigint")).alias("n"),
+        ),
     )
     head = (
         [F.col(c) for c in df.columns] if passthrough else [F.col(id_col)]
@@ -875,8 +877,13 @@ def bm25_topk(
     ``materialize_matched`` controls whether the matched (doc, term)
     aggregate — consumed twice: document frequencies + the weight
     frame — is re-executed (None), Spark-cached ("cache", the
-    default), or lineage-truncated ("localCheckpoint").  The round-9
-    fresh-JVM A/B (min of 3): cache 10.96 s vs re-execute 13.23 s at
+    default), or lineage-truncated ("localCheckpoint").  The cached
+    frame lives until the session ends or the caller clears it
+    (Spark's CacheManager holds the reference past GC) — a long-lived
+    service embedding many distinct bm25 calls should pass None or
+    clear the catalog cache between queries; bench.py/scale_stability
+    clear it before every timed run so min-of-N stays cold.  The
+    round-9 fresh-JVM A/B (min of 3): cache 10.96 s vs re-execute 13.23 s at
     sf1, 2.96 s vs 3.38 s at sf0.1 — caching the narrow
     |query-vocab|-bounded matched frame beats re-running the corpus
     tokenize at both scales, and MEMORY_AND_DISK storage spills

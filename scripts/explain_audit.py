@@ -88,6 +88,7 @@ AUDIT = [
     "curation_decon_spans",
     "text_lang_segments",
     "text_lang_classifier",
+    "pipeline_ccnet_corpus",
     "curation_source_overlap_minhash",
     "dedup_exact_best_docs",
     # round-9: the composed stateless streaming gate, audited over a

@@ -121,6 +121,8 @@ HEAVIES = [
     # trained softmax lang classifier: per round one broadcast weight
     # join + two corpus-linear shuffles; scoring is the same shape
     "text_lang_classifier",
+    # CCNet composition = classifier + bigram chain + one histogram cut
+    "pipeline_ccnet_corpus",
     # minhash overlap sketch: gram explode + sources-sized partial-min agg
     "curation_source_overlap_minhash",
     # keep-best exact dedup: same 32-byte-key shuffle as dedup_exact
@@ -176,6 +178,8 @@ ORACLE_AT_SF1 = [
     # softmax-LR oracle: per-round joins/windows over the feature
     # table — corpus-linear like the binary classifier's
     "text_lang_classifier",
+    # composition of linear oracles (classifier + bigram + cut)
+    "pipeline_ccnet_corpus",
     # minhash-overlap oracle is gram-hash mins per source — linear
     "curation_source_overlap_minhash",
     # keep-best oracle is one ranked window per md5 group — linear

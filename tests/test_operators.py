@@ -1411,3 +1411,16 @@ class TestBigramScoreRowlocal:
         model, _ = self._model(spark, df)
         with pytest.raises(ValueError, match="vocab_size"):
             bigram_score_rowlocal(df, model, 0)
+
+
+def test_dedup_exact_null_text_with_survivor_id_emits_once(spark):
+    # the dedup_exact_best id-collision fix, applied to the twin:
+    # a NULL-text row sharing a survivor's id must not ride the
+    # semi-join AND the null union
+    from rheoceros_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, "dup"), (2, "dup"), (1, None)], "doc_id long, text string"
+    )
+    rows = dedup_exact(df).collect()
+    assert sorted((r.doc_id, r.text or "") for r in rows) == [(1, ""), (1, "dup")]

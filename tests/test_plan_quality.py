@@ -723,3 +723,19 @@ class TestRound9PlanShapes:
         assert final_section.count("Exchange hashpartitioning") <= 4
         # no global (empty partition-by) window
         assert "windowspecdefinition()" not in plan
+
+    def test_ccnet_pipeline_one_histogram_cut(self, spark, sf):
+        """The composition's post-training plan: the perplexity cut
+        runs on the (lang, score) HISTOGRAM (per-group windows over
+        histogram rows, never a corpus sort), labels return by
+        broadcast, and no stage cartesians or sort-merge-joins the
+        corpus."""
+        df = entry._STAGED_QUERIES["pipeline_ccnet_corpus"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        # no global (empty partition-by) window — cut windows partition
+        # by the predicted language
+        assert "windowspecdefinition()" not in plan
