@@ -2143,6 +2143,98 @@ def lang_classifier_score(
     )
 
 
+def lang_classify_rowlocal(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 0,
+    passthrough: bool = False,
+) -> DataFrame:
+    """Row-LOCAL twin of :func:`lang_classifier_score`: the trained
+    (class, bucket, wq) table — K·(n_buckets+1) rows, KBs — is
+    collected once into per-class literal maps, and each document's K
+    logits are per-row folds over its distinct hashed buckets: NO
+    explode, NO join, NO shuffle.  The normalized feature values are
+    recomputed per row with the same exact integer arithmetic as
+    :func:`hashed_token_features_norm` (``cnt_b·1e4 div Σcnt`` — the
+    div emulated as ``(a − a%b)/b``, an exact-multiple double division
+    that is bit-safe under 2^53), so the fold is bit-equal to the
+    batch scorer (parity-tested).  Prediction = argmax with ties to
+    the lexicographically smallest class via ``array_min`` over
+    (−logit, class) structs — the same fold, row-locally.
+
+    The scoring shape for Structured Streaming (stateless; see
+    streaming.stream.stream_lang_classify) and for label-at-ingest
+    passes where one corpus shuffle matters.  Returns (id, pred_lang,
+    logit_q), appended to the input columns when ``passthrough``."""
+    rows = weights.collect()
+    by_class: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_class.setdefault(r["class"], {})[int(r["bucket"])] = int(r["wq"])
+    if not by_class:
+        raise ValueError("lang_classify_rowlocal: empty weight table")
+    classes = sorted(by_class)
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    bkts = F.transform(
+        toks, lambda t: (h64(t, seed=seed) % F.lit(n_buckets)).cast("int")
+    )
+    total = F.size(bkts).cast("bigint")
+
+    def exact_div(a, b):
+        # integer div for non-negative bigints: (a − a%b) is an exact
+        # multiple of b and both operands stay < 2^53, so the double
+        # division is exact
+        return ((a - a % b) / b).cast("bigint")
+
+    # (bucket, cnt_q) per distinct bucket — shared by every class fold
+    scale = F.lit(FEAT_NORM_SCALE).cast("bigint")
+    dcnts = F.transform(
+        F.array_distinct(bkts),
+        lambda b: F.struct(
+            b.alias("b"),
+            exact_div(
+                F.size(F.filter(bkts, lambda x: x == b)).cast("bigint") * scale,
+                total,
+            ).alias("cq"),
+        ),
+    )
+
+    entries = []
+    for c in classes:
+        wm = {b: w for b, w in by_class[c].items() if b >= 0}
+        keys = sorted(wm)
+        wmap = F.map_from_arrays(
+            F.array(*[F.lit(k).cast("int") for k in keys]),
+            F.array(*[F.lit(wm[k]).cast("bigint") for k in keys]),
+        )
+        bias_term = F.lit(by_class[c].get(-1, 0) * FEAT_NORM_SCALE).cast("bigint")
+        tok_term = F.when(
+            total > 0,
+            F.aggregate(
+                dcnts,
+                F.lit(0).cast("bigint"),
+                lambda acc, e: acc
+                + F.coalesce(
+                    F.element_at(wmap, e.getField("b")), F.lit(0).cast("bigint")
+                )
+                * e.getField("cq"),
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+        lq = bias_term + tok_term
+        entries.append(F.struct((-lq).alias("nl"), F.lit(c).alias("c")))
+
+    best = F.array_min(F.array(*entries))
+    head = [F.col(c) for c in df.columns] if passthrough else [F.col(id_col)]
+    return df.where(F.col(id_col).isNotNull()).select(
+        *head,
+        best.getField("c").alias("pred_lang"),
+        (-best.getField("nl")).cast("bigint").alias("logit_q"),
+    )
+
+
 def pr_curve(
     df: DataFrame,
     score_col: str = "logit",

@@ -619,3 +619,33 @@ def stream_curation_gate(
         text_col="clean_text",
         id_col=id_col,
     )
+
+
+def stream_lang_classify(
+    sdf: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming twin of the TRAINED language classifier: label each
+    micro-batch row with its argmax language via the row-local
+    per-class literal-map folds (text_analysis.lang_classify_rowlocal)
+    — the batch scorer's broadcast-join + groupBy(id, class) would
+    need a state store; the fold is stateless and bit-equal to it
+    (parity-tested).  ``weights`` is a BATCH frame (the persisted
+    lang_classifier_train model), collected once at plan-build time;
+    input columns pass through with (pred_lang, logit_q) appended —
+    the label-at-ingest step of a CCNet-style streaming pipeline."""
+    from rheoceros_spark.operators.text_analysis import lang_classify_rowlocal
+
+    return lang_classify_rowlocal(
+        sdf,
+        weights,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        seed=seed,
+        passthrough=True,
+    )

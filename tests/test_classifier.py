@@ -289,3 +289,72 @@ def test_lang_segments_with_trained_classifier(spark):
     assert all(r.n_langs == 1 and r.multilingual == 0 for r in rows.values())
     # the classifier never emits 'und' — every span identifies
     assert all(r.dominant_spans > 0 for r in rows.values())
+
+
+def test_lang_classify_rowlocal_matches_batch_bit_for_bit(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_score,
+        lang_classifier_train,
+        lang_classify_rowlocal,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id").isNotNull()
+    )
+    w = lang_classifier_train(docs, "lang", n_buckets=64, iters=2, lr=2.0)
+    a = sorted(tuple(r) for r in lang_classifier_score(docs, w, n_buckets=64).collect())
+    b = sorted(tuple(r) for r in lang_classify_rowlocal(docs, w, n_buckets=64).collect())
+    assert a == b and a
+
+
+def test_lang_classify_rowlocal_degenerate_rows_and_passthrough(spark):
+    from pyspark.sql import functions as F
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_score,
+        lang_classifier_train,
+        lang_classify_rowlocal,
+    )
+
+    train = _lang_corpus(spark)
+    w = lang_classifier_train(train, "lang", n_buckets=64, iters=2, lr=0.5)
+    new = spark.createDataFrame(
+        [(1, "der der der", "x"), (2, "", "y"), (3, None, "z"), (4, "zzz qqq", "w")],
+        "doc_id long, text string, source string",
+    )
+    batch = sorted(
+        tuple(r) for r in lang_classifier_score(new, w, n_buckets=64).collect()
+    )
+    rl = sorted(tuple(r) for r in lang_classify_rowlocal(new, w, n_buckets=64).collect())
+    assert rl == batch and len(rl) == 4  # empty/NULL text still classify (bias)
+    out = lang_classify_rowlocal(new, w, n_buckets=64, passthrough=True)
+    assert out.columns == ["doc_id", "text", "source", "pred_lang", "logit_q"]
+
+
+def test_stream_lang_classify_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_score,
+        lang_classifier_train,
+    )
+    from rheoceros_spark.streaming.stream import stream_lang_classify
+
+    df = _lang_corpus(spark)
+    w = lang_classifier_train(df, "lang", n_buckets=64, iters=2, lr=0.5)
+    batch = {
+        r.doc_id: (r.pred_lang, r.logit_q)
+        for r in lang_classifier_score(df, w, n_buckets=64).collect()
+    }
+    src = str(tmp_path / "lc_src")
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+    out = []
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_lang_classify(sdf, w, n_buckets=64)
+        .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lc"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id: (r.pred_lang, r.logit_q) for r in out} == batch
