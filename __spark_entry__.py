@@ -5656,11 +5656,38 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(load_table(spark, sf_dir, "documents"), n=8)
 
 
+def _ppl_cut_sql(group_col: str, head_pct: int, tail_pct: int) -> str:
+    """The value-granular head/middle/tail percentile cut as shared
+    CTE text (hist + lab over a ``scored`` CTE carrying
+    (doc_id, {group_col}, n_scored, nll, sq)): ONE copy of the
+    exact-integer ``100·cum ≤ pct·n`` boundary rule, so the two
+    certified oracles that replay it (`curation_ppl_buckets` per
+    source, `pipeline_ccnet_corpus` per predicted language) cannot
+    drift apart on a future quantization or boundary change."""
+    mid_pct = 100 - tail_pct
+    g = group_col
+    return f"""hist AS (
+      SELECT {g}, sq, CAST(count(*) AS BIGINT) AS c
+      FROM scored WHERE sq IS NOT NULL GROUP BY {g}, sq
+    ), lab AS (
+      SELECT {g}, sq,
+             CASE WHEN 100 * cum <= {head_pct} * n THEN 'head'
+                  WHEN 100 * cum <= {mid_pct} * n THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM (
+        SELECT {g}, sq,
+               sum(c) OVER (PARTITION BY {g} ORDER BY sq
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY {g}) AS n
+        FROM hist
+      )
+    )"""
+
+
 def _ppl_buckets_oracle(head_pct: int = 30, tail_pct: int = 30) -> str:
     """Bigram-NLL scoring (the certified _bigram_nll_sql chain as a
-    subquery) + the value-granular head/middle/tail cut in exact
-    integer arithmetic — operators/curation.py ppl_buckets replayed."""
-    mid_pct = 100 - tail_pct
+    subquery) + the shared value-granular head/middle/tail cut
+    (_ppl_cut_sql) — operators/curation.py ppl_buckets replayed."""
     bigram = _bigram_nll_sql().strip().rstrip()
     return f"""
     WITH bn AS ({bigram}
@@ -5668,22 +5695,7 @@ def _ppl_buckets_oracle(head_pct: int = 30, tail_pct: int = 30) -> str:
       SELECT d.doc_id, d.source, b.n_scored, b.nll,
              CAST(round(b.nll * 1e6) AS BIGINT) AS sq
       FROM documents d JOIN bn b ON d.doc_id = b.doc_id
-    ), hist AS (
-      SELECT source, sq, CAST(count(*) AS BIGINT) AS c
-      FROM scored WHERE sq IS NOT NULL GROUP BY source, sq
-    ), lab AS (
-      SELECT source, sq,
-             CASE WHEN 100 * cum <= {head_pct} * n THEN 'head'
-                  WHEN 100 * cum <= {mid_pct} * n THEN 'middle'
-                  ELSE 'tail' END AS ppl_bucket
-      FROM (
-        SELECT source, sq,
-               sum(c) OVER (PARTITION BY source ORDER BY sq
-                            ROWS UNBOUNDED PRECEDING) AS cum,
-               sum(c) OVER (PARTITION BY source) AS n
-        FROM hist
-      )
-    )
+    ), {_ppl_cut_sql("source", head_pct, tail_pct)}
     SELECT s.doc_id, s.source, s.n_scored, s.nll, l.ppl_bucket
     FROM scored s LEFT JOIN lab l ON s.source = l.source AND s.sq = l.sq
     """
@@ -5851,7 +5863,6 @@ def _ccnet_pipeline_oracle(head_pct: int = 30, tail_pct: int = 30) -> str:
     the value-granular head/middle/tail percentile cut PER PREDICTED
     LANGUAGE and the head+middle keep — every stage the already-
     certified oracle of its standalone query."""
-    mid_pct = 100 - tail_pct
     lc = _lang_classifier_oracle().strip()
     bn = _bigram_nll_sql().strip()
     return f"""
@@ -5861,22 +5872,7 @@ def _ccnet_pipeline_oracle(head_pct: int = 30, tail_pct: int = 30) -> str:
       SELECT c.doc_id, c.pred_lang, b.n_scored, b.nll,
              CAST(round(b.nll * 1e6) AS BIGINT) AS sq
       FROM lc c JOIN bn b USING (doc_id)
-    ), hist AS (
-      SELECT pred_lang, sq, CAST(count(*) AS BIGINT) AS c
-      FROM scored WHERE sq IS NOT NULL GROUP BY pred_lang, sq
-    ), lab AS (
-      SELECT pred_lang, sq,
-             CASE WHEN 100 * cum <= {head_pct} * n THEN 'head'
-                  WHEN 100 * cum <= {mid_pct} * n THEN 'middle'
-                  ELSE 'tail' END AS ppl_bucket
-      FROM (
-        SELECT pred_lang, sq,
-               sum(c) OVER (PARTITION BY pred_lang ORDER BY sq
-                            ROWS UNBOUNDED PRECEDING) AS cum,
-               sum(c) OVER (PARTITION BY pred_lang) AS n
-        FROM hist
-      )
-    )
+    ), {_ppl_cut_sql("pred_lang", head_pct, tail_pct)}
     SELECT s.doc_id, s.pred_lang, s.n_scored, s.nll, l.ppl_bucket
     FROM scored s JOIN lab l ON s.pred_lang = l.pred_lang AND s.sq = l.sq
     WHERE l.ppl_bucket IN ('head', 'middle')

@@ -77,6 +77,14 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     through untouched rather than collapsing into one "duplicate"
     group (groupBy would merge NULL keys; the MinHash/SimHash paths
     already keep such rows, so the families stay consistent).
+
+    Ids identify DOCUMENTS: if the input carries several rows with the
+    winning id (the same document ingested twice), the id-keyed
+    semi-join keeps every copy — truly identical rows are
+    indistinguishable without an aggregate over all columns.
+    Pre-dedupe rows (``dropDuplicates``) before calling if row-level
+    uniqueness is required; the NULL-text guard below only prevents
+    the same physical row from being EMITTED twice via the union.
     """
     key = F.md5(normalize_text(F.col(text_col))).alias("__key")
     keyed = df.select(F.col(id_col), key).where(F.col("__key").isNotNull())

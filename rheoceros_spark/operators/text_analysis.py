@@ -2168,7 +2168,13 @@ def lang_classify_rowlocal(
     The scoring shape for Structured Streaming (stateless; see
     streaming.stream.stream_lang_classify) and for label-at-ingest
     passes where one corpus shuffle matters.  Returns (id, pred_lang,
-    logit_q), appended to the input columns when ``passthrough``."""
+    logit_q), appended to the input columns when ``passthrough``.
+
+    Precondition (shared with :func:`classifier_score_rowlocal`): ids
+    identify ROWS — the batch scorer groupBy-merges duplicate ids
+    (pooling features and double-counting the bias), while the
+    row-local fold classifies each row independently, so the parity
+    contract holds on unique-id frames only."""
     rows = weights.collect()
     by_class: dict[str, dict[int, int]] = {}
     for r in rows:
@@ -2351,7 +2357,11 @@ def classifier_score_rowlocal(
     can't go: Structured Streaming (stateless — no state store, no
     watermark; see streaming.stream.stream_classifier_score) and the
     100 TB scoring pass where even one corpus shuffle is the cost
-    driver.  Returns (id, logit, keep) like the batch scorer."""
+    driver.  Returns (id, logit, keep) like the batch scorer.
+
+    Precondition: ids identify ROWS — the batch scorer groupBy-merges
+    duplicate ids while this fold scores each row independently, so
+    the bit-parity contract holds on unique-id frames only."""
     rows = {int(r["bucket"]): int(r["wq"]) for r in weights.collect()}
     if not rows:
         raise ValueError("classifier_score_rowlocal: empty weight table")
