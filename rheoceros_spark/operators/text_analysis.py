@@ -95,24 +95,20 @@ def lang_segments(
 
     segs = paragraph_segments(df, text_col, id_col, delim, span_tokens)
     if classifier_weights is not None:
-        key = F.concat_ws(
-            "\x1f", F.col(id_col).cast("string"), F.col("span_id").cast("string")
-        )
-        keyed = segs.withColumn("__sk", key)
-        pred = lang_classifier_score(
-            keyed.select(F.col("__sk").alias("__sid"), "span_text"),
+        # row-LOCAL scoring (lang_classify_rowlocal, bit-equal to the
+        # join-based scorer on these unique (id, span_id) rows): the
+        # span explode stays shuffle-free and classification adds NO
+        # exchange — the earlier keyed-join form shuffled every span
+        # twice (groupBy + join-back) for the same values
+        scored = lang_classify_rowlocal(
+            segs,
             classifier_weights,
             text_col="span_text",
-            id_col="__sid",
+            id_col=id_col,
             n_buckets=n_buckets,
             seed=seed,
-        )
-        scored = keyed.join(
-            pred.select(
-                F.col("__sid").alias("__sk"), F.col("pred_lang").alias("lang_pred")
-            ),
-            "__sk",
-        )
+            passthrough=True,
+        ).withColumn("lang_pred", F.col("pred_lang"))
     else:
         scored = lang_id(segs, "span_text")
     per = scored.groupBy(id_col, "lang_pred").agg(

@@ -739,3 +739,23 @@ class TestRound9PlanShapes:
         # no global (empty partition-by) window — cut windows partition
         # by the predicted language
         assert "windowspecdefinition()" not in plan
+
+    def test_lang_segments_classifier_path_adds_no_exchange(self, spark, sf):
+        """Trained-scorer mode must classify spans ROW-LOCALLY: the
+        only hash exchanges are the (id, lang) count + doc rollup the
+        marker mode also pays — the earlier keyed-join form shuffled
+        every span twice more."""
+        from rheoceros_spark.operators.text_analysis import (
+            lang_classifier_train,
+            lang_segments,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        w = lang_classifier_train(docs, "lang", n_buckets=64, iters=1, lr=0.5)
+        out = lang_segments(docs, span_tokens=16, classifier_weights=w, n_buckets=64)
+        out.collect()
+        plan = physical_plan(out)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert final.count("Exchange hashpartitioning") <= 2
