@@ -649,3 +649,44 @@ def stream_lang_classify(
         seed=seed,
         passthrough=True,
     )
+
+
+def stream_ccnet_gate(
+    sdf: DataFrame,
+    lang_weights: DataFrame,
+    ppl_thresholds: DataFrame,
+    bigram_counts: DataFrame,
+    vocab_size: int,
+    *,
+    k: float = 0.1,
+    n_buckets: int = 64,
+    seed: int = 0,
+    allowed_buckets: tuple[str, ...] = ("head", "middle"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming label-at-ingest twin of
+    ``pipeline_ccnet_corpus``'s scoring surface (the CCNet shape:
+    classify the language, score LM fluency, keep head+middle of the
+    language's perplexity distribution — Wenzek et al. 2020 §3):
+    each micro-batch row gets (pred_lang, logit_q, n_scored, nll,
+    ppl_bucket) from PERSISTED artifacts — the trained
+    lang_classifier_train weights, the reference bigram LM, and a
+    ppl_thresholds table keyed by ``pred_lang`` — then rows outside
+    ``allowed_buckets`` are dropped.  Every stage is stateless (two
+    row-local folds + one broadcast threshold join), so the
+    incremental plan is the batch expression tree verbatim; training
+    the artifacts stays batch-side, exactly how the batch pipeline
+    derives them (parity-tested in tests/test_streaming.py)."""
+    labeled = stream_lang_classify(
+        sdf, lang_weights, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, seed=seed,
+    )
+    scored = stream_bigram_score(
+        labeled, bigram_counts, vocab_size, text_col=text_col,
+        id_col=id_col, k=k,
+    )
+    gated = stream_ppl_gate(
+        scored, ppl_thresholds, score_col="nll", group_col="pred_lang"
+    )
+    return gated.where(F.col("ppl_bucket").isin(*allowed_buckets))

@@ -600,3 +600,78 @@ def test_stream_curation_gate_matches_batch_prefix(spark, sf_dir, tmp_path):
     # the gate actually discriminates: survivors exist and rejects exist
     surviving_docs = {d for d, _ in streamed}
     assert surviving_docs and surviving_docs < {r[0] for r in rows}
+
+
+def test_stream_ccnet_gate_matches_batch_scoring_surface(spark, sf_dir, tmp_path):
+    """The CCNet label-at-ingest twin must emit exactly the rows the
+    batch stages produce from the same persisted artifacts: trained
+    lang classifier + reference bigram LM + per-language thresholds."""
+    from rheoceros_spark.functions.portable import tokens
+    from rheoceros_spark.operators.curation import ppl_bucket_assign, ppl_thresholds
+    from rheoceros_spark.operators.text_analysis import (
+        bigram_nll,
+        lang_classifier_score,
+        lang_classifier_train,
+    )
+    from rheoceros_spark.streaming.stream import stream_ccnet_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id").isNotNull()
+    )
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    # artifacts trained batch-side, the pipeline_ccnet_corpus way
+    w = lang_classifier_train(train, "lang", n_buckets=64, iters=2, lr=2.0)
+    t = train.select("doc_id", tokens(F.col("text")).alias("__t"))
+    model = (
+        t.where(F.size("__t") >= 2)
+        .select("__t", F.explode(F.sequence(F.lit(1), F.size("__t") - 1)).alias("__p"))
+        .select(
+            F.element_at("__t", F.col("__p")).alias("v"),
+            F.element_at("__t", F.col("__p") + 1).alias("w"),
+        )
+        .where((F.col("v") != "") & (F.col("w") != ""))
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    vocab = (
+        t.select(F.explode("__t").alias("tok"))
+        .where(F.col("tok") != "")
+        .agg(F.countDistinct("tok"))
+        .collect()[0][0]
+    )
+    train_scored = lang_classifier_score(train, w, n_buckets=64).join(
+        bigram_nll(train, bigram_counts=model, vocab_size=vocab), "doc_id"
+    )
+    thr = ppl_thresholds(train_scored, score_col="nll", group_col="pred_lang")
+
+    # batch labeling of the NEW slice under the same artifacts
+    b = lang_classifier_score(new, w, n_buckets=64).join(
+        bigram_nll(new, bigram_counts=model, vocab_size=vocab), "doc_id"
+    )
+    b = ppl_bucket_assign(b, thr, score_col="nll", group_col="pred_lang")
+    batch = {
+        r.doc_id: (r.pred_lang, r.logit_q, r.n_scored, r.nll, r.ppl_bucket)
+        for r in b.where(F.col("ppl_bucket").isin("head", "middle")).collect()
+    }
+    assert batch, "batch gate kept nothing — test is vacuous"
+    assert len(batch) < new.count(), "batch gate dropped nothing — test is vacuous"
+
+    src = str(tmp_path / "ccnet_src")
+    new.coalesce(2).write.mode("overwrite").parquet(src)
+    out = []
+    sdf = spark.readStream.schema(new.schema).parquet(src)
+    q = (
+        stream_ccnet_gate(sdf, w, thr, model, vocab, n_buckets=64)
+        .writeStream.foreachBatch(lambda b_, i: out.extend(b_.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ccnet"))
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r.doc_id: (r.pred_lang, r.logit_q, r.n_scored, r.nll, r.ppl_bucket)
+        for r in out
+    }
+    assert streamed == batch
