@@ -484,7 +484,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "events_tumbling_daily",
     oracle=f"""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n,
@@ -600,7 +600,7 @@ def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "metric_threshold_alarm",
     oracle=f"""
     WITH hourly AS (
@@ -1192,7 +1192,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "q18_large_volume_orders",
     oracle=f"""
     SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
@@ -1517,7 +1517,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "q11_important_parts",
     oracle=f"""
     WITH val AS (
@@ -1663,7 +1663,7 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "pivot_returnflag_status",
     oracle="""
     SELECT l_returnflag,
@@ -1755,7 +1755,7 @@ SELECT a, b, jaccard FROM (
 """
 
 
-@q("dedup_minhash_lsh_pairs", oracle=_MINHASH_ORACLE)
+@q_retired("dedup_minhash_lsh_pairs", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
@@ -1779,7 +1779,7 @@ SELECT a, b, hamming FROM (
 """
 
 
-@q("dedup_simhash_pairs", oracle=_SIMHASH_ORACLE)
+@q_retired("dedup_simhash_pairs", oracle=_SIMHASH_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3).select(
         "a", "b", F.col("hamming").cast("bigint").alias("hamming")
@@ -3686,7 +3686,7 @@ def curation_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "curation_corpus_diff",
     oracle=f"""
     WITH old AS (
@@ -4409,7 +4409,7 @@ def _cluster_profile_oracle(k: int = 8, iters: int = 2) -> str:
     """
 
 
-@q_staged("curation_cluster_profile", oracle=_cluster_profile_oracle())
+@q("curation_cluster_profile", oracle=_cluster_profile_oracle())
 def curation_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus cartography: per learned-semantic-cluster document
     counts, token totals, mean quality, and dominant source — the
@@ -4470,7 +4470,7 @@ def _pr_curve_oracle(grid: int = 100) -> str:
     """
 
 
-@q_staged("text_quality_pr_curve", oracle=_pr_curve_oracle())
+@q("text_quality_pr_curve", oracle=_pr_curve_oracle())
 def text_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold calibration for the learned quality filter: train the
     text_quality_classifier LR (same params), score the corpus, then
@@ -4576,7 +4576,7 @@ def _mmr_oracle(
     """
 
 
-@q_staged("retrieval_mmr_rerank", oracle=_mmr_oracle())
+@q("retrieval_mmr_rerank", oracle=_mmr_oracle())
 def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified rerank — the step between retrieval and a RAG
     context window: dense top-20 candidates per query (the hybrid-
@@ -4755,7 +4755,7 @@ def _bpe_train_oracle(n_merges: int = 12) -> str:
     """
 
 
-@q_staged("text_bpe_train", oracle=_bpe_train_oracle())
+@q("text_bpe_train", oracle=_bpe_train_oracle())
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale BPE tokenizer TRAINING (the other half of
     text_bpe_tokens): one corpus scan into the distinct-word count
@@ -5113,7 +5113,7 @@ def _gopher_rules_oracle() -> str:
     """
 
 
-@q_staged("text_gopher_rules", oracle=_gopher_rules_oracle())
+@q("text_gopher_rules", oracle=_gopher_rules_oracle())
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-filter rule flags per document (Rae et al. 2021
     §A1.1, the non-repetition half — text_repetition certifies the
@@ -5173,7 +5173,7 @@ def _c4_lines_oracle(min_line_words: int = 5, min_kept_lines: int = 3) -> str:
     """
 
 
-@q_staged("curation_c4_lines", oracle=_c4_lines_oracle())
+@q("curation_c4_lines", oracle=_c4_lines_oracle())
 def curation_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (Raffel et al. 2020 §2.2, thresholds per
     the canonical c4_utils reference implementation): keep lines ending
@@ -5642,7 +5642,7 @@ def _source_overlap_oracle(n: int = 8) -> str:
     """
 
 
-@q_staged("curation_source_overlap", oracle=_source_overlap_oracle())
+@q("curation_source_overlap", oracle=_source_overlap_oracle())
 def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cross-source 8-gram overlap matrix (containments +
     Jaccard, integer-quantized): which sources in a multi-source mix
@@ -5701,7 +5701,7 @@ def _ppl_buckets_oracle(head_pct: int = 30, tail_pct: int = 30) -> str:
     """
 
 
-@q_staged("curation_ppl_buckets", oracle=_ppl_buckets_oracle())
+@q("curation_ppl_buckets", oracle=_ppl_buckets_oracle())
 def curation_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing per source (Wenzek
     et al. 2020 §3.3): self-trained bigram NLL as the LM score, then a
@@ -5928,79 +5928,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's correctness harness checks the FIRST 50 queries()
 #: entries only (CORRECTNESS_r01 covered positions 0-49 exactly).
-#: Rotation discipline (round 9, executing the plan staged in r8): the
-#: registry is capped at 100 queries — the 50-slot window plus the
-#: consecutive-round-coverage invariant (r08 ∪ r09 must certify
-#: everything) admits no more, so the five NEW registrations this
-#: round (pipeline_pretrain_corpus, retrieval_hybrid_rrf, ann_int8_topk,
-#: dedup_paragraph_spans, text_bigram_nll) each retired one r7-certified
-#: query whose shape family stays multiply certified (agg_rollup,
-#: set_intersect, window_running_total, q6_revenue_forecast,
-#: events_funnel_3step — see _RETIRED_QUERIES).  The head holds the 5
-#: never-certified registrations first, then the 45 remaining queries
-#: whose most recent official row is CORRECTNESS_r07 (round 8
-#: certified the other 50).  Enforced by tests/test_plan_quality.py
+#: Rotation discipline (round 10, executing the plan staged in r8/r9):
+#: the registry is capped at 100 queries — the 50-slot window plus the
+#: consecutive-round-coverage invariant (r09 ∪ r10 must certify
+#: everything) admits no more, so the eight NEW registrations this
+#: round (text_bpe_train, retrieval_mmr_rerank, text_quality_pr_curve,
+#: curation_cluster_profile, text_gopher_rules, curation_ppl_buckets,
+#: curation_c4_lines, curation_source_overlap) each retired one
+#: r8-certified query whose shape family stays multiply certified
+#: (dedup_minhash_lsh_pairs, dedup_simhash_pairs,
+#: pivot_returnflag_status, q11_important_parts,
+#: q18_large_volume_orders, events_tumbling_daily,
+#: metric_threshold_alarm, curation_corpus_diff — see
+#: _RETIRED_QUERIES for per-retiree sibling justifications).  The head
+#: holds the 8 never-certified registrations first, then the 42
+#: remaining queries whose most recent official row is CORRECTNESS_r08
+#: (round 9 certified the other 50).  Enforced by
+#: tests/test_plan_quality.py
 #: test_cross_round_official_coverage_is_total.  All queries — retired
 #: ones included — stay continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
-    # new in round 9 (staged in r8, executed as planned) — never
+    # new in round 10 (staged in r8, executed as planned) — never
     # certified, enter the window first
-    "pipeline_pretrain_corpus",
-    "retrieval_hybrid_rrf",
-    "ann_int8_topk",
-    "dedup_paragraph_spans",
-    "text_bigram_nll",
-    # certified in r07, rotating back in so r08 ∪ r09 stays total
-    # (the five r7-certified retirees — agg_rollup, set_intersect,
-    # window_running_total, q6_revenue_forecast, events_funnel_3step —
-    # moved to _RETIRED_QUERIES; scalable/superset siblings hold rows)
-    "curation_ngram_novelty",
-    "text_bpe_tokens",
-    "ann_ivfpq_topk",
-    "corpus_diff_indexed",
-    "curation_dsir_weights",
-    "curation_dsir_resample",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q12_priority_by_linestatus",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_part_shippers",
-    "q22_wealthy_inactive",
-    "scan_pruned_projection",
-    "partition_ranged_union",
-    "nearest_partition_asof",
-    "agg_cube",
-    "window_topn_per_group",
-    "set_except",
-    "scalar_functions",
-    "json_extract_events",
-    "events_cohort_retention",
-    "sketch_cms_topk",
-    "dedup_substring_spans",
-    "text_bm25_topk",
-    "text_unigram_nll",
-    "text_repetition",
-    "curation_filter_funnel",
-    "curation_semantic_decon",
-    "curation_source_mix",
-    "curation_shuffle_shards",
-    "curation_pack_sequences",
-    "multimodal_audio_stats",
-    "multimodal_video_frames",
+    "text_bpe_train",
+    "retrieval_mmr_rerank",
+    "text_quality_pr_curve",
+    "curation_cluster_profile",
+    "text_gopher_rules",
+    "curation_ppl_buckets",
+    "curation_c4_lines",
+    "curation_source_overlap",
+    # certified in r08, rotating back in so r09 ∪ r10 stays total
+    # (the eight r8-certified retirees moved to _RETIRED_QUERIES;
+    # scalable/superset siblings hold official rows)
+    "dedup_semantic_pairs",
+    "text_quality_classifier",
+    "q21_sole_returner",
+    "topk_orders",
+    "grouping_sets_revenue",
+    "events_sliding_2day",
+    "metric_period_stats_hourly",
+    "alarm_m_of_n_state",
+    "composite_alarm_rule",
+    "dedup_exact_docs",
+    "dedup_embedding_blocked",
+    "dedup_clusters",
+    "dedup_keep_list",
+    "dedup_incremental_index",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_persisted",
+    "ann_kmeans_refine",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "text_chunk_documents",
+    "text_tfidf_terms",
+    "text_source_kl",
+    "curation_stratified_sample",
+    "curation_pii_redact",
+    "curation_vocab_top_tokens",
+    "curation_contamination",
+    "curation_domain_cap",
+    "curation_group_split",
+    "curation_negative_samples",
+    "curation_boilerplate",
+    "curation_budget_mix",
+    "sketch_kmv_distinct",
+    "sketch_histogram_quantiles",
+    "ts_asof_join",
+    "ts_range_join_counts",
+    "ts_sessionize",
+    "layout_zorder_key",
+    "multimodal_features",
+    "multimodal_frame_sample",
 ]
+
 
 
 def _ordered(d: dict) -> dict:

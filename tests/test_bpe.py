@@ -379,6 +379,6 @@ def test_bpe_train_oracle_survives_u001f_corpus(spark, tmp_path):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
     )
-    pdf = con.sql(entry._STAGED_ORACLES["text_bpe_train"]).df()
+    pdf = con.sql(entry.oracle_sql()["text_bpe_train"]).df()
     got = [(str(r[0]), r[1], r[2]) for r in pdf.itertuples(index=False, name=None)]
     assert got == want and got, got

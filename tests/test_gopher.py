@@ -314,7 +314,7 @@ def test_staged_oracle_parity_on_adversarial_corpus(spark, tmp_path, name):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
     )
-    pdf = con.sql(entry._STAGED_ORACLES[name]).df()[scols]
+    pdf = con.sql({**entry._STAGED_ORACLES, **entry.oracle_sql()}[name]).df()[scols]
     drows = sorted(
         tuple("NULL" if v != v or v is None else str(v) for v in r)
         for r in pdf.itertuples(index=False, name=None)

@@ -181,21 +181,21 @@ class TestDriverContract:
     def test_cross_round_official_coverage_is_total(self):
         """Every query is either inside this round's 50-entry driver
         window or already earned a green official row in the PREVIOUS
-        round (r08) — the rotation may not orphan anything, and
+        round (r09) — the rotation may not orphan anything, and
         consecutive rounds must jointly cover 100% of queries()."""
         import json
         import os
 
         window = set(list(entry.queries())[:50])
-        r08_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r08.json")
-        with open(r08_path, "r", encoding="utf-8") as f:
-            r08 = json.load(f)
-        certified_r08 = {
+        r09_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r09.json")
+        with open(r09_path, "r", encoding="utf-8") as f:
+            r09 = json.load(f)
+        certified_r09 = {
             name
-            for name, res in r08.items()
+            for name, res in r09.items()
             if res.get("rows_match") and res.get("schema_match") and res.get("hash_match")
         }
-        uncovered = set(entry.queries()) - window - certified_r08
+        uncovered = set(entry.queries()) - window - certified_r09
         assert not uncovered, f"never driver-certified: {sorted(uncovered)}"
 
     def test_registry_capped_at_window_arithmetic(self):
@@ -382,7 +382,7 @@ class TestBenchBaselineSync:
 
 class TestRound6TailPlanShapes:
     def test_corpus_diff_prunes_scan_and_avoids_text_shuffle(self, spark, sf):
-        df = entry.queries()["curation_corpus_diff"](spark, sf)
+        df = entry.retired_queries()["curation_corpus_diff"](spark, sf)
         df.collect()
         plan = physical_plan(df)
         final_section = plan.split("== Initial Plan ==")[0]
@@ -541,7 +541,7 @@ class TestRound8PlanShapes:
         union, so without per-round checkpoints the recompute tree
         doubles per step.  The executed plan must stay cartesian-free
         and carry LocalTableScan/checkpoint RDD scans for the rounds."""
-        df = entry._STAGED_QUERIES["retrieval_mmr_rerank"](spark, sf)
+        df = entry.queries()["retrieval_mmr_rerank"](spark, sf)
         df.write.format("noop").mode("overwrite").save()
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan
@@ -576,7 +576,7 @@ class TestRound8PlanShapes:
         equi-join; the modal-source window runs over (cell, source)
         counts, so a WindowGroupLimit-or-rank filter never sees corpus
         rows.  No cartesian nodes anywhere."""
-        df = entry._STAGED_QUERIES["curation_cluster_profile"](spark, sf)
+        df = entry.queries()["curation_cluster_profile"](spark, sf)
         df.write.format("noop").mode("overwrite").save()
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan

@@ -19,6 +19,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def _canon(v):
+    import datetime
     import math
 
     if v is None:
@@ -29,6 +30,14 @@ def _canon(v):
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
+    # DuckDB DATE columns surface as midnight pandas.Timestamp through
+    # .df(); Spark collect() gives datetime.date — same canonical form.
+    if isinstance(v, datetime.datetime):
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     return str(v)
 
 
@@ -50,8 +59,10 @@ def duck(sf_dir):
 def test_retired_set_is_exactly_the_certified_retirees():
     # r7 retired the first four; r8's window retired the two
     # verification twins; r9's window retired five r7-certified
+    # weakest-marginal rows; r10's window retired eight r8-certified
     # weakest-marginal rows (each family stays multiply certified —
-    # see the staging-plan comment in __spark_entry__.py)
+    # see the staging-plan comment in __spark_entry__.py for the
+    # per-retiree sibling justifications)
     assert set(entry.retired_queries()) == {
         "broadcast_join_enrich",
         "dedup_embedding_pairs",
@@ -64,6 +75,15 @@ def test_retired_set_is_exactly_the_certified_retirees():
         "window_running_total",
         "q6_revenue_forecast",
         "events_funnel_3step",
+        # --- retired in the r10 window (siblings holding rows noted) ---
+        "dedup_minhash_lsh_pairs",  # MinHash family: dedup_clusters + dedup_keep_list + dedup_incremental_index
+        "dedup_simhash_pairs",  # Hamming-pair twin: dedup_embedding_blocked + dedup_semantic_pairs
+        "pivot_returnflag_status",  # pivot = grouping-set sugar: grouping_sets_revenue
+        "q11_important_parts",  # group-HAVING: q21_sole_returner + topk_orders
+        "q18_large_volume_orders",  # semi-join-on-agg: q21_sole_returner + topk_orders
+        "events_tumbling_daily",  # tumbling ⊂ sliding: events_sliding_2day
+        "metric_threshold_alarm",  # single-threshold ⊂ alarm_m_of_n_state + composite_alarm_rule
+        "curation_corpus_diff",  # snapshot twin: corpus_diff_indexed (r9-certified)
     }
 
 
