@@ -3004,7 +3004,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = docs.where(F.col("doc_id") % 101 == 0).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    return bm25_topk(corpus, queries_df, k1=_BM25_K1, b=_BM25_B, k=5)
+    # single-query-batch entry point: "cache" opt-in is safe here (the
+    # bench/driver harness clears the catalog cache between runs) and
+    # keeps the measured fresh-JVM win (sf1 10.96 s vs 13.23 s re-exec)
+    return bm25_topk(
+        corpus, queries_df, k1=_BM25_K1, b=_BM25_B, k=5,
+        materialize_matched="cache",
+    )
 
 
 def _dsir_bucket_sql(nb: int) -> str:
@@ -4283,7 +4289,10 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = docs.where(F.col("doc_id") % 101 == 0).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    sparse = bm25_topk(corpus, queries_df, k1=_BM25_K1, b=_BM25_B, k=10)
+    sparse = bm25_topk(
+        corpus, queries_df, k1=_BM25_K1, b=_BM25_B, k=10,
+        materialize_matched="cache",
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     dense = cosine_topk_multi(

@@ -779,7 +779,9 @@ def bigram_score_rowlocal(
     IVF codebooks — pass a top-M-pruned table for web-scale vocabularies,
     never a corpus-derived frame of unbounded width).
 
-    Returns (id, n_scored, nll) like :func:`bigram_nll`.
+    Returns (id, n_scored, nll) like :func:`bigram_nll` — including
+    NULL-id rows, which surface with n_scored=0 / nll NULL exactly as
+    the batch scorer's left join emits them.
     """
     if vocab_size is None or vocab_size <= 0:
         raise ValueError(
@@ -840,7 +842,7 @@ def bigram_score_rowlocal(
     head = (
         [F.col(c) for c in df.columns] if passthrough else [F.col(id_col)]
     )
-    return joined.select(
+    scored = joined.select(
         *head,
         folded.getField("n").alias("n_scored"),
         F.when(
@@ -852,6 +854,15 @@ def bigram_score_rowlocal(
             ),
         ).alias("nll"),
     )
+    # the batch twin's left join keeps NULL-id rows (n_scored=0, nll
+    # NULL); re-append them so the bit-equality contract covers the
+    # WHOLE input frame, not just the non-NULL-id slice
+    null_ids = df.where(F.col(id_col).isNull()).select(
+        *head,
+        F.lit(0).cast("bigint").alias("n_scored"),
+        F.lit(None).cast("double").alias("nll"),
+    )
+    return scored.unionByName(null_ids)
 
 
 def bm25_topk(
@@ -864,7 +875,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 5,
-    materialize_matched: str | None = "cache",
+    materialize_matched: str | None = None,
 ) -> DataFrame:
     """Sparse lexical retrieval: BM25 top-``k`` corpus documents per
     query (Robertson & Zaragoza 2009, "The Probabilistic Relevance
@@ -872,13 +883,16 @@ def bm25_topk(
 
     ``materialize_matched`` controls whether the matched (doc, term)
     aggregate — consumed twice: document frequencies + the weight
-    frame — is re-executed (None), Spark-cached ("cache", the
-    default), or lineage-truncated ("localCheckpoint").  The cached
+    frame — is re-executed (None, the default), Spark-cached
+    ("cache"), or lineage-truncated ("localCheckpoint").  The default
+    is None because a "cache" caller owns the cleanup: the cached
     frame lives until the session ends or the caller clears it
-    (Spark's CacheManager holds the reference past GC) — a long-lived
-    service embedding many distinct bm25 calls should pass None or
-    clear the catalog cache between queries; bench.py/scale_stability
-    clear it before every timed run so min-of-N stays cold.  The
+    (Spark's CacheManager holds the reference past GC), so a
+    long-lived service embedding many distinct bm25 calls would leak
+    one cached frame per call.  Single-query batch entry points (the
+    registered bench queries) opt in with "cache";
+    bench.py/scale_stability clear the catalog cache before every
+    timed run so min-of-N stays cold.  The
     round-9 fresh-JVM A/B (min of 3): cache 10.96 s vs re-execute 13.23 s at
     sf1, 2.96 s vs 3.38 s at sf0.1 — caching the narrow
     |query-vocab|-bounded matched frame beats re-running the corpus
@@ -1797,12 +1811,14 @@ def hashed_token_features_norm(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    norm = counts.select(
+    # per-doc token total via the Column API (interpolating id_col raw
+    # into a window SQL string breaks on names needing backticks); the
+    # exact integer div stays in F.expr over fixed internal aliases only
+    tot_w = Window.partitionBy(F.col(id_col))
+    norm = counts.withColumn("__tot", F.sum("cnt").over(tot_w)).select(
         F.col(id_col),
         F.col("bucket").cast("int").alias("bucket"),
-        F.expr(
-            f"cnt * {FEAT_NORM_SCALE}L div sum(cnt) over (partition by {id_col})"
-        ).cast("bigint").alias("cnt_q"),
+        F.expr(f"cnt * {FEAT_NORM_SCALE}L div __tot").cast("bigint").alias("cnt_q"),
     )
     bias = base.select(
         F.col(id_col),
@@ -1890,10 +1906,20 @@ def logreg_train(
                 "__rq"
             ),
         )
+        # the per-row product fits BIGINT easily (|__rq| ≤ 1e7 × bucket
+        # token count), but the per-bucket SUM spans the whole corpus —
+        # accumulate as decimal(38,0) so a 1e9-doc training frame can't
+        # silently wrap a 64-bit sum under non-ANSI Spark (the update
+        # only ever consumes __gq through a double cast, so widening
+        # the accumulator changes no bits at any scale below 2^53/lr·n)
         grads = (
             resid.join(feats, id_col)
             .groupBy("bucket")
-            .agg(F.sum(F.col("__rq") * F.col("cnt")).alias("__gq"))
+            .agg(
+                F.sum(
+                    (F.col("__rq") * F.col("cnt")).cast("decimal(38,0)")
+                ).alias("__gq")
+            )
         )
         w = (
             w.join(grads, "bucket", "left")
@@ -2064,11 +2090,15 @@ def lang_classifier_train(
             "class",
             _clamped_exp_q(F.col("__lq"), lut, grid=1e11).alias("__eq"),
         )
-        probs = sm.select(
+        # softmax denominator as a Column-API window (raw id_col inside
+        # a window SQL string breaks on backtick-needing names); the
+        # exact div runs over fixed internal aliases only
+        probs = sm.withColumn(
+            "__den", F.sum("__eq").over(Window.partitionBy(F.col(id_col)))
+        ).select(
             F.col(id_col),
             "class",
-            F.expr("__eq * 10000000L div sum(__eq) over (partition by "
-                   f"{id_col})").alias("__pq"),
+            F.expr("__eq * 10000000L div __den").alias("__pq"),
         )
         resid = probs.join(labels, id_col).select(
             F.col(id_col),
@@ -2079,10 +2109,20 @@ def lang_classifier_train(
                 .otherwise(F.lit(0))
             ).alias("__rq"),
         )
+        # per-row |__rq·cnt_q| ≤ 1e7·1e4 = 1e11 fits BIGINT, but the
+        # per-(class,bucket) SUM spans the corpus (the bias bucket sums
+        # ~1e11 per doc) — a BIGINT accumulator would wrap silently
+        # past ~9e7 docs under non-ANSI Spark.  decimal(38,0) gives
+        # ~1e27-doc headroom; __gq is only ever consumed via a double
+        # cast, so the widening is bit-neutral.
         grads = (
             resid.join(feats, id_col)
             .groupBy("class", "bucket")
-            .agg(F.sum(F.col("__rq") * F.col("cnt_q")).alias("__gq"))
+            .agg(
+                F.sum(
+                    (F.col("__rq") * F.col("cnt_q")).cast("decimal(38,0)")
+                ).alias("__gq")
+            )
         )
         # __gq is on the 1e-11 grid (1e-7 residual × 1e-4 feature); the
         # extra FEAT_NORM_SCALE divisor returns the update to the 1e-7

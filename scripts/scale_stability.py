@@ -338,17 +338,22 @@ def isolated(probe_names: list[str], skip_oracle: bool) -> None:
             print(f"[isolated] {n}: {t}", file=sys.stderr)
 
     oracle: dict = {}
-    if not skip_oracle:
+    # compute the filtered list FIRST: an --only target outside
+    # ORACLE_AT_SF1 must SKIP the oracle child entirely — passing zero
+    # names would make check_oracle run its full suite
+    oracle_names = [n for n in ORACLE_AT_SF1 if n in probe_names]
+    if not skip_oracle and oracle_names:
         proc = subprocess.run(
-            [sys.executable, "scripts/check_oracle.py", SF1,
-             *[n for n in ORACLE_AT_SF1 if n in probe_names or not probe_names]],
+            [sys.executable, "scripts/check_oracle.py", SF1, *oracle_names],
             capture_output=True, text=True,
             cwd=os.path.dirname(os.path.dirname(here)),
         )
         tail = proc.stdout.strip().splitlines()
         oracle = {"rc": proc.returncode, "summary": tail[-1] if tail else ""}
         print(proc.stdout, file=sys.stderr)
+    if not skip_oracle:
         # bpe_train's sf1 oracle runs round-by-round in its own JVM
+        # (deliberately OUTSIDE ORACLE_AT_SF1 — the CTE cascade OOMs)
         if "text_bpe_train" in probe_names:
             proc = subprocess.run(
                 [sys.executable, here, "--bpe-oracle-sf1"],
