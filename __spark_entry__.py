@@ -5732,7 +5732,11 @@ def curation_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_classifier_oracle(
-    n_buckets: int = 64, iters: int = 2, lr: float = 2.0
+    n_buckets: int = 64,
+    iters: int = 2,
+    lr: float = 2.0,
+    train_frac: float | None = None,
+    sample_seed: int = 0,
 ) -> str:
     """The full multiclass softmax-LR training loop + argmax scorer in
     SQL: L1-normalized hashed integer features, broadcast-LUT exp (no
@@ -5740,21 +5744,30 @@ def _lang_classifier_oracle(
     integer softmax ratios (all operands non-negative, so Spark ``div``
     ≡ DuckDB ``//``), floor-requantized updates — reproduces
     operators/text_analysis.py lang_classifier_train +
-    lang_classifier_score bit-for-bit."""
+    lang_classifier_score bit-for-bit.  ``train_frac`` replays the
+    deterministic-hash training-sample gate (_train_sample_gate) on
+    the training CTE only — the scoring pass below stays corpus-wide,
+    mirroring the CCNet train-on-sample/score-the-crawl split."""
     from rheoceros_spark.functions.portable import h64_sql
     from rheoceros_spark.operators.text_analysis import (
         EXP_CLAMP_Q,
         FEAT_NORM_SCALE,
+        TRAIN_SAMPLE_BUCKETS,
         exp_lut_q,
     )
 
     lut = "[" + ", ".join(str(v) for v in exp_lut_q()) + "]"
     off = EXP_CLAMP_Q + 1
     hk = h64_sql("t", seed="'0'")
+    gate = ""
+    if train_frac is not None:
+        hs = h64_sql("CAST(doc_id AS VARCHAR)", seed=f"'{sample_seed}'")
+        thr = round(train_frac * TRAIN_SAMPLE_BUCKETS)
+        gate = f" AND {hs} % {TRAIN_SAMPLE_BUCKETS} < {thr}"
     ctes = [
-        """docs0 AS (
+        f"""docs0 AS (
       SELECT doc_id, text, lang FROM documents
-      WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+      WHERE doc_id IS NOT NULL AND lang IS NOT NULL{gate}
     )""",
         f"""rawf AS (
       SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -5865,14 +5878,23 @@ def text_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_classifier_score(docs, w, n_buckets=64)
 
 
+#: training-sample fraction for the CCNet pipeline's classifier stage —
+#: the Wenzek et al. §3.2 shape (train on a fixed sample, score the
+#: crawl); 50% keeps every sf0.01 language class populated while
+#: exercising the deterministic-hash gate in both engines
+_CCNET_TRAIN_FRAC = 0.5
+
+
 def _ccnet_pipeline_oracle(head_pct: int = 30, tail_pct: int = 30) -> str:
-    """The CCNet §3 composition replayed end-to-end in DuckDB: the full
-    trained-lang-classifier oracle (softmax LR training + argmax) as
-    one subquery, the self-trained bigram-NLL chain as another, then
-    the value-granular head/middle/tail percentile cut PER PREDICTED
-    LANGUAGE and the head+middle keep — every stage the already-
-    certified oracle of its standalone query."""
-    lc = _lang_classifier_oracle().strip()
+    """The CCNet §3 composition replayed end-to-end in DuckDB: the
+    SAMPLED-training trained-lang-classifier oracle (softmax LR trained
+    on the deterministic-hash _CCNET_TRAIN_FRAC slice, argmax scoring
+    corpus-wide) as one subquery, the self-trained bigram-NLL chain as
+    another, then the value-granular head/middle/tail percentile cut
+    PER PREDICTED LANGUAGE and the head+middle keep — every stage the
+    already-certified oracle of its standalone query, plus the sample
+    gate replayed bit-exactly."""
+    lc = _lang_classifier_oracle(train_frac=_CCNET_TRAIN_FRAC).strip()
     bn = _bigram_nll_sql().strip()
     return f"""
     WITH lc AS ({lc}
@@ -5898,9 +5920,12 @@ def pipeline_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     model curation path, the way pipeline_pretrain_corpus certifies
     the heuristic-gate path.
 
-    Scale shape is the sum of certified parts: classifier training
-    (broadcast weight joins + two corpus-linear shuffles per round),
-    one argmax scoring pass, the wordcount-shaped bigram chain, ONE
+    Scale shape is the sum of certified parts, with the training stage
+    BOUNDED: the classifier trains on the deterministic-hash
+    _CCNET_TRAIN_FRAC sample (broadcast weight joins + two
+    sample-linear shuffles per round — flat as the corpus grows, the
+    Wenzek §3.2 train-on-sample/score-the-crawl split), one corpus-wide
+    argmax scoring pass, the wordcount-shaped bigram chain, ONE
     (lang, score) histogram groupBy for the cut — nothing quadratic,
     nothing corpus-sized on the driver."""
     from rheoceros_spark.operators.curation import ppl_buckets
@@ -5911,7 +5936,10 @@ def pipeline_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
-    w = lang_classifier_train(docs, "lang", n_buckets=64, iters=2, lr=2.0)
+    w = lang_classifier_train(
+        docs, "lang", n_buckets=64, iters=2, lr=2.0,
+        train_frac=_CCNET_TRAIN_FRAC,
+    )
     pred = lang_classifier_score(docs, w, n_buckets=64).select(
         "doc_id", "pred_lang"
     )

@@ -1783,6 +1783,38 @@ def hashed_token_features(
 
 FEAT_NORM_SCALE = 10_000  # L1-normalized feature grid (1e-4)
 
+#: denominator of the deterministic training-sample gate — the same
+#: 1e-6-resolution bucket space as curation.SAMPLE_BUCKETS (replicated
+#: here rather than imported: curation imports this module)
+TRAIN_SAMPLE_BUCKETS = 1_000_000
+
+
+def _train_sample_gate(
+    df: DataFrame, id_col: str, train_frac: float | None, sample_seed: int
+) -> DataFrame:
+    """CCNet-style bounded-training gate: keep a deterministic
+    ``train_frac`` fraction of rows keyed on ``id_col`` (Wenzek et al.
+    2020 §3.2 train the classifier/LM on a FIXED sample and score the
+    whole crawl — at 100 TB nobody trains a linear filter on the full
+    corpus).  Same seeded-hash bucket discipline as
+    ``curation.hash_sample``: the decision is a pure function of the
+    id, so samples are reproducible across engines/retries and
+    subset-monotone (frac 0.1 ⊂ frac 0.2), and a DuckDB oracle replays
+    the gate bit-exactly via ``h64_sql``."""
+    if train_frac is None:
+        return df
+    if not (0.0 < train_frac <= 1.0):
+        raise ValueError(
+            f"train_frac must be in (0, 1] or None, got {train_frac}"
+        )
+    # round, not int(): 0.3 * 1e6 is 299999.99999999994 in binary fp
+    thr = round(train_frac * TRAIN_SAMPLE_BUCKETS)
+    return df.where(
+        h64(F.col(id_col).cast("string"), seed=sample_seed)
+        % F.lit(TRAIN_SAMPLE_BUCKETS)
+        < F.lit(thr)
+    )
+
 
 def hashed_token_features_norm(
     df: DataFrame,
@@ -1851,6 +1883,8 @@ def logreg_train(
     iters: int = 2,
     lr: float = 0.5,
     seed: int = 0,
+    train_frac: float | None = None,
+    sample_seed: int = 0,
 ) -> DataFrame:
     """Distributed full-batch logistic-regression training over hashed
     token features — the quality-filter trainer of the GPT-3 / CCNet
@@ -1875,11 +1909,19 @@ def logreg_train(
     frame is materialized once (lazy localCheckpoint) and reused by
     every round.  Returns the trained (bucket, wq) table — wq in 1e-7
     grid units, bucket −1 is the bias.
+
+    ``train_frac`` bounds the TRAINING read (the :func:`_train_sample_gate`
+    deterministic-hash sample on ``id_col``): weights are learned from
+    the sampled slice while callers score the whole corpus — the CCNet
+    split (a fixed training set, crawl-wide scoring) that keeps the
+    training stage flat as the corpus grows.  None (default) trains on
+    everything.
     """
     if iters < 0 or n_buckets < 1:
         raise ValueError(
             f"logreg_train: need iters >= 0 and n_buckets >= 1, got {iters}, {n_buckets}"
         )
+    df = _train_sample_gate(df, id_col, train_frac, sample_seed)
     spark = df.sparkSession
     feats = hashed_token_features(df, text_col, id_col, n_buckets, seed).localCheckpoint(
         eager=False
@@ -2017,6 +2059,8 @@ def lang_classifier_train(
     lr: float = 0.5,
     seed: int = 0,
     classes: list[str] | None = None,
+    train_frac: float | None = None,
+    sample_seed: int = 0,
 ) -> DataFrame:
     """Distributed multiclass (softmax) logistic regression over hashed
     token features — the TRAINED language classifier of the CCNet
@@ -2052,6 +2096,20 @@ def lang_classifier_train(
     bounded collect — label-space-sized, like the k-means centroid
     reads).  Returns the trained (class, bucket, wq) table; bucket −1
     is the per-class bias.
+
+    ``train_frac`` bounds the TRAINING read (the
+    :func:`_train_sample_gate` deterministic-hash sample on
+    ``id_col``): the CCNet split — train on a fixed sample, score the
+    crawl (Wenzek et al. 2020 §3.2) — so the training stage stays flat
+    as the corpus grows while scoring scales corpus-linear.  With
+    sampling on and ``classes`` unset, the class set is the distinct
+    labels OF THE SAMPLE — pass ``classes`` explicitly if rare labels
+    must survive a thin sample.  None (default) trains on everything.
+    Mind the absolute sample size: the bias feature carries the full
+    L1 mass (cnt_q = 1e4), so at a few dozen sampled docs the sample's
+    class-count jitter feeds it a prior signal that a couple of GD
+    steps cannot out-train — hundreds of docs per class washes it out
+    (tested), and real corpora sample millions.
     """
     if iters < 0 or n_buckets < 1:
         raise ValueError(
@@ -2060,6 +2118,7 @@ def lang_classifier_train(
         )
     spark = df.sparkSession
     base = df.where(F.col(id_col).isNotNull() & F.col(label_col).isNotNull())
+    base = _train_sample_gate(base, id_col, train_frac, sample_seed)
     if classes is None:
         classes = sorted(
             r[0] for r in base.select(label_col).distinct().collect()

@@ -269,6 +269,99 @@ def test_lang_classifier_validates_inputs(spark):
         lang_classifier_train(df.where("doc_id < 0"), "lang", classes=["en"])
 
 
+# ---------------------------------------------------------------------------
+# bounded (sampled) training — the CCNet train-on-sample/score-the-crawl split
+# ---------------------------------------------------------------------------
+
+def test_sampled_training_is_exactly_training_on_the_hash_sample(spark):
+    # train_frac must be the SAME deterministic gate as curation.hash_sample:
+    # training with the parameter and training on the pre-sampled frame
+    # must yield bit-identical weight tables (and therefore identical
+    # scoring everywhere)
+    from rheoceros_spark.operators.curation import hash_sample
+    from rheoceros_spark.operators.text_analysis import lang_classifier_train
+
+    df = _lang_corpus(spark)
+    w_param = lang_classifier_train(
+        df, "lang", iters=2, lr=0.5, train_frac=0.5, sample_seed=3
+    )
+    w_pre = lang_classifier_train(
+        hash_sample(df, 0.5, key_col="doc_id", seed=3), "lang", iters=2, lr=0.5
+    )
+    assert sorted(map(tuple, w_param.collect())) == sorted(
+        map(tuple, w_pre.collect())
+    )
+
+
+def test_sampled_training_scores_full_corpus_like_full_training(spark):
+    # on a separable corpus a 50% training slice must reach the same
+    # corpus-wide predictions as full-corpus training (accuracy 1.0
+    # both ways) — the scoring pass stays corpus-wide by construction.
+    # 200 docs/class, NOT the 40/class _lang_corpus: at a few dozen
+    # docs the hash sample's class-count jitter (±10%) feeds the bias
+    # feature (cnt_q = 1e4, as strong as all content features
+    # combined) a prior signal that two GD steps cannot out-train —
+    # a small-sample artifact that vanishes as the absolute sample
+    # grows, exactly the regime sampled training is for
+    import random
+
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_score,
+        lang_classifier_train,
+    )
+
+    vocab = {
+        "en": "the of and to in is was for with that".split(),
+        "de": "der die und das ist nicht ein mit von zu".split(),
+        "fr": "le la et les des une dans pour est que".split(),
+    }
+    rng = random.Random(7)
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for _ in range(200):
+            rows.append((i, " ".join(rng.choice(words) for _ in range(20)), lang))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w_full = lang_classifier_train(df, "lang", iters=2, lr=0.5)
+    w_samp = lang_classifier_train(df, "lang", iters=2, lr=0.5, train_frac=0.5)
+    full = {r.doc_id: r.pred_lang for r in lang_classifier_score(df, w_full).collect()}
+    samp = {r.doc_id: r.pred_lang for r in lang_classifier_score(df, w_samp).collect()}
+    assert set(full) == set(samp) == set(range(600))  # corpus-wide scoring
+    assert full == samp
+    truth = {r[0]: r[2] for r in rows}
+    assert samp == truth  # accuracy 1.0 from the sampled trainer too
+
+
+def test_sampled_logreg_train_matches_presampled_frame(spark):
+    from pyspark.sql import functions as F
+    from rheoceros_spark.operators.curation import hash_sample
+    from rheoceros_spark.operators.text_analysis import logreg_train
+
+    df = _lang_corpus(spark).withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    w_param = logreg_train(df, "y", iters=2, train_frac=0.4, sample_seed=1)
+    w_pre = logreg_train(hash_sample(df, 0.4, key_col="doc_id", seed=1), "y", iters=2)
+    assert sorted(map(tuple, w_param.collect())) == sorted(
+        map(tuple, w_pre.collect())
+    )
+
+
+def test_train_frac_validation(spark):
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_train,
+        logreg_train,
+    )
+
+    df = _lang_corpus(spark)
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="train_frac"):
+            lang_classifier_train(df, "lang", train_frac=bad)
+        with pytest.raises(ValueError, match="train_frac"):
+            logreg_train(df, "lang", train_frac=bad)
+
+
 def test_lang_segments_with_trained_classifier(spark):
     from pyspark.sql import functions as F
     from rheoceros_spark.operators.text_analysis import (
