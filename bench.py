@@ -268,6 +268,20 @@ def main() -> None:
     # host), and min-of-N is the standard de-noising for steady-state
     # throughput — the quantity that extrapolates to cluster scale.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # Host-contention probe: time one FIXED trivial plan 5x right
+    # before the timed region and record the spread in the artifact,
+    # so a reader can separate environment-noise regressions from real
+    # ones without re-deriving the noise floor (BASELINE.md history:
+    # 4.7 s -> 13 s swings on byte-identical plans).  The plan is a
+    # pure-codegen range aggregate — no shuffle, no IO — so its spread
+    # is CPU-contention signal only.
+    noise_df = spark.range(50_000_000).selectExpr("sum(id % 97) AS s")
+    run_once(noise_df)  # compile outside the probe
+    noise_t = []
+    for _ in range(5):
+        t0 = time.time()
+        run_once(noise_df)
+        noise_t.append(round(time.time() - t0, 3))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     # heaviest plans first: late in a long same-JVM run, accumulated
@@ -313,6 +327,7 @@ def main() -> None:
         "ext_sec": round(total - core_total, 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "bench_noise": noise_t,
     }
     if errors:
         # failed queries are excluded from the sum, so the headline total
@@ -355,6 +370,10 @@ def main() -> None:
         "core_sec": core_total,
         "ext_sec": round(total - core_total, 3),
         "sf": payload["sf"],
+        # 5 timings of one fixed shuffle-free plan taken just before
+        # the timed region — max/min >> 1 means host contention, read
+        # regressions against it (VERDICT r9 #8)
+        "bench_noise": noise_t,
     }
     if errors:
         tail["partial"] = True
