@@ -3873,13 +3873,13 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_cohort_retention).  r9 window = 5 new + 45 r7-certified
 # rotations = EXACTLY 50; r8 ∪ r9 = 100/100 registered queries.
 #
-# ---- Round-10 certification batch (8 of the 15 staged) --------------------
-# r10 registers: text_bpe_train, retrieval_mmr_rerank,
+# ---- Round-10 window: EXECUTED as staged in r8/r9 -------------------------
+# r10 registered: text_bpe_train, retrieval_mmr_rerank,
 #   text_quality_pr_curve, curation_cluster_profile,
 #   text_gopher_rules, curation_ppl_buckets, curation_c4_lines,
 #   curation_source_overlap.
-# r10 retires (from the r8-certified pool — the r10 window is 8 new +
-# 42 r8-certified rotations, so exactly these 8 leave the registry;
+# r10 retired (from the r8-certified pool — the r10 window is 8 new +
+# 42 r8-certified rotations, so exactly these 8 left the registry;
 # each is the weakest marginal row of a multiply-certified family):
 #   dedup_minhash_lsh_pairs  (pair-emission twin; the MinHash family is
 #                             held by dedup_clusters + dedup_keep_list +

@@ -261,6 +261,96 @@ def test_stream_dedup_against_growing_index(spark, tmp_path):
     assert idx.where(F.col("doc_id") == 101).count() > 0
 
 
+def test_incremental_index_equals_batch_rebuilt_index(spark, tmp_path):
+    """The incrementally-appended index (per-micro-batch novel-doc
+    appends through the streaming gate) must be row-identical to an
+    index batch-REBUILT from scratch over the surviving corpus, and
+    the accept/reject decisions must match a sequential batch replay
+    of the same ingest — the certificate that incremental dedup both
+    consults AND grows the index without drifting from the batch
+    semantics."""
+    import time
+
+    from rheoceros_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from rheoceros_spark.streaming.stream import stream_dedup_against_index
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    base = "the quick brown fox jumps over the lazy dog every single day"
+    novel1 = "completely new content about adaptive query execution in spark"
+    novel2 = "vectorized parquet readers amortize decoding across row groups"
+    corpus = [(1, base), (2, "unrelated corpus filler text entirely")]
+    b1 = [(100, base), (101, novel1)]  # 100 dups the corpus, 101 novel
+    b2 = [(102, novel1), (103, novel2)]  # 102 dups batch-1's accept, 103 novel
+
+    inc_path = str(tmp_path / "inc_index")
+    build_minhash_index(docs(corpus), path=inc_path)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    docs(b1).coalesce(1).write.parquet(str(src / "a"))
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    docs(b2).coalesce(1).write.parquet(str(src / "b"))
+
+    accepted = []
+    sdf = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_dedup_against_index(
+        sdf,
+        inc_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        accept=lambda df, bid: accepted.extend(r.doc_id for r in df.collect()),
+        trigger_available_now=True,
+    ).start()
+    q.awaitTermination(180)
+
+    # sequential BATCH replay of the same ingest: probe each batch
+    # against an index rebuilt over everything surviving so far
+    surviving = list(corpus)
+    batch_accepted = []
+    for batch in (b1, b2):
+        idx = build_minhash_index(docs(surviving), path=None)
+        dups = dedup_against_index(docs(batch), idx)
+        losers = {
+            r.new_id
+            for r in dups.where(F.col("new_id") != F.col("dup_of")).collect()
+        }
+        survivors = [r for r in batch if r[0] not in losers]
+        batch_accepted.extend(r[0] for r in survivors)
+        surviving += survivors
+
+    assert sorted(accepted) == sorted(batch_accepted) == [101, 103]
+
+    # index equality: every (band, bucket, doc, params, shingle-set)
+    # row of the incrementally-appended index appears in the rebuild
+    # and vice versa
+    def canon(df):
+        return sorted(
+            (
+                int(r.band),
+                int(r.bucket),
+                int(r.doc_id),
+                int(r.num_hashes),
+                int(r.bands),
+                int(r.ngram),
+                tuple(sorted(r.sh)),
+            )
+            for r in df.select(
+                "band", "bucket", "doc_id", "num_hashes", "bands", "ngram", "sh"
+            ).collect()
+        )
+
+    rebuilt = build_minhash_index(docs(surviving), path=None)
+    assert canon(spark.read.parquet(inc_path)) == canon(rebuilt)
+
+
 def test_stream_quality_gate_matches_batch_and_replays_idempotently(spark, sf_dir, tmp_path):
     """The streaming gate must agree row-for-row with the batch funnel's
     row-local stages, and a replay from a fresh checkpoint must
