@@ -119,6 +119,24 @@ def _ngrams_sql(tok: str, n: int) -> str:
     )
 
 
+def _subword_feats_sql(tok_expr: str, lo: int, hi: int) -> str:
+    """DuckDB twin of text_analysis._feature_strings: the non-empty
+    word tokens plus every boundary-marked char n-gram ('<w>', fastText
+    subword scheme) for n in [lo, hi].  range(1, X+1) is empty when the
+    padded token is shorter than n — unlike Spark's sequence, which
+    descends and needs the explicit CASE on the Spark side."""
+    words = f"list_filter({tok_expr}, t -> t <> '')"
+    out = words
+    for n in range(lo, hi + 1):
+        grams = (
+            f"flatten(list_transform({words}, t -> "
+            f"list_transform(range(1, greatest(0, length('<' || t || '>') - {n - 1}) + 1), "
+            f"i -> substr('<' || t || '>', i, {n}))))"
+        )
+        out = f"list_concat({out}, {grams})"
+    return out
+
+
 def _dot_sql(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
@@ -5737,6 +5755,7 @@ def _lang_classifier_oracle(
     lr: float = 2.0,
     train_frac: float | None = None,
     sample_seed: int = 0,
+    ngram_range: tuple[int, int] | None = None,
 ) -> str:
     """The full multiclass softmax-LR training loop + argmax scorer in
     SQL: L1-normalized hashed integer features, broadcast-LUT exp (no
@@ -5759,6 +5778,14 @@ def _lang_classifier_oracle(
     lut = "[" + ", ".join(str(v) for v in exp_lut_q()) + "]"
     off = EXP_CLAMP_Q + 1
     hk = h64_sql("t", seed="'0'")
+    # word tokens, or the fastText subword feature-string list — the
+    # SAME strings text_analysis._feature_strings hashes on the Spark
+    # side, so subword mode changes what is hashed and nothing else
+    tsrc = (
+        _TOK
+        if ngram_range is None
+        else _subword_feats_sql(_TOK, ngram_range[0], ngram_range[1])
+    )
     gate = ""
     if train_frac is not None:
         hs = h64_sql("CAST(doc_id AS VARCHAR)", seed=f"'{sample_seed}'")
@@ -5772,7 +5799,7 @@ def _lang_classifier_oracle(
         f"""rawf AS (
       SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
         SELECT doc_id, CAST({hk} % {n_buckets} AS INT) AS bucket FROM (
-          SELECT doc_id, unnest({_TOK}) AS t FROM docs0 WHERE text IS NOT NULL
+          SELECT doc_id, unnest({tsrc}) AS t FROM docs0 WHERE text IS NOT NULL
         ) WHERE t <> ''
       ) GROUP BY doc_id, bucket
     )""",
@@ -5834,7 +5861,7 @@ def _lang_classifier_oracle(
     ), rawall AS (
       SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
         SELECT doc_id, CAST({hk} % {n_buckets} AS INT) AS bucket FROM (
-          SELECT doc_id, unnest({_TOK}) AS t FROM alldocs WHERE text IS NOT NULL
+          SELECT doc_id, unnest({tsrc}) AS t FROM alldocs WHERE text IS NOT NULL
         ) WHERE t <> ''
       ) GROUP BY doc_id, bucket
     ), featall AS (
@@ -5859,23 +5886,46 @@ def _lang_classifier_oracle(
     """
 
 
-@q_staged("text_lang_classifier", oracle=_lang_classifier_oracle())
+#: subword feature range for the trained lang classifier — fastText
+#: lang-id's accuracy on short/agglutinative text comes from char
+#: n-grams (Bojanowski et al. 2017; lid.176 uses 2–4); (2, 3) keeps
+#: the feature stream ~12× words, bounded further by sampled training
+_LANG_CLF_NGRAMS = (2, 3)
+_LANG_CLF_TRAIN_FRAC = 0.5
+
+
+@q_staged(
+    "text_lang_classifier",
+    oracle=_lang_classifier_oracle(
+        train_frac=_LANG_CLF_TRAIN_FRAC, ngram_range=_LANG_CLF_NGRAMS
+    ),
+)
 def text_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED language identification (CCNet replaces marker
     heuristics with a learned fastText classifier, Wenzek et al. 2020
     §3.2): distributed multiclass softmax LR over L1-normalized hashed
-    token features, then argmax scoring — the same broadcast-LUT /
-    exact-integer discipline that made the binary quality classifier
-    and k-means bit-exact across engines (operators/text_analysis.py
-    lang_classifier_train / lang_classifier_score)."""
+    SUBWORD features (word tokens + boundary-marked char 2–3-grams,
+    the fastText scheme — word hashes alone under-detect short text),
+    trained on the deterministic-hash 50% sample and argmax-scored
+    corpus-wide — the same broadcast-LUT / exact-integer discipline
+    that made the binary quality classifier and k-means bit-exact
+    across engines (operators/text_analysis.py lang_classifier_train /
+    lang_classifier_score).  r10 upgraded this staged query from
+    word-features/full-corpus training; BASELINE.md §2b re-records its
+    baseline accordingly."""
     from rheoceros_spark.operators.text_analysis import (
         lang_classifier_score,
         lang_classifier_train,
     )
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
-    w = lang_classifier_train(docs, "lang", n_buckets=64, iters=2, lr=2.0)
-    return lang_classifier_score(docs, w, n_buckets=64)
+    w = lang_classifier_train(
+        docs, "lang", n_buckets=64, iters=2, lr=2.0,
+        train_frac=_LANG_CLF_TRAIN_FRAC, ngram_range=_LANG_CLF_NGRAMS,
+    )
+    return lang_classifier_score(
+        docs, w, n_buckets=64, ngram_range=_LANG_CLF_NGRAMS
+    )
 
 
 #: training-sample fraction for the CCNet pipeline's classifier stage —

@@ -1816,12 +1816,72 @@ def _train_sample_gate(
     )
 
 
+#: Spark-SQL rendering of ``filter(tokens(c), t -> t != '')`` — the
+#: whitespace class is the literal chars of portable.normalize_text
+#: (see its \x0B note), embedded raw so no SQL-escape layer can drift
+_WORDS_SQL = (
+    "filter(split(trim(regexp_replace(lower({c}), '[ \t\n\f\r]+', ' ')), ' '), "
+    "__w -> __w != '')"
+)
+
+
+def _quote_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _subword_expr_sql(text_sql: str, lo: int, hi: int) -> str:
+    """Spark-SQL expression for the fastText subword feature-string
+    array: the non-empty word tokens plus every char n-gram of each
+    boundary-marked token (``<w>`` — Bojanowski et al. 2017 §3.2, so
+    prefixes/suffixes hash distinctly from infixes) for n in [lo, hi].
+
+    ONE SQL expression with explicitly-named lambda variables (one
+    name per n) on purpose: building the same shape from sibling
+    ``F.transform(..., lambda ...)`` calls cross-wires Catalyst's
+    auto-named lambda variables between the sibling subtrees and
+    silently yields garbage grams.  The empty-when-short case is an
+    explicit CASE because ``sequence(1, 0)`` DESCENDS instead of
+    emptying.  DuckDB twin: __spark_entry__._subword_feats_sql."""
+    words = _WORDS_SQL.format(c=text_sql)
+    parts = [words]
+    for n in range(lo, hi + 1):
+        pad = f"concat('<', __t{n}, '>')"
+        parts.append(
+            f"flatten(transform({words}, __t{n} -> "
+            f"CASE WHEN length({pad}) >= {n} "
+            f"THEN transform(sequence(1, length({pad}) - {n - 1}), "
+            f"__i{n} -> substring({pad}, __i{n}, {n})) "
+            f"ELSE array() END))"
+        )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _feature_strings(text_col: str, ngram_range: tuple[int, int] | None) -> Column:
+    """The per-document feature-string array for the named text
+    column: the normalized word tokens, plus — with
+    ``ngram_range=(lo, hi)`` — every boundary-marked char n-gram of
+    every token for n in [lo, hi] (the fastText subword scheme;
+    word-hash features alone under-detect short and agglutinative
+    text).  All strings feed the SAME seeded-hash bucket space
+    downstream, so subword mode changes what gets hashed and nothing
+    else."""
+    if ngram_range is None:
+        return F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    lo, hi = ngram_range
+    if not (1 <= lo <= hi):
+        raise ValueError(
+            f"ngram_range must satisfy 1 <= lo <= hi, got {ngram_range}"
+        )
+    return F.expr(_subword_expr_sql(_quote_ident(text_col), lo, hi))
+
+
 def hashed_token_features_norm(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
     seed: int = 0,
+    ngram_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """L1-NORMALIZED hashed bag-of-tokens: (id, bucket, cnt_q) with
     ``cnt_q = cnt·1e4 div n_tokens(doc)`` — the integer form of
@@ -1831,10 +1891,28 @@ def hashed_token_features_norm(
     −1) carries cnt_q = 1e4 ≡ 1.0, so token-free documents still have
     the intercept.  All values are exact integers; a document's token
     features sum to ≤ 1e4 (floor division loses < n_buckets grid
-    units)."""
+    units).
+
+    ``ngram_range=(lo, hi)`` switches to fastText SUBWORD features:
+    the bag is the word tokens plus every boundary-marked char n-gram
+    (see :func:`_feature_strings`); normalization then divides by the
+    total gram count.  Corpus text is hashed char-by-char identically
+    in Spark and DuckDB for codepoint-clean input (both engines'
+    substring/length count characters) — the oracle twin lives in
+    __spark_entry__._lang_classifier_oracle."""
     base = df.where(F.col(id_col).isNotNull())
+    if ngram_range is not None:
+        # subword mode multiplies per-row CPU ~12× (gram explode + one
+        # md5 per gram); a narrow scan must fan out to cluster width
+        # first or the whole expansion serializes onto one core
+        # (measured: the sf0.1 single-file scan cost 11.4 s here).
+        # No-op on wide inputs — see ensure_parallelism's split probe.
+        from rheoceros_spark.operators.scale import ensure_parallelism
+
+        base = ensure_parallelism(base)
     toks = base.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+        F.col(id_col),
+        F.explode(_feature_strings(text_col, ngram_range)).alias("__t"),
     ).where(F.col("__t") != "")
     counts = (
         toks.select(
@@ -2061,6 +2139,7 @@ def lang_classifier_train(
     classes: list[str] | None = None,
     train_frac: float | None = None,
     sample_seed: int = 0,
+    ngram_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Distributed multiclass (softmax) logistic regression over hashed
     token features — the TRAINED language classifier of the CCNet
@@ -2126,7 +2205,7 @@ def lang_classifier_train(
     if not classes:
         raise ValueError("lang_classifier_train: empty class set")
     feats = hashed_token_features_norm(
-        base, text_col, id_col, n_buckets, seed
+        base, text_col, id_col, n_buckets, seed, ngram_range
     ).localCheckpoint(eager=False)
     labels = base.select(F.col(id_col), F.col(label_col).alias("__label"))
     n = labels.count()  # one scalar action, like logreg_train's
@@ -2212,6 +2291,7 @@ def lang_classifier_score(
     id_col: str = "doc_id",
     n_buckets: int = 64,
     seed: int = 0,
+    ngram_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Score documents under a trained :func:`lang_classifier_train`
     weight table: per-class exact integer logits, prediction = argmax
@@ -2220,8 +2300,11 @@ def lang_classifier_score(
     partitioning, argmax never needs the softmax since it is
     monotonic in the logit).  Returns (id, pred_lang, logit_q) —
     logit_q is the winning logit on the 1e-11 integer grid (1e-7
-    weights × 1e-4 normalized features)."""
-    feats = hashed_token_features_norm(df, text_col, id_col, n_buckets, seed)
+    weights × 1e-4 normalized features).  ``ngram_range`` must match
+    what the weights were trained with."""
+    feats = hashed_token_features_norm(
+        df, text_col, id_col, n_buckets, seed, ngram_range
+    )
     logits = (
         feats.join(F.broadcast(weights), "bucket")
         .groupBy(id_col, "class")
@@ -2246,6 +2329,7 @@ def lang_classify_rowlocal(
     n_buckets: int = 64,
     seed: int = 0,
     passthrough: bool = False,
+    ngram_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Row-LOCAL twin of :func:`lang_classifier_score`: the trained
     (class, bucket, wq) table — K·(n_buckets+1) rows, KBs — is
@@ -2259,6 +2343,9 @@ def lang_classify_rowlocal(
     batch scorer (parity-tested).  Prediction = argmax with ties to
     the lexicographically smallest class via ``array_min`` over
     (−logit, class) structs — the same fold, row-locally.
+    ``ngram_range`` (must match training) swaps the per-row token
+    array for the same subword feature-string array the batch
+    featurizer hashes, preserving bit-equality.
 
     The scoring shape for Structured Streaming (stateless; see
     streaming.stream.stream_lang_classify) and for label-at-ingest
@@ -2278,10 +2365,21 @@ def lang_classify_rowlocal(
         raise ValueError("lang_classify_rowlocal: empty weight table")
     classes = sorted(by_class)
 
-    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    bkts = F.transform(
-        toks, lambda t: (h64(t, seed=seed) % F.lit(n_buckets)).cast("int")
+    toks = _feature_strings(text_col, ngram_range)
+    # MATERIALIZE the hashed-bucket array as a projected column before
+    # folding: HOF lambdas get no codegen subexpression elimination, so
+    # an inline `bkts` expression would re-run the md5 hash of every
+    # feature string once per distinct-bucket filter probe — quadratic
+    # in practice, and ~150× worse in subword mode (more grams × more
+    # occupied buckets).  A column reference is computed once per row.
+    bcol = "__rx_bkts"
+    staged = df.where(F.col(id_col).isNotNull()).withColumn(
+        bcol,
+        F.transform(
+            toks, lambda t: (h64(t, seed=seed) % F.lit(n_buckets)).cast("int")
+        ),
     )
+    bkts = F.col(bcol)
     total = F.size(bkts).cast("bigint")
 
     def exact_div(a, b):
@@ -2290,18 +2388,25 @@ def lang_classify_rowlocal(
         # division is exact
         return ((a - a % b) / b).cast("bigint")
 
-    # (bucket, cnt_q) per distinct bucket — shared by every class fold
+    # (bucket, cnt_q) per distinct bucket — shared by every class fold,
+    # so materialize it as a column too (every class's aggregate would
+    # otherwise re-run the distinct×grams counting scan)
     scale = F.lit(FEAT_NORM_SCALE).cast("bigint")
-    dcnts = F.transform(
-        F.array_distinct(bkts),
-        lambda b: F.struct(
-            b.alias("b"),
-            exact_div(
-                F.size(F.filter(bkts, lambda x: x == b)).cast("bigint") * scale,
-                total,
-            ).alias("cq"),
+    dcol = "__rx_dcnts"
+    staged = staged.withColumn(
+        dcol,
+        F.transform(
+            F.array_distinct(bkts),
+            lambda b: F.struct(
+                b.alias("b"),
+                exact_div(
+                    F.size(F.filter(bkts, lambda x: x == b)).cast("bigint") * scale,
+                    total,
+                ).alias("cq"),
+            ),
         ),
     )
+    dcnts = F.col(dcol)
 
     entries = []
     for c in classes:
@@ -2329,7 +2434,7 @@ def lang_classify_rowlocal(
 
     best = F.array_min(F.array(*entries))
     head = [F.col(c) for c in df.columns] if passthrough else [F.col(id_col)]
-    return df.where(F.col(id_col).isNotNull()).select(
+    return staged.select(
         *head,
         best.getField("c").alias("pred_lang"),
         (-best.getField("nl")).cast("bigint").alias("logit_q"),

@@ -628,6 +628,7 @@ def stream_lang_classify(
     id_col: str = "doc_id",
     n_buckets: int = 64,
     seed: int = 0,
+    ngram_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Streaming twin of the TRAINED language classifier: label each
     micro-batch row with its argmax language via the row-local
@@ -648,6 +649,7 @@ def stream_lang_classify(
         n_buckets=n_buckets,
         seed=seed,
         passthrough=True,
+        ngram_range=ngram_range,
     )
 
 

@@ -424,6 +424,119 @@ def test_lang_classify_rowlocal_degenerate_rows_and_passthrough(spark):
     assert out.columns == ["doc_id", "text", "source", "pred_lang", "logit_q"]
 
 
+# ---------------------------------------------------------------------------
+# subword (char n-gram) features — the fastText scheme
+# ---------------------------------------------------------------------------
+
+def _suffix_corpus(spark):
+    """Languages distinguishable ONLY by morphology: every training
+    document uses document-unique stems, so a word-hash model sees
+    each word exactly once and eval words never at all — only the
+    boundary-marked char n-grams of the shared suffixes carry
+    transferable signal."""
+    suffixes = {"en": ["ness", "tion"], "de": ["ung", "keit"]}
+    rows = []
+    i = 0
+    for lang, sfx in suffixes.items():
+        for d in range(30):
+            words = [f"st{lang}{d}x{j}{sfx[j % 2]}" for j in range(8)]
+            rows.append((i, " ".join(words), lang))
+            i += 1
+    train = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # short eval docs with UNSEEN stems + the class suffixes
+    ev = []
+    j = 0
+    for lang, sfx in suffixes.items():
+        for d in range(10):
+            ev.append((1000 + j, f"qz{d}w{sfx[d % 2]}", lang))
+            j += 1
+    eval_df = spark.createDataFrame(ev, "doc_id long, text string, lang string")
+    return train, eval_df
+
+
+def test_subword_features_classify_short_unseen_text(spark):
+    # word-hash features alone misclassify: every eval word is unseen,
+    # so its bucket carries no trained weight beyond hash-collision
+    # noise.  Subword 2-4-grams hash the shared suffixes and win.
+    from pyspark.sql import functions as F
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_score,
+        lang_classifier_train,
+    )
+
+    train, eval_df = _suffix_corpus(spark)
+    truth = {r.doc_id: r.lang for r in eval_df.collect()}
+
+    def acc(ngram_range):
+        w = lang_classifier_train(
+            train, "lang", n_buckets=256, iters=2, lr=0.5,
+            ngram_range=ngram_range,
+        )
+        pred = {
+            r.doc_id: r.pred_lang
+            for r in lang_classifier_score(
+                eval_df, w, n_buckets=256, ngram_range=ngram_range
+            ).collect()
+        }
+        return sum(pred[d] == truth[d] for d in truth) / len(truth)
+
+    assert acc((2, 4)) == 1.0
+    assert acc(None) < 1.0  # word features alone cannot generalize
+
+
+def test_subword_rowlocal_and_stream_match_batch_bit_for_bit(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_score,
+        lang_classifier_train,
+        lang_classify_rowlocal,
+    )
+    from rheoceros_spark.streaming.stream import stream_lang_classify
+
+    df = _lang_corpus(spark)
+    w = lang_classifier_train(
+        df, "lang", n_buckets=64, iters=2, lr=0.5, ngram_range=(2, 3)
+    )
+    batch = sorted(
+        tuple(r)
+        for r in lang_classifier_score(
+            df, w, n_buckets=64, ngram_range=(2, 3)
+        ).collect()
+    )
+    rl = sorted(
+        tuple(r)
+        for r in lang_classify_rowlocal(
+            df, w, n_buckets=64, ngram_range=(2, 3)
+        ).collect()
+    )
+    assert rl == batch and batch
+
+    src = str(tmp_path / "sw_src")
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+    out = []
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_lang_classify(sdf, w, n_buckets=64, ngram_range=(2, 3))
+        .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted((r.doc_id, r.pred_lang, r.logit_q) for r in out) == [
+        (d, p, l) for d, p, l in batch
+    ]
+
+
+def test_subword_gram_expansion_validates_range(spark):
+    from rheoceros_spark.operators.text_analysis import lang_classifier_train
+
+    df = _lang_corpus(spark)
+    for bad in [(0, 2), (3, 2), (-1, 1)]:
+        with pytest.raises(ValueError, match="ngram_range"):
+            lang_classifier_train(df, "lang", ngram_range=bad)
+
+
 def test_stream_lang_classify_matches_batch(spark, tmp_path):
     from pyspark.sql import functions as F
     from rheoceros_spark.operators.text_analysis import (
