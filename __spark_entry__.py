@@ -5768,10 +5768,10 @@ def _lang_classifier_oracle(
     the training CTE only — the scoring pass below stays corpus-wide,
     mirroring the CCNet train-on-sample/score-the-crawl split."""
     from rheoceros_spark.functions.portable import h64_sql
+    from rheoceros_spark.operators.curation import SAMPLE_BUCKETS
     from rheoceros_spark.operators.text_analysis import (
         EXP_CLAMP_Q,
         FEAT_NORM_SCALE,
-        TRAIN_SAMPLE_BUCKETS,
         exp_lut_q,
     )
 
@@ -5789,8 +5789,8 @@ def _lang_classifier_oracle(
     gate = ""
     if train_frac is not None:
         hs = h64_sql("CAST(doc_id AS VARCHAR)", seed=f"'{sample_seed}'")
-        thr = round(train_frac * TRAIN_SAMPLE_BUCKETS)
-        gate = f" AND {hs} % {TRAIN_SAMPLE_BUCKETS} < {thr}"
+        thr = round(train_frac * SAMPLE_BUCKETS)
+        gate = f" AND {hs} % {SAMPLE_BUCKETS} < {thr}"
     ctes = [
         f"""docs0 AS (
       SELECT doc_id, text, lang FROM documents

@@ -60,6 +60,7 @@ def lang_segments(
     classifier_weights: DataFrame | None = None,
     n_buckets: int = 64,
     seed: int = 0,
+    ngram_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-SPAN language identification rolled up to a document
     language profile — the CCNet practice of running lang-id at
@@ -87,7 +88,10 @@ def lang_segments(
     shape (trained model at paragraph granularity).  The classifier
     always predicts a class (argmax over trained languages, no 'und'),
     so every span counts as identified; the scoring join stays a
-    broadcast of the K·(n_buckets+1)-row weight table.
+    broadcast of the K·(n_buckets+1)-row weight table.  ``ngram_range``
+    must match what ``classifier_weights`` was trained with (subword-
+    trained weights scored with word features are silent garbage —
+    feature spaces differ).
 
     Reference-extension operator (SURVEY.md §2.12).
     """
@@ -108,6 +112,7 @@ def lang_segments(
             n_buckets=n_buckets,
             seed=seed,
             passthrough=True,
+            ngram_range=ngram_range,
         ).withColumn("lang_pred", F.col("pred_lang"))
     else:
         scored = lang_id(segs, "span_text")
@@ -800,7 +805,7 @@ def bigram_score_rowlocal(
         ).alias("__model")
     ).withColumn("__one", F.lit(1))
 
-    base = df.where(F.col(id_col).isNotNull()).withColumn("__one", F.lit(1))
+    base = df.withColumn("__one", F.lit(1))
     joined = base.join(F.broadcast(model), "__one").drop("__one")
 
     t = tokens(F.col(text_col))
@@ -842,27 +847,30 @@ def bigram_score_rowlocal(
     head = (
         [F.col(c) for c in df.columns] if passthrough else [F.col(id_col)]
     )
-    scored = joined.select(
+    # the batch twin's left join emits NULL-id rows as n_scored=0 /
+    # nll NULL (a NULL key never matches), so force exactly that here
+    # in the SAME projection — a separate where(isNull)+union branch
+    # would scan the input twice per action (r10 review finding), and
+    # the CASE short-circuits so NULL-id rows never pay the fold
+    is_null = F.col(id_col).isNull()
+    return joined.select(
         *head,
-        folded.getField("n").alias("n_scored"),
-        F.when(
-            folded.getField("n") > 0,
-            F.round(
-                folded.getField("s").cast("double")
-                / (F.lit(1e7) * folded.getField("n").cast("double")),
-                6,
-            ),
-        ).alias("nll"),
+        F.when(is_null, F.lit(0).cast("bigint"))
+        .otherwise(folded.getField("n"))
+        .alias("n_scored"),
+        F.when(is_null, F.lit(None).cast("double"))
+        .otherwise(
+            F.when(
+                folded.getField("n") > 0,
+                F.round(
+                    folded.getField("s").cast("double")
+                    / (F.lit(1e7) * folded.getField("n").cast("double")),
+                    6,
+                ),
+            )
+        )
+        .alias("nll"),
     )
-    # the batch twin's left join keeps NULL-id rows (n_scored=0, nll
-    # NULL); re-append them so the bit-equality contract covers the
-    # WHOLE input frame, not just the non-NULL-id slice
-    null_ids = df.where(F.col(id_col).isNull()).select(
-        *head,
-        F.lit(0).cast("bigint").alias("n_scored"),
-        F.lit(None).cast("double").alias("nll"),
-    )
-    return scored.unionByName(null_ids)
 
 
 def bm25_topk(
@@ -1783,12 +1791,6 @@ def hashed_token_features(
 
 FEAT_NORM_SCALE = 10_000  # L1-normalized feature grid (1e-4)
 
-#: denominator of the deterministic training-sample gate — the same
-#: 1e-6-resolution bucket space as curation.SAMPLE_BUCKETS (replicated
-#: here rather than imported: curation imports this module)
-TRAIN_SAMPLE_BUCKETS = 1_000_000
-
-
 def _train_sample_gate(
     df: DataFrame, id_col: str, train_frac: float | None, sample_seed: int
 ) -> DataFrame:
@@ -1796,24 +1798,23 @@ def _train_sample_gate(
     ``train_frac`` fraction of rows keyed on ``id_col`` (Wenzek et al.
     2020 §3.2 train the classifier/LM on a FIXED sample and score the
     whole crawl — at 100 TB nobody trains a linear filter on the full
-    corpus).  Same seeded-hash bucket discipline as
-    ``curation.hash_sample``: the decision is a pure function of the
-    id, so samples are reproducible across engines/retries and
-    subset-monotone (frac 0.1 ⊂ frac 0.2), and a DuckDB oracle replays
-    the gate bit-exactly via ``h64_sql``."""
+    corpus).  IS ``curation.hash_sample`` — delegated, not replicated
+    (curation's imports of this module are function-local, so the
+    deferred import below is cycle-free), so the bucket space, the
+    round()-threshold rule, and the seeded-hash construction have one
+    home and the DuckDB oracle gate can never desynchronize from the
+    sampling operator.  Decisions are a pure function of the id:
+    reproducible across engines/retries, subset-monotone (frac 0.1 ⊂
+    frac 0.2)."""
     if train_frac is None:
         return df
     if not (0.0 < train_frac <= 1.0):
         raise ValueError(
             f"train_frac must be in (0, 1] or None, got {train_frac}"
         )
-    # round, not int(): 0.3 * 1e6 is 299999.99999999994 in binary fp
-    thr = round(train_frac * TRAIN_SAMPLE_BUCKETS)
-    return df.where(
-        h64(F.col(id_col).cast("string"), seed=sample_seed)
-        % F.lit(TRAIN_SAMPLE_BUCKETS)
-        < F.lit(thr)
-    )
+    from rheoceros_spark.operators.curation import hash_sample
+
+    return hash_sample(df, train_frac, key_col=id_col, seed=sample_seed)
 
 
 #: Spark-SQL rendering of ``filter(tokens(c), t -> t != '')`` — the

@@ -666,6 +666,7 @@ def stream_ccnet_gate(
     allowed_buckets: tuple[str, ...] = ("head", "middle"),
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Streaming label-at-ingest twin of
     ``pipeline_ccnet_corpus``'s scoring surface (the CCNet shape:
@@ -682,7 +683,7 @@ def stream_ccnet_gate(
     derives them (parity-tested in tests/test_streaming.py)."""
     labeled = stream_lang_classify(
         sdf, lang_weights, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets, seed=seed,
+        n_buckets=n_buckets, seed=seed, ngram_range=ngram_range,
     )
     scored = stream_bigram_score(
         labeled, bigram_counts, vocab_size, text_col=text_col,

@@ -204,8 +204,9 @@ def _window_is_unpartitioned(text: str) -> bool:
     no partition columns: the spec's argument list is partition cols
     first (bare attribute refs), then sort specs (carrying ASC/DESC),
     then specifiedwindowframe — so a spec whose first argument is a
-    sort spec or the frame itself is unpartitioned.  (Counting the
-    node's trailing ``[...]`` groups cannot distinguish
+    sort spec OR the frame itself (the unpartitioned+unordered global
+    frame, the worst single-partition shape) is unpartitioned.
+    (Counting the node's trailing ``[...]`` groups cannot distinguish
     partitioned-unordered from unpartitioned-ordered: both render two
     groups.)"""
     import re
@@ -214,7 +215,7 @@ def _window_is_unpartitioned(text: str) -> bool:
     if not m:
         return False
     head = m.group(1).strip()
-    if not head:
+    if not head or head.startswith("specifiedwindowframe"):
         return True
     first = head.split(",")[0]
     return " ASC" in first or " DESC" in first
@@ -281,6 +282,18 @@ class TestUnpartitionedWindows:
 
         df = load_table(spark, sf, "lineitem").withColumn(
             "rt", F.sum("l_quantity").over(W.orderBy("l_orderkey"))
+        )
+        assert _unbounded_unpartitioned_windows(physical_plan(df))
+
+    def test_detector_flags_the_global_unordered_frame_too(self, spark, sf):
+        # unpartitioned AND unordered — the spec renders as
+        # windowspecdefinition(specifiedwindowframe(...)) with neither
+        # partition columns nor ASC/DESC sort specs, the shape the
+        # first head-parse missed (r10 review finding)
+        from pyspark.sql import Window as W
+
+        df = load_table(spark, sf, "lineitem").withColumn(
+            "tot", F.sum("l_quantity").over(W.partitionBy())
         )
         assert _unbounded_unpartitioned_windows(physical_plan(df))
 
