@@ -5973,8 +5973,10 @@ def pipeline_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape is the sum of certified parts, with the training stage
     BOUNDED: the classifier trains on the deterministic-hash
     _CCNET_TRAIN_FRAC sample (broadcast weight joins + two
-    sample-linear shuffles per round — flat as the corpus grows, the
-    Wenzek §3.2 train-on-sample/score-the-crawl split), one corpus-wide
+    sample-linear shuffles per round — the Wenzek §3.2
+    train-on-sample/score-the-crawl split; at a real 100 TB run the
+    fraction is set to budget_rows/corpus_rows so the training read is
+    a fixed absolute budget), one corpus-wide
     argmax scoring pass, the wordcount-shaped bigram chain, ONE
     (lang, score) histogram groupBy for the cut — nothing quadratic,
     nothing corpus-sized on the driver."""

@@ -1992,9 +1992,11 @@ def logreg_train(
     ``train_frac`` bounds the TRAINING read (the :func:`_train_sample_gate`
     deterministic-hash sample on ``id_col``): weights are learned from
     the sampled slice while callers score the whole corpus — the CCNet
-    split (a fixed training set, crawl-wide scoring) that keeps the
-    training stage flat as the corpus grows.  None (default) trains on
-    everything.
+    split (a fixed training set, crawl-wide scoring).  A FIXED fraction
+    scales with the corpus; for a truly flat training stage pass
+    ``train_frac = budget_rows / corpus_rows`` — the gate is
+    subset-monotone, so shrinking fractions nest inside earlier samples.
+    None (default) trains on everything.
     """
     if iters < 0 or n_buckets < 1:
         raise ValueError(
@@ -2180,8 +2182,11 @@ def lang_classifier_train(
     ``train_frac`` bounds the TRAINING read (the
     :func:`_train_sample_gate` deterministic-hash sample on
     ``id_col``): the CCNet split — train on a fixed sample, score the
-    crawl (Wenzek et al. 2020 §3.2) — so the training stage stays flat
-    as the corpus grows while scoring scales corpus-linear.  With
+    crawl (Wenzek et al. 2020 §3.2) — so scoring scales corpus-linear
+    while training reads only the sample.  A FIXED fraction still
+    scales with the corpus; for a truly flat training stage pass
+    ``train_frac = budget_rows / corpus_rows`` (the gate is
+    subset-monotone, so shrinking fractions nest).  With
     sampling on and ``classes`` unset, the class set is the distinct
     labels OF THE SAMPLE — pass ``classes`` explicitly if rare labels
     must survive a thin sample.  None (default) trains on everything.
