@@ -528,6 +528,30 @@ def test_subword_rowlocal_and_stream_match_batch_bit_for_bit(spark, tmp_path):
     ]
 
 
+def test_lang_segments_scores_spans_with_subword_weights(spark):
+    # the composed entry point must hand ngram_range through to the
+    # row-local span scorer — subword weights scored with word
+    # features are silent garbage (r10 review finding)
+    from rheoceros_spark.operators.text_analysis import (
+        lang_classifier_train,
+        lang_segments,
+    )
+
+    df = _lang_corpus(spark)
+    w = lang_classifier_train(
+        df, "lang", n_buckets=64, iters=2, lr=0.5, ngram_range=(2, 3)
+    )
+    out = lang_segments(
+        df, span_tokens=10, classifier_weights=w, n_buckets=64,
+        ngram_range=(2, 3),
+    )
+    truth = {r.doc_id: r.lang for r in df.collect()}
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == len(truth)
+    assert all(rows[d].dominant_lang == truth[d] for d in truth)
+    assert all(r.n_langs == 1 for r in rows.values())
+
+
 def test_subword_gram_expansion_validates_range(spark):
     from rheoceros_spark.operators.text_analysis import lang_classifier_train
 
