@@ -1812,8 +1812,19 @@ def _train_sample_gate(
         raise ValueError(
             f"train_frac must be in (0, 1] or None, got {train_frac}"
         )
-    from rheoceros_spark.operators.curation import hash_sample
+    from rheoceros_spark.operators.curation import SAMPLE_BUCKETS, hash_sample
 
+    # the bucket space quantizes rates to 1e-6: a fraction that rounds
+    # to a zero threshold selects NOTHING, and the downstream
+    # empty-training error would point at the data, not the rate —
+    # fail here, naming the resolution (a fixed-budget caller at
+    # extreme corpus sizes should cap the budget, not the resolution)
+    if round(train_frac * SAMPLE_BUCKETS) == 0:
+        raise ValueError(
+            f"train_frac={train_frac} is below the sampling gate's "
+            f"1/{SAMPLE_BUCKETS} resolution (threshold rounds to 0 — "
+            "the training set would be empty)"
+        )
     return hash_sample(df, train_frac, key_col=id_col, seed=sample_seed)
 
 
@@ -1995,8 +2006,12 @@ def logreg_train(
     split (a fixed training set, crawl-wide scoring).  A FIXED fraction
     scales with the corpus; for a truly flat training stage pass
     ``train_frac = budget_rows / corpus_rows`` — the gate is
-    subset-monotone, so shrinking fractions nest inside earlier samples.
-    None (default) trains on everything.
+    subset-monotone, so shrinking fractions nest inside earlier
+    samples.  The gate's resolution is 1e-6 (fractions are quantized
+    to the hash-bucket space and a sub-resolution fraction is
+    rejected, not silently emptied), so at extreme corpus sizes size
+    the budget to keep ``train_frac ≥ ~1e-5``.  None (default) trains
+    on everything.
     """
     if iters < 0 or n_buckets < 1:
         raise ValueError(
@@ -2186,7 +2201,9 @@ def lang_classifier_train(
     while training reads only the sample.  A FIXED fraction still
     scales with the corpus; for a truly flat training stage pass
     ``train_frac = budget_rows / corpus_rows`` (the gate is
-    subset-monotone, so shrinking fractions nest).  With
+    subset-monotone, so shrinking fractions nest; resolution 1e-6 —
+    sub-resolution fractions are rejected, see
+    :func:`_train_sample_gate`).  With
     sampling on and ``classes`` unset, the class set is the distinct
     labels OF THE SAMPLE — pass ``classes`` explicitly if rare labels
     must survive a thin sample.  None (default) trains on everything.

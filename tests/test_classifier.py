@@ -360,6 +360,10 @@ def test_train_frac_validation(spark):
             lang_classifier_train(df, "lang", train_frac=bad)
         with pytest.raises(ValueError, match="train_frac"):
             logreg_train(df, "lang", train_frac=bad)
+    # below the gate's 1e-6 bucket resolution the threshold rounds to
+    # 0 (empty training set) — rejected loudly, not silently emptied
+    with pytest.raises(ValueError, match="resolution"):
+        lang_classifier_train(df, "lang", train_frac=4e-7)
 
 
 def test_lang_segments_with_trained_classifier(spark):
