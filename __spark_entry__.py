@@ -485,7 +485,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "json_extract_events",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
@@ -1024,7 +1024,7 @@ _ORACLES["layout_zorder_key"] = _zorder_oracle()
 # correlated + scalar subqueries, conditional aggs, pivot, grouping sets)
 # ===========================================================================
 
-@q(
+@q_retired(
     "q4_order_priority",
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count
@@ -1050,7 +1050,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "q10_returned_revenue",
     oracle=f"""
     SELECT c_custkey, c_name, n_name,
@@ -1080,7 +1080,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "q12_priority_by_linestatus",
     oracle="""
     SELECT l_linestatus,
@@ -1179,7 +1179,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "q17_small_quantity_revenue",
     oracle=f"""
     WITH part_avg AS (
@@ -2104,7 +2104,7 @@ def ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "text_unigram_nll",
     oracle=f"""
     WITH toks AS (
@@ -3072,7 +3072,7 @@ _DSIR_CTES = f"""tgt AS (
     )"""
 
 
-@q(
+@q_retired(
     "curation_dsir_weights",
     oracle=f"""
     WITH {_DSIR_CTES}
@@ -3916,7 +3916,7 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   curation_corpus_diff     (snapshot twin; the scalable indexed form
 #                             corpus_diff_indexed is r9-window-certified).
 #
-# ---- Round-11 certification batch (the remaining 7 staged) ----------------
+# ---- Round-11 window: EXECUTED as staged in r9/r10 ------------------------
 # r11 registers: text_hash_embed_topk, retrieval_quality_metrics,
 #   text_bpe_fertility, curation_decon_spans, text_lang_segments,
 #   curation_source_overlap_minhash, dedup_exact_best_docs
@@ -3936,6 +3936,13 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # classifier) join the r11/r12 batches under the same cadence; every
 # staged query is already fully oracle-gated in pytest either way, so
 # registration remains pure bookkeeping.
+#
+# ---- Round-12 certification batch (staged) --------------------------------
+# r12 registers: text_lang_classifier, pipeline_ccnet_corpus (staged r9)
+#   plus the new r11-staged operators (URL-curation family, snapshot-
+#   scoped dedup, persisted-tokenizer scoring — see the @q_staged sites
+#   below), each paired with a weakest-marginal retirement from the
+#   r10-certified pool so r11 ∪ r12 stays 100/100 disjoint.
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -4357,7 +4364,7 @@ def _hash_embed_topk_oracle(
     """
 
 
-@q_staged("text_hash_embed_topk", oracle=_hash_embed_topk_oracle())
+@q("text_hash_embed_topk", oracle=_hash_embed_topk_oracle())
 def text_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-free dense retrieval: feature-hashing embeddings derived
     from the text itself (operators/text_analysis.py hash_embed — one
@@ -5231,7 +5238,7 @@ def curation_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q_staged(
+@q(
     "dedup_exact_best_docs",
     oracle=f"""
     WITH keyed AS (
@@ -5302,7 +5309,7 @@ def _source_overlap_minhash_oracle(n: int = 8, num_hashes: int = 64) -> str:
     """
 
 
-@q_staged(
+@q(
     "curation_source_overlap_minhash",
     oracle=_source_overlap_minhash_oracle(),
 )
@@ -5382,7 +5389,7 @@ def _lang_segments_oracle(span_tokens: int = 16) -> str:
     """
 
 
-@q_staged("text_lang_segments", oracle=_lang_segments_oracle())
+@q("text_lang_segments", oracle=_lang_segments_oracle())
 def text_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-granular language profile (Wenzek et al. 2020 §3.2 —
     CCNet runs lang-id per paragraph so mixed-language pages surface
@@ -5460,7 +5467,7 @@ def _decon_spans_oracle(n: int = 8, span_tokens: int = 16) -> str:
     """
 
 
-@q_staged("curation_decon_spans", oracle=_decon_spans_oracle(n=4))
+@q("curation_decon_spans", oracle=_decon_spans_oracle(n=4))
 def curation_decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level eval decontamination: purge the 16-token spans that
     share any word 4-gram with the benchmark slice (doc_id % 97, the
@@ -5524,7 +5531,7 @@ def _bpe_fertility_oracle() -> str:
     """
 
 
-@q_staged("text_bpe_fertility", oracle=_bpe_fertility_oracle())
+@q("text_bpe_fertility", oracle=_bpe_fertility_oracle())
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility (BPE tokens per word) + chars-per-token
     compression per source — the evaluation loop for the trained merge
@@ -5601,7 +5608,7 @@ def _retrieval_metrics_oracle(k: int = 10) -> str:
     """
 
 
-@q_staged("retrieval_quality_metrics", oracle=_retrieval_metrics_oracle())
+@q("retrieval_quality_metrics", oracle=_retrieval_metrics_oracle())
 def retrieval_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-evaluation battery (nDCG@10 / MRR / precision / recall
     / first-hit rank) over the dense top-10 results, against a
@@ -6017,82 +6024,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's correctness harness checks the FIRST 50 queries()
 #: entries only (CORRECTNESS_r01 covered positions 0-49 exactly).
-#: Rotation discipline (round 10, executing the plan staged in r8/r9):
+#: Rotation discipline (round 11, executing the plan staged in r9/r10):
 #: the registry is capped at 100 queries — the 50-slot window plus the
-#: consecutive-round-coverage invariant (r09 ∪ r10 must certify
-#: everything) admits no more, so the eight NEW registrations this
-#: round (text_bpe_train, retrieval_mmr_rerank, text_quality_pr_curve,
-#: curation_cluster_profile, text_gopher_rules, curation_ppl_buckets,
-#: curation_c4_lines, curation_source_overlap) each retired one
-#: r8-certified query whose shape family stays multiply certified
-#: (dedup_minhash_lsh_pairs, dedup_simhash_pairs,
-#: pivot_returnflag_status, q11_important_parts,
-#: q18_large_volume_orders, events_tumbling_daily,
-#: metric_threshold_alarm, curation_corpus_diff — see
-#: _RETIRED_QUERIES for per-retiree sibling justifications).  The head
-#: holds the 8 never-certified registrations first, then the 42
-#: remaining queries whose most recent official row is CORRECTNESS_r08
-#: (round 9 certified the other 50).  Enforced by
-#: tests/test_plan_quality.py
+#: consecutive-round-coverage invariant (r10 ∪ r11 must certify
+#: everything) admits no more, so the seven NEW registrations this
+#: round (text_hash_embed_topk, retrieval_quality_metrics,
+#: text_bpe_fertility, curation_decon_spans, text_lang_segments,
+#: curation_source_overlap_minhash, dedup_exact_best_docs) each
+#: retired one r9-certified query whose shape family stays multiply
+#: certified (json_extract_events, text_unigram_nll,
+#: curation_dsir_weights, q4_order_priority,
+#: q12_priority_by_linestatus, q17_small_quantity_revenue,
+#: q10_returned_revenue — see _RETIRED_QUERIES and
+#: tests/test_retired_oracles.py for per-retiree sibling
+#: justifications).  The head holds the 7 never-certified
+#: registrations first, then the 43 remaining queries whose most
+#: recent official row is CORRECTNESS_r09 (round 10 certified the
+#: other 50).  Enforced by tests/test_plan_quality.py
 #: test_cross_round_official_coverage_is_total.  All queries — retired
 #: ones included — stay continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
-    # new in round 10 (staged in r8, executed as planned) — never
+    # new in round 11 (staged in r9/r10, executed as planned) — never
     # certified, enter the window first
-    "text_bpe_train",
-    "retrieval_mmr_rerank",
-    "text_quality_pr_curve",
-    "curation_cluster_profile",
-    "text_gopher_rules",
-    "curation_ppl_buckets",
-    "curation_c4_lines",
-    "curation_source_overlap",
-    # certified in r08, rotating back in so r09 ∪ r10 stays total
-    # (the eight r8-certified retirees moved to _RETIRED_QUERIES;
+    "text_hash_embed_topk",
+    "retrieval_quality_metrics",
+    "text_bpe_fertility",
+    "curation_decon_spans",
+    "text_lang_segments",
+    "curation_source_overlap_minhash",
+    "dedup_exact_best_docs",
+    # certified in r09, rotating back in so r10 ∪ r11 stays total
+    # (the seven r9-certified retirees moved to _RETIRED_QUERIES;
     # scalable/superset siblings hold official rows)
-    "dedup_semantic_pairs",
-    "text_quality_classifier",
-    "q21_sole_returner",
-    "topk_orders",
-    "grouping_sets_revenue",
-    "events_sliding_2day",
-    "metric_period_stats_hourly",
-    "alarm_m_of_n_state",
-    "composite_alarm_rule",
-    "dedup_exact_docs",
-    "dedup_embedding_blocked",
-    "dedup_clusters",
-    "dedup_keep_list",
-    "dedup_incremental_index",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_persisted",
-    "ann_kmeans_refine",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "text_chunk_documents",
-    "text_tfidf_terms",
-    "text_source_kl",
-    "curation_stratified_sample",
-    "curation_pii_redact",
-    "curation_vocab_top_tokens",
-    "curation_contamination",
-    "curation_domain_cap",
-    "curation_group_split",
-    "curation_negative_samples",
-    "curation_boilerplate",
-    "curation_budget_mix",
-    "sketch_kmv_distinct",
-    "sketch_histogram_quantiles",
-    "ts_asof_join",
-    "ts_range_join_counts",
-    "ts_sessionize",
-    "layout_zorder_key",
-    "multimodal_features",
-    "multimodal_frame_sample",
+    "pipeline_pretrain_corpus",
+    "retrieval_hybrid_rrf",
+    "ann_int8_topk",
+    "dedup_paragraph_spans",
+    "text_bigram_nll",
+    "curation_ngram_novelty",
+    "text_bpe_tokens",
+    "ann_ivfpq_topk",
+    "corpus_diff_indexed",
+    "curation_dsir_resample",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q19_disjunctive_predicates",
+    "q20_part_shippers",
+    "q22_wealthy_inactive",
+    "scan_pruned_projection",
+    "partition_ranged_union",
+    "nearest_partition_asof",
+    "agg_cube",
+    "window_topn_per_group",
+    "set_except",
+    "scalar_functions",
+    "events_cohort_retention",
+    "sketch_cms_topk",
+    "dedup_substring_spans",
+    "text_bm25_topk",
+    "text_repetition",
+    "curation_filter_funnel",
+    "curation_semantic_decon",
+    "curation_source_mix",
+    "curation_shuffle_shards",
+    "curation_pack_sequences",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
 ]
 
 

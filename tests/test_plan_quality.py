@@ -76,7 +76,7 @@ class TestJoinQuality:
         assert "BroadcastHashJoin" in physical_plan(q)
 
     def test_semi_join_stays_semi(self, spark, sf):
-        q = entry._QUERIES["q4_order_priority"](spark, sf)
+        q = entry._RETIRED_QUERIES["q4_order_priority"](spark, sf)
         assert "LeftSemi" in physical_plan(q)
 
     def test_anti_join_broadcast(self, spark, sf):
@@ -314,21 +314,21 @@ class TestDriverContract:
     def test_cross_round_official_coverage_is_total(self):
         """Every query is either inside this round's 50-entry driver
         window or already earned a green official row in the PREVIOUS
-        round (r09) — the rotation may not orphan anything, and
+        round (r10) — the rotation may not orphan anything, and
         consecutive rounds must jointly cover 100% of queries()."""
         import json
         import os
 
         window = set(list(entry.queries())[:50])
-        r09_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r09.json")
-        with open(r09_path, "r", encoding="utf-8") as f:
-            r09 = json.load(f)
-        certified_r09 = {
+        r10_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r10.json")
+        with open(r10_path, "r", encoding="utf-8") as f:
+            r10 = json.load(f)
+        certified_r10 = {
             name
-            for name, res in r09.items()
+            for name, res in r10.items()
             if res.get("rows_match") and res.get("schema_match") and res.get("hash_match")
         }
-        uncovered = set(entry.queries()) - window - certified_r09
+        uncovered = set(entry.queries()) - window - certified_r10
         assert not uncovered, f"never driver-certified: {sorted(uncovered)}"
 
     def test_registry_capped_at_window_arithmetic(self):
@@ -404,7 +404,7 @@ class TestRound5PlanShapes:
         assert final_section.count("Exchange hashpartitioning") <= 7
 
     def test_dsir_model_is_broadcast(self, spark, sf):
-        df = entry.queries()["curation_dsir_weights"](spark, sf)
+        df = entry.retired_queries()["curation_dsir_weights"](spark, sf)
         df.collect()
         plan = physical_plan(df)
         # the ≤ n_buckets-row log-ratio model joins the per-doc bucket
@@ -799,7 +799,7 @@ class TestRound8TailPlanShapes:
         the k-bounded results frame everything joins broadcast/hash on
         query keys — no sort-merge join, no cartesian product."""
         plan = physical_plan(
-            entry._STAGED_QUERIES["retrieval_quality_metrics"](spark, sf)
+            entry.queries()["retrieval_quality_metrics"](spark, sf)
         )
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
@@ -808,7 +808,7 @@ class TestRound8TailPlanShapes:
         """The benchmark gram probe must broadcast (eval suites are MBs
         against the corpus); the corpus side never cartesians."""
         plan = physical_plan(
-            entry._STAGED_QUERIES["curation_decon_spans"](spark, sf)
+            entry.queries()["curation_decon_spans"](spark, sf)
         )
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
@@ -819,7 +819,7 @@ class TestRound8TailPlanShapes:
         (segments + the narrow doc_id join-back), never one per
         consumer."""
         plan = physical_plan(
-            entry._STAGED_QUERIES["text_lang_segments"](spark, sf)
+            entry.queries()["text_lang_segments"](spark, sf)
         )
         assert plan.count("Scan parquet") <= 2
         assert "CartesianProduct" not in plan

@@ -84,6 +84,14 @@ def test_retired_set_is_exactly_the_certified_retirees():
         "events_tumbling_daily",  # tumbling ⊂ sliding: events_sliding_2day
         "metric_threshold_alarm",  # single-threshold ⊂ alarm_m_of_n_state + composite_alarm_rule
         "curation_corpus_diff",  # snapshot twin: corpus_diff_indexed (r9-certified)
+        # --- retired in the r11 window (siblings holding rows noted) ---
+        "json_extract_events",  # JSON scalar extraction ⊂ scalar_functions (r11 window)
+        "text_unigram_nll",  # unigram LM ⊂ text_bigram_nll (r11 window)
+        "curation_dsir_weights",  # ⊂ curation_dsir_resample, which composes the weights (r11 window)
+        "q4_order_priority",  # EXISTS-semi ⊂ q20_part_shippers + q21_sole_returner semi/anti shapes
+        "q12_priority_by_linestatus",  # conditional case-sum ⊂ q8_market_share + q14_promo_revenue_share
+        "q17_small_quantity_revenue",  # correlated per-group avg ⊂ q2_min_cost_supplier + q15_top_supplier
+        "q10_returned_revenue",  # join+group+sum ⊂ q3_shipping_priority + q5_local_supplier_volume
     }
 
 
