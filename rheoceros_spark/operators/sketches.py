@@ -249,12 +249,18 @@ def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 1024) -> Da
     size — CMS's bounded-state property, preserved under Spark's
     partial aggregation.  Sketches from disjoint slices merge by cell
     addition (sum ``cnt`` on ``(row, cell)``).
+
+    overflow: a cell count ≤ total input rows (≈1e11 documents /
+    ≈2.5e13 tokens at 100 TB) — far under 2^63, so bigint cell
+    addition is safe for any physically storable corpus.
     """
     if depth < 1 or width < 1:
         raise ValueError(f"cms_sketch: depth/width must be >= 1, got {depth}x{width}")
     cells = df.select(
         _cms_cells(col, depth, width)
     )
+    # overflow: a cell count ≤ total input rows (≈1e11 docs / ≈2.5e13
+    # tokens at 100 TB) — far under 2^63; bigint cell addition is safe.
     return cells.groupBy(
         F.col("rc.r").alias("row"), F.col("rc.c").alias("cell")
     ).agg(F.count(F.lit(1)).alias("cnt"))

@@ -587,6 +587,8 @@ def unigram_nll(
         # scan + one token shuffle), where two independent groupBys
         # over `toks` would scan and explode the corpus twice
         counts = per_doc_tok.groupBy("token").agg(F.sum("n").alias("cnt"))
+    # overflow: cnt ≤ __N = total corpus tokens ≈ 2.5e13 at 100 TB of
+    # text — 5 orders of magnitude under 2^63; bigint sums are safe.
     total = counts.agg(F.sum("cnt").alias("__N"))
     # Each term is quantized to an INTEGER (1e-7 nats) before the
     # per-doc sum: a double sum is addition-order dependent (shuffle
@@ -608,6 +610,9 @@ def unigram_nll(
             .alias("__lpq"),
         )
     )
+    # overflow: the Σ n·__lpq accumulator is PER-DOC (grouped by id):
+    # ≤ doc_tokens · ln(N)·1e7 ≈ doc_tokens · 4.4e8, under 2^63 for any
+    # document below ~2e10 tokens — no real document; bigint is safe.
     agg = scored.groupBy(id_col).agg(
         F.sum("n").cast("bigint").alias("n_scored"),
         F.round(
@@ -711,6 +716,8 @@ def bigram_nll(
         vocab = df.sparkSession.range(1).select(
             F.lit(float(vocab_size)).alias("__V")
         )
+    # overflow: c_v ≤ total corpus bigrams ≈ corpus tokens ≈ 2.5e13
+    # at 100 TB — far under 2^63; bigint is safe.
     prefix = bigram_counts.groupBy("v").agg(F.sum("cnt").alias("c_v"))
     scored = (
         per_doc_bg.join(bigram_counts, ["v", "w"], "left")
@@ -733,6 +740,9 @@ def bigram_nll(
             .alias("__lpq"),
         )
     )
+    # overflow: the Σ n·__lpq accumulator is PER-DOC (grouped by id):
+    # ≤ doc_tokens · ln(N)·1e7 ≈ doc_tokens · 4.4e8, under 2^63 for any
+    # document below ~2e10 tokens — no real document; bigint is safe.
     agg = scored.groupBy(id_col).agg(
         F.sum("n").cast("bigint").alias("n_scored"),
         F.round(
@@ -1038,6 +1048,11 @@ def bm25_topk(
     contrib = w_dt.join(F.broadcast(q_terms), "token").select(
         query_id_col, id_col, "__c"
     )
+    # overflow: Σ__c is PER (query, doc) — ≤ query_terms ·
+    # max(idf·tf_norm)·1e7 ≈ 1e4 · (ln(1+N)·(k1+1))·1e7 ≈ 1e13 even at
+    # N = 1e11 docs and a 10k-term query; bigint is safe.  The __tf /
+    # __df counts feeding it are per-doc / per-term doc counts, both
+    # ≤ corpus rows ≈ 1e11.
     scored = contrib.groupBy(query_id_col, id_col).agg(F.sum("__c").alias("__score_q"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("__score_q").desc(), F.col(id_col).asc())
     return (
@@ -1186,7 +1201,17 @@ def source_kl_drift(
     ratio = (
         F.col("__cst").cast("double") * F.col("__nc").cast("double")
     ) / (F.col("__cct").cast("double") * F.col("__ns").cast("double"))
-    term_q = F.col("__cst") * F.round(F.log(ratio) * F.lit(1e7)).cast("bigint")
+    # overflow: both the per-term product and the per-source sum are
+    # corpus-bound, so both run in decimal(38,0) (headroom 1e38; same
+    # discipline as the classifier gradient sums).  Per-term product:
+    # |__cst·lq| ≤ max_c c·ln(N/c)·1e7 = (N/e)·1e7 ≈ 9.2e19 at
+    # N = 2.5e13 tokens (≈100 TB of text) — already past 2^63 ≈ 9.2e18.
+    # Per-source sum: ≤ (source tokens)·max|lq| ≈ n_s·4.4e8, past 2^63
+    # once one source holds ~2e10 tokens.  The quantized lq itself is
+    # safe: |lq| ≤ ln(N)·1e7 ≈ 4.4e8.
+    term_q = F.col("__cst").cast("decimal(38,0)") * F.round(
+        F.log(ratio) * F.lit(1e7)
+    ).cast("bigint")
     return (
         per_src.join(corpus, "token")
         .join(F.broadcast(src_tot), source_col)
@@ -1707,6 +1732,10 @@ def bpe_fertility(
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            # overflow: the largest of these totals is bounded by the
+            # corpus byte count (chars ≥ words ≥ docs; BPE tokens ≤
+            # chars) — ≈1e14 at 100 TB of text, under 2^63 by 4+ orders
+            # of magnitude; bigint sums are safe.
             F.sum("__nw").cast("bigint").alias("total_words"),
             F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
             F.sum("__wc").cast("bigint").alias("total_word_chars"),
@@ -2520,6 +2549,9 @@ def pr_curve(
     w_all = Window.orderBy(F.col("bucket").desc()).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # overflow: tp/fp are cumulative DOC counts — ≤ corpus rows
+    # (≈1e11 documents at 100 TB), and the precision_q numerator peaks
+    # at tp·1e6 ≈ 1e17 — both under 2^63; bigint is safe.
     cum = per.select(
         "bucket",
         F.sum("n_pos").over(w_cum).cast("bigint").alias("tp"),
