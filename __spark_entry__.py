@@ -5274,6 +5274,134 @@ def dedup_exact_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# URL-level curation (round 11, staged for r12): the crawl-pipeline
+# stage upstream of all text processing — CCNet (Wenzek et al. 2020
+# §2) dedups by URL first, RefinedWeb (§G.1) canonicalizes + filters
+# URLs and caps domains before extraction.  The documents table
+# carries no URL column, so a deterministic fixture URL is derived
+# from doc_id — IDENTICAL SQL in both engines — exercising every
+# canonicalization rule: scheme/host case, userinfo, www, default +
+# non-default ports, missing/trailing-slash paths, %-escape case,
+# tracker params, param order, fragments, NULLs.
+# ---------------------------------------------------------------------------
+
+_URL_FIXTURE = """(CASE WHEN doc_id % 53 = 0 THEN NULL ELSE
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 11 = 0 THEN 'crawler:Pw@' ELSE '' END) ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+    'Host' || CAST(doc_id % 40 AS STRING) || '.Example.COM' ||
+    (CASE WHEN doc_id % 2 = 0 THEN ':443'
+          WHEN doc_id % 5 = 0 THEN ':8080'
+          WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END) ||
+    (CASE WHEN doc_id % 13 = 0 THEN ''
+          ELSE '/Dir%2f' || CAST(doc_id % 6 AS STRING) END) ||
+    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 17 = 0 THEN ''
+          ELSE '?utm_source=feed&b=' || CAST(doc_id % 3 AS STRING) ||
+               (CASE WHEN doc_id % 19 = 0 THEN '&fbclid=x9' ELSE '' END) ||
+               '&a=%2f' END) ||
+    (CASE WHEN doc_id % 6 = 0 THEN '#Frag' ELSE '' END)
+  END)"""
+
+#: suffix-blocked domains for the staged composition (kills the bare
+#: AND www. variants of two of the 40 fixture hosts)
+_URL_BLOCKED = ("host7.example.com", "host13.example.com")
+
+
+def _url_canonical_oracle() -> str:
+    from rheoceros_spark.operators.urls import (
+        canonical_url_duckdb_query,
+        url_domain_duckdb_sql,
+    )
+
+    blocked = " OR ".join(
+        f"(domain = '{b}' OR domain LIKE '%.{b}')" for b in _URL_BLOCKED
+    )
+    canon = canonical_url_duckdb_query("documents", _URL_FIXTURE, keep=["doc_id"])
+    return f"""
+    -- MATERIALIZED: DuckDB inlines CTEs by substitution (no cost
+    -- guard), and dom/WHERE reference these columns many times — the
+    -- inlined form re-expands the 13-level canonicalization pipeline
+    -- multiplicatively and hangs the optimizer
+    WITH canon AS MATERIALIZED (
+      {canon}
+    ), dom AS MATERIALIZED (
+      SELECT doc_id, canonical_url,
+             {url_domain_duckdb_sql('canonical_url')} AS domain
+      FROM canon
+    )
+    -- suffix blocking via an INDEPENDENT mechanism (equality + LIKE),
+    -- not the operator's suffix-array expansion; NULL domains are kept
+    SELECT doc_id, canonical_url, domain
+    FROM dom WHERE domain IS NULL OR NOT ({blocked})
+    """
+
+
+@q_staged("curation_url_canonical", oracle=_url_canonical_oracle())
+def curation_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + domain extraction + domain-rule blocking
+    (operators/urls.py url_canonicalize / url_domain / domain_filter —
+    RFC 3986 syntax normalization + RefinedWeb §G.1-style suffix
+    blocklist).  Pure per-row column algebra behind a pushdown
+    barrier; zero shuffle at any corpus size."""
+    from rheoceros_spark.operators.urls import (
+        domain_filter,
+        url_canonicalize,
+        url_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_FIXTURE)
+    )
+    out = domain_filter(
+        url_domain(url_canonicalize(docs), url_col="canonical_url"),
+        list(_URL_BLOCKED),
+        mode="block",
+    )
+    return out.select("doc_id", "canonical_url", "domain")
+
+
+def _dedup_exact_url_oracle() -> str:
+    from rheoceros_spark.operators.urls import canonical_url_duckdb_query
+
+    canon = canonical_url_duckdb_query(
+        "documents", _URL_FIXTURE, keep=["doc_id", "n_chars"]
+    )
+    return f"""
+    WITH canon AS MATERIALIZED (
+      {canon}
+    ), ranked AS (
+      SELECT doc_id, canonical_url,
+             row_number() OVER (
+               PARTITION BY canonical_url
+               ORDER BY coalesce(CAST(n_chars AS DOUBLE), '-infinity'::DOUBLE) DESC,
+                        doc_id ASC) AS rn
+      FROM canon WHERE canonical_url IS NOT NULL
+    )
+    SELECT doc_id, canonical_url FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, canonical_url FROM canon WHERE canonical_url IS NULL
+    """
+
+
+@q_staged("dedup_exact_url", oracle=_dedup_exact_url_oracle())
+def dedup_exact_url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-exact dedup with the quality-survivor rule (operators/
+    urls.py dedup_exact_url — CCNet §2's first dedup stage): one
+    survivor per canonical URL, keep the most characters, ties to min
+    id; rows that don't canonicalize pass through.  The winner shuffle
+    carries (32-byte md5, score, id) — never documents."""
+    from rheoceros_spark.operators.urls import dedup_exact_url
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_FIXTURE)
+    )
+    return dedup_exact_url(docs, score_col="n_chars").select(
+        "doc_id", "canonical_url"
+    )
+
+
 def _source_overlap_minhash_oracle(n: int = 8, num_hashes: int = 64) -> str:
     """Per-source MinHash signatures replayed in DuckDB: same h64 gram
     hashes, same affine permutations, min per permutation per source,

@@ -155,6 +155,8 @@ BENCH_EXT = [
     "pipeline_ccnet_corpus",
     "curation_source_overlap_minhash",
     "dedup_exact_best_docs",
+    "curation_url_canonical",
+    "dedup_exact_url",
 ]
 
 

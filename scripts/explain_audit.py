@@ -91,6 +91,8 @@ AUDIT = [
     "pipeline_ccnet_corpus",
     "curation_source_overlap_minhash",
     "dedup_exact_best_docs",
+    "curation_url_canonical",
+    "dedup_exact_url",
     # round-9: the composed stateless streaming gate, audited over a
     # batch frame (identical expression tree — that is the twin claim)
     "stream_curation_gate_batch_twin",

@@ -127,6 +127,10 @@ HEAVIES = [
     "curation_source_overlap_minhash",
     # keep-best exact dedup: same 32-byte-key shuffle as dedup_exact
     "dedup_exact_best_docs",
+    # URL canonicalize+domain+block: pure per-row algebra, zero shuffle
+    "curation_url_canonical",
+    # URL-exact dedup: 32-byte md5(canonical)-key shuffle, never text
+    "dedup_exact_url",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
@@ -184,6 +188,9 @@ ORACLE_AT_SF1 = [
     "curation_source_overlap_minhash",
     # keep-best oracle is one ranked window per md5 group — linear
     "dedup_exact_best_docs",
+    # URL oracles are per-row scalar pipelines (+ one ranked window)
+    "curation_url_canonical",
+    "dedup_exact_url",
 ]
 
 
