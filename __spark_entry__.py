@@ -5402,6 +5402,101 @@ def dedup_exact_url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# snapshot-scoped dedup + persisted tokenizer artifact (round 11,
+# staged for r12)
+# ---------------------------------------------------------------------------
+
+#: full corpus texts are unique at the test SFs, so the fixture
+#: injects deterministic duplicate groups (~1/7 of docs share one of
+#: 20 contents) that straddle the doc_id%3 snapshots — the scoped and
+#: cross-snapshot branches both fire; IDENTICAL SQL in both engines
+_SNAP_TEXT = (
+    "(CASE WHEN doc_id % 7 = 0 "
+    "THEN 'shared crawl page ' || CAST(doc_id % 20 AS STRING) "
+    "ELSE text END)"
+)
+
+
+def _snapshot_scoped_oracle() -> str:
+    normt = f"trim(regexp_replace(lower({_SNAP_TEXT}), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, doc_id % 3 AS snapshot, md5({normt}) AS fp
+      FROM documents WHERE {_SNAP_TEXT} IS NOT NULL
+    ), within AS (
+      SELECT snapshot, fp, min(doc_id) AS doc_id
+      FROM keyed GROUP BY snapshot, fp
+    ), firstsnap AS (
+      SELECT fp, min(snapshot) AS first_snap FROM keyed GROUP BY fp
+    )
+    SELECT w.doc_id, CAST(w.snapshot AS BIGINT) AS snapshot
+    FROM within w JOIN firstsnap f USING (fp)
+    WHERE w.snapshot = f.first_snap
+    UNION ALL
+    SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS snapshot
+    FROM documents WHERE {_SNAP_TEXT} IS NULL
+    """
+
+
+@q_staged("dedup_snapshot_scoped", oracle=_snapshot_scoped_oracle())
+def dedup_snapshot_scoped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot-scoped exact dedup (operators/dedup.py
+    dedup_snapshot_scoped — the FineWeb §4.4 per-snapshot discipline),
+    with the cross-snapshot earliest-wins pass on top (what an
+    APPEND-maintained fingerprint index yields incrementally; equality
+    pinned in tests/test_dedup_scoped.py).  ONE (snapshot, 32-byte md5)
+    winner shuffle + one fp-keyed min-snapshot aggregate — text never
+    shuffles."""
+    from rheoceros_spark.operators.dedup import dedup_snapshot_scoped
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SNAP_TEXT).alias("text"),
+        (F.col("doc_id") % 3).alias("snapshot"),
+    )
+    return dedup_snapshot_scoped(docs, cross_snapshot=True).select(
+        "doc_id", "snapshot"
+    )
+
+
+_BPE_TABLE_CACHE: dict[str, str] = {}
+
+
+@q_staged("text_bpe_persisted", oracle=_bpe_oracle())
+def text_bpe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization under a PERSISTED tokenizer artifact — the
+    train-once / tokenize-everywhere split (operators/text_analysis.py
+    bpe_table_write / bpe_table_read): the merge table round-trips
+    through parquet with loud-mismatch validation (scheme tag, rank
+    contiguity, training-order operands) before driving the same Arrow
+    encoder text_bpe_tokens certifies, so the artifact path must be
+    BIT-EQUAL to the in-memory path (shared oracle).  The streaming
+    twin stream_bpe_tokenize applies the same artifact per micro-batch
+    (parity in tests/test_dedup_scoped.py)."""
+    import tempfile
+
+    from rheoceros_spark.operators.text_analysis import (
+        BPE_DEMO_MERGES,
+        bpe_encode,
+        bpe_table_read,
+        bpe_table_write,
+    )
+
+    path = _BPE_TABLE_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="rheoceros_bpe_tbl_")
+        bpe_table_write(spark, BPE_DEMO_MERGES, path)
+        _BPE_TABLE_CACHE[sf_dir] = path
+    merges = bpe_table_read(spark.read.parquet(path))
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    return bpe_encode(docs, merges).select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("bpe_head"),
+    )
+
+
 def _source_overlap_minhash_oracle(n: int = 8, num_hashes: int = 64) -> str:
     """Per-source MinHash signatures replayed in DuckDB: same h64 gram
     hashes, same affine permutations, min per permutation per source,

@@ -157,6 +157,8 @@ BENCH_EXT = [
     "dedup_exact_best_docs",
     "curation_url_canonical",
     "dedup_exact_url",
+    "dedup_snapshot_scoped",
+    "text_bpe_persisted",
 ]
 
 

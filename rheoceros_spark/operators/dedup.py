@@ -146,6 +146,54 @@ def dedup_exact_best(
     return survivors.unionByName(null_rows)
 
 
+def dedup_snapshot_scoped(
+    df: DataFrame,
+    snapshot_col: str = "snapshot",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cross_snapshot: bool = False,
+) -> DataFrame:
+    """Crawl-snapshot-scoped exact dedup: :func:`dedup_exact`'s min-id
+    winner rule applied WITHIN each ``snapshot_col`` partition — the
+    FineWeb finding (Penedo et al. 2024 §4.4) that deduplicating each
+    crawl snapshot independently yields better training data than one
+    global cross-snapshot dedup (global dedup preferentially deletes
+    the high-quality pages that recur across snapshots).
+
+    ``cross_snapshot=True`` adds the incremental-pipeline semantic on
+    top: a content group also survives only in the EARLIEST snapshot
+    containing it (``snapshot_col`` must sort in crawl order) — exactly
+    what an APPEND-maintained fingerprint index produces when each new
+    snapshot is probed against it (:func:`~rheoceros_spark.operators.
+    curation.fingerprint_index_write` + anti-join, equality pinned in
+    tests/test_dedup_scoped.py), without ever rescanning old text.
+
+    Scale shape: ONE (snapshot, 32-byte md5) shuffle for the winner
+    aggregate (never text); ``cross_snapshot`` adds one fp-keyed
+    min-snapshot aggregate over the same narrow frame.  NULL-text rows
+    pass through untouched, and a NULL snapshot forms its own scope
+    (groupBy keeps NULL keys) — unscoped strays dedup among
+    themselves, never against a real snapshot.
+    """
+    key = F.md5(normalize_text(F.col(text_col))).alias("__key")
+    keyed = df.select(F.col(id_col), F.col(snapshot_col), key).where(
+        F.col("__key").isNotNull()
+    )
+    winners = keyed.groupBy(snapshot_col, "__key").agg(F.min(id_col).alias(id_col))
+    if cross_snapshot:
+        first = keyed.groupBy("__key").agg(
+            F.min(snapshot_col).alias("__first_snap")
+        )
+        winners = winners.join(first, "__key").where(
+            F.col(snapshot_col).eqNullSafe(F.col("__first_snap"))
+        )
+    survivors = df.where(F.col(text_col).isNotNull()).join(
+        winners.select(id_col), on=id_col, how="left_semi"
+    )
+    null_rows = df.where(F.col(text_col).isNull())
+    return survivors.unionByName(null_rows)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

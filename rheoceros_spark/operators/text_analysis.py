@@ -1688,6 +1688,88 @@ def bpe_train(
     return merges
 
 
+#: merge-table scheme recorded in persisted tokenizer artifacts — bump
+#: if the fold semantics or the pre-tokenizer ever change, so a stale
+#: artifact fails loudly instead of silently re-tokenizing differently
+BPE_TABLE_ALGO = "bpe_merge_v1"
+
+
+def bpe_table_write(
+    spark,
+    merges: list[tuple[str, str]],
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist a trained merge table as the TOKENIZER ARTIFACT — the
+    train-once / tokenize-everywhere split every production pipeline
+    runs (the tokenizer is versioned and shipped; re-training per job
+    would silently change every token id downstream).  Completes the
+    BPE family's artifact story the way ``ivf_write`` / ``logreg``
+    weight frames did for ANN and the classifiers.
+
+    Layout: (rank, lhs, rhs, bpe_algo) — rank is the training order the
+    sequential-fold equivalence proof depends on; the scheme tag makes
+    :func:`bpe_table_read` reject artifacts written under different
+    fold semantics.  The table is validated (``_check_merges``) BEFORE
+    writing: a malformed artifact should fail its producer, not every
+    future consumer.
+
+    Pass ``path=None`` for the unpersisted frame (custom sinks)."""
+    _check_merges(merges)
+    tbl = spark.createDataFrame(
+        [(i, a, b, BPE_TABLE_ALGO) for i, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string, bpe_algo string",
+    )
+    if path is not None:
+        tbl.write.mode(mode).parquet(path)
+        return spark.read.parquet(path)
+    return tbl
+
+
+def bpe_table_read(table: DataFrame) -> list[tuple[str, str]]:
+    """Load + validate a persisted merge table back into the list form
+    :func:`bpe_encode` / :func:`bpe_fertility` take.  Loud-mismatch
+    discipline (the ``_check_index_params`` convention): wrong columns,
+    a foreign ``bpe_algo`` tag, non-contiguous or duplicate ranks, and
+    out-of-training-order operands each raise with the reason — a
+    silently mis-ordered table would tokenize VALIDLY but differently,
+    the worst failure mode a tokenizer artifact can have.
+
+    The collect is the artifact, not data: merge tables are ≤ ~100k
+    rows (vocab-size-shaped) — the same bounded-artifact class as
+    centroids and classifier weights."""
+    missing = {"rank", "lhs", "rhs"} - set(table.columns)
+    if missing:
+        raise ValueError(
+            f"bpe merge table is missing column(s) {sorted(missing)} — "
+            "expected the (rank, lhs, rhs) layout written by bpe_table_write"
+        )
+    if "bpe_algo" in table.columns:
+        algos = sorted(
+            r[0] for r in table.select("bpe_algo").distinct().collect() if r[0]
+        )
+        if algos and algos != [BPE_TABLE_ALGO]:
+            raise ValueError(
+                f"bpe merge table carries bpe_algo values {algos!r}, this "
+                f"engine applies {BPE_TABLE_ALGO!r} — a foreign fold scheme "
+                "would tokenize differently; rebuild the artifact"
+            )
+    rows = table.select("rank", "lhs", "rhs").collect()
+    ranks = sorted(r["rank"] for r in rows)
+    if ranks != list(range(len(rows))):
+        raise ValueError(
+            f"bpe merge table ranks must be exactly 0..{len(rows) - 1} "
+            f"(got {ranks[:5]}{'...' if len(ranks) > 5 else ''}) — gaps or "
+            "duplicates mean rules were lost or doubled and the sequential "
+            "fold would diverge from training order"
+        )
+    merges = [
+        (r["lhs"], r["rhs"]) for r in sorted(rows, key=lambda r: r["rank"])
+    ]
+    _check_merges(merges)
+    return merges
+
+
 def bpe_fertility(
     df: DataFrame,
     merges: list[tuple[str, str]] | None = None,

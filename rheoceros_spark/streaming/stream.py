@@ -693,3 +693,29 @@ def stream_ccnet_gate(
         scored, ppl_thresholds, score_col="nll", group_col="pred_lang"
     )
     return gated.where(F.col("ppl_bucket").isin(*allowed_buckets))
+
+
+def stream_bpe_tokenize(
+    sdf: DataFrame,
+    merges,
+    text_col: str = "text",
+    impl: str = "sql",
+) -> DataFrame:
+    """Streaming twin of :func:`~rheoceros_spark.operators.text_analysis.
+    bpe_encode` under a PERSISTED tokenizer artifact: tokenize each
+    micro-batch row with a FIXED merge table — the tokenize-everywhere
+    half of the train-once/tokenize-everywhere split
+    (``bpe_table_write`` / ``bpe_table_read``).  Stateless: both impls
+    are per-row (the SQL fold is pure column algebra; the Arrow UDF is
+    stream-capable), no state store, no watermark, so micro-batched
+    output is bit-equal to the batch encoder (parity-tested in
+    tests/test_dedup_scoped.py).
+
+    ``merges`` is the artifact: a ``bpe_table_write`` frame (validated
+    + collected once at plan-build time — vocab-shaped, never data) or
+    an already-validated merge list."""
+    from rheoceros_spark.operators.text_analysis import bpe_encode, bpe_table_read
+
+    if isinstance(merges, DataFrame):
+        merges = bpe_table_read(merges)
+    return bpe_encode(sdf, merges, text_col=text_col, impl=impl)

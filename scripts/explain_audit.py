@@ -93,6 +93,8 @@ AUDIT = [
     "dedup_exact_best_docs",
     "curation_url_canonical",
     "dedup_exact_url",
+    "dedup_snapshot_scoped",
+    "text_bpe_persisted",
     # round-9: the composed stateless streaming gate, audited over a
     # batch frame (identical expression tree — that is the twin claim)
     "stream_curation_gate_batch_twin",

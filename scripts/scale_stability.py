@@ -131,6 +131,10 @@ HEAVIES = [
     "curation_url_canonical",
     # URL-exact dedup: 32-byte md5(canonical)-key shuffle, never text
     "dedup_exact_url",
+    # snapshot-scoped dedup: (snapshot, md5) winner shuffle + fp min-agg
+    "dedup_snapshot_scoped",
+    # persisted-artifact tokenize: the Arrow BPE scan, table from parquet
+    "text_bpe_persisted",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too)
 SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
@@ -191,6 +195,10 @@ ORACLE_AT_SF1 = [
     # URL oracles are per-row scalar pipelines (+ one ranked window)
     "curation_url_canonical",
     "dedup_exact_url",
+    # scoped-dedup oracle: two grouped mins over (snapshot, fp) — linear
+    "dedup_snapshot_scoped",
+    # artifact-tokenize oracle: the certified word-fold cascade — linear
+    "text_bpe_persisted",
 ]
 
 
