@@ -3943,6 +3943,13 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   scoped dedup, persisted-tokenizer scoring — see the @q_staged sites
 #   below), each paired with a weakest-marginal retirement from the
 #   r10-certified pool so r11 ∪ r12 stays 100/100 disjoint.
+#
+# ---- Round-13 certification batch (staged) --------------------------------
+# r13 registers the corpus-QA + diagnostics family staged later in
+#   round 11: curation_corpus_datasheet, curation_snapshot_drift,
+#   dedup_semantic_keep, scale_skew_report — each paired with a
+#   weakest-marginal retirement from the r11-certified pool so
+#   r12 ∪ r13 stays 100/100 disjoint.
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -6234,6 +6241,214 @@ def pipeline_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ppl_bucket").isin("head", "middle"))
         .select("doc_id", "pred_lang", "n_scored", "nll", "ppl_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-QA + diagnostics family (round 11 session 2, staged for r13):
+# the datasheet rollup, snapshot drift monitoring, the SemDeDup
+# keep-list, and the join-key skew profiler
+# ---------------------------------------------------------------------------
+
+
+def _corpus_datasheet_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT coalesce(CAST(source AS VARCHAR), '(null)') AS source,
+             coalesce(lang, '(null)') AS lang2,
+             md5({_NORM}) AS fp,
+             CASE WHEN text IS NULL OR length({_NORM}) = 0 THEN 0 ELSE 1 END AS ne,
+             CASE WHEN text IS NULL OR length({_NORM}) = 0
+                  THEN 0 ELSE len({_TOK}) END AS ntok,
+             coalesce(length(text), 0) AS nchars
+      FROM documents
+    ), base AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(1 - ne) AS BIGINT) AS n_empty,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             CAST(sum(nchars) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+      FROM d GROUP BY source
+    ), langs AS (
+      SELECT source, lang2, CAST(count(*) AS BIGINT) AS cnt
+      FROM d GROUP BY source, lang2
+    ), nl AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_langs FROM langs GROUP BY source
+    ), top AS (
+      SELECT source, lang2 AS top_lang, cnt AS top_lang_docs FROM (
+        SELECT source, lang2, cnt,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY cnt DESC, lang2 ASC) AS rn
+        FROM langs
+      ) WHERE rn = 1
+    )
+    SELECT b.source, b.n_docs, b.n_empty, b.total_tokens, b.total_chars,
+           b.n_distinct,
+           CAST(CAST(b.n_docs - b.n_distinct AS HUGEINT) * 1000000
+                // b.n_docs AS BIGINT) AS dup_rate_q,
+           nl.n_langs, t.top_lang, t.top_lang_docs
+    FROM base b JOIN nl USING (source) JOIN top t USING (source)
+    """
+
+
+@q_staged("curation_corpus_datasheet", oracle=_corpus_datasheet_oracle())
+def curation_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheet-for-the-corpus rollup (Gebru et al. 2021): per-source
+    composition stats — doc/empty counts, token and char volume, exact
+    dedup survivor count with quantized dup rate, language mix and the
+    dominant language (operators/curation.py corpus_datasheet; three
+    map-side-combined corpus-linear aggregates, 32-byte fingerprints
+    shuffle but text never does)."""
+    from rheoceros_spark.operators.curation import corpus_datasheet
+
+    return corpus_datasheet(load_table(spark, sf_dir, "documents"))
+
+
+def _snapshot_drift_oracle(bucket_width: int = 10, max_bucket: int = 20) -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id % 3 AS snap,
+             CAST(least(CASE WHEN text IS NULL OR length({_NORM}) = 0
+                             THEN 0 ELSE len({_TOK}) END
+                        // {bucket_width}, {max_bucket}) AS VARCHAR) AS len_bucket,
+             coalesce(lang, '(null)') AS lang2
+      FROM documents WHERE doc_id IS NOT NULL
+    ), unp AS (
+      SELECT snap, 'len_bucket' AS feature, len_bucket AS value FROM d
+      UNION ALL SELECT snap, 'lang' AS feature, lang2 AS value FROM d
+    ), hist AS (
+      SELECT snap, feature, value, CAST(count(*) AS BIGINT) AS cnt
+      FROM unp GROUP BY snap, feature, value
+    ), j AS (
+      SELECT coalesce(a.snap, b.snap - 1) AS snap_a,
+             coalesce(a.feature, b.feature) AS feature,
+             coalesce(a.cnt, 0) AS a, coalesce(b.cnt, 0) AS b
+      FROM hist a FULL OUTER JOIN hist b
+        ON a.snap = b.snap - 1 AND a.feature = b.feature AND a.value = b.value
+    )
+    SELECT snap_a, CAST(snap_a + 1 AS BIGINT) AS snap_b, feature,
+           CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_values_a,
+           CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_values_b,
+           CAST(sum(CAST(a - b AS HUGEINT) * (a - b) * 1000000
+                    // (a + b)) AS BIGINT) AS chi2_q
+    FROM j
+    WHERE snap_a IN (SELECT snap FROM d)
+      AND snap_a + 1 IN (SELECT snap FROM d)
+    GROUP BY snap_a, feature
+    """
+
+
+@q_staged("curation_snapshot_drift", oracle=_snapshot_drift_oracle())
+def curation_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between consecutive crawl snapshots (doc_id%3
+    as the snapshot key, the dedup_snapshot_scoped fixture convention):
+    per (snapshot pair, feature) the ×1e6-quantized chi-square drift
+    statistic over the length-bucket and language histograms — the
+    corpus-QA gate a rolling pipeline runs before admitting a new
+    crawl (operators/curation.py snapshot_drift; ONE corpus-linear
+    unpivoted groupBy, everything after is histogram-sized; the
+    polynomial chi-square form avoids the data-dependent-log libm seam
+    PSI/KL would open)."""
+    from rheoceros_spark.operators.curation import snapshot_drift
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .withColumn("snapshot", F.col("doc_id") % 3)
+    )
+    return snapshot_drift(docs)
+
+
+def _semantic_keep_oracle(k: int = 8, iters: int = 2, threshold: float = 0.4) -> str:
+    ctes, cfinal = _lloyd_ctes(k, iters)
+    ctes.append(f"""assigned AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+        FROM emb e, {cfinal} c
+      ) WHERE rn = 1
+    )""")
+    ctes.append(f"""pairs AS (
+      SELECT a, b FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               {_cos_sql('x.embedding', 'y.embedding')} AS cos
+        FROM assigned x JOIN assigned y
+          ON x.cell = y.cell AND x.vec_id < y.vec_id
+      ) WHERE cos >= {threshold}
+    )""")
+    ctes.append("""edges AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION SELECT b AS u, a AS v FROM pairs
+    )""")
+    ctes.append("""reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )""")
+    ctes.append("""clusters AS (
+      SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )""")
+    return f"""
+    WITH RECURSIVE {', '.join(ctes)}
+    SELECT e.vec_id,
+           coalesce(c.cluster_id, e.vec_id) AS keep_id,
+           coalesce(c.cluster_id, e.vec_id) <> e.vec_id AS is_dup
+    FROM emb e LEFT JOIN clusters c USING (vec_id)
+    """
+
+
+@q_staged("dedup_semantic_keep", oracle=_semantic_keep_oracle())
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's actionable output (Abbas et al. 2023 §3): semantic
+    near-dup pairs from trained k-means cells → connected components →
+    one exemplar per cluster, as a per-document (keep_id, is_dup)
+    frame — the learned-cell complement of dedup_keep_list's
+    MinHash-blocked pipeline (operators/dedup.py semantic_keep_list)."""
+    from rheoceros_spark.operators.dedup import semantic_keep_list
+
+    return semantic_keep_list(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, k=8, iters=2
+    )
+
+
+def _skew_report_oracle(top: int = 10) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ), totals AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM counts
+    ), head AS (
+      SELECT key, cnt, CAST(rn AS INT) AS rank FROM (
+        SELECT key, cnt,
+               row_number() OVER (ORDER BY cnt DESC, key ASC NULLS FIRST) AS rn
+        FROM counts
+      ) WHERE rn <= {top}
+    )
+    SELECT h.key, h.cnt, h.rank,
+           CAST(h.cnt * 1000000 // t.n_rows AS BIGINT) AS share_q,
+           t.n_rows, t.n_keys,
+           CAST(CAST(t.max_cnt AS HUGEINT) * t.n_keys * 1000000
+                // t.n_rows AS BIGINT) AS skew_q
+    FROM head h CROSS JOIN totals t
+    """
+
+
+@q_staged("scale_skew_report", oracle=_skew_report_oracle())
+def scale_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler over lineitem's supplier key — the
+    measurement that decides whether salting / AQE skew-split pays
+    BEFORE the shuffle hits one reducer (operators/scale.py
+    skew_report; one map-side-combined count shuffle, the head via
+    TakeOrderedAndProject so a near-unique key never funnels the keys
+    frame through one reducer)."""
+    from rheoceros_spark.operators.scale import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "lineitem"), "l_suppkey", top=10)
 
 
 # ===========================================================================

@@ -159,6 +159,10 @@ BENCH_EXT = [
     "dedup_exact_url",
     "dedup_snapshot_scoped",
     "text_bpe_persisted",
+    "curation_corpus_datasheet",
+    "curation_snapshot_drift",
+    "dedup_semantic_keep",
+    "scale_skew_report",
 ]
 
 

@@ -1927,3 +1927,253 @@ def ppl_bucket_assign(
     return j.withColumn("ppl_bucket", bucket).drop(
         "__sq", "__thr_head", "__thr_mid", "__thr_n"
     )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Datasheet-for-the-corpus rollup (Gebru et al. 2021, "Datasheets
+    for Datasets"): one row per ``group_col`` with the composition
+    stats every dataset card reports — the first artifact a curation
+    run publishes and the one a 100 TB pipeline recomputes per crawl:
+
+    * ``n_docs`` / ``n_empty``  — documents, and those with NULL or
+      whitespace-only text (they survive filters surprisingly often)
+    * ``total_tokens`` / ``total_chars`` — whitespace-token and raw
+      character volume (empty docs contribute 0, not 1 — the
+      ``string_split('')`` = ``['']`` trap both engines share)
+    * ``n_distinct`` — distinct normalized-text fingerprints, i.e.
+      what exact dedup would keep
+    * ``dup_rate_q`` — (n_docs − n_distinct)·1e6 // n_docs
+    * ``n_langs`` / ``top_lang`` / ``top_lang_docs`` — language mix
+      and the dominant language (ties on ascending lang; NULL langs
+      count as a real group — at crawl scale un-identified is a class)
+
+    The group key is stringified with NULL → ``(null)`` BEFORE
+    aggregating: the rollup stitches three aggregates back together by
+    the key, and a NULL key would silently vanish from the null-unsafe
+    equi-joins in any engine — precisely the rows a datasheet exists
+    to surface.
+
+    Scale shape: three corpus-linear, map-side-combined aggregations —
+    groupBy(group), groupBy(group, fp), groupBy(group, lang) — each
+    carrying counters only (the 32-byte md5 fingerprint shuffles, the
+    text never does); everything after is groups- or langs-sized,
+    with the dominant-language pick a WindowGroupLimit over the
+    (group, lang) counts.  Output is groups-sized.  All counters exact
+    BIGINTs; the ratio is ×1e6 integer-division quantized.
+    # overflow: total_tokens / total_chars ≤ corpus bytes (< 2^63 for
+    # any real corpus — 9.2 EB); dup_rate numerator ≤ n_docs·1e6 ≤
+    # 1e13·1e6 = 1e19 > 2^63 only past 9.2e12 docs per group, so the
+    # numerator is computed in decimal(38,0) and the quotient (≤ 1e6)
+    # returns to BIGINT.
+    """
+    norm = normalize_text(F.col(text_col))
+    d = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(null)")).alias(
+            group_col
+        ),
+        F.coalesce(F.col(lang_col), F.lit("(null)")).alias("__lang"),
+        F.md5(norm).alias("__fp"),
+        F.coalesce(F.length(norm), F.lit(0)).alias("__nlen"),
+        F.coalesce(F.length(F.col(text_col)).cast("bigint"), F.lit(0).cast("bigint")).alias(
+            "__nchars"
+        ),
+        F.size(F.split(norm, " ")).alias("__rawtok"),
+    ).withColumn(
+        "__ntok",
+        F.when(F.col("__nlen") == 0, F.lit(0).cast("bigint")).otherwise(
+            F.col("__rawtok").cast("bigint")
+        ),
+    )
+    base = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("__nlen") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty"),
+        F.sum("__ntok").cast("bigint").alias("total_tokens"),
+        F.sum("__nchars").cast("bigint").alias("total_chars"),
+    )
+    # distinct fingerprints via a sub-aggregation instead of
+    # count(DISTINCT ...) in `base`: multiple distinct aggregates make
+    # Catalyst Expand the corpus N× — two separate map-combined
+    # shuffles are strictly cheaper at scale.  NULL fp (NULL text)
+    # matches count(DISTINCT) semantics: not a fingerprint.
+    distinct_fp = (
+        d.where(F.col("__fp").isNotNull())
+        .groupBy(group_col, "__fp")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+    )
+    langs = d.groupBy(group_col, "__lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    n_langs = langs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_langs")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__cnt").desc(), F.col("__lang").asc()
+    )
+    top = (
+        langs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            group_col,
+            F.col("__lang").alias("top_lang"),
+            F.col("__cnt").alias("top_lang_docs"),
+        )
+    )
+    return (
+        base.join(distinct_fp, group_col, "left")
+        .join(n_langs, group_col)
+        .join(top, group_col)
+        .select(
+            group_col,
+            "n_docs",
+            "n_empty",
+            "total_tokens",
+            "total_chars",
+            F.coalesce(F.col("n_distinct"), F.lit(0).cast("bigint")).alias(
+                "n_distinct"
+            ),
+            F.expr(
+                "CAST(CAST(n_docs - coalesce(n_distinct, 0) AS DECIMAL(38,0))"
+                " * 1000000 div n_docs AS BIGINT)"
+            ).alias("dup_rate_q"),
+            "n_langs",
+            "top_lang",
+            "top_lang_docs",
+        )
+    )
+
+
+def snapshot_drift(
+    df: DataFrame,
+    snapshot_col: str = "snapshot",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    bucket_width: int = 10,
+    max_bucket: int = 20,
+) -> DataFrame:
+    """Distribution drift between CONSECUTIVE crawl snapshots — the
+    corpus-QA monitor a rolling pipeline runs before admitting a new
+    crawl (did the length profile or language mix shift?).  Two
+    feature histograms per snapshot:
+
+    * ``len_bucket`` — whitespace-token count bucketed as
+      ``least(n_tokens // bucket_width, max_bucket)`` (pure integer
+      bucketing: no libm, no data-dependent quantiles)
+    * ``lang``       — the language label (NULL as ``(null)``)
+
+    and per (snapshot s, snapshot s+1, feature) one drift row with the
+    ×1e6-quantized chi-square-style statistic
+
+        ``chi2_q = Σ_values ((a−b)² · 1e6) // (a+b)``
+
+    — a polynomial in exact integer counts (the PSI/KL alternatives
+    need data-dependent logarithms, a libm seam this codebase does not
+    cross; the chi-square form ranks drift identically for monitoring
+    purposes).  Missing values contribute their full count (b=0 side).
+
+    Scale shape: ONE corpus-linear map-side-combined groupBy
+    (snapshot, feature, value) — both features unpivoted in the same
+    pass — then a full-outer self-join and rollup on the
+    histogram-sized frame (snapshots × values rows, never corpus
+    rows).  Output is (snapshot pairs × 2) rows.
+    # overflow: (a−b)²·1e6 with a,b ≤ docs-per-(snapshot,value) —
+    # overflows 2^63 past ~3e6 docs per cell, so the numerator is
+    # decimal(38,0); each summand ≤ max(a,b)·1e6 and the sum ≤
+    # n_docs·1e6 < 2^63 below 9.2e12 docs per snapshot, so the
+    # returned chi2_q stays BIGINT.
+    """
+    if bucket_width < 1 or max_bucket < 1:
+        raise ValueError(
+            f"snapshot_drift: bucket_width/max_bucket must be >= 1, got "
+            f"{bucket_width}/{max_bucket}"
+        )
+    norm = normalize_text(F.col(text_col))
+    ntok = F.when(
+        F.coalesce(F.length(norm), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(norm, " ")))
+    d = df.where(F.col(snapshot_col).isNotNull()).select(
+        F.col(snapshot_col).cast("bigint").alias("__snap"),
+        F.least(
+            (ntok / F.lit(bucket_width)).cast("bigint"), F.lit(max_bucket).cast("bigint")
+        )
+        .cast("string")
+        .alias("__len_bucket"),
+        F.coalesce(F.col(lang_col), F.lit("(null)")).alias("__lang"),
+    )
+    unpivoted = d.select(
+        "__snap",
+        F.explode(
+            F.create_map(
+                F.lit("len_bucket"),
+                F.col("__len_bucket"),
+                F.lit("lang"),
+                F.col("__lang"),
+            )
+        ).alias("feature", "value"),
+    )
+    hist = unpivoted.groupBy("__snap", "feature", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    a = hist.select(
+        F.col("__snap").alias("snap_a"),
+        "feature",
+        "value",
+        F.col("cnt").alias("__a"),
+    )
+    b = hist.select(
+        (F.col("__snap") - F.lit(1)).alias("snap_a"),
+        "feature",
+        "value",
+        F.col("cnt").alias("__b"),
+    )
+    joined = a.join(b, ["snap_a", "feature", "value"], "full_outer").select(
+        "snap_a",
+        "feature",
+        F.coalesce(F.col("__a"), F.lit(0).cast("bigint")).alias("__a"),
+        F.coalesce(F.col("__b"), F.lit(0).cast("bigint")).alias("__b"),
+    )
+    # keep only pairs where BOTH snapshots exist in the data: the
+    # full-outer join also manufactures (min_snap − 1) and max_snap
+    # pseudo-pairs from the shift, which have an empty side by
+    # construction, not by drift
+    snaps = d.select("__snap").distinct()
+    valid = snaps.alias("s").join(
+        snaps.select((F.col("__snap") - F.lit(1)).alias("__snap")).alias("n"),
+        "__snap",
+    ).select(F.col("__snap").alias("snap_a"))
+    return (
+        joined.join(F.broadcast(valid), "snap_a")
+        .groupBy("snap_a", "feature")
+        .agg(
+            F.sum(F.when(F.col("__a") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_values_a"),
+            F.sum(F.when(F.col("__b") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_values_b"),
+            F.sum("__a").cast("bigint").alias("n_a"),
+            F.sum("__b").cast("bigint").alias("n_b"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST((__a - __b) AS DECIMAL(38,0)) * (__a - __b)"
+                    " * 1000000 div (__a + __b) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("chi2_q"),
+        )
+        .select(
+            "snap_a",
+            (F.col("snap_a") + F.lit(1)).cast("bigint").alias("snap_b"),
+            "feature", "n_a", "n_b",
+            "n_values_a", "n_values_b", "chi2_q",
+        )
+    )

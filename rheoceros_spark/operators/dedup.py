@@ -1292,3 +1292,38 @@ def decontaminate_spans(
     )
     sep = delim if delim is not None else " "
     return _rebuild_spans(corpus, marked, id_col, sep)
+
+
+def semantic_keep_list(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    k: int = 8,
+    iters: int = 2,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """The actionable end of SemDeDup (Abbas et al. 2023 §3: keep ONE
+    exemplar per semantic-duplicate cluster): :func:`semantic_dup_pairs`
+    → connected components → per-document (``keep_id``, ``is_dup``) —
+    the frame a curation job filters on, composed exactly like the
+    MinHash pipeline's :func:`~rheoceros_spark.operators.curation.
+    dedup_keep_list` but with TRAINED k-means cells bounding the
+    candidate set instead of LSH bands.
+
+    Scale shape: inherits semantic_dup_pairs' economics (broadcast
+    codebook, cell-equi-join candidates, O(Σ cell²) bounded by the
+    cell sizing rule) plus dup_clusters' O(log² n) label-propagation
+    rounds; the final left join is corpus × clustered-docs, never
+    pair-sized.  Deterministic end-to-end — representative is the
+    minimum id of the component, so re-runs and engines agree.
+    """
+    from rheoceros_spark.operators.curation import dedup_keep_list
+
+    pairs = semantic_dup_pairs(
+        df, vec_col=vec_col, id_col=id_col, threshold=threshold, k=k,
+        iters=iters, cents=cents,
+    )
+    return dedup_keep_list(
+        df.where(F.col(id_col).isNotNull()), pairs, id_col=id_col
+    )

@@ -164,6 +164,80 @@ def salted_join(
     return out.drop("__salt")
 
 
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+) -> DataFrame:
+    """Join/aggregation-key skew profiler — the measurement that tells
+    you whether :func:`salted_join` / :func:`salted_aggregate` (or
+    AQE's skew split) is worth turning on for a key, BEFORE the 100 TB
+    shuffle hits one reducer.  Profiles the ``top`` hottest key values
+    alongside the global shape of the distribution:
+
+    * ``key``      — the key value (stringified; NULL keys profile as
+      a real group — at scale NULL is the classic hot key)
+    * ``cnt``      — rows carrying that key
+    * ``rank``     — 1 = hottest (ties break on ascending key string)
+    * ``share_q``  — cnt·1e6 // total_rows (ppm of the table)
+    * ``n_rows`` / ``n_keys`` — table totals (repeated per row)
+    * ``skew_q``   — max_cnt·n_keys·1e6 // n_rows, i.e. the hottest
+      key's multiple of the mean key load ×1e6 — 1e6 means perfectly
+      uniform; ≳ 4e6 is where a salted/AQE-split shuffle starts to pay
+
+    Scale shape: ONE map-side-combined groupBy on the key (the same
+    shuffle the join would do, but carrying only (key, count)); the
+    head comes from ``orderBy(...).limit(top)`` — Spark's
+    TakeOrderedAndProject keeps a ``top``-sized heap per partition and
+    merges heaps on the driver, so a near-unique key (n_keys ≈ n_rows)
+    never funnels the keys frame through one reducer — and the rank
+    window runs on the ≤``top``-row result.  Totals are a scalar
+    aggregate of the counts frame.  All counters exact BIGINTs, ratios
+    ×1e6 integer-division quantized (the cross-engine discipline).
+    # overflow: max_cnt·n_keys·1e6 ≤ n_rows·n_keys·1e6 — at 1e13 rows
+    # × 1e6 distinct keys this exceeds 2^63, so the skew numerator is
+    # computed in decimal(38,0) and only the quotient (≤ n_keys·1e6)
+    # returns to BIGINT.
+    """
+    if top < 1:
+        raise ValueError(f"skew_report: top must be >= 1, got {top}")
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("__max_cnt"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_first())
+    head = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_first())
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+    return (
+        head.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            "rank",
+            F.expr("cnt * CAST(1000000 AS BIGINT) div n_rows")
+            .cast("bigint")
+            .alias("share_q"),
+            "n_rows",
+            "n_keys",
+            F.expr(
+                "CAST(CAST(__max_cnt AS DECIMAL(38,0)) * n_keys * 1000000"
+                " div n_rows AS BIGINT)"
+            ).alias("skew_q"),
+        )
+    )
+
+
 #: Catalyst runtime bloom-filter semi-join pushdown (SPARK-32268).
 #: At 100 TB this is the difference between scanning the whole fact
 #: side and scanning ~the matching fraction: the optimizer builds a

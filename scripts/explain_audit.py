@@ -95,6 +95,10 @@ AUDIT = [
     "dedup_exact_url",
     "dedup_snapshot_scoped",
     "text_bpe_persisted",
+    "curation_corpus_datasheet",
+    "curation_snapshot_drift",
+    "dedup_semantic_keep",
+    "scale_skew_report",
     # round-9: the composed stateless streaming gate, audited over a
     # batch frame (identical expression tree — that is the twin claim)
     "stream_curation_gate_batch_twin",

@@ -135,9 +135,31 @@ HEAVIES = [
     "dedup_snapshot_scoped",
     # persisted-artifact tokenize: the Arrow BPE scan, table from parquet
     "text_bpe_persisted",
+    # datasheet: three map-combined corpus-linear aggregates, text
+    # never shuffles (32-byte fp + counters only)
+    "curation_corpus_datasheet",
+    # snapshot drift: ONE unpivoted corpus-linear groupBy, histogram-
+    # sized everything after
+    "curation_snapshot_drift",
+    # skew profiler: one count shuffle + TakeOrdered head.
+    # dedup_semantic_keep is EXCLUDED for dedup_semantic_pairs' reason
+    # (verbatim replica embeddings → pair output grows ~100× by
+    # workload construction, not operator shape); its corpus-side scan
+    # and CC rounds are probed via dedup_keep_list instead.
+    "scale_skew_report",
 ]
-#: bench-only scalable dedup variants (not in queries(); timed here too)
-SCALABLE = ["dedup_minhash_lsh_scalable", "dedup_simhash_scalable"]
+#: bench-only scalable dedup variants (not in queries(); timed here too).
+#: retrieval_metrics_layer probes the metric battery at FIXED query
+#: count (VERDICT r10 ask #6): the registered query's dense-retrieval
+#: leg carves queries from the corpus (|Q|×|C| grows 100× at 10× data
+#: by workload construction, same exclusion as retrieval_hybrid_rrf),
+#: so the probe fixes |Q| to replica 0's carve and scales only the
+#: qrels side — growth must track the qrels scan, never retrieval.
+SCALABLE = [
+    "dedup_minhash_lsh_scalable",
+    "dedup_simhash_scalable",
+    "retrieval_metrics_layer",
+]
 #: subset whose DuckDB oracles are corpus-linear → safe to re-hash at sf1.
 #: dedup_keep_list stays timing-only: its oracle walks the pair graph
 #: with a recursive CTE (pair-quadratic in cluster size on DuckDB's
@@ -413,6 +435,35 @@ def main() -> None:
     from rheoceros_spark.operators import minhash_lsh_pairs, simhash_pairs
 
     def scalable(name, sf_dir):
+        if name == "retrieval_metrics_layer":
+            from rheoceros_spark.operators.similarity import retrieval_metrics
+
+            emb = load_table(spark, sf_dir, "embeddings").where(
+                F.col("vec_id").isNotNull()
+            )
+            # replica-0 carve: vec_id < ID_STRIDE holds at sf0.1 (ids
+            # 0..1999) and selects exactly the same 20 queries at sf1
+            queries = emb.where(
+                (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < ID_STRIDE)
+            ).select(F.col("vec_id").alias("query_id"))
+            # corpus-independent synthetic top-10 per query: the probe
+            # times the metric layer, not retrieval
+            results = queries.crossJoin(
+                spark.range(1, 11).select(F.col("id").cast("int").alias("rank"))
+            ).select(
+                "query_id",
+                (F.col("query_id") * 7 + F.col("rank")).alias("doc_id"),
+                "rank",
+            )
+            qrels = (
+                F.broadcast(queries)
+                .crossJoin(emb.select(F.col("vec_id").alias("doc_id")))
+                .where(
+                    (F.col("doc_id") % 7 == F.col("query_id") % 7)
+                    & (F.col("doc_id") != F.col("query_id"))
+                )
+            )
+            return retrieval_metrics(results, qrels, k=10)
         docs = load_table(spark, sf_dir, "documents")
         if name == "dedup_minhash_lsh_scalable":
             return minhash_lsh_pairs(docs, threshold=0.5)
