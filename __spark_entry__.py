@@ -3938,11 +3938,27 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration remains pure bookkeeping.
 #
 # ---- Round-12 certification batch (staged) --------------------------------
-# r12 registers: text_lang_classifier, pipeline_ccnet_corpus (staged r9)
-#   plus the new r11-staged operators (URL-curation family, snapshot-
-#   scoped dedup, persisted-tokenizer scoring — see the @q_staged sites
-#   below), each paired with a weakest-marginal retirement from the
-#   r10-certified pool so r11 ∪ r12 stays 100/100 disjoint.
+# r12 registers: text_lang_classifier, pipeline_ccnet_corpus (staged
+#   r9), curation_url_canonical, dedup_exact_url, dedup_snapshot_scoped,
+#   text_bpe_persisted (staged r11) — six registrations, each paired
+#   with a named weakest-marginal retirement from the r10-certified
+#   pool (sibling holding an official row in parentheses) so r11 ∪ r12
+#   stays 100/100 disjoint:
+#   text_token_count        (token counting ⊂ text_quality r10 +
+#                            text_bpe_fertility r11 real-token counts),
+#   text_fingerprint        (rolling-hash fp; the fingerprint family is
+#                            held by dedup_exact_docs r10 +
+#                            corpus_diff_indexed r9 +
+#                            dedup_substring_spans r9),
+#   dedup_embedding_blocked (hyperplane-blocked pair twin; embedding
+#                            near-dup held by dedup_semantic_pairs r10),
+#   curation_contamination  (n-gram containment ⊂ curation_decon_spans
+#                            r11 span-level + curation_semantic_decon),
+#   topk_orders             (global top-k ⊂ window_topn_per_group r9;
+#                            TakeOrdered shape re-certified by
+#                            scale_skew_report in r13),
+#   multimodal_frame_sample (same Arrow mapInPandas batch shape as
+#                            multimodal_features r10 + audio/video r9).
 #
 # ---- Round-13 certification batch (staged) --------------------------------
 # r13 registers the corpus-QA + diagnostics family staged later in

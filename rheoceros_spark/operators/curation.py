@@ -1989,6 +1989,12 @@ def corpus_datasheet(
             F.col("__rawtok").cast("bigint")
         ),
     )
+    # three aggregates consume this projection; materialize it lazily
+    # ONCE so the corpus (and the heavy text-column decode feeding the
+    # fingerprint/token expressions) is scanned a single time — the
+    # checkpointed frame is the NARROW (group, lang, 32-byte fp,
+    # counters) shape, ~1-2% of corpus bytes
+    d = d.localCheckpoint(eager=False)
     base = d.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.when(F.col("__nlen") == 0, 1).otherwise(0))
@@ -2119,9 +2125,12 @@ def snapshot_drift(
             )
         ).alias("feature", "value"),
     )
+    # the shift-join reads the histogram twice and the valid-snapshot
+    # probe once more: materialize the histogram-sized frame lazily
+    # ONCE so the corpus is scanned a single time
     hist = unpivoted.groupBy("__snap", "feature", "value").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    ).localCheckpoint(eager=False)
     a = hist.select(
         F.col("__snap").alias("snap_a"),
         "feature",
@@ -2144,7 +2153,9 @@ def snapshot_drift(
     # full-outer join also manufactures (min_snap − 1) and max_snap
     # pseudo-pairs from the shift, which have an empty side by
     # construction, not by drift
-    snaps = d.select("__snap").distinct()
+    # snapshots derive from the (already materialized) histogram, not
+    # from another corpus scan
+    snaps = hist.select("__snap").distinct()
     valid = snaps.alias("s").join(
         snaps.select((F.col("__snap") - F.lit(1)).alias("__snap")).alias("n"),
         "__snap",

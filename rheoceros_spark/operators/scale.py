@@ -207,6 +207,10 @@ def skew_report(
         df.select(F.col(key_col).cast("string").alias("key"))
         .groupBy("key")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # both consumers (totals scalar agg + TakeOrdered head) read the
+        # keys-sized counts frame: materialize it lazily ONCE or each
+        # branch re-runs the corpus scan + count shuffle
+        .localCheckpoint(eager=False)
     )
     totals = counts.agg(
         F.sum("cnt").cast("bigint").alias("n_rows"),

@@ -141,12 +141,13 @@ HEAVIES = [
     # snapshot drift: ONE unpivoted corpus-linear groupBy, histogram-
     # sized everything after
     "curation_snapshot_drift",
-    # skew profiler: one count shuffle + TakeOrdered head.
     # dedup_semantic_keep is EXCLUDED for dedup_semantic_pairs' reason
     # (verbatim replica embeddings → pair output grows ~100× by
     # workload construction, not operator shape); its corpus-side scan
     # and CC rounds are probed via dedup_keep_list instead.
-    "scale_skew_report",
+    # scale_skew_report's registered form reads lineitem, which the
+    # sf1 synthesizer does not replicate — probed as the
+    # skew_report_docs SCALABLE special over documents.source instead.
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too).
 #: retrieval_metrics_layer probes the metric battery at FIXED query
@@ -159,6 +160,7 @@ SCALABLE = [
     "dedup_minhash_lsh_scalable",
     "dedup_simhash_scalable",
     "retrieval_metrics_layer",
+    "skew_report_docs",
 ]
 #: subset whose DuckDB oracles are corpus-linear → safe to re-hash at sf1.
 #: dedup_keep_list stays timing-only: its oracle walks the pair graph
@@ -221,6 +223,10 @@ ORACLE_AT_SF1 = [
     "dedup_snapshot_scoped",
     # artifact-tokenize oracle: the certified word-fold cascade — linear
     "text_bpe_persisted",
+    # datasheet + drift oracles: grouped counts/distincts over the
+    # corpus, rollups histogram-sized — linear
+    "curation_corpus_datasheet",
+    "curation_snapshot_drift",
 ]
 
 
@@ -435,6 +441,12 @@ def main() -> None:
     from rheoceros_spark.operators import minhash_lsh_pairs, simhash_pairs
 
     def scalable(name, sf_dir):
+        if name == "skew_report_docs":
+            from rheoceros_spark.operators.scale import skew_report
+
+            return skew_report(
+                load_table(spark, sf_dir, "documents"), "source", top=10
+            )
         if name == "retrieval_metrics_layer":
             from rheoceros_spark.operators.similarity import retrieval_metrics
 
