@@ -536,3 +536,70 @@ def domain_filter(
     hit = F.arrays_overlap(F.col("__dsuf"), rule_arr)
     cond = ~F.coalesce(hit, F.lit(False)) if mode == "block" else F.coalesce(hit, F.lit(False))
     return d.where(cond).drop("__dparts", "__dsuf")
+
+
+#: fingerprint scheme tag recorded in every URL index row — a batch
+#: probing an index built under a different canonicalization would
+#: silently re-admit every re-crawled URL
+URL_INDEX_ALGO = "md5_rfc3986_canonical_v1"
+
+
+def url_index_write(
+    df: DataFrame,
+    path: str | None = None,
+    url_col: str = "url",
+    mode: str = "overwrite",
+    trackers: Sequence[str] = DEFAULT_TRACKER_PARAMS,
+) -> DataFrame:
+    """Persist the corpus's canonical-URL fingerprint index — the
+    standing state a continuous crawl ingest probes each micro-batch
+    against (:func:`~rheoceros_spark.streaming.stream.stream_dedup_url`)
+    without ever rescanning accepted documents, the URL-granular
+    sibling of :func:`~rheoceros_spark.operators.curation.
+    fingerprint_index_write`.
+
+    The index is DISTINCT (fp, fp_algo) rows — 32-char md5(canonical)
+    + the scheme tag — so the 100 TB crawl persists as a ~GB-scale
+    index; ``mode="append"`` is the incremental step for newly
+    accepted batches (appends are deduplicated per batch, and a fp
+    appearing in two appends is harmless: the probe is an anti-join).
+    Rows that don't canonicalize contribute nothing.  Pass
+    ``path=None`` for the unpersisted index plan.
+    """
+    keyed = url_canonicalize(df, url_col=url_col, out_col="__canon", trackers=trackers)
+    keyed = _barriered(keyed, "url_index_rows_in")
+    idx = (
+        keyed.where(F.col("__canon").isNotNull())
+        .select(F.md5(F.col("__canon")).alias("fp"))
+        .distinct()
+        .select("fp", F.lit(URL_INDEX_ALGO).alias("fp_algo"))
+    )
+    if path is not None:
+        idx.write.mode(mode).parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return idx
+
+
+def check_url_index(index: DataFrame) -> None:
+    """Fail fast on a structurally wrong or scheme-mismatched URL
+    index (the ``_check_fp_index`` / ``_check_index_params``
+    discipline: a mismatch tokenizes VALIDLY but wrongly, so it must
+    be loud)."""
+    if "fp" not in index.columns:
+        raise ValueError(
+            "URL index is missing the 'fp' column — expected the "
+            "(fp, fp_algo) layout written by url_index_write"
+        )
+    if "fp_algo" in index.columns:
+        # distinct, not limit(1): an APPEND-maintained index can mix
+        # schemes across appends
+        algos = sorted(
+            r[0] for r in index.select("fp_algo").distinct().collect() if r[0]
+        )
+        if algos and algos != [URL_INDEX_ALGO]:
+            raise ValueError(
+                f"URL index carries fp_algo values {algos!r}, this engine "
+                f"computes {URL_INDEX_ALGO!r} — URLs indexed under another "
+                "canonicalization would silently re-admit every re-crawl; "
+                "rebuild the index under one scheme"
+            )

@@ -719,3 +719,80 @@ def stream_bpe_tokenize(
     if isinstance(merges, DataFrame):
         merges = bpe_table_read(merges)
     return bpe_encode(sdf, merges, text_col=text_col, impl=impl)
+
+
+def stream_dedup_url(
+    sdf: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    accept: Callable[[DataFrame, int], None],
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = False,
+):
+    """Continuous-ingest URL-exact gate — the streaming twin of
+    :func:`~rheoceros_spark.operators.urls.dedup_exact_url` against a
+    persisted canonical-URL fingerprint index
+    (:func:`~rheoceros_spark.operators.urls.url_index_write`): each
+    micro-batch canonicalizes its URLs, keeps one row per canonical
+    URL within the batch (min-id winner), anti-joins the survivors'
+    fingerprints against the index (accepted crawls are never
+    rescanned — the index IS their URL memory), hands novel rows to
+    ``accept(novel_df, batch_id)``, and appends their fingerprints so
+    later batches dedup against everything accepted so far.
+
+    Semantics pinned in pytest: with ids ascending across batches, the
+    accepted set over a batch sequence equals ONE batch
+    ``dedup_exact_url`` over the concatenated ingest minus the initial
+    corpus — earliest-batch-wins composes with min-id-within-batch
+    exactly like the global min-id winner.  Rows that don't
+    canonicalize pass through every batch (the batch twin's NULL rule)
+    and never enter the index.
+
+    Scale shape: per micro-batch cost is one (32-byte md5) winner
+    shuffle within the batch plus an anti-join against the narrow
+    (fp, algo) index; the append is batch-sized.  Exactly-once via the
+    ``_batches/`` marker protocol of ``stream_dedup_against_index``
+    (replayed batches re-probe and re-``accept`` but skip the append;
+    ``accept`` must be idempotent).
+    """
+    from rheoceros_spark.operators.urls import (
+        URL_INDEX_ALGO,
+        check_url_index,
+        dedup_exact_url,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = spark.read.parquet(index_path)
+        check_url_index(index)
+        kept = dedup_exact_url(batch_df, url_col=url_col, id_col=id_col)
+        keyed = kept.withColumn("__fp", F.md5(F.col("canonical_url")))
+        # NULL __fp (un-canonicalizable) rows never equi-match → the
+        # left_anti keeps them, matching the batch twin's passthrough
+        novel = keyed.join(
+            index.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+        ).persist()
+        try:
+            accept(novel.drop("__fp"), batch_id)
+            marker = index_path.rstrip("/") + "/_batches/" + str(batch_id)
+            if _fs_exists(spark, marker):
+                return  # replay: this batch's fps are already indexed
+            new_fps = (
+                novel.where(F.col("__fp").isNotNull())
+                .select(F.col("__fp").alias("fp"))
+                .distinct()
+                .select("fp", F.lit(URL_INDEX_ALGO).alias("fp_algo"))
+            )
+            if new_fps.limit(1).count() > 0:
+                new_fps.write.mode("append").parquet(index_path)
+            save_content(spark, b"", marker)
+        finally:
+            novel.unpersist()
+
+    writer = sdf.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

@@ -227,3 +227,123 @@ class TestPlanShape:
         # the aggregate shuffles (md5 key, score, id) — text/url columns
         # never appear in the winner exchange
         assert "md5" in phys
+
+
+class TestUrlIndexAndStream:
+    """url_index_write / check_url_index / stream_dedup_url: the
+    URL-granular incremental-ingest gate (the fingerprint_index /
+    stream_dedup_against_index discipline at URL grain)."""
+
+    def test_index_roundtrip_distinct_and_tagged(self, spark, tmp_path):
+        from rheoceros_spark.operators.urls import (
+            URL_INDEX_ALGO,
+            check_url_index,
+            url_index_write,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "http://Example.com/a?utm_source=x"),
+                (2, "http://example.com:80/a"),  # same canonical as 1
+                (3, "https://other.org/b"),
+                (4, "not a url"),  # un-canonicalizable → not indexed
+            ],
+            "doc_id long, url string",
+        )
+        idx = url_index_write(df, path=str(tmp_path / "uidx"))
+        rows = idx.collect()
+        assert len(rows) == 2  # two distinct canonical URLs
+        assert all(r.fp_algo == URL_INDEX_ALGO for r in rows)
+        check_url_index(idx)  # must not raise
+
+    def test_check_url_index_rejects_foreign_scheme(self, spark):
+        from rheoceros_spark.operators.urls import check_url_index
+
+        bad = spark.createDataFrame(
+            [("aa", "sha1_other_v9")], "fp string, fp_algo string"
+        )
+        with pytest.raises(ValueError, match="fp_algo"):
+            check_url_index(bad)
+        with pytest.raises(ValueError, match="missing"):
+            check_url_index(spark.createDataFrame([("x",)], "nope string"))
+
+    def test_stream_accepts_equal_one_batch_dedup(self, spark, tmp_path):
+        """Accepted rows over a 2-micro-batch ingest against a seeded
+        index must equal ONE batch dedup_exact_url over the
+        concatenated ingest minus the initial corpus (ids ascend across
+        batches, so earliest-batch-wins ≡ global min-id winner) — and
+        the index must have grown by exactly the novel fingerprints."""
+        import time
+
+        from rheoceros_spark.operators.urls import (
+            dedup_exact_url,
+            url_canonicalize,
+            url_index_write,
+        )
+        from rheoceros_spark.streaming.stream import stream_dedup_url
+
+        schema = "doc_id long, url string"
+
+        def docs(rows):
+            return spark.createDataFrame(rows, schema)
+
+        corpus = [(1, "http://seen.com/page"), (2, "http://seen.com/other")]
+        b1 = [
+            (100, "http://seen.com/page?utm_source=x"),  # dups corpus
+            (101, "http://new.com/a"),                    # novel
+            (102, "http://new.com/a#frag"),               # in-batch dup of 101
+            (103, "::::"),                                # un-canonicalizable
+        ]
+        b2 = [
+            (200, "http://new.com/a"),   # dups batch-1's accept
+            (201, "http://fresh.io/z"),  # novel
+            (202, "%%%"),                # un-canonicalizable
+        ]
+
+        idx_path = str(tmp_path / "uidx")
+        url_index_write(docs(corpus), path=idx_path)
+
+        src = tmp_path / "src"
+        src.mkdir()
+        docs(b1).coalesce(1).write.parquet(str(src / "a"))
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+        docs(b2).coalesce(1).write.parquet(str(src / "b"))
+
+        accepted = []
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = stream_dedup_url(
+            sdf,
+            idx_path,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            accept=lambda df, bid: accepted.extend(
+                r.doc_id for r in df.collect()
+            ),
+            trigger_available_now=True,
+        ).start()
+        q.awaitTermination(180)
+
+        # batch twin: one dedup over corpus + all ingest, minus corpus
+        all_rows = docs(corpus + b1 + b2)
+        twin = {
+            r.doc_id
+            for r in dedup_exact_url(all_rows).collect()
+            if r.doc_id >= 100
+        }
+        assert sorted(accepted) == sorted(twin)
+        # novel canonical URLs (new.com/a, fresh.io/z) joined the index
+        idx = spark.read.parquet(idx_path)
+        assert idx.count() == 4
+        ing = url_canonicalize(docs(b1 + b2), out_col="c")
+        fps = {
+            r[0]
+            for r in ing.where(F.col("c").isNotNull())
+            .select(F.md5("c"))
+            .distinct()
+            .collect()
+        }
+        idx_fps = {r.fp for r in idx.collect()}
+        assert fps <= idx_fps  # every canonical ingest fp is indexed
