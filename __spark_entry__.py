@@ -3966,6 +3966,13 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   dedup_semantic_keep, scale_skew_report — each paired with a
 #   weakest-marginal retirement from the r11-certified pool so
 #   r12 ∪ r13 stays 100/100 disjoint.
+#
+# ---- Round-14 certification batch (staged) --------------------------------
+# r14 registers the mixture/audit family staged in round 11 session 3:
+#   curation_temperature_mix, text_sif_embed_topk,
+#   dedup_ngram_hotspots, text_char_entropy — each paired with a
+#   weakest-marginal retirement from the r12-certified pool so
+#   r13 ∪ r14 stays 100/100 disjoint.
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -6465,6 +6472,258 @@ def scale_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rheoceros_spark.operators.scale import skew_report
 
     return skew_report(load_table(spark, sf_dir, "lineitem"), "l_suppkey", top=10)
+
+
+# ---------------------------------------------------------------------------
+# mixture / audit family (round 11 session 3, staged for r14):
+# temperature-smoothed multilingual sampling, SIF-weighted hash
+# embeddings, the cross-document n-gram memorization audit, and the
+# character-entropy gibberish gate
+# ---------------------------------------------------------------------------
+
+
+def _temperature_mix_oracle(
+    alpha: float = 0.3, target_frac: float = 0.5
+) -> str:
+    """operators/curation.py temperature_mix_plan + the hash gate
+    reproduced: n_g^α quantized to exact 1e-6 BIGINTs BEFORE the
+    normalization sum (addition-order free), the rate expression in the
+    identical IEEE order, the shared _SAMPLE_BUCKET gate."""
+    return f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+      GROUP BY source
+    ), p AS (
+      SELECT source, n_docs,
+             CAST(floor(pow(CAST(n_docs AS DOUBLE), {alpha}) * 1000000 + 0.5)
+                  AS BIGINT) AS pa_q
+      FROM c
+    ), t AS (
+      SELECT sum(pa_q) AS sa, sum(n_docs) AS nn FROM p
+    ), plan AS (
+      SELECT p.source, p.n_docs,
+             CAST(floor(least(1.0,
+               {target_frac} * CAST(t.nn AS DOUBLE) * CAST(p.pa_q AS DOUBLE)
+               / CAST(t.sa AS DOUBLE) / CAST(p.n_docs AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS rate_q
+      FROM p, t
+    ), s AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+      FROM documents d JOIN plan ON d.source = plan.source
+      WHERE d.doc_id IS NOT NULL AND ({_SAMPLE_BUCKET}) < plan.rate_q
+      GROUP BY d.source
+    )
+    SELECT plan.source, plan.n_docs, plan.rate_q,
+           coalesce(s.n_sampled, 0) AS n_sampled
+    FROM plan LEFT JOIN s USING (source)
+    """
+
+
+@q_staged("curation_temperature_mix", oracle=_temperature_mix_oracle())
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixture sampling (XLM-R §3.1 / mT5 §3.2's
+    q_g ∝ p_g^α — the low-resource upsampling every multilingual
+    pretraining mix applies): the per-source keep-rate plan from ONE
+    groups-sized count aggregate, then the deterministic hash gate
+    drawn through a broadcast of that plan (operators/curation.py
+    temperature_mix).  Output: the plan plus the achieved per-group
+    sample counts — corpus scanned twice, shuffled never."""
+    from rheoceros_spark.operators.curation import (
+        temperature_mix,
+        temperature_mix_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = temperature_mix_plan(
+        docs, group_col="source", alpha=0.3, target_frac=0.5
+    ).localCheckpoint(eager=False)
+    sampled = temperature_mix(
+        docs, group_col="source", alpha=0.3, target_frac=0.5, seed=0, plan=plan
+    )
+    achieved = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled")
+    )
+    return plan.join(achieved, "source", "left").select(
+        "source",
+        "n_docs",
+        "rate_q",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("bigint")).alias("n_sampled"),
+    )
+
+
+def _sif_embed_topk_oracle(
+    dim: int = 32, vocab_size: int = 32, query_id: int = 0, k: int = 10
+) -> str:
+    """operators/text_analysis.py sif_embed (normalize=False) + brute
+    cosine_topk reproduced: wordcount → top-V head by (count desc,
+    token asc) → SIF weights a/(a+p) quantized to micro-unit BIGINTs in
+    the identical IEEE expression order, tail weight exactly 1e6, then
+    the hash_embed sign folds with each token's contribution scaled by
+    its weight, and the standard ordered-fold cosine rank."""
+    th = _H64.format(s="'0:' || t")
+    return f"""
+    WITH cn AS (
+      SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents, unnest(list_filter({_TOK}, t -> t <> '')) AS u(t)
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      GROUP BY t
+    ), tot AS (
+      SELECT sum(cnt) AS total FROM cn
+    ), head AS (
+      SELECT token, cnt FROM (
+        SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token ASC) AS rn
+        FROM cn
+      ) WHERE rn <= {vocab_size}
+    ), wm AS (
+      SELECT map(list(h.token ORDER BY h.token),
+                 list(CAST(floor(1e6 * (1e-3 / (1e-3 +
+                        CAST(h.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)))
+                        + 0.5) AS BIGINT) ORDER BY h.token)) AS mp
+      FROM head h, tot t
+    ), hemb AS (
+      SELECT doc_id AS vec_id,
+        list_transform(range(0, {dim}), d -> CAST(
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_filter({_TOK}, t -> t <> ''),
+              t -> coalesce(list_extract(map_extract(w.mp, t), 1), 1000000) *
+                   (2 * (({th} >> d) & 1) - 1))),
+            (acc, x) -> acc + x) AS DOUBLE)) AS embedding
+      FROM documents, wm w WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), qv AS (
+      SELECT embedding AS qv FROM hemb WHERE vec_id = {query_id}
+    )
+    SELECT vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_r
+    FROM (
+      SELECT h.vec_id, {_cos_sql('h.embedding', 'q.qv')} AS cos,
+             row_number() OVER (ORDER BY {_cos_sql('h.embedding', 'q.qv')} DESC,
+                                h.vec_id ASC) AS rank
+      FROM hemb h, qv q WHERE h.vec_id <> {query_id}
+    ) WHERE rank <= {k}
+    """
+
+
+@q_staged("text_sif_embed_topk", oracle=_sif_embed_topk_oracle())
+def text_sif_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIF-weighted model-free dense retrieval (Arora et al. 2017's
+    a/(a+p) smooth-inverse-frequency weighting over the hash_embed sign
+    projection — operators/text_analysis.py sif_embed): frequent tokens
+    are downweighted from ONE wordcount aggregate (head table a plan
+    literal, tail weight exactly 1.0), so the derived vectors track
+    content terms instead of stopword mass, then the ANN family's brute
+    cosine top-k ranks them unchanged."""
+    from rheoceros_spark.operators.similarity import cosine_topk
+    from rheoceros_spark.operators.text_analysis import sif_embed
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    emb = sif_embed(docs, dim=32, vocab_size=32, a=1e-3, normalize=False)
+    return cosine_topk(emb, query_id=0, k=10, id_col="doc_id").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "cos_r",
+    )
+
+
+def _ngram_hotspots_oracle(n: int = 8, min_df: int = 2, top: int = 50) -> str:
+    """operators/dedup.py ngram_hotspots reproduced: per-doc DISTINCT
+    full-length word n-grams (short docs contribute nothing), document
+    frequency per gram, (n_docs desc, gram asc) rank cut at top."""
+    tokf = f"list_filter({_TOK}, t -> t <> '')"
+    grams = (
+        f"CASE WHEN len({tokf}) >= {n} THEN "
+        f"list_distinct(list_transform("
+        f"range(1, greatest(1, len({tokf}) - {n - 1}) + 1), "
+        f"i -> array_to_string(list_slice({tokf}, i, i + {n - 1}), ' '))) "
+        f"ELSE [] END"
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id, unnest({grams}) AS gram
+      FROM documents WHERE doc_id IS NOT NULL
+    ), c AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS first_doc
+      FROM g GROUP BY gram HAVING count(*) >= {min_df}
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, gram, n_docs, first_doc FROM (
+      SELECT gram, n_docs, first_doc,
+             row_number() OVER (ORDER BY n_docs DESC, gram ASC) AS rank
+      FROM c
+    ) WHERE rank <= {top}
+    """
+
+
+@q_staged("dedup_ngram_hotspots", oracle=_ngram_hotspots_oracle())
+def dedup_ngram_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram memorization audit (Lee et al. 2022 /
+    Carlini et al. 2022: verbatim LM memorization tracks exactly these
+    repeated sequences): the word 8-grams recurring in the most
+    documents, ranked — the report-side counterpart of the span-dedup
+    rewriters (operators/dedup.py ngram_hotspots; the same corpus-
+    linear gram shuffle shape as dedup_substring_spans)."""
+    from rheoceros_spark.operators.dedup import ngram_hotspots
+
+    return ngram_hotspots(
+        load_table(spark, sf_dir, "documents"), n=8, min_df=2, top=50
+    )
+
+
+def _char_entropy_oracle(min_entropy_q: int = 1_500_000) -> str:
+    """operators/text_analysis.py char_entropy reproduced: per-char
+    histogram of the normalized text, each ln(count) quantized to an
+    exact 1e-7 BIGINT before the (order-free) sum, one final 1e-6
+    rounding; NULL text propagates NULL stats and keep=false."""
+    return f"""
+    WITH c AS (
+      SELECT doc_id, {_NORM} AS s,
+             list_transform(range(1, length({_NORM}) + 1),
+                            i -> substr({_NORM}, i, 1)) AS chars
+      FROM documents WHERE doc_id IS NOT NULL
+    ), e AS (
+      SELECT doc_id, length(s) AS L, chars, list_distinct(chars) AS dist
+      FROM c
+    ), f AS (
+      SELECT doc_id, L, dist,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_transform(dist, ch -> len(list_filter(chars, x -> x = ch))),
+                 n -> CAST(n AS BIGINT) *
+                      CAST(floor(ln(CAST(n AS DOUBLE)) * 1e7 + 0.5) AS BIGINT))),
+               (acc, x) -> acc + x) AS sq
+      FROM e
+    )
+    SELECT doc_id,
+           CAST(L AS BIGINT) AS doc_len,
+           CAST(CASE WHEN L = 0 THEN 0 ELSE len(dist) END AS BIGINT)
+             AS n_char_classes,
+           CASE WHEN L = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor((ln(CAST(L AS DOUBLE))
+                       - CAST(sq AS DOUBLE) / (1e7 * CAST(L AS DOUBLE)))
+                       * 1e6 + 0.5) AS BIGINT) END AS entropy_q,
+           coalesce(CASE WHEN L = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor((ln(CAST(L AS DOUBLE))
+                       - CAST(sq AS DOUBLE) / (1e7 * CAST(L AS DOUBLE)))
+                       * 1e6 + 0.5) AS BIGINT) END >= {min_entropy_q},
+             false) AS keep
+    FROM f
+    """
+
+
+@q_staged("text_char_entropy", oracle=_char_entropy_oracle())
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish gate (the crawl screen that catches
+    repeated-char spam at the low end and base64/hex blobs at the high
+    end — signals the word-level Gopher/C4 rules can't see): per-doc
+    Shannon entropy over the normalized char histogram in exact
+    quantized arithmetic, plus the keep verdict
+    (operators/text_analysis.py char_entropy; pure per-row column
+    algebra, zero shuffle)."""
+    from rheoceros_spark.operators.text_analysis import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "doc_len", "n_char_classes", "entropy_q", "keep"
+    )
 
 
 # ===========================================================================

@@ -163,6 +163,11 @@ BENCH_EXT = [
     "curation_snapshot_drift",
     "dedup_semantic_keep",
     "scale_skew_report",
+    # round-11 session-3 staging (mixture/audit family, slotted r14)
+    "curation_temperature_mix",
+    "text_sif_embed_topk",
+    "dedup_ngram_hotspots",
+    "text_char_entropy",
 ]
 
 

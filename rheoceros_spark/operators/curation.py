@@ -89,6 +89,118 @@ def stratified_hash_sample(
     return df.where(_bucket(F.col(key_col), seed) < thr)
 
 
+def temperature_mix_plan(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-smoothed sampling plan: per-group keep-rates that
+    reshape the corpus mixture toward ``q_g ∝ p_g^alpha`` (Conneau et
+    al. 2020, XLM-R §3.1; Xue et al. 2021, mT5 §3.2 — the standard
+    low-resource-language upsampling every multilingual pretraining
+    run applies before drawing batches).
+
+    With per-group counts ``n_g`` (``N = Σ n_g``) and a total budget of
+    ``target_frac·N`` documents, the smoothed mixture weight is
+    ``q_g = n_g^α / Σ n^α`` and the per-group keep-rate
+    ``r_g = min(1, target_frac·N·q_g / n_g)`` — α→1 preserves the
+    natural mixture, α→0 flattens it toward uniform.  ``n_g^α`` is
+    quantized to the 1e-6 grid BEFORE the cross-group normalization
+    sum so ``Σ n^α`` is an exact BIGINT (addition-order independent —
+    a raw double sum would depend on which engine adds the groups in
+    which order), and the final rate lands on the SAMPLE_BUCKETS grid,
+    so the downstream hash gate is cross-engine exact.
+
+    Returns one row per non-NULL group: (group, n_docs, rate_q) with
+    ``rate_q`` in micro-units ([0, 1e6]).
+
+    Scale shape: ONE groups-sized count aggregate (map-combined
+    partials — the corpus never shuffles); the normalization window
+    runs on the groups frame (≤ thousands of rows, plan-gate-safe
+    because the aggregate precedes it)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"temperature_mix: alpha must be in [0, 1], got {alpha}")
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(
+            f"temperature_mix: target_frac must be in (0, 1], got {target_frac}"
+        )
+    groups = (
+        df.where(F.col(id_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # overflow: pa_q ≤ 1e6·n_g^α ≤ 1e6·n_g and Σ pa_q ≤ 1e6·N — a 9.2e18
+    # BIGINT holds Σ pa_q for any corpus under 9.2e12 docs (100 TB of
+    # 10 KB docs is 1e10), so the exact integer normalization sum is safe.
+    pa_q = F.floor(
+        F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) * SAMPLE_BUCKETS
+        + F.lit(0.5)
+    ).cast("bigint")
+    w = Window.partitionBy()
+    planned = (
+        groups.withColumn("__pa_q", pa_q)
+        .withColumn("__sa", F.sum("__pa_q").over(w))
+        .withColumn("__n", F.sum("n_docs").over(w))
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(target_frac)
+        * F.col("__n").cast("double")
+        * F.col("__pa_q").cast("double")
+        / F.col("__sa").cast("double")
+        / F.col("n_docs").cast("double"),
+    )
+    return planned.select(
+        group_col,
+        "n_docs",
+        F.floor(rate * SAMPLE_BUCKETS + F.lit(0.5)).cast("bigint").alias("rate_q"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    plan: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Draw the temperature-smoothed sample: compute the
+    :func:`temperature_mix_plan` rates, broadcast them back onto the
+    corpus, and keep rows through the deterministic hash gate
+    (``_bucket(id) < rate_q`` — the same subset-monotone, engine-exact
+    gate every sampler in this module uses).  Rows with a NULL group
+    or NULL id are dropped (no rate is defined for them).
+
+    Pass a precomputed ``plan`` (the :func:`temperature_mix_plan`
+    frame, or one read back from storage) to skip the counting pass —
+    a caller that also REPORTS the plan would otherwise aggregate the
+    corpus twice.
+
+    Scale shape: the plan is groups-sized and broadcast; the corpus
+    pass is a per-row hash + filter — zero corpus shuffle, runs inside
+    the scan stage."""
+    if plan is None:
+        plan = temperature_mix_plan(
+            df,
+            group_col=group_col,
+            alpha=alpha,
+            target_frac=target_frac,
+            id_col=id_col,
+        )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        df.where(F.col(id_col).isNotNull())
+        .join(broadcast(plan.select(group_col, "rate_q")), group_col)
+        .where(_bucket(F.col(id_col), seed) < F.col("rate_q"))
+        .drop("rate_q")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -1327,3 +1327,72 @@ def semantic_keep_list(
     return dedup_keep_list(
         df.where(F.col(id_col).isNotNull()), pairs, id_col=id_col
     )
+
+
+def ngram_hotspots(
+    df: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    top: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Memorization-risk report: the word ``n``-grams that recur across
+    the most DOCUMENTS.  Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") and Carlini et al. 2022 both tie
+    verbatim LM memorization to exactly these cross-document repeated
+    sequences — this is the *audit* counterpart of the span-dedup
+    operators: instead of rewriting the corpus it surfaces the heaviest
+    offenders (boilerplate, licenses, chain letters) for a human or a
+    targeted filter.
+
+    Per document, the DISTINCT full-length n-grams (documents shorter
+    than ``n`` tokens contribute nothing — a truncated gram would alias
+    with real n-grams); then one (gram, doc) distinct aggregate counts
+    documents per gram.  Grams seen in ≥ ``min_df`` documents rank by
+    (n_docs desc, gram asc) and the top ``top`` are returned as
+    (rank, gram, n_docs, first_doc).
+
+    Scale shape: the same corpus-linear gram explode + fingerprint
+    shuffle as ``substring_span_dedup`` (sf1 ratio 1.40) — shuffle rows
+    are (gram, doc_id) with the gram text bounded at ``n`` words; the
+    ranking window runs post-aggregate on the gram-count frame and is
+    cut to ``min_df`` survivors first.  At petabyte scale, key the
+    shuffle by ``h64(gram)`` and carry ``min(gram)`` as the exemplar to
+    ship 8-byte keys instead of text — semantics identical modulo
+    60-bit collisions; the text key keeps the report collision-free."""
+    if n < 2:
+        raise ValueError(f"ngram_hotspots: n must be >= 2, got {n}")
+    if min_df < 2:
+        raise ValueError(f"ngram_hotspots: min_df must be >= 2, got {min_df}")
+    if top < 1:
+        raise ValueError(f"ngram_hotspots: top must be >= 1, got {top}")
+    toks_f = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    grams = F.when(
+        F.size(toks_f) >= n, F.array_distinct(word_ngrams(toks_f, n))
+    ).otherwise(F.array().cast("array<string>"))
+    from pyspark.sql import Window as W
+
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    # fan the scan out BEFORE the tokenize/explode CPU (the
+    # _minhash_docs lesson); a pre-split input makes this a no-op
+    counts = (
+        ensure_parallelism(
+            df.where(F.col(id_col).isNotNull()).select(id_col, text_col)
+        )
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= min_df)
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(W.partitionBy().orderBy(F.desc("n_docs"), F.asc("gram"))),
+    )
+    return ranked.where(F.col("rank") <= top).select(
+        F.col("rank").cast("bigint"), "gram", "n_docs", "first_doc"
+    )

@@ -99,6 +99,10 @@ AUDIT = [
     "curation_snapshot_drift",
     "dedup_semantic_keep",
     "scale_skew_report",
+    "curation_temperature_mix",
+    "text_sif_embed_topk",
+    "dedup_ngram_hotspots",
+    "text_char_entropy",
     # round-9: the composed stateless streaming gate, audited over a
     # batch frame (identical expression tree — that is the twin claim)
     "stream_curation_gate_batch_twin",

@@ -148,6 +148,17 @@ HEAVIES = [
     # scale_skew_report's registered form reads lineitem, which the
     # sf1 synthesizer does not replicate — probed as the
     # skew_report_docs SCALABLE special over documents.source instead.
+    # round-11 session-3 additions (mixture/audit family, staged r14):
+    # temperature mix = ONE groups-sized count + broadcast hash gate
+    # (sources unchanged by the synthesizer, so the plan stays
+    # groups-sized); sif topk = one wordcount shuffle + per-row folds +
+    # single-query brute cosine; hotspots = the substring-spans gram
+    # shuffle shape (replica-disjoint grams keep counts replica-local);
+    # char entropy = pure per-row histogram algebra, zero shuffle
+    "curation_temperature_mix",
+    "text_sif_embed_topk",
+    "dedup_ngram_hotspots",
+    "text_char_entropy",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too).
 #: retrieval_metrics_layer probes the metric battery at FIXED query
@@ -227,6 +238,14 @@ ORACLE_AT_SF1 = [
     # corpus, rollups histogram-sized — linear
     "curation_corpus_datasheet",
     "curation_snapshot_drift",
+    # r14-staged: temperature-mix oracle is groups-sized algebra + one
+    # gated count; sif oracle is the hash_embed-style per-row fold +
+    # single-query brute cosine; hotspots oracle is a gram equi-group;
+    # entropy oracle is a per-row histogram fold — all corpus-linear
+    "curation_temperature_mix",
+    "text_sif_embed_topk",
+    "dedup_ngram_hotspots",
+    "text_char_entropy",
 ]
 
 

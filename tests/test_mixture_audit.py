@@ -1,0 +1,310 @@
+"""Mixture/audit family (staged for r14): temperature-smoothed
+sampling, SIF-weighted hash embeddings, the n-gram memorization audit,
+and the character-entropy gate.
+
+The sf-corpus DuckDB parity for all four lives in tests/test_staged.py
+(parametrized over _STAGED_QUERIES); this file pins the semantics the
+fixture corpus can't exercise — NULL/empty text, NULL groups, the
+subset-monotone gate, hand-computed entropy values, the SIF tail-weight
+path, and short-document exclusion.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark.operators.curation import (
+    SAMPLE_BUCKETS,
+    temperature_mix,
+    temperature_mix_plan,
+)
+from rheoceros_spark.operators.dedup import ngram_hotspots
+from rheoceros_spark.operators.text_analysis import char_entropy, sif_embed
+
+DOCS = "doc_id bigint, text string, lang string"
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix
+# ---------------------------------------------------------------------------
+
+
+def _skewed_corpus(spark, n_a=400, n_b=40, n_c=4):
+    rows = (
+        [(i, f"text {i}", "a") for i in range(n_a)]
+        + [(1000 + i, f"text {i}", "b") for i in range(n_b)]
+        + [(2000 + i, f"text {i}", "c") for i in range(n_c)]
+    )
+    return spark.createDataFrame(rows, DOCS)
+
+
+def test_temperature_plan_alpha_one_is_proportional(spark):
+    """α=1 must keep the natural mixture: every rate == target_frac."""
+    plan = temperature_mix_plan(
+        _skewed_corpus(spark), group_col="lang", alpha=1.0, target_frac=0.25
+    )
+    rates = {r["lang"]: r["rate_q"] for r in plan.collect()}
+    assert rates == {"a": 250_000, "b": 250_000, "c": 250_000}
+
+
+def test_temperature_plan_upsamples_the_tail(spark):
+    """α<1 must raise the keep-rate of small groups above large ones
+    (the XLM-R low-resource upsampling property), and the hand-computed
+    quantized rate for the head group must match exactly."""
+    plan = temperature_mix_plan(
+        _skewed_corpus(spark), group_col="lang", alpha=0.3, target_frac=0.5
+    )
+    rows = {r["lang"]: r for r in plan.collect()}
+    assert rows["a"]["rate_q"] < rows["b"]["rate_q"] <= rows["c"]["rate_q"]
+    # hand-computed twin of the documented formula (exact-int pa_q)
+    pa = {g: math.floor(n**0.3 * 1e6 + 0.5) for g, n in [("a", 400), ("b", 40), ("c", 4)]}
+    sa, nn = sum(pa.values()), 444
+    for g, n in [("a", 400), ("b", 40), ("c", 4)]:
+        rate = min(1.0, 0.5 * nn * pa[g] / sa / n)
+        assert rows[g]["rate_q"] == math.floor(rate * SAMPLE_BUCKETS + 0.5)
+
+
+def test_temperature_rate_caps_at_one(spark):
+    """A tiny group whose smoothed share exceeds its size caps at 1e6
+    (you cannot keep more documents than exist)."""
+    df = _skewed_corpus(spark, n_a=1000, n_b=10, n_c=2)
+    plan = temperature_mix_plan(df, group_col="lang", alpha=0.0, target_frac=0.9)
+    rows = {r["lang"]: r["rate_q"] for r in plan.collect()}
+    assert rows["c"] == SAMPLE_BUCKETS  # capped
+    assert rows["a"] < SAMPLE_BUCKETS
+
+
+def test_temperature_mix_gate_is_subset_monotone(spark):
+    """Raising target_frac must only ADD documents (the hash-bucket
+    gate property every sampler in the module shares)."""
+    df = _skewed_corpus(spark)
+    small = {
+        r["doc_id"]
+        for r in temperature_mix(
+            df, group_col="lang", alpha=0.3, target_frac=0.2
+        ).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in temperature_mix(
+            df, group_col="lang", alpha=0.3, target_frac=0.6
+        ).collect()
+    }
+    assert small <= big
+    assert len(small) < len(big)
+
+
+def test_temperature_mix_drops_null_group_and_null_id(spark):
+    df = spark.createDataFrame(
+        [(1, "t", "a"), (2, "t", None), (None, "t", "a"), (3, "t", "a")], DOCS
+    )
+    out = temperature_mix(df, group_col="lang", alpha=0.5, target_frac=1.0)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3} - {2}
+
+
+def test_temperature_mix_rejects_bad_params(spark):
+    df = _skewed_corpus(spark, 4, 4, 4)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix_plan(df, alpha=1.5)
+    with pytest.raises(ValueError, match="target_frac"):
+        temperature_mix_plan(df, target_frac=0.0)
+
+
+# ---------------------------------------------------------------------------
+# sif_embed
+# ---------------------------------------------------------------------------
+
+
+def test_sif_embed_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, None, "en"), (2, "", "en"), (3, "only words here", "en")], DOCS
+    )
+    out = {r["doc_id"]: r["embedding"] for r in sif_embed(df, dim=4).collect()}
+    assert out[1] is None
+    assert out[2] == [0.0, 0.0, 0.0, 0.0]
+    assert any(v != 0.0 for v in out[3])
+
+
+def test_sif_embed_downweights_frequent_tokens(spark):
+    """With a = p(rare), the stopword-heavy doc's vector must shrink
+    relative to hash_embed's unweighted projection: the 'the' weight is
+    a/(a+p_the) << 1 while the rare token stays near 1."""
+    rows = [(i, "the the the the the the the the", "en") for i in range(9)]
+    rows.append((9, "the zyzzyva", "en"))
+    df = spark.createDataFrame(rows, DOCS)
+    emb = {r["doc_id"]: r["embedding"] for r in sif_embed(df, dim=8, a=0.01).collect()}
+    # 73 'the' tokens of 74 total; the exact quantized weights from the
+    # documented formula — components are ±wq sums
+    wq_the = math.floor(1e6 * (0.01 / (0.01 + 73 / 74)) + 0.5)
+    wq_rare = math.floor(1e6 * (0.01 / (0.01 + 1 / 74)) + 0.5)
+    assert wq_the < 0.03 * wq_rare  # the downweighting is drastic
+    the_mag = max(abs(v) for v in emb[0])
+    assert the_mag == 8 * wq_the  # 8 tokens × wq(the), all dims ±sum
+    mixed = emb[9]
+    assert max(abs(v) for v in mixed) >= wq_rare - wq_the  # zyzzyva dominates
+
+
+def test_sif_embed_tail_weight_is_exactly_one(spark):
+    """Tokens outside the top-V head take weight exactly 1.0 (1e6
+    micro-units) — with vocab_size=1 only the single most frequent
+    token is downweighted."""
+    df = spark.createDataFrame(
+        [(1, "common common common common rare", "en")], DOCS
+    )
+    out = sif_embed(df, dim=4, vocab_size=1, a=1e-3).collect()[0]["embedding"]
+    # rare token contributes ±1e6 per dim; common ≈ 4·wq(common) with
+    # wq = floor(1e6·(.001/(.001+4/5))+.5) = 1248 → |component| is
+    # dominated by the rare token's 1e6
+    assert max(abs(v) for v in out) >= 1_000_000 - 4 * 1249
+
+
+def test_sif_embed_join_impl_matches_rowfold(spark):
+    """The broadcast-join projection (the large-vocab 100 TB path) must
+    be bit-identical to the plan-literal row fold — same order-free
+    BIGINT component sums, including repeated tokens, tail tokens,
+    empty text (zero vector) and NULL text (NULL vector)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the the cat sat on the mat", "en"),
+            (2, "a b c d e f g h", "en"),
+            (3, "", "en"),
+            (4, None, "en"),
+            (5, "the the the", "en"),
+        ],
+        DOCS,
+    )
+    for normalize in (False, True):
+        fold = {
+            r["doc_id"]: r["embedding"]
+            for r in sif_embed(
+                df, dim=12, vocab_size=3, a=0.05, impl="rowfold", normalize=normalize
+            ).collect()
+        }
+        join = {
+            r["doc_id"]: r["embedding"]
+            for r in sif_embed(
+                df, dim=12, vocab_size=3, a=0.05, impl="join", normalize=normalize
+            ).collect()
+        }
+        assert fold == join
+    assert fold[4] is None
+    assert fold[3] == [0.0] * 12
+
+
+def test_sif_embed_auto_picks_join_for_large_vocab(spark):
+    """vocab_size > 128 must route away from the O(V)-per-token literal
+    map (auto → join works; an explicit large rowfold is refused)."""
+    df = spark.createDataFrame([(1, "x y z", "en")], DOCS)
+    assert sif_embed(df, dim=4, vocab_size=300).count() == 1  # auto → join
+    with pytest.raises(ValueError, match="rowfold"):
+        sif_embed(df, dim=4, vocab_size=300, impl="rowfold")
+
+
+def test_sif_embed_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "x", "en")], DOCS)
+    with pytest.raises(ValueError, match="dim"):
+        sif_embed(df, dim=0)
+    with pytest.raises(ValueError, match="vocab_size"):
+        sif_embed(df, vocab_size=10_000)
+    with pytest.raises(ValueError, match="a must"):
+        sif_embed(df, a=0.0)
+
+
+def test_sif_embed_normalized_is_unit_length(spark):
+    df = spark.createDataFrame([(1, "a b c d e f", "en")], DOCS)
+    v = sif_embed(df, dim=16, normalize=True).collect()[0]["embedding"]
+    assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# ngram_hotspots
+# ---------------------------------------------------------------------------
+
+
+def test_hotspots_counts_documents_not_occurrences(spark):
+    """A gram repeated WITHIN one doc counts once; ranking is by the
+    number of documents containing it."""
+    boiler = "all rights reserved by the original author"  # 7 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} intro {boiler}", "en"),  # twice in one doc
+            (2, f"preface {boiler}", "en"),
+            (3, f"{boiler} epilogue", "en"),
+            (4, "completely unrelated text with many different words", "en"),
+        ],
+        DOCS,
+    )
+    out = ngram_hotspots(df, n=7, min_df=2, top=10).collect()
+    by_gram = {r["gram"]: r for r in out}
+    assert by_gram[boiler]["n_docs"] == 3
+    assert by_gram[boiler]["first_doc"] == 1
+    assert out[0]["gram"] == boiler and out[0]["rank"] == 1
+
+
+def test_hotspots_short_docs_contribute_nothing(spark):
+    """Documents shorter than n tokens must NOT emit truncated grams
+    that alias with real n-grams."""
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b c", "en"), (3, "a b c d", "en")], DOCS
+    )
+    assert ngram_hotspots(df, n=4, min_df=2, top=5).count() == 0
+    out = ngram_hotspots(df, n=3, min_df=2, top=5).collect()
+    assert [(r["gram"], r["n_docs"]) for r in out] == [("a b c", 3)]
+
+
+def test_hotspots_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "x y", "en")], DOCS)
+    for kw in ({"n": 1}, {"min_df": 1}, {"top": 0}):
+        with pytest.raises(ValueError):
+            ngram_hotspots(df, **kw)
+
+
+# ---------------------------------------------------------------------------
+# char_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_hand_computed_values(spark):
+    """Exact micro-nat values from the documented quantized formula."""
+    df = spark.createDataFrame(
+        [(1, "aaaa", "en"), (2, "abcd", "en"), (3, "aabb", "en")], DOCS
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    # 'aaaa': H = ln(4) - 4·lnq(4)/(1e7·4) with lnq = floor(ln(4)·1e7+.5)
+    lnq4 = math.floor(math.log(4.0) * 1e7 + 0.5)
+    h_aaaa = math.floor((math.log(4.0) - 4 * lnq4 / (1e7 * 4)) * 1e6 + 0.5)
+    assert out[1]["entropy_q"] == h_aaaa == 0
+    # 'abcd': uniform over 4 → exactly ln(4) (lnq(1)=0)
+    assert out[2]["entropy_q"] == math.floor(math.log(4.0) * 1e6 + 0.5)
+    assert out[2]["n_char_classes"] == 4
+    # 'aabb': ln(4) − 2·2·lnq(2)/(1e7·4) = ln(2) up to quantization
+    lnq2 = math.floor(math.log(2.0) * 1e7 + 0.5)
+    assert out[3]["entropy_q"] == math.floor(
+        (math.log(4.0) - 4 * lnq2 / (1e7 * 4)) * 1e6 + 0.5
+    )
+
+
+def test_char_entropy_null_and_empty(spark):
+    df = spark.createDataFrame([(1, None, "en"), (2, "   ", "en")], DOCS)
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[1]["entropy_q"] is None and out[1]["keep"] is False
+    # whitespace-only normalizes to empty: len 0, 0 classes, entropy 0
+    assert (
+        out[2]["doc_len"],
+        out[2]["n_char_classes"],
+        out[2]["entropy_q"],
+        out[2]["keep"],
+    ) == (0, 0, 0, False)
+
+
+def test_char_entropy_gate_separates_spam_from_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "z" * 200, "en"),  # repeated-char spam: H ≈ 0
+            (2, "the quick brown fox jumps over the lazy dog", "en"),
+        ],
+        DOCS,
+    )
+    out = {r["doc_id"]: r["keep"] for r in char_entropy(df).collect()}
+    assert out == {1: False, 2: True}
