@@ -6483,12 +6483,17 @@ def scale_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _temperature_mix_oracle(
-    alpha: float = 0.3, target_frac: float = 0.5
+    alpha: float = 0.3125, target_frac: float = 0.5
 ) -> str:
     """operators/curation.py temperature_mix_plan + the hash gate
-    reproduced: n_g^α quantized to exact 1e-6 BIGINTs BEFORE the
-    normalization sum (addition-order free), the rate expression in the
-    identical IEEE order, the shared _SAMPLE_BUCKET gate."""
+    reproduced: n_g^α as the identical sqrt composition (α on the 1/16
+    grid — libm pow is refused per the source_mixture_weights rule),
+    quantized to exact 1e-6 BIGINTs BEFORE the normalization sum
+    (addition-order free), the rate expression in the identical IEEE
+    order, the shared _SAMPLE_BUCKET gate."""
+    from rheoceros_spark.operators.curation import sqrt_pow_sql
+
+    pa = sqrt_pow_sql("CAST(n_docs AS DOUBLE)", round(alpha * 16))
     return f"""
     WITH c AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs
@@ -6496,7 +6501,7 @@ def _temperature_mix_oracle(
       GROUP BY source
     ), p AS (
       SELECT source, n_docs,
-             CAST(floor(pow(CAST(n_docs AS DOUBLE), {alpha}) * 1000000 + 0.5)
+             CAST(floor(({pa}) * 1000000 + 0.5)
                   AS BIGINT) AS pa_q
       FROM c
     ), t AS (
@@ -6536,10 +6541,10 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     plan = temperature_mix_plan(
-        docs, group_col="source", alpha=0.3, target_frac=0.5
+        docs, group_col="source", alpha=0.3125, target_frac=0.5
     ).localCheckpoint(eager=False)
     sampled = temperature_mix(
-        docs, group_col="source", alpha=0.3, target_frac=0.5, seed=0, plan=plan
+        docs, group_col="source", alpha=0.3125, target_frac=0.5, seed=0, plan=plan
     )
     achieved = sampled.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled")

@@ -89,10 +89,59 @@ def stratified_hash_sample(
     return df.where(_bucket(F.col(key_col), seed) < thr)
 
 
+def _alpha_sixteenths(alpha: float) -> int:
+    """Validate ``alpha`` onto the 1/16 dyadic grid and return k = 16α.
+
+    General ``pow(x, a)`` is refused for the same reason
+    :func:`source_mixture_weights` refuses it: Java's and C's libm
+    disagree in the last ulp, which would break the bit-exact oracle
+    gate.  On the 1/16 grid every power is a fixed composition of IEEE
+    ``sqrt`` (correctly rounded on every engine) and double
+    multiplications (exact IEEE ops), so both engines compute the
+    identical bits.  5/16 = 0.3125 sits on the grid next to the
+    XLM-R/mT5 α = 0.3."""
+    k = round(alpha * 16)
+    if not 0 <= k <= 16 or abs(alpha * 16 - k) > 1e-12:
+        raise ValueError(
+            "temperature_mix: alpha must lie on the 1/16 grid in [0, 1] "
+            f"(k/16 — sqrt-composable, engine-exact; see source_mixture_weights "
+            f"for why raw pow is refused), got {alpha}"
+        )
+    return k
+
+
+def _sqrt_pow(x: Column, k16: int) -> Column:
+    """``x^(k16/16)`` for x > 0 as a product of k-fold IEEE sqrts:
+    x^(k/16) = Π over set bits b_i of (sqrt∘…∘sqrt)(x), i applications
+    for bit value 1/2^i — every factor correctly rounded, the product
+    order fixed, so the result is bit-identical across engines."""
+    if k16 == 16:
+        return x
+    out: Optional[Column] = None
+    r = x
+    for i in range(1, 5):  # r = x^(1/2^i)
+        r = F.sqrt(r)
+        if (k16 >> (4 - i)) & 1:
+            out = r if out is None else out * r
+    return out if out is not None else F.lit(1.0)
+
+
+def sqrt_pow_sql(expr: str, k16: int) -> str:
+    """DuckDB twin of :func:`_sqrt_pow` — identical factor and product
+    order."""
+    if k16 == 16:
+        return expr
+    parts = []
+    for i in range(1, 5):
+        if (k16 >> (4 - i)) & 1:
+            parts.append("sqrt(" * i + expr + ")" * i)
+    return " * ".join(parts) if parts else "1.0"
+
+
 def temperature_mix_plan(
     df: DataFrame,
     group_col: str = "lang",
-    alpha: float = 0.3,
+    alpha: float = 0.3125,
     target_frac: float = 0.5,
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -106,7 +155,11 @@ def temperature_mix_plan(
     ``target_frac·N`` documents, the smoothed mixture weight is
     ``q_g = n_g^α / Σ n^α`` and the per-group keep-rate
     ``r_g = min(1, target_frac·N·q_g / n_g)`` — α→1 preserves the
-    natural mixture, α→0 flattens it toward uniform.  ``n_g^α`` is
+    natural mixture, α→0 flattens it toward uniform.  ``α`` must lie
+    on the 1/16 dyadic grid (default 5/16 ≈ the papers' 0.3): the
+    power is then a fixed composition of IEEE-correctly-rounded sqrts
+    instead of the engine-divergent libm ``pow`` (the
+    :func:`source_mixture_weights` determinism rule).  ``n_g^α`` is
     quantized to the 1e-6 grid BEFORE the cross-group normalization
     sum so ``Σ n^α`` is an exact BIGINT (addition-order independent —
     a raw double sum would depend on which engine adds the groups in
@@ -120,8 +173,7 @@ def temperature_mix_plan(
     partials — the corpus never shuffles); the normalization window
     runs on the groups frame (≤ thousands of rows, plan-gate-safe
     because the aggregate precedes it)."""
-    if not 0.0 <= alpha <= 1.0:
-        raise ValueError(f"temperature_mix: alpha must be in [0, 1], got {alpha}")
+    k16 = _alpha_sixteenths(alpha)
     if not 0.0 < target_frac <= 1.0:
         raise ValueError(
             f"temperature_mix: target_frac must be in (0, 1], got {target_frac}"
@@ -135,7 +187,7 @@ def temperature_mix_plan(
     # BIGINT holds Σ pa_q for any corpus under 9.2e12 docs (100 TB of
     # 10 KB docs is 1e10), so the exact integer normalization sum is safe.
     pa_q = F.floor(
-        F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) * SAMPLE_BUCKETS
+        _sqrt_pow(F.col("n_docs").cast("double"), k16) * SAMPLE_BUCKETS
         + F.lit(0.5)
     ).cast("bigint")
     w = Window.partitionBy()
@@ -162,7 +214,7 @@ def temperature_mix_plan(
 def temperature_mix(
     df: DataFrame,
     group_col: str = "lang",
-    alpha: float = 0.3,
+    alpha: float = 0.3125,
     target_frac: float = 0.5,
     id_col: str = "doc_id",
     seed: int = 0,

@@ -53,12 +53,17 @@ def test_temperature_plan_upsamples_the_tail(spark):
     (the XLM-R low-resource upsampling property), and the hand-computed
     quantized rate for the head group must match exactly."""
     plan = temperature_mix_plan(
-        _skewed_corpus(spark), group_col="lang", alpha=0.3, target_frac=0.5
+        _skewed_corpus(spark), group_col="lang", alpha=0.3125, target_frac=0.5
     )
     rows = {r["lang"]: r for r in plan.collect()}
     assert rows["a"]["rate_q"] < rows["b"]["rate_q"] <= rows["c"]["rate_q"]
-    # hand-computed twin of the documented formula (exact-int pa_q)
-    pa = {g: math.floor(n**0.3 * 1e6 + 0.5) for g, n in [("a", 400), ("b", 40), ("c", 4)]}
+
+    # hand-computed twin of the documented formula: n^(5/16) as the
+    # SAME sqrt composition (1/4 + 1/16 bits), exact-int pa_q
+    def pow516(x):
+        return math.sqrt(math.sqrt(x)) * math.sqrt(math.sqrt(math.sqrt(math.sqrt(x))))
+
+    pa = {g: math.floor(pow516(n) * 1e6 + 0.5) for g, n in [("a", 400), ("b", 40), ("c", 4)]}
     sa, nn = sum(pa.values()), 444
     for g, n in [("a", 400), ("b", 40), ("c", 4)]:
         rate = min(1.0, 0.5 * nn * pa[g] / sa / n)
@@ -82,13 +87,13 @@ def test_temperature_mix_gate_is_subset_monotone(spark):
     small = {
         r["doc_id"]
         for r in temperature_mix(
-            df, group_col="lang", alpha=0.3, target_frac=0.2
+            df, group_col="lang", alpha=0.3125, target_frac=0.2
         ).collect()
     }
     big = {
         r["doc_id"]
         for r in temperature_mix(
-            df, group_col="lang", alpha=0.3, target_frac=0.6
+            df, group_col="lang", alpha=0.3125, target_frac=0.6
         ).collect()
     }
     assert small <= big
@@ -107,6 +112,10 @@ def test_temperature_mix_rejects_bad_params(spark):
     df = _skewed_corpus(spark, 4, 4, 4)
     with pytest.raises(ValueError, match="alpha"):
         temperature_mix_plan(df, alpha=1.5)
+    # OFF the 1/16 grid → loud refusal (libm pow is engine-divergent;
+    # the sqrt-composable grid is the determinism contract)
+    with pytest.raises(ValueError, match="1/16"):
+        temperature_mix_plan(df, alpha=0.3)
     with pytest.raises(ValueError, match="target_frac"):
         temperature_mix_plan(df, target_frac=0.0)
 
