@@ -721,6 +721,48 @@ def stream_bpe_tokenize(
     return bpe_encode(sdf, merges, text_col=text_col, impl=impl)
 
 
+def stream_char_entropy_gate(
+    sdf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_entropy_q: int = 1_500_000,
+) -> DataFrame:
+    """Streaming twin of the character-entropy gibberish gate
+    (text_analysis.char_entropy): per-micro-batch-row quantized
+    entropy + keep verdict — the sorted-run histogram fold is pure
+    column algebra, stateless (no watermark, no state store), so the
+    incremental plan is the batch expression tree verbatim
+    (parity-tested in tests/test_mixture_audit.py)."""
+    from rheoceros_spark.operators.text_analysis import char_entropy
+
+    return char_entropy(
+        sdf, text_col=text_col, id_col=id_col, min_entropy_q=min_entropy_q
+    )
+
+
+def stream_temperature_gate(
+    sdf: DataFrame,
+    plan: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming twin of the temperature-mixture sampler
+    (curation.temperature_mix): gate each micro-batch row against a
+    PERSISTED rate plan (``temperature_mix_plan`` output — the
+    trained-artifact pattern of stream_ppl_gate/stream_classifier
+    _score).  ``plan`` is a BATCH frame broadcast into the incremental
+    plan; the keep decision is the deterministic subset-monotone hash
+    gate, so the stream stays stateless and the accepted set over any
+    micro-batch split equals the batch sampler's (parity-tested in
+    tests/test_mixture_audit.py)."""
+    from rheoceros_spark.operators.curation import temperature_mix
+
+    return temperature_mix(
+        sdf, group_col=group_col, id_col=id_col, seed=seed, plan=plan
+    )
+
+
 def stream_dedup_url(
     sdf: DataFrame,
     index_path: str,

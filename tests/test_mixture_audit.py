@@ -317,3 +317,57 @@ def test_char_entropy_gate_separates_spam_from_text(spark):
     )
     out = {r["doc_id"]: r["keep"] for r in char_entropy(df).collect()}
     assert out == {1: False, 2: True}
+
+
+# ---------------------------------------------------------------------------
+# streaming twins
+# ---------------------------------------------------------------------------
+
+
+def test_stream_twins_match_batch(spark, tmp_path):
+    """stream_temperature_gate (persisted-plan artifact pattern) and
+    stream_char_entropy_gate (stateless per-row algebra) must emit
+    exactly the batch operators' rows over a real micro-batch plan."""
+    from rheoceros_spark.streaming.stream import (
+        stream_char_entropy_gate,
+        stream_temperature_gate,
+    )
+
+    df = _skewed_corpus(spark, n_a=60, n_b=12, n_c=3)
+    src = str(tmp_path / "mix_src")
+    df.coalesce(3).write.mode("overwrite").parquet(src)
+
+    plan = temperature_mix_plan(
+        df, group_col="lang", alpha=0.25, target_frac=0.5
+    ).localCheckpoint()
+    batch_kept = {
+        r["doc_id"]
+        for r in temperature_mix(
+            df, group_col="lang", alpha=0.25, target_frac=0.5, plan=plan
+        ).collect()
+    }
+    assert batch_kept, "batch sampler kept nothing — test is vacuous"
+    batch_entropy = {
+        (r["doc_id"], r["entropy_q"], r["keep"]) for r in char_entropy(df).collect()
+    }
+
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out_mix, out_ent = [], []
+    q1 = (
+        stream_temperature_gate(sdf, plan, group_col="lang")
+        .writeStream.foreachBatch(lambda b, i: out_mix.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mix"))
+        .start()
+    )
+    q1.awaitTermination(120)
+    q2 = (
+        stream_char_entropy_gate(sdf)
+        .writeStream.foreachBatch(lambda b, i: out_ent.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ent"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert {r["doc_id"] for r in out_mix} == batch_kept
+    assert {(r["doc_id"], r["entropy_q"], r["keep"]) for r in out_ent} == batch_entropy
