@@ -3973,6 +3973,12 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   dedup_ngram_hotspots, text_char_entropy — each paired with a
 #   weakest-marginal retirement from the r12-certified pool so
 #   r13 ∪ r14 stays 100/100 disjoint.
+#
+# ---- Round-15 certification batch (staged) --------------------------------
+# r15 registers the winnowing + composition pair staged in round 11
+#   session 3: dedup_winnow_pairs, pipeline_refinedweb_corpus — each
+#   paired with a weakest-marginal retirement from the r13-certified
+#   pool so r14 ∪ r15 stays 100/100 disjoint.
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -6729,6 +6735,187 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "doc_len", "n_char_classes", "entropy_q", "keep"
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints + the RefinedWeb macro composition (round 11
+# session 3, staged for r15)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_pairs_oracle(
+    n: int = 3, w: int = 4, min_shared: int = 2, max_bucket: int = 50
+) -> str:
+    """operators/dedup.py winnow_fingerprints + winnow_pairs
+    reproduced: per-window gram-hash minima (position tiebreaks are
+    value-irrelevant — see the operator docstring), short-doc global
+    minimum, the 2..max_bucket stop-fingerprint gate, shared-count
+    pair join."""
+    tokf = f"list_filter({_TOK}, t -> t <> '')"
+    gh = _H64.format(s="g")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {tokf} AS tk FROM documents WHERE doc_id IS NOT NULL
+    ), hs AS (
+      SELECT doc_id, list_transform(
+        CASE WHEN len(tk) >= {n}
+          THEN list_transform(range(1, greatest(1, len(tk) - {n - 1}) + 1),
+                 i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' '))
+          ELSE [] END,
+        g -> {gh}) AS h
+      FROM base
+    ), sel AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(h) >= {w}
+          THEN list_distinct(list_transform(range(1, len(h) - {w} + 2),
+                 i -> list_min(list_slice(h, i, i + {w} - 1))))
+          WHEN len(h) > 0 THEN [list_min(h)]
+          ELSE [] END) AS fp
+      FROM hs
+    ), keepfp AS (
+      SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND {max_bucket}
+    ), bounded AS (
+      SELECT s.doc_id, s.fp FROM sel s JOIN keepfp USING (fp)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+    FROM bounded a JOIN bounded b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+    """
+
+
+@q_staged("dedup_winnow_pairs", oracle=_winnow_pairs_oracle())
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (Schleimer et al. 2003, the MOSS
+    fingerprinting algorithm): per-window minima of word-3-gram hashes
+    — any shared run of ≥ w+n−1 = 6 words guarantees a shared
+    fingerprint at ~2/(w+1) the density of the keep-every-window
+    substring stream — then documents sharing ≥ 2 selected
+    fingerprints, stop-fingerprints (> 50 docs) dropped before the
+    join (operators/dedup.py winnow_fingerprints / winnow_pairs)."""
+    from rheoceros_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3, w=4, min_shared=2, max_bucket=50,
+    )
+
+
+def _refinedweb_pipeline_oracle() -> str:
+    """The RefinedWeb-shaped macro pipeline composed from FIVE
+    independently-certified stage oracles in one DuckDB statement:
+    URL canonicalize + quality-survivor URL dedup
+    (_dedup_exact_url_oracle's ranked CTE), domain suffix blocking
+    (_url_canonical_oracle's rule), the Gopher word-count +
+    symbol-ratio gates (_gopher_rules_oracle — the stop-word rule is
+    certified there but never fires on the synthetic vocabulary, so
+    the composition uses the gates that discriminate), the
+    char-entropy keep (_char_entropy_oracle), and the temperature
+    sampler (_temperature_mix_oracle's plan at α = 1/4)."""
+    from rheoceros_spark.operators.curation import sqrt_pow_sql
+    from rheoceros_spark.operators.urls import (
+        canonical_url_duckdb_query,
+        url_domain_duckdb_sql,
+    )
+
+    canon = canonical_url_duckdb_query(
+        "documents", _URL_FIXTURE, keep=["doc_id", "n_chars", "source"]
+    )
+    blocked = " OR ".join(
+        f"(domain = '{b}' OR domain LIKE '%.{b}')" for b in _URL_BLOCKED
+    )
+    pa = sqrt_pow_sql("CAST(n_docs AS DOUBLE)", 4)  # alpha = 1/4
+    return f"""
+    WITH canon AS MATERIALIZED ({canon}),
+    ranked AS (
+      SELECT doc_id, canonical_url, source,
+             row_number() OVER (PARTITION BY canonical_url
+               ORDER BY coalesce(CAST(n_chars AS DOUBLE), '-infinity'::DOUBLE) DESC,
+                        doc_id ASC) AS rn
+      FROM canon WHERE canonical_url IS NOT NULL),
+    surv AS MATERIALIZED (
+      SELECT doc_id, canonical_url, source FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, canonical_url, source FROM canon WHERE canonical_url IS NULL),
+    dom AS (
+      SELECT s.*, {url_domain_duckdb_sql('canonical_url')} AS domain FROM surv s),
+    unblocked AS (
+      SELECT doc_id, source FROM dom WHERE domain IS NULL OR NOT ({blocked})),
+    gop AS ({_gopher_rules_oracle()}),
+    ent AS ({_char_entropy_oracle()}),
+    gated AS (
+      SELECT u.doc_id, u.source, ent.entropy_q
+      FROM unblocked u
+      JOIN gop ON u.doc_id = gop.doc_id
+      JOIN ent ON u.doc_id = ent.doc_id
+      WHERE gop.g_word_count = 1 AND gop.g_symbol_ratio = 1 AND ent.keep),
+    c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM gated
+      WHERE source IS NOT NULL GROUP BY source),
+    p AS (
+      SELECT source, n_docs,
+             CAST(floor(({pa}) * 1000000 + 0.5) AS BIGINT) AS pa_q FROM c),
+    t AS (SELECT sum(pa_q) AS sa, sum(n_docs) AS nn FROM p),
+    plan AS (
+      SELECT p.source,
+             CAST(floor(least(1.0,
+               0.5 * CAST(t.nn AS DOUBLE) * CAST(p.pa_q AS DOUBLE)
+               / CAST(t.sa AS DOUBLE) / CAST(p.n_docs AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS rate_q
+      FROM p, t)
+    SELECT d.doc_id, d.source, d.entropy_q
+    FROM gated d JOIN plan ON d.source = plan.source
+    WHERE ({_SAMPLE_BUCKET}) < plan.rate_q
+    """
+
+
+@q_staged("pipeline_refinedweb_corpus", oracle=_refinedweb_pipeline_oracle())
+def pipeline_refinedweb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-shaped macro pipeline (Penedo et al. 2023: URL-first
+    filtering, then document-wise quality rules, then sampling): URL
+    canonicalize → quality-survivor URL-exact dedup → domain suffix
+    blocking → Gopher word-count + symbol-ratio gates → char-entropy
+    gate → temperature-mixture sampling (α = 1/4) — every stage an
+    independently-certified operator, the whole chain one composed
+    DuckDB oracle.
+
+    Scale shape: the URL stage shuffles 32-byte md5 keys only; every
+    quality gate is per-row column algebra in the scan stage; the
+    sampler adds ONE groups-sized count aggregate and a broadcast
+    plan — corpus text never shuffles anywhere in the pipeline."""
+    from rheoceros_spark.operators.curation import (
+        temperature_mix,
+        temperature_mix_plan,
+    )
+    from rheoceros_spark.operators.text_analysis import char_entropy, gopher_rules
+    from rheoceros_spark.operators.urls import (
+        dedup_exact_url,
+        domain_filter,
+        url_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_FIXTURE)
+    )
+    surv = url_domain(
+        dedup_exact_url(docs, score_col="n_chars"), url_col="canonical_url"
+    )
+    unblocked = domain_filter(surv, _URL_BLOCKED)
+    gated = (
+        char_entropy(gopher_rules(unblocked))
+        .where(
+            (F.col("g_word_count") == 1)
+            & (F.col("g_symbol_ratio") == 1)
+            & F.col("keep")
+        )
+        .select("doc_id", "source", "entropy_q")
+    )
+    plan = temperature_mix_plan(
+        gated, group_col="source", alpha=0.25, target_frac=0.5
+    ).localCheckpoint(eager=False)
+    kept = temperature_mix(
+        gated, group_col="source", alpha=0.25, target_frac=0.5, seed=0, plan=plan
+    )
+    return kept.select("doc_id", "source", "entropy_q")
 
 
 # ===========================================================================

@@ -168,6 +168,8 @@ BENCH_EXT = [
     "text_sif_embed_topk",
     "dedup_ngram_hotspots",
     "text_char_entropy",
+    "dedup_winnow_pairs",
+    "pipeline_refinedweb_corpus",
 ]
 
 

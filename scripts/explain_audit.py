@@ -103,6 +103,8 @@ AUDIT = [
     "text_sif_embed_topk",
     "dedup_ngram_hotspots",
     "text_char_entropy",
+    "dedup_winnow_pairs",
+    "pipeline_refinedweb_corpus",
     # round-9: the composed stateless streaming gate, audited over a
     # batch frame (identical expression tree — that is the twin claim)
     "stream_curation_gate_batch_twin",

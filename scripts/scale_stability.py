@@ -159,6 +159,12 @@ HEAVIES = [
     "text_sif_embed_topk",
     "dedup_ngram_hotspots",
     "text_char_entropy",
+    # winnowing selects ~2/(w+1) of the gram hashes; the pair join is
+    # stop-fingerprint-bounded — shuffle shape is substring-spans-sparse
+    "dedup_winnow_pairs",
+    # the RefinedWeb composition: md5-key URL shuffle + per-row gates +
+    # one groups-sized sampling plan (sources unchanged at sf1)
+    "pipeline_refinedweb_corpus",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too).
 #: retrieval_metrics_layer probes the metric battery at FIXED query
@@ -246,6 +252,12 @@ ORACLE_AT_SF1 = [
     "text_sif_embed_topk",
     "dedup_ngram_hotspots",
     "text_char_entropy",
+    # winnowing selects ~2/(w+1) of the gram hashes; the pair join is
+    # stop-fingerprint-bounded — shuffle shape is substring-spans-sparse
+    "dedup_winnow_pairs",
+    # the RefinedWeb composition: md5-key URL shuffle + per-row gates +
+    # one groups-sized sampling plan (sources unchanged at sf1)
+    "pipeline_refinedweb_corpus",
 ]
 
 

@@ -371,3 +371,80 @@ def test_stream_twins_match_batch(spark, tmp_path):
     q2.awaitTermination(120)
     assert {r["doc_id"] for r in out_mix} == batch_kept
     assert {(r["doc_id"], r["entropy_q"], r["keep"]) for r in out_ent} == batch_entropy
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The paper's detection guarantee: documents sharing a run of at
+    least w + n − 1 words (here 4 + 3 − 1 = 6) must share at least one
+    selected fingerprint — regardless of the surrounding text."""
+    from rheoceros_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # exactly 6 words
+    df = spark.createDataFrame(
+        [
+            (1, f"completely different lead {shared} and unrelated tail words", "en"),
+            (2, f"{shared} with another continuation here entirely", "en"),
+            (3, "no overlap with anything else at all whatsoever", "en"),
+        ],
+        DOCS,
+    )
+    fps = winnow_fingerprints(df, n=3, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "6-word shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_density_and_short_docs(spark):
+    """Winnowing keeps far fewer fingerprints than grams (~2/(w+1));
+    docs shorter than w grams keep exactly their global minimum; docs
+    shorter than n words emit nothing."""
+    from rheoceros_spark.operators.dedup import winnow_fingerprints
+
+    long_text = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, long_text, "en"), (2, "just four words here", "en"), (3, "two words", "en")],
+        DOCS,
+    )
+    counts = {
+        r["doc_id"]: r["cnt"]
+        for r in winnow_fingerprints(df, n=3, w=8)
+        .groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_grams = 198  # 200 - 3 + 1
+    assert counts[1] <= n_grams * 2 / (8 + 1) * 2  # generous 2x slack
+    assert counts[1] >= n_grams / (8 + 1) / 2
+    assert counts[2] == 1  # 2 grams < w=8 → single global min
+    assert 3 not in counts  # 2 words < n=3 → nothing
+
+
+def test_winnow_pairs_stop_fingerprint_cap(spark):
+    """A fingerprint present in more than max_bucket documents must be
+    dropped BEFORE the pair join (the bucket-bounding rule) — with the
+    cap below the boilerplate's document count, no pairs survive."""
+    from rheoceros_spark.operators.dedup import winnow_pairs
+
+    boiler = " ".join(f"legal word{i} boiler plate line" for i in range(4))
+    df = spark.createDataFrame([(i, boiler, "en") for i in range(8)], DOCS)
+    full = winnow_pairs(df, n=3, w=4, min_shared=1, max_bucket=50).count()
+    capped = winnow_pairs(df, n=3, w=4, min_shared=1, max_bucket=7).count()
+    assert full == 8 * 7 // 2  # identical docs: every pair found
+    assert capped == 0  # every fingerprint sits in 8 > 7 docs → dropped
+
+
+def test_winnow_rejects_bad_params(spark):
+    from rheoceros_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    df = spark.createDataFrame([(1, "a b c", "en")], DOCS)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, n=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, w=1)
+    with pytest.raises(ValueError):
+        winnow_pairs(df, max_bucket=1)
