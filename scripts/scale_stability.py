@@ -252,12 +252,17 @@ ORACLE_AT_SF1 = [
     "text_sif_embed_topk",
     "dedup_ngram_hotspots",
     "text_char_entropy",
-    # winnowing selects ~2/(w+1) of the gram hashes; the pair join is
-    # stop-fingerprint-bounded — shuffle shape is substring-spans-sparse
+    # winnow oracle: gram window-mins + stop-fingerprint-bounded pair
+    # join — corpus-linear at fixed per-replica duplication.
+    # pipeline_refinedweb_corpus is deliberately EXCLUDED here: the
+    # sf1 synthesizer's per-replica '#r' token suffixes make every
+    # word count as a '#' symbol, so the Gopher symbol-ratio gate
+    # rejects the whole 10× corpus (workload artifact, not operator
+    # shape) and the compare would be a vacuous empty≡empty at ~95 s
+    # of DuckDB time — its five stage oracles are each covered
+    # individually, and its wall-ratio stays probed in HEAVIES (the
+    # URL/gate scans still run in full at sf1)
     "dedup_winnow_pairs",
-    # the RefinedWeb composition: md5-key URL shuffle + per-row gates +
-    # one groups-sized sampling plan (sources unchanged at sf1)
-    "pipeline_refinedweb_corpus",
 ]
 
 
