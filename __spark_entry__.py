@@ -3975,10 +3975,11 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r13 ∪ r14 stays 100/100 disjoint.
 #
 # ---- Round-15 certification batch (staged) --------------------------------
-# r15 registers the winnowing + composition pair staged in round 11
-#   session 3: dedup_winnow_pairs, pipeline_refinedweb_corpus — each
-#   paired with a weakest-marginal retirement from the r13-certified
-#   pool so r14 ∪ r15 stays 100/100 disjoint.
+# r15 registers the winnowing + composition + planning trio staged in
+#   round 11 session 3: dedup_winnow_pairs, pipeline_refinedweb_corpus,
+#   curation_epoch_plan — each paired with a weakest-marginal
+#   retirement from the r13-certified pool so r14 ∪ r15 stays 100/100
+#   disjoint.
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -6916,6 +6917,81 @@ def pipeline_refinedweb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated, group_col="source", alpha=0.25, target_frac=0.5, seed=0, plan=plan
     )
     return kept.select("doc_id", "source", "entropy_q")
+
+
+def _epoch_plan_oracle(
+    budget: int = 45_000, k16: int = 2, max_epochs_q: int = 2_000_000
+) -> str:
+    """operators/curation.py epoch_plan reproduced: exact per-group
+    token sums, share^α as the identical sqrt composition (α = k16/16)
+    quantized to 1e-12 BIGINTs before the normalization sum, targets /
+    epochs / cap / drawn in the same fixed IEEE order."""
+    from rheoceros_spark.operators.curation import sqrt_pow_sql
+
+    pa = sqrt_pow_sql("share", k16)
+    return f"""
+    WITH perdoc AS (
+      SELECT lang AS grp,
+             CASE WHEN length({_NORM}) = 0 THEN 0 ELSE len({_TOK}) END AS n_tokens
+      FROM documents WHERE lang IS NOT NULL),
+    per AS (
+      SELECT grp, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM perdoc
+      GROUP BY grp HAVING sum(n_tokens) > 0),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+    s AS (SELECT grp, n_tokens,
+                 CAST(n_tokens AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+          FROM per, t),
+    wq AS (SELECT grp, n_tokens,
+                  CAST(floor(({pa}) * 1e12 + 0.5) AS BIGINT) AS wq FROM s),
+    ws AS (SELECT sum(wq) AS wsum FROM wq),
+    plan AS (
+      SELECT grp, n_tokens, wq, ws.wsum,
+             CAST(floor({float(budget)} *
+               (CAST(wq AS DOUBLE) / CAST(ws.wsum AS DOUBLE))) AS BIGINT)
+               AS target_tokens
+      FROM wq, ws),
+    e AS (
+      SELECT *, CAST(floor(CAST(target_tokens AS DOUBLE) * 1e6
+                 / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS eq
+      FROM plan)
+    SELECT grp AS lang, n_tokens,
+           round(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS mix_weight,
+           target_tokens,
+           least(eq, {max_epochs_q}) AS epochs_q,
+           eq > {max_epochs_q} AS capped,
+           CASE WHEN eq > {max_epochs_q}
+                THEN CAST(floor(CAST(n_tokens AS DOUBLE) * {float(max_epochs_q)}
+                          / 1e6) AS BIGINT)
+                ELSE target_tokens END AS drawn_tokens
+    FROM e
+    """
+
+
+@q_staged("curation_epoch_plan", oracle=_epoch_plan_oracle())
+def curation_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language epoch table for a fixed token budget (The Pile
+    Table 1 / LLaMA Table 1 / MassiveText A3.1 — the published
+    planning artifact of every pretraining mix): α = 1/8 temperature
+    weights (sqrt-composed, engine-exact) over exact per-group token
+    sums, targets and micro-epochs with the ≤2-epoch repeat cap
+    (Muennighoff et al. 2023), capped groups reporting their
+    actually-drawn tokens (operators/curation.py epoch_plan; ONE
+    groups-sized aggregate, zero corpus shuffle)."""
+    from rheoceros_spark.functions.portable import normalize_text, tokens
+    from rheoceros_spark.operators.curation import epoch_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.when(F.length(normalize_text(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(tokens(F.col("text")))
+    )
+    perdoc = docs.select("lang", ntok.alias("n_tokens"))
+    return epoch_plan(
+        perdoc,
+        budget_tokens=45_000,
+        group_col="lang",
+        alpha=2 / 16,
+        max_epochs_q=2_000_000,
+    )
 
 
 # ===========================================================================

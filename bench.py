@@ -170,6 +170,7 @@ BENCH_EXT = [
     "text_char_entropy",
     "dedup_winnow_pairs",
     "pipeline_refinedweb_corpus",
+    "curation_epoch_plan",
 ]
 
 

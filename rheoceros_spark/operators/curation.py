@@ -2352,3 +2352,94 @@ def snapshot_drift(
             "n_values_a", "n_values_b", "chi2_q",
         )
     )
+
+
+def epoch_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    token_col: str = "n_tokens",
+    alpha: float = 0.5,
+    max_epochs_q: int = 4_000_000,
+) -> DataFrame:
+    """Per-source epoch table: how many passes over each source a
+    ``budget_tokens`` training run draws under α-temperature mixture
+    weights — the planning artifact every pretraining paper publishes
+    (The Pile §1 Table 1's per-set epochs; LLaMA Table 1's sampling
+    proportions × epochs; Gopher/MassiveText A3.1).
+
+    Per group: token volume ``T_g`` (exact BIGINT sum), mixture weight
+    ``q_g ∝ share_g^α`` with α on the 1/16 sqrt-composable grid
+    (:func:`temperature_mix_plan`'s determinism rule — libm pow is
+    refused) quantized to 1e-12 BIGINTs before the normalization sum,
+    target tokens ``floor(budget·q_g)``, and epochs over the source
+    ``floor(1e6·target/T_g)`` capped at ``max_epochs_q`` micro-epochs
+    (repeating a small source beyond ~4 epochs measurably degrades
+    models — Muennighoff et al. 2023, "Scaling Data-Constrained LMs").
+    ``capped`` groups report the cap and their actually-drawn tokens;
+    the single-pass plan does NOT silently redistribute a capped
+    group's undershoot — re-run with the residual budget over the
+    uncapped groups to water-fill, each pass a groups-sized frame.
+
+    overflow: targets are doubles below 2^53 for any budget under
+    9e15 tokens (100 TB of text is ~2e13 tokens) — asserted below;
+    token sums are exact BIGINTs.
+
+    Scale shape: ONE groups-sized sum aggregate over (group, tokens);
+    everything after runs on the groups frame."""
+    k16 = _alpha_sixteenths(alpha)
+    if not 0 < budget_tokens < 2**53:
+        raise ValueError(
+            f"epoch_plan: budget_tokens must be in (0, 2^53), got {budget_tokens}"
+        )
+    if max_epochs_q < 1:
+        raise ValueError(f"epoch_plan: max_epochs_q must be >= 1, got {max_epochs_q}")
+    per = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.sum(F.col(token_col)).cast("bigint").alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+    )
+    w_all = Window.partitionBy()
+    out = per.withColumn("__tot", F.sum("n_tokens").over(w_all)).withColumn(
+        "__share",
+        F.col("n_tokens").cast("double") / F.col("__tot").cast("double"),
+    )
+    # q_g ∝ share^α quantized to exact 1e-12 BIGINTs BEFORE the
+    # normalization sum (the temperature_mix_plan pattern — integer
+    # sums are addition-order free)
+    out = out.withColumn(
+        "__wq",
+        F.floor(_sqrt_pow(F.col("__share"), k16) * F.lit(1e12) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    ).withColumn("__wsum", F.sum("__wq").over(w_all))
+    target = F.floor(
+        F.lit(float(budget_tokens))
+        * (F.col("__wq").cast("double") / F.col("__wsum").cast("double"))
+    ).cast("bigint")
+    out = out.withColumn("target_tokens", target)
+    epochs_q = F.floor(
+        F.col("target_tokens").cast("double")
+        * F.lit(1e6)
+        / F.col("n_tokens").cast("double")
+    ).cast("bigint")
+    out = out.withColumn("__eq", epochs_q)
+    capped = F.col("__eq") > max_epochs_q
+    drawn = F.when(
+        capped,
+        F.floor(
+            F.col("n_tokens").cast("double") * F.lit(float(max_epochs_q)) / F.lit(1e6)
+        ).cast("bigint"),
+    ).otherwise(F.col("target_tokens"))
+    return out.select(
+        group_col,
+        "n_tokens",
+        F.round(
+            F.col("__wq").cast("double") / F.col("__wsum").cast("double"), 6
+        ).alias("mix_weight"),
+        "target_tokens",
+        F.least(F.col("__eq"), F.lit(max_epochs_q)).alias("epochs_q"),
+        capped.alias("capped"),
+        drawn.alias("drawn_tokens"),
+    )

@@ -1510,3 +1510,92 @@ def winnow_pairs(
         .where(F.col("shared") >= min_shared)
     )
     return pairs.orderBy(F.desc("shared"), F.asc("doc_a"), F.asc("doc_b"))
+
+
+def winnow_index_write(
+    df: DataFrame,
+    path: str | None = None,
+    n: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist the corpus's winnowing fingerprints as an incremental
+    near-dup index: ``(id, fp)`` rows plus literal ``n``/``w`` columns
+    so a probe with mismatched parameters fails loudly (the
+    ``build_minhash_index`` discipline — mismatched windows would
+    silently select disjoint fingerprints and find nothing).
+
+    At 100 TB the index is built once and each accepted batch is
+    APPENDED (``mode="append"``); :func:`dedup_winnow_against_index`
+    then probes new batches without ever rescanning the corpus text.
+    The index rows are 8-byte fingerprints + ids at ~2/(w+1) gram
+    density — orders of magnitude narrower than the corpus."""
+    fps = winnow_fingerprints(df, n=n, w=w, text_col=text_col, id_col=id_col)
+    idx = fps.select(
+        "*", F.lit(n).alias("n"), F.lit(w).alias("w")
+    )
+    if path is not None:
+        idx.write.mode(mode).parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return idx
+
+
+def _check_winnow_params(index: DataFrame, n: int, w: int) -> None:
+    """Loud mismatch on probe-vs-build parameters (one limit-1 read)."""
+    if not {"n", "w"} <= set(index.columns):
+        return
+    row = index.select("n", "w").limit(1).collect()
+    if not row:
+        return
+    built = (row[0]["n"], row[0]["w"])
+    if built != (n, w):
+        raise ValueError(
+            f"winnow index was built with (n, w)={built}, probe requested "
+            f"{(n, w)} — fingerprint selections would never collide; rebuild "
+            "the index or match the parameters"
+        )
+
+
+def dedup_winnow_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Match a NEW batch against a persisted winnow index: returns
+    ``(new_id, dup_of, shared)`` — every new document sharing at least
+    ``min_shared`` selected fingerprints with some indexed document.
+    The incremental near-dup gate: accept the batch's left-anti on
+    ``new_id``, append the accepted fingerprints
+    (:func:`winnow_index_write` with ``mode="append"``), and the
+    corpus text is never rescanned.
+
+    Index-side stop-fingerprints (present in more than ``max_bucket``
+    indexed documents) are dropped before the join — one narrow
+    (fp)-count aggregate over the 8-byte index rows per probe, which
+    bounds every join bucket; the probe cost is O(batch fingerprints)
+    join rows, never corpus-sized."""
+    _check_winnow_params(index, n, w)
+    if min_shared < 1:
+        raise ValueError(
+            f"dedup_winnow_against_index: min_shared must be >= 1, got {min_shared}"
+        )
+    new_fps = winnow_fingerprints(
+        new_df, n=n, w=w, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("new_id"), "fp")
+    ix = index.select(F.col(id_col).alias("dup_of"), "fp")
+    sized = ix.groupBy("fp").agg(F.count(F.lit(1)).alias("__b"))
+    keep = sized.where(F.col("__b") <= max_bucket).select("fp")
+    bounded = ix.join(keep, "fp")
+    return (
+        new_fps.join(bounded, "fp")
+        .groupBy("new_id", "dup_of")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

@@ -105,6 +105,7 @@ AUDIT = [
     "text_char_entropy",
     "dedup_winnow_pairs",
     "pipeline_refinedweb_corpus",
+    "curation_epoch_plan",
     # round-9: the composed stateless streaming gate, audited over a
     # batch frame (identical expression tree — that is the twin claim)
     "stream_curation_gate_batch_twin",

@@ -165,6 +165,8 @@ HEAVIES = [
     # the RefinedWeb composition: md5-key URL shuffle + per-row gates +
     # one groups-sized sampling plan (sources unchanged at sf1)
     "pipeline_refinedweb_corpus",
+    # epoch plan: one (lang, tokens) sum + groups-frame algebra
+    "curation_epoch_plan",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too).
 #: retrieval_metrics_layer probes the metric battery at FIXED query
@@ -263,6 +265,8 @@ ORACLE_AT_SF1 = [
     # individually, and its wall-ratio stays probed in HEAVIES (the
     # URL/gate scans still run in full at sf1)
     "dedup_winnow_pairs",
+    # epoch-plan oracle: one perdoc token scan + groups algebra — linear
+    "curation_epoch_plan",
 ]
 
 

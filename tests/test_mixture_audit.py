@@ -448,3 +448,117 @@ def test_winnow_rejects_bad_params(spark):
         winnow_fingerprints(df, w=1)
     with pytest.raises(ValueError):
         winnow_pairs(df, max_bucket=1)
+
+
+# ---------------------------------------------------------------------------
+# incremental winnow index + epoch plan
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_index_probe_and_append_equals_rebuild(spark, tmp_path):
+    """Build the index over an initial corpus, probe a batch containing
+    one near-dup and one novel doc; append the accepted doc and verify
+    the grown index equals a from-scratch rebuild over the union (the
+    incremental≡rebuilt equality discipline of the minhash/URL
+    indexes)."""
+    from rheoceros_spark.operators.dedup import (
+        dedup_winnow_against_index,
+        winnow_index_write,
+    )
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, f"lead text {boiler} trailing words", "en"),
+         (2, "entirely unrelated document body here now", "en")],
+        DOCS,
+    )
+    path = str(tmp_path / "widx")
+    idx = winnow_index_write(corpus, path, n=3, w=4)
+    batch = spark.createDataFrame(
+        [(10, f"other framing {boiler} different tail", "en"),
+         (11, "totally novel content nothing shared anywhere", "en")],
+        DOCS,
+    )
+    hits = dedup_winnow_against_index(batch, idx, n=3, w=4, min_shared=1)
+    got = {(r["new_id"], r["dup_of"]) for r in hits.collect()}
+    assert (10, 1) in got
+    assert all(nid != 11 for nid, _ in got)
+    # accept the novel doc, append, compare against a full rebuild
+    accepted = batch.where(F.col("doc_id") == 11)
+    winnow_index_write(accepted, path, n=3, w=4, mode="append")
+    grown = {
+        (r["doc_id"], r["fp"])
+        for r in spark.read.parquet(path).select("doc_id", "fp").collect()
+    }
+    rebuilt = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_index_write(corpus.union(accepted), None, n=3, w=4)
+        .select("doc_id", "fp")
+        .collect()
+    }
+    assert grown == rebuilt
+
+
+def test_winnow_index_param_mismatch_is_loud(spark, tmp_path):
+    from rheoceros_spark.operators.dedup import (
+        dedup_winnow_against_index,
+        winnow_index_write,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f g h", "en")], DOCS)
+    idx = winnow_index_write(df, str(tmp_path / "widx2"), n=3, w=4)
+    with pytest.raises(ValueError, match=r"\(n, w\)"):
+        dedup_winnow_against_index(df, idx, n=3, w=8)
+
+
+def test_epoch_plan_hand_computed(spark):
+    """Exact targets/epochs from the documented formula on a skewed
+    two-group corpus, with the cap firing on the small group."""
+    from rheoceros_spark.operators.curation import epoch_plan
+
+    rows = [(i, "x", "big") for i in range(90)] + [(i + 100, "x", "small") for i in range(10)]
+    df = spark.createDataFrame(rows, DOCS).selectExpr(
+        "lang AS source", "10 AS n_tokens"
+    )
+    out = {
+        r["source"]: r
+        for r in epoch_plan(
+            df, budget_tokens=1_000, group_col="source", alpha=0.5,
+            max_epochs_q=3_000_000,
+        ).collect()
+    }
+    big, small = out["big"], out["small"]
+    assert (big["n_tokens"], small["n_tokens"]) == (900, 100)
+    wq_b = math.floor(math.sqrt(900 / 1000) * 1e12 + 0.5)
+    wq_s = math.floor(math.sqrt(100 / 1000) * 1e12 + 0.5)
+    tgt_s = math.floor(1000.0 * (wq_s / (wq_b + wq_s)))
+    assert small["target_tokens"] == tgt_s
+    eq_s = math.floor(tgt_s * 1e6 / 100)
+    # small group: 250 target tokens over 100 tokens ≈ 2.5 epochs < cap
+    assert small["epochs_q"] == eq_s and not small["capped"]
+    assert small["drawn_tokens"] == tgt_s
+    # with a 2-epoch cap the small group caps and draws exactly 2 passes
+    out2 = {
+        r["source"]: r
+        for r in epoch_plan(
+            df, budget_tokens=1_000, group_col="source", alpha=0.5,
+            max_epochs_q=2_000_000,
+        ).collect()
+    }
+    assert out2["small"]["capped"] and out2["small"]["epochs_q"] == 2_000_000
+    assert out2["small"]["drawn_tokens"] == 200
+    assert not out2["big"]["capped"]
+
+
+def test_epoch_plan_rejects_bad_params(spark):
+    from rheoceros_spark.operators.curation import epoch_plan
+
+    df = spark.createDataFrame([(1, "x", "en")], DOCS).selectExpr(
+        "lang AS source", "5 AS n_tokens"
+    )
+    with pytest.raises(ValueError, match="1/16"):
+        epoch_plan(df, 100, alpha=0.3)
+    with pytest.raises(ValueError, match="budget"):
+        epoch_plan(df, 0)
+    with pytest.raises(ValueError, match="max_epochs_q"):
+        epoch_plan(df, 100, max_epochs_q=0)
