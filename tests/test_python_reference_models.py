@@ -183,3 +183,137 @@ def test_dsir_matches_python_reference(spark):
         ).collect()
     }
     assert res == _py_dsir(raw, target, 128)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round 11 session 3)
+# ---------------------------------------------------------------------------
+
+def _h64_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_winnow(corpus, n, w):
+    """Independent winnowing model: word n-grams → md5-prefix hashes →
+    per-window minima (value set), short docs keep the global min."""
+    out = {}
+    for i, text in corpus:
+        toks = _tok(text)
+        if len(toks) < n:
+            out[i] = set()
+            continue
+        hs = [
+            _h64_py(" ".join(toks[j : j + n]))
+            for j in range(len(toks) - n + 1)
+        ]
+        if len(hs) < w:
+            out[i] = {min(hs)}
+        else:
+            out[i] = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+    return out
+
+
+@pytest.mark.parametrize("seed,n,w", [(11, 3, 4), (23, 2, 8), (37, 4, 2)])
+def test_winnow_matches_python_reference(spark, seed, n, w):
+    from rheoceros_spark.operators.dedup import winnow_fingerprints
+
+    corpus = _random_docs(seed, 60, min_len=1, max_len=40)
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {}
+    for r in winnow_fingerprints(df, n=n, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    want = _py_winnow(corpus, n, w)
+    want = {i: s for i, s in want.items() if s}  # empty sets emit no rows
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Character entropy (round 11 session 3)
+# ---------------------------------------------------------------------------
+
+def _py_char_entropy(text):
+    """Independent quantized-entropy model over the normalized text."""
+    import re
+
+    norm = re.sub(r"[ \t\n\f\r]+", " ", text.lower()).strip(" ")
+    L = len(norm)
+    if L == 0:
+        return (0, 0, 0)
+    counts = {}
+    for c in norm:
+        counts[c] = counts.get(c, 0) + 1
+    sq = sum(
+        c * int(math.floor(math.log(float(c)) * 1e7 + 0.5))
+        for c in counts.values()
+    )
+    hq = int(math.floor((math.log(float(L)) - sq / (1e7 * L)) * 1e6 + 0.5))
+    return (L, len(counts), hq)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_char_entropy_matches_python_reference(spark, seed):
+    from rheoceros_spark.operators.text_analysis import char_entropy
+
+    corpus = _random_docs(seed, 50, min_len=1, max_len=60)
+    # splice in structured edge rows the random corpus can't produce
+    corpus += [(100, "zzzzzzzz"), (101, "  "), (102, "a b a b 0 1 ! ?")]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["doc_len"], r["n_char_classes"], r["entropy_q"])
+        for r in char_entropy(df).collect()
+    }
+    for i, text in corpus:
+        assert got[i] == _py_char_entropy(text), (i, text)
+
+
+# ---------------------------------------------------------------------------
+# Temperature mix plan (round 11 session 3)
+# ---------------------------------------------------------------------------
+
+def _py_temperature_plan(groups, k16, target_frac):
+    """Independent plan model: the same sqrt-composition and fixed IEEE
+    order as the documented formula."""
+    def spow(x):
+        out, r = None, float(x)
+        for i in range(1, 5):
+            r = math.sqrt(r)
+            if (k16 >> (4 - i)) & 1:
+                out = r if out is None else out * r
+        return x if k16 == 16 else (out if out is not None else 1.0)
+
+    pa = {g: int(math.floor(spow(c) * 1_000_000 + 0.5)) for g, c in groups.items()}
+    sa, nn = sum(pa.values()), sum(groups.values())
+    return {
+        g: int(
+            math.floor(
+                min(1.0, target_frac * float(nn) * float(pa[g]) / float(sa) / float(c))
+                * 1_000_000
+                + 0.5
+            )
+        )
+        for g, c in groups.items()
+    }
+
+
+@pytest.mark.parametrize("seed,k16,frac", [(3, 5, 0.5), (9, 2, 0.25), (13, 16, 0.8)])
+def test_temperature_plan_matches_python_reference(spark, seed, k16, frac):
+    from rheoceros_spark.operators.curation import temperature_mix_plan
+
+    rng = random.Random(seed)
+    groups = {f"g{j}": rng.randint(1, 500) for j in range(8)}
+    rows = []
+    i = 0
+    for g, c in groups.items():
+        for _ in range(c):
+            rows.append((i, "t", g))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    plan = {
+        r["lang"]: r["rate_q"]
+        for r in temperature_mix_plan(
+            df, group_col="lang", alpha=k16 / 16, target_frac=frac
+        ).collect()
+    }
+    assert plan == _py_temperature_plan(groups, k16, frac)
