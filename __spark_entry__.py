@@ -3975,11 +3975,11 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r13 ∪ r14 stays 100/100 disjoint.
 #
 # ---- Round-15 certification batch (staged) --------------------------------
-# r15 registers the winnowing + composition + planning trio staged in
-#   round 11 session 3: dedup_winnow_pairs, pipeline_refinedweb_corpus,
-#   curation_epoch_plan — each paired with a weakest-marginal
-#   retirement from the r13-certified pool so r14 ∪ r15 stays 100/100
-#   disjoint.
+# r15 registers the winnowing + composition + planning batch staged in
+#   round 11 session 3: dedup_winnow_pairs, dedup_winnow_spans,
+#   pipeline_refinedweb_corpus, curation_epoch_plan — each paired with
+#   a weakest-marginal retirement from the r13-certified pool so
+#   r14 ∪ r15 stays 100/100 disjoint.
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -6917,6 +6917,60 @@ def pipeline_refinedweb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated, group_col="source", alpha=0.25, target_frac=0.5, seed=0, plan=plan
     )
     return kept.select("doc_id", "source", "entropy_q")
+
+
+def _winnow_spans_oracle(n: int = 3, min_run: int = 2) -> str:
+    """operators/dedup.py winnow_match_spans reproduced over the
+    certified winnow_pairs candidates: positioned grams for pair
+    members only, per-pair gram equi-join, gaps-and-islands on each
+    alignment diagonal, ≥min_run maximal runs."""
+    tokf = f"list_filter({_TOK}, t -> t <> '')"
+    return f"""
+    WITH pairs AS ({_winnow_pairs_oracle()}),
+    p AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+    members AS (SELECT doc_a AS m FROM p UNION SELECT doc_b FROM p),
+    gp AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(tk, i, i + {n - 1}), ' ') AS gram
+      FROM (SELECT doc_id, {tokf} AS tk FROM documents
+            WHERE doc_id IS NOT NULL AND doc_id IN (SELECT m FROM members)),
+           unnest(range(1, greatest(1, len(tk) - {n - 1}) + 1)) AS u(i)
+      WHERE len(tk) >= {n}
+    ), m AS (
+      SELECT p.doc_a, p.doc_b, ga.pos AS pos_a, gb.pos AS pos_b
+      FROM p JOIN gp ga ON ga.doc_id = p.doc_a
+             JOIN gp gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+    ), isl AS (
+      SELECT doc_a, doc_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a)
+               AS island,
+             pos_a, pos_b
+      FROM m
+    )
+    SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+           CAST(min(pos_b) AS BIGINT) AS start_b,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) + {n - 1} AS BIGINT) AS n_words
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+    HAVING count(*) >= {min_run}
+    """
+
+
+@q_staged("dedup_winnow_spans", oracle=_winnow_spans_oracle())
+def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT the matched near-dup pairs actually share — the MOSS
+    user-facing report: maximal runs of consecutive identical word
+    3-grams per candidate pair (diagonal gaps-and-islands over a
+    per-pair gram equi-join; the corpus scan prunes to pair members,
+    so alignment cost is bounded by the matches, never corpus-sized)
+    (operators/dedup.py winnow_match_spans over winnow_pairs'
+    candidates)."""
+    from rheoceros_spark.operators.dedup import winnow_match_spans, winnow_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = winnow_pairs(docs, n=3, w=4, min_shared=2, max_bucket=50)
+    return winnow_match_spans(docs, pairs, n=3, min_run=2)
 
 
 def _epoch_plan_oracle(

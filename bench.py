@@ -171,6 +171,7 @@ BENCH_EXT = [
     "dedup_winnow_pairs",
     "pipeline_refinedweb_corpus",
     "curation_epoch_plan",
+    "dedup_winnow_spans",
 ]
 
 

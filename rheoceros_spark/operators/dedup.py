@@ -1599,3 +1599,95 @@ def dedup_winnow_against_index(
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def winnow_match_spans(
+    df: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    min_run: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Localize WHAT matched documents share — the report MOSS shows
+    its users: for each (doc_a, doc_b) candidate pair, the maximal runs
+    of consecutive identical word ``n``-grams, as
+    (doc_a, doc_b, start_a, start_b, n_grams, n_words).
+
+    ``pairs`` is a candidate frame (doc_a, doc_b) — typically
+    :func:`winnow_pairs` output or :func:`dedup_winnow_against_index`
+    matches renamed — so the expensive alignment only ever runs on
+    ALREADY-MATCHED pairs, never the corpus cross product.
+
+    Algorithm: gram streams WITH positions for exactly the documents
+    appearing in ``pairs`` (semi-join prunes the corpus scan), equi-join
+    a-side × b-side per pair on the gram text, then classic
+    gaps-and-islands on each alignment diagonal (``pos_a − pos_b``
+    constant, consecutive ``pos_a``): island id =
+    ``pos_a − row_number()`` per (pair, diagonal), one aggregate per
+    island.  A run of ``g`` consecutive shared n-grams covers
+    ``g + n − 1`` shared words.  Runs shorter than ``min_run`` grams
+    are dropped.
+
+    Scale shape: the join is keyed on (pair-member doc ids × gram), so
+    fan-out is bounded by per-pair shared-gram multiplicity; windows
+    partition by (pair, diagonal) — alignment-sized, never
+    corpus-sized.  Output ordered by (doc_a, doc_b, start_a)."""
+    if min_run < 1:
+        raise ValueError(f"winnow_match_spans: min_run must be >= 1, got {min_run}")
+    from pyspark.sql import Window as W
+
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    p = pairs.select(
+        F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint")
+    ).distinct()
+    members = (
+        p.select(F.col("doc_a").alias("__m"))
+        .union(p.select(F.col("doc_b")))
+        .distinct()
+    )
+    toks_f = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    grams = F.when(
+        F.size(toks_f) >= n, word_ngrams(toks_f, n)
+    ).otherwise(F.array().cast("array<string>"))
+    gpos = (
+        ensure_parallelism(
+            df.where(F.col(id_col).isNotNull())
+            .join(members, F.col(id_col) == F.col("__m"), "left_semi")
+            .select(id_col, text_col)
+        )
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    )
+    a = p.join(gpos, p.doc_a == F.col(id_col)).select(
+        "doc_a", "doc_b", F.col("pos").alias("pos_a"), "gram"
+    )
+    b = gpos.select(
+        F.col(id_col).alias("__idb"), F.col("pos").alias("pos_b"),
+        F.col("gram").alias("__gramb"),
+    )
+    m = a.join(
+        b,
+        (F.col("doc_b") == F.col("__idb")) & (F.col("gram") == F.col("__gramb")),
+    ).select("doc_a", "doc_b", "pos_a", "pos_b")
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("__diag")
+    w = W.partitionBy("doc_a", "doc_b", "__diag").orderBy("pos_a")
+    islands = (
+        m.select("*", diag)
+        .withColumn("__isl", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "__diag", "__isl")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .where(F.col("n_grams") >= min_run)
+    )
+    return islands.select(
+        "doc_a",
+        "doc_b",
+        "start_a",
+        "start_b",
+        "n_grams",
+        (F.col("n_grams") + F.lit(n - 1)).cast("bigint").alias("n_words"),
+    ).orderBy("doc_a", "doc_b", "start_a")

@@ -2872,6 +2872,11 @@ def sif_embed(
         .select(F.explode(F.col("__toks")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # two driver actions consume this frame (the exact total and
+        # the top-V head) — truncate lineage so the corpus tokenizes
+        # ONCE, not once per action (measured ~1 s per extra pass at
+        # sf0.1); the checkpointed frame is vocab-sized
+        .localCheckpoint()
     )
     total = cnts.agg(F.sum("cnt")).head()[0] or 0
     head = (

@@ -106,6 +106,7 @@ AUDIT = [
     "dedup_winnow_pairs",
     "pipeline_refinedweb_corpus",
     "curation_epoch_plan",
+    "dedup_winnow_spans",
     # round-9: the composed stateless streaming gate, audited over a
     # batch frame (identical expression tree — that is the twin claim)
     "stream_curation_gate_batch_twin",

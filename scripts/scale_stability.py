@@ -167,6 +167,9 @@ HEAVIES = [
     "pipeline_refinedweb_corpus",
     # epoch plan: one (lang, tokens) sum + groups-frame algebra
     "curation_epoch_plan",
+    # match spans: corpus pruned to pair members; alignment join is
+    # match-bounded, windows partition per (pair, diagonal)
+    "dedup_winnow_spans",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too).
 #: retrieval_metrics_layer probes the metric battery at FIXED query
@@ -267,6 +270,9 @@ ORACLE_AT_SF1 = [
     "dedup_winnow_pairs",
     # epoch-plan oracle: one perdoc token scan + groups algebra — linear
     "curation_epoch_plan",
+    # spans oracle: winnow_pairs oracle + member-pruned alignment —
+    # pair-bounded at fixed per-replica duplication
+    "dedup_winnow_spans",
 ]
 
 

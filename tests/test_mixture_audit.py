@@ -562,3 +562,48 @@ def test_epoch_plan_rejects_bad_params(spark):
         epoch_plan(df, 0)
     with pytest.raises(ValueError, match="max_epochs_q"):
         epoch_plan(df, 100, max_epochs_q=0)
+
+
+def test_winnow_match_spans_hand_positions(spark):
+    """A crafted pair with one known shared 7-word run: exact start
+    positions (0-based word-gram offsets), gram count, word count."""
+    from rheoceros_spark.operators.dedup import winnow_match_spans
+
+    shared = "one two three four five six seven"  # 7 words → 5 3-grams
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail", "en"),      # run starts at gram 3
+            (2, f"{shared} completely different ending", "en"),  # starts at gram 0
+        ],
+        DOCS,
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    out = winnow_match_spans(df, pairs, n=3, min_run=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["start_a"], r["start_b"], r["n_grams"], r["n_words"]) == (3, 0, 5, 7)
+
+
+def test_winnow_match_spans_two_runs_and_min_run(spark):
+    """Two disjoint shared runs report separately; a single-gram match
+    is dropped by min_run=2 but kept at min_run=1."""
+    from rheoceros_spark.operators.dedup import winnow_match_spans
+
+    run1 = "alpha beta gamma delta"        # 4 words → 2 grams
+    run2 = "epsilon zeta eta theta iota"   # 5 words → 3 grams
+    single = "kappa lamda mu"              # 3 words → 1 gram
+    df = spark.createDataFrame(
+        [
+            (1, f"{run1} xx yy zz {run2} ppp qqq {single}", "en"),
+            (2, f"{run2} aa bb cc {run1} rrr sss {single} ttt", "en"),
+        ],
+        DOCS,
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    got = {
+        (r["n_grams"], r["n_words"])
+        for r in winnow_match_spans(df, pairs, n=3, min_run=2).collect()
+    }
+    assert got == {(2, 4), (3, 5)}
+    all_runs = winnow_match_spans(df, pairs, n=3, min_run=1).collect()
+    assert {(r["n_grams"]) for r in all_runs} == {1, 2, 3}
