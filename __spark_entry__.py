@@ -6931,7 +6931,7 @@ def _winnow_spans_oracle(n: int = 3, min_run: int = 2) -> str:
     members AS (SELECT doc_a AS m FROM p UNION SELECT doc_b FROM p),
     gp AS (
       SELECT doc_id, i - 1 AS pos,
-             array_to_string(list_slice(tk, i, i + {n - 1}), ' ') AS gram
+             {_H64.format(s="array_to_string(list_slice(tk, i, i + " + str(n - 1) + "), ' ')")} AS gh
       FROM (SELECT doc_id, {tokf} AS tk FROM documents
             WHERE doc_id IS NOT NULL AND doc_id IN (SELECT m FROM members)),
            unnest(range(1, greatest(1, len(tk) - {n - 1}) + 1)) AS u(i)
@@ -6939,7 +6939,7 @@ def _winnow_spans_oracle(n: int = 3, min_run: int = 2) -> str:
     ), m AS (
       SELECT p.doc_a, p.doc_b, ga.pos AS pos_a, gb.pos AS pos_b
       FROM p JOIN gp ga ON ga.doc_id = p.doc_a
-             JOIN gp gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+             JOIN gp gb ON gb.doc_id = p.doc_b AND gb.gh = ga.gh
     ), isl AS (
       SELECT doc_a, doc_b, pos_a - pos_b AS diag,
              pos_a - row_number() OVER (

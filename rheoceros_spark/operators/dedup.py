@@ -1639,9 +1639,17 @@ def winnow_match_spans(
 
     from rheoceros_spark.operators.scale import ensure_parallelism
 
-    p = pairs.select(
-        F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint")
-    ).distinct()
+    # THREE consumers read the candidate frame (members, the a-side
+    # join, the b-side doc filter) — without lineage truncation the
+    # whole upstream pair DAG (corpus-wide fingerprinting for
+    # winnow_pairs input) re-executes per consumer; the frame itself is
+    # match-bounded, so the checkpoint is cheap (lazy: materializes on
+    # the first action)
+    p = (
+        pairs.select(F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     members = (
         p.select(F.col("doc_a").alias("__m"))
         .union(p.select(F.col("doc_b")))
@@ -1651,6 +1659,11 @@ def winnow_match_spans(
     grams = F.when(
         F.size(toks_f) >= n, word_ngrams(toks_f, n)
     ).otherwise(F.array().cast("array<string>"))
+    # gpos feeds BOTH join sides — checkpoint so the member-pruned
+    # tokenize/gram pass runs once (rows = member docs × grams, bounded
+    # by the matches).  Grams are matched by their 60-bit h64 — the
+    # family's standard key (winnowing itself is hash-equality) — so
+    # the alignment shuffle ships 8-byte keys, not gram text
     gpos = (
         ensure_parallelism(
             df.where(F.col(id_col).isNotNull())
@@ -1658,17 +1671,19 @@ def winnow_match_spans(
             .select(id_col, text_col)
         )
         .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+        .select(F.col(id_col), "pos", h64(F.col("gram")).alias("gh"))
+        .localCheckpoint(eager=False)
     )
     a = p.join(gpos, p.doc_a == F.col(id_col)).select(
-        "doc_a", "doc_b", F.col("pos").alias("pos_a"), "gram"
+        "doc_a", "doc_b", F.col("pos").alias("pos_a"), "gh"
     )
     b = gpos.select(
         F.col(id_col).alias("__idb"), F.col("pos").alias("pos_b"),
-        F.col("gram").alias("__gramb"),
+        F.col("gh").alias("__ghb"),
     )
     m = a.join(
         b,
-        (F.col("doc_b") == F.col("__idb")) & (F.col("gram") == F.col("__gramb")),
+        (F.col("doc_b") == F.col("__idb")) & (F.col("gh") == F.col("__ghb")),
     ).select("doc_a", "doc_b", "pos_a", "pos_b")
     diag = (F.col("pos_a") - F.col("pos_b")).alias("__diag")
     w = W.partitionBy("doc_a", "doc_b", "__diag").orderBy("pos_a")
