@@ -152,10 +152,16 @@ class DimensionSpec:
             return
         # reference tree form (dimension_constructs.py:210-230)
         if (dimensions and not sub_dim_specs) or (not dimensions and sub_dim_specs):
-            raise ValueError("Cannot initiate DimensionSpec due to mismatch in dimension and spec lists.")
+            raise ValueError(
+                "DimensionSpec: the dimension list and sub-spec list must be "
+                "given together and have equal length."
+            )
         if dimensions and sub_dim_specs:
             if len(dimensions) != len(sub_dim_specs):
-                raise ValueError("Cannot initiate DimensionSpec due to mismatch in dimension and spec lists.")
+                raise ValueError(
+                    "DimensionSpec: the dimension list and sub-spec list must be "
+                    "given together and have equal length."
+                )
             for dim, sub_spec in zip(dimensions, sub_dim_specs):
                 self.add_dimension(dim, sub_spec)
 

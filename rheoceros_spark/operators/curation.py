@@ -26,6 +26,7 @@ training-data pipeline runs *inside* those slots.  Design rules:
 
 from __future__ import annotations
 
+import math
 from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -166,8 +167,13 @@ def temperature_mix_plan(
     which order), and the final rate lands on the SAMPLE_BUCKETS grid,
     so the downstream hash gate is cross-engine exact.
 
-    Returns one row per non-NULL group: (group, n_docs, rate_q) with
-    ``rate_q`` in micro-units ([0, 1e6]).
+    Returns one row per non-NULL group: (group, n_docs, rate_q,
+    alpha_k16, target_frac_q) with ``rate_q`` in micro-units
+    ([0, 1e6]).  The trailing two columns STAMP the parameters the plan
+    was computed under (α in sixteenths, target_frac in micro-units) so
+    :func:`temperature_mix` can reject a plan that disagrees with the
+    caller's request instead of silently sampling under stale
+    parameters — the :func:`_check_winnow_params` artifact discipline.
 
     Scale shape: ONE groups-sized count aggregate (map-combined
     partials — the corpus never shuffles); the normalization window
@@ -208,14 +214,64 @@ def temperature_mix_plan(
         group_col,
         "n_docs",
         F.floor(rate * SAMPLE_BUCKETS + F.lit(0.5)).cast("bigint").alias("rate_q"),
+        F.lit(k16).cast("bigint").alias("alpha_k16"),
+        F.lit(int(math.floor(target_frac * SAMPLE_BUCKETS + 0.5)))
+        .cast("bigint")
+        .alias("target_frac_q"),
     )
+
+
+def _check_mix_plan_params(
+    plan: DataFrame,
+    alpha: Optional[float] = None,
+    target_frac: Optional[float] = None,
+) -> None:
+    """Loud mismatch between a precomputed sampling plan and the
+    caller's EXPLICITLY requested parameters (``None`` = not requested
+    — the plan is the artifact of record, as in the streaming gate).
+    Plans from before the stamps were recorded (no such columns) are
+    accepted as-is; mixed stamps (a frame unioned from two plans) are
+    always rejected.  The distinct read is plan-tiny (one row per
+    parameter pair)."""
+    if not {"alpha_k16", "target_frac_q"} <= set(plan.columns):
+        return
+    built = sorted(
+        (r["alpha_k16"], r["target_frac_q"])
+        for r in plan.select("alpha_k16", "target_frac_q").distinct().collect()
+    )
+    if not built:
+        return
+    if len(built) > 1:
+        raise ValueError(
+            f"temperature_mix: plan holds MIXED parameter stamps "
+            f"(alpha_k16, target_frac_q) ∈ {built} — refuse to sample under "
+            "an inconsistent plan; rebuild it with one parameter set"
+        )
+    got_k16, got_tfq = built[0]
+    if alpha is not None and _alpha_sixteenths(alpha) != got_k16:
+        raise ValueError(
+            f"temperature_mix: plan was computed with alpha_k16={got_k16} but "
+            f"the call requested alpha={alpha} "
+            f"(k16={_alpha_sixteenths(alpha)}) — the sample would not match "
+            "the requested mixture; pass matching alpha or recompute the plan"
+        )
+    if target_frac is not None:
+        want_tfq = int(math.floor(target_frac * SAMPLE_BUCKETS + 0.5))
+        if want_tfq != got_tfq:
+            raise ValueError(
+                f"temperature_mix: plan was computed with "
+                f"target_frac_q={got_tfq} but the call requested "
+                f"target_frac={target_frac} (q={want_tfq}) — the sample would "
+                "not match the requested budget; pass matching target_frac "
+                "or recompute the plan"
+            )
 
 
 def temperature_mix(
     df: DataFrame,
     group_col: str = "lang",
-    alpha: float = 0.3125,
-    target_frac: float = 0.5,
+    alpha: Optional[float] = None,
+    target_frac: Optional[float] = None,
     id_col: str = "doc_id",
     seed: int = 0,
     plan: Optional[DataFrame] = None,
@@ -230,7 +286,14 @@ def temperature_mix(
     Pass a precomputed ``plan`` (the :func:`temperature_mix_plan`
     frame, or one read back from storage) to skip the counting pass —
     a caller that also REPORTS the plan would otherwise aggregate the
-    corpus twice.
+    corpus twice.  A passed plan's parameter stamps (``alpha_k16`` /
+    ``target_frac_q``, written by :func:`temperature_mix_plan`) are
+    validated against any EXPLICITLY passed ``alpha``/``target_frac``
+    and a mismatch raises — a stale plan must not silently produce a
+    sample inconsistent with the requested mixture.  Omitting both
+    (``None``) treats the plan as the artifact of record (the
+    streaming-gate calling convention); with no plan, omitted
+    parameters fall back to α=5/16, target_frac=0.5.
 
     Scale shape: the plan is groups-sized and broadcast; the corpus
     pass is a per-row hash + filter — zero corpus shuffle, runs inside
@@ -239,10 +302,12 @@ def temperature_mix(
         plan = temperature_mix_plan(
             df,
             group_col=group_col,
-            alpha=alpha,
-            target_frac=target_frac,
+            alpha=0.3125 if alpha is None else alpha,
+            target_frac=0.5 if target_frac is None else target_frac,
             id_col=id_col,
         )
+    else:
+        _check_mix_plan_params(plan, alpha, target_frac)
     from pyspark.sql.functions import broadcast
 
     return (

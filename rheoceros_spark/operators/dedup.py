@@ -774,19 +774,32 @@ def build_minhash_index(
 
 def _check_index_params(index: DataFrame, num_hashes: int, bands: int, ngram: int) -> None:
     """Fail fast if the probe parameters disagree with the ones the
-    index was built with (recorded as literal columns).  One limit-1
-    driver-side read; indexes from before the params were recorded
-    (no such columns) are accepted as-is."""
+    index was built with (recorded as literal columns).  Checks ALL
+    distinct parameter triples — a limit(1) over a multi-file parquet
+    index is nondeterministic and would pass an index accidentally
+    appended with different settings, the silent-under-match failure
+    this guard exists to make loud.  The distinct frame is index-tiny
+    (one row per triple ever written); indexes from before the params
+    were recorded (no such columns) are accepted as-is."""
     cols = set(index.columns)
     if not {"num_hashes", "bands", "ngram"} <= cols:
         return
-    row = index.select("num_hashes", "bands", "ngram").limit(1).collect()
-    if not row:
+    built = sorted(
+        (r["num_hashes"], r["bands"], r["ngram"])
+        for r in index.select("num_hashes", "bands", "ngram").distinct().collect()
+    )
+    if not built:
         return
-    built = (row[0]["num_hashes"], row[0]["bands"], row[0]["ngram"])
-    if built != (num_hashes, bands, ngram):
+    if len(built) > 1:
         raise ValueError(
-            f"minhash index was built with (num_hashes, bands, ngram)={built}, "
+            f"minhash index holds MIXED build parameters (num_hashes, bands, "
+            f"ngram) ∈ {built} — an append used different settings than the "
+            "original build; band buckets across segments would never "
+            "collide.  Rebuild the index with one parameter set."
+        )
+    if built[0] != (num_hashes, bands, ngram):
+        raise ValueError(
+            f"minhash index was built with (num_hashes, bands, ngram)={built[0]}, "
             f"probe requested {(num_hashes, bands, ngram)} — band buckets would "
             "never collide; rebuild the index or match the parameters"
         )
@@ -1493,7 +1506,15 @@ def winnow_pairs(
         raise ValueError(f"winnow_pairs: min_shared must be >= 1, got {min_shared}")
     if max_bucket < 2:
         raise ValueError(f"winnow_pairs: max_bucket must be >= 2, got {max_bucket}")
-    fps = winnow_fingerprints(df, n=n, w=w, text_col=text_col, id_col=id_col)
+    # fps fans out to THREE consumers (the bucket-size aggregate plus
+    # both sides of the self-join) — truncate lineage so the corpus
+    # tokenize/gram-hash/window-min pass runs once, not per consumer
+    # (the winnow_match_spans / sif_embed dual-consumer discipline);
+    # the frame is 8-byte keys at ~2/(w+1) gram density, so the
+    # checkpoint is narrow (lazy: materializes on the first action)
+    fps = winnow_fingerprints(
+        df, n=n, w=w, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=False)
     # bucket-size gate: one (fp) count aggregate over the 8-byte keys;
     # 2..max_bucket survivors re-broadcast nothing — the join below is
     # a shuffle equi-join on fp with bounded buckets
@@ -1543,16 +1564,30 @@ def winnow_index_write(
 
 
 def _check_winnow_params(index: DataFrame, n: int, w: int) -> None:
-    """Loud mismatch on probe-vs-build parameters (one limit-1 read)."""
+    """Loud mismatch on probe-vs-build parameters.  Checks ALL distinct
+    (n, w) pairs in the index — a limit(1) over a multi-file parquet
+    index is nondeterministic and would pass an index accidentally
+    appended with different parameters than it was built with, which is
+    exactly the silent-under-match failure this guard exists to make
+    loud.  The distinct frame is index-tiny (one row per parameter
+    combination ever written)."""
     if not {"n", "w"} <= set(index.columns):
         return
-    row = index.select("n", "w").limit(1).collect()
-    if not row:
+    built = sorted(
+        (r["n"], r["w"]) for r in index.select("n", "w").distinct().collect()
+    )
+    if not built:
         return
-    built = (row[0]["n"], row[0]["w"])
-    if built != (n, w):
+    if len(built) > 1:
         raise ValueError(
-            f"winnow index was built with (n, w)={built}, probe requested "
+            f"winnow index holds MIXED build parameters (n, w) ∈ {built} — "
+            "an append used different settings than the original build; "
+            "fingerprint selections across segments would never collide. "
+            "Rebuild the index with one parameter set."
+        )
+    if built[0] != (n, w):
+        raise ValueError(
+            f"winnow index was built with (n, w)={built[0]}, probe requested "
             f"{(n, w)} — fingerprint selections would never collide; rebuild "
             "the index or match the parameters"
         )
@@ -1644,9 +1679,12 @@ def winnow_match_spans(
     # whole upstream pair DAG (corpus-wide fingerprinting for
     # winnow_pairs input) re-executes per consumer; the frame itself is
     # match-bounded, so the checkpoint is cheap (lazy: materializes on
-    # the first action)
+    # the first action).  Ids keep the pairs frame's NATIVE type (the
+    # dedup_keep_list discipline) — an eager bigint cast turned string
+    # doc ids to NULL and made the alignment joins silently match
+    # nothing
     p = (
-        pairs.select(F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"))
+        pairs.select("doc_a", "doc_b")
         .distinct()
         .localCheckpoint(eager=False)
     )

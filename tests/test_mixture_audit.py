@@ -607,3 +607,91 @@ def test_winnow_match_spans_two_runs_and_min_run(spark):
     assert got == {(2, 4), (3, 5)}
     all_runs = winnow_match_spans(df, pairs, n=3, min_run=1).collect()
     assert {(r["n_grams"]) for r in all_runs} == {1, 2, 3}
+
+
+def test_winnow_match_spans_string_ids(spark):
+    """Doc ids keep their native type through the alignment joins: the
+    r11 form cast pairs' ids to bigint, so STRING ids (used by other
+    dedup-family operators) became NULL and the result was silently
+    empty instead of the span report."""
+    from rheoceros_spark.operators.dedup import winnow_match_spans
+
+    shared = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [
+            ("doc-a", f"intro words here {shared} tail", "en"),
+            ("doc-b", f"{shared} completely different ending", "en"),
+        ],
+        "doc_id string, text string, lang string",
+    )
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b")], "doc_a string, doc_b string"
+    )
+    out = winnow_match_spans(df, pairs, n=3, min_run=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == ("doc-a", "doc-b")
+    assert (r["start_a"], r["start_b"], r["n_grams"], r["n_words"]) == (3, 0, 5, 7)
+
+
+def test_winnow_index_mixed_params_append_is_loud(spark, tmp_path):
+    """An index accidentally APPENDED with different (n, w) than it was
+    built with must fail the probe guard — the pre-r12 limit(1) check
+    read one arbitrary file and could silently under-match."""
+    from rheoceros_spark.operators.dedup import (
+        dedup_winnow_against_index,
+        winnow_index_write,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f g h", "en")], DOCS)
+    path = str(tmp_path / "widx_mixed")
+    winnow_index_write(df, path, n=3, w=4)
+    idx = winnow_index_write(df, path, n=3, w=8, mode="append")
+    with pytest.raises(ValueError, match="MIXED"):
+        dedup_winnow_against_index(df, idx, n=3, w=4)
+
+
+def test_minhash_index_mixed_params_append_is_loud(spark, tmp_path):
+    """Same discipline for the MinHash index guard."""
+    from rheoceros_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l", "en")], DOCS
+    )
+    path = str(tmp_path / "midx_mixed")
+    build_minhash_index(df, path, num_hashes=16, bands=4)
+    idx = build_minhash_index(df, path, num_hashes=8, bands=2, mode="append")
+    with pytest.raises(ValueError, match="MIXED"):
+        dedup_against_index(df, idx, num_hashes=16, bands=4)
+
+
+def test_temperature_mix_plan_stamp_validation(spark):
+    """A precomputed plan carries (alpha_k16, target_frac_q) stamps;
+    explicitly mismatched parameters raise, omitted parameters accept
+    the plan as the artifact of record (the streaming-gate calling
+    convention)."""
+    from rheoceros_spark.operators.curation import (
+        temperature_mix,
+        temperature_mix_plan,
+    )
+
+    df = _skewed_corpus(spark)
+    plan = temperature_mix_plan(df, group_col="lang", alpha=0.3125, target_frac=0.5)
+    # matching explicit params and omitted params both pass
+    n_match = temperature_mix(
+        df, group_col="lang", alpha=0.3125, target_frac=0.5, plan=plan
+    ).count()
+    n_trust = temperature_mix(df, group_col="lang", plan=plan).count()
+    assert n_match == n_trust > 0
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, group_col="lang", alpha=0.5, plan=plan)
+    with pytest.raises(ValueError, match="target_frac"):
+        temperature_mix(df, group_col="lang", target_frac=0.25, plan=plan)
+    mixed = plan.union(
+        temperature_mix_plan(df, group_col="lang", alpha=0.5, target_frac=0.5)
+    )
+    with pytest.raises(ValueError, match="MIXED"):
+        temperature_mix(df, group_col="lang", plan=mixed)

@@ -314,21 +314,21 @@ class TestDriverContract:
     def test_cross_round_official_coverage_is_total(self):
         """Every query is either inside this round's 50-entry driver
         window or already earned a green official row in the PREVIOUS
-        round (r10) — the rotation may not orphan anything, and
+        round (r11) — the rotation may not orphan anything, and
         consecutive rounds must jointly cover 100% of queries()."""
         import json
         import os
 
         window = set(list(entry.queries())[:50])
-        r10_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r10.json")
-        with open(r10_path, "r", encoding="utf-8") as f:
-            r10 = json.load(f)
-        certified_r10 = {
+        r11_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r11.json")
+        with open(r11_path, "r", encoding="utf-8") as f:
+            r11 = json.load(f)
+        certified_r11 = {
             name
-            for name, res in r10.items()
+            for name, res in r11.items()
             if res.get("rows_match") and res.get("schema_match") and res.get("hash_match")
         }
-        uncovered = set(entry.queries()) - window - certified_r10
+        uncovered = set(entry.queries()) - window - certified_r11
         assert not uncovered, f"never driver-certified: {sorted(uncovered)}"
 
     def test_registry_capped_at_window_arithmetic(self):
@@ -845,7 +845,7 @@ class TestRound9PlanShapes:
         """The trained weight table (K·65 rows) joins the feature
         stream by broadcast; the softmax/argmax windows partition by
         doc id (never global); no shuffle-side join of the corpus."""
-        df = entry._STAGED_QUERIES["text_lang_classifier"](spark, sf)
+        df = entry.queries()["text_lang_classifier"](spark, sf)
         df.collect()
         plan = physical_plan(df)
         assert "BroadcastHashJoin" in plan
@@ -863,7 +863,7 @@ class TestRound9PlanShapes:
         histogram rows, never a corpus sort), labels return by
         broadcast, and no stage cartesians or sort-merge-joins the
         corpus."""
-        df = entry._STAGED_QUERIES["pipeline_ccnet_corpus"](spark, sf)
+        df = entry.queries()["pipeline_ccnet_corpus"](spark, sf)
         df.collect()
         plan = physical_plan(df)
         assert "BroadcastHashJoin" in plan

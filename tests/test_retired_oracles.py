@@ -92,6 +92,13 @@ def test_retired_set_is_exactly_the_certified_retirees():
         "q12_priority_by_linestatus",  # conditional case-sum ⊂ q8_market_share + q14_promo_revenue_share
         "q17_small_quantity_revenue",  # correlated per-group avg ⊂ q2_min_cost_supplier + q15_top_supplier
         "q10_returned_revenue",  # join+group+sum ⊂ q3_shipping_priority + q5_local_supplier_volume
+        # --- retired in the r12 window (siblings holding rows noted) ---
+        "text_token_count",  # token counting ⊂ text_quality (r10) + text_bpe_fertility (r11) real-token counts
+        "text_fingerprint",  # rolling-hash fp family: dedup_exact_docs (r10) + corpus_diff_indexed (r9) + dedup_substring_spans (r9)
+        "dedup_embedding_blocked",  # hyperplane-blocked pair twin: dedup_semantic_pairs (r10)
+        "curation_contamination",  # n-gram containment ⊂ curation_decon_spans (r11) + curation_semantic_decon
+        "topk_orders",  # global top-k ⊂ window_topn_per_group (r9); TakeOrdered shape re-certified by scale_skew_report (r13)
+        "multimodal_frame_sample",  # same Arrow mapInPandas batch shape as multimodal_features (r10) + audio/video (r11)
     }
 
 
