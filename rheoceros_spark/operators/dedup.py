@@ -1744,3 +1744,97 @@ def winnow_match_spans(
         "n_grams",
         (F.col("n_grams") + F.lit(n - 1)).cast("bigint").alias("n_words"),
     ).orderBy("doc_a", "doc_b", "start_a")
+
+
+def intradoc_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal — the intra-document
+    complement of :func:`paragraph_dedup`'s cross-document span dedup,
+    and the self-cleaning rewrite C4-style pipelines apply before any
+    page-level rule (menus, cookie banners and share bars repeat
+    VERBATIM inside a page; dropping repeats before word/line counting
+    keeps those gates honest).
+
+    Per document: split on ``sep``, normalize each line to a match key
+    (whitespace runs collapsed, trimmed — case and punctuation are
+    PRESERVED, so only true repeats collapse), keep the FIRST
+    occurrence of each key in document order, drop whitespace-only
+    lines, and re-join the kept lines' ORIGINAL text with ``sep``
+    (byte-exact reassembly of survivors, the ``c4_line_filter``
+    contract).
+
+    Adds ``clean_text``, ``n_lines`` (non-blank), ``n_kept`` and
+    ``n_dup_lines`` (= n_lines − n_kept).
+
+    Scale shape: entirely ROW-LOCAL — array HOFs inside one codegen'd
+    scan stage, zero shuffle, nothing leaves the partition.  The
+    first-occurrence test is O(L²) in the number of LINES of a single
+    document (prefix scan per line) — L is tens for real pages, and the
+    work stays per-row, so corpus cost is linear (the char-entropy
+    lesson: per-row quadratic in a SMALL per-row quantity beats any
+    shuffle; revisit only if L grows unbounded)."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(raw, sep)
+    out = (
+        df.withColumn("__lines", lines)
+        .withColumn(
+            "__keys",
+            F.transform(
+                F.col("__lines"),
+                lambda l: F.trim(F.regexp_replace(l, "[ \t\r\f]+", " ")),
+            ),
+        )
+        .withColumn(
+            "__kept_idx",
+            F.expr(
+                "filter(sequence(1, size(__keys)), i -> "
+                "element_at(__keys, i) != '' AND NOT exists("
+                "slice(__keys, 1, i - 1), k -> k = element_at(__keys, i)))"
+            ),
+        )
+    )
+    n_lines = F.size(F.filter(F.col("__keys"), lambda k: k != "")).cast("long")
+    n_kept = F.size("__kept_idx").cast("long")
+    return out.select(
+        *[c for c in df.columns],
+        F.array_join(
+            F.expr("transform(__kept_idx, i -> element_at(__lines, i))"),
+            sep,
+        ).alias("clean_text"),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        (n_lines - n_kept).alias("n_dup_lines"),
+    )
+
+
+def intradoc_line_dedup_duckdb_sql(text_expr: str, sep: str = "\n") -> dict[str, str]:
+    """DuckDB twin of :func:`intradoc_line_dedup` (oracle-builder
+    pattern): expressions for ``__lines``/``__keys``/``__kept_idx`` CTE
+    columns plus the four output columns.  Index-based formulation is
+    IDENTICAL on both engines (1-based element_at/list slicing)."""
+    sep_sql = "chr(10)" if sep == "\n" else "'" + sep.replace("'", "''") + "'"
+    lines = f"string_split(coalesce({text_expr}, ''), {sep_sql})"
+    keys = (
+        "list_transform(__lines, l -> "
+        "trim(regexp_replace(l, '[ \\t\\r\\f]+', ' ', 'g')))"
+    )
+    kept_idx = (
+        "list_filter(range(1, len(__keys) + 1), i -> "
+        "__keys[i] <> '' AND NOT list_contains("
+        "list_slice(__keys, 1, i - 1), __keys[i]))"
+    )
+    return {
+        "lines": lines,
+        "keys": keys,
+        "kept_idx": kept_idx,
+        "clean_text": (
+            "coalesce(array_to_string("
+            f"list_transform(__kept_idx, i -> __lines[i]), {sep_sql}), '')"
+        ),
+        "n_lines": "len(list_filter(__keys, k -> k <> ''))",
+        "n_kept": "len(__kept_idx)",
+    }

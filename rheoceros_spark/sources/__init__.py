@@ -16,3 +16,10 @@ from rheoceros_spark.sources.io import (  # noqa: F401
     write_dataset,
     write_pandas,
 )
+from rheoceros_spark.sources.warc import (  # noqa: F401
+    WarcRecord,
+    encode_warc,
+    load_warc,
+    scan_warc_stream,
+    warc_records,
+)
