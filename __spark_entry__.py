@@ -3980,6 +3980,21 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   pipeline_refinedweb_corpus, curation_epoch_plan — each paired with
 #   a weakest-marginal retirement from the r13-certified pool so
 #   r14 ∪ r15 stays 100/100 disjoint.
+#
+# ---- Round-16 certification batch (staged) --------------------------------
+# r16 registers the crawl stage-0 family built in round 12:
+#   text_html_extract, dedup_intradoc_lines, pipeline_refinedweb_html —
+#   each paired with a weakest-marginal retirement from the
+#   r14-certified pool (provisional candidates, sibling holding an
+#   official row in parentheses):
+#   curation_ngram_novelty  (novelty ⊂ dedup_ngram_hotspots r14 +
+#                            curation_decon_spans r11 gram machinery),
+#   text_hash_embed_topk    (unweighted twin of text_sif_embed_topk
+#                            r14, which composes the same folds),
+#   ann_lsh_topk            (ANN family holds ann_ivf/ivfpq/int8/pq
+#                            official rows; LSH buckets re-certified
+#                            by the dedup LSH family),
+#   so r15 ∪ r16 stays 100/100 disjoint.
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -7045,6 +7060,207 @@ def curation_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="lang",
         alpha=2 / 16,
         max_epochs_q=2_000_000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction family (round 12, staged for r16): the crawl
+# pipeline's true stage 0 — WARC record demux (sources/warc.py, tested
+# on real byte streams) feeds HTML→main-content extraction
+# (operators/html.py, jusText-style block rules as pure column
+# algebra).  The documents table carries no markup, so a deterministic
+# HTML page is derived from (doc_id, text) — IDENTICAL SQL in both
+# engines, the _URL_FIXTURE discipline — exercising every rule:
+# script/style/comment subtrees, uppercase tags, a link-dense nav and
+# footer, entity soup, multi-paragraph segmentation from the text, a
+# prose-embedded anchor, NULL pages.
+# ---------------------------------------------------------------------------
+
+_HTML_FIXTURE = """(CASE WHEN doc_id % 59 = 0 THEN NULL ELSE
+  '<!DOCTYPE html><HTML><head><title>Doc ' || CAST(doc_id AS STRING) || '</title>'
+  || '<style>body { color: #333; }</style>'
+  || '<script>var tracker = "' || CAST(doc_id % 97 AS STRING) || '";</script></head><body>'
+  || '<div id="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>'
+  || (CASE WHEN doc_id % 7 = 0 THEN '<!-- build ' || CAST(doc_id AS STRING) || ' -->' ELSE '' END)
+  || '<h1>Doc ' || CAST(doc_id % 100 AS STRING) || '</h1>'
+  || '<p>' || replace(coalesce(text, ''), ' table ', ' table</p><p>') || '</p>'
+  || (CASE WHEN doc_id % 5 = 0 THEN '<p>Q &amp; A &lt;markup&gt;&nbsp;entities decode inside this extra paragraph block.</p>' ELSE '' END)
+  || (CASE WHEN doc_id % 3 = 0 THEN '<p>Continue reading <a href="/more">the full archived story</a> with extra surrounding words here.</p>' ELSE '' END)
+  || (CASE WHEN doc_id % 11 = 0 THEN '<pre>code sample block</pre>' ELSE '' END)
+  || '<footer><a href="/terms">Terms</a> | <a href="/privacy">Privacy</a></footer></body></HTML>'
+END)"""
+
+
+def _html_extract_oracle() -> str:
+    from rheoceros_spark.operators.html import html_extract_duckdb_sql
+
+    e = html_extract_duckdb_sql("html")
+    return f"""
+    -- MATERIALIZED: the block-stats expression references __blocks
+    -- repeatedly; DuckDB CTE inlining would re-expand the whole regex
+    -- chain per reference (the canonical-URL oracle lesson)
+    WITH src AS MATERIALIZED (
+      SELECT doc_id, {_HTML_FIXTURE} AS html FROM documents
+    ), s AS MATERIALIZED (
+      SELECT doc_id, {e['blocks']} AS __blocks FROM src
+    ), k AS MATERIALIZED (
+      SELECT doc_id, __blocks, {e['kept']} AS __kept FROM s
+    )
+    SELECT doc_id, {e['text']} AS text,
+           CAST(len(__blocks) AS BIGINT) AS n_blocks,
+           CAST(len(__kept) AS BIGINT) AS n_kept,
+           CAST(length({e['text']}) AS BIGINT) AS n_chars
+    FROM k
+    """
+
+
+@q_staged("text_html_extract", oracle=_html_extract_oracle())
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → main-content text (operators/html.py html_extract_text —
+    jusText-style block classification: subtree drops, sentinel-marked
+    link density, block segmentation, entity decode, integer-exact
+    prose rules).  Entirely row-local — zero shuffle at any corpus
+    size; extraction is the dominant-cost stage of a real crawl
+    pipeline (RefinedWeb §3) and this plan scales embarrassingly."""
+    from rheoceros_spark.operators.html import html_extract_text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "html", F.expr(_HTML_FIXTURE)
+    )
+    return html_extract_text(docs.select("doc_id", "html")).select(
+        "doc_id", "text", "n_blocks", "n_kept", "n_chars"
+    )
+
+
+#: deterministic repeated-line fixture: a nav line bracketing the
+#: line-ified text (guaranteed duplicate), a whitespace variant every
+#: 6th doc (same match key — must drop), blank tail lines every 9th
+_LINES_FIXTURE = """('Nav Home About Contact' || chr(10) ||
+  replace(replace(coalesce(text, ''), ' table ', '.' || chr(10) || 'table '),
+          ' query ', '?' || chr(10) || 'query ')
+  || chr(10) || 'Nav Home About Contact'
+  || (CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'Nav  Home About Contact' ELSE '' END)
+  || (CASE WHEN doc_id % 9 = 0 THEN chr(10) || chr(10) || '   ' ELSE '' END))"""
+
+
+def _intradoc_lines_oracle() -> str:
+    from rheoceros_spark.operators.dedup import intradoc_line_dedup_duckdb_sql
+
+    e = intradoc_line_dedup_duckdb_sql("page")
+    return f"""
+    WITH src AS MATERIALIZED (
+      SELECT doc_id, {_LINES_FIXTURE} AS page FROM documents
+    ), a AS MATERIALIZED (
+      SELECT doc_id, {e['lines']} AS __lines FROM src
+    ), b AS MATERIALIZED (
+      SELECT doc_id, __lines, {e['keys']} AS __keys FROM a
+    ), c AS MATERIALIZED (
+      SELECT doc_id, __lines, __keys, {e['kept_idx']} AS __kept_idx FROM b
+    )
+    SELECT doc_id, {e['clean_text']} AS clean_text,
+           CAST({e['n_lines']} AS BIGINT) AS n_lines,
+           CAST({e['n_kept']} AS BIGINT) AS n_kept,
+           CAST({e['n_lines']} - {e['n_kept']} AS BIGINT) AS n_dup_lines
+    FROM c
+    """
+
+
+@q_staged("dedup_intradoc_lines", oracle=_intradoc_lines_oracle())
+def dedup_intradoc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-line removal (operators/dedup.py
+    intradoc_line_dedup — the intra-document complement of the
+    cross-document paragraph dedup; C4-style self-cleaning applied
+    before page rules).  First-occurrence winner per whitespace-
+    normalized line key, byte-exact survivor reassembly.  Row-local
+    array HOFs, zero shuffle at 100 TB."""
+    from rheoceros_spark.operators.dedup import intradoc_line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "page", F.expr(_LINES_FIXTURE)
+    )
+    return intradoc_line_dedup(
+        docs.select("doc_id", "page"), text_col="page"
+    ).select("doc_id", "clean_text", "n_lines", "n_kept", "n_dup_lines")
+
+
+def _refinedweb_html_oracle(min_words: int = 20) -> str:
+    from rheoceros_spark.operators.dedup import intradoc_line_dedup_duckdb_sql
+    from rheoceros_spark.operators.html import html_extract_duckdb_sql
+
+    e = html_extract_duckdb_sql("html")
+    d = intradoc_line_dedup_duckdb_sql("etext")
+    words = (
+        "CASE WHEN length(trim(regexp_replace(clean_text, '[ \\n]+', ' ', 'g'))) = 0 "
+        "THEN 0 ELSE len(string_split(trim(regexp_replace(clean_text, "
+        "'[ \\n]+', ' ', 'g')), ' ')) END"
+    )
+    return f"""
+    WITH src AS MATERIALIZED (
+      SELECT doc_id, {_HTML_FIXTURE} AS html FROM documents
+    ), s AS MATERIALIZED (
+      SELECT doc_id, {e['blocks']} AS __blocks FROM src
+    ), k AS MATERIALIZED (
+      SELECT doc_id, __blocks, {e['kept']} AS __kept FROM s
+    ), ex AS MATERIALIZED (
+      SELECT doc_id, {e['text']} AS etext,
+             CAST(len(__kept) AS BIGINT) AS n_kept_blocks
+      FROM k
+    ), a AS MATERIALIZED (
+      SELECT doc_id, n_kept_blocks, {d['lines']} AS __lines FROM ex
+    ), b AS MATERIALIZED (
+      SELECT doc_id, n_kept_blocks, __lines, {d['keys']} AS __keys FROM a
+    ), c AS MATERIALIZED (
+      SELECT doc_id, n_kept_blocks, __lines, __keys,
+             {d['kept_idx']} AS __kept_idx FROM b
+    ), fin AS MATERIALIZED (
+      SELECT doc_id, n_kept_blocks,
+             {d['clean_text']} AS clean_text,
+             CAST({d['n_lines']} - {d['n_kept']} AS BIGINT) AS n_dup_lines
+      FROM c
+    )
+    SELECT doc_id, clean_text AS text, n_kept_blocks, n_dup_lines,
+           CAST({words} AS BIGINT) AS n_words
+    FROM fin WHERE {words} >= {min_words}
+    """
+
+
+@q_staged("pipeline_refinedweb_html", oracle=_refinedweb_html_oracle())
+def pipeline_refinedweb_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb composition FROM MARKUP — what
+    pipeline_refinedweb_corpus assumes already happened: HTML →
+    main-content extraction (jusText block rules) → within-document
+    repeated-line self-dedup → minimum-content word gate, three
+    certified stage oracles composed in ONE DuckDB statement.  Every
+    stage is row-local column algebra: the whole pipeline is ZERO
+    shuffles — one codegen'd scan pass over the crawl at 100 TB."""
+    from rheoceros_spark.operators.dedup import intradoc_line_dedup
+    from rheoceros_spark.operators.html import html_extract_text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "html", F.expr(_HTML_FIXTURE)
+    )
+    extracted = html_extract_text(docs.select("doc_id", "html")).select(
+        "doc_id",
+        F.col("text").alias("etext"),
+        F.col("n_kept").alias("n_kept_blocks"),
+    )
+    deduped = intradoc_line_dedup(extracted, text_col="etext").select(
+        "doc_id", "n_kept_blocks", "clean_text", "n_dup_lines"
+    )
+    norm = F.trim(F.regexp_replace(F.col("clean_text"), "[ \n]+", " "))
+    n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    ).cast("long")
+    return (
+        deduped.withColumn("n_words", n_words)
+        .where(F.col("n_words") >= 20)
+        .select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            "n_kept_blocks",
+            "n_dup_lines",
+            "n_words",
+        )
     )
 
 

@@ -172,6 +172,10 @@ BENCH_EXT = [
     "pipeline_refinedweb_corpus",
     "curation_epoch_plan",
     "dedup_winnow_spans",
+    # round-12 staging (crawl stage-0 family, slotted r16)
+    "text_html_extract",
+    "dedup_intradoc_lines",
+    "pipeline_refinedweb_html",
 ]
 
 

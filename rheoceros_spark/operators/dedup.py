@@ -1776,11 +1776,18 @@ def intradoc_line_dedup(
     document (prefix scan per line) — L is tens for real pages, and the
     work stays per-row, so corpus cost is linear (the char-entropy
     lesson: per-row quadratic in a SMALL per-row quantity beats any
-    shuffle; revisit only if L grows unbounded)."""
+    shuffle; revisit only if L grows unbounded).  The input is plan-
+    barriered: when ``text_col`` is itself an expensive computed column
+    (e.g. HTML extraction), CollapseProject would otherwise inline that
+    chain into EVERY reference inside the O(L²) prefix loop — measured
+    as a 20× wall blowup in the markup pipeline."""
+    from rheoceros_spark.operators.scale import plan_barrier
+
     raw = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(raw, sep)
     out = (
-        df.withColumn("__lines", lines)
+        plan_barrier(df, "intradoc_line_dedup_rows_in")
+        .withColumn("__lines", lines)
         .withColumn(
             "__keys",
             F.transform(

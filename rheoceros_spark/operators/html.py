@@ -159,11 +159,19 @@ def html_extract_text(
         F.split(_strip_to_blocks(F.col(html_col)), "\n"), _block_struct
     )
     # staged projections: each step references the MATERIALIZED column
-    # of the previous one — re-deriving the regex chain per consumer
-    # would multiply the per-row extraction cost (the urls.py
-    # staged-projection discipline)
+    # of the previous one, and a plan barrier pins the regex chain into
+    # ONE evaluation — CollapseProject has no cost guard and would
+    # otherwise inline the chain into each of the four output columns
+    # (the urls.py staged-projection discipline)
+    from rheoceros_spark.operators.scale import plan_barrier
+
     out = (
-        df.withColumn("__blocks", F.filter(blocks, lambda b: b["n_chars"] > 0))
+        plan_barrier(
+            df.withColumn(
+                "__blocks", F.filter(blocks, lambda b: b["n_chars"] > 0)
+            ),
+            "html_extract_blocks",
+        )
         .withColumn(
             "__kept",
             F.filter(

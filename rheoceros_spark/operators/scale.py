@@ -17,10 +17,30 @@ correctness tests never force:
 
 from __future__ import annotations
 
+import itertools
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_PLAN_BARRIER_SEQ = itertools.count(1)
+
+
+def plan_barrier(df: DataFrame, label: str) -> DataFrame:
+    """An optimizer barrier that costs nothing at runtime: an
+    ``observe()`` (CollectMetrics) node counting input rows.  Neither
+    ``CollapseProject`` nor ``PushPredicateThroughNonJoin`` crosses it,
+    which stops Catalyst from inlining a deep computed-column chain
+    into every downstream reference — neither rule has a cost guard,
+    and an expensive expression referenced N times re-executes N times
+    once inlined (the ``urls._barriered`` finding, measured 14 MB of
+    optimized plan there and a 20× wall blowup when an extraction
+    chain was inlined into a per-line HOF loop here).  Use it between
+    an expensive per-row stage and a consumer that references its
+    output repeatedly."""
+    return df.observe(
+        f"{label}_{next(_PLAN_BARRIER_SEQ)}", F.count(F.lit(1)).alias("rows_in")
+    )
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:

@@ -107,6 +107,11 @@ AUDIT = [
     "pipeline_refinedweb_corpus",
     "curation_epoch_plan",
     "dedup_winnow_spans",
+    # round-12: the crawl stage-0 family (zero-shuffle row-local plans;
+    # the audit pins the plan-barrier'd single-evaluation shape)
+    "text_html_extract",
+    "dedup_intradoc_lines",
+    "pipeline_refinedweb_html",
     # round-9: the composed stateless streaming gate, audited over a
     # batch frame (identical expression tree — that is the twin claim)
     "stream_curation_gate_batch_twin",

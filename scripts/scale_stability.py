@@ -170,6 +170,16 @@ HEAVIES = [
     # match spans: corpus pruned to pair members; alignment join is
     # match-bounded, windows partition per (pair, diagonal)
     "dedup_winnow_spans",
+    # round-12 additions (crawl stage-0 family, staged r16): all three
+    # are pure row-local column algebra — extraction is the regex
+    # chain, intradoc dedup the per-row O(L²) prefix scan, the markup
+    # pipeline their zero-shuffle composition.  Note the sf1 '#r'
+    # token suffixes stop the fixtures' ' table '/' query ' lineify
+    # replaces from firing on replicas (fewer paragraphs/lines per
+    # replica page) — the scan shapes are unchanged.
+    "text_html_extract",
+    "dedup_intradoc_lines",
+    "pipeline_refinedweb_html",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too).
 #: retrieval_metrics_layer probes the metric battery at FIXED query
@@ -273,6 +283,11 @@ ORACLE_AT_SF1 = [
     # spans oracle: winnow_pairs oracle + member-pruned alignment —
     # pair-bounded at fixed per-replica duplication
     "dedup_winnow_spans",
+    # stage-0 oracles: per-row regex/list chains, corpus-linear; the
+    # '#r' suffix only shrinks per-replica line counts, never the shape
+    "text_html_extract",
+    "dedup_intradoc_lines",
+    "pipeline_refinedweb_html",
 ]
 
 
