@@ -3,6 +3,8 @@ from rheoceros_spark.streaming.stream import (  # noqa: F401
     partition_overwrite_sink,
     sessionize,
     stream_dedup,
+    stream_html_extract,
+    stream_intradoc_line_dedup,
     stream_source,
     windowed_aggregate,
 )

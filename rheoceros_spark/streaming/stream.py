@@ -838,3 +838,49 @@ def stream_dedup_url(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+def stream_html_extract(
+    sdf: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_block_chars: int = 25,
+    min_block_words: int = 3,
+    max_link_density_pct: int = 33,
+    min_alpha_pct: int = 40,
+) -> DataFrame:
+    """Streaming twin of the HTML main-content extractor
+    (operators/html.py html_extract_text): per-micro-batch-row block
+    classification — the whole extraction is pure column algebra, so
+    the operator is STATELESS (no watermark, no state store) and the
+    incremental plan is the batch expression tree verbatim
+    (parity-tested in tests/test_html.py).  This is extract-at-ingest:
+    a crawl firehose lands as main-content text without a second
+    corpus pass."""
+    from rheoceros_spark.operators.html import html_extract_text
+
+    return html_extract_text(
+        sdf,
+        html_col=html_col,
+        id_col=id_col,
+        min_block_chars=min_block_chars,
+        min_block_words=min_block_words,
+        max_link_density_pct=max_link_density_pct,
+        min_alpha_pct=min_alpha_pct,
+    )
+
+
+def stream_intradoc_line_dedup(
+    sdf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Streaming twin of the within-document line self-dedup
+    (operators/dedup.py intradoc_line_dedup): the first-occurrence
+    rewrite is row-local (a document's repeats are inside the row), so
+    the gate is stateless and batch≡stream by construction
+    (parity-tested in tests/test_html.py)."""
+    from rheoceros_spark.operators.dedup import intradoc_line_dedup
+
+    return intradoc_line_dedup(sdf, text_col=text_col, id_col=id_col, sep=sep)

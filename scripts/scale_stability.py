@@ -193,6 +193,12 @@ SCALABLE = [
     "dedup_simhash_scalable",
     "retrieval_metrics_layer",
     "skew_report_docs",
+    # the incremental URL path (r12 registrant family): build the
+    # canonical-URL fingerprint index from 90% of the corpus, probe the
+    # other 10% against it (canonicalize → md5 key → anti-join) — the
+    # batch-shaped twin of stream_dedup_url's per-micro-batch work;
+    # both legs are corpus-linear, index rows are 32-char keys
+    "url_index_probe",
 ]
 #: subset whose DuckDB oracles are corpus-linear → safe to re-hash at sf1.
 #: dedup_keep_list stays timing-only: its oracle walks the pair graph
@@ -537,6 +543,27 @@ def main() -> None:
                 )
             )
             return retrieval_metrics(results, qrels, k=10)
+        if name == "url_index_probe":
+            from rheoceros_spark.operators.urls import (
+                check_url_index,
+                url_canonicalize,
+                url_index_write,
+            )
+
+            docs = load_table(spark, sf_dir, "documents").withColumn(
+                "url", F.expr(entrymod._URL_FIXTURE)
+            )
+            idx = url_index_write(
+                docs.where(F.col("doc_id") % 10 != 0),
+                f"{SF1}/__url_index_probe",
+                url_col="url",
+            )
+            check_url_index(idx)
+            batch = url_canonicalize(docs.where(F.col("doc_id") % 10 == 0))
+            keyed = batch.where(F.col("canonical_url").isNotNull()).select(
+                "doc_id", F.md5("canonical_url").alias("fp")
+            )
+            return keyed.join(idx.select("fp"), "fp", "left_anti")
         docs = load_table(spark, sf_dir, "documents")
         if name == "dedup_minhash_lsh_scalable":
             return minhash_lsh_pairs(docs, threshold=0.5)

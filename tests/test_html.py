@@ -320,6 +320,59 @@ def test_intradoc_dedup_blank_lines_and_null(spark):
     assert (out[2].clean_text, out[2].n_lines) == ("", 0)
 
 
+def test_stream_twins_match_batch(spark, tmp_path):
+    """stream_html_extract and stream_intradoc_line_dedup are stateless
+    row-local twins — over a real micro-batch plan they must emit
+    exactly the batch operators' rows."""
+    from rheoceros_spark.streaming.stream import (
+        stream_html_extract,
+        stream_intradoc_line_dedup,
+    )
+
+    rows = [
+        (1, f"<p>{PROSE}</p><div><a href='/'>Home</a> <a href='/a'>About</a> <a href='/b'>More</a></div>"),
+        (2, None),
+        (3, f"dup line.\n{PROSE}\ndup line."),
+        (4, f"<ul><li>{PROSE}</li></ul>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, html string")
+    src = str(tmp_path / "html_src")
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+
+    batch_ext = {
+        (r.doc_id, r.text, r.n_blocks, r.n_kept)
+        for r in html_extract_text(df).collect()
+    }
+    ddf = df.selectExpr("doc_id", "coalesce(html, '') AS text")
+    batch_ded = {
+        (r.doc_id, r.clean_text, r.n_kept)
+        for r in intradoc_line_dedup(ddf).collect()
+    }
+
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out_ext, out_ded = [], []
+    q1 = (
+        stream_html_extract(sdf)
+        .writeStream.foreachBatch(lambda b, i: out_ext.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ext"))
+        .start()
+    )
+    q1.awaitTermination(120)
+    q2 = (
+        stream_intradoc_line_dedup(
+            sdf.selectExpr("doc_id", "coalesce(html, '') AS text")
+        )
+        .writeStream.foreachBatch(lambda b, i: out_ded.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ded"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert {(r.doc_id, r.text, r.n_blocks, r.n_kept) for r in out_ext} == batch_ext
+    assert {(r.doc_id, r.clean_text, r.n_kept) for r in out_ded} == batch_ded
+
+
 def test_intradoc_dedup_matches_duckdb_twin(spark):
     rows = [
         (1, "x\ny\nx\nz\ny\nx"),

@@ -892,3 +892,38 @@ class TestRound9PlanShapes:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
         assert final.count("Exchange hashpartitioning") <= 2
+
+
+class TestRound12PlanShapes:
+    """Plan gates for the crawl stage-0 family: the whole family is
+    row-local column algebra, so the plans must contain NO exchange of
+    any kind — the strongest scale claim an operator can make — and
+    the plan_barrier CollectMetrics node must be present (its absence
+    re-opens the 23 s CollapseProject inlining regression)."""
+
+    def test_html_extract_is_zero_shuffle_and_barriered(self, spark, sf):
+        df = entry._STAGED_QUERIES["text_html_extract"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        assert "Exchange" not in plan
+        assert "CollectMetrics" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_intradoc_dedup_is_zero_shuffle_and_barriered(self, spark, sf):
+        df = entry._STAGED_QUERIES["dedup_intradoc_lines"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        assert "Exchange" not in plan
+        assert "CollectMetrics" in plan
+
+    def test_refinedweb_html_pipeline_is_zero_shuffle(self, spark, sf):
+        """The ENTIRE markup pipeline (extract → self-dedup → word
+        gate) compiles to one exchange-free scan pass — extraction,
+        the costliest crawl stage, adds zero shuffle at 100 TB."""
+        df = entry._STAGED_QUERIES["pipeline_refinedweb_html"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        assert "Exchange" not in plan
+        assert "CartesianProduct" not in plan
+        # both stage barriers survive optimization
+        assert plan.count("CollectMetrics") >= 2
