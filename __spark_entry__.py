@@ -3995,6 +3995,14 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                            official rows; LSH buckets re-certified
 #                            by the dedup LSH family),
 #   so r15 ∪ r16 stays 100/100 disjoint.
+#
+# ---- Round-17 certification batch (staged) --------------------------------
+# r17 registers dedup_bloom_novel (the Dolma-style memory-bounded
+#   Bloom dedup gate, built in round 12) — paired with a
+#   weakest-marginal retirement from the r15-certified pool
+#   (provisional candidate: dedup_exact_docs — exact dedup stays
+#   multiply certified via dedup_exact_best_docs r11 +
+#   dedup_snapshot_scoped r12 + the bloom gate's exact-verify tier).
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -7262,6 +7270,67 @@ def pipeline_refinedweb_html(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words",
         )
     )
+
+
+def _bloom_novel_oracle(m_bits: int = 1 << 20, k: int = 4) -> str:
+    from rheoceros_spark.operators.dedup import bloom_duckdb_sql
+
+    b = bloom_duckdb_sql("fp", m_bits, k)
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      -- the %30 slice overlaps the probe set: those probes were
+      -- INSERTED, so the no-false-negative branch provably fires
+      SELECT doc_id, md5({_NORM}) AS fp FROM documents
+      WHERE doc_id % 10 <> 0 OR doc_id % 30 = 0
+    ), probe AS MATERIALIZED (
+      SELECT doc_id, md5({_NORM}) AS fp FROM documents WHERE doc_id % 10 = 0
+    ), pos AS (
+      SELECT unnest({b['positions']}) AS p FROM corpus WHERE fp IS NOT NULL
+    ), words AS MATERIALIZED (
+      {b['word_bits']}
+    ), ppos AS (
+      SELECT doc_id, fp, unnest({b['positions']}) AS p FROM probe
+    ), hits AS (
+      SELECT x.doc_id, x.fp,
+             sum(CASE WHEN (coalesce(w.bits, 0) &
+                   (CAST(1 AS BIGINT) << CAST(x.p % 32 AS INT))) <> 0
+                 THEN 1 ELSE 0 END) AS h
+      FROM (SELECT doc_id, fp, p, CAST(p // 32 AS BIGINT) AS word_idx
+            FROM ppos) x
+      LEFT JOIN words w USING (word_idx)
+      GROUP BY x.doc_id, x.fp
+    )
+    SELECT doc_id, fp, CAST(h = {k} AS INT) AS maybe_dup FROM hits
+    """
+
+
+@q_staged("dedup_bloom_novel", oracle=_bloom_novel_oracle())
+def dedup_bloom_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup gate (operators/dedup.py bloom_build /
+    dedup_bloom_gate — the Dolma/DataComp memory-bounded dedup state):
+    build a deterministic md5-derived Bloom filter over 90% of the
+    corpus's text fingerprints (one position explode + bit_or onto a
+    256 KB word table), probe the other 10% — maybe_dup=0 is the
+    Bloom DEFINITELY-NOVEL guarantee, so only the fpp-sized maybe set
+    ever touches exact state.  At 100 TB the filter is megabytes of
+    broadcast state where the exact index is terabytes; the corpus
+    text never shuffles and is never rescanned.  m=2^20, k=4 keeps the
+    sf1 probe at ~17% fill (the gate REFUSES a saturated filter)."""
+    from rheoceros_spark.functions.portable import normalize_text
+    from rheoceros_spark.operators.dedup import bloom_build, dedup_bloom_gate
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", F.md5(normalize_text(F.col("text")))
+    )
+    filt = bloom_build(
+        docs.where((F.col("doc_id") % 10 != 0) | (F.col("doc_id") % 30 == 0)),
+        fp_col="fp",
+        m_bits=1 << 20,
+        k=4,
+    ).localCheckpoint(eager=False)
+    return dedup_bloom_gate(
+        docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "fp"), filt
+    ).select("doc_id", "fp", "maybe_dup")
 
 
 # ===========================================================================

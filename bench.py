@@ -176,6 +176,8 @@ BENCH_EXT = [
     "text_html_extract",
     "dedup_intradoc_lines",
     "pipeline_refinedweb_html",
+    # round-12 staging (Bloom dedup gate, slotted r17)
+    "dedup_bloom_novel",
 ]
 
 

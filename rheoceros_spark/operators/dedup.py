@@ -1845,3 +1845,232 @@ def intradoc_line_dedup_duckdb_sql(text_expr: str, sep: str = "\n") -> dict[str,
         "n_lines": "len(list_filter(__keys, k -> k <> ''))",
         "n_kept": "len(__kept_idx)",
     }
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup gate (Dolma/DataComp-style memory-bounded dedup)
+# ---------------------------------------------------------------------------
+
+#: scheme tag persisted with every bloom filter — bump if the hash
+#: family, word width, or position derivation ever changes, so a stale
+#: artifact fails loudly instead of silently mis-probing
+BLOOM_ALGO = "bloom_md5_32w_v1"
+
+#: probe path switches from the plan-literal map fold to the broadcast
+#: join above this many 32-bit words (Spark literal-map lookups are
+#: LINEAR scans — the sif_embed large-table rule)
+_BLOOM_ROWFOLD_MAX_WORDS = 256
+
+
+def _bloom_positions(fp: F.Column, k: int, m_bits: int) -> F.Column:
+    """Array of ``k`` bit positions for a fingerprint string — each an
+    independently seeded portable h64 mod m (m a power of two, both
+    operands non-negative, so ``%`` agrees across engines)."""
+    return F.array(*[h64(fp, seed=i) % m_bits for i in range(k)])
+
+
+def bloom_build(
+    df: DataFrame,
+    fp_col: str = "fp",
+    m_bits: int = 1 << 13,
+    k: int = 4,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Build a DETERMINISTIC Bloom filter over a fingerprint column —
+    the memory-bounded dedup state of Dolma's deduper and the DataComp
+    tooling: at 100 TB a full fingerprint index is terabytes, while a
+    Bloom filter answering "definitely novel / maybe seen" fits in a
+    few MB of broadcastable state with a chosen false-positive rate.
+
+    Layout: sparse ``(word_idx, bits)`` rows over 32-bit words
+    (positions ``p`` set bit ``p % 32`` of word ``p // 32`` — 32-bit
+    words keep every mask in BIGINT-positive range, exact on both
+    engines), plus literal ``m_bits`` / ``k`` / ``bloom_algo`` stamps
+    validated on probe (the :func:`_check_winnow_params` discipline).
+    Everything is md5-derived integer algebra — NO engine-private hash,
+    so a DuckDB oracle reproduces the filter bit-for-bit.
+
+    Sizing: optimal ``k ≈ (m/n)·ln2``; with the defaults (8192 bits,
+    k=4) a 1k-document batch sits near fpp ≈ 0.2%.  Size ``m_bits`` to
+    the corpus — :func:`bloom_fill_ratio` reports saturation, and the
+    probe REFUSES a filter past 50% fill (a saturated filter flags
+    everything as maybe-dup, silently gating nothing).
+
+    Scale shape: one corpus-linear position explode → a ``bit_or``
+    aggregate onto ≤ m/32 rows (map-side combined); the filter is the
+    ONLY state that persists — the corpus text never shuffles and is
+    never rescanned by later probes."""
+    if m_bits < 64 or (m_bits & (m_bits - 1)) != 0:
+        raise ValueError(f"bloom_build: m_bits must be a power of two >= 64, got {m_bits}")
+    if not 1 <= k <= 16:
+        raise ValueError(f"bloom_build: k must be in [1, 16], got {k}")
+    pos = (
+        df.where(F.col(fp_col).isNotNull())
+        .select(F.explode(_bloom_positions(F.col(fp_col), k, m_bits)).alias("__p"))
+    )
+    filt = (
+        pos.select(
+            (F.col("__p") / 32).cast("bigint").alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.col("__p") % 32).cast("int")
+            ).alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("bits"))
+        .select(
+            "word_idx",
+            "bits",
+            F.lit(m_bits).cast("bigint").alias("m_bits"),
+            F.lit(k).cast("bigint").alias("k"),
+            F.lit(BLOOM_ALGO).alias("bloom_algo"),
+        )
+    )
+    if path is not None:
+        filt.write.mode(mode).parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return filt
+
+
+def _check_bloom_params(filt: DataFrame, m_bits: int, k: int) -> tuple[int, int]:
+    """Loud mismatch on probe-vs-build parameters; checks ALL distinct
+    stamps (an appended-with-different-params filter probes garbage).
+    Returns the validated (m_bits, k).  Pass ``m_bits=0, k=0`` to adopt
+    the filter's own stamps (the artifact-of-record convention)."""
+    stamps = sorted(
+        (r["m_bits"], r["k"], r["bloom_algo"])
+        for r in filt.select("m_bits", "k", "bloom_algo").distinct().collect()
+    )
+    if not stamps:
+        raise ValueError("bloom probe: the filter frame is empty — build it first")
+    if len(stamps) > 1:
+        raise ValueError(
+            f"bloom probe: filter holds MIXED build stamps {stamps} — an "
+            "append used different settings; rebuild with one parameter set"
+        )
+    bm, bk, algo = stamps[0]
+    if algo != BLOOM_ALGO:
+        raise ValueError(
+            f"bloom probe: filter was built by scheme {algo!r}, this code "
+            f"implements {BLOOM_ALGO!r} — positions would not line up"
+        )
+    if (m_bits, k) != (0, 0) and (bm, bk) != (m_bits, k):
+        raise ValueError(
+            f"bloom probe: filter was built with (m_bits, k)=({bm}, {bk}), "
+            f"probe requested ({m_bits}, {k}) — bit positions would never "
+            "collide; rebuild or match the parameters"
+        )
+    return int(bm), int(bk)
+
+
+def bloom_fill_ratio(filt: DataFrame) -> float:
+    """Fraction of set bits — the saturation diagnostic.  fpp ≈
+    fill^k; past ~50% the filter stops discriminating."""
+    row = filt.select(
+        F.sum(F.bit_count("bits")).alias("set"), F.max("m_bits").alias("m")
+    ).collect()[0]
+    return (row["set"] or 0) / float(row["m"])
+
+
+def dedup_bloom_gate(
+    new_df: DataFrame,
+    filt: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    max_fill: float = 0.5,
+) -> DataFrame:
+    """Gate a NEW batch against a persisted Bloom filter: adds
+    ``maybe_dup`` (1 = every probed bit set — seen before OR a false
+    positive; 0 = DEFINITELY novel, the Bloom guarantee).  The
+    production two-tier shape: accept the definite-novel rows
+    outright, send only the (tiny) maybe set to an exact verifier
+    (:func:`dedup_against_index` / an fp semi-join) — the expensive
+    exact state is probed by a fraction fpp of the stream.
+
+    Probe path by filter size (the sif_embed dual-path rule): ≤ 256
+    words → per-row fold over a broadcast plan-literal word map (zero
+    shuffle, zero joins); larger → position explode + broadcast join +
+    per-id count (one k·batch-row shuffle of 16-byte pairs).  Both
+    paths are pinned equal in pytest.
+
+    Refuses a filter past ``max_fill`` saturation — a flooded filter
+    flags everything and silently gates nothing (the loud-artifact
+    discipline)."""
+    m_bits, k = _check_bloom_params(filt, 0, 0)
+    fill = bloom_fill_ratio(filt)
+    if fill > max_fill:
+        raise ValueError(
+            f"bloom probe: filter is {fill:.0%} full (max_fill={max_fill:.0%})"
+            " — false-positive rate is degenerate; rebuild with larger m_bits"
+        )
+    n_words = m_bits // 32
+    pos = _bloom_positions(F.col(fp_col), k, m_bits)
+    base = new_df.where(F.col(id_col).isNotNull())
+    if n_words <= _BLOOM_ROWFOLD_MAX_WORDS:
+        words = {
+            int(r["word_idx"]): int(r["bits"]) for r in filt.select("word_idx", "bits").collect()
+        }
+        mapping = F.create_map(
+            *[F.lit(v) for kv in words.items() for v in kv]
+        ) if words else F.create_map()
+        hit = F.aggregate(
+            pos,
+            F.lit(0),
+            lambda acc, p: acc
+            + F.when(
+                F.coalesce(
+                    mapping[(p / 32).cast("bigint")], F.lit(0).cast("bigint")
+                ).bitwiseAND(
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("bigint"), (p % 32).cast("int")
+                    )
+                )
+                != 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        return base.withColumn("maybe_dup", (hit == k).cast("int"))
+    probes = base.select(
+        F.col(id_col).alias("__pid"), F.explode(pos).alias("__p")
+    ).select(
+        "__pid",
+        (F.col("__p") / 32).cast("bigint").alias("word_idx"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (F.col("__p") % 32).cast("int")
+        ).alias("__bit"),
+    )
+    joined = probes.join(
+        F.broadcast(filt.select("word_idx", "bits")), "word_idx", "left"
+    ).select(
+        "__pid",
+        F.when(
+            F.coalesce(F.col("bits"), F.lit(0).cast("bigint")).bitwiseAND(F.col("__bit")) != 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("__hit"),
+    )
+    verdict = joined.groupBy("__pid").agg(
+        (F.sum("__hit") == k).cast("int").alias("maybe_dup")
+    )
+    return base.join(
+        verdict, base[id_col] == verdict["__pid"], "left"
+    ).drop("__pid")
+
+
+def bloom_duckdb_sql(fp_expr: str, m_bits: int, k: int) -> dict[str, str]:
+    """DuckDB twin expressions (oracle-builder pattern): ``positions``
+    (list of k bit positions over ``fp_expr``), plus build/probe
+    fragments documented at the call sites — the filter is md5-derived
+    integer algebra, so DuckDB reproduces it bit-for-bit."""
+    from rheoceros_spark.functions.portable import h64_sql
+
+    plist = ", ".join(
+        f"({h64_sql(fp_expr, seed=str(i))} % {m_bits})" for i in range(k)
+    )
+    return {
+        "positions": f"[{plist}]",
+        "word_bits": (
+            "SELECT CAST(p // 32 AS BIGINT) AS word_idx, "
+            "bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits "
+            "FROM pos GROUP BY 1"
+        ),
+    }

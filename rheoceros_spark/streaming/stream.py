@@ -884,3 +884,25 @@ def stream_intradoc_line_dedup(
     from rheoceros_spark.operators.dedup import intradoc_line_dedup
 
     return intradoc_line_dedup(sdf, text_col=text_col, id_col=id_col, sep=sep)
+
+
+def stream_bloom_gate(
+    sdf: DataFrame,
+    filt: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    max_fill: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of the Bloom dedup gate (dedup.dedup_bloom_gate):
+    gate each micro-batch row against a PERSISTED Bloom filter (the
+    trained-artifact pattern — ``filt`` is a BATCH frame; its word
+    table broadcasts into the incremental plan).  Dolma's deduper shape
+    at ingest: definitely-novel rows flow through, only the fpp-sized
+    maybe set needs exact verification downstream.  Stateless — the
+    probe is row-local against broadcast state — so batch≡stream by
+    construction (parity-tested in tests/test_bloom.py)."""
+    from rheoceros_spark.operators.dedup import dedup_bloom_gate
+
+    return dedup_bloom_gate(
+        sdf, filt, fp_col=fp_col, id_col=id_col, max_fill=max_fill
+    )

@@ -112,6 +112,7 @@ AUDIT = [
     "text_html_extract",
     "dedup_intradoc_lines",
     "pipeline_refinedweb_html",
+    "dedup_bloom_novel",
     # round-9: the composed stateless streaming gate, audited over a
     # batch frame (identical expression tree — that is the twin claim)
     "stream_curation_gate_batch_twin",

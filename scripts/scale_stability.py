@@ -180,6 +180,11 @@ HEAVIES = [
     "text_html_extract",
     "dedup_intradoc_lines",
     "pipeline_refinedweb_html",
+    # Bloom gate (staged r17): one position-explode bit_or onto a
+    # 256 KB word table + a broadcast-join probe — both corpus-linear;
+    # m=2^20 keeps the sf1 build at ~17% fill (the gate refuses past
+    # 50%, so the probe also guards the synthesizer's duplication)
+    "dedup_bloom_novel",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too).
 #: retrieval_metrics_layer probes the metric battery at FIXED query
@@ -294,6 +299,8 @@ ORACLE_AT_SF1 = [
     "text_html_extract",
     "dedup_intradoc_lines",
     "pipeline_refinedweb_html",
+    # bloom oracle: grouped bit_or + a word-table join — corpus-linear
+    "dedup_bloom_novel",
 ]
 
 
