@@ -927,3 +927,18 @@ class TestRound12PlanShapes:
         assert "CartesianProduct" not in plan
         # both stage barriers survive optimization
         assert plan.count("CollectMetrics") >= 2
+
+    def test_bloom_gate_broadcasts_filter_and_combines_map_side(self, spark, sf):
+        """The probe must join the WORD TABLE by broadcast (the filter
+        is the megabytes-sized artifact; the probe batch never
+        shuffles against it) and the hit-count must combine map-side.
+        The id join-back of the batch-sized verdict frame may shuffle
+        — that is batch-sized, not filter-sized — so only the
+        word-table join is pinned to broadcast."""
+        df = entry._STAGED_QUERIES["dedup_bloom_novel"](spark, sf)
+        df.collect()
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin [word_idx" in plan
+        assert "SortMergeJoin [word_idx" not in plan
+        assert plan.count("HashAggregate") >= 2
