@@ -6573,9 +6573,10 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = temperature_mix_plan(
         docs, group_col="source", alpha=0.3125, target_frac=0.5
     ).localCheckpoint(eager=False)
-    sampled = temperature_mix(
-        docs, group_col="source", alpha=0.3125, target_frac=0.5, seed=0, plan=plan
-    )
+    # plan built two lines up with these exact params — pass None to
+    # trust it (the stamp-validation collect would add a cold extra job
+    # per call; the guard is for externally supplied plans)
+    sampled = temperature_mix(docs, group_col="source", seed=0, plan=plan)
     achieved = sampled.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled")
     )
@@ -6936,9 +6937,7 @@ def pipeline_refinedweb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = temperature_mix_plan(
         gated, group_col="source", alpha=0.25, target_frac=0.5
     ).localCheckpoint(eager=False)
-    kept = temperature_mix(
-        gated, group_col="source", alpha=0.25, target_frac=0.5, seed=0, plan=plan
-    )
+    kept = temperature_mix(gated, group_col="source", seed=0, plan=plan)
     return kept.select("doc_id", "source", "entropy_q")
 
 

@@ -1932,23 +1932,27 @@ def bloom_build(
     return filt
 
 
-def _check_bloom_params(filt: DataFrame, m_bits: int, k: int) -> tuple[int, int]:
-    """Loud mismatch on probe-vs-build parameters; checks ALL distinct
-    stamps (an appended-with-different-params filter probes garbage).
-    Returns the validated (m_bits, k).  Pass ``m_bits=0, k=0`` to adopt
-    the filter's own stamps (the artifact-of-record convention)."""
-    stamps = sorted(
-        (r["m_bits"], r["k"], r["bloom_algo"])
-        for r in filt.select("m_bits", "k", "bloom_algo").distinct().collect()
+def _bloom_stats(filt: DataFrame, m_bits: int, k: int) -> tuple[int, int, float]:
+    """Stamp validation + fill ratio in ONE driver job (the gate needs
+    both; two collects doubled the fresh-JVM artifact-validation cost).
+    Checks ALL distinct stamps — an appended-with-different-params
+    filter probes garbage.  Pass ``m_bits=0, k=0`` to adopt the
+    filter's own stamps (the artifact-of-record convention).  Returns
+    (m_bits, k, fill_ratio)."""
+    rows = (
+        filt.groupBy("m_bits", "k", "bloom_algo")
+        .agg(F.sum(F.bit_count("bits")).alias("__set"))
+        .collect()
     )
-    if not stamps:
+    if not rows:
         raise ValueError("bloom probe: the filter frame is empty — build it first")
-    if len(stamps) > 1:
+    if len(rows) > 1:
+        stamps = sorted((r["m_bits"], r["k"], r["bloom_algo"]) for r in rows)
         raise ValueError(
             f"bloom probe: filter holds MIXED build stamps {stamps} — an "
             "append used different settings; rebuild with one parameter set"
         )
-    bm, bk, algo = stamps[0]
+    bm, bk, algo = rows[0]["m_bits"], rows[0]["k"], rows[0]["bloom_algo"]
     if algo != BLOOM_ALGO:
         raise ValueError(
             f"bloom probe: filter was built by scheme {algo!r}, this code "
@@ -1960,7 +1964,14 @@ def _check_bloom_params(filt: DataFrame, m_bits: int, k: int) -> tuple[int, int]
             f"probe requested ({m_bits}, {k}) — bit positions would never "
             "collide; rebuild or match the parameters"
         )
-    return int(bm), int(bk)
+    return int(bm), int(bk), (rows[0]["__set"] or 0) / float(bm)
+
+
+def _check_bloom_params(filt: DataFrame, m_bits: int, k: int) -> tuple[int, int]:
+    """Stamp-only variant of :func:`_bloom_stats` (kept for callers
+    that don't need the fill ratio)."""
+    bm, bk, _ = _bloom_stats(filt, m_bits, k)
+    return bm, bk
 
 
 def bloom_fill_ratio(filt: DataFrame) -> float:
@@ -1996,8 +2007,7 @@ def dedup_bloom_gate(
     Refuses a filter past ``max_fill`` saturation — a flooded filter
     flags everything and silently gates nothing (the loud-artifact
     discipline)."""
-    m_bits, k = _check_bloom_params(filt, 0, 0)
-    fill = bloom_fill_ratio(filt)
+    m_bits, k, fill = _bloom_stats(filt, 0, 0)
     if fill > max_fill:
         raise ValueError(
             f"bloom probe: filter is {fill:.0%} full (max_fill={max_fill:.0%})"
