@@ -37,8 +37,14 @@ def h64(col: Column, seed: int | None = None) -> Column:
 
 
 def h64_sql(expr: str, seed: str | None = None) -> str:
-    """DuckDB-equivalent of :func:`h64`. ``seed`` may be a SQL expression."""
-    s = f"concat({seed}, ':', {expr})" if seed is not None else expr
+    """DuckDB-equivalent of :func:`h64`. ``seed`` may be a SQL expression.
+
+    ``||``, NOT ``concat``: DuckDB's ``concat`` SKIPS NULL arguments
+    (``concat('0', ':', NULL) = '0:'``) while Spark's ``F.concat``
+    propagates them — a NULL input must hash to NULL on BOTH engines
+    (the :func:`h64` contract), or a seeded oracle would probe the real
+    hash of ``'<seed>:'`` where the engine yields NULL."""
+    s = f"(({seed}) || ':' || ({expr}))" if seed is not None else expr
     return f"CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
 
 

@@ -230,9 +230,15 @@ def _check_mix_plan_params(
     caller's EXPLICITLY requested parameters (``None`` = not requested
     — the plan is the artifact of record, as in the streaming gate).
     Plans from before the stamps were recorded (no such columns) are
-    accepted as-is; mixed stamps (a frame unioned from two plans) are
-    always rejected.  The distinct read is plan-tiny (one row per
+    accepted as-is.  When NEITHER parameter is requested the plan is
+    trusted outright and NO validation job runs — callers that just
+    built the plan (or the streaming gate) skip the per-call
+    ``distinct().collect()`` entirely; the mixed-stamp reject therefore
+    only fires when an explicit parameter is supplied alongside the
+    plan.  The distinct read, when it runs, is plan-tiny (one row per
     parameter pair)."""
+    if alpha is None and target_frac is None:
+        return
     if not {"alpha_k16", "target_frac_q"} <= set(plan.columns):
         return
     built = sorted(

@@ -1784,7 +1784,15 @@ def intradoc_line_dedup(
     from rheoceros_spark.operators.scale import plan_barrier
 
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.split(raw, sep)
+    # F.split's pattern is a Java REGEX while reassembly (array_join)
+    # and the DuckDB twin (string_split) treat ``sep`` literally — a
+    # metacharacter sep ('.', '|') would mis-split and break byte-exact
+    # reassembly.  Escape every regex-special character so all three
+    # agree on the literal separator.
+    sep_pattern = "".join(
+        ("\\" + c) if c in ".\\^$|?*+()[]{}" else c for c in sep
+    )
+    lines = F.split(raw, sep_pattern)
     out = (
         plan_barrier(df, "intradoc_line_dedup_rows_in")
         .withColumn("__lines", lines)
@@ -2000,9 +2008,15 @@ def dedup_bloom_gate(
 
     Probe path by filter size (the sif_embed dual-path rule): ≤ 256
     words → per-row fold over a broadcast plan-literal word map (zero
-    shuffle, zero joins); larger → position explode + broadcast join +
-    per-id count (one k·batch-row shuffle of 16-byte pairs).  Both
-    paths are pinned equal in pytest.
+    shuffle, zero joins); larger → one broadcast word-lookup join PER
+    SEED (k left joins against the same MB-scale broadcast relation —
+    ReuseExchange ships it once).  Both paths are PER-ROW: a batch may
+    probe the same ``id_col`` (or the same fingerprint) any number of
+    times and each row gets its own verdict — an earlier grouped-
+    explode formulation aggregated hits per id, so two inserted
+    fingerprints sharing an id summed to 2k ≠ k and reported
+    ``maybe_dup=0``, a false negative that broke the Bloom guarantee.
+    Both paths are pinned equal (incl. duplicate-id batches) in pytest.
 
     Refuses a filter past ``max_fill`` saturation — a flooded filter
     flags everything and silently gates nothing (the loud-artifact
@@ -2040,30 +2054,34 @@ def dedup_bloom_gate(
             ).otherwise(F.lit(0)),
         )
         return base.withColumn("maybe_dup", (hit == k).cast("int"))
-    probes = base.select(
-        F.col(id_col).alias("__pid"), F.explode(pos).alias("__p")
-    ).select(
-        "__pid",
-        (F.col("__p") / 32).cast("bigint").alias("word_idx"),
-        F.call_function(
-            "shiftleft", F.lit(1).cast("bigint"), (F.col("__p") % 32).cast("int")
-        ).alias("__bit"),
-    )
-    joined = probes.join(
-        F.broadcast(filt.select("word_idx", "bits")), "word_idx", "left"
-    ).select(
-        "__pid",
-        F.when(
-            F.coalesce(F.col("bits"), F.lit(0).cast("bigint")).bitwiseAND(F.col("__bit")) != 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)).alias("__hit"),
-    )
-    verdict = joined.groupBy("__pid").agg(
-        (F.sum("__hit") == k).cast("int").alias("maybe_dup")
-    )
-    return base.join(
-        verdict, base[id_col] == verdict["__pid"], "left"
-    ).drop("__pid")
+    out = base
+    hit_tests = []
+    drop_cols = []
+    for i in range(k):
+        p_i = h64(F.col(fp_col), seed=i) % m_bits
+        out = out.withColumn(f"__bw{i}", (p_i / 32).cast("bigint"))
+        side = filt.select(
+            F.col("word_idx").alias(f"__bfw{i}"), F.col("bits").alias(f"__bfb{i}")
+        )
+        out = out.join(
+            F.broadcast(side), out[f"__bw{i}"] == side[f"__bfw{i}"], "left"
+        )
+        hit_tests.append(
+            F.when(
+                F.coalesce(F.col(f"__bfb{i}"), F.lit(0).cast("bigint")).bitwiseAND(
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("bigint"), (p_i % 32).cast("int")
+                    )
+                )
+                != 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        drop_cols += [f"__bw{i}", f"__bfw{i}", f"__bfb{i}"]
+    hit = hit_tests[0]
+    for h in hit_tests[1:]:
+        hit = hit + h
+    return out.withColumn("maybe_dup", (hit == k).cast("int")).drop(*drop_cols)
 
 
 def bloom_duckdb_sql(fp_expr: str, m_bits: int, k: int) -> dict[str, str]:

@@ -90,6 +90,62 @@ def test_same_m_rowfold_equals_join_exactly(spark):
     assert fold == join
 
 
+def test_duplicate_ids_in_batch_keep_per_row_verdicts(spark):
+    """Regression (r13): the join path must verdict PER ROW, not per
+    id.  A batch probing two different INSERTED fps under one shared
+    doc_id used to sum hits across rows (2k != k → maybe_dup=0), a
+    false negative violating the Bloom guarantee.  Exercise both code
+    paths with shared ids over inserted, novel and NULL fps."""
+    import rheoceros_spark.operators.dedup as d
+
+    corpus = _fps(spark, 200)
+    filt = bloom_build(corpus, m_bits=1 << 14, k=4)
+    # doc_id 7 probes TWO inserted fps + one novel; doc_id 8 probes the
+    # SAME inserted fp twice; doc_id 9 mixes an inserted fp with NULL
+    probe = spark.createDataFrame(
+        [
+            (7, "fp1"),
+            (7, "fp2"),
+            (7, "unseen-a"),
+            (8, "fp3"),
+            (8, "fp3"),
+            (9, "fp4"),
+            (9, None),
+        ],
+        "doc_id bigint, fp string",
+    )
+
+    def verdicts():
+        rows = dedup_bloom_gate(probe, filt).collect()
+        assert len(rows) == 7  # one verdict per probe row, no id collapse
+        return sorted(
+            ((r.doc_id, r.fp, r.maybe_dup) for r in rows),
+            key=lambda t: (t[0], t[1] or "", t[2]),
+        )
+
+    fold = verdicts()
+    old = d._BLOOM_ROWFOLD_MAX_WORDS
+    d._BLOOM_ROWFOLD_MAX_WORDS = 0
+    try:
+        join = verdicts()
+    finally:
+        d._BLOOM_ROWFOLD_MAX_WORDS = old
+    assert fold == join
+    expected = sorted(
+        [
+            (7, "fp1", 1),
+            (7, "fp2", 1),
+            (7, "unseen-a", 0),
+            (8, "fp3", 1),
+            (8, "fp3", 1),
+            (9, "fp4", 1),
+            (9, None, 0),
+        ],
+        key=lambda t: (t[0], t[1] or "", t[2]),
+    )
+    assert fold == expected
+
+
 def test_build_rejects_bad_params(spark):
     df = _fps(spark, 10)
     with pytest.raises(ValueError, match="power of two"):

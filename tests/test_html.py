@@ -320,6 +320,25 @@ def test_intradoc_dedup_blank_lines_and_null(spark):
     assert (out[2].clean_text, out[2].n_lines) == ("", 0)
 
 
+def test_intradoc_dedup_regex_metachar_sep_is_literal(spark):
+    """Regression (r13): ``sep`` is passed to F.split, which reads a
+    Java REGEX, while reassembly and the DuckDB twin are literal — a
+    '.' or '|' separator must split literally and reassemble
+    byte-exact, not split on every character."""
+    df = spark.createDataFrame(
+        [(1, "alpha.beta.alpha.gamma"), (2, "x|y|x")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in intradoc_line_dedup(df, sep=".").collect()}
+    assert out[1].clean_text == "alpha.beta.gamma"
+    assert (out[1].n_lines, out[1].n_kept, out[1].n_dup_lines) == (4, 3, 1)
+    # '|' untouched when sep='.', so doc 2 is one line
+    assert (out[2].clean_text, out[2].n_lines) == ("x|y|x", 1)
+    out2 = {r.doc_id: r for r in intradoc_line_dedup(df, sep="|").collect()}
+    assert out2[2].clean_text == "x|y"
+    assert (out2[2].n_lines, out2[2].n_kept) == (3, 2)
+
+
 def test_stream_twins_match_batch(spark, tmp_path):
     """stream_html_extract and stream_intradoc_line_dedup are stateless
     row-local twins — over a real micro-batch plan they must emit

@@ -693,5 +693,11 @@ def test_temperature_mix_plan_stamp_validation(spark):
     mixed = plan.union(
         temperature_mix_plan(df, group_col="lang", alpha=0.5, target_frac=0.5)
     )
+    # With NO explicit params the plan is trusted outright (r13: the
+    # validation collect is skipped entirely — one less driver job per
+    # call); supplying ANY explicit param forces validation, which
+    # rejects the inconsistent union before comparing values.
     with pytest.raises(ValueError, match="MIXED"):
-        temperature_mix(df, group_col="lang", plan=mixed)
+        temperature_mix(df, group_col="lang", alpha=0.3125, plan=mixed)
+    with pytest.raises(ValueError, match="MIXED"):
+        temperature_mix(df, group_col="lang", target_frac=0.5, plan=mixed)
