@@ -3343,7 +3343,7 @@ def _bpe_oracle() -> str:
     """
 
 
-@q("text_bpe_tokens", oracle=_bpe_oracle())
+@q_retired("text_bpe_tokens", oracle=_bpe_oracle())
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2-style BPE subword tokenization: BPE_REGEX pre-tokens
     merged bottom-up from characters under a rank-ordered merge table.
@@ -3960,12 +3960,33 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   multimodal_frame_sample (same Arrow mapInPandas batch shape as
 #                            multimodal_features r10 + audio/video r9).
 #
-# ---- Round-13 certification batch (staged) --------------------------------
-# r13 registers the corpus-QA + diagnostics family staged later in
-#   round 11: curation_corpus_datasheet, curation_snapshot_drift,
-#   dedup_semantic_keep, scale_skew_report — each paired with a
-#   weakest-marginal retirement from the r11-certified pool so
-#   r12 ∪ r13 stays 100/100 disjoint.
+# ---- Round-13 window: EXECUTED as staged in r11 ----------------------------
+# r13 registers the corpus-QA + diagnostics family staged in round 11:
+#   curation_corpus_datasheet, curation_snapshot_drift,
+#   dedup_semantic_keep, scale_skew_report — four registrations, each
+#   paired with a named weakest-marginal retirement from the
+#   r11-certified pool (sibling holding an official row in
+#   parentheses) so r12 ∪ r13 stays 100/100 disjoint:
+#   text_bpe_tokens          (encode path ⊂ text_bpe_persisted r12,
+#                             the SAME tokenizer applied from the
+#                             persisted artifact; merges held by
+#                             text_bpe_train r12; real-token counts by
+#                             text_bpe_fertility, re-certified r13),
+#   text_bigram_nll          (bigram LM NLL is composed VERBATIM as the
+#                             LM score inside curation_ppl_buckets r12;
+#                             trained-model scoring shape also held by
+#                             text_lang_classifier r12),
+#   curation_source_overlap_minhash (MinHash-estimate twin of the exact
+#                             curation_source_overlap r12 matrix;
+#                             MinHash signature machinery held by
+#                             dedup_clusters r12 + dedup_semantic_pairs
+#                             r12),
+#   dedup_paragraph_spans    (span purge + reassembly ⊂
+#                             dedup_substring_spans (span-hash counts,
+#                             re-certified r13) + curation_decon_spans
+#                             (span purge/reassembly, re-certified r13);
+#                             within-doc granularity lands with
+#                             dedup_intradoc_lines in r16).
 #
 # ---- Round-14 certification batch (staged) --------------------------------
 # r14 registers the mixture/audit family staged in round 11 session 3:
@@ -4198,7 +4219,7 @@ def _paragraph_spans_oracle(span_tokens: int = 4, min_docs: int = 2) -> str:
     """
 
 
-@q("dedup_paragraph_spans", oracle=_paragraph_spans_oracle())
+@q_retired("dedup_paragraph_spans", oracle=_paragraph_spans_oracle())
 def dedup_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-granular dedup (C4 line dedup / RefinedWeb repeated-span
     removal): purge spans repeated across >= min_docs DISTINCT
@@ -4255,7 +4276,7 @@ def _bigram_nll_sql() -> str:
     """
 
 
-@q("text_bigram_nll", oracle=_bigram_nll_sql())
+@q_retired("text_bigram_nll", oracle=_bigram_nll_sql())
 def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained add-k bigram LM fluency per document — the CCNet
     KenLM-perplexity fidelity step past unigram_nll: conditioning on
@@ -5592,7 +5613,7 @@ def _source_overlap_minhash_oracle(n: int = 8, num_hashes: int = 64) -> str:
     """
 
 
-@q(
+@q_retired(
     "curation_source_overlap_minhash",
     oracle=_source_overlap_minhash_oracle(),
 )
@@ -6343,7 +6364,7 @@ def _corpus_datasheet_oracle() -> str:
     """
 
 
-@q_staged("curation_corpus_datasheet", oracle=_corpus_datasheet_oracle())
+@q("curation_corpus_datasheet", oracle=_corpus_datasheet_oracle())
 def curation_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasheet-for-the-corpus rollup (Gebru et al. 2021): per-source
     composition stats — doc/empty counts, token and char volume, exact
@@ -6391,7 +6412,7 @@ def _snapshot_drift_oracle(bucket_width: int = 10, max_bucket: int = 20) -> str:
     """
 
 
-@q_staged("curation_snapshot_drift", oracle=_snapshot_drift_oracle())
+@q("curation_snapshot_drift", oracle=_snapshot_drift_oracle())
 def curation_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between consecutive crawl snapshots (doc_id%3
     as the snapshot key, the dedup_snapshot_scoped fixture convention):
@@ -6451,7 +6472,7 @@ def _semantic_keep_oracle(k: int = 8, iters: int = 2, threshold: float = 0.4) ->
     """
 
 
-@q_staged("dedup_semantic_keep", oracle=_semantic_keep_oracle())
+@q("dedup_semantic_keep", oracle=_semantic_keep_oracle())
 def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup's actionable output (Abbas et al. 2023 §3): semantic
     near-dup pairs from trained k-means cells → connected components →
@@ -6491,7 +6512,7 @@ def _skew_report_oracle(top: int = 10) -> str:
     """
 
 
-@q_staged("scale_skew_report", oracle=_skew_report_oracle())
+@q("scale_skew_report", oracle=_skew_report_oracle())
 def scale_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profiler over lineitem's supplier key — the
     measurement that decides whether salting / AQE skew-split pays
@@ -7332,6 +7353,120 @@ def dedup_bloom_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "fp", "maybe_dup")
 
 
+def _warc_demux_oracle() -> str:
+    """Exact DuckDB twin of the WARC demux over a DETERMINISTIC
+    in-memory archive set built from ``documents`` (the URL-fixture
+    pattern): because the fixture encoder is plain string algebra, the
+    oracle reproduces every byte offset ARITHMETICALLY — header bytes +
+    Content-Length + the 4-byte record separator, cumulatively summed
+    in record order — and the payload by value (md5 of the HTTP entity
+    body), without ever materializing the stream.  A demux offset that
+    drifts by even one byte breaks the cumulative sum for every later
+    record in the archive, so the check is unforgiving by design."""
+    return """
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id % 8 AS VARCHAR) AS source_id,
+             'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+             '<html><body>' || text || '</body></html>' AS body
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), r AS (
+      SELECT *,
+        CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+             'Content-Type: text/html' || chr(13) || chr(10) ||
+             chr(13) || chr(10) || body) AS BIGINT) AS content_length,
+        CAST(strlen('WARC/1.0' || chr(13) || chr(10) ||
+             'WARC-Type: response' || chr(13) || chr(10) ||
+             'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+             'Content-Length: ' ||
+             CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                  'Content-Type: text/html' || chr(13) || chr(10) ||
+                  chr(13) || chr(10) || body) AS VARCHAR) ||
+             chr(13) || chr(10) || chr(13) || chr(10)) AS BIGINT) AS header_len
+      FROM d
+    )
+    SELECT source_id,
+           CAST(row_number() OVER w - 1 AS INT) AS rec_idx,
+           CAST(coalesce(sum(header_len + content_length + 4) OVER (
+               PARTITION BY source_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS byte_offset,
+           'response' AS warc_type,
+           uri AS target_uri,
+           content_length,
+           200 AS http_status,
+           md5(body) AS payload_md5
+    FROM r WINDOW w AS (PARTITION BY source_id ORDER BY doc_id)
+    """
+
+
+@q_staged("scan_warc_demux", oracle=_warc_demux_oracle())
+def scan_warc_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl stage-0 certified FROM RAW ARCHIVE BYTES: build
+    deterministic in-memory WARC archives from ``documents`` (8
+    archives, each document one ISO-28500 ``response`` record wrapping
+    an HTTP message, records concatenated in doc_id order — the
+    fixture construction is string algebra, NOT the operator under
+    test), then demux with ``sources/warc.py warc_records`` — strict
+    header scan, REAL byte offsets, HTTP header strip — and emit
+    (source_id, rec_idx, byte_offset, warc_type, target_uri,
+    content_length, http_status, payload_md5).  The DuckDB twin
+    recomputes every offset arithmetically, so a one-byte framing
+    error anywhere poisons all later offsets in that archive.
+
+    Scale shape: the demux is Arrow-batched ``mapInPandas`` over
+    file-granular rows (Common Crawl ships ~1 GB archives — task =
+    archive, records fan out downstream); the fixture groupBy exists
+    only to synthesize test bytes (reference: Common Crawl WARC
+    layout; cites sources/warc.py:55,169)."""
+    from rheoceros_spark.sources.warc import warc_records
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    uri = F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string"))
+    body = F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body
+    )
+    header = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    rec = F.concat(header, http, F.lit("\r\n\r\n"))
+    archives = (
+        docs.select(
+            (F.col("doc_id") % 8).cast("string").alias("source_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("r"),
+        )
+        .groupBy("source_id")
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("r")), lambda s: s["rec"]
+                    ),
+                    "",
+                ),
+                "UTF-8",
+            ).alias("content")
+        )
+    )
+    return warc_records(archives, content_col="content", id_col="source_id").select(
+        "source_id",
+        "rec_idx",
+        "byte_offset",
+        "warc_type",
+        "target_uri",
+        "content_length",
+        "http_status",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7343,78 +7478,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's correctness harness checks the FIRST 50 queries()
 #: entries only (CORRECTNESS_r01 covered positions 0-49 exactly).
-#: Rotation discipline (round 12, executing the window staged in
-#: r9/r11): the registry is capped at 100 queries — the 50-slot window
-#: plus the consecutive-round-coverage invariant (r11 ∪ r12 must
-#: certify everything) admits no more, so the six NEW registrations
-#: this round (text_lang_classifier, pipeline_ccnet_corpus,
-#: curation_url_canonical, dedup_exact_url, dedup_snapshot_scoped,
-#: text_bpe_persisted) each retired one r10-certified query whose
-#: shape family stays multiply certified (text_token_count,
-#: text_fingerprint, dedup_embedding_blocked, curation_contamination,
-#: topk_orders, multimodal_frame_sample — see _RETIRED_QUERIES and
+#: Rotation discipline (round 13, executing the window staged in r11):
+#: the registry is capped at 100 queries — the 50-slot window plus the
+#: consecutive-round-coverage invariant (r12 ∪ r13 must certify
+#: everything) admits no more, so the four NEW registrations this
+#: round (curation_corpus_datasheet, curation_snapshot_drift,
+#: dedup_semantic_keep, scale_skew_report) each retired one
+#: r11-certified query whose shape family stays multiply certified
+#: (text_bpe_tokens, text_bigram_nll, curation_source_overlap_minhash,
+#: dedup_paragraph_spans — see _RETIRED_QUERIES and
 #: tests/test_retired_oracles.py for per-retiree sibling
-#: justifications).  The head holds the 6 never-certified
-#: registrations first, then the 44 remaining queries whose most
-#: recent official row is CORRECTNESS_r10 (round 11 certified the
+#: justifications).  The head holds the 4 never-certified
+#: registrations first, then the 46 remaining queries whose most
+#: recent official row is CORRECTNESS_r11 (round 12 certified the
 #: other 50).  Enforced by tests/test_plan_quality.py
 #: test_cross_round_official_coverage_is_total.  All queries — retired
 #: ones included — stay continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
-    # new in round 12 (staged in r9/r11, executed as planned) — never
+    # new in round 13 (staged in r11, executed as planned) — never
     # certified, enter the window first
-    "text_lang_classifier",
-    "pipeline_ccnet_corpus",
-    "curation_url_canonical",
-    "dedup_exact_url",
-    "dedup_snapshot_scoped",
-    "text_bpe_persisted",
-    # certified in r10, rotating back in so r11 ∪ r12 stays total
-    "events_sliding_2day",
-    "metric_period_stats_hourly",
-    "alarm_m_of_n_state",
-    "composite_alarm_rule",
-    "ts_asof_join",
-    "ts_range_join_counts",
-    "ts_sessionize",
-    "sketch_kmv_distinct",
-    "sketch_histogram_quantiles",
-    "layout_zorder_key",
-    "q21_sole_returner",
-    "grouping_sets_revenue",
-    "dedup_exact_docs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_persisted",
-    "curation_stratified_sample",
-    "curation_pii_redact",
-    "curation_vocab_top_tokens",
-    "dedup_clusters",
-    "text_lang_id",
-    "text_quality",
-    "multimodal_features",
-    "dedup_incremental_index",
-    "curation_domain_cap",
-    "curation_group_split",
-    "curation_negative_samples",
-    "curation_boilerplate",
-    "text_tfidf_terms",
-    "ann_kmeans_refine",
-    "text_source_kl",
-    "dedup_keep_list",
-    "text_chunk_documents",
-    "curation_budget_mix",
-    "text_quality_classifier",
-    "dedup_semantic_pairs",
-    "curation_cluster_profile",
-    "text_quality_pr_curve",
-    "retrieval_mmr_rerank",
-    "text_bpe_train",
-    "text_gopher_rules",
-    "curation_c4_lines",
-    "curation_source_overlap",
-    "curation_ppl_buckets",
+    "curation_corpus_datasheet",
+    "curation_snapshot_drift",
+    "dedup_semantic_keep",
+    "scale_skew_report",
+    # certified in r11, rotating back in so r12 ∪ r13 stays total
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q19_disjunctive_predicates",
+    "q20_part_shippers",
+    "q22_wealthy_inactive",
+    "agg_cube",
+    "window_topn_per_group",
+    "set_except",
+    "scalar_functions",
+    "scan_pruned_projection",
+    "nearest_partition_asof",
+    "partition_ranged_union",
+    "events_cohort_retention",
+    "sketch_cms_topk",
+    "ann_int8_topk",
+    "ann_ivfpq_topk",
+    "retrieval_hybrid_rrf",
+    "retrieval_quality_metrics",
+    "text_hash_embed_topk",
+    "text_bm25_topk",
+    "text_bpe_fertility",
+    "text_lang_segments",
+    "text_repetition",
+    "dedup_exact_best_docs",
+    "dedup_substring_spans",
+    "corpus_diff_indexed",
+    "curation_decon_spans",
+    "curation_semantic_decon",
+    "curation_dsir_resample",
+    "curation_filter_funnel",
+    "curation_ngram_novelty",
+    "curation_pack_sequences",
+    "curation_shuffle_shards",
+    "curation_source_mix",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
+    "pipeline_pretrain_corpus",
 ]
 
 

@@ -314,21 +314,21 @@ class TestDriverContract:
     def test_cross_round_official_coverage_is_total(self):
         """Every query is either inside this round's 50-entry driver
         window or already earned a green official row in the PREVIOUS
-        round (r11) — the rotation may not orphan anything, and
+        round (r12) — the rotation may not orphan anything, and
         consecutive rounds must jointly cover 100% of queries()."""
         import json
         import os
 
         window = set(list(entry.queries())[:50])
-        r11_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r11.json")
-        with open(r11_path, "r", encoding="utf-8") as f:
-            r11 = json.load(f)
-        certified_r11 = {
+        r12_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r12.json")
+        with open(r12_path, "r", encoding="utf-8") as f:
+            r12 = json.load(f)
+        certified_r12 = {
             name
-            for name, res in r11.items()
+            for name, res in r12.items()
             if res.get("rows_match") and res.get("schema_match") and res.get("hash_match")
         }
-        uncovered = set(entry.queries()) - window - certified_r11
+        uncovered = set(entry.queries()) - window - certified_r12
         assert not uncovered, f"never driver-certified: {sorted(uncovered)}"
 
     def test_registry_capped_at_window_arithmetic(self):
@@ -557,7 +557,7 @@ class TestRound7PlanShapes:
         """The BPE fast path must be ArrowEvalPython (vectorized batch
         transfer), never row-at-a-time BatchEvalPython, and pure
         per-row: zero Exchange, one corpus scan."""
-        df = entry.queries()["text_bpe_tokens"](spark, sf)
+        df = entry.retired_queries()["text_bpe_tokens"](spark, sf)
         plan = physical_plan(df)
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
@@ -929,16 +929,22 @@ class TestRound12PlanShapes:
         assert plan.count("CollectMetrics") >= 2
 
     def test_bloom_gate_broadcasts_filter_and_combines_map_side(self, spark, sf):
-        """The probe must join the WORD TABLE by broadcast (the filter
-        is the megabytes-sized artifact; the probe batch never
-        shuffles against it) and the hit-count must combine map-side.
-        The id join-back of the batch-sized verdict frame may shuffle
-        — that is batch-sized, not filter-sized — so only the
-        word-table join is pinned to broadcast."""
+        """The probe must look each seed's word up by BROADCAST join
+        (the filter is the megabytes-sized artifact; the probe batch
+        never shuffles against it) and the verdict must stay PER-ROW:
+        k left broadcast joins in one codegen span, NO per-id
+        aggregation, NO shuffle of the batch anywhere (the r13 rewrite
+        — the grouped-explode formulation both shuffled k rows per
+        probe and summed hits across duplicate ids, a false negative)."""
         df = entry._STAGED_QUERIES["dedup_bloom_novel"](spark, sf)
         df.collect()
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan
-        assert "BroadcastHashJoin [word_idx" in plan
-        assert "SortMergeJoin [word_idx" not in plan
-        assert plan.count("HashAggregate") >= 2
+        # one per seed (the AQE dump repeats the tree in its Initial
+        # Plan section, so assert at-least rather than exactly)
+        assert plan.count("BroadcastHashJoin [__bw") >= 4
+        assert "SortMergeJoin" not in plan
+        # probe side is aggregation-free and shuffle-free: the only
+        # exchanges are the broadcasts of the word table
+        assert "HashAggregate" not in plan
+        assert "Exchange hashpartitioning" not in plan

@@ -86,7 +86,8 @@ def test_retired_set_is_exactly_the_certified_retirees():
         "curation_corpus_diff",  # snapshot twin: corpus_diff_indexed (r9-certified)
         # --- retired in the r11 window (siblings holding rows noted) ---
         "json_extract_events",  # JSON scalar extraction ⊂ scalar_functions (r11 window)
-        "text_unigram_nll",  # unigram LM ⊂ text_bigram_nll (r11 window)
+        "text_unigram_nll",  # unigram LM ⊂ curation_ppl_buckets (r12), which composes the same NLL scoring
+
         "curation_dsir_weights",  # ⊂ curation_dsir_resample, which composes the weights (r11 window)
         "q4_order_priority",  # EXISTS-semi ⊂ q20_part_shippers + q21_sole_returner semi/anti shapes
         "q12_priority_by_linestatus",  # conditional case-sum ⊂ q8_market_share + q14_promo_revenue_share
@@ -99,6 +100,11 @@ def test_retired_set_is_exactly_the_certified_retirees():
         "curation_contamination",  # n-gram containment ⊂ curation_decon_spans (r11) + curation_semantic_decon
         "topk_orders",  # global top-k ⊂ window_topn_per_group (r9); TakeOrdered shape re-certified by scale_skew_report (r13)
         "multimodal_frame_sample",  # same Arrow mapInPandas batch shape as multimodal_features (r10) + audio/video (r11)
+        # --- retired in the r13 window (siblings holding rows noted) ---
+        "text_bpe_tokens",  # encode ⊂ text_bpe_persisted (r12, same tokenizer from artifact) + text_bpe_train (r12); counts: text_bpe_fertility (r13)
+        "text_bigram_nll",  # composed verbatim as the LM score in curation_ppl_buckets (r12); model scoring: text_lang_classifier (r12)
+        "curation_source_overlap_minhash",  # estimate twin of curation_source_overlap (r12, exact); MinHash sigs: dedup_clusters + dedup_semantic_pairs (r12)
+        "dedup_paragraph_spans",  # span purge+reassembly ⊂ dedup_substring_spans (r13) + curation_decon_spans (r13); within-doc: dedup_intradoc_lines (staged r16)
     }
 
 
