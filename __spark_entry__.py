@@ -4024,6 +4024,27 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (provisional candidate: dedup_exact_docs — exact dedup stays
 #   multiply certified via dedup_exact_best_docs r11 +
 #   dedup_snapshot_scoped r12 + the bloom gate's exact-verify tier).
+#
+# ---- Round-18 certification batch (staged) --------------------------------
+# r18 registers the round-13 batch: scan_warc_demux (crawl stage-0
+#   certified from raw archive bytes — byte offsets recomputed
+#   arithmetically by the oracle), curation_icp_order (in-context
+#   pretraining ordering, Shi et al. 2024 — integer-edge greedy walk
+#   per trained cell), dedup_url_mirrors (Bharat & Broder 1999 fuzzy
+#   host mirror detection — per-domain path-set MinHash + exact
+#   Jaccard verify).  Each pairs with a weakest-marginal retirement
+#   from the r16-certified pool (provisional candidates, sibling
+#   holding an official row in parentheses):
+#   nearest_partition_asof  (as-of scan ⊂ ts_asof_join r12 — the same
+#                            max-≤-key semantics over real timestamps),
+#   curation_shuffle_shards (hash-shard assignment ⊂
+#                            curation_group_split r12 +
+#                            curation_pack_sequences, which consume the
+#                            same deterministic bucket gate),
+#   retrieval_hybrid_rrf    (rank-fusion arithmetic ⊂
+#                            retrieval_mmr_rerank r12 +
+#                            retrieval_quality_metrics, which hold the
+#                            rank/score join shapes).
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -7465,6 +7486,185 @@ def scan_warc_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         F.md5("payload").alias("payload_md5"),
     )
+
+
+def _icp_order_oracle(k: int = 8, iters: int = 2, m: int = 4) -> str:
+    """operators/curation.py icp_order reproduced: the Lloyd CTEs +
+    max-cosine assignment shared with the semantic-pairs oracle, the
+    within-cell top-m quantized-integer neighbor graph, then the
+    greedy walk as a recursive CTE — every hop picks (pri=0) the
+    unvisited neighbor with the largest sim_q (ties to the smallest
+    id), else (pri=1) restarts at the smallest unvisited id with a
+    NULL link.  All walk comparisons are BIGINT, so the two engines
+    cannot diverge on a float tie."""
+    ctes, cfinal = _lloyd_ctes(k, iters)
+    ctes.append(f"""assigned AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+        FROM emb e, {cfinal} c
+      ) WHERE rn = 1
+    )""")
+    ctes.append(f"""edges AS (
+      SELECT cell, a, b, simq FROM (
+        SELECT x.cell, x.vec_id AS a, y.vec_id AS b,
+               CAST(round({_cos_sql('x.embedding', 'y.embedding')} * 1e6)
+                 AS BIGINT) AS simq,
+               row_number() OVER (PARTITION BY x.cell, x.vec_id
+                 ORDER BY CAST(round({_cos_sql('x.embedding', 'y.embedding')} * 1e6)
+                   AS BIGINT) DESC, y.vec_id ASC) AS rn
+        FROM assigned x JOIN assigned y
+          ON x.cell = y.cell AND x.vec_id <> y.vec_id
+      ) WHERE rn <= {m}
+    )""")
+    ctes.append("ids AS (SELECT cell, vec_id FROM assigned)")
+    ctes.append("""walk(cell, pos, vec_id, visited, link_sim_q) AS (
+      SELECT cell, CAST(0 AS BIGINT) AS pos, min(vec_id) AS vec_id,
+             [min(vec_id)] AS visited, CAST(NULL AS BIGINT) AS link_sim_q
+      FROM ids GROUP BY cell
+      UNION ALL
+      SELECT w.cell, w.pos + 1, nxt.vec_id,
+             list_append(w.visited, nxt.vec_id), nxt.simq
+      FROM walk w, LATERAL (
+        SELECT vec_id, simq FROM (
+          SELECT e.b AS vec_id, e.simq, 0 AS pri
+          FROM edges e
+          WHERE e.cell = w.cell AND e.a = w.vec_id
+            AND NOT list_contains(w.visited, e.b)
+          UNION ALL
+          SELECT i.vec_id, CAST(NULL AS BIGINT) AS simq, 1 AS pri
+          FROM ids i
+          WHERE i.cell = w.cell AND NOT list_contains(w.visited, i.vec_id)
+        ) ORDER BY pri ASC, simq DESC, vec_id ASC LIMIT 1
+      ) nxt
+    )""")
+    return f"""
+    WITH RECURSIVE {', '.join(ctes)}
+    SELECT vec_id, cell, pos,
+           CAST(link_sim_q AS DOUBLE) AS link_sim_q
+    FROM walk
+    """
+
+
+@q_staged("curation_icp_order", oracle=_icp_order_oracle())
+def curation_icp_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-context pretraining ordering (Shi et al. 2024): greedy walk
+    over the within-cell top-m semantic neighbor graph so documents
+    that retrieve each other land ADJACENT in the packed training
+    stream — the serving-side complement of chunk/pack/shuffle-shards
+    (operators/curation.py icp_order; cells via the same trained
+    k-means the SemDeDup family certifies, edges as micro-unit BIGINT
+    cosines, the walk itself pure integer algebra in one Arrow
+    cogrouped task per cell).  Output (vec_id, cell, pos, link_sim_q);
+    global order = (cell, pos)."""
+    from rheoceros_spark.operators.curation import icp_order
+
+    return icp_order(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, m=4
+    ).select(
+        "vec_id",
+        "cell",
+        "pos",
+        # nullable BIGINT surfaces as float64 through the oracle's
+        # pandas frame — compare in DOUBLE on both engines (micro-unit
+        # sims are integers ≤ 1e6, exact in a double)
+        F.col("link_sim_q").cast("double").alias("link_sim_q"),
+    )
+
+
+def _url_mirrors_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """operators/urls.py url_mirror_pairs reproduced end-to-end: the
+    certified canonicalization query, domain/path split, 32-bit path
+    ids, per-domain affine-permutation MinHash mins, banded md5
+    buckets, candidate pairs, and the exact path-id-join Jaccard
+    verify — every step integer algebra or the already-pinned
+    canonicalization strings."""
+    from rheoceros_spark.functions.portable import h64_sql
+    from rheoceros_spark.operators.dedup import MINHASH_P
+    from rheoceros_spark.operators.urls import (
+        canonical_url_duckdb_query,
+        url_domain_duckdb_sql,
+    )
+
+    canon = canonical_url_duckdb_query("documents", _URL_FIXTURE, keep=["doc_id"])
+    mins = ", ".join(
+        f"min(({2 * i + 1} * ph + {i}) % {MINHASH_P})" for i in range(num_hashes)
+    )
+    jac = (
+        "round(CAST(i.n_shared AS DOUBLE) / "
+        "CAST(sa.n_paths + sb.n_paths - i.n_shared AS DOUBLE), 6)"
+    )
+    return f"""
+    WITH c AS MATERIALIZED ({canon}),
+    d0 AS MATERIALIZED (
+      SELECT {url_domain_duckdb_sql('canonical_url')} AS domain,
+             regexp_extract(canonical_url, '^[a-z0-9+.-]+://[^/]*(/.*)$', 1) AS p
+      FROM c WHERE canonical_url IS NOT NULL
+    ),
+    paths AS MATERIALIZED (
+      SELECT DISTINCT domain, ({h64_sql('p')} % 4294967296) AS ph
+      FROM d0 WHERE domain IS NOT NULL
+    ),
+    sigs AS MATERIALIZED (
+      SELECT domain, [{mins}] AS sig, CAST(count(*) AS BIGINT) AS n_paths
+      FROM paths GROUP BY domain
+    ),
+    bucketed AS MATERIALIZED (
+      SELECT domain, b.band,
+             CAST(('0x' || substr(md5(array_to_string(
+               list_slice(sig, b.band * {rows_per_band} + 1,
+                          b.band * {rows_per_band} + {rows_per_band}), ',')),
+               1, 15)) AS BIGINT) AS bucket
+      FROM sigs, (SELECT unnest(range(0, {bands})) AS band) b
+    ),
+    cands AS MATERIALIZED (
+      SELECT DISTINCT x.domain AS domain_a, y.domain AS domain_b
+      FROM bucketed x JOIN bucketed y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.domain < y.domain
+    ),
+    cd AS (
+      SELECT domain_a AS domain FROM cands
+      UNION SELECT domain_b FROM cands
+    ),
+    cp AS MATERIALIZED (SELECT p.* FROM paths p JOIN cd USING (domain)),
+    inter AS (
+      SELECT a.domain AS domain_a, b.domain AS domain_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM cp a JOIN cp b ON a.ph = b.ph AND a.domain < b.domain
+      GROUP BY 1, 2
+    )
+    SELECT c.domain_a, c.domain_b, sa.n_paths AS n_paths_a,
+           sb.n_paths AS n_paths_b, i.n_shared, {jac} AS jaccard_r
+    FROM cands c
+    JOIN inter i USING (domain_a, domain_b)
+    JOIN sigs sa ON sa.domain = c.domain_a
+    JOIN sigs sb ON sb.domain = c.domain_b
+    WHERE {jac} >= {threshold}
+    """
+
+
+@q_staged("dedup_url_mirrors", oracle=_url_mirrors_oracle())
+def dedup_url_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy host-level mirror detection (Bharat & Broder 1999) over
+    the certified URL fixture: canonical path sets per domain, MinHash
+    band buckets for candidates, exact path-id Jaccard verify
+    (operators/urls.py url_mirror_pairs).  The fixture's 40 hosts
+    share structured path families, so real mirror pairs exist at
+    every Jaccard level from 0.6 to 1.0 — URL-exact dedup
+    (dedup_exact_url r12) cannot see any of them because the canonical
+    URLs differ in host."""
+    from rheoceros_spark.operators.urls import url_mirror_pairs
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_FIXTURE)
+    )
+    return url_mirror_pairs(docs, threshold=0.5)
 
 
 # ===========================================================================

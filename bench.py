@@ -178,6 +178,11 @@ BENCH_EXT = [
     "pipeline_refinedweb_html",
     # round-12 staging (Bloom dedup gate, slotted r17)
     "dedup_bloom_novel",
+    # round-13 staging (crawl-bytes + serving-order + mirror family,
+    # slotted r18)
+    "scan_warc_demux",
+    "curation_icp_order",
+    "dedup_url_mirrors",
 ]
 
 

@@ -2514,3 +2514,148 @@ def epoch_plan(
         capped.alias("capped"),
         drawn.alias("drawn_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# in-context pretraining ordering (Shi et al. 2024)
+# ---------------------------------------------------------------------------
+
+def icp_order(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    m: int = 4,
+    cents: Optional[DataFrame] = None,
+) -> DataFrame:
+    """In-context pretraining document ordering (Shi et al. 2024,
+    "In-Context Pretraining: Language Modeling Beyond Document
+    Boundaries"): order the corpus so retrieval-related documents land
+    adjacent — the published recipe builds a top-``m`` semantic
+    neighbor graph and walks it greedily (their traveling-salesman
+    heuristic), so consecutive documents in a packed context window
+    are topically linked instead of i.i.d.
+
+    Scale adaptation (the SemDeDup cell discipline): a corpus-global
+    greedy walk is inherently sequential, so the walk runs PER
+    TRAINED k-means CELL — ``kmeans_centroids`` (deterministic
+    hash-sampled seeds, quantized means) bounds both the candidate
+    pair set (self-equi-join on ``cell``, never cartesian) and the
+    walk state.  Within a cell: top-``m`` neighbors per document by
+    exact cosine (quantized to micro-unit BIGINTs so every comparison
+    the walk makes is integer-exact across engines), then the greedy
+    chain from the smallest id — repeatedly hop to the unvisited
+    neighbor with the largest ``sim_q`` (ties to the smallest id);
+    when the frontier is exhausted, restart at the smallest unvisited
+    id with a NULL link.  The walk itself is an Arrow-batched
+    cogrouped ``applyInPandas`` over INTEGER edges only — no float
+    enters Python — and costs O(cell · m) per task.  At 100 TB, size
+    ``k`` so cells are ~10-100k docs (the SemDeDup sizing): pair
+    generation is the certified semantic_dup_pairs shape and each
+    cell's walk is one bounded task.
+
+    Returns (vec_id, cell, pos, link_sim_q): global order is
+    (cell, pos); ``link_sim_q`` is the quantized similarity to the
+    PREVIOUS document (NULL at cell starts and restarts).  Feed the
+    (cell, pos) order into :func:`pack_sequences` for ICP-ordered
+    context packing."""
+    import pandas as pd
+
+    from rheoceros_spark.functions.portable import dot
+    from rheoceros_spark.operators.scale import ensure_parallelism
+    from rheoceros_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    if m < 1:
+        raise ValueError(f"icp_order: m must be >= 1, got {m}")
+    base = ensure_parallelism(
+        df.where(F.col(id_col).isNotNull()).select(id_col, vec_col)
+    )
+    if cents is None:
+        cents = kmeans_centroids(base, k, iters, vec_col, id_col)
+    cents = cents.localCheckpoint(eager=True)
+    # three consumers (both pair branches + the id list): materialize
+    # the assignment once or the broadcast-assign argmax re-runs per
+    # branch
+    assigned = ivf_assign(base, k, vec_col, id_col, cents=cents).localCheckpoint(
+        eager=False
+    )
+    v = F.col(vec_col)
+    e = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        # scalar norm, not a pre-normalized vector (the Catalyst
+        # inlining measurement in embedding_dup_pairs_blocked)
+        F.sqrt(dot(v, v)).alias("__n"),
+    )
+    a = e.select(
+        "cell", F.col("__id").alias("a"), F.col("__v").alias("va"), F.col("__n").alias("na")
+    )
+    b = e.select(
+        F.col("cell").alias("__cellb"),
+        F.col("__id").alias("b"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    sim_q = F.round(
+        F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")) * 1e6,
+        0,
+    ).cast("bigint")
+    directed = (
+        a.join(b, a["cell"] == b["__cellb"])
+        .where(F.col("a") != F.col("b"))
+        .select("cell", "a", "b", sim_q.alias("sim_q"))
+    )
+    w = Window.partitionBy("cell", "a").orderBy(
+        F.col("sim_q").desc(), F.col("b").asc()
+    )
+    edges = (
+        directed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= m)
+        # the cogroup pairs edges with ids, both descended from
+        # `assigned` — rename the edge side's grouping key so the two
+        # grouped children share NO attribute (the analyzer rejects a
+        # self-referential cogroup as an ambiguous self-join otherwise)
+        .select(F.col("cell").alias("__ecell"), "a", "b", "sim_q")
+    )
+    ids = assigned.select("cell", F.col(id_col).alias("vec_id"))
+
+    def _walk(idpdf: pd.DataFrame, edpdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(idpdf["cell"].iloc[0])
+        unvisited = set(int(x) for x in idpdf["vec_id"])
+        adj: dict[int, list[tuple[int, int]]] = {}
+        if len(edpdf):
+            for aa, bb, qq in zip(edpdf["a"], edpdf["b"], edpdf["sim_q"]):
+                adj.setdefault(int(aa), []).append((int(qq), int(bb)))
+        order: list[tuple[int, Optional[int]]] = []
+        cur: Optional[int] = None
+        while unvisited:
+            if cur is not None:
+                cands = [(q, bb) for q, bb in adj.get(cur, []) if bb in unvisited]
+            else:
+                cands = []
+            if cands:
+                q, nxt = max(cands, key=lambda t: (t[0], -t[1]))
+                order.append((nxt, q))
+            else:
+                nxt = min(unvisited)
+                order.append((nxt, None))
+            unvisited.discard(nxt)
+            cur = nxt
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([o[0] for o in order], dtype="int64"),
+                "cell": pd.Series([cell] * len(order), dtype="int64"),
+                "pos": pd.Series(range(len(order)), dtype="int64"),
+                "link_sim_q": pd.Series([o[1] for o in order], dtype="Int64"),
+            }
+        )
+
+    return (
+        ids.groupBy("cell")
+        .cogroup(edges.groupBy("__ecell"))
+        .applyInPandas(
+            _walk, "vec_id bigint, cell bigint, pos bigint, link_sim_q bigint"
+        )
+    )

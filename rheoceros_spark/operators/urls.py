@@ -603,3 +603,142 @@ def check_url_index(index: DataFrame) -> None:
                 "canonicalization would silently re-admit every re-crawl; "
                 "rebuild the index under one scheme"
             )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy host-level mirror detection (Bharat & Broder 1999)
+# ---------------------------------------------------------------------------
+
+def url_mirror_pairs(
+    df: DataFrame,
+    url_col: str = "url",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    max_hosts: int | None = None,
+    trackers: Sequence[str] = DEFAULT_TRACKER_PARAMS,
+) -> DataFrame:
+    """Detect MIRRORED HOSTS — distinct domains serving near-identical
+    path sets (Bharat & Broder 1999, "Mirror, mirror on the Web: a
+    study of host pairs with replicated content": mirror candidates
+    from URL-string feature overlap, verified by content).  Crawl
+    dedup wants this BEFORE text hashing: a mirrored site re-crawled
+    under a second domain duplicates every page, and URL-exact dedup
+    (:func:`dedup_exact_url`) cannot see it because the canonical
+    URLs differ in host.
+
+    Pipeline (every step engine-exact integer algebra):
+
+    1. canonicalize (:func:`url_canonicalize`) and split into
+       ``domain`` (:func:`url_domain`, www-stripped) + the canonical
+       path-and-query string; hash the latter to a 32-bit path id.
+    2. optional ``max_hosts`` df-cap: a path id present on more than
+       ``max_hosts`` distinct domains ('/', '/index.html', …) is
+       dropped from BOTH the signatures and the verify — the
+       stop-fingerprint rule of the winnowing index, without which a
+       ubiquitous path makes every host pair a candidate.
+    3. per-domain MinHash signature over its path-id set (the affine
+       permutations of the text MinHash family) → banded buckets →
+       candidate domain pairs.  Fuzzy by construction: mirrors need
+       only SHARE most paths, not all.
+    4. exact verify on the candidates: path-id equi-join intersection
+       counts, Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over exact BIGINTs.
+
+    Scale shape: signatures shuffle one row per (domain, path) —
+    never URLs or text; the banded self-join is the LSH-certified
+    candidate generator; the verify join shuffles 8-byte path ids of
+    CANDIDATE domains only (semi-join restricted).  Returns
+    (domain_a, domain_b, n_paths_a, n_paths_b, n_shared, jaccard_r)
+    with domain_a < domain_b and jaccard ≥ ``threshold``."""
+    from rheoceros_spark.functions.portable import h64
+    from rheoceros_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_band_buckets,
+    )
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    canon = url_canonicalize(df, url_col=url_col, out_col="__curl", trackers=trackers)
+    canon = _barriered(canon, "url_mirror_pairs_rows_in")
+    parts = url_domain(
+        canon.where(F.col("__curl").isNotNull()).select("__curl"),
+        url_col="__curl",
+        out_col="domain",
+        strip_www=True,
+    ).select(
+        "domain",
+        F.regexp_extract(F.col("__curl"), "^[a-z0-9+.-]+://[^/]*(/.*)$", 1).alias(
+            "__path"
+        ),
+    )
+    paths = (
+        ensure_parallelism(parts.where(F.col("domain").isNotNull()))
+        .select("domain", (h64(F.col("__path")) % F.lit(4294967296)).alias("ph"))
+        .distinct()
+        # three consumers (signatures + both verify legs): materialize
+        # once — every re-evaluation would replay the full URL
+        # canonicalization chain over the corpus (measured 18.8 s vs
+        # ~2 s for the verify stage at sf0.1)
+        .localCheckpoint(eager=False)
+    )
+    if max_hosts is not None:
+        wide = paths.groupBy("ph").agg(
+            F.count(F.lit(1)).alias("__nh")
+        ).where(F.col("__nh") > max_hosts).select("ph")
+        paths = paths.join(F.broadcast(wide), "ph", "left_anti")
+    # signatures + per-domain path counts from ONE aggregate
+    mins = [
+        F.min((F.lit(2 * i + 1) * F.col("ph") + F.lit(i)) % F.lit(MINHASH_P)).alias(
+            f"__m{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sigs = paths.groupBy("domain").agg(
+        *mins, F.count(F.lit(1)).cast("bigint").alias("n_paths")
+    ).select(
+        "domain",
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+        "n_paths",
+    ).localCheckpoint(eager=False)
+    buckets = minhash_band_buckets(
+        sigs, id_col="domain", bands=bands, rows_per_band=rows_per_band
+    )
+    cands = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .where(F.col("x.domain") < F.col("y.domain"))
+        .select(
+            F.col("x.domain").alias("domain_a"), F.col("y.domain").alias("domain_b")
+        )
+        .distinct()
+        # consumed by the domain restriction (twice) and the final
+        # join — candidate pairs are host-count-sized, checkpoint them
+        .localCheckpoint(eager=False)
+    )
+    cand_domains = cands.select(F.col("domain_a").alias("domain")).union(
+        cands.select("domain_b")
+    ).distinct()
+    cpaths = paths.join(cand_domains, "domain", "left_semi")
+    inter = (
+        cpaths.select(F.col("domain").alias("domain_a"), "ph")
+        .join(cpaths.select(F.col("domain").alias("domain_b"), "ph"), "ph")
+        .where(F.col("domain_a") < F.col("domain_b"))
+        .groupBy("domain_a", "domain_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    na = sigs.select(F.col("domain").alias("domain_a"), F.col("n_paths").alias("n_paths_a"))
+    nb = sigs.select(F.col("domain").alias("domain_b"), F.col("n_paths").alias("n_paths_b"))
+    jac = (
+        F.col("n_shared").cast("double")
+        / (F.col("n_paths_a") + F.col("n_paths_b") - F.col("n_shared")).cast("double")
+    )
+    return (
+        cands.join(inter, ["domain_a", "domain_b"])
+        .join(na, "domain_a")
+        .join(nb, "domain_b")
+        .withColumn("jaccard_r", F.round(jac, 6))
+        .where(F.col("jaccard_r") >= threshold)
+        .select(
+            "domain_a", "domain_b", "n_paths_a", "n_paths_b", "n_shared", "jaccard_r"
+        )
+    )

@@ -113,6 +113,10 @@ AUDIT = [
     "dedup_intradoc_lines",
     "pipeline_refinedweb_html",
     "dedup_bloom_novel",
+    # round-13 (r18 batch): crawl-bytes demux, ICP ordering, mirrors
+    "scan_warc_demux",
+    "curation_icp_order",
+    "dedup_url_mirrors",
     # round-9: the composed stateless streaming gate, audited over a
     # batch frame (identical expression tree — that is the twin claim)
     "stream_curation_gate_batch_twin",

@@ -185,6 +185,14 @@ HEAVIES = [
     # m=2^20 keeps the sf1 build at ~17% fill (the gate refuses past
     # 50%, so the probe also guards the synthesizer's duplication)
     "dedup_bloom_novel",
+    # round-13 staging (r18 batch): warc demux is one mapInPandas pass
+    # over 8 archive blobs; mirrors shuffle (domain, path-id) ints with
+    # a 40-host-bounded pair join; icp walks integer edges per cell —
+    # its within-cell pair generation is the certified semantic_pairs
+    # shape (cells bound the quadratic, duplicates tie-break by id)
+    "scan_warc_demux",
+    "curation_icp_order",
+    "dedup_url_mirrors",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too).
 #: retrieval_metrics_layer probes the metric battery at FIXED query
@@ -301,6 +309,14 @@ ORACLE_AT_SF1 = [
     "pipeline_refinedweb_html",
     # bloom oracle: grouped bit_or + a word-table join — corpus-linear
     "dedup_bloom_novel",
+    # warc oracle: string algebra + one window cumsum — corpus-linear;
+    # mirrors oracle: 40-host-bounded pair join over path-id ints.
+    # curation_icp_order is deliberately EXCLUDED: its oracle replays
+    # the within-cell all-pairs cosine as a DuckDB list_reduce fold
+    # (millions of 64-element folds single-node) and the recursive
+    # walk's list_contains is O(visited) per step — timing-only at sf1
+    "scan_warc_demux",
+    "dedup_url_mirrors",
 ]
 
 
