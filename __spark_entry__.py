@@ -4045,6 +4045,13 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                            retrieval_mmr_rerank r12 +
 #                            retrieval_quality_metrics, which hold the
 #                            rank/score join shapes).
+# r18 also registers multimodal_image_dedup (perceptual dHash near-dup
+#   pairs through the REAL P6 decode — built in round 13), paired with
+#   a fourth retirement (provisional candidate:
+#   multimodal_video_frames — the multimodal family keeps
+#   multimodal_features r12 + multimodal_audio_stats r13 + the image
+#   dedup's decode path; video frame sampling stays pytest- and
+#   retired-gate-covered like multimodal_frame_sample r12).
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -7665,6 +7672,151 @@ def dedup_url_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", F.expr(_URL_FIXTURE)
     )
     return url_mirror_pairs(docs, threshold=0.5)
+
+
+# image-dedup fixture: 18×16 P6 images, pixels CONSTANT within each
+# 2×2 block of the 9×8 mean grid, so the dHash block means equal the
+# block values and the oracle computes them in closed form.  16 base
+# classes (doc_id % 16); the variant half (doc_id % 32 >= 16) perturbs
+# ONE block (i=3, j=2) by +128, flipping at most the two adjacent
+# comparisons — variants of a class are near-dups (Hamming ≤ 2),
+# same-(doc_id%32) docs are exact dups (Hamming 0).
+_DHASH_GRID_W, _DHASH_GRID_H = 8, 8  # 9×8 means from 2×2 blocks
+
+
+def _dhash_block_value(cls: str, var: str, i: str, j: str, c: str) -> str:
+    """Block pixel value as a SQL expression (engine-neutral integer
+    algebra) — shared verbatim by the Spark fixture synthesizer's
+    Python twin and the DuckDB oracle."""
+    base = (
+        f"((17 * {cls} + 13 * {i} + 11 * {j} + 7 * {i} * {j} + 5 * {c} "
+        f"+ {i} * {i} * ({cls} + 1)) % 256)"
+    )
+    return (
+        f"CASE WHEN {var} = 1 AND {i} = 3 AND {j} = 2 "
+        f"THEN ({base} + 128) % 256 ELSE {base} END"
+    )
+
+
+def _image_dedup_oracle(max_hamming: int = 2) -> str:
+    """operators/multimodal.py image_dhash + dhash_pairs reproduced in
+    closed form: the block-constant fixture makes every 2×2 floor
+    block mean equal the BT.601 luma of the block's (r,g,b) triple, so
+    the oracle builds the 72-entry mean list per doc, packs the 64
+    adjacent-comparison bits into (hi, lo) 32-bit halves, bands them
+    into four 16-bit keys, and verifies candidates with
+    bit_count(xor) — the identical integer algebra the engine runs
+    after a REAL P6 decode."""
+    r = _dhash_block_value("cls", "var", "(p % 9)", "(p // 9)", "0")
+    g = _dhash_block_value("cls", "var", "(p % 9)", "(p // 9)", "1")
+    b = _dhash_block_value("cls", "var", "(p % 9)", "(p // 9)", "2")
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS cls,
+             CAST((doc_id % 32) // 16 AS BIGINT) AS var
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    means AS MATERIALIZED (
+      SELECT doc_id,
+        list_transform(range(0, 72), p ->
+          (299 * ({r}) + 587 * ({g}) + 114 * ({b})) // 1000
+        ) AS ms
+      FROM docs
+    ),
+    hashes AS MATERIALIZED (
+      SELECT doc_id,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, 32), k ->
+            CASE WHEN ms[(k // 8) * 9 + (k % 8) + 2] > ms[(k // 8) * 9 + (k % 8) + 1]
+                 THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc + x) AS BIGINT) AS lo,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(32, 64), k ->
+            CASE WHEN ms[(k // 8) * 9 + (k % 8) + 2] > ms[(k // 8) * 9 + (k % 8) + 1]
+                 THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc + x) AS BIGINT) AS hi
+      FROM means
+    ),
+    banded AS MATERIALIZED (
+      SELECT doc_id, hi, lo, b.bidx,
+        CASE b.bidx WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+                    WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS band
+      FROM hashes, (SELECT unnest(range(0, 4)) AS bidx) b
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+             AS BIGINT) AS hamming
+    FROM banded x JOIN banded y
+      ON x.bidx = y.bidx AND x.band = y.band AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= {max_hamming}
+    """
+
+
+@q_staged("multimodal_image_dedup", oracle=_image_dedup_oracle())
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs through the REAL decode path:
+    synthesize a deterministic 18×16 P6 image per document (16 base
+    classes + a one-block perturbed variant half), run the genuine
+    binary PPM decoder + integer dHash (operators/multimodal.py
+    image_dhash — BT.601 luma, exact 2×2 floor block means, 64
+    adjacent-mean bits as two 32-bit halves), then banded
+    guaranteed-detection candidate pairs with exact bit_count(xor)
+    Hamming verify (dhash_pairs).  The oracle never sees the image
+    bytes — it predicts every hash in closed form from the fixture's
+    block function, so a single mis-decoded pixel anywhere flips a
+    mean and fails the hash."""
+    from rheoceros_spark.operators.multimodal import dhash_pairs, image_dhash
+
+    media = dhash_fixture_media(spark, sf_dir)
+    hashes = image_dhash(media, grid_w=_DHASH_GRID_W, grid_h=_DHASH_GRID_H)
+    return dhash_pairs(hashes, max_hamming=2)
+
+
+def dhash_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic P6 image corpus behind multimodal_image_dedup
+    (shared with the scale probe's hash-stage timing): one 18×16
+    block-constant image per document, synthesized Arrow-batched from
+    doc_id alone."""
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    from rheoceros_spark.operators.multimodal import encode_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id").isNotNull()
+    )
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cls, var = d % 16, (d % 32) // 16
+                px = bytearray()
+                for y in range(16):
+                    j = y // 2
+                    for x in range(18):
+                        i = x // 2
+                        for c in range(3):
+                            v = (
+                                17 * cls + 13 * i + 11 * j + 7 * i * j
+                                + 5 * c + i * i * (cls + 1)
+                            ) % 256
+                            if var == 1 and i == 3 and j == 2:
+                                v = (v + 128) % 256
+                            px.append(v)
+                blobs.append(encode_ppm(18, 16, bytes(px)))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(
+        synth,
+        schema=_T.StructType(
+            [
+                _T.StructField("doc_id", _T.LongType(), False),
+                _T.StructField("content", _T.BinaryType(), False),
+            ]
+        ),
+    )
 
 
 # ===========================================================================

@@ -183,6 +183,7 @@ BENCH_EXT = [
     "scan_warc_demux",
     "curation_icp_order",
     "dedup_url_mirrors",
+    "multimodal_image_dedup",
 ]
 
 

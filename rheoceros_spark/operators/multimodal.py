@@ -463,3 +463,159 @@ def sample_frames_ppm(
             yield pd.DataFrame(rows, columns=[f.name for f in PPM_FRAME_SCHEMA.fields])
 
     return pruned.mapInPandas(batches, schema=PPM_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup: difference hash (dHash) + banded near-dup pairs
+# ---------------------------------------------------------------------------
+
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    grid_w: int = 8,
+    grid_h: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash over decoded images — the standard
+    near-duplicate image fingerprint of crawl curation tooling
+    (imagededup's DHash; the aHash/dHash/pHash family used to prune
+    LAION-style image corpora before training): integer BT.601 luma
+    (``(299·R + 587·G + 114·B) // 1000`` — pure integer, no float
+    seam), exact floor block means on a ``(grid_w+1) × grid_h`` grid,
+    then one bit per horizontally adjacent mean pair
+    (``mean(i+1,j) > mean(i,j)``), ``grid_w × grid_h`` bits total.
+
+    The 64-bit default is returned as TWO bigint halves
+    (``dhash_hi`` = bits 32-63, ``dhash_lo`` = bits 0-31): both stay
+    in non-negative 32-bit range, so every shift/band/xor downstream
+    is exact signed-64 algebra on BOTH engines (a single 64-bit word
+    would put bit 63 in the sign position and diverge).
+
+    Image dimensions must tile the grid exactly (width divisible by
+    ``grid_w + 1``, height by ``grid_h``) — the loud-reject keeps the
+    block means exact integers a SQL oracle reproduces bit-for-bit;
+    resample first (:func:`resize_images`) for arbitrary inputs.
+
+    Scale shape: Arrow-batched ``mapInPandas`` over a column-pruned
+    (id, content) projection — decode parallelism equals scan
+    parallelism, per-row output is two ints, the corpus's image bytes
+    never shuffle."""
+    import numpy as np
+
+    if grid_w < 1 or grid_h < 1 or grid_w * grid_h != 64:
+        raise ValueError(
+            f"image_dhash: grid must hold exactly 64 bits, got "
+            f"{grid_w}x{grid_h}"
+        )
+    pruned = df.select(id_col, content_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, his, los = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                img = decode_ppm(bytes(blob))
+                if img.width % (grid_w + 1) or img.height % grid_h:
+                    raise ValueError(
+                        f"image_dhash: image {img.width}x{img.height} does "
+                        f"not tile a {grid_w + 1}x{grid_h} block grid — "
+                        "resize_images first (block means must be exact)"
+                    )
+                bw = img.width // (grid_w + 1)
+                bh = img.height // grid_h
+                px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+                    img.height, img.width, 3
+                ).astype(np.int64)
+                luma = (
+                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                ) // 1000
+                # exact floor means per block: sum // area
+                sums = luma.reshape(grid_h, bh, grid_w + 1, bw).sum(axis=(1, 3))
+                means = sums // (bw * bh)
+                bits = (means[:, 1:] > means[:, :-1]).astype(np.int64)  # h×w
+                flat = bits.reshape(-1)  # bit k = j*grid_w + i
+                lo = int((flat[:32] << np.arange(32)).sum())
+                hi = int((flat[32:] << np.arange(32)).sum())
+                ids.append(int(doc_id))
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash_hi": pd.Series(his, dtype="int64"),
+                    "dhash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return pruned.mapInPandas(
+        batches, schema="doc_id bigint, dhash_hi bigint, dhash_lo bigint"
+    )
+
+
+def dhash_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs from (id, dhash_hi, dhash_lo): band
+    the 64 bits into four 16-bit keys — with ``max_hamming ≤ 3``, a
+    qualifying pair differs in at most 3 bits, which cannot touch all
+    4 bands, so at least one band matches EXACTLY and the banded
+    equi-join is a GUARANTEED-detection candidate generator (the
+    SimHash pigeonhole argument) — then verify the exact Hamming
+    distance with ``bit_count(xor)`` JVM-side.
+
+    Scale shape: the candidate join shuffles (16-bit key, id, two
+    ints) — never image bytes; candidates are hash-collision-bounded,
+    and the verify is per-pair integer algebra."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"dhash_pairs: the 4-band pigeonhole guarantee holds for "
+            f"max_hamming <= 3, got {max_hamming} — re-band before raising it"
+        )
+    h = hashes.select(
+        F.col(id_col).alias("__id"),
+        F.col("dhash_hi").alias("__hi"),
+        F.col("dhash_lo").alias("__lo"),
+    )
+    # posexplode tags each 16-bit band with its index, so band values
+    # only collide within the same band position
+    banded = h.select(
+        "__id",
+        "__hi",
+        "__lo",
+        F.posexplode(
+            F.array(
+                F.col("__lo").bitwiseAND(F.lit(65535)),
+                F.shiftright(F.col("__lo"), 16).bitwiseAND(F.lit(65535)),
+                F.col("__hi").bitwiseAND(F.lit(65535)),
+                F.shiftright(F.col("__hi"), 16).bitwiseAND(F.lit(65535)),
+            )
+        ).alias("__bidx", "__band"),
+    )
+    a = banded.select(
+        F.col("__bidx").alias("bidx"),
+        F.col("__band").alias("band"),
+        F.col("__id").alias("a"),
+        F.col("__hi").alias("hi_a"),
+        F.col("__lo").alias("lo_a"),
+    )
+    b = banded.select(
+        F.col("__bidx").alias("bidx"),
+        F.col("__band").alias("band"),
+        F.col("__id").alias("b"),
+        F.col("__hi").alias("hi_b"),
+        F.col("__lo").alias("lo_b"),
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("bigint")
+    return (
+        a.join(b, ["bidx", "band"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -117,6 +117,7 @@ AUDIT = [
     "scan_warc_demux",
     "curation_icp_order",
     "dedup_url_mirrors",
+    "multimodal_image_dedup",
     # round-9: the composed stateless streaming gate, audited over a
     # batch frame (identical expression tree — that is the twin claim)
     "stream_curation_gate_batch_twin",

@@ -206,6 +206,7 @@ SCALABLE = [
     "dedup_simhash_scalable",
     "retrieval_metrics_layer",
     "skew_report_docs",
+    "image_dhash_stage",
     # the incremental URL path (r12 registrant family): build the
     # canonical-URL fingerprint index from 90% of the corpus, probe the
     # other 10% against it (canonicalize → md5 key → anti-join) — the
@@ -531,6 +532,14 @@ def main() -> None:
     from rheoceros_spark.operators import minhash_lsh_pairs, simhash_pairs
 
     def scalable(name, sf_dir):
+        if name == "image_dhash_stage":
+            # hash stage only: the PAIR join's output is quadratic in
+            # duplicate-group size by the synthesizer's construction
+            # (the dedup-pair exclusion rule), but the decode+hash
+            # stage is corpus-LINEAR and is what dominates at 100 TB
+            from rheoceros_spark.operators.multimodal import image_dhash
+
+            return image_dhash(entrymod.dhash_fixture_media(spark, sf_dir))
         if name == "skew_report_docs":
             from rheoceros_spark.operators.scale import skew_report
 

@@ -1,0 +1,103 @@
+"""Perceptual image dedup (round 13): dHash through the real P6
+decode path + banded guaranteed-detection near-dup pairs — hand-built
+geometry, loud rejects, the pigeonhole recall bound, and decode
+sensitivity (one pixel must flip the hash)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rheoceros_spark.operators.multimodal import (
+    dhash_pairs,
+    encode_ppm,
+    image_dhash,
+)
+
+
+def _img(fn):
+    """18x16 P6 image, pixel (x, y, c) = fn(x, y, c) % 256."""
+    px = bytes(
+        fn(x, y, c) % 256 for y in range(16) for x in range(18) for c in range(3)
+    )
+    return encode_ppm(18, 16, px)
+
+
+def _hashes(spark, blobs):
+    df = spark.createDataFrame(
+        list(enumerate(blobs)), "doc_id bigint, content binary"
+    )
+    return {
+        r.doc_id: (r.dhash_hi, r.dhash_lo) for r in image_dhash(df).collect()
+    }
+
+
+def test_hand_computed_gradient_hash(spark):
+    """A strict left-to-right luma gradient sets EVERY adjacent-mean
+    bit: hash halves are all-ones (2^32 - 1 each).  The flat image
+    sets none."""
+    h = _hashes(
+        spark,
+        [_img(lambda x, y, c: x * 14), _img(lambda x, y, c: 77)],
+    )
+    assert h[0] == (4294967295, 4294967295)
+    assert h[1] == (0, 0)
+
+
+def test_one_pixel_decode_sensitivity(spark):
+    """The real-decode gate: when adjacent block means sit close (the
+    shallow gradient below steps by 2 luma units), a single mis-read
+    pixel shifts its block's floor mean by +32 and flips the
+    neighboring comparisons — so any decode error surfaces in the
+    hash.  (A STEEP gradient absorbs the same bump — that robustness
+    is dHash's design, covered by the fixture's variant semantics.)"""
+    base = lambda x, y, c: (x // 2) * 2
+    bump = lambda x, y, c: base(x, y, c) + (128 if (x, y) == (8, 8) else 0)
+    h = _hashes(spark, [_img(base), _img(bump)])
+    assert h[0] != h[1]
+
+
+def test_exact_dups_pair_at_hamming_zero(spark):
+    f = lambda x, y, c: (x // 2) * 31 + (y // 2) * 7 + c
+    df = spark.createDataFrame(
+        [(0, _img(f)), (1, _img(f)), (2, _img(lambda x, y, c: x * 14))],
+        "doc_id bigint, content binary",
+    )
+    pairs = dhash_pairs(image_dhash(df), max_hamming=2).collect()
+    assert [(r.a, r.b, r.hamming) for r in pairs] == [(0, 1, 0)]
+
+
+def test_pigeonhole_guarantee_and_recall_bound(spark):
+    """Hamming ≤ 3 is ALWAYS found (3 flips can't touch all 4 16-bit
+    bands); a pair engineered to differ once in EVERY band is
+    invisible to the banded join — the documented recall bound, not a
+    bug."""
+    rows = [
+        (0, 0, 0),
+        # 3 bits flipped, all within the low band → found
+        (1, 0, 7),
+        # one bit in each 16-bit band → hamming 4, all bands differ
+        (2, 1 | (1 << 16), 1 | (1 << 16)),
+    ]
+    hashes = spark.createDataFrame(
+        rows, "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
+    )
+    got = {
+        (r.a, r.b): r.hamming
+        for r in dhash_pairs(hashes, max_hamming=3).collect()
+    }
+    assert got[(0, 1)] == 3
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_loud_rejects(spark):
+    df = spark.createDataFrame(
+        [(0, encode_ppm(5, 5, bytes(75)))], "doc_id bigint, content binary"
+    )
+    with pytest.raises(ValueError, match="64 bits"):
+        image_dhash(df, grid_w=4, grid_h=4)
+    with pytest.raises(Exception, match="does not tile"):
+        image_dhash(df).collect()  # 5x5 doesn't tile 9x8
+    hashes = spark.createDataFrame(
+        [(0, 0, 0)], "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_pairs(hashes, max_hamming=4)
