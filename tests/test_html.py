@@ -9,6 +9,7 @@ builder) are pinned to the same expectations."""
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from rheoceros_spark.operators.dedup import (
     intradoc_line_dedup,
@@ -281,6 +282,58 @@ def test_warc_to_html_extraction_composes(spark):
     )
     out = html_extract_text(docs, id_col="target_uri").collect()
     assert len(out) == 1 and out[0].text == PROSE
+
+
+def test_warc_bytes_to_refinedweb_pipeline_matches_markup_path(spark):
+    """Crawl story end-to-end from RAW ARCHIVE BYTES (r13): WARC demux
+    → HTML extraction → intra-doc line self-dedup → word gate must
+    yield EXACTLY what the markup-origin pipeline yields on the same
+    pages — the byte framing adds nothing and loses nothing."""
+    body = " ".join(f"tok{i} word" for i in range(15)) + "."
+    pages = {
+        f"http://h{i}.example/p": (
+            "<html><body><nav><a href='/'>Home</a><a href='/x'>X</a></nav>"
+            f"<p>menu line</p><p>menu line</p><p>{body} page {i}.</p>"
+            "</body></html>"
+        )
+        for i in range(4)
+    }
+    recs = [
+        ("response", uri, b"HTTP/1.1 200 OK\r\n\r\n" + page.encode())
+        for uri, page in sorted(pages.items())
+    ]
+    # two archives, two records each
+    archives = [
+        ("a0", bytearray(encode_warc(recs[:2]))),
+        ("a1", bytearray(encode_warc(recs[2:]))),
+    ]
+    df = spark.createDataFrame(archives, "source_id string, content binary")
+
+    def stages(docs):
+        from rheoceros_spark.operators.dedup import intradoc_line_dedup
+
+        ext = html_extract_text(docs, id_col="uri").select(
+            "uri", F.col("text").alias("etext")
+        )
+        ded = intradoc_line_dedup(ext, text_col="etext", id_col="uri")
+        n_words = F.size(F.split(F.trim(F.col("clean_text")), "[ \n]+"))
+        return sorted(
+            (r.uri, r.clean_text, r.n_dup_lines)
+            for r in ded.where(n_words >= 10).collect()
+        )
+
+    via_bytes = stages(
+        warc_records(df)
+        .where("warc_type = 'response' AND http_status = 200")
+        .selectExpr("target_uri AS uri", "CAST(payload AS STRING) AS html")
+    )
+    direct = stages(
+        spark.createDataFrame(sorted(pages.items()), "uri string, html string")
+    )
+    assert via_bytes == direct and len(via_bytes) == 4
+    # the extraction stage already drops the nav/menu boilerplate, so
+    # the surviving text is the prose body on both paths
+    assert all("tok0 word" in text for _, text, _ in via_bytes)
 
 
 # ---------------------------------------------------------------------------
