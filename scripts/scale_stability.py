@@ -187,11 +187,14 @@ HEAVIES = [
     "dedup_bloom_novel",
     # round-13 staging (r18 batch): warc demux is one mapInPandas pass
     # over 8 archive blobs; mirrors shuffle (domain, path-id) ints with
-    # a 40-host-bounded pair join; icp walks integer edges per cell —
-    # its within-cell pair generation is the certified semantic_pairs
-    # shape (cells bound the quadratic, duplicates tie-break by id)
+    # a 40-host-bounded pair join.  curation_icp_order is NOT probed at
+    # fixed k: the synthesizer's 10 exact-duplicate replicas land in
+    # the same trained cell, so within-cell pair counts grow 100× at
+    # 10× data BY CONSTRUCTION (measured 15.5× wall at k=8) — the same
+    # exclusion as the dedup-pair operators; the icp_order_scaled_k
+    # SCALABLE probe demonstrates the documented knob instead (k grows
+    # with the corpus so cells stay bounded, the SemDeDup sizing)
     "scan_warc_demux",
-    "curation_icp_order",
     "dedup_url_mirrors",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too).
@@ -207,6 +210,7 @@ SCALABLE = [
     "retrieval_metrics_layer",
     "skew_report_docs",
     "image_dhash_stage",
+    "icp_order_scaled_k",
     # the incremental URL path (r12 registrant family): build the
     # canonical-URL fingerprint index from 90% of the corpus, probe the
     # other 10% against it (canonicalize → md5 key → anti-join) — the
@@ -532,6 +536,15 @@ def main() -> None:
     from rheoceros_spark.operators import minhash_lsh_pairs, simhash_pairs
 
     def scalable(name, sf_dir):
+        if name == "icp_order_scaled_k":
+            # the ICP scale contract: k grows with the corpus so cells
+            # (and therefore the within-cell pair set and each walk
+            # task) stay bounded — k=8 at sf0.1, k=80 at 10× data
+            from rheoceros_spark.operators.curation import icp_order
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            k = 80 if sf_dir == SF1 else 8
+            return icp_order(emb, k=k, iters=2, m=4)
         if name == "image_dhash_stage":
             # hash stage only: the PAIR join's output is quadratic in
             # duplicate-group size by the synthesizer's construction
