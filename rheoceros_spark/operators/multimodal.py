@@ -500,8 +500,6 @@ def image_dhash(
     (id, content) projection — decode parallelism equals scan
     parallelism, per-row output is two ints, the corpus's image bytes
     never shuffle."""
-    import numpy as np
-
     if grid_w < 1 or grid_h < 1 or grid_w * grid_h != 64:
         raise ValueError(
             f"image_dhash: grid must hold exactly 64 bits, got "
@@ -515,28 +513,7 @@ def image_dhash(
             for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
                 if blob is None:
                     continue
-                img = decode_ppm(bytes(blob))
-                if img.width % (grid_w + 1) or img.height % grid_h:
-                    raise ValueError(
-                        f"image_dhash: image {img.width}x{img.height} does "
-                        f"not tile a {grid_w + 1}x{grid_h} block grid — "
-                        "resize_images first (block means must be exact)"
-                    )
-                bw = img.width // (grid_w + 1)
-                bh = img.height // grid_h
-                px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
-                    img.height, img.width, 3
-                ).astype(np.int64)
-                luma = (
-                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
-                ) // 1000
-                # exact floor means per block: sum // area
-                sums = luma.reshape(grid_h, bh, grid_w + 1, bw).sum(axis=(1, 3))
-                means = sums // (bw * bh)
-                bits = (means[:, 1:] > means[:, :-1]).astype(np.int64)  # h×w
-                flat = bits.reshape(-1)  # bit k = j*grid_w + i
-                lo = int((flat[:32] << np.arange(32)).sum())
-                hi = int((flat[32:] << np.arange(32)).sum())
+                hi, lo = _dhash_of_blob(bytes(blob), grid_w, grid_h)
                 ids.append(int(doc_id))
                 los.append(lo)
                 his.append(hi)
@@ -619,3 +596,153 @@ def dhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _dhash_of_blob(blob: bytes, grid_w: int = 8, grid_h: int = 8) -> tuple[int, int]:
+    """(hi, lo) dHash halves of one decoded image — the per-blob core
+    shared by :func:`image_dhash` and the streaming gate."""
+    import numpy as np
+
+    img = decode_ppm(blob)
+    if img.width % (grid_w + 1) or img.height % grid_h:
+        raise ValueError(
+            f"image_dhash: image {img.width}x{img.height} does not tile a "
+            f"{grid_w + 1}x{grid_h} block grid — resize_images first "
+            "(block means must be exact)"
+        )
+    bw = img.width // (grid_w + 1)
+    bh = img.height // grid_h
+    px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, img.width, 3
+    ).astype(np.int64)
+    luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    # exact floor means per block: sum // area
+    sums = luma.reshape(grid_h, bh, grid_w + 1, bw).sum(axis=(1, 3))
+    means = sums // (bw * bh)
+    bits = (means[:, 1:] > means[:, :-1]).astype(np.int64)  # h×w
+    flat = bits.reshape(-1)  # bit k = j*grid_w + i
+    lo = int((flat[:32] << np.arange(32)).sum())
+    hi = int((flat[32:] << np.arange(32)).sum())
+    return hi, lo
+
+
+DHASH_INDEX_ALGO = "dhash-v1:bt601-floor-means-9x8"
+
+
+def dhash_index_write(
+    df: DataFrame,
+    path: str | None = None,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persisted perceptual-hash index for INCREMENTAL image dedup —
+    the image-modality member of the incremental-index family
+    (minhash / winnowing / URL / fingerprint): at 100 TB you hash the
+    existing image corpus ONCE, then gate every new crawl batch
+    against megabytes-per-billion-images of (id, hi, lo) rows without
+    ever re-decoding old bytes.
+
+    Layout: one row per image (``doc_id``, ``dhash_hi``, ``dhash_lo``)
+    plus a literal ``dhash_algo`` scheme stamp validated on probe (the
+    URL-index discipline: hashes computed under a different luma/grid
+    scheme collide VALIDLY but wrongly, so a mismatch must be loud,
+    not a silent recall hole).  ``mode="append"`` is the incremental
+    maintenance step; with ``path`` the returned frame reads from the
+    materialized parquet, so probes scan the index, never the corpus
+    recompute plan."""
+    idx = image_dhash(df, content_col=content_col, id_col=id_col).select(
+        "doc_id", "dhash_hi", "dhash_lo", F.lit(DHASH_INDEX_ALGO).alias("dhash_algo")
+    )
+    if path is not None:
+        idx.write.mode(mode).parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return idx
+
+
+def check_dhash_index(index: DataFrame) -> None:
+    """Loud structural/scheme validation (the ``check_url_index``
+    discipline)."""
+    need = {"doc_id", "dhash_hi", "dhash_lo"}
+    if not need <= set(index.columns):
+        raise ValueError(
+            f"dhash index is missing {sorted(need - set(index.columns))} — "
+            "expected the (doc_id, dhash_hi, dhash_lo, dhash_algo) layout "
+            "written by dhash_index_write"
+        )
+    if "dhash_algo" in index.columns:
+        algos = sorted(
+            r[0] for r in index.select("dhash_algo").distinct().collect() if r[0]
+        )
+        if algos and algos != [DHASH_INDEX_ALGO]:
+            raise ValueError(
+                f"dhash index carries dhash_algo values {algos!r}, this engine "
+                f"computes {DHASH_INDEX_ALGO!r} — hashes from another "
+                "luma/grid scheme would collide wrongly and silently re-admit "
+                "near-duplicate images; rebuild the index under one scheme"
+            )
+
+
+def dedup_images_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Gate a NEW image batch against a persisted dHash index: adds
+    ``dup_of`` (the smallest matching indexed id within
+    ``max_hamming``, NULL = novel) and ``min_hamming``.  The corpus is
+    probed through the 4-band pigeonhole candidates (guaranteed
+    detection for Hamming ≤ 3), verified with exact ``bit_count(xor)``
+    — old image bytes are never re-read, new bytes never shuffle (only
+    their 16-byte hash rows do)."""
+    check_dhash_index(index)
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"dedup_images_against_index: the 4-band pigeonhole guarantee "
+            f"holds for max_hamming <= 3, got {max_hamming}"
+        )
+    new_h = image_dhash(new_df, content_col=content_col, id_col=id_col)
+
+    def bands(hi, lo):
+        return F.posexplode(
+            F.array(
+                lo.bitwiseAND(F.lit(65535)),
+                F.shiftright(lo, 16).bitwiseAND(F.lit(65535)),
+                hi.bitwiseAND(F.lit(65535)),
+                F.shiftright(hi, 16).bitwiseAND(F.lit(65535)),
+            )
+        )
+
+    probe = new_h.select(
+        F.col("doc_id").alias("__nid"),
+        F.col("dhash_hi").alias("__nhi"),
+        F.col("dhash_lo").alias("__nlo"),
+        bands(F.col("dhash_hi"), F.col("dhash_lo")).alias("__bidx", "__band"),
+    )
+    idx = index.select(
+        F.col("doc_id").alias("__iid"),
+        F.col("dhash_hi").alias("__ihi"),
+        F.col("dhash_lo").alias("__ilo"),
+        bands(F.col("dhash_hi"), F.col("dhash_lo")).alias("__bidx", "__band"),
+    )
+    ham = (
+        F.bit_count(F.col("__nlo").bitwiseXOR(F.col("__ilo")))
+        + F.bit_count(F.col("__nhi").bitwiseXOR(F.col("__ihi")))
+    ).cast("bigint")
+    hits = (
+        probe.join(idx, ["__bidx", "__band"])
+        .select("__nid", "__iid", ham.alias("__ham"))
+        .where(F.col("__ham") <= max_hamming)
+        .groupBy("__nid")
+        .agg(
+            F.min(F.struct(F.col("__ham"), F.col("__iid"))).alias("__w")
+        )
+        .select(
+            "__nid",
+            F.col("__w.__ham").alias("min_hamming"),
+            F.col("__w.__iid").alias("dup_of"),
+        )
+    )
+    return new_h.join(hits, new_h["doc_id"] == hits["__nid"], "left").drop("__nid")

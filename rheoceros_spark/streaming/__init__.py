@@ -3,6 +3,7 @@ from rheoceros_spark.streaming.stream import (  # noqa: F401
     partition_overwrite_sink,
     sessionize,
     stream_bloom_gate,
+    stream_image_dedup_gate,
     stream_dedup,
     stream_html_extract,
     stream_intradoc_line_dedup,

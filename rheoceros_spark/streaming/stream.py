@@ -906,3 +906,87 @@ def stream_bloom_gate(
     return dedup_bloom_gate(
         sdf, filt, fp_col=fp_col, id_col=id_col, max_fill=max_fill
     )
+
+
+def stream_image_dedup_gate(
+    sdf: DataFrame,
+    index: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_index_rows: int = 50_000_000,
+) -> DataFrame:
+    """Streaming twin of the incremental image dedup gate
+    (multimodal.dedup_images_against_index): hash each micro-batch's
+    images through the real decode path and verdict them against a
+    PERSISTED dHash index.  The batch operator's per-new-row
+    min-Hamming reduce is a streaming AGGREGATION (unsupported in
+    append mode without a watermark), so the stream twin runs the
+    whole gate PER ROW inside one stateless Arrow ``mapInPandas``: the
+    index's 16-byte hash rows load once into banded lookup state (the
+    Bloom gate's broadcast-artifact tier — fine for tens of millions
+    of images; ``max_index_rows`` rejects loudly past it, where the
+    right shape is the batch operator inside ``foreachBatch``).
+    Verdicts are identical to the batch gate by construction
+    (parity-pinned in tests/test_image_dedup.py)."""
+    from rheoceros_spark.operators.multimodal import (
+        _dhash_of_blob,
+        check_dhash_index,
+    )
+
+    check_dhash_index(index)
+    rows = index.select("doc_id", "dhash_hi", "dhash_lo").collect()
+    if len(rows) > max_index_rows:
+        raise ValueError(
+            f"stream_image_dedup_gate: index holds {len(rows)} rows, over the "
+            f"broadcastable tier ({max_index_rows}) — gate with "
+            "dedup_images_against_index inside foreachBatch instead"
+        )
+    bands: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    for r in rows:
+        hi, lo, iid = int(r["dhash_hi"]), int(r["dhash_lo"]), int(r["doc_id"])
+        for bidx, band in enumerate(
+            (lo & 65535, (lo >> 16) & 65535, hi & 65535, (hi >> 16) & 65535)
+        ):
+            bands.setdefault((bidx, band), []).append((iid, hi, lo))
+
+    def gate(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                hi, lo = _dhash_of_blob(bytes(blob))
+                best = None
+                for bidx, band in enumerate(
+                    (lo & 65535, (lo >> 16) & 65535, hi & 65535, (hi >> 16) & 65535)
+                ):
+                    for iid, ihi, ilo in bands.get((bidx, band), ()):
+                        ham = bin((lo ^ ilo)).count("1") + bin((hi ^ ihi)).count("1")
+                        if ham <= max_hamming and (
+                            best is None or (ham, iid) < best
+                        ):
+                            best = (ham, iid)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "dhash_hi": hi,
+                        "dhash_lo": lo,
+                        "min_hamming": None if best is None else best[0],
+                        "dup_of": None if best is None else best[1],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "dhash_hi", "dhash_lo", "min_hamming", "dup_of"],
+            )
+
+    return sdf.select(id_col, content_col).mapInPandas(
+        gate,
+        schema=(
+            "doc_id bigint, dhash_hi bigint, dhash_lo bigint, "
+            "min_hamming bigint, dup_of bigint"
+        ),
+    )

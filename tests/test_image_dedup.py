@@ -88,6 +88,106 @@ def test_pigeonhole_guarantee_and_recall_bound(spark):
     assert (0, 2) not in got and (1, 2) not in got
 
 
+class TestIncrementalImageIndex:
+    """The image member of the incremental-index family: build once,
+    append batches, gate new images without re-decoding old bytes."""
+
+    def _media(self, spark, specs):
+        """specs: [(doc_id, fn)] → (doc_id, content) frame."""
+        return spark.createDataFrame(
+            [(i, _img(fn)) for i, fn in specs], "doc_id bigint, content binary"
+        )
+
+    def test_gate_flags_dups_and_passes_novel(self, spark, tmp_path):
+        from rheoceros_spark.operators.multimodal import (
+            dedup_images_against_index,
+            dhash_index_write,
+        )
+
+        grad = lambda x, y, c: x * 14
+        flat = lambda x, y, c: 77
+        corpus = self._media(spark, [(0, grad), (1, flat)])
+        idx = dhash_index_write(corpus, str(tmp_path / "idx"))
+        batch = self._media(
+            spark,
+            [
+                (10, grad),  # exact perceptual dup of 0
+                # alternating stripes: ~half the bits set — far from
+                # both the all-ones gradient and the all-zeros flat
+                (11, lambda x, y, c: 255 * ((x // 2) % 2)),
+            ],
+        )
+        out = {r.doc_id: r for r in dedup_images_against_index(batch, idx).collect()}
+        assert out[10].dup_of == 0 and out[10].min_hamming == 0
+        assert out[11].dup_of is None and out[11].min_hamming is None
+
+    def test_append_equals_rebuild(self, spark, tmp_path):
+        from rheoceros_spark.operators.multimodal import dhash_index_write
+
+        a = self._media(spark, [(0, lambda x, y, c: x * 14)])
+        b = self._media(spark, [(1, lambda x, y, c: 77)])
+        p1, p2 = str(tmp_path / "grown"), str(tmp_path / "full")
+        dhash_index_write(a, p1)
+        grown = dhash_index_write(b, p1, mode="append")
+        full = dhash_index_write(a.unionByName(b), p2)
+        key = lambda df: sorted(
+            (r.doc_id, r.dhash_hi, r.dhash_lo, r.dhash_algo) for r in df.collect()
+        )
+        assert key(grown) == key(full)
+
+    def test_scheme_mismatch_rejects_loudly(self, spark):
+        import pytest as _pytest
+
+        from rheoceros_spark.operators.multimodal import (
+            dedup_images_against_index,
+        )
+
+        bad = spark.createDataFrame(
+            [(0, 1, 2, "dhash-v0:other-scheme")],
+            "doc_id bigint, dhash_hi bigint, dhash_lo bigint, dhash_algo string",
+        )
+        batch = self._media(spark, [(1, lambda x, y, c: 77)])
+        with _pytest.raises(ValueError, match="another"):
+            dedup_images_against_index(batch, bad)
+        with _pytest.raises(ValueError, match="missing"):
+            dedup_images_against_index(batch, bad.drop("dhash_lo"))
+
+    def test_stream_gate_matches_batch(self, spark, tmp_path):
+        from rheoceros_spark.operators.multimodal import (
+            dedup_images_against_index,
+            dhash_index_write,
+        )
+        from rheoceros_spark.streaming import stream_image_dedup_gate
+
+        corpus = self._media(spark, [(0, lambda x, y, c: x * 14)])
+        idx = dhash_index_write(corpus, str(tmp_path / "idx")).localCheckpoint()
+        batch = self._media(
+            spark, [(10, lambda x, y, c: x * 14), (11, lambda x, y, c: 9)]
+        )
+        src = str(tmp_path / "src")
+        batch.write.parquet(src)
+        sdf = spark.readStream.schema("doc_id bigint, content binary").parquet(src)
+        gated = stream_image_dedup_gate(sdf, idx)
+        out = str(tmp_path / "out")
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.doc_id, r.dup_of, r.min_hamming)
+            for r in spark.read.parquet(out).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.dup_of, r.min_hamming)
+            for r in dedup_images_against_index(batch, idx).collect()
+        )
+        assert got == want and len(got) == 2
+
+
 def test_loud_rejects(spark):
     df = spark.createDataFrame(
         [(0, encode_ppm(5, 5, bytes(75)))], "doc_id bigint, content binary"
