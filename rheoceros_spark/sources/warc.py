@@ -33,7 +33,9 @@ __all__ = [
     "scan_warc_stream",
     "encode_warc",
     "warc_records",
+    "wet_records",
     "load_warc",
+    "load_wet",
 ]
 
 _CRLF = b"\r\n"
@@ -250,3 +252,46 @@ def load_warc(
         raw, content_col="content", id_col="source_id",
         strip_http_headers=strip_http_headers,
     )
+
+
+def wet_records(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "source_id",
+) -> DataFrame:
+    """Demux WET archives — Common Crawl's extracted-text distribution:
+    the same ISO-28500 framing as WARC, but every document is a
+    ``conversion`` record whose payload is plain UTF-8 text (no HTTP
+    wire exchange).  Output: one text row per document —
+    (source_id, rec_idx, byte_offset, target_uri, text) — ready for
+    the text pipeline (gopher rules, dedup, lang-id) with NO HTML
+    extraction stage.  ``warcinfo``/metadata records are dropped;
+    undecodable bytes are replaced, never fatal (the one-bad-blob
+    contract of the underlying demux)."""
+    recs = warc_records(
+        df, content_col=content_col, id_col=id_col, strip_http_headers=False
+    )
+    return recs.where(F.col("warc_type") == "conversion").select(
+        "source_id",
+        "rec_idx",
+        "byte_offset",
+        "target_uri",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
+def load_wet(
+    spark,
+    path: str,
+    path_glob: Optional[str] = None,
+) -> DataFrame:
+    """Read ``.wet`` files with the binaryFile source and demux to
+    text rows (:func:`wet_records`) — file-granular tasks, matching
+    Common Crawl's archive unit (see :func:`load_warc`)."""
+    reader = spark.read.format("binaryFile")
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    raw = reader.load(path).select(
+        F.col("path").alias("source_id"), F.col("content")
+    )
+    return wet_records(raw)

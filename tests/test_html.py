@@ -336,6 +336,31 @@ def test_warc_bytes_to_refinedweb_pipeline_matches_markup_path(spark):
     assert all("tok0 word" in text for _, text, _ in via_bytes)
 
 
+def test_wet_records_demux_conversion_text(spark, tmp_path):
+    """WET = Common Crawl's extracted-text WARC: conversion records
+    demux straight to text rows; warcinfo records drop; offsets stay
+    byte-exact; load_wet reads from disk via binaryFile."""
+    from rheoceros_spark.sources.warc import load_wet, wet_records
+
+    texts = {f"http://w{i}.example/p": f"extracted text {i} — naïve café." for i in range(3)}
+    recs = [("warcinfo", None, b"software: test")] + [
+        ("conversion", uri, t.encode("utf-8")) for uri, t in sorted(texts.items())
+    ]
+    blob = encode_warc(recs)
+    df = spark.createDataFrame([("w0", bytearray(blob))], "source_id string, content binary")
+    out = wet_records(df).orderBy("rec_idx").collect()
+    assert [r.rec_idx for r in out] == [1, 2, 3]  # warcinfo (idx 0) dropped
+    assert {r.target_uri: r.text for r in out} == texts
+    # offsets index back into the real stream
+    for r in out:
+        rec = scan_warc_stream(blob)[r.rec_idx]
+        assert rec.offset == r.byte_offset
+    wet_path = tmp_path / "a.wet"
+    wet_path.write_bytes(blob)
+    disk = load_wet(spark, str(tmp_path), path_glob="*.wet").collect()
+    assert sorted(r.text for r in disk) == sorted(texts.values())
+
+
 # ---------------------------------------------------------------------------
 # intra-document line dedup
 # ---------------------------------------------------------------------------
