@@ -2230,7 +2230,7 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_BUCKET = _H64.format(s="concat('0', ':', CAST(doc_id AS VARCHAR))") + " % 1000000"
 
 
-@q(
+@q_retired(
     "curation_stratified_sample",
     oracle=f"""
     SELECT doc_id, lang FROM documents
@@ -2451,7 +2451,7 @@ _LANG_SCORES_SQL = ", ".join(
 )
 
 
-@q(
+@q_retired(
     "text_lang_id",
     oracle=f"""
     SELECT doc_id, score_en, score_es, score_fr, score_de,
@@ -3276,7 +3276,7 @@ def curation_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
+@q_retired(
     "text_tfidf_terms",
     oracle=f"""
     WITH tk AS (
@@ -3543,7 +3543,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ann_kmeans_refine", oracle=_kmeans_oracle())
+@q_retired("ann_kmeans_refine", oracle=_kmeans_oracle())
 def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (k=8, 2 rounds): hash-sampled seeds →
     broadcast-assign (max_by argmax) → quantized component-mean update —
@@ -3988,12 +3988,41 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                             within-doc granularity lands with
 #                             dedup_intradoc_lines in r16).
 #
-# ---- Round-14 certification batch (staged) --------------------------------
+# ---- Round-14 window: EXECUTED as staged in r11 session 3 -----------------
 # r14 registers the mixture/audit family staged in round 11 session 3:
 #   curation_temperature_mix, text_sif_embed_topk,
-#   dedup_ngram_hotspots, text_char_entropy — each paired with a
-#   weakest-marginal retirement from the r12-certified pool so
-#   r13 ∪ r14 stays 100/100 disjoint.
+#   dedup_ngram_hotspots, text_char_entropy — four registrations, each
+#   paired with a named weakest-marginal retirement from the
+#   r12-certified pool (sibling holding an official row in
+#   parentheses) so r13 ∪ r14 stays 100/100 disjoint:
+#   text_lang_id             (heuristic n-gram lang-id ⊂
+#                             text_lang_classifier r12/r14 — the
+#                             TRAINED scorer over the same char-gram
+#                             machinery — + text_lang_segments r13,
+#                             which applies the identical scoring
+#                             expression per token window),
+#   text_tfidf_terms         (quantized-IDF term ranking ⊂
+#                             text_bm25_topk r13 — BM25 composes the
+#                             same tf/df statistics with the saturating
+#                             generalization — + text_source_kl r12/r14
+#                             term-distribution stats; the
+#                             WindowGroupLimit top-k-per-group shape is
+#                             held by window_topn_per_group r13),
+#   curation_stratified_sample (per-group hash-gate sampling ⊂
+#                             curation_dsir_resample r13, which draws
+#                             through the SAME deterministic bucket
+#                             gate with importance weights, +
+#                             curation_group_split r12/r14 +
+#                             curation_temperature_mix r14 — the new
+#                             registration composes plan-driven
+#                             per-group rates over that gate),
+#   ann_kmeans_refine        (Lloyd codebook training ⊂ ann_ivf_topk
+#                             r12/r14 + ann_ivf_persisted r12/r14 +
+#                             ann_ivfpq_topk r13, which TRAIN the same
+#                             kmeans_centroids to build their indexes;
+#                             cell-profile diagnostics held by
+#                             curation_cluster_profile r12/r14 and
+#                             dedup_semantic_keep r13).
 #
 # ---- Round-15 certification batch (staged) --------------------------------
 # r15 registers the winnowing + composition + planning batch staged in
@@ -6604,7 +6633,7 @@ def _temperature_mix_oracle(
     """
 
 
-@q_staged("curation_temperature_mix", oracle=_temperature_mix_oracle())
+@q("curation_temperature_mix", oracle=_temperature_mix_oracle())
 def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-smoothed mixture sampling (XLM-R §3.1 / mT5 §3.2's
     q_g ∝ p_g^α — the low-resource upsampling every multilingual
@@ -6689,7 +6718,7 @@ def _sif_embed_topk_oracle(
     """
 
 
-@q_staged("text_sif_embed_topk", oracle=_sif_embed_topk_oracle())
+@q("text_sif_embed_topk", oracle=_sif_embed_topk_oracle())
 def text_sif_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SIF-weighted model-free dense retrieval (Arora et al. 2017's
     a/(a+p) smooth-inverse-frequency weighting over the hash_embed sign
@@ -6739,7 +6768,7 @@ def _ngram_hotspots_oracle(n: int = 8, min_df: int = 2, top: int = 50) -> str:
     """
 
 
-@q_staged("dedup_ngram_hotspots", oracle=_ngram_hotspots_oracle())
+@q("dedup_ngram_hotspots", oracle=_ngram_hotspots_oracle())
 def dedup_ngram_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document n-gram memorization audit (Lee et al. 2022 /
     Carlini et al. 2022: verbatim LM memorization tracks exactly these
@@ -6795,7 +6824,7 @@ def _char_entropy_oracle(min_entropy_q: int = 1_500_000) -> str:
     """
 
 
-@q_staged("text_char_entropy", oracle=_char_entropy_oracle())
+@q("text_char_entropy", oracle=_char_entropy_oracle())
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy gibberish gate (the crawl screen that catches
     repeated-char spam at the low end and base64/hex blobs at the high
@@ -7830,77 +7859,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's correctness harness checks the FIRST 50 queries()
 #: entries only (CORRECTNESS_r01 covered positions 0-49 exactly).
-#: Rotation discipline (round 13, executing the window staged in r11):
-#: the registry is capped at 100 queries — the 50-slot window plus the
-#: consecutive-round-coverage invariant (r12 ∪ r13 must certify
-#: everything) admits no more, so the four NEW registrations this
-#: round (curation_corpus_datasheet, curation_snapshot_drift,
-#: dedup_semantic_keep, scale_skew_report) each retired one
-#: r11-certified query whose shape family stays multiply certified
-#: (text_bpe_tokens, text_bigram_nll, curation_source_overlap_minhash,
-#: dedup_paragraph_spans — see _RETIRED_QUERIES and
-#: tests/test_retired_oracles.py for per-retiree sibling
-#: justifications).  The head holds the 4 never-certified
+#: Rotation discipline (round 14, executing the window staged in r11
+#: session 3): the registry is capped at 100 queries — the 50-slot
+#: window plus the consecutive-round-coverage invariant (r13 ∪ r14
+#: must certify everything) admits no more, so the four NEW
+#: registrations this round (curation_temperature_mix,
+#: text_sif_embed_topk, dedup_ngram_hotspots, text_char_entropy) each
+#: retired one r12-certified query whose shape family stays multiply
+#: certified (text_lang_id, text_tfidf_terms,
+#: curation_stratified_sample, ann_kmeans_refine — see
+#: _RETIRED_QUERIES and tests/test_retired_oracles.py for per-retiree
+#: sibling justifications).  The head holds the 4 never-certified
 #: registrations first, then the 46 remaining queries whose most
-#: recent official row is CORRECTNESS_r11 (round 12 certified the
+#: recent official row is CORRECTNESS_r12 (round 13 certified the
 #: other 50).  Enforced by tests/test_plan_quality.py
 #: test_cross_round_official_coverage_is_total.  All queries — retired
 #: ones included — stay continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
-    # new in round 13 (staged in r11, executed as planned) — never
-    # certified, enter the window first
-    "curation_corpus_datasheet",
-    "curation_snapshot_drift",
-    "dedup_semantic_keep",
-    "scale_skew_report",
-    # certified in r11, rotating back in so r12 ∪ r13 stays total
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q19_disjunctive_predicates",
-    "q20_part_shippers",
-    "q22_wealthy_inactive",
-    "agg_cube",
-    "window_topn_per_group",
-    "set_except",
-    "scalar_functions",
-    "scan_pruned_projection",
-    "nearest_partition_asof",
-    "partition_ranged_union",
-    "events_cohort_retention",
-    "sketch_cms_topk",
-    "ann_int8_topk",
-    "ann_ivfpq_topk",
-    "retrieval_hybrid_rrf",
-    "retrieval_quality_metrics",
-    "text_hash_embed_topk",
-    "text_bm25_topk",
-    "text_bpe_fertility",
-    "text_lang_segments",
-    "text_repetition",
-    "dedup_exact_best_docs",
-    "dedup_substring_spans",
-    "corpus_diff_indexed",
-    "curation_decon_spans",
-    "curation_semantic_decon",
-    "curation_dsir_resample",
-    "curation_filter_funnel",
-    "curation_ngram_novelty",
-    "curation_pack_sequences",
-    "curation_shuffle_shards",
-    "curation_source_mix",
-    "multimodal_audio_stats",
-    "multimodal_video_frames",
-    "pipeline_pretrain_corpus",
+    # new in round 14 (staged in r11 session 3, executed as planned) —
+    # never certified, enter the window first
+    "curation_temperature_mix",
+    "text_sif_embed_topk",
+    "dedup_ngram_hotspots",
+    "text_char_entropy",
+    # certified in r12, rotating back in so r13 ∪ r14 stays total
+    "text_lang_classifier",
+    "pipeline_ccnet_corpus",
+    "curation_url_canonical",
+    "dedup_exact_url",
+    "dedup_snapshot_scoped",
+    "text_bpe_persisted",
+    "events_sliding_2day",
+    "metric_period_stats_hourly",
+    "alarm_m_of_n_state",
+    "composite_alarm_rule",
+    "ts_asof_join",
+    "ts_range_join_counts",
+    "ts_sessionize",
+    "sketch_kmv_distinct",
+    "sketch_histogram_quantiles",
+    "layout_zorder_key",
+    "q21_sole_returner",
+    "grouping_sets_revenue",
+    "dedup_exact_docs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_persisted",
+    "curation_pii_redact",
+    "curation_vocab_top_tokens",
+    "dedup_clusters",
+    "text_quality",
+    "multimodal_features",
+    "dedup_incremental_index",
+    "curation_domain_cap",
+    "curation_group_split",
+    "curation_negative_samples",
+    "curation_boilerplate",
+    "text_source_kl",
+    "dedup_keep_list",
+    "text_chunk_documents",
+    "curation_budget_mix",
+    "text_quality_classifier",
+    "dedup_semantic_pairs",
+    "curation_cluster_profile",
+    "text_quality_pr_curve",
+    "retrieval_mmr_rerank",
+    "text_bpe_train",
+    "text_gopher_rules",
+    "curation_c4_lines",
+    "curation_source_overlap",
+    "curation_ppl_buckets",
 ]
 
 

@@ -314,21 +314,21 @@ class TestDriverContract:
     def test_cross_round_official_coverage_is_total(self):
         """Every query is either inside this round's 50-entry driver
         window or already earned a green official row in the PREVIOUS
-        round (r12) — the rotation may not orphan anything, and
+        round (r13) — the rotation may not orphan anything, and
         consecutive rounds must jointly cover 100% of queries()."""
         import json
         import os
 
         window = set(list(entry.queries())[:50])
-        r12_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r12.json")
-        with open(r12_path, "r", encoding="utf-8") as f:
-            r12 = json.load(f)
-        certified_r12 = {
+        r13_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r13.json")
+        with open(r13_path, "r", encoding="utf-8") as f:
+            r13 = json.load(f)
+        certified_r13 = {
             name
-            for name, res in r12.items()
+            for name, res in r13.items()
             if res.get("rows_match") and res.get("schema_match") and res.get("hash_match")
         }
-        uncovered = set(entry.queries()) - window - certified_r12
+        uncovered = set(entry.queries()) - window - certified_r13
         assert not uncovered, f"never driver-certified: {sorted(uncovered)}"
 
     def test_registry_capped_at_window_arithmetic(self):
@@ -432,7 +432,7 @@ class TestRound6PlanShapes:
         assert "WindowGroupLimit" in plan
 
     def test_tfidf_group_limit_and_exchange_reuse(self, spark, sf):
-        df = entry.queries()["text_tfidf_terms"](spark, sf)
+        df = entry.retired_queries()["text_tfidf_terms"](spark, sf)
         df.collect()
         plan = physical_plan(df)
         assert "WindowGroupLimit" in plan
@@ -469,7 +469,7 @@ class TestRound6PlanShapes:
         assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
 
     def test_kmeans_refine_broadcast_only_no_cartesian(self, spark, sf):
-        df = entry.queries()["ann_kmeans_refine"](spark, sf)
+        df = entry.retired_queries()["ann_kmeans_refine"](spark, sf)
         df.collect()
         plan = physical_plan(df)
         final_section = plan.split("== Initial Plan ==")[0]

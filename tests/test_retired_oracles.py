@@ -105,6 +105,11 @@ def test_retired_set_is_exactly_the_certified_retirees():
         "text_bigram_nll",  # composed verbatim as the LM score in curation_ppl_buckets (r12); model scoring: text_lang_classifier (r12)
         "curation_source_overlap_minhash",  # estimate twin of curation_source_overlap (r12, exact); MinHash sigs: dedup_clusters + dedup_semantic_pairs (r12)
         "dedup_paragraph_spans",  # span purge+reassembly ⊂ dedup_substring_spans (r13) + curation_decon_spans (r13); within-doc: dedup_intradoc_lines (staged r16)
+        # --- retired in the r14 window (siblings holding rows noted) ---
+        "text_lang_id",  # heuristic lang-id ⊂ text_lang_classifier (r12/r14, trained scorer over the same char-grams) + text_lang_segments (r13, identical scoring per token window)
+        "text_tfidf_terms",  # quantized-IDF ranking ⊂ text_bm25_topk (r13, same tf/df stats saturated) + text_source_kl (r12/r14); top-k-per-group shape: window_topn_per_group (r13)
+        "curation_stratified_sample",  # per-group hash-gate sampling ⊂ curation_dsir_resample (r13, same bucket gate) + curation_group_split (r12/r14) + curation_temperature_mix (r14)
+        "ann_kmeans_refine",  # Lloyd training ⊂ ann_ivf_topk/ann_ivf_persisted (r12/r14) + ann_ivfpq_topk (r13), which train the same kmeans_centroids; cell profiles: curation_cluster_profile (r12/r14)
     }
 
 
