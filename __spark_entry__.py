@@ -7736,6 +7736,13 @@ def _image_dedup_oracle(max_hamming: int = 2) -> str:
     into four 16-bit keys, and verifies candidates with
     bit_count(xor) — the identical integer algebra the engine runs
     after a REAL P6 decode."""
+    # Pair semantics mirror dhash_pairs' r14 exact-dup grouping: each
+    # distinct 64-bit hash keeps min(doc_id) as representative; members
+    # star-pair with their rep at hamming 0, and only DISTINCT hashes
+    # enter the banded near-dup join (rep-to-rep pairs).  At fixture
+    # scale no band bucket exceeds max_bucket=256, so the engine's
+    # hot-bucket star cap never fires and the uncapped twin below is
+    # exact (the _capped_candidates oracle convention).
     r = _dhash_block_value("cls", "var", "(p % 9)", "(p // 9)", "0")
     g = _dhash_block_value("cls", "var", "(p % 9)", "(p // 9)", "1")
     b = _dhash_block_value("cls", "var", "(p % 9)", "(p // 9)", "2")
@@ -7766,18 +7773,31 @@ def _image_dedup_oracle(max_hamming: int = 2) -> str:
           (acc, x) -> acc + x) AS BIGINT) AS hi
       FROM means
     ),
+    grp AS MATERIALIZED (
+      SELECT hi, lo, min(doc_id) AS rep FROM hashes GROUP BY hi, lo
+    ),
+    exact_pairs AS (
+      SELECT g.rep AS a, h.doc_id AS b, CAST(0 AS BIGINT) AS hamming
+      FROM hashes h JOIN grp g ON h.hi = g.hi AND h.lo = g.lo
+      WHERE h.doc_id <> g.rep
+    ),
     banded AS MATERIALIZED (
-      SELECT doc_id, hi, lo, b.bidx,
+      SELECT rep, hi, lo, b.bidx,
         CASE b.bidx WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
                     WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS band
-      FROM hashes, (SELECT unnest(range(0, 4)) AS bidx) b
+      FROM grp, (SELECT unnest(range(0, 4)) AS bidx) b
+    ),
+    near AS (
+      SELECT DISTINCT x.rep AS a, y.rep AS b,
+             CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+               AS BIGINT) AS hamming
+      FROM banded x JOIN banded y
+        ON x.bidx = y.bidx AND x.band = y.band AND x.rep < y.rep
+      WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= {max_hamming}
     )
-    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-           CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
-             AS BIGINT) AS hamming
-    FROM banded x JOIN banded y
-      ON x.bidx = y.bidx AND x.band = y.band AND x.doc_id < y.doc_id
-    WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= {max_hamming}
+    SELECT a, b, hamming FROM exact_pairs
+    UNION ALL
+    SELECT a, b, hamming FROM near
     """
 
 

@@ -23,7 +23,7 @@ import hashlib
 from typing import Iterator, NamedTuple
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -534,18 +534,41 @@ def dhash_pairs(
     hashes: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
-    """Near-duplicate image pairs from (id, dhash_hi, dhash_lo): band
-    the 64 bits into four 16-bit keys — with ``max_hamming ≤ 3``, a
-    qualifying pair differs in at most 3 bits, which cannot touch all
-    4 bands, so at least one band matches EXACTLY and the banded
-    equi-join is a GUARANTEED-detection candidate generator (the
-    SimHash pigeonhole argument) — then verify the exact Hamming
-    distance with ``bit_count(xor)`` JVM-side.
+    """Near-duplicate image pairs from (id, dhash_hi, dhash_lo), at
+    hash-group-representative granularity.
 
-    Scale shape: the candidate join shuffles (16-bit key, id, two
-    ints) — never image bytes; candidates are hash-collision-bounded,
-    and the verify is per-pair integer algebra."""
+    EXACT duplicates — the common case in a web image corpus, where
+    one logo or tracking pixel recurs millions of times — are grouped
+    FIRST: each distinct 64-bit hash keeps its smallest id as the
+    group representative, and every other member emits one
+    ``(rep, member, 0)`` star pair.  Only the DISTINCT hashes then
+    enter the banded join (four 16-bit keys; with ``max_hamming ≤ 3``
+    a qualifying pair cannot differ in all 4 bands, so at least one
+    band matches EXACTLY — the SimHash pigeonhole guarantee), verified
+    with exact ``bit_count(xor)`` JVM-side and emitted as
+    ``(rep_a, rep_b, hamming)``.  Without the grouping, h identical
+    hashes collide in ALL four bands and fan the self-join out h²
+    BEFORE any filter runs — the text-MinHash mega-bucket failure mode
+    (see dedup._capped_candidates), which AQE cannot fix because
+    splitting partitions does not shrink the pair count.
+
+    ``max_bucket`` caps the residual hazard of a 16-bit band value
+    shared by many DISTINCT hashes: buckets at or under the cap keep
+    exact all-pairs; larger buckets switch to star pairing through the
+    bucket's smallest representative, bounding candidates at N-1 per
+    bucket.  The dedup contract survives both reductions — every
+    non-minimal image still meets a smaller-id candidate, so
+    connected-component clustering and min-id survivorship are
+    unchanged; what an oversized bucket loses is the exhaustive pair
+    LIST between its non-anchor members (``None`` restores uncapped
+    all-pairs of distinct hashes).
+
+    Scale shape: one window shuffle groups identical hashes; the
+    candidate join shuffles (16-bit key, rep, two ints) for DISTINCT
+    hashes only — never image bytes, never the duplicate mass; the
+    verify is per-pair integer algebra."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"dhash_pairs: the 4-band pigeonhole guarantee holds for "
@@ -556,10 +579,21 @@ def dhash_pairs(
         F.col("dhash_hi").alias("__hi"),
         F.col("dhash_lo").alias("__lo"),
     )
+    grp = Window.partitionBy("__hi", "__lo")
+    tagged_h = h.withColumn("__rep", F.min("__id").over(grp))
+    # star pairs inside each exact-duplicate hash group (hamming 0)
+    exact_pairs = tagged_h.where(F.col("__id") != F.col("__rep")).select(
+        F.col("__rep").alias("a"),
+        F.col("__id").alias("b"),
+        F.lit(0).cast("bigint").alias("hamming"),
+    )
+    reps = tagged_h.where(F.col("__id") == F.col("__rep")).select(
+        F.col("__rep").alias("__r"), "__hi", "__lo"
+    )
     # posexplode tags each 16-bit band with its index, so band values
     # only collide within the same band position
-    banded = h.select(
-        "__id",
+    banded = reps.select(
+        "__r",
         "__hi",
         "__lo",
         F.posexplode(
@@ -571,31 +605,78 @@ def dhash_pairs(
             )
         ).alias("__bidx", "__band"),
     )
-    a = banded.select(
+    if max_bucket is not None:
+        # one narrow map-side-combinable aggregate finds hot band
+        # buckets; the broadcast tag splits the stream (the
+        # _capped_candidates shape — oversized buckets are rare
+        # outliers, so the tag table stays tiny)
+        oversized = (
+            banded.groupBy("__bidx", "__band")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(F.struct("__r", "__hi", "__lo")).alias("__anchor"),
+            )
+            .where(F.col("__cnt") > max_bucket)
+            .select("__bidx", "__band", "__anchor")
+        )
+        tagged = banded.join(
+            F.broadcast(oversized), ["__bidx", "__band"], "left"
+        )
+        pool = tagged.where(F.col("__anchor").isNull()).drop("__anchor")
+        big = tagged.where(
+            F.col("__anchor").isNotNull()
+            & (F.col("__r") != F.col("__anchor.__r"))
+        )
+    else:
+        pool, big = banded, None
+    a = pool.select(
         F.col("__bidx").alias("bidx"),
         F.col("__band").alias("band"),
-        F.col("__id").alias("a"),
+        F.col("__r").alias("a"),
         F.col("__hi").alias("hi_a"),
         F.col("__lo").alias("lo_a"),
     )
-    b = banded.select(
+    b = pool.select(
         F.col("__bidx").alias("bidx"),
         F.col("__band").alias("band"),
-        F.col("__id").alias("b"),
+        F.col("__r").alias("b"),
         F.col("__hi").alias("hi_b"),
         F.col("__lo").alias("lo_b"),
     )
-    ham = (
-        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-    ).cast("bigint")
-    return (
+
+    def _ham(lo_a, lo_b, hi_a, hi_b):
+        return (
+            F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(hi_a.bitwiseXOR(hi_b))
+        ).cast("bigint")
+
+    near = (
         a.join(b, ["bidx", "band"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", ham.alias("hamming"))
+        .select(
+            "a",
+            "b",
+            _ham(
+                F.col("lo_a"), F.col("lo_b"), F.col("hi_a"), F.col("hi_b")
+            ).alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    if big is not None:
+        # the bucket anchor holds the bucket's smallest rep, so the
+        # star pair is already (smaller, larger) — no extra shuffle
+        near = near.unionByName(
+            big.select(
+                F.col("__anchor.__r").alias("a"),
+                F.col("__r").alias("b"),
+                _ham(
+                    F.col("__anchor.__lo"),
+                    F.col("__lo"),
+                    F.col("__anchor.__hi"),
+                    F.col("__hi"),
+                ).alias("hamming"),
+            ).where(F.col("hamming") <= max_hamming)
+        )
+    return exact_pairs.unionByName(near.distinct())
 
 
 def _dhash_of_blob(blob: bytes, grid_w: int = 8, grid_h: int = 8) -> tuple[int, int]:
@@ -640,8 +721,11 @@ def dhash_index_write(
     the image-modality member of the incremental-index family
     (minhash / winnowing / URL / fingerprint): at 100 TB you hash the
     existing image corpus ONCE, then gate every new crawl batch
-    against megabytes-per-billion-images of (id, hi, lo) rows without
-    ever re-decoding old bytes.
+    against 24-byte (id, hi, lo) rows — ~24 GB per billion images,
+    a ~1000x reduction over the bytes — without ever re-decoding
+    old bytes.  The probe is a distributed banded join over DISTINCT
+    hashes (dedup_images_against_index), so index size never enters
+    executor memory; only the stream gate's broadcast tier caps it.
 
     Layout: one row per image (``doc_id``, ``dhash_hi``, ``dhash_lo``)
     plus a literal ``dhash_algo`` scheme stamp validated on probe (the
@@ -715,17 +799,36 @@ def dedup_images_against_index(
             )
         )
 
-    probe = new_h.select(
-        F.col("doc_id").alias("__nid"),
-        F.col("dhash_hi").alias("__nhi"),
-        F.col("dhash_lo").alias("__nlo"),
-        bands(F.col("dhash_hi"), F.col("dhash_lo")).alias("__bidx", "__band"),
+    # Band DISTINCT hashes on BOTH sides (the dhash_pairs shape): a
+    # batch of h identical new images probing a bucket of g identical
+    # indexed images would otherwise fan the band join out h·g before
+    # any filter runs.  Identical index hashes share one verdict row
+    # carrying the SMALLEST indexed id, which is exactly what the
+    # min(struct(ham, iid)) reduce would have picked — so per-row
+    # output is unchanged while only distinct 16-byte hash rows join.
+    probe = (
+        new_h.groupBy(
+            F.col("dhash_hi").alias("__nhi"), F.col("dhash_lo").alias("__nlo")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .drop("__n")
+        .select(
+            "__nhi",
+            "__nlo",
+            bands(F.col("__nhi"), F.col("__nlo")).alias("__bidx", "__band"),
+        )
     )
-    idx = index.select(
-        F.col("doc_id").alias("__iid"),
-        F.col("dhash_hi").alias("__ihi"),
-        F.col("dhash_lo").alias("__ilo"),
-        bands(F.col("dhash_hi"), F.col("dhash_lo")).alias("__bidx", "__band"),
+    idx = (
+        index.groupBy(
+            F.col("dhash_hi").alias("__ihi"), F.col("dhash_lo").alias("__ilo")
+        )
+        .agg(F.min("doc_id").alias("__iid"))
+        .select(
+            "__iid",
+            "__ihi",
+            "__ilo",
+            bands(F.col("__ihi"), F.col("__ilo")).alias("__bidx", "__band"),
+        )
     )
     ham = (
         F.bit_count(F.col("__nlo").bitwiseXOR(F.col("__ilo")))
@@ -733,16 +836,19 @@ def dedup_images_against_index(
     ).cast("bigint")
     hits = (
         probe.join(idx, ["__bidx", "__band"])
-        .select("__nid", "__iid", ham.alias("__ham"))
+        .select("__nhi", "__nlo", "__iid", ham.alias("__ham"))
         .where(F.col("__ham") <= max_hamming)
-        .groupBy("__nid")
-        .agg(
-            F.min(F.struct(F.col("__ham"), F.col("__iid"))).alias("__w")
-        )
+        .groupBy("__nhi", "__nlo")
+        .agg(F.min(F.struct(F.col("__ham"), F.col("__iid"))).alias("__w"))
         .select(
-            "__nid",
+            "__nhi",
+            "__nlo",
             F.col("__w.__ham").alias("min_hamming"),
             F.col("__w.__iid").alias("dup_of"),
         )
     )
-    return new_h.join(hits, new_h["doc_id"] == hits["__nid"], "left").drop("__nid")
+    return new_h.join(
+        hits,
+        (new_h["dhash_hi"] == hits["__nhi"]) & (new_h["dhash_lo"] == hits["__nlo"]),
+        "left",
+    ).drop("__nhi", "__nlo")

@@ -914,7 +914,7 @@ def stream_image_dedup_gate(
     content_col: str = "content",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_index_rows: int = 50_000_000,
+    max_index_rows: int = 4_000_000,
 ) -> DataFrame:
     """Streaming twin of the incremental image dedup gate
     (multimodal.dedup_images_against_index): hash each micro-batch's
@@ -922,37 +922,63 @@ def stream_image_dedup_gate(
     PERSISTED dHash index.  The batch operator's per-new-row
     min-Hamming reduce is a streaming AGGREGATION (unsupported in
     append mode without a watermark), so the stream twin runs the
-    whole gate PER ROW inside one stateless Arrow ``mapInPandas``: the
-    index's 16-byte hash rows load once into banded lookup state (the
-    Bloom gate's broadcast-artifact tier — fine for tens of millions
-    of images; ``max_index_rows`` rejects loudly past it, where the
-    right shape is the batch operator inside ``foreachBatch``).
-    Verdicts are identical to the batch gate by construction
-    (parity-pinned in tests/test_image_dedup.py)."""
+    whole gate PER ROW inside one stateless Arrow ``mapInPandas``.
+
+    Index state is genuinely broadcast-tier: identical hashes are
+    reduced JVM-side to one row carrying the smallest indexed id
+    (exactly the row the min-(hamming, id) reduce would pick), the
+    distinct rows arrive as THREE packed int64 numpy arrays via
+    Arrow — never a driver-side list of Row objects — and ship
+    through an explicit ``SparkContext.broadcast`` instead of a
+    pickled task closure, so executors fetch them once.  At the
+    default ``max_index_rows`` cap of 4M distinct hashes that is
+    ~100 MB of arrays plus four sorted band views (~200 MB total);
+    past the cap the loud reject routes callers to the batch operator
+    inside ``foreachBatch``, whose banded join holds no per-executor
+    state at all.  Verdicts are identical to the batch gate by
+    construction (parity-pinned in tests/test_image_dedup.py)."""
+    import numpy as np
+
     from rheoceros_spark.operators.multimodal import (
         _dhash_of_blob,
         check_dhash_index,
     )
 
     check_dhash_index(index)
-    rows = index.select("doc_id", "dhash_hi", "dhash_lo").collect()
-    if len(rows) > max_index_rows:
+    distinct = (
+        index.groupBy("dhash_hi", "dhash_lo")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "dhash_hi", "dhash_lo")
+    )
+    n = distinct.count()
+    if n > max_index_rows:
         raise ValueError(
-            f"stream_image_dedup_gate: index holds {len(rows)} rows, over the "
-            f"broadcastable tier ({max_index_rows}) — gate with "
+            f"stream_image_dedup_gate: index holds {n} distinct hashes, over "
+            f"the broadcastable tier ({max_index_rows}) — gate with "
             "dedup_images_against_index inside foreachBatch instead"
         )
-    bands: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
-    for r in rows:
-        hi, lo, iid = int(r["dhash_hi"]), int(r["dhash_lo"]), int(r["doc_id"])
-        for bidx, band in enumerate(
-            (lo & 65535, (lo >> 16) & 65535, hi & 65535, (hi >> 16) & 65535)
-        ):
-            bands.setdefault((bidx, band), []).append((iid, hi, lo))
+    pdf_idx = distinct.toPandas()
+    iid = pdf_idx["doc_id"].to_numpy(dtype=np.int64)
+    ihi = pdf_idx["dhash_hi"].to_numpy(dtype=np.int64)
+    ilo = pdf_idx["dhash_lo"].to_numpy(dtype=np.int64)
+    # per band position: sorted 16-bit band values + the permutation
+    # into (iid, ihi, ilo), so probes are two binary searches
+    band_vals = [
+        ilo & 65535,
+        (ilo >> 16) & 65535,
+        ihi & 65535,
+        (ihi >> 16) & 65535,
+    ]
+    views = []
+    for bv in band_vals:
+        perm = np.argsort(bv, kind="stable").astype(np.int64)
+        views.append((bv[perm].astype(np.int64), perm))
+    bc = sdf.sparkSession.sparkContext.broadcast((iid, ihi, ilo, views))
 
     def gate(it):
         import pandas as pd
 
+        ws_iid, ws_ihi, ws_ilo, ws_views = bc.value
         for pdf in it:
             out = []
             for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
@@ -963,12 +989,16 @@ def stream_image_dedup_gate(
                 for bidx, band in enumerate(
                     (lo & 65535, (lo >> 16) & 65535, hi & 65535, (hi >> 16) & 65535)
                 ):
-                    for iid, ihi, ilo in bands.get((bidx, band), ()):
-                        ham = bin((lo ^ ilo)).count("1") + bin((hi ^ ihi)).count("1")
-                        if ham <= max_hamming and (
-                            best is None or (ham, iid) < best
-                        ):
-                            best = (ham, iid)
+                    sb, perm = ws_views[bidx]
+                    s = int(np.searchsorted(sb, band, "left"))
+                    e = int(np.searchsorted(sb, band, "right"))
+                    for p in perm[s:e]:
+                        ham = bin(lo ^ int(ws_ilo[p])).count("1") + bin(
+                            hi ^ int(ws_ihi[p])
+                        ).count("1")
+                        cand = (ham, int(ws_iid[p]))
+                        if ham <= max_hamming and (best is None or cand < best):
+                            best = cand
                 out.append(
                     {
                         "doc_id": int(doc_id),

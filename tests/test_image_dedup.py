@@ -188,6 +188,109 @@ class TestIncrementalImageIndex:
         assert got == want and len(got) == 2
 
 
+class TestExactDupGroupingAndBucketCap:
+    """The r14 scale fix: h identical hashes must produce h-1 star
+    pairs through ONE hash-group window, never an h² banded self-join;
+    hot band buckets of DISTINCT hashes star-pair through the bucket
+    anchor (the _capped_candidates contract)."""
+
+    def test_ten_thousand_exact_dups_emit_linear_pairs(self, spark):
+        hashes = spark.range(10_000).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).cast("bigint").alias("dhash_hi"),
+            F.lit(0).cast("bigint").alias("dhash_lo"),
+        )
+        rows = dhash_pairs(hashes, max_hamming=2).collect()
+        # all-pairs would be C(10k, 2) ≈ 5e7; the grouped shape emits
+        # exactly one (rep, member, 0) star pair per non-minimal member
+        assert len(rows) == 9_999
+        assert all(r.a == 0 and r.hamming == 0 for r in rows)
+        assert sorted(r.b for r in rows) == list(range(1, 10_000))
+
+    def test_exact_dup_groups_still_meet_near_neighbors(self, spark):
+        # two exact-dup groups whose hashes differ by 1 bit: members
+        # star to their rep, reps pair across groups
+        rows = [(i, 0, 0) for i in range(3)] + [(10 + i, 0, 1) for i in range(3)]
+        hashes = spark.createDataFrame(
+            rows, "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
+        )
+        got = sorted(
+            (r.a, r.b, r.hamming) for r in dhash_pairs(hashes, max_hamming=2).collect()
+        )
+        assert got == [
+            (0, 1, 0),
+            (0, 2, 0),
+            (0, 10, 1),
+            (10, 11, 0),
+            (10, 12, 0),
+        ]
+
+    def test_hot_band_bucket_stars_through_anchor(self, spark):
+        # 12 DISTINCT hashes share three 16-bit band values (lo = 0,
+        # hi < 2^16 with ≤ 2 bits set); cap 8 → every oversized bucket
+        # pairs members with the anchor rep only
+        his = [0, 1, 2, 4, 8, 3, 5, 6, 9, 10, 12, 17]
+        hashes = spark.createDataFrame(
+            [(i, h, 0) for i, h in enumerate(sorted(his))],
+            "doc_id bigint, dhash_hi bigint, dhash_lo bigint",
+        )
+        capped = {
+            (r.a, r.b): r.hamming
+            for r in dhash_pairs(hashes, max_hamming=2, max_bucket=8).collect()
+        }
+        # anchor is the (hi=0) group's rep, doc 0: only (0, b) pairs
+        assert capped and all(a == 0 for a, _ in capped)
+        full = {
+            (r.a, r.b): r.hamming
+            for r in dhash_pairs(hashes, max_hamming=2, max_bucket=None).collect()
+        }
+        # the uncapped twin keeps non-anchor pairs (e.g. hi=1 vs hi=3)
+        assert set(capped) < set(full)
+        for k, v in capped.items():
+            assert full[k] == v
+
+    def test_capped_plan_broadcasts_the_bucket_tag(self, spark):
+        hashes = spark.createDataFrame(
+            [(0, 0, 0), (1, 1, 0)], "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
+        )
+        plan = (
+            dhash_pairs(hashes, max_hamming=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        # the oversized-bucket tag must broadcast, never shuffle the
+        # banded stream an extra time
+        assert "BroadcastHashJoin" in plan
+
+    def test_index_probe_dedupes_both_sides(self, spark, tmp_path):
+        from rheoceros_spark.operators.multimodal import (
+            dedup_images_against_index,
+            dhash_index_write,
+        )
+
+        def img(fn):
+            return _img(fn)
+
+        grad = lambda x, y, c: x * 14
+        # index holds THREE byte-identical images; the verdict must
+        # carry the smallest indexed id (what min(ham, iid) picked
+        # before the distinct-hash reduction)
+        corpus = spark.createDataFrame(
+            [(7, img(grad)), (3, img(grad)), (9, img(grad))],
+            "doc_id bigint, content binary",
+        )
+        idx = dhash_index_write(corpus, str(tmp_path / "idx"))
+        batch = spark.createDataFrame(
+            [(100, img(grad)), (101, img(grad))], "doc_id bigint, content binary"
+        )
+        out = {r.doc_id: r for r in dedup_images_against_index(batch, idx).collect()}
+        assert len(out) == 2
+        for nid in (100, 101):
+            assert out[nid].dup_of == 3 and out[nid].min_hamming == 0
+
+
 def test_loud_rejects(spark):
     df = spark.createDataFrame(
         [(0, encode_ppm(5, 5, bytes(75)))], "doc_id bigint, content binary"
