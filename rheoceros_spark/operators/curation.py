@@ -2528,6 +2528,7 @@ def icp_order(
     iters: int = 2,
     m: int = 4,
     cents: Optional[DataFrame] = None,
+    max_cell_size: Optional[int] = 200_000,
 ) -> DataFrame:
     """In-context pretraining document ordering (Shi et al. 2024,
     "In-Context Pretraining: Language Modeling Beyond Document
@@ -2553,7 +2554,19 @@ def icp_order(
     enters Python — and costs O(cell · m) per task.  At 100 TB, size
     ``k`` so cells are ~10-100k docs (the SemDeDup sizing): pair
     generation is the certified semantic_dup_pairs shape and each
-    cell's walk is one bounded task.
+    cell's walk is one bounded task.  That sizing contract is
+    ENFORCED, not advisory: after assignment one k-sized aggregate
+    checks the largest cell against ``max_cell_size`` (default 200k)
+    and refuses loudly past it — the Bloom-saturation discipline,
+    because a silently mis-sized k turns the within-cell pair join
+    quadratic.  Pass ``max_cell_size=None`` to accept the cost
+    knowingly.
+
+    Zero-norm and NULL embeddings produce NULL cosines; those edges
+    are dropped at the edge build (the dedup.py NULL-cosine rule), so
+    such documents still appear in the output — ordered through the
+    restart path with a NULL ``link_sim_q`` — instead of feeding NaN
+    into the integer walk.
 
     Returns (vec_id, cell, pos, link_sim_q): global order is
     (cell, pos); ``link_sim_q`` is the quantized similarity to the
@@ -2580,6 +2593,20 @@ def icp_order(
     assigned = ivf_assign(base, k, vec_col, id_col, cents=cents).localCheckpoint(
         eager=False
     )
+    if max_cell_size is not None:
+        # one k-sized aggregate (bounded artifact — k rows reach the
+        # driver); the count also materializes the lazy checkpoint the
+        # pair branches reuse, so the guard costs no extra corpus pass
+        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__n")).collect()
+        worst = max((int(r["__n"]) for r in sizes), default=0)
+        if worst > max_cell_size:
+            raise ValueError(
+                f"icp_order: largest k-means cell holds {worst} docs, over "
+                f"max_cell_size={max_cell_size} — within-cell pair generation "
+                "is O(cell^2), so raise k until cells sit in the ~10-100k-doc "
+                "SemDeDup band (or pass max_cell_size=None to accept the "
+                "quadratic cost knowingly)"
+            )
     v = F.col(vec_col)
     e = assigned.select(
         F.col("cell"),
@@ -2606,6 +2633,12 @@ def icp_order(
         a.join(b, a["cell"] == b["__cellb"])
         .where(F.col("a") != F.col("b"))
         .select("cell", "a", "b", sim_q.alias("sim_q"))
+        # zero-norm / NULL embeddings: try_divide yields NULL — such
+        # edges would outrank nothing (NULLS LAST) yet still slip into
+        # the top-m whenever a doc has < m non-null neighbors, then
+        # reach the walk as NaN in an int conversion.  Drop them; the
+        # affected docs enter the order via the restart path.
+        .where(F.col("sim_q").isNotNull())
     )
     w = Window.partitionBy("cell", "a").orderBy(
         F.col("sim_q").desc(), F.col("b").asc()

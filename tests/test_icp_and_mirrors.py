@@ -61,6 +61,40 @@ class TestIcpOrder:
         with pytest.raises(ValueError, match="m must be"):
             icp_order(_vecs(spark, [(0, [1.0, 0.0])]), m=0)
 
+    def test_zero_norm_and_null_embeddings_order_via_restart(self, spark):
+        """A zero-norm (or NULL) embedding yields NULL cosines; those
+        edges must be DROPPED at the edge build — with m larger than
+        the non-null neighbor count they would otherwise survive the
+        top-m window as NaN and crash the integer walk.  The affected
+        docs still appear in the order, linked through restarts."""
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.04, 0.0]),
+            (2, [0.0, 0.0, 0.0]),  # zero norm → NULL sim to everything
+            (3, None),  # NULL embedding
+        ]
+        out = icp_order(_vecs(spark, rows), k=1, iters=1, m=3).collect()
+        assert sorted(r.vec_id for r in out) == [0, 1, 2, 3]
+        by_id = {r.vec_id: r for r in out}
+        # the degenerate docs can only be reached by restart: no
+        # incoming edge carries a similarity
+        assert by_id[2].link_sim_q is None
+        assert by_id[3].link_sim_q is None
+        # the real pair still walks with a quantized link
+        assert by_id[1].link_sim_q is not None or by_id[0].link_sim_q is not None
+
+    def test_cell_size_guard_refuses_undersized_k(self, spark):
+        """The 10-100k SemDeDup sizing is enforced, not a docstring:
+        k=1 over 40 docs with max_cell_size=8 must refuse loudly."""
+        rows = [(i, [1.0, float(i % 7) / 7.0]) for i in range(40)]
+        with pytest.raises(ValueError, match="max_cell_size"):
+            icp_order(_vecs(spark, rows), k=1, iters=1, m=2, max_cell_size=8)
+        # the opt-out accepts the quadratic cost knowingly
+        out = icp_order(
+            _vecs(spark, rows), k=1, iters=1, m=2, max_cell_size=None
+        ).collect()
+        assert len(out) == 40
+
     def test_composes_with_pack_sequences(self, spark):
         """The ICP contract (Shi et al. §3: pack the WALK order into
         context windows): feed (cell → shard, pos → sort key) into
