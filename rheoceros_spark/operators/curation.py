@@ -27,6 +27,7 @@ training-data pipeline runs *inside* those slots.  Design rules:
 from __future__ import annotations
 
 import math
+import weakref
 from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -210,7 +211,7 @@ def temperature_mix_plan(
         / F.col("__sa").cast("double")
         / F.col("n_docs").cast("double"),
     )
-    return planned.select(
+    out = planned.select(
         group_col,
         "n_docs",
         F.floor(rate * SAMPLE_BUCKETS + F.lit(0.5)).cast("bigint").alias("rate_q"),
@@ -219,6 +220,32 @@ def temperature_mix_plan(
         .cast("bigint")
         .alias("target_frac_q"),
     )
+    # single-stamp by construction (both stamps are literals) — no
+    # validation job needed when this exact frame is sampled from
+    _TRUSTED_MIX_PLANS.add(out)
+    return out
+
+
+#: Plans known to carry exactly ONE (alpha_k16, target_frac_q) stamp
+#: pair: frames built by :func:`temperature_mix_plan` in this process
+#: (stamps are literals) plus frames that already passed the one-time
+#: mixed-stamp check below.  Identity-keyed and weakly held, so a
+#: UNION of two plans — a new DataFrame object — is never trusted by
+#: accident and gets validated on first use.
+_TRUSTED_MIX_PLANS: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+
+
+def trust_mix_plan(plan: DataFrame) -> DataFrame:
+    """Mark a DERIVED mix plan (e.g. a ``localCheckpoint`` of a
+    just-built :func:`temperature_mix_plan` frame — a new DataFrame
+    object, so the automatic by-construction trust doesn't carry over)
+    as single-stamp, skipping :func:`temperature_mix`'s one-time
+    mixed-stamp validation job.  Deliberately explicit and greppable:
+    the caller asserts provenance; plans read back from storage or
+    assembled by union should NOT be passed here — for those the
+    one-time check is the point.  Returns ``plan`` for chaining."""
+    _TRUSTED_MIX_PLANS.add(plan)
+    return plan
 
 
 def _check_mix_plan_params(
@@ -227,17 +254,24 @@ def _check_mix_plan_params(
     target_frac: Optional[float] = None,
 ) -> None:
     """Loud mismatch between a precomputed sampling plan and the
-    caller's EXPLICITLY requested parameters (``None`` = not requested
-    — the plan is the artifact of record, as in the streaming gate).
+    caller's request.  Two tiers, so the invariant "mixed stamps are
+    always rejected" holds without a per-call driver job:
+
+    - No explicit parameters (``None``/``None`` — the trust-the-plan
+      calling convention): plans in :data:`_TRUSTED_MIX_PLANS` (built
+      in-process, or already validated once) skip entirely; any OTHER
+      stamped plan — e.g. one accidentally unioned from two parameter
+      sets, exactly the case the caller cannot notice — pays ONE
+      plan-tiny ``distinct().collect()``, and on passing is added to
+      the trusted set so repeat calls (the streaming gate's) are free.
+    - Explicit ``alpha``/``target_frac``: always validated against the
+      stamps — a stale plan must not silently produce a sample
+      inconsistent with the request.
+
     Plans from before the stamps were recorded (no such columns) are
-    accepted as-is.  When NEITHER parameter is requested the plan is
-    trusted outright and NO validation job runs — callers that just
-    built the plan (or the streaming gate) skip the per-call
-    ``distinct().collect()`` entirely; the mixed-stamp reject therefore
-    only fires when an explicit parameter is supplied alongside the
-    plan.  The distinct read, when it runs, is plan-tiny (one row per
-    parameter pair)."""
-    if alpha is None and target_frac is None:
+    accepted as-is.  The distinct read, when it runs, is plan-tiny
+    (one row per parameter pair)."""
+    if alpha is None and target_frac is None and plan in _TRUSTED_MIX_PLANS:
         return
     if not {"alpha_k16", "target_frac_q"} <= set(plan.columns):
         return
@@ -253,6 +287,10 @@ def _check_mix_plan_params(
             f"(alpha_k16, target_frac_q) ∈ {built} — refuse to sample under "
             "an inconsistent plan; rebuild it with one parameter set"
         )
+    if alpha is None and target_frac is None:
+        # single stamp verified — repeat calls with this object skip
+        _TRUSTED_MIX_PLANS.add(plan)
+        return
     got_k16, got_tfq = built[0]
     if alpha is not None and _alpha_sixteenths(alpha) != got_k16:
         raise ValueError(
@@ -298,8 +336,13 @@ def temperature_mix(
     and a mismatch raises — a stale plan must not silently produce a
     sample inconsistent with the requested mixture.  Omitting both
     (``None``) treats the plan as the artifact of record (the
-    streaming-gate calling convention); with no plan, omitted
-    parameters fall back to α=5/16, target_frac=0.5.
+    streaming-gate calling convention) — but a stamped plan of unknown
+    provenance still pays ONE plan-tiny mixed-stamp check the first
+    time it is sampled from (an accidentally-unioned two-parameter
+    plan is rejected, never silently under-sampled); in-process plans
+    and :func:`trust_mix_plan`-asserted derivatives skip even that.
+    With no plan, omitted parameters fall back to α=5/16,
+    target_frac=0.5.
 
     Scale shape: the plan is groups-sized and broadcast; the corpus
     pass is a per-row hash + filter — zero corpus shuffle, runs inside

@@ -693,11 +693,44 @@ def test_temperature_mix_plan_stamp_validation(spark):
     mixed = plan.union(
         temperature_mix_plan(df, group_col="lang", alpha=0.5, target_frac=0.5)
     )
-    # With NO explicit params the plan is trusted outright (r13: the
-    # validation collect is skipped entirely — one less driver job per
-    # call); supplying ANY explicit param forces validation, which
-    # rejects the inconsistent union before comparing values.
+    # A mixed-stamp plan is rejected on EVERY path — including the
+    # trust-the-plan convention (r14: the union is a new frame, so
+    # by-construction trust does not carry over and the one-time
+    # mixed-stamp check fires exactly where the caller cannot notice).
+    with pytest.raises(ValueError, match="MIXED"):
+        temperature_mix(df, group_col="lang", plan=mixed)
     with pytest.raises(ValueError, match="MIXED"):
         temperature_mix(df, group_col="lang", alpha=0.3125, plan=mixed)
     with pytest.raises(ValueError, match="MIXED"):
         temperature_mix(df, group_col="lang", target_frac=0.5, plan=mixed)
+
+
+def test_temperature_mix_trust_tiers(spark):
+    """The trusted-plan registry: in-process plans and
+    trust_mix_plan-asserted derivatives skip the validation job; an
+    unknown single-stamp plan validates ONCE and is then memoized; a
+    checkpoint-derived frame is NOT trusted automatically."""
+    from rheoceros_spark.operators.curation import (
+        _TRUSTED_MIX_PLANS,
+        temperature_mix,
+        temperature_mix_plan,
+        trust_mix_plan,
+    )
+
+    df = _skewed_corpus(spark)
+    plan = temperature_mix_plan(df, group_col="lang", alpha=0.3125, target_frac=0.5)
+    # by-construction trust on the frame the builder returned
+    assert plan in _TRUSTED_MIX_PLANS
+    # a derived frame (new object) is not trusted until asserted
+    ckpt = plan.localCheckpoint(eager=False)
+    assert ckpt not in _TRUSTED_MIX_PLANS
+    assert trust_mix_plan(ckpt) is ckpt
+    assert ckpt in _TRUSTED_MIX_PLANS
+    # an unknown single-stamp plan (simulate storage round-trip by
+    # re-selecting) validates once under the trust convention, then
+    # lands in the registry so repeat calls skip the collect
+    unknown = plan.select(*plan.columns)
+    assert unknown not in _TRUSTED_MIX_PLANS
+    n = temperature_mix(df, group_col="lang", plan=unknown).count()
+    assert n > 0
+    assert unknown in _TRUSTED_MIX_PLANS
