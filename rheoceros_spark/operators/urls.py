@@ -616,7 +616,7 @@ def url_mirror_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     threshold: float = 0.5,
-    max_hosts: int | None = None,
+    max_hosts: int | None = 64,
     trackers: Sequence[str] = DEFAULT_TRACKER_PARAMS,
 ) -> DataFrame:
     """Detect MIRRORED HOSTS — distinct domains serving near-identical
@@ -632,18 +632,28 @@ def url_mirror_pairs(
 
     1. canonicalize (:func:`url_canonicalize`) and split into
        ``domain`` (:func:`url_domain`, www-stripped) + the canonical
-       path-and-query string; hash the latter to a 32-bit path id.
-    2. optional ``max_hosts`` df-cap: a path id present on more than
-       ``max_hosts`` distinct domains ('/', '/index.html', …) is
-       dropped from BOTH the signatures and the verify — the
-       stop-fingerprint rule of the winnowing index, without which a
-       ubiquitous path makes every host pair a candidate.
-    3. per-domain MinHash signature over its path-id set (the affine
-       permutations of the text MinHash family) → banded buckets →
-       candidate domain pairs.  Fuzzy by construction: mirrors need
-       only SHARE most paths, not all.
-    4. exact verify on the candidates: path-id equi-join intersection
-       counts, Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over exact BIGINTs.
+       path-and-query string; hash the latter to the FULL 60-bit
+       portable path id (``h64``) — the exact verify must not count
+       hash collisions as shared paths, and at 32 bits two
+       million-path hosts would share ~|A|·|B|/2³² ≈ hundreds of
+       spurious intersections; at 60 bits the rate is negligible.
+    2. ``max_hosts`` df-cap (default 64, ``None`` opts out): a path
+       id present on more than ``max_hosts`` distinct domains ('/',
+       '/index.html', …) is dropped from BOTH the signatures and the
+       verify — the stop-fingerprint rule of the winnowing index,
+       without which a ubiquitous path makes every host pair a
+       candidate AND fans the verify join out by the number of
+       domains serving it.  Defaulted (the winnowing convention)
+       because the unbounded form is never the right call at scale.
+    3. per-domain MinHash signature over the path ids REDUCED to 32
+       bits (the affine multipliers are ≤ 2·num_hashes−1, so
+       31·2³² < 2³⁷ never overflows a BIGINT; signature-side
+       collisions only nudge candidate recall, which the exact
+       verify re-filters) → banded buckets → candidate domain pairs.
+       Fuzzy by construction: mirrors need only SHARE most paths.
+    4. exact verify on the candidates: FULL-width path-id equi-join
+       intersection counts, Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over
+       exact BIGINTs.
 
     Scale shape: signatures shuffle one row per (domain, path) —
     never URLs or text; the banded self-join is the LSH-certified
@@ -673,7 +683,7 @@ def url_mirror_pairs(
     )
     paths = (
         ensure_parallelism(parts.where(F.col("domain").isNotNull()))
-        .select("domain", (h64(F.col("__path")) % F.lit(4294967296)).alias("ph"))
+        .select("domain", h64(F.col("__path")).alias("ph"))
         .distinct()
         # three consumers (signatures + both verify legs): materialize
         # once — every re-evaluation would replay the full URL
@@ -686,9 +696,12 @@ def url_mirror_pairs(
             F.count(F.lit(1)).alias("__nh")
         ).where(F.col("__nh") > max_hosts).select("ph")
         paths = paths.join(F.broadcast(wide), "ph", "left_anti")
-    # signatures + per-domain path counts from ONE aggregate
+    # signatures + per-domain path counts from ONE aggregate; the
+    # 32-bit reduction lives ONLY here (overflow headroom for the
+    # affine multipliers) — the verify joins full-width ids
+    ph32 = F.col("ph") % F.lit(4294967296)
     mins = [
-        F.min((F.lit(2 * i + 1) * F.col("ph") + F.lit(i)) % F.lit(MINHASH_P)).alias(
+        F.min((F.lit(2 * i + 1) * ph32 + F.lit(i)) % F.lit(MINHASH_P)).alias(
             f"__m{i}"
         )
         for i in range(num_hashes)

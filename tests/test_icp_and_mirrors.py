@@ -170,9 +170,27 @@ class TestUrlMirrorPairs:
         assert ("a.example.com", "b.example.com") in got
         assert got[("a.example.com", "b.example.com")].jaccard_r == 1.0
         assert got[("a.example.com", "b.example.com")].n_paths_a == 1
-        # without the cap, every host pair mirrors through '/'
-        uncapped = url_mirror_pairs(self._urls(spark, rows), threshold=0.5).collect()
+        # with the cap opted out, every host pair mirrors through '/'
+        uncapped = url_mirror_pairs(
+            self._urls(spark, rows), threshold=0.5, max_hosts=None
+        ).collect()
         assert len(uncapped) > len(capped)
+
+    def test_verify_uses_full_width_path_ids(self, spark):
+        """Two DIFFERENT paths whose 60-bit hashes collide mod 2^32
+        (found by offline birthday search over '/c/{i}':
+        md5('/c/48839')[:15] and md5('/c/68069')[:15] are 1091851121
+        mod 2^32 but differ at full width).  The 32-bit signature tier
+        sees them as equal — the hosts become a banded CANDIDATE pair
+        — but the exact verify joins FULL h64 ids, counts zero shared
+        paths, and the pair must not survive.  Under the old 32-bit
+        verify this fixture reported a spurious jaccard-1.0 mirror."""
+        rows = [
+            (0, "https://p.example.com/c/48839"),
+            (1, "https://q.example.com/c/68069"),
+        ]
+        out = url_mirror_pairs(self._urls(spark, rows), threshold=0.01).collect()
+        assert out == []
 
     def test_null_and_uncanonicalizable_urls_drop(self, spark):
         rows = [
