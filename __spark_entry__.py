@@ -6645,15 +6645,19 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rheoceros_spark.operators.curation import (
         temperature_mix,
         temperature_mix_plan,
+        trust_mix_plan,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    plan = temperature_mix_plan(
-        docs, group_col="source", alpha=0.3125, target_frac=0.5
-    ).localCheckpoint(eager=False)
-    # plan built two lines up with these exact params — pass None to
-    # trust it (the stamp-validation collect would add a cold extra job
-    # per call; the guard is for externally supplied plans)
+    # the checkpoint wrapper is a new frame, so by-construction trust
+    # doesn't carry over — assert provenance explicitly (plan built
+    # one line up with one parameter set) to skip the one-time
+    # mixed-stamp validation job
+    plan = trust_mix_plan(
+        temperature_mix_plan(
+            docs, group_col="source", alpha=0.3125, target_frac=0.5
+        ).localCheckpoint(eager=False)
+    )
     sampled = temperature_mix(docs, group_col="source", seed=0, plan=plan)
     achieved = sampled.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled")
@@ -6988,6 +6992,7 @@ def pipeline_refinedweb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rheoceros_spark.operators.curation import (
         temperature_mix,
         temperature_mix_plan,
+        trust_mix_plan,
     )
     from rheoceros_spark.operators.text_analysis import char_entropy, gopher_rules
     from rheoceros_spark.operators.urls import (
@@ -7012,9 +7017,11 @@ def pipeline_refinedweb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "entropy_q")
     )
-    plan = temperature_mix_plan(
-        gated, group_col="source", alpha=0.25, target_frac=0.5
-    ).localCheckpoint(eager=False)
+    plan = trust_mix_plan(
+        temperature_mix_plan(
+            gated, group_col="source", alpha=0.25, target_frac=0.5
+        ).localCheckpoint(eager=False)
+    )
     kept = temperature_mix(gated, group_col="source", seed=0, plan=plan)
     return kept.select("doc_id", "source", "entropy_q")
 
@@ -7616,11 +7623,13 @@ def _url_mirrors_oracle(
     threshold: float = 0.5,
 ) -> str:
     """operators/urls.py url_mirror_pairs reproduced end-to-end: the
-    certified canonicalization query, domain/path split, 32-bit path
-    ids, per-domain affine-permutation MinHash mins, banded md5
-    buckets, candidate pairs, and the exact path-id-join Jaccard
-    verify — every step integer algebra or the already-pinned
-    canonicalization strings."""
+    certified canonicalization query, domain/path split, FULL 60-bit
+    path ids (32-bit reduction only inside the signature mins — the
+    r14 verify-width fix), the default max_hosts=64 df-cap (a no-op
+    on the 40-host fixture, mirrored for twin fidelity), per-domain
+    affine-permutation MinHash mins, banded md5 buckets, candidate
+    pairs, and the exact path-id-join Jaccard verify — every step
+    integer algebra or the already-pinned canonicalization strings."""
     from rheoceros_spark.functions.portable import h64_sql
     from rheoceros_spark.operators.dedup import MINHASH_P
     from rheoceros_spark.operators.urls import (
@@ -7630,7 +7639,8 @@ def _url_mirrors_oracle(
 
     canon = canonical_url_duckdb_query("documents", _URL_FIXTURE, keep=["doc_id"])
     mins = ", ".join(
-        f"min(({2 * i + 1} * ph + {i}) % {MINHASH_P})" for i in range(num_hashes)
+        f"min(({2 * i + 1} * (ph % 4294967296) + {i}) % {MINHASH_P})"
+        for i in range(num_hashes)
     )
     jac = (
         "round(CAST(i.n_shared AS DOUBLE) / "
@@ -7643,9 +7653,15 @@ def _url_mirrors_oracle(
              regexp_extract(canonical_url, '^[a-z0-9+.-]+://[^/]*(/.*)$', 1) AS p
       FROM c WHERE canonical_url IS NOT NULL
     ),
-    paths AS MATERIALIZED (
-      SELECT DISTINCT domain, ({h64_sql('p')} % 4294967296) AS ph
+    paths0 AS MATERIALIZED (
+      SELECT DISTINCT domain, {h64_sql('p')} AS ph
       FROM d0 WHERE domain IS NOT NULL
+    ),
+    paths AS MATERIALIZED (
+      SELECT * FROM paths0
+      WHERE ph NOT IN (
+        SELECT ph FROM paths0 GROUP BY ph HAVING count(*) > 64
+      )
     ),
     sigs AS MATERIALIZED (
       SELECT domain, [{mins}] AS sig, CAST(count(*) AS BIGINT) AS n_paths
