@@ -7884,6 +7884,157 @@ def dhash_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# audio-dedup fixture: 16 base classes (doc_id % 16) of square-wave
+# WAVs whose per-segment amplitude encodes a 4-bit band in closed
+# form; the variant half (doc_id % 32 >= 16) shifts segment 5's band
+# by +8 mod 16, so base↔variant reps are near-dups at seg_diff 1 and
+# same-(doc_id%32) docs are exact dups.  Amplitude band·2048 + 1024
+# puts 16·rms exactly at band + 0.5, so the floor quantizer can never
+# straddle a boundary — every fingerprint is engine-exact.
+def _audio_band_value(cls: str, var: str, s: str) -> str:
+    """Segment band as a SQL expression (engine-neutral integer
+    algebra) — shared by the Spark fixture synthesizer's Python twin
+    and the DuckDB oracle (the _dhash_block_value convention)."""
+    base = f"((7 * {cls} + 3 * {s} + {s} * {s} * ({cls} + 1)) % 16)"
+    return f"CASE WHEN {var} = 1 AND {s} = 5 THEN ({base} + 8) % 16 ELSE {base} END"
+
+
+def _audio_dedup_oracle(max_seg_diff: int = 2) -> str:
+    """operators/multimodal.py audio_phash + audio_phash_pairs in
+    closed form: the square-wave fixture makes every segment RMS equal
+    its amplitude, so the oracle computes the 16 4-bit bands
+    arithmetically, packs them into (hi, lo) 32-bit halves, bands them
+    into four 16-bit pigeonhole keys over distinct fingerprints, and
+    verifies candidates with the differing-nibble count — the
+    identical integer algebra the engine runs after a REAL stdlib-wave
+    decode.  At fixture scale no band bucket exceeds max_bucket=256
+    (measured max 2), so the hot-bucket star cap never fires and the
+    uncapped twin is exact (the _capped_candidates oracle
+    convention)."""
+    bexpr = _audio_band_value("cls", "var", "s")
+    nib = (
+        "CAST(len(list_filter(range(0, 8), k -> "
+        "((xor(x.lo, y.lo) >> CAST(4 * k AS INT)) & 15) <> 0)) "
+        "+ len(list_filter(range(0, 8), k -> "
+        "((xor(x.hi, y.hi) >> CAST(4 * k AS INT)) & 15) <> 0)) AS BIGINT)"
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS cls,
+             CAST((doc_id % 32) // 16 AS BIGINT) AS var
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, list_transform(range(0, 16), s -> {bexpr}) AS bs
+      FROM docs
+    ),
+    hashes AS MATERIALIZED (
+      SELECT doc_id,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, 8), s -> bs[s + 1] << CAST(4 * s AS INT))),
+          (acc, v) -> acc + v) AS BIGINT) AS lo,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(8, 16), s -> bs[s + 1] << CAST(4 * (s - 8) AS INT))),
+          (acc, v) -> acc + v) AS BIGINT) AS hi
+      FROM bands
+    ),
+    grp AS MATERIALIZED (
+      SELECT hi, lo, min(doc_id) AS rep FROM hashes GROUP BY hi, lo
+    ),
+    exact_pairs AS (
+      SELECT g.rep AS a, h.doc_id AS b, CAST(0 AS BIGINT) AS seg_diff
+      FROM hashes h JOIN grp g ON h.hi = g.hi AND h.lo = g.lo
+      WHERE h.doc_id <> g.rep
+    ),
+    banded AS MATERIALIZED (
+      SELECT rep, hi, lo, b.bidx,
+        CASE b.bidx WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+                    WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS band
+      FROM grp, (SELECT unnest(range(0, 4)) AS bidx) b
+    ),
+    near AS (
+      SELECT DISTINCT x.rep AS a, y.rep AS b, {nib} AS seg_diff
+      FROM banded x JOIN banded y
+        ON x.bidx = y.bidx AND x.band = y.band AND x.rep < y.rep
+      WHERE {nib} <= {max_seg_diff}
+    )
+    SELECT a, b, seg_diff FROM exact_pairs
+    UNION ALL
+    SELECT a, b, seg_diff FROM near
+    """
+
+
+@q_staged("multimodal_audio_dedup", oracle=_audio_dedup_oracle())
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup pairs through the REAL decode path:
+    synthesize a deterministic 16-segment square-wave WAV per document
+    (16 base classes + a one-segment band-shifted variant half), run
+    the genuine stdlib-wave decode + vectorized per-segment RMS-band
+    fingerprint (operators/multimodal.py audio_phash — 16 4-bit bands
+    as two 32-bit halves), then the banded guaranteed-detection pair
+    machinery with the differing-segment verify (audio_phash_pairs).
+    The oracle never sees the WAV bytes — it predicts every band in
+    closed form from the fixture's amplitude function, so a single
+    mis-decoded sample anywhere shifts a segment RMS and fails the
+    fingerprint."""
+    from rheoceros_spark.operators.multimodal import audio_phash, audio_phash_pairs
+
+    media = audio_dedup_fixture_media(spark, sf_dir)
+    return audio_phash_pairs(audio_phash(media), max_seg_diff=2)
+
+
+def audio_dedup_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic WAV corpus behind multimodal_audio_dedup
+    (shared with the scale probe's fingerprint-stage timing): one
+    1024-frame 8 kHz 16-bit mono square wave per document, segment s
+    at amplitude band(cls, var, s)·2048 + 1024, synthesized
+    Arrow-batched from doc_id alone."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id").isNotNull()
+    )
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cls, var = d % 16, (d % 32) // 16
+                frames = b""
+                for s in range(16):
+                    b = (7 * cls + 3 * s + s * s * (cls + 1)) % 16
+                    if var == 1 and s == 5:
+                        b = (b + 8) % 16
+                    v = b * 2048 + 1024
+                    frames += (
+                        _struct.pack("<h", v) + _struct.pack("<h", -v)
+                    ) * 32  # 64 frames per segment, 1024 total
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(frames)
+                blobs.append(buf.getvalue())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(
+        synth,
+        schema=_T.StructType(
+            [
+                _T.StructField("doc_id", _T.LongType(), False),
+                _T.StructField("content", _T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -20,6 +20,7 @@ pruning.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator, NamedTuple
 
 import pandas as pd
@@ -574,10 +575,37 @@ def dhash_pairs(
             f"dhash_pairs: the 4-band pigeonhole guarantee holds for "
             f"max_hamming <= 3, got {max_hamming} — re-band before raising it"
         )
+
+    def _ham(lo_a, lo_b, hi_a, hi_b):
+        return (
+            F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(hi_a.bitwiseXOR(hi_b))
+        ).cast("bigint")
+
+    return _rep_banded_pairs(
+        hashes, id_col, "dhash_hi", "dhash_lo", max_hamming, max_bucket, _ham
+    )
+
+
+def _rep_banded_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hi_col: str,
+    lo_col: str,
+    max_dist: int,
+    max_bucket: int | None,
+    dist,
+) -> DataFrame:
+    """Shared engine of the 64-bit-fingerprint near-dup family
+    (:func:`dhash_pairs`, :func:`audio_phash_pairs`): exact-dup
+    grouping to a min-id representative, four 16-bit pigeonhole bands
+    over DISTINCT fingerprints, the hot-bucket star cap, and a
+    caller-supplied distance verify ``dist(lo_a, lo_b, hi_a, hi_b) →
+    Column`` (bit Hamming for images, nibble count for audio
+    segments).  Emits (a, b, hamming) with a < b."""
     h = hashes.select(
         F.col(id_col).alias("__id"),
-        F.col("dhash_hi").alias("__hi"),
-        F.col("dhash_lo").alias("__lo"),
+        F.col(hi_col).alias("__hi"),
+        F.col(lo_col).alias("__lo"),
     )
     grp = Window.partitionBy("__hi", "__lo")
     tagged_h = h.withColumn("__rep", F.min("__id").over(grp))
@@ -644,22 +672,17 @@ def dhash_pairs(
         F.col("__lo").alias("lo_b"),
     )
 
-    def _ham(lo_a, lo_b, hi_a, hi_b):
-        return (
-            F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(hi_a.bitwiseXOR(hi_b))
-        ).cast("bigint")
-
     near = (
         a.join(b, ["bidx", "band"])
         .where(F.col("a") < F.col("b"))
         .select(
             "a",
             "b",
-            _ham(
+            dist(
                 F.col("lo_a"), F.col("lo_b"), F.col("hi_a"), F.col("hi_b")
             ).alias("hamming"),
         )
-        .where(F.col("hamming") <= max_hamming)
+        .where(F.col("hamming") <= max_dist)
     )
     if big is not None:
         # the bucket anchor holds the bucket's smallest rep, so the
@@ -668,13 +691,13 @@ def dhash_pairs(
             big.select(
                 F.col("__anchor.__r").alias("a"),
                 F.col("__r").alias("b"),
-                _ham(
+                dist(
                     F.col("__anchor.__lo"),
                     F.col("__lo"),
                     F.col("__anchor.__hi"),
                     F.col("__hi"),
                 ).alias("hamming"),
-            ).where(F.col("hamming") <= max_hamming)
+            ).where(F.col("hamming") <= max_dist)
         )
     return exact_pairs.unionByName(near.distinct())
 
@@ -852,3 +875,138 @@ def dedup_images_against_index(
         (new_h["dhash_hi"] == hits["__nhi"]) & (new_h["dhash_lo"] == hits["__nlo"]),
         "left",
     ).drop("__nhi", "__nlo")
+
+
+# ---------------------------------------------------------------------------
+# perceptual audio dedup: segmented RMS-band fingerprint + near-dup pairs
+# ---------------------------------------------------------------------------
+
+AUDIO_PHASH_SEGMENTS = 16
+
+
+def audio_phash(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual audio fingerprint over decoded PCM — the audio
+    member of the dHash family (the energy-envelope tier of
+    Haitsma & Kalker 2002's "Highly Robust Audio Fingerprinting
+    System": quantized per-window energy bands; Chromaprint's
+    coarse predecessor): decode (:func:`decode_wav`, the REAL
+    stdlib path), split the interleaved sample stream into
+    ``AUDIO_PHASH_SEGMENTS`` = 16 equal floor-boundary segments,
+    take each segment's full-scale-normalized RMS, and quantize to a
+    4-bit band ``min(15, floor(16·rms))``.
+
+    The 16 4-bit bands pack into TWO bigint halves (``aph_lo`` =
+    segments 0-7 at bits ``4s``, ``aph_hi`` = segments 8-15) — the
+    :func:`image_dhash` 32-bit-halves convention, so every downstream
+    shift/band/xor is exact signed-64 algebra on BOTH engines.
+
+    Rows whose payload is NULL, non-RIFF, undecodable, or shorter
+    than 16 samples emit nothing (the :func:`image_dhash` skip
+    contract: a fingerprint of garbage would poison dedup, and one
+    bad blob in a 100 TB corpus must not kill the job).
+
+    Scale shape: Arrow-batched ``mapInPandas`` over a column-pruned
+    (id, content) projection; per-segment RMS is one vectorized numpy
+    pass per row, output is two ints — audio bytes never shuffle."""
+    import numpy as np
+
+    pruned = df.where(F.col(id_col).isNotNull()).select(id_col, content_col)
+    S = AUDIO_PHASH_SEGMENTS
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, his, los = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[content_col]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    continue
+                try:
+                    a = decode_wav(b)
+                except Exception:
+                    continue
+                if a.sample_width == 2:
+                    x = np.frombuffer(a.pcm, dtype="<i2").astype(np.float64) / 32768.0
+                else:  # 8-bit WAV PCM is unsigned, midpoint 128
+                    x = (
+                        np.frombuffer(a.pcm, dtype=np.uint8).astype(np.float64)
+                        - 128.0
+                    ) / 128.0
+                n = x.size
+                if n < S:
+                    continue
+                hi = lo = 0
+                sq = np.square(x)
+                for s in range(S):
+                    seg = sq[s * n // S : (s + 1) * n // S]
+                    band = min(15, int(math.floor(16.0 * math.sqrt(seg.mean()))))
+                    if s < 8:
+                        lo |= band << (4 * s)
+                    else:
+                        hi |= band << (4 * (s - 8))
+                ids.append(int(doc_id))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "aph_hi": pd.Series(his, dtype="int64"),
+                    "aph_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return pruned.mapInPandas(
+        batches, schema="doc_id bigint, aph_hi bigint, aph_lo bigint"
+    )
+
+
+def _nibble_dist(lo_a, lo_b, hi_a, hi_b):
+    """Number of DIFFERING 4-bit segments between two packed
+    fingerprints — a Column of exact integer algebra (16 static
+    terms, whole-stage-codegen-friendly, no UDF)."""
+    x_lo = lo_a.bitwiseXOR(lo_b)
+    x_hi = hi_a.bitwiseXOR(hi_b)
+    total = F.lit(0)
+    for k in range(8):
+        for x in (x_lo, x_hi):
+            total = total + F.when(
+                F.shiftright(x, 4 * k).bitwiseAND(F.lit(15)) != 0, 1
+            ).otherwise(0)
+    return total.cast("bigint")
+
+
+def audio_phash_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_seg_diff: int = 2,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Near-duplicate audio pairs from (id, aph_hi, aph_lo) — the
+    :func:`dhash_pairs` machinery (exact-dup min-id grouping, four
+    16-bit pigeonhole bands over DISTINCT fingerprints, hot-bucket
+    star cap) with the distance that matches the fingerprint's
+    semantics: the count of DIFFERING 4-bit segments, not bit
+    Hamming — a re-encoded clip shifts a segment's whole energy band,
+    flipping up to 4 bits, and bit distance would make one perturbed
+    segment look like four.
+
+    Each 16-bit band spans 4 segments, so ``max_seg_diff ≤ 3``
+    carries the same pigeonhole guarantee as the image path: a
+    qualifying pair cannot differ in all 4 bands.  Emits
+    (a, b, seg_diff) with a < b; exact-duplicate members appear as
+    (rep, member, 0) star pairs.
+
+    Scale shape: identical to :func:`dhash_pairs` — one window
+    shuffle groups identical fingerprints, the banded join shuffles
+    two ints per DISTINCT fingerprint, audio bytes never shuffle."""
+    if not 0 <= max_seg_diff <= 3:
+        raise ValueError(
+            f"audio_phash_pairs: the 4-band pigeonhole guarantee holds for "
+            f"max_seg_diff <= 3, got {max_seg_diff} — re-band before raising it"
+        )
+    return _rep_banded_pairs(
+        hashes, id_col, "aph_hi", "aph_lo", max_seg_diff, max_bucket, _nibble_dist
+    ).withColumnRenamed("hamming", "seg_diff")

@@ -1,0 +1,151 @@
+"""Perceptual audio (and video) dedup edges the staged fixtures can't
+exercise: undecodable payloads, stereo/8-bit PCM, quantizer
+exactness, the nibble-vs-bit distance semantics, and the exact-dup
+grouping's linearity guarantee."""
+
+import io
+import struct
+import wave
+
+import pytest
+
+from rheoceros_spark.operators.multimodal import (
+    AUDIO_PHASH_SEGMENTS,
+    audio_phash,
+    audio_phash_pairs,
+)
+
+
+def _wav(frames: bytes, channels: int = 1, width: int = 2, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _square(bands, frames_per_seg: int = 32) -> bytes:
+    """16-segment square wave whose segment s has amplitude
+    bands[s]*2048 + 1024 — 16*rms lands exactly on bands[s] + 0.5."""
+    out = b""
+    for b in bands:
+        v = b * 2048 + 1024
+        out += (struct.pack("<h", v) + struct.pack("<h", -v)) * (frames_per_seg // 2)
+    return out
+
+
+def _hashes(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    return audio_phash(df)
+
+
+class TestAudioPhash:
+    def test_hand_computed_bands_and_packing(self, spark):
+        bands = [(3 * s + 1) % 16 for s in range(16)]
+        out = _hashes(spark, [(0, _wav(_square(bands)))]).collect()
+        assert len(out) == 1
+        lo = sum(bands[s] << (4 * s) for s in range(8))
+        hi = sum(bands[s] << (4 * (s - 8)) for s in range(8, 16))
+        assert (out[0].aph_hi, out[0].aph_lo) == (hi, lo)
+
+    def test_quantizer_never_straddles_with_midpoint_amplitudes(self, spark):
+        """Every band value 0..15 round-trips exactly: amplitude
+        band*2048+1024 puts 16*rms at band + 0.5, the farthest point
+        from both floor boundaries."""
+        bands = list(range(16))
+        out = _hashes(spark, [(0, _wav(_square(bands)))]).collect()[0]
+        got = [
+            (out.aph_lo >> (4 * s)) & 15 if s < 8 else (out.aph_hi >> (4 * (s - 8))) & 15
+            for s in range(16)
+        ]
+        assert got == bands
+
+    def test_stereo_and_8bit_paths(self, spark):
+        """Channel-interleaved samples fold into one RMS stream; the
+        8-bit unsigned path recenters on 128."""
+        # stereo: both channels the same square wave -> same bands
+        bands = [5] * 16
+        mono = _square(bands)
+        stereo = b"".join(
+            mono[i : i + 2] * 2 for i in range(0, len(mono), 2)
+        )
+        m = _hashes(spark, [(0, _wav(mono))]).collect()[0]
+        st = _hashes(spark, [(0, _wav(stereo, channels=2))]).collect()[0]
+        assert (m.aph_hi, m.aph_lo) == (st.aph_hi, st.aph_lo)
+        # 8-bit: amplitude 96/128 = 0.75 -> band floor(12.0) boundary
+        # avoided with 0.75*16 = 12 exactly... use 100 -> 12.5
+        pcm8 = bytes(([128 + 100, 128 - 100] * 8) * AUDIO_PHASH_SEGMENTS)
+        e = _hashes(spark, [(1, _wav(pcm8, width=1))]).collect()[0]
+        assert ((e.aph_lo >> 0) & 15) == 12  # floor(16*100/128) = 12
+
+    def test_bad_payloads_are_skipped_not_fatal(self, spark):
+        good = _wav(_square([7] * 16))
+        rows = [
+            (0, None),
+            (1, b"not audio at all"),
+            (2, good[:40]),  # truncated RIFF
+            (3, good),
+            (4, b"RIFF\x00\x00\x00\x00WAVEjunk"),
+            (5, _wav(b"\x00\x00" * 8)),  # 8 samples < 16 segments
+        ]
+        out = _hashes(spark, rows).collect()
+        assert [r.doc_id for r in out] == [3]
+
+    def test_null_id_rows_dropped(self, spark):
+        rows = [(None, _wav(_square([1] * 16))), (7, _wav(_square([1] * 16)))]
+        df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+        assert [r.doc_id for r in audio_phash(df).collect()] == [7]
+
+
+class TestAudioPhashPairs:
+    def _pairs(self, spark, packs, **kw):
+        rows = [(i, hi, lo) for i, (hi, lo) in enumerate(packs)]
+        df = spark.createDataFrame(rows, "doc_id bigint, aph_hi bigint, aph_lo bigint")
+        return audio_phash_pairs(df, **kw).collect()
+
+    def test_nibble_distance_not_bit_hamming(self, spark):
+        """One segment shifted 0 -> 15 flips FOUR bits but is ONE
+        segment: the pair must qualify at max_seg_diff=1 (bit Hamming
+        would call it 4 and lose it)."""
+        a = (0, 0)
+        b = (0, 15)  # segment 0 band 15, all others 0
+        out = self._pairs(spark, [a, b], max_seg_diff=1)
+        assert [(p.a, p.b, p.seg_diff) for p in out] == [(0, 1, 1)]
+
+    def test_pigeonhole_detects_three_spread_segments(self, spark):
+        """Diffs in 3 different bands still leave one band exact."""
+        base = (0, 0)
+        # segments 0 (band 0 of lo), 4 (band 1 of lo), 8 (band 0 of hi)
+        pert = (9, 9 | (9 << 16))
+        out = self._pairs(spark, [base, pert], max_seg_diff=3)
+        assert [(p.a, p.b, p.seg_diff) for p in out] == [(0, 1, 3)]
+
+    def test_exact_dups_star_pair_linearly(self, spark):
+        """h identical fingerprints yield exactly h-1 star pairs (the
+        r14 dhash grouping discipline) — not h^2 banded candidates."""
+        packs = [(42, 99)] * 200
+        out = self._pairs(spark, packs)
+        assert len(out) == 199
+        assert all(p.a == 0 and p.seg_diff == 0 for p in out)
+        assert sorted(p.b for p in out) == list(range(1, 200))
+
+    def test_validation_is_loud(self, spark):
+        with pytest.raises(ValueError, match="max_seg_diff"):
+            self._pairs(spark, [(0, 0)], max_seg_diff=4)
+
+    def test_end_to_end_base_variant_fixture(self, spark):
+        """The staged-fixture semantics through the real decode: same
+        class twice (exact dup) + a one-segment variant (near dup)."""
+        bands = [(5 * s + 2) % 16 for s in range(16)]
+        var = list(bands)
+        var[5] = (var[5] + 8) % 16
+        rows = [
+            (0, _wav(_square(bands))),
+            (1, _wav(_square(bands))),
+            (2, _wav(_square(var))),
+        ]
+        out = audio_phash_pairs(_hashes(spark, rows)).collect()
+        got = sorted((p.a, p.b, p.seg_diff) for p in out)
+        assert got == [(0, 1, 0), (0, 2, 1)]
