@@ -8035,6 +8035,186 @@ def audio_dedup_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# video-dedup fixture: families of four videos (fam = doc_id // 4) —
+# two exact copies of a base cut and two of a variant cut whose frame
+# 2 is REPLACED (a re-edit, not a perturbation).  Frame pixels are
+# 2x2-block-constant with block values derived from md5("vd:fam:seed")
+# bytes, so frame hashes are distinct across families w.h.p. AND both
+# engines derive them from the same 16 hex-pair bytes; group sizes are
+# constant (2 exact copies, 4-video families) at EVERY scale factor,
+# so the max_videos cap never fires and outputs stay corpus-linear.
+def _video_block_value(hx: str, p: str, c: str) -> str:
+    """Block value as a SQL expression over the frame's md5 hex string
+    ``hx`` — shared algebra with the Spark synthesizer's Python twin."""
+    byte = f"CAST(('0x' || substr({hx}, 2 * ((3 * {p} + {c}) % 16) + 1, 2)) AS BIGINT)"
+    return f"(({byte} + 13 * ({p} % 9) + 11 * ({p} // 9)) % 256)"
+
+
+def _video_dedup_oracle(threshold: float = 0.5) -> str:
+    """operators/multimodal.py video_frame_dhash + video_dedup_pairs
+    in closed form: per-frame block means from the md5-byte fixture,
+    the 64 adjacent-comparison bits packed as (hi, lo), per-video
+    sorted distinct frame-hash set keys, exact-dup star pairs through
+    the min-id representative, and the representative-only
+    shared-frame Jaccard verify.  At fixture scale no frame hash is
+    on more than 4 videos, so the engine's max_videos=64 cap never
+    fires and the uncapped twin is exact."""
+    r = _video_block_value("hx", "p", "0")
+    g = _video_block_value("hx", "p", "1")
+    b = _video_block_value("hx", "p", "2")
+    return f"""
+    WITH vids AS (
+      SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS fam,
+             CAST((doc_id % 4) // 2 AS BIGINT) AS var
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    fr AS (
+      SELECT doc_id, fam, f,
+             md5('vd:' || fam || ':' ||
+                 CASE WHEN var = 1 AND f = 2 THEN 'v' ELSE CAST(f AS VARCHAR) END)
+               AS hx
+      FROM vids, (SELECT unnest(range(0, 4)) AS f) ff
+    ),
+    means AS MATERIALIZED (
+      SELECT doc_id, f,
+        list_transform(range(0, 72), p ->
+          (299 * ({r}) + 587 * ({g}) + 114 * ({b})) // 1000
+        ) AS ms
+      FROM fr
+    ),
+    hashes AS MATERIALIZED (
+      SELECT doc_id,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, 32), k ->
+            CASE WHEN ms[(k // 8) * 9 + (k % 8) + 2] > ms[(k // 8) * 9 + (k % 8) + 1]
+                 THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc + x) AS BIGINT) AS lo,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(32, 64), k ->
+            CASE WHEN ms[(k // 8) * 9 + (k % 8) + 2] > ms[(k // 8) * 9 + (k % 8) + 1]
+                 THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc + x) AS BIGINT) AS hi
+      FROM means
+    ),
+    fh AS MATERIALIZED (SELECT DISTINCT doc_id, hi, lo FROM hashes),
+    sets AS MATERIALIZED (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             string_agg(CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR), ','
+                        ORDER BY CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR))
+               AS setkey
+      FROM fh GROUP BY doc_id
+    ),
+    grp AS MATERIALIZED (
+      SELECT setkey, min(doc_id) AS rep, any_value(n) AS n
+      FROM sets GROUP BY setkey
+    ),
+    star AS (
+      SELECT g.rep AS video_a, s.doc_id AS video_b, s.n AS n_frames_a,
+             s.n AS n_frames_b, s.n AS n_shared, CAST(1.0 AS DOUBLE) AS jaccard_r
+      FROM sets s JOIN grp g ON s.setkey = g.setkey
+      WHERE s.doc_id <> g.rep
+    ),
+    rframes AS MATERIALIZED (
+      SELECT p.* FROM fh p JOIN grp g ON p.doc_id = g.rep
+    ),
+    inter AS (
+      SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM rframes a JOIN rframes b
+        ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT i.video_a, i.video_b, sa.n AS n_frames_a, sb.n AS n_frames_b,
+             i.n_shared,
+             round(CAST(i.n_shared AS DOUBLE)
+                   / CAST(sa.n + sb.n - i.n_shared AS DOUBLE), 6) AS jaccard_r
+      FROM inter i
+      JOIN grp sa ON sa.rep = i.video_a
+      JOIN grp sb ON sb.rep = i.video_b
+      WHERE round(CAST(i.n_shared AS DOUBLE)
+                  / CAST(sa.n + sb.n - i.n_shared AS DOUBLE), 6) >= {threshold}
+    )
+    SELECT * FROM star UNION ALL SELECT * FROM near
+    """
+
+
+@q_staged("multimodal_video_dedup", oracle=_video_dedup_oracle())
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs through the REAL demux + hash path:
+    synthesize a deterministic 4-frame concatenated-P6 video per
+    document (families of two exact copies of a base cut and two of a
+    one-frame re-edit), demux and dHash every frame inside one Arrow
+    task (operators/multimodal.py video_frame_dhash — frame bytes
+    never leave the task), then set-level dedup: exact-dup grouping on
+    the sorted frame-hash set, star pairs through the min-id
+    representative, and the representative-only shared-frame Jaccard
+    verify (video_dedup_pairs).  The oracle never sees the video bytes
+    — it derives every frame hash from the fixture's md5-byte block
+    function, so one mis-demuxed offset or mis-decoded pixel anywhere
+    fails a set key."""
+    from rheoceros_spark.operators.multimodal import (
+        video_dedup_pairs,
+        video_frame_dhash,
+    )
+
+    media = video_dedup_fixture_media(spark, sf_dir)
+    return video_dedup_pairs(video_frame_dhash(media), threshold=0.5)
+
+
+def video_dedup_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic concatenated-P6 video corpus behind
+    multimodal_video_dedup (shared with the scale probe): four
+    18×16 block-constant frames per document, block values from
+    md5("vd:<fam>:<seed>") bytes, synthesized Arrow-batched from
+    doc_id alone."""
+    import hashlib as _hashlib
+
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    from rheoceros_spark.operators.multimodal import encode_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id").isNotNull()
+    )
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                fam, var = d // 4, (d % 4) // 2
+                video = b""
+                for f in range(4):
+                    seed = "v" if (var == 1 and f == 2) else str(f)
+                    hx = _hashlib.md5(f"vd:{fam}:{seed}".encode()).hexdigest()
+                    bts = [int(hx[2 * k : 2 * k + 2], 16) for k in range(16)]
+                    px = bytearray()
+                    for y in range(16):
+                        j = y // 2
+                        for x in range(18):
+                            i = x // 2
+                            p = j * 9 + i
+                            for c in range(3):
+                                px.append(
+                                    (bts[(3 * p + c) % 16] + 13 * i + 11 * j) % 256
+                                )
+                    video += encode_ppm(18, 16, bytes(px))
+                blobs.append(video)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return docs.mapInPandas(
+        synth,
+        schema=_T.StructType(
+            [
+                _T.StructField("doc_id", _T.LongType(), False),
+                _T.StructField("content", _T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

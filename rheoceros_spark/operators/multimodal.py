@@ -1010,3 +1010,173 @@ def audio_phash_pairs(
     return _rep_banded_pairs(
         hashes, id_col, "aph_hi", "aph_lo", max_seg_diff, max_bucket, _nibble_dist
     ).withColumnRenamed("hamming", "seg_diff")
+
+
+# ---------------------------------------------------------------------------
+# video near-dup detection: per-frame dHash sets + Jaccard verify
+# ---------------------------------------------------------------------------
+
+def video_frame_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    grid_w: int = 8,
+    grid_h: int = 8,
+) -> DataFrame:
+    """Per-frame perceptual hashes of concatenated-P6 video payloads:
+    demux (:func:`scan_ppm_stream`) and dHash every frame INSIDE one
+    Arrow task, emitting (doc_id, frame_idx, dhash_hi, dhash_lo) — the
+    frame-fingerprint tier video near-dup systems build on (Wu et al.
+    2007, "Practical Elimination of Near-Duplicate Videos": videos
+    compared by their sets of frame fingerprints).
+
+    Demux + hash composing in ONE pass is the point at scale: frame
+    BYTES never leave the task — only two ints per frame flow
+    downstream, where :func:`sample_frames_ppm` → :func:`image_dhash`
+    would shuffle every sampled frame's pixels between two Python
+    stages.  NULL / non-P6 / truncated payloads emit nothing (the
+    :func:`audio_features` skip contract); frames whose dimensions
+    don't tile the dHash grid are skipped per-frame, so one odd-sized
+    splash frame doesn't hide the rest of the video."""
+    if grid_w < 1 or grid_h < 1 or grid_w * grid_h != 64:
+        raise ValueError(
+            f"video_frame_dhash: grid must hold exactly 64 bits, got "
+            f"{grid_w}x{grid_h}"
+        )
+    pruned = df.where(F.col(id_col).isNotNull()).select(id_col, content_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, his, los = [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[content_col]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                try:
+                    index = scan_ppm_stream(b)
+                except ValueError:
+                    continue
+                for fi, (off, _, _) in enumerate(index):
+                    end = index[fi + 1][0] if fi + 1 < len(index) else len(b)
+                    try:
+                        hi, lo = _dhash_of_blob(b[off:end], grid_w, grid_h)
+                    except ValueError:
+                        continue  # frame doesn't tile the grid
+                    ids.append(int(doc_id))
+                    fidx.append(fi)
+                    his.append(hi)
+                    los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "dhash_hi": pd.Series(his, dtype="int64"),
+                    "dhash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return pruned.mapInPandas(
+        batches,
+        schema="doc_id bigint, frame_idx int, dhash_hi bigint, dhash_lo bigint",
+    )
+
+
+def video_dedup_pairs(
+    frame_hashes: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_videos: int | None = 64,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs from per-frame hashes
+    (:func:`video_frame_dhash` output): two videos are near-dups when
+    the Jaccard overlap of their distinct frame-hash SETS reaches
+    ``threshold`` — the :func:`~rheoceros_spark.operators.urls.
+    url_mirror_pairs` shape (hosts ≡ videos, paths ≡ frame hashes)
+    with the :func:`dhash_pairs` exact-dup grouping on top.
+
+    EXACT duplicates — re-uploads, the common case — are grouped
+    FIRST: each video's sorted distinct frame-hash set is its group
+    key, the smallest id is representative, and members emit
+    ``(rep, member, jaccard 1.0)`` star pairs, so a clip re-posted h
+    times costs h rows, not h².  Only group REPRESENTATIVES enter the
+    shared-frame equi-join.  ``max_videos`` (default 64, ``None``
+    opts out) drops frame hashes present in more than that many
+    videos — intro cards and logo frames, the ubiquitous-path rule of
+    the mirrors op — BEFORE sets are built, so both the signature and
+    the verify see the same capped sets; a video left with no frames
+    disappears from the output (nothing distinguishing remains to
+    judge it by).
+
+    Scale shape: one distinct + one per-video aggregate shuffle two
+    ints per frame; the verify join shuffles frame ids of group
+    REPRESENTATIVES only; frame pixels never appear.  Returns
+    (video_a, video_b, n_frames_a, n_frames_b, n_shared, jaccard_r)
+    with video_a < video_b and jaccard ≥ ``threshold``."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"video_dedup_pairs: threshold must be in (0, 1], got {threshold}"
+        )
+    fh = frame_hashes.select(
+        F.col(id_col).alias("__id"), "dhash_hi", "dhash_lo"
+    ).distinct()
+    if max_videos is not None:
+        wide = (
+            fh.groupBy("dhash_hi", "dhash_lo")
+            .agg(F.count(F.lit(1)).alias("__nv"))
+            .where(F.col("__nv") > max_videos)
+            .select("dhash_hi", "dhash_lo")
+        )
+        fh = fh.join(F.broadcast(wide), ["dhash_hi", "dhash_lo"], "left_anti")
+    fh = fh.localCheckpoint(eager=False)  # sets + verify legs reuse it
+    sets = fh.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.collect_list(
+                    F.format_string("%d:%d", F.col("dhash_hi"), F.col("dhash_lo"))
+                )
+            ),
+        ).alias("__setkey"),
+    )
+    grp = Window.partitionBy("__setkey")
+    tagged = sets.withColumn("__rep", F.min("__id").over(grp))
+    star = tagged.where(F.col("__id") != F.col("__rep")).select(
+        F.col("__rep").alias("video_a"),
+        F.col("__id").alias("video_b"),
+        F.col("__n").alias("n_frames_a"),
+        F.col("__n").alias("n_frames_b"),
+        F.col("__n").alias("n_shared"),
+        F.lit(1.0).alias("jaccard_r"),
+    )
+    reps = tagged.where(F.col("__id") == F.col("__rep")).select(
+        F.col("__rep").alias("__r"), F.col("__n")
+    ).localCheckpoint(eager=False)
+    rframes = fh.join(
+        reps.select(F.col("__r").alias("__id")), "__id", "left_semi"
+    )
+    inter = (
+        rframes.select(F.col("__id").alias("video_a"), "dhash_hi", "dhash_lo")
+        .join(
+            rframes.select(F.col("__id").alias("video_b"), "dhash_hi", "dhash_lo"),
+            ["dhash_hi", "dhash_lo"],
+        )
+        .where(F.col("video_a") < F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    na = reps.select(F.col("__r").alias("video_a"), F.col("__n").alias("n_frames_a"))
+    nb = reps.select(F.col("__r").alias("video_b"), F.col("__n").alias("n_frames_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_frames_a") + F.col("n_frames_b") - F.col("n_shared")
+    ).cast("double")
+    near = (
+        inter.join(na, "video_a")
+        .join(nb, "video_b")
+        .withColumn("jaccard_r", F.round(jac, 6))
+        .where(F.col("jaccard_r") >= threshold)
+        .select(
+            "video_a", "video_b", "n_frames_a", "n_frames_b", "n_shared", "jaccard_r"
+        )
+    )
+    return star.unionByName(near)

@@ -149,3 +149,114 @@ class TestAudioPhashPairs:
         out = audio_phash_pairs(_hashes(spark, rows)).collect()
         got = sorted((p.a, p.b, p.seg_diff) for p in out)
         assert got == [(0, 1, 0), (0, 2, 1)]
+
+
+# ---------------------------------------------------------------------------
+# video: per-frame dHash sets + Jaccard verify
+# ---------------------------------------------------------------------------
+
+from rheoceros_spark.operators.multimodal import (  # noqa: E402
+    encode_ppm,
+    video_dedup_pairs,
+    video_frame_dhash,
+)
+
+
+def _frame(tag: int) -> bytes:
+    """18x16 block-constant P6 frame whose dHash is a deterministic
+    function of ``tag`` (distinctness across tags verified offline
+    for the range used here)."""
+    px = bytearray()
+    for y in range(16):
+        j = y // 2
+        for x in range(18):
+            i = x // 2
+            for c in range(3):
+                px.append((17 * tag + 13 * i + 11 * j + 7 * i * j + 5 * c
+                           + i * i * (tag + 1)) % 256)
+    return encode_ppm(18, 16, bytes(px))
+
+
+def _video(tags) -> bytes:
+    return b"".join(_frame(t) for t in tags)
+
+
+def _vdf(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, content binary")
+
+
+class TestVideoFrameDhash:
+    def test_demux_hashes_every_frame_once(self, spark):
+        out = video_frame_dhash(_vdf(spark, [(0, _video([1, 2, 3]))])).collect()
+        assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 1, 2]
+        assert len({(r.dhash_hi, r.dhash_lo) for r in out}) == 3
+
+    def test_identical_frames_get_identical_hashes(self, spark):
+        out = video_frame_dhash(_vdf(spark, [(0, _video([5, 5]))])).collect()
+        assert len(out) == 2
+        assert out[0].dhash_hi == out[1].dhash_hi
+        assert out[0].dhash_lo == out[1].dhash_lo
+
+    def test_bad_payloads_and_odd_frames_skip_not_fail(self, spark):
+        # a 4x2 frame can't tile the 9x8 dhash grid -> skipped, but the
+        # well-sized frames of the SAME video still hash
+        odd = encode_ppm(4, 2, bytes(24))
+        rows = [
+            (0, None),
+            (1, b"not a video"),
+            (2, _frame(1)[:-5]),  # truncated pixel block
+            (3, _frame(1) + odd + _frame(2)),
+        ]
+        out = video_frame_dhash(_vdf(spark, rows)).collect()
+        assert sorted(r.frame_idx for r in out) == [0, 2]
+        assert all(r.doc_id == 3 for r in out)
+
+    def test_grid_validation_is_loud(self, spark):
+        with pytest.raises(ValueError, match="64 bits"):
+            video_frame_dhash(_vdf(spark, [(0, _frame(0))]), grid_w=4, grid_h=4)
+
+
+class TestVideoDedupPairs:
+    def test_exact_reuploads_star_pair_linearly(self, spark):
+        """h identical videos -> h-1 star rows through the min-id
+        representative, jaccard exactly 1.0."""
+        rows = [(i, _video([1, 2, 3, 4])) for i in range(30)]
+        out = video_dedup_pairs(video_frame_dhash(_vdf(spark, rows))).collect()
+        assert len(out) == 29
+        assert all(p.video_a == 0 and p.jaccard_r == 1.0 and p.n_shared == 4
+                   for p in out)
+
+    def test_one_frame_reedit_is_near_dup(self, spark):
+        rows = [(0, _video([1, 2, 3, 4])), (1, _video([1, 2, 9, 4]))]
+        out = video_dedup_pairs(video_frame_dhash(_vdf(spark, rows))).collect()
+        assert [(p.video_a, p.video_b, p.n_shared, p.jaccard_r) for p in out] == [
+            (0, 1, 3, 0.6)
+        ]
+
+    def test_repeated_frames_count_once_in_the_set(self, spark):
+        """A looping video (frame repeated) must not inflate n_frames
+        or n_shared — sets, not bags."""
+        rows = [(0, _video([1, 1, 1, 2])), (1, _video([1, 2]))]
+        out = video_dedup_pairs(video_frame_dhash(_vdf(spark, rows))).collect()
+        # both videos reduce to the SAME distinct set {1,2} -> exact dup
+        assert [(p.video_a, p.video_b, p.jaccard_r) for p in out] == [(0, 1, 1.0)]
+
+    def test_max_videos_drops_ubiquitous_intro_frame(self, spark):
+        """An intro card on every video must not make everything a
+        candidate; after the cap, videos sharing ONLY the intro stop
+        pairing."""
+        rows = [(i, _video([0, 100 + i])) for i in range(8)]
+        capped = video_dedup_pairs(
+            video_frame_dhash(_vdf(spark, rows)), threshold=0.4, max_videos=4
+        ).collect()
+        assert capped == []
+        uncapped = video_dedup_pairs(
+            video_frame_dhash(_vdf(spark, rows)), threshold=0.3, max_videos=None
+        ).collect()
+        assert len(uncapped) == 28  # all pairs share the intro at jac 1/3
+
+    def test_threshold_validation_is_loud(self, spark):
+        with pytest.raises(ValueError, match="threshold"):
+            video_dedup_pairs(
+                video_frame_dhash(_vdf(spark, [(0, _video([1]))])), threshold=0.0
+            )
