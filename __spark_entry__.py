@@ -7719,6 +7719,98 @@ def dedup_url_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_mirror_pairs(docs, threshold=0.5)
 
 
+#: robots-rules fixture over the 40 URL-fixture hosts: one Python
+#: literal list serialized into BOTH engines (Spark createDataFrame /
+#: DuckDB VALUES), exercising every RFC 9309 verdict shape — blanket
+#: '/' disallow (h%5), directory disallow (h%2), longer-allow
+#: re-admission (h%4, paths under /Dir%2F1), equal-length
+#: allow-vs-disallow tie where allow wins (h%7 ∧ h%2), explicit allow
+#: (h%7 alone), and the no-rules default for the remaining hosts.
+def _robots_rules_rows() -> list[tuple[str, str, int]]:
+    rows = []
+    for h in range(40):
+        d = f"host{h}.example.com"
+        if h % 2 == 0:
+            rows.append((d, "/Dir", 0))
+        if h % 4 == 0:
+            rows.append((d, "/Dir%2F1", 1))
+        if h % 5 == 0:
+            rows.append((d, "/", 0))
+        if h % 7 == 0:
+            rows.append((d, "/Dir", 1))
+    return rows
+
+
+def _robots_gate_oracle(default_allow: bool = True) -> str:
+    """operators/urls.py robots_gate reproduced end-to-end: the
+    certified canonicalization query, domain/path split with the
+    empty-path → '/' normalization, the literal rules VALUES table,
+    and the RFC 9309 winner as pure integer algebra — the most
+    specific rule is max(2·len(prefix) + allow), so longest wins and
+    allow beats disallow on a length tie; unmatched docs (no rules,
+    all rules miss, NULL URL) take the default."""
+    from rheoceros_spark.operators.urls import (
+        canonical_url_duckdb_query,
+        url_domain_duckdb_sql,
+    )
+
+    canon = canonical_url_duckdb_query("documents", _URL_FIXTURE, keep=["doc_id"])
+    vals = ", ".join(
+        f"('{d}', '{p}', {a})" for d, p, a in _robots_rules_rows()
+    )
+    return f"""
+    WITH c AS MATERIALIZED ({canon}),
+    d0 AS MATERIALIZED (
+      SELECT doc_id, {url_domain_duckdb_sql('canonical_url')} AS domain,
+             CASE WHEN p IS NULL OR p = '' THEN '/' ELSE p END AS path
+      FROM (
+        SELECT doc_id, canonical_url,
+               regexp_extract(canonical_url, '^[a-z0-9+.-]+://[^/]*(/.*)$', 1) AS p
+        FROM c
+      )
+    ),
+    rules(domain, prefix, allow) AS (VALUES {vals}),
+    m AS (
+      SELECT d.doc_id, max(2 * length(r.prefix) + r.allow) AS wk
+      FROM d0 d JOIN rules r
+        ON d.domain = r.domain AND starts_with(d.path, r.prefix)
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, d.domain,
+           CAST(coalesce(m.wk % 2, {1 if default_allow else 0}) AS BIGINT)
+             AS allowed,
+           CAST(coalesce(m.wk // 2, -1) AS BIGINT) AS matched_len
+    FROM d0 d LEFT JOIN m USING (doc_id)
+    """
+
+
+@q_staged("curation_robots_gate", oracle=_robots_gate_oracle())
+def curation_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 crawl-consent gate over the certified URL fixture:
+    canonical URL → (domain, path), longest-prefix rule resolution
+    with the allow-wins tiebreak, per-rules-table defaults
+    (operators/urls.py robots_gate).  The 40-host rules fixture
+    exercises blanket disallows, longer-allow re-admission, the
+    equal-length tie, explicit allows, and the no-rules default; the
+    corpus never shuffles — rules aggregate per domain, broadcast,
+    and resolve with array HOFs in the scan stage."""
+    from rheoceros_spark.operators.urls import robots_gate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "url", F.expr(_URL_FIXTURE)
+    )
+    rules = spark.createDataFrame(
+        _robots_rules_rows(), "domain string, path_prefix string, allow int"
+    )
+    out = robots_gate(docs, rules)
+    return out.select(
+        "doc_id",
+        "domain",
+        "allowed",
+        F.coalesce(F.col("matched_len"), F.lit(-1)).cast("bigint").alias("matched_len"),
+    )
+
+
 # image-dedup fixture: 18×16 P6 images, pixels CONSTANT within each
 # 2×2 block of the 9×8 mean grid, so the dHash block means equal the
 # block values and the oracle computes them in closed form.  16 base

@@ -755,3 +755,120 @@ def url_mirror_pairs(
             "domain_a", "domain_b", "n_paths_a", "n_paths_b", "n_shared", "jaccard_r"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robots/consent gate (RFC 9309 longest-match semantics)
+# ---------------------------------------------------------------------------
+
+def robots_gate(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    default_allow: bool = True,
+    max_rules_per_domain: int | None = 4096,
+    trackers: Sequence[str] = DEFAULT_TRACKER_PARAMS,
+) -> DataFrame:
+    """Per-document crawl-consent gate against a rules table — the
+    RFC 9309 (robots.txt) match semantics a compliant training-data
+    pipeline applies before keeping a page: for each document's
+    canonical URL, find the rules of its domain whose ``path_prefix``
+    prefixes the canonical path-and-query, and let the MOST SPECIFIC
+    rule win — longest prefix in octets; on a length tie, allow beats
+    disallow (RFC 9309 §2.2.2).  A document whose domain has no rules,
+    whose rules all miss, or whose URL is NULL/uncanonicalizable gets
+    ``default_allow`` (the no-robots.txt default; pass ``False`` for
+    an opt-in consent regime).
+
+    ``rules`` columns: ``domain`` (exact, www-stripped, as
+    :func:`url_domain` emits), ``path_prefix``, ``allow`` (boolean or
+    0/1).  Rows with a NULL domain or prefix are ignored.  The empty
+    path normalizes to ``'/'`` (RFC 9309 §2.2.2's empty-pattern
+    equivalence), so a bare ``https://host`` is governed by ``/``
+    rules.
+
+    Returns ``df``'s columns plus ``domain``, ``allowed`` (0/1
+    bigint) and ``matched_len`` (octet length of the winning prefix,
+    NULL when no rule matched).  The winning PREFIX string is
+    deliberately not returned: two distinct same-length prefixes with
+    the same verdict tie, and surfacing an arbitrary one of them
+    would be nondeterministic.
+
+    Scale shape: the corpus NEVER shuffles — rules aggregate to one
+    array row per domain (a rules-sized shuffle), broadcast onto the
+    corpus, and the winner resolves per row with array HOFs inside
+    the scan stage.  ``max_rules_per_domain`` (default 4096 — well
+    past RFC 9309's 500 KiB robots.txt ceiling) refuses loudly when a
+    domain's rule array would bloat every broadcast copy; ``None``
+    opts out."""
+    need = {"domain", "path_prefix", "allow"}
+    if not need <= set(rules.columns):
+        raise ValueError(
+            f"robots_gate: rules must carry columns {sorted(need)}, got "
+            f"{rules.columns}"
+        )
+    rarr = (
+        rules.where(F.col("domain").isNotNull() & F.col("path_prefix").isNotNull())
+        .select(
+            "domain",
+            F.struct(
+                (
+                    F.length("path_prefix").cast("bigint") * 2
+                    + F.col("allow").cast("int").cast("bigint")
+                ).alias("key"),
+                F.col("path_prefix").alias("prefix"),
+            ).alias("__rule"),
+        )
+        .groupBy("domain")
+        .agg(F.collect_list("__rule").alias("__rules"))
+        .localCheckpoint(eager=False)
+    )
+    if max_rules_per_domain is not None:
+        # one rules-sized aggregate; the collect is a single scalar
+        # (bounded-artifact rule) and it materializes the checkpoint
+        # the broadcast join reuses
+        worst = rarr.select(
+            F.max(F.size("__rules")).alias("m")
+        ).collect()[0]["m"]
+        if worst is not None and worst > max_rules_per_domain:
+            raise ValueError(
+                f"robots_gate: a domain carries {worst} rules, over "
+                f"max_rules_per_domain={max_rules_per_domain} — every broadcast "
+                "copy pays for the array; dedupe the rules table (or pass "
+                "max_rules_per_domain=None to accept the cost knowingly)"
+            )
+    canon = url_canonicalize(df, url_col=url_col, out_col="__curl", trackers=trackers)
+    canon = _barriered(canon, "robots_gate_rows_in")
+    with_dom = url_domain(canon, url_col="__curl", out_col="domain", strip_www=True)
+    path_raw = F.regexp_extract(F.col("__curl"), "^[a-z0-9+.-]+://[^/]*(/.*)$", 1)
+    with_path = with_dom.withColumn(
+        "__path", F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    )
+    joined = with_path.join(F.broadcast(rarr), "domain", "left")
+    matches = F.filter(
+        F.col("__rules"),
+        lambda r: F.col("__path").startswith(r["prefix"]),
+    )
+    wk = F.aggregate(
+        matches,
+        F.lit(-1).cast("bigint"),
+        lambda acc, r: F.greatest(acc, r["key"]),
+    )
+    out = (
+        joined.withColumn("__wk", wk)
+        .withColumn(
+            "allowed",
+            F.when(
+                F.col("__wk").isNull() | (F.col("__wk") < 0),
+                F.lit(1 if default_allow else 0),
+            )
+            .otherwise(F.col("__wk") % 2)
+            .cast("bigint"),
+        )
+        .withColumn(
+            "matched_len",
+            F.when(F.col("__wk") >= 0, F.floor(F.col("__wk") / 2)).cast("bigint"),
+        )
+    )
+    return out.drop("__curl", "__path", "__rules", "__wk")

@@ -347,3 +347,96 @@ class TestUrlIndexAndStream:
         }
         idx_fps = {r.fp for r in idx.collect()}
         assert fps <= idx_fps  # every canonical ingest fp is indexed
+
+
+class TestRobotsGate:
+    def _gate(self, spark, urls, rules, **kw):
+        from rheoceros_spark.operators.urls import robots_gate
+
+        docs = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "doc_id bigint, url string"
+        )
+        rdf = spark.createDataFrame(
+            rules, "domain string, path_prefix string, allow int"
+        )
+        out = robots_gate(docs, rdf, **kw).collect()
+        return {r.doc_id: r for r in out}
+
+    def test_longest_prefix_wins_and_allow_readmits(self, spark):
+        rules = [
+            ("x.example.com", "/", 0),
+            ("x.example.com", "/public", 1),
+            ("x.example.com", "/public/private", 0),
+        ]
+        got = self._gate(
+            spark,
+            [
+                "https://x.example.com/anything",        # blanket '/'
+                "https://x.example.com/public/page",     # re-admitted
+                "https://x.example.com/public/private/x",  # re-blocked deeper
+            ],
+            rules,
+        )
+        assert (got[0].allowed, got[0].matched_len) == (0, 1)
+        assert (got[1].allowed, got[1].matched_len) == (1, 7)
+        assert (got[2].allowed, got[2].matched_len) == (0, 15)
+
+    def test_equal_length_tie_allow_wins(self, spark):
+        rules = [("t.example.com", "/a", 0), ("t.example.com", "/a", 1)]
+        got = self._gate(spark, ["https://t.example.com/a/x"], rules)
+        assert got[0].allowed == 1
+
+    def test_defaults_for_no_rules_null_url_and_empty_path(self, spark):
+        rules = [("ruled.example.com", "/", 0)]
+        got = self._gate(
+            spark,
+            [
+                "https://free.example.com/x",   # domain has no rules
+                None,                            # NULL url
+                "not a url",                     # uncanonicalizable
+                "https://ruled.example.com",     # empty path -> '/'
+            ],
+            rules,
+        )
+        assert got[0].allowed == 1 and got[0].matched_len is None
+        assert got[1].allowed == 1 and got[1].domain is None
+        assert got[2].allowed == 1 and got[2].domain is None
+        assert got[3].allowed == 0 and got[3].matched_len == 1
+        # opt-in regime: unmatched docs flip to blocked, ruled stays
+        strict = self._gate(
+            spark,
+            ["https://free.example.com/x", "https://ruled.example.com/x"],
+            [("ruled.example.com", "/x", 1)],
+            default_allow=False,
+        )
+        assert strict[0].allowed == 0
+        assert strict[1].allowed == 1
+
+    def test_null_rule_rows_ignored_and_columns_validated(self, spark):
+        from rheoceros_spark.operators.urls import robots_gate
+
+        got = self._gate(
+            spark,
+            ["https://n.example.com/a"],
+            [(None, "/a", 0), ("n.example.com", None, 0)],
+        )
+        assert got[0].allowed == 1  # both rules ignored -> default
+        docs = spark.createDataFrame([(0, "https://x/y")], "doc_id bigint, url string")
+        bad = spark.createDataFrame([("d", "/p")], "domain string, prefix string")
+        with pytest.raises(ValueError, match="rules must carry"):
+            robots_gate(docs, bad)
+
+    def test_max_rules_per_domain_is_loud(self, spark):
+        from rheoceros_spark.operators.urls import robots_gate
+
+        docs = spark.createDataFrame(
+            [(0, "https://big.example.com/p")], "doc_id bigint, url string"
+        )
+        rules = spark.createDataFrame(
+            [("big.example.com", f"/p{i}", 1) for i in range(20)],
+            "domain string, path_prefix string, allow int",
+        )
+        with pytest.raises(ValueError, match="max_rules_per_domain"):
+            robots_gate(docs, rules, max_rules_per_domain=10)
+        out = robots_gate(docs, rules, max_rules_per_domain=None).collect()
+        assert len(out) == 1 and out[0].allowed == 1  # default: no match
