@@ -4081,6 +4081,31 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   multimodal_features r12 + multimodal_audio_stats r13 + the image
 #   dedup's decode path; video frame sampling stays pytest- and
 #   retired-gate-covered like multimodal_frame_sample r12).
+#
+# ---- Round-19 certification batch (staged) --------------------------------
+# r19 registers the round-14 batch — the perceptual-dedup family
+#   completed across modalities plus the crawl-consent gate:
+#   multimodal_audio_dedup (segmented RMS-band fingerprint through the
+#   REAL stdlib-wave decode, Haitsma & Kalker 2002's energy-envelope
+#   tier; the banded pair machinery shared with dhash via
+#   _rep_banded_pairs, verified by differing-SEGMENT count),
+#   multimodal_video_dedup (per-frame dHash sets demuxed+hashed in one
+#   Arrow task, Wu et al. 2007 — exact-dup grouping on the sorted
+#   frame-hash set key, representative-only Jaccard verify),
+#   curation_robots_gate (RFC 9309 longest-match/allow-wins-tie
+#   consent verdicts as broadcast array-HOF algebra — zero corpus
+#   shuffle).  Each pairs with a weakest-marginal retirement from the
+#   r17-certified pool (provisional candidates, sibling holding an
+#   official row in parentheses):
+#   multimodal_audio_stats  (WAV decode + stats ⊂ the SAME stdlib-wave
+#                            decode path multimodal_audio_dedup r19
+#                            certifies per-segment — a strictly finer
+#                            check of the identical decode),
+#   ts_range_join_counts    (range-join counting ⊂ ts_asof_join r12 +
+#                            events_sliding_2day r12 window family),
+#   curation_pii_redact     (regex column algebra ⊂ curation_c4_lines
+#                            r12 + text_lang_segments r13, which hold
+#                            the per-row regex extraction shapes).
 # ===========================================================================
 
 _STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -192,6 +192,11 @@ BENCH_EXT = [
     "curation_icp_order",
     "dedup_url_mirrors",
     "multimodal_image_dedup",
+    # round-14 staging (perceptual audio/video dedup + robots gate,
+    # slotted r19)
+    "multimodal_audio_dedup",
+    "multimodal_video_dedup",
+    "curation_robots_gate",
 ]
 
 

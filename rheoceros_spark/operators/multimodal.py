@@ -608,7 +608,15 @@ def _rep_banded_pairs(
         F.col(lo_col).alias("__lo"),
     )
     grp = Window.partitionBy("__hi", "__lo")
-    tagged_h = h.withColumn("__rep", F.min("__id").over(grp))
+    # three consumers branch from the grouped frame (star pairs, the
+    # banded reps, and the hot-bucket aggregate): materialize it once —
+    # upstream is typically a DECODE MapInPandas (image dhash, audio
+    # phash), and every unmaterialized consumer would replay the full
+    # decode pass over the corpus (the url_mirror_pairs lesson:
+    # measured 18.8 s vs ~2 s at sf0.1 there)
+    tagged_h = h.withColumn("__rep", F.min("__id").over(grp)).localCheckpoint(
+        eager=False
+    )
     # star pairs inside each exact-duplicate hash group (hamming 0)
     exact_pairs = tagged_h.where(F.col("__id") != F.col("__rep")).select(
         F.col("__rep").alias("a"),

@@ -118,6 +118,10 @@ AUDIT = [
     "curation_icp_order",
     "dedup_url_mirrors",
     "multimodal_image_dedup",
+    # round-14 (r19 batch): cross-modal perceptual dedup + robots gate
+    "multimodal_audio_dedup",
+    "multimodal_video_dedup",
+    "curation_robots_gate",
     # round-9: the composed stateless streaming gate, audited over a
     # batch frame (identical expression tree — that is the twin claim)
     "stream_curation_gate_batch_twin",

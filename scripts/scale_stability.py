@@ -192,10 +192,29 @@ HEAVIES = [
     # the same trained cell, so within-cell pair counts grow 100× at
     # 10× data BY CONSTRUCTION (measured 15.5× wall at k=8) — the same
     # exclusion as the dedup-pair operators; the icp_order_scaled_k
-    # SCALABLE probe demonstrates the documented knob instead (k grows
-    # with the corpus so cells stay bounded, the SemDeDup sizing)
+    # SCALABLE probe demonstrates the k-grows-with-corpus contract
+    # (cells stay bounded, the SemDeDup sizing).  Since r14 that
+    # contract is ENFORCED, not advisory: icp_order refuses when the
+    # largest trained cell exceeds max_cell_size (default 200k) — the
+    # fixed-k mis-sizing this exclusion documents now raises instead
+    # of silently going quadratic (curation.py icp_order)
     "scan_warc_demux",
     "dedup_url_mirrors",
+    # r14: the FULL image-dedup pipeline is now probeable — dhash_pairs
+    # groups exact-dup hashes to a min-id representative before the
+    # banded join (star pairs are linear in duplicate mass; only the 32
+    # DISTINCT fixture hashes enter the join), so the synthesizer's
+    # duplicate replicas no longer square the output.  image_dhash_stage
+    # (SCALABLE) still times the decode+hash stage alone.
+    "multimodal_image_dedup",
+    # round-14 staging (r19 batch): the audio/video fixtures
+    # synthesize from doc_id alone — corpus-linear decode passes, a
+    # 32-distinct-hash-bounded banded join for audio, constant
+    # family-of-4 dup groups for video; the robots gate is
+    # zero-shuffle broadcast array-HOF algebra
+    "multimodal_audio_dedup",
+    "multimodal_video_dedup",
+    "curation_robots_gate",
 ]
 #: bench-only scalable dedup variants (not in queries(); timed here too).
 #: retrieval_metrics_layer probes the metric battery at FIXED query
@@ -322,6 +341,16 @@ ORACLE_AT_SF1 = [
     # walk's list_contains is O(visited) per step — timing-only at sf1
     "scan_warc_demux",
     "dedup_url_mirrors",
+    # image-dedup oracle: closed-form hash groups + a 32-distinct-hash
+    # banded join — corpus-linear star pairs (the r14 grouped shape)
+    "multimodal_image_dedup",
+    # r19 batch: audio/video oracles are closed-form band/md5-byte
+    # arithmetic per doc (corpus-linear, doc_id-derived — immune to
+    # the '#r' text-suffix artifact); robots oracle is the certified
+    # canonicalization plus a 74-rule VALUES join — corpus-linear
+    "multimodal_audio_dedup",
+    "multimodal_video_dedup",
+    "curation_robots_gate",
 ]
 
 
