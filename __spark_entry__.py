@@ -8287,6 +8287,7 @@ def video_dedup_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id alone."""
     import hashlib as _hashlib
 
+    import numpy as _np
     import pandas as _pd
     from pyspark.sql import types as _T
 
@@ -8295,30 +8296,37 @@ def video_dedup_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
         F.col("doc_id").isNotNull()
     )
+    # static per-frame index/offset matrices (block grid is 8x9x3:
+    # j, i, c) — the per-frame work is then one vectorized gather
+    p_grid = _np.arange(72).reshape(8, 9)  # p = j*9 + i
+    idx = (3 * p_grid[:, :, None] + _np.arange(3)[None, None, :]) % 16
+    off = 13 * (p_grid % 9)[:, :, None] + 11 * (p_grid // 9)[:, :, None]
 
     def synth(it):
+        frame_cache: dict[str, bytes] = {}
+
+        def frame(fam: int, seed: str) -> bytes:
+            key = f"vd:{fam}:{seed}"
+            got = frame_cache.get(key)
+            if got is None:
+                hx = _hashlib.md5(key.encode()).hexdigest()
+                bts = _np.frombuffer(bytes.fromhex(hx), dtype=_np.uint8)
+                blocks = (bts[idx].astype(_np.int32) + off) % 256
+                px = blocks.astype(_np.uint8).repeat(2, axis=0).repeat(2, axis=1)
+                got = frame_cache[key] = encode_ppm(18, 16, px.tobytes())
+            return got
+
         for pdf in it:
             blobs = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 fam, var = d // 4, (d % 4) // 2
-                video = b""
-                for f in range(4):
-                    seed = "v" if (var == 1 and f == 2) else str(f)
-                    hx = _hashlib.md5(f"vd:{fam}:{seed}".encode()).hexdigest()
-                    bts = [int(hx[2 * k : 2 * k + 2], 16) for k in range(16)]
-                    px = bytearray()
-                    for y in range(16):
-                        j = y // 2
-                        for x in range(18):
-                            i = x // 2
-                            p = j * 9 + i
-                            for c in range(3):
-                                px.append(
-                                    (bts[(3 * p + c) % 16] + 13 * i + 11 * j) % 256
-                                )
-                    video += encode_ppm(18, 16, bytes(px))
-                blobs.append(video)
+                blobs.append(
+                    b"".join(
+                        frame(fam, "v" if (var == 1 and f == 2) else str(f))
+                        for f in range(4)
+                    )
+                )
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
     return docs.mapInPandas(
