@@ -820,6 +820,38 @@ def dedup_images_against_index(
         )
     new_h = image_dhash(new_df, content_col=content_col, id_col=id_col)
 
+    def _ham(lo_a, lo_b, hi_a, hi_b):
+        return (
+            F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(hi_a.bitwiseXOR(hi_b))
+        ).cast("bigint")
+
+    return _banded_index_probe(
+        new_h, index, "dhash_hi", "dhash_lo", max_hamming, _ham, "min_hamming"
+    )
+
+
+def _banded_index_probe(
+    new_h: DataFrame,
+    index: DataFrame,
+    hi_col: str,
+    lo_col: str,
+    max_dist: int,
+    dist,
+    out_dist_col: str,
+) -> DataFrame:
+    """Shared probe of the incremental fingerprint-index family
+    (:func:`dedup_images_against_index`,
+    :func:`dedup_audio_against_index`): band DISTINCT fingerprints on
+    BOTH sides (the dhash_pairs shape) — a batch of h identical new
+    blobs probing a bucket of g identical indexed blobs would
+    otherwise fan the band join out h·g before any filter runs.
+    Identical index fingerprints share one verdict row carrying the
+    SMALLEST indexed id, which is exactly what the min(dist, id)
+    reduce would have picked — so per-row output is unchanged while
+    only distinct 16-byte fingerprint rows join.  Returns ``new_h`` +
+    (``out_dist_col``, ``dup_of``); ``index`` must carry
+    (doc_id, hi_col, lo_col)."""
+
     def bands(hi, lo):
         return F.posexplode(
             F.array(
@@ -830,16 +862,9 @@ def dedup_images_against_index(
             )
         )
 
-    # Band DISTINCT hashes on BOTH sides (the dhash_pairs shape): a
-    # batch of h identical new images probing a bucket of g identical
-    # indexed images would otherwise fan the band join out h·g before
-    # any filter runs.  Identical index hashes share one verdict row
-    # carrying the SMALLEST indexed id, which is exactly what the
-    # min(struct(ham, iid)) reduce would have picked — so per-row
-    # output is unchanged while only distinct 16-byte hash rows join.
     probe = (
         new_h.groupBy(
-            F.col("dhash_hi").alias("__nhi"), F.col("dhash_lo").alias("__nlo")
+            F.col(hi_col).alias("__nhi"), F.col(lo_col).alias("__nlo")
         )
         .agg(F.count(F.lit(1)).alias("__n"))
         .drop("__n")
@@ -851,7 +876,7 @@ def dedup_images_against_index(
     )
     idx = (
         index.groupBy(
-            F.col("dhash_hi").alias("__ihi"), F.col("dhash_lo").alias("__ilo")
+            F.col(hi_col).alias("__ihi"), F.col(lo_col).alias("__ilo")
         )
         .agg(F.min("doc_id").alias("__iid"))
         .select(
@@ -861,26 +886,23 @@ def dedup_images_against_index(
             bands(F.col("__ihi"), F.col("__ilo")).alias("__bidx", "__band"),
         )
     )
-    ham = (
-        F.bit_count(F.col("__nlo").bitwiseXOR(F.col("__ilo")))
-        + F.bit_count(F.col("__nhi").bitwiseXOR(F.col("__ihi")))
-    ).cast("bigint")
+    d = dist(F.col("__nlo"), F.col("__ilo"), F.col("__nhi"), F.col("__ihi"))
     hits = (
         probe.join(idx, ["__bidx", "__band"])
-        .select("__nhi", "__nlo", "__iid", ham.alias("__ham"))
-        .where(F.col("__ham") <= max_hamming)
+        .select("__nhi", "__nlo", "__iid", d.alias("__ham"))
+        .where(F.col("__ham") <= max_dist)
         .groupBy("__nhi", "__nlo")
         .agg(F.min(F.struct(F.col("__ham"), F.col("__iid"))).alias("__w"))
         .select(
             "__nhi",
             "__nlo",
-            F.col("__w.__ham").alias("min_hamming"),
+            F.col("__w.__ham").alias(out_dist_col),
             F.col("__w.__iid").alias("dup_of"),
         )
     )
     return new_h.join(
         hits,
-        (new_h["dhash_hi"] == hits["__nhi"]) & (new_h["dhash_lo"] == hits["__nlo"]),
+        (new_h[hi_col] == hits["__nhi"]) & (new_h[lo_col] == hits["__nlo"]),
         "left",
     ).drop("__nhi", "__nlo")
 
@@ -890,6 +912,40 @@ def dedup_images_against_index(
 # ---------------------------------------------------------------------------
 
 AUDIO_PHASH_SEGMENTS = 16
+
+
+def _aphash_of_blob(b: bytes) -> tuple[int, int] | None:
+    """Per-blob audio fingerprint (the :func:`audio_phash` contract):
+    (hi, lo) packed 16×4-bit segment bands, or ``None`` for NULL /
+    non-RIFF / undecodable / shorter-than-16-samples payloads — shared
+    by the batch operator and the streaming gate so verdicts cannot
+    drift between them."""
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        a = decode_wav(b)
+    except Exception:
+        return None
+    if a.sample_width == 2:
+        x = np.frombuffer(a.pcm, dtype="<i2").astype(np.float64) / 32768.0
+    else:  # 8-bit WAV PCM is unsigned, midpoint 128
+        x = (np.frombuffer(a.pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n = x.size
+    S = AUDIO_PHASH_SEGMENTS
+    if n < S:
+        return None
+    hi = lo = 0
+    sq = np.square(x)
+    for s in range(S):
+        seg = sq[s * n // S : (s + 1) * n // S]
+        band = min(15, int(math.floor(16.0 * math.sqrt(seg.mean()))))
+        if s < 8:
+            lo |= band << (4 * s)
+        else:
+            hi |= band << (4 * (s - 8))
+    return hi, lo
 
 
 def audio_phash(
@@ -918,10 +974,7 @@ def audio_phash(
     Scale shape: Arrow-batched ``mapInPandas`` over a column-pruned
     (id, content) projection; per-segment RMS is one vectorized numpy
     pass per row, output is two ints — audio bytes never shuffle."""
-    import numpy as np
-
     pruned = df.where(F.col(id_col).isNotNull()).select(id_col, content_col)
-    S = AUDIO_PHASH_SEGMENTS
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -929,32 +982,10 @@ def audio_phash(
             for doc_id, b in zip(pdf[id_col], pdf[content_col]):
                 if b is None:
                     continue
-                b = bytes(b)
-                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                got = _aphash_of_blob(bytes(b))
+                if got is None:
                     continue
-                try:
-                    a = decode_wav(b)
-                except Exception:
-                    continue
-                if a.sample_width == 2:
-                    x = np.frombuffer(a.pcm, dtype="<i2").astype(np.float64) / 32768.0
-                else:  # 8-bit WAV PCM is unsigned, midpoint 128
-                    x = (
-                        np.frombuffer(a.pcm, dtype=np.uint8).astype(np.float64)
-                        - 128.0
-                    ) / 128.0
-                n = x.size
-                if n < S:
-                    continue
-                hi = lo = 0
-                sq = np.square(x)
-                for s in range(S):
-                    seg = sq[s * n // S : (s + 1) * n // S]
-                    band = min(15, int(math.floor(16.0 * math.sqrt(seg.mean()))))
-                    if s < 8:
-                        lo |= band << (4 * s)
-                    else:
-                        hi |= band << (4 * (s - 8))
+                hi, lo = got
                 ids.append(int(doc_id))
                 his.append(hi)
                 los.append(lo)
@@ -1188,3 +1219,87 @@ def video_dedup_pairs(
         )
     )
     return star.unionByName(near)
+
+
+APHASH_INDEX_ALGO = "aphash-v1:rms-16seg-4bit"
+
+
+def aphash_index_write(
+    df: DataFrame,
+    path: str | None = None,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persisted perceptual-fingerprint index for INCREMENTAL audio
+    dedup — the audio-modality member of the incremental-index family
+    (minhash / winnowing / URL / fingerprint / image dhash): decode
+    the existing audio corpus ONCE, then gate every new ingest batch
+    against 24-byte (id, hi, lo) rows without ever re-decoding old
+    bytes.  Layout mirrors :func:`dhash_index_write`: one row per
+    clip (``doc_id``, ``aph_hi``, ``aph_lo``) plus a literal
+    ``aphash_algo`` scheme stamp validated on probe — fingerprints
+    computed under a different segmentation/quantizer collide VALIDLY
+    but wrongly, so a mismatch must be loud, not a silent recall
+    hole.  ``mode="append"`` is the incremental maintenance step;
+    with ``path`` the returned frame reads from the materialized
+    parquet, so probes scan the index, never the corpus recompute
+    plan."""
+    idx = audio_phash(df, content_col=content_col, id_col=id_col).select(
+        "doc_id", "aph_hi", "aph_lo", F.lit(APHASH_INDEX_ALGO).alias("aphash_algo")
+    )
+    if path is not None:
+        idx.write.mode(mode).parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return idx
+
+
+def check_aphash_index(index: DataFrame) -> None:
+    """Loud structural/scheme validation (the ``check_dhash_index``
+    discipline, audio member)."""
+    need = {"doc_id", "aph_hi", "aph_lo"}
+    if not need <= set(index.columns):
+        raise ValueError(
+            f"aphash index is missing {sorted(need - set(index.columns))} — "
+            "expected the (doc_id, aph_hi, aph_lo, aphash_algo) layout "
+            "written by aphash_index_write"
+        )
+    if "aphash_algo" in index.columns:
+        algos = sorted(
+            r[0] for r in index.select("aphash_algo").distinct().collect() if r[0]
+        )
+        if algos and algos != [APHASH_INDEX_ALGO]:
+            raise ValueError(
+                f"aphash index carries aphash_algo values {algos!r}, this "
+                f"engine computes {APHASH_INDEX_ALGO!r} — fingerprints from "
+                "another segmentation/quantizer scheme would collide wrongly "
+                "and silently re-admit near-duplicate audio; rebuild the "
+                "index under one scheme"
+            )
+
+
+def dedup_audio_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_seg_diff: int = 2,
+) -> DataFrame:
+    """Gate a NEW audio batch against a persisted fingerprint index:
+    adds ``dup_of`` (the smallest matching indexed id within
+    ``max_seg_diff`` differing segments, NULL = novel) and
+    ``min_seg_diff``.  The probe is the shared 4-band pigeonhole over
+    DISTINCT fingerprints (:func:`_banded_index_probe` — guaranteed
+    detection for ≤ 3 differing segments) with the nibble-count
+    verify; old audio bytes are never re-read, new bytes never
+    shuffle (only their 16-byte fingerprint rows do)."""
+    check_aphash_index(index)
+    if not 0 <= max_seg_diff <= 3:
+        raise ValueError(
+            f"dedup_audio_against_index: the 4-band pigeonhole guarantee "
+            f"holds for max_seg_diff <= 3, got {max_seg_diff}"
+        )
+    new_h = audio_phash(new_df, content_col=content_col, id_col=id_col)
+    return _banded_index_probe(
+        new_h, index, "aph_hi", "aph_lo", max_seg_diff, _nibble_dist, "min_seg_diff"
+    )

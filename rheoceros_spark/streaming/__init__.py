@@ -2,6 +2,7 @@ from rheoceros_spark.streaming.routing import Route, RoutingTable, RuntimeLinkNo
 from rheoceros_spark.streaming.stream import (  # noqa: F401
     partition_overwrite_sink,
     sessionize,
+    stream_audio_dedup_gate,
     stream_bloom_gate,
     stream_image_dedup_gate,
     stream_dedup,

@@ -1020,3 +1020,119 @@ def stream_image_dedup_gate(
             "min_hamming bigint, dup_of bigint"
         ),
     )
+
+
+def stream_audio_dedup_gate(
+    sdf: DataFrame,
+    index: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_seg_diff: int = 2,
+    max_index_rows: int = 4_000_000,
+) -> DataFrame:
+    """Streaming twin of the incremental AUDIO dedup gate
+    (multimodal.dedup_audio_against_index) — the audio member of the
+    gate-at-ingest family, sharing stream_image_dedup_gate's state
+    design: distinct index fingerprints reduce JVM-side to one row
+    carrying the smallest indexed id, ship as packed int64 numpy
+    arrays through an explicit ``SparkContext.broadcast`` (never a
+    pickled Row closure), and each micro-batch row decodes through
+    the REAL stdlib-wave path (the shared ``_aphash_of_blob``, so
+    stream and batch verdicts cannot drift) and probes four sorted
+    16-bit band views by binary search.  The verify is the
+    differing-SEGMENT nibble count, the distance that matches the
+    fingerprint's semantics.  Past ``max_index_rows`` distinct
+    fingerprints (~200 MB of broadcast state) the loud reject routes
+    callers to the batch operator inside ``foreachBatch``, which
+    holds no per-executor state at all."""
+    import numpy as np
+
+    from rheoceros_spark.operators.multimodal import (
+        _aphash_of_blob,
+        check_aphash_index,
+    )
+
+    check_aphash_index(index)
+    if not 0 <= max_seg_diff <= 3:
+        raise ValueError(
+            f"stream_audio_dedup_gate: the 4-band pigeonhole guarantee "
+            f"holds for max_seg_diff <= 3, got {max_seg_diff}"
+        )
+    distinct = (
+        index.groupBy("aph_hi", "aph_lo")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "aph_hi", "aph_lo")
+    )
+    n = distinct.count()
+    if n > max_index_rows:
+        raise ValueError(
+            f"stream_audio_dedup_gate: index holds {n} distinct fingerprints, "
+            f"over the broadcastable tier ({max_index_rows}) — gate with "
+            "dedup_audio_against_index inside foreachBatch instead"
+        )
+    pdf_idx = distinct.toPandas()
+    iid = pdf_idx["doc_id"].to_numpy(dtype=np.int64)
+    ihi = pdf_idx["aph_hi"].to_numpy(dtype=np.int64)
+    ilo = pdf_idx["aph_lo"].to_numpy(dtype=np.int64)
+    band_vals = [
+        ilo & 65535,
+        (ilo >> 16) & 65535,
+        ihi & 65535,
+        (ihi >> 16) & 65535,
+    ]
+    views = []
+    for bv in band_vals:
+        perm = np.argsort(bv, kind="stable").astype(np.int64)
+        views.append((bv[perm].astype(np.int64), perm))
+    bc = sdf.sparkSession.sparkContext.broadcast((iid, ihi, ilo, views))
+
+    def _nib(a: int, b: int) -> int:
+        x = a ^ b
+        return sum(1 for k in range(8) if (x >> (4 * k)) & 15)
+
+    def gate(it):
+        import pandas as pd
+
+        ws_iid, ws_ihi, ws_ilo, ws_views = bc.value
+        for pdf in it:
+            out = []
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                got = _aphash_of_blob(bytes(blob))
+                if got is None:
+                    continue
+                hi, lo = got
+                best = None
+                for bidx, band in enumerate(
+                    (lo & 65535, (lo >> 16) & 65535, hi & 65535, (hi >> 16) & 65535)
+                ):
+                    sb, perm = ws_views[bidx]
+                    s = int(np.searchsorted(sb, band, "left"))
+                    e = int(np.searchsorted(sb, band, "right"))
+                    for p in perm[s:e]:
+                        sd = _nib(lo, int(ws_ilo[p])) + _nib(hi, int(ws_ihi[p]))
+                        cand = (sd, int(ws_iid[p]))
+                        if sd <= max_seg_diff and (best is None or cand < best):
+                            best = cand
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "aph_hi": hi,
+                        "aph_lo": lo,
+                        "min_seg_diff": None if best is None else best[0],
+                        "dup_of": None if best is None else best[1],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "aph_hi", "aph_lo", "min_seg_diff", "dup_of"],
+            )
+
+    return sdf.select(id_col, content_col).mapInPandas(
+        gate,
+        schema=(
+            "doc_id bigint, aph_hi bigint, aph_lo bigint, "
+            "min_seg_diff bigint, dup_of bigint"
+        ),
+    )

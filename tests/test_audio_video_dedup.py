@@ -260,3 +260,109 @@ class TestVideoDedupPairs:
             video_dedup_pairs(
                 video_frame_dhash(_vdf(spark, [(0, _video([1]))])), threshold=0.0
             )
+
+
+# ---------------------------------------------------------------------------
+# audio incremental index + gate-at-ingest (the dhash-index family twin)
+# ---------------------------------------------------------------------------
+
+from rheoceros_spark.operators.multimodal import (  # noqa: E402
+    aphash_index_write,
+    dedup_audio_against_index,
+)
+
+
+def _amedia(spark, rows):
+    """rows = [(doc_id, bands list)]"""
+    return spark.createDataFrame(
+        [(i, _wav(_square(b))) for i, b in rows], "doc_id bigint, content binary"
+    )
+
+
+class TestAudioIndex:
+    def test_probe_finds_exact_and_near_novel_null(self, spark, tmp_path):
+        base = [(3 * s + 1) % 16 for s in range(16)]
+        near = list(base)
+        near[5] = (near[5] + 8) % 16
+        other = [(7 * s + 3) % 16 for s in range(16)]
+        idx = aphash_index_write(
+            _amedia(spark, [(0, base), (1, base)]), str(tmp_path / "aidx")
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup_audio_against_index(
+                _amedia(spark, [(10, base), (11, near), (12, other)]), idx
+            ).collect()
+        }
+        assert (out[10].dup_of, out[10].min_seg_diff) == (0, 0)  # smallest id wins
+        assert (out[11].dup_of, out[11].min_seg_diff) == (0, 1)
+        assert out[12].dup_of is None and out[12].min_seg_diff is None
+
+    def test_append_equals_rebuild(self, spark, tmp_path):
+        a = [(5 * s) % 16 for s in range(16)]
+        b = [(5 * s + 1) % 16 for s in range(16)]
+        p1, p2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+        aphash_index_write(_amedia(spark, [(0, a)]), p1)
+        aphash_index_write(_amedia(spark, [(1, b)]), p1, mode="append")
+        aphash_index_write(_amedia(spark, [(0, a), (1, b)]), p2)
+        r1 = sorted(map(tuple, spark.read.parquet(p1).collect()))
+        r2 = sorted(map(tuple, spark.read.parquet(p2).collect()))
+        assert r1 == r2
+
+    def test_scheme_mismatch_is_loud(self, spark):
+        import pyspark.sql.functions as SF
+
+        idx = aphash_index_write(_amedia(spark, [(0, [1] * 16)])).withColumn(
+            "aphash_algo", SF.lit("aphash-v0:other-scheme")
+        )
+        with pytest.raises(ValueError, match="aphash_algo"):
+            dedup_audio_against_index(_amedia(spark, [(1, [1] * 16)]), idx)
+        bad = spark.createDataFrame([(0, 1)], "doc_id bigint, aph_hi bigint")
+        with pytest.raises(ValueError, match="missing"):
+            dedup_audio_against_index(_amedia(spark, [(1, [1] * 16)]), bad)
+
+    def test_stream_gate_matches_batch(self, spark, tmp_path):
+        from rheoceros_spark.streaming import stream_audio_dedup_gate
+
+        base = [(3 * s + 2) % 16 for s in range(16)]
+        near = list(base)
+        near[9] = (near[9] + 8) % 16
+        other = [(11 * s + 5) % 16 for s in range(16)]
+        idx = aphash_index_write(
+            _amedia(spark, [(0, base)]), str(tmp_path / "idx")
+        ).localCheckpoint()
+        batch = _amedia(spark, [(10, base), (11, near), (12, other)])
+        src = str(tmp_path / "src")
+        batch.write.parquet(src)
+        sdf = spark.readStream.schema("doc_id bigint, content binary").parquet(src)
+        gated = stream_audio_dedup_gate(sdf, idx)
+        out = str(tmp_path / "out")
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.doc_id, r.dup_of, r.min_seg_diff)
+            for r in spark.read.parquet(out).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.dup_of, r.min_seg_diff)
+            for r in dedup_audio_against_index(batch, idx).collect()
+        )
+        assert got == want and len(got) == 3
+
+    def test_stream_gate_tier_cap_is_loud(self, spark, tmp_path):
+        from rheoceros_spark.streaming import stream_audio_dedup_gate
+
+        idx = aphash_index_write(
+            _amedia(spark, [(i, [(i + s) % 16 for s in range(16)]) for i in range(6)])
+        )
+        src = str(tmp_path / "src2")
+        _amedia(spark, [(99, [1] * 16)]).write.parquet(src)
+        sdf = spark.readStream.schema("doc_id bigint, content binary").parquet(src)
+        with pytest.raises(ValueError, match="broadcastable tier"):
+            stream_audio_dedup_gate(sdf, idx, max_index_rows=3)
