@@ -8,6 +8,7 @@ from rheoceros_spark.streaming.stream import (  # noqa: F401
     stream_dedup,
     stream_html_extract,
     stream_intradoc_line_dedup,
+    stream_robots_gate,
     stream_source,
     windowed_aggregate,
 )

@@ -763,6 +763,27 @@ def stream_temperature_gate(
     )
 
 
+def stream_robots_gate(
+    sdf: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    default_allow: bool = True,
+) -> DataFrame:
+    """Streaming twin of the RFC 9309 consent gate
+    (urls.robots_gate): verdict each micro-batch row against a BATCH
+    rules table.  The gate is stateless per-row algebra over a
+    broadcast stream-static join — the stream_temperature_gate
+    calling convention — so the accepted set over any micro-batch
+    split equals the batch gate's (parity-tested in
+    tests/test_urls.py)."""
+    from rheoceros_spark.operators.urls import robots_gate
+
+    return robots_gate(
+        sdf, rules, url_col=url_col, id_col=id_col, default_allow=default_allow
+    )
+
+
 def stream_dedup_url(
     sdf: DataFrame,
     index_path: str,

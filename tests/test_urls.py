@@ -440,3 +440,48 @@ class TestRobotsGate:
             robots_gate(docs, rules, max_rules_per_domain=10)
         out = robots_gate(docs, rules, max_rules_per_domain=None).collect()
         assert len(out) == 1 and out[0].allowed == 1  # default: no match
+
+
+class TestStreamRobotsGate:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """Stateless per-row gate over a stream-static broadcast join:
+        the micro-batch verdicts must equal the batch operator's."""
+        from rheoceros_spark.operators.urls import robots_gate
+        from rheoceros_spark.streaming import stream_robots_gate
+
+        rules_rows = [
+            ("s.example.com", "/", 0),
+            ("s.example.com", "/ok", 1),
+            ("t.example.com", "/x", 0),
+        ]
+        rules = spark.createDataFrame(
+            rules_rows, "domain string, path_prefix string, allow int"
+        )
+        docs = spark.createDataFrame(
+            [
+                (0, "https://s.example.com/blocked"),
+                (1, "https://s.example.com/ok/page"),
+                (2, "https://t.example.com/x/y"),
+                (3, "https://free.example.com/a"),
+                (4, None),
+            ],
+            "doc_id bigint, url string",
+        )
+        src = str(tmp_path / "rsrc")
+        docs.coalesce(2).write.parquet(src)
+        want = sorted(
+            (r.doc_id, r.allowed, r.matched_len)
+            for r in robots_gate(docs, rules).collect()
+        )
+        sdf = spark.readStream.schema(docs.schema).parquet(src)
+        got_rows = []
+        q = (
+            stream_robots_gate(sdf, rules)
+            .writeStream.foreachBatch(lambda b, i: got_rows.extend(b.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "rck"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted((r.doc_id, r.allowed, r.matched_len) for r in got_rows)
+        assert got == want and len(got) == 5
