@@ -1303,3 +1303,194 @@ def dedup_audio_against_index(
     return _banded_index_probe(
         new_h, index, "aph_hi", "aph_lo", max_seg_diff, _nibble_dist, "min_seg_diff"
     )
+
+
+VSET_INDEX_ALGO = "vset-v1:frame-dhash-9x8-sets"
+
+
+def video_index_write(
+    df: DataFrame,
+    path: str | None = None,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persisted frame-hash index for INCREMENTAL video dedup — the
+    video member of the incremental-index family: demux + dHash the
+    existing video corpus ONCE (:func:`video_frame_dhash`, frame
+    bytes never leave the task), then gate every new ingest batch
+    against 24-byte (video_id, frame-hash) rows without re-decoding
+    old bytes.  Layout: one row per DISTINCT (video, frame hash)
+    (``doc_id``, ``dhash_hi``, ``dhash_lo``) plus a literal
+    ``vset_algo`` scheme stamp (the dhash/aphash-index discipline) —
+    per-video set sizes are recomputed at probe time from the index
+    itself, so the layout stays append-friendly.  ``mode="append"``
+    is the incremental maintenance step."""
+    idx = (
+        video_frame_dhash(df, content_col=content_col, id_col=id_col)
+        .select("doc_id", "dhash_hi", "dhash_lo")
+        .distinct()
+        .select(
+            "doc_id",
+            "dhash_hi",
+            "dhash_lo",
+            F.lit(VSET_INDEX_ALGO).alias("vset_algo"),
+        )
+    )
+    if path is not None:
+        idx.write.mode(mode).parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return idx
+
+
+def check_video_index(index: DataFrame) -> None:
+    """Loud structural/scheme validation (the ``check_dhash_index``
+    discipline, video member)."""
+    need = {"doc_id", "dhash_hi", "dhash_lo"}
+    if not need <= set(index.columns):
+        raise ValueError(
+            f"video index is missing {sorted(need - set(index.columns))} — "
+            "expected the (doc_id, dhash_hi, dhash_lo, vset_algo) layout "
+            "written by video_index_write"
+        )
+    if "vset_algo" in index.columns:
+        algos = sorted(
+            r[0] for r in index.select("vset_algo").distinct().collect() if r[0]
+        )
+        if algos and algos != [VSET_INDEX_ALGO]:
+            raise ValueError(
+                f"video index carries vset_algo values {algos!r}, this engine "
+                f"computes {VSET_INDEX_ALGO!r} — frame hashes from another "
+                "grid/luma scheme would overlap wrongly and silently re-admit "
+                "near-duplicate videos; rebuild the index under one scheme"
+            )
+
+
+def dedup_videos_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_videos: int | None = 64,
+) -> DataFrame:
+    """Gate a NEW video batch against a persisted frame-hash index:
+    per new video, the best-overlapping indexed video by frame-set
+    Jaccard — ``dup_of`` (smallest best-Jaccard indexed id, NULL =
+    novel below ``threshold``) plus ``jaccard_r``, ``n_frames`` and
+    ``n_shared``.  Old video bytes are never re-read; new bytes never
+    shuffle (only frame-hash rows do).
+
+    Shapes follow :func:`video_dedup_pairs`: new videos with an
+    IDENTICAL frame-hash set share one probe through their min-id
+    representative (re-uploaded batches stay linear); frame hashes on
+    more than ``max_videos`` INDEXED videos (intro cards) are dropped
+    from both sides before sets are sized, so the Jaccard both sides
+    see is over the same capped universe.  A new video left with no
+    frames after the cap (or undecodable) emits ``n_frames`` 0/NULL
+    and a NULL verdict."""
+    check_video_index(index)
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"dedup_videos_against_index: threshold must be in (0, 1], got "
+            f"{threshold}"
+        )
+    ifh = index.select("doc_id", "dhash_hi", "dhash_lo").distinct()
+    if max_videos is not None:
+        wide = (
+            ifh.groupBy("dhash_hi", "dhash_lo")
+            .agg(F.count(F.lit(1)).alias("__nv"))
+            .where(F.col("__nv") > max_videos)
+            .select("dhash_hi", "dhash_lo")
+        )
+        ifh = ifh.join(F.broadcast(wide), ["dhash_hi", "dhash_lo"], "left_anti")
+    else:
+        wide = None
+    ifh = ifh.localCheckpoint(eager=False)
+    isz = ifh.groupBy(F.col("doc_id").alias("__iid")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__in")
+    )
+    nfh = video_frame_dhash(
+        new_df, content_col=content_col, id_col=id_col
+    ).select(F.col(id_col).alias("__nid"), "dhash_hi", "dhash_lo").distinct()
+    if wide is not None:
+        nfh = nfh.join(F.broadcast(wide), ["dhash_hi", "dhash_lo"], "left_anti")
+    nfh = nfh.localCheckpoint(eager=False)
+    # identical new sets probe once through their min-id representative
+    sets = nfh.groupBy("__nid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nn"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.collect_list(
+                    F.format_string("%d:%d", F.col("dhash_hi"), F.col("dhash_lo"))
+                )
+            ),
+        ).alias("__setkey"),
+    )
+    grp = Window.partitionBy("__setkey")
+    tagged = sets.withColumn("__rep", F.min("__nid").over(grp)).localCheckpoint(
+        eager=False
+    )
+    reps = tagged.where(F.col("__nid") == F.col("__rep")).select(
+        F.col("__rep").alias("__r"), F.col("__nn")
+    )
+    rframes = nfh.join(
+        reps.select(F.col("__r").alias("__nid")), "__nid", "left_semi"
+    )
+    shared = (
+        rframes.join(ifh.select(F.col("doc_id").alias("__iid"), "dhash_hi", "dhash_lo"),
+                     ["dhash_hi", "dhash_lo"])
+        .groupBy("__nid", "__iid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__sh"))
+    )
+    jac = F.round(
+        F.col("__sh").cast("double")
+        / (F.col("__nn") + F.col("__in") - F.col("__sh")).cast("double"),
+        6,
+    )
+    best = (
+        shared.join(reps.select(F.col("__r").alias("__nid"), "__nn"), "__nid")
+        .join(isz, "__iid")
+        .withColumn("__j", jac)
+        .where(F.col("__j") >= threshold)
+        # best = highest jaccard, ties to the SMALLEST indexed id
+        .groupBy("__nid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__j"),
+                    (-F.col("__iid")).alias("__ni"),
+                    F.col("__sh").alias("__bsh"),
+                )
+            ).alias("__w")
+        )
+        .select(
+            "__nid",
+            F.col("__w.__j").alias("jaccard_r"),
+            (-F.col("__w.__ni")).cast("bigint").alias("dup_of"),
+            F.col("__w.__bsh").alias("n_shared"),
+        )
+    )
+    per_video = tagged.select(
+        F.col("__nid"), F.col("__nn").alias("n_frames"), F.col("__rep")
+    )
+    verdicts = per_video.join(
+        best.withColumnRenamed("__nid", "__rep"), "__rep", "left"
+    ).select(
+        F.col("__nid").alias(id_col),
+        "n_frames",
+        "n_shared",
+        "jaccard_r",
+        "dup_of",
+    )
+    # videos that lost every frame (cap/undecodable) never reach the
+    # probe: re-attach them with NULL verdicts off the input ids
+    all_ids = new_df.where(F.col(id_col).isNotNull()).select(id_col).distinct()
+    return all_ids.join(verdicts, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_frames"), F.lit(0)).cast("bigint").alias("n_frames"),
+        "n_shared",
+        "jaccard_r",
+        "dup_of",
+    )

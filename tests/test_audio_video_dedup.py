@@ -366,3 +366,94 @@ class TestAudioIndex:
         sdf = spark.readStream.schema("doc_id bigint, content binary").parquet(src)
         with pytest.raises(ValueError, match="broadcastable tier"):
             stream_audio_dedup_gate(sdf, idx, max_index_rows=3)
+
+
+# ---------------------------------------------------------------------------
+# video incremental index (frame-hash rows, set-level probe)
+# ---------------------------------------------------------------------------
+
+from rheoceros_spark.operators.multimodal import (  # noqa: E402
+    dedup_videos_against_index,
+    video_index_write,
+)
+
+
+class TestVideoIndex:
+    def test_probe_reupload_reedit_and_novel(self, spark, tmp_path):
+        idx = video_index_write(
+            _vdf(spark, [(0, _video([1, 2, 3, 4])), (1, _video([50, 51]))]),
+            str(tmp_path / "vidx"),
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup_videos_against_index(
+                _vdf(
+                    spark,
+                    [
+                        (10, _video([1, 2, 3, 4])),   # exact re-upload
+                        (11, _video([1, 2, 9, 4])),   # one-frame re-edit
+                        (12, _video([70, 71, 72])),   # novel
+                        (13, b"not a video"),          # undecodable
+                    ],
+                ),
+                idx,
+            ).collect()
+        }
+        assert (out[10].dup_of, out[10].jaccard_r, out[10].n_shared) == (0, 1.0, 4)
+        assert (out[11].dup_of, out[11].jaccard_r, out[11].n_shared) == (0, 0.6, 3)
+        assert out[12].dup_of is None and out[12].n_frames == 3
+        assert out[13].dup_of is None and out[13].n_frames == 0
+
+    def test_identical_new_sets_share_one_probe_verdict(self, spark, tmp_path):
+        idx = video_index_write(
+            _vdf(spark, [(0, _video([1, 2]))]), str(tmp_path / "vidx2")
+        )
+        out = dedup_videos_against_index(
+            _vdf(spark, [(10, _video([1, 2])), (11, _video([1, 2]))]), idx
+        ).collect()
+        got = sorted((r.doc_id, r.dup_of, r.jaccard_r) for r in out)
+        assert got == [(10, 0, 1.0), (11, 0, 1.0)]
+
+    def test_best_match_prefers_higher_jaccard_then_smaller_id(self, spark, tmp_path):
+        # indexed 0 shares 1 frame of 3; indexed 1 shares 2 of 3
+        idx = video_index_write(
+            _vdf(spark, [(0, _video([1, 8, 9])), (1, _video([1, 2, 7]))]),
+            str(tmp_path / "vidx3"),
+        )
+        out = dedup_videos_against_index(
+            _vdf(spark, [(10, _video([1, 2, 3]))]), idx, threshold=0.2
+        ).collect()
+        assert [(r.dup_of, r.n_shared) for r in out] == [(1, 2)]
+        # equal-jaccard tie -> smallest indexed id
+        idx2 = video_index_write(
+            _vdf(spark, [(5, _video([1, 2, 30])), (4, _video([1, 2, 31]))]),
+            str(tmp_path / "vidx4"),
+        )
+        out2 = dedup_videos_against_index(
+            _vdf(spark, [(10, _video([1, 2, 3]))]), idx2, threshold=0.2
+        ).collect()
+        assert out2[0].dup_of == 4
+
+    def test_append_equals_rebuild_and_scheme_reject(self, spark, tmp_path):
+        import pyspark.sql.functions as SF
+
+        p1, p2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+        video_index_write(_vdf(spark, [(0, _video([1, 2]))]), p1)
+        video_index_write(_vdf(spark, [(1, _video([3]))]), p1, mode="append")
+        video_index_write(
+            _vdf(spark, [(0, _video([1, 2])), (1, _video([3]))]), p2
+        )
+        assert sorted(map(tuple, spark.read.parquet(p1).collect())) == sorted(
+            map(tuple, spark.read.parquet(p2).collect())
+        )
+        bad = video_index_write(_vdf(spark, [(0, _video([1]))])).withColumn(
+            "vset_algo", SF.lit("vset-v0:other")
+        )
+        with pytest.raises(ValueError, match="vset_algo"):
+            dedup_videos_against_index(_vdf(spark, [(1, _video([1]))]), bad)
+        with pytest.raises(ValueError, match="threshold"):
+            dedup_videos_against_index(
+                _vdf(spark, [(1, _video([1]))]),
+                video_index_write(_vdf(spark, [(0, _video([1]))])),
+                threshold=1.5,
+            )
