@@ -354,6 +354,19 @@ def main() -> None:
             # matched frame) must not get a warm-cache second iteration
             # — min-of-N times the cold plan every time
             spark.catalog.clearCache()
+            # r14 measurement fix (guide §5 "unpersist when done", §7.4
+            # "long GC pauses"): ContextCleaner frees the previous
+            # queries' broadcast/shuffle blocks only when the driver
+            # JVM GCs, and the 48g bench heap never does on its own —
+            # measured runaway degradation (one query timed 8x in this
+            # JVM: 4 s → 167 s; stable ~4 s with a GC between runs).
+            # The GC runs OUTSIDE the timed region, so each query is
+            # timed against clean JVM state — the condition that
+            # extrapolates to a cluster, where one query doesn't
+            # inherit 130 predecessors' leaked blocks.  Complemented by
+            # spark.cleaner.periodicGC.interval=60s in session.py for
+            # non-bench sessions.
+            spark._jvm.System.gc()
             t0 = time.time()
             # per-query fault isolation: one broken query must not zero
             # the whole round's artifact (round 3 lost all perf data to

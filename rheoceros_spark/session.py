@@ -35,6 +35,24 @@ _DEFAULT_CONFS: dict[str, str] = {
     # Reference sets parallelPartitionDiscovery.threshold=1
     # (utils/spark.py:89) so many-partition reads list in parallel.
     "spark.sql.sources.parallelPartitionDiscovery.threshold": "1",
+    # ContextCleaner only reclaims broadcast/shuffle/cache blocks when
+    # the DRIVER JVM garbage-collects, and a large mostly-idle heap can
+    # go hours without a full GC — accumulated blocks then degrade
+    # long-lived sessions superlinearly (measured here: the same query
+    # run 8x in one JVM went 4 s → 167 s with the default 30min
+    # interval; stable at ~4 s once GC runs between queries).  One
+    # minute keeps multi-query drivers healthy and costs one concurrent
+    # mark-sweep per minute on an idle heap.
+    "spark.cleaner.periodicGC.interval": "60s",
+    # The generated-class cache (Janino compile results) holds only 100
+    # entries by default; a session that runs a large query surface
+    # (this engine's bench alone plans >1000 distinct codegen units per
+    # pass) evicts and recompiles every unit on every pass, charging
+    # 50-300 ms of driver-side compile per unit per query.  Compiled
+    # classes are small; 5000 entries is a few hundred MB ceiling at
+    # worst and turns repeat plans into cache hits on any long-lived
+    # session, local or cluster.
+    "spark.sql.codegen.cache.maxEntries": "5000",
     "spark.ui.showConsoleProgress": "false",
     # Parquet TIMESTAMP(NANOS) (pandas/pyarrow default) is otherwise an
     # illegal type for Spark's reader; read as long and let the loader

@@ -95,6 +95,24 @@ class TestIcpOrder:
         ).collect()
         assert len(out) == 40
 
+    def test_salted_pair_join_is_invisible_in_the_output(self, spark):
+        """The r14 skew salt (a-side hashed, b-side exploded) splits a
+        hot cell across tasks but must not change a single edge: the
+        pair set, top-m edges, and therefore the walk are identical
+        for salt=1 (the unsalted plan) and any salt > 1."""
+        rows = [
+            (i, [float((i * 13) % 11) / 11.0, float((i * 7) % 5) / 5.0, 1.0])
+            for i in range(60)
+        ]
+        base = icp_order(
+            _vecs(spark, rows), k=2, iters=1, m=3, salt=1
+        ).orderBy("cell", "pos").collect()
+        for s in (4, 16):
+            salted = icp_order(
+                _vecs(spark, rows), k=2, iters=1, m=3, salt=s
+            ).orderBy("cell", "pos").collect()
+            assert [tuple(r) for r in salted] == [tuple(r) for r in base], s
+
     def test_composes_with_pack_sequences(self, spark):
         """The ICP contract (Shi et al. §3: pack the WALK order into
         context windows): feed (cell → shard, pos → sort key) into
