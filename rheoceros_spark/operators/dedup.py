@@ -965,6 +965,7 @@ def semantic_dup_pairs(
     k: int = 8,
     iters: int = 2,
     cents: DataFrame | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style near-dup pairs (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -985,7 +986,10 @@ def semantic_dup_pairs(
     the LSH-blocked path.  Within-cell pair count is O(Σ cell²); size
     ``k`` so cells are ~10-100k docs at the target corpus (SemDeDup
     used 100k clusters for LAION-scale), and AQE's skew-join split
-    handles a hot cell.
+    handles a hot cell.  When ``k`` is below cluster width the pair
+    join is skew-salted (the icp_order shape — a-side hashed, b-side
+    exploded ``salt`` ways) so the O(cell²) dot stage uses every core;
+    the pair set is identical under any salt.
 
     Returns (a, b, cell, cos_r) with a < b and cosine ≥ ``threshold``.
     Deterministic end-to-end (hash-sampled seeds, quantized means,
@@ -1021,10 +1025,40 @@ def semantic_dup_pairs(
         "cell", F.col("__id").alias("a"), F.col("__v").alias("va"), F.col("__n").alias("na")
     )
     b = e.select(
-        "cell", F.col("__id").alias("b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+        F.col("cell").alias("__cellb"),
+        F.col("__id").alias("b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"),
     )
+    # Skew salt (the icp_order r14 shape, guide §2.5): with k below
+    # cluster width the cell-equi-join runs its O(cell²) dot stage on
+    # k tasks no matter how many cores exist — salt the a-side by
+    # hash(a), explode the b-side `salt` ways, and every cell splits
+    # into `salt` tasks while each (a, b) pair still joins exactly
+    # once.  Collapses to the unsalted plan (salt=1, no b-side
+    # duplication) once k alone spreads the join — the 100 TB regime.
+    # ``salt=None`` derives from cluster width; explicit value pins it
+    # (1 disables) — the pair set is identical under any salt.
+    if salt is None:
+        salt = max(
+            1,
+            min(
+                16,
+                -(-df.sparkSession.sparkContext.defaultParallelism // max(k, 1)),
+            ),
+        )
+    elif salt < 1:
+        raise ValueError(f"semantic_dup_pairs: salt must be >= 1, got {salt}")
+    if salt > 1:
+        a = a.withColumn("__salt", F.pmod(F.xxhash64("a"), F.lit(salt)).cast("int"))
+        b = b.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        joined = a.join(
+            b, (a["cell"] == b["__cellb"]) & (a["__salt"] == b["__salt"])
+        )
+    else:
+        joined = a.join(b, a["cell"] == b["__cellb"])
     return (
-        a.join(b, on="cell")
+        joined
         .where(F.col("a") < F.col("b"))
         .withColumn(
             "cos",

@@ -186,3 +186,19 @@ def test_semantic_keep_matches_pairs_composition(spark, sf_dir):
         if r["vec_id"] in reps:
             # a representative is never itself purged
             assert not r["is_dup"] or r["keep_id"] != r["vec_id"]
+
+
+def test_semantic_pairs_salt_is_invisible_in_the_output(spark, sf_dir):
+    """The r14 skew salt (a-side hashed, b-side exploded — the
+    icp_order shape) splits a hot cell across tasks but must not
+    change the pair set: identical rows for salt=1 (the unsalted
+    plan) and any salt > 1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = semantic_dup_pairs(emb, threshold=0.4, k=4, iters=1, salt=1)
+    base_rows = sorted(map(tuple, base.collect()))
+    assert base_rows  # non-vacuous: the fixture yields pairs
+    for s in (4, 16):
+        salted = semantic_dup_pairs(emb, threshold=0.4, k=4, iters=1, salt=s)
+        assert sorted(map(tuple, salted.collect())) == base_rows, s
+    with pytest.raises(ValueError, match="salt"):
+        semantic_dup_pairs(emb, salt=0)
