@@ -680,29 +680,58 @@ def ivf_assign(
     id_col: str = "vec_id",
     cents: DataFrame | None = None,
 ) -> DataFrame:
-    """Assign every vector to its max-cosine centroid (``cell``).  The
-    centroid table is tiny → broadcast; the argmax is
-    ``groupBy(id).agg(max_by(cid, (sim, -cid)))`` — a hash aggregate
-    with map-side partial combine, so the shuffle carries n rows, not
-    the n×n_centroids crossJoin output a window-rank argmax would sort
-    and shuffle (ties still break to the lowest centroid id).  At
-    100 TB, repartition the output by ``cell`` and persist: probes then
-    scan only matching cells (partition pruning on the inverted
+    """Assign every vector to its max-cosine centroid (``cell``) with
+    ZERO shuffle of the corpus (guide §2.3/§2.4): the ≤k-row centroid
+    table is packed into ONE broadcast row holding a cid-sorted
+    ``array<struct<cid, cv>>``, attached by a single-row broadcast
+    nested-loop join, and the argmax is a row-local fold over that
+    array.  The r14 rewrite: the previous shape
+    (``crossJoin(k) → groupBy(id).agg(max_by(...))``) shuffled n rows
+    *carrying the full embedding payload* through the argmax aggregate
+    — one full-corpus exchange per assignment, and k-means training
+    paid it every Lloyd round.  The fold reproduces
+    ``max_by(cid, struct(sim, -cid))`` exactly: NULL cosines (zero-norm
+    vectors, ``try_divide``) rank below every real similarity, ties
+    break to the lowest cid, and an all-NULL row lands in the lowest
+    cid — the accumulator seeds at (NULL sim, first cid of the sorted
+    array) and only a strictly-greater non-NULL similarity replaces it.
+    At 100 TB, repartition the output by ``cell`` and persist: probes
+    then scan only matching cells (partition pruning on the inverted
     file)."""
     if cents is None:
         cents = ivf_centroids(df, n_centroids, vec_col, id_col)
-    scored = df.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cid"),
-        cosine(F.col(vec_col), F.col("cv")).alias("__sim"),
+    # one row: cid-sorted centroid array (collect_list order is
+    # nondeterministic; array_sort on the (cid, cv) struct pins it)
+    packed = F.broadcast(
+        cents.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+            ).alias("__cents")
+        )
     )
-    return scored.groupBy(id_col).agg(
-        # vec is constant per id — first() under partial agg is exact here
-        F.first(vec_col).alias(vec_col),
-        F.max_by(
-            F.col("cid"), F.struct(F.col("__sim"), (-F.col("cid")).alias("__neg"))
-        ).alias("cell"),
+    v = F.col(vec_col)
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            cosine(v, c["cv"]).alias("s"), c["cid"].alias("cid")
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        # seed: (NULL sim, lowest cid) — F.get is NULL-safe on an empty
+        # array, so a (pathological) empty codebook yields cell = NULL;
+        # seeded from __cents, not `scored`, so the cosines are not
+        # evaluated a second time just to read the first cid
+        F.struct(
+            F.lit(None).cast("double").alias("s"),
+            F.get(F.col("__cents"), F.lit(0))["cid"].alias("cid"),
+        ),
+        lambda acc, x: F.when(
+            x["s"].isNotNull() & (acc["s"].isNull() | (x["s"] > acc["s"])), x
+        ).otherwise(acc),
+    )
+    return df.crossJoin(packed).select(
+        F.col(id_col), F.col(vec_col), best["cid"].alias("cell")
     )
 
 
