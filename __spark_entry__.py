@@ -5205,16 +5205,18 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equivalent of how the Application graph persists each node's
     # output between stages (and dedup_keep_list's own pair
     # checkpoint).  Measured ~9 → ~7 s at sf0.1.
-    surv = funnel_survivors(corpus).localCheckpoint()
+    # lazy checkpoints (r14): materialized by the first downstream
+    # action instead of one dedicated driver job per stage frame
+    surv = funnel_survivors(corpus).localCheckpoint(eager=False)
     keep = dedup_keep_list(surv, minhash_lsh_pairs(surv, threshold=0.5))
     clean = surv.join(
         keep.where(~F.col("is_dup")).select("doc_id"), "doc_id"
     ).select(*surv.columns)
     cont = contamination_ngrams(clean, bench, n=8)
     bad = cont.where(F.col("contamination_ratio") > 0.2).select("doc_id")
-    decon = clean.join(bad, "doc_id", "left_anti").localCheckpoint()
+    decon = clean.join(bad, "doc_id", "left_anti").localCheckpoint(eager=False)
 
-    bpe = bpe_encode(decon).localCheckpoint()
+    bpe = bpe_encode(decon).localCheckpoint(eager=False)
     sel = budget_mix_select(
         bpe, token_budget=20000, alpha=0.5, token_col="n_bpe_tokens", seed=0
     )
@@ -6135,7 +6137,7 @@ def curation_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     nll = bigram_nll(docs, k=0.1)
     scored = (
-        docs.select("doc_id", "source").join(nll, "doc_id").localCheckpoint()
+        docs.select("doc_id", "source").join(nll, "doc_id").localCheckpoint(eager=False)
     )
     return ppl_buckets(scored, score_col="nll", group_col="source").select(
         "doc_id", "source", "n_scored", "nll", "ppl_bucket"
@@ -6391,7 +6393,7 @@ def pipeline_ccnet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll = bigram_nll(docs, k=0.1)
     # one checkpoint at the dual-consumer frame (histogram + label
     # join), the pipeline_pretrain_corpus convention
-    scored = pred.join(nll, "doc_id").localCheckpoint()
+    scored = pred.join(nll, "doc_id").localCheckpoint(eager=False)
     return (
         ppl_buckets(scored, score_col="nll", group_col="pred_lang")
         .where(F.col("ppl_bucket").isin("head", "middle"))

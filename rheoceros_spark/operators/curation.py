@@ -537,14 +537,17 @@ def dup_clusters(
     import warnings
 
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # lazy checkpoints (r14): the isEmpty() probe below materializes
+    # both frames in its own job — an eager pair here would run two
+    # extra driver jobs for the same blocks
     edges = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         edges.select("u")
         .distinct()
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out_cols = [F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")]
     if labels.isEmpty():
@@ -566,7 +569,9 @@ def dup_clusters(
                     "label"
                 ),
             )
-            .localCheckpoint()
+            # lazy: the convergence aggregate right below is the
+            # materializing action — one driver job per round, not two
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         cur_sum = labels.agg(
@@ -648,7 +653,8 @@ def dup_clusters_star(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # lazy: isEmpty() below is the materializing action (r14)
+        .localCheckpoint(eager=False)
     )
     out_cols = [F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")]
     if e.isEmpty():
@@ -682,7 +688,9 @@ def dup_clusters_star(
             .union(m_sm.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            # lazy: the convergence aggregate is the materializing
+            # action — one driver job per round, not two (r14)
+            .localCheckpoint(eager=False)
         )
         e = e_sm
         cur_sum = e.agg(
@@ -1814,7 +1822,7 @@ def cluster_profile(
     base = emb.where(F.col(vec_id_col).isNotNull()).select(vec_id_col, vec_col)
     if cents is None:
         cents = kmeans_centroids(base, k, iters, vec_col, vec_id_col)
-    cents = cents.localCheckpoint(eager=True)
+    cents = cents.localCheckpoint(eager=False)
     assigned = ivf_assign(base, k, vec_col, vec_id_col, cents=cents).select(
         F.col(vec_id_col).alias(doc_id_col), "cell"
     )
@@ -2638,7 +2646,7 @@ def icp_order(
     )
     if cents is None:
         cents = kmeans_centroids(base, k, iters, vec_col, id_col)
-    cents = cents.localCheckpoint(eager=True)
+    cents = cents.localCheckpoint(eager=False)
     # three consumers (both pair branches + the id list): materialize
     # the assignment once or the broadcast-assign argmax re-runs per
     # branch

@@ -1007,7 +1007,10 @@ def semantic_dup_pairs(
     # multi-round training lineage: materialize once (ivf_write's
     # localCheckpoint rationale), then assignment + both join branches
     # read the <= k-row table
-    cents = cents.localCheckpoint(eager=True)
+    # lazy (r14): the packed-centroid broadcast in ivf_assign is the
+    # materializing action; the checkpoint still truncates the deep
+    # training lineage so later plans stay small
+    cents = cents.localCheckpoint(eager=False)
     assigned = ivf_assign(base, k, vec_col, id_col, cents=cents)
     v = F.col(vec_col)
     e = assigned.select(

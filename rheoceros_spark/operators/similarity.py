@@ -771,7 +771,8 @@ def ivf_write(
         # multi-round corpus plan, and without materialization the
         # count() action here would execute that whole training lineage
         # once for the count and AGAIN inside ivf_assign/persist.
-        cents = cents.localCheckpoint(eager=True)
+        # lazy (r14): the count() right below is the materializing action
+        cents = cents.localCheckpoint(eager=False)
         n_centroids = cents.count()
     assigned = ivf_assign(df, n_centroids, vec_col, id_col, cents=cents)
     (
@@ -1363,7 +1364,8 @@ def ivfpq_write(
     # the trained-codebook plan is multiple corpus scans — materialize
     # once; every consumer below (count, assign, residuals, manifest)
     # then reads the ≤k-row table, not the training lineage
-    cents = cents.localCheckpoint(eager=True)
+    # lazy (r14): the count() right below is the materializing action
+    cents = cents.localCheckpoint(eager=False)
     n_cells = cents.count()
     assigned = ivf_assign(base, n_cells, vec_col, id_col, cents=cents)
     resid = assigned.join(

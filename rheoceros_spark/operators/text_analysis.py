@@ -1648,7 +1648,9 @@ def bpe_train(
             F.expr("filter(split(__w, ''), x -> x <> '')").alias("__syms"),
             F.col("__cnt"),
         )
-        .localCheckpoint()
+        # lazy (r14): the first merge round's top-pair collect is the
+        # materializing action — no dedicated checkpoint job
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str]] = []
     for r in range(n_merges):
@@ -1684,7 +1686,7 @@ def bpe_train(
         merges.append((a, b))
         wc = wc.withColumn("__syms", F.expr(_bpe_apply_pair_sql("__syms", a, b)))
         if (r + 1) % checkpoint_every == 0:
-            wc = wc.localCheckpoint()
+            wc = wc.localCheckpoint(eager=False)
     return merges
 
 
@@ -2875,8 +2877,9 @@ def sif_embed(
         # two driver actions consume this frame (the exact total and
         # the top-V head) — truncate lineage so the corpus tokenizes
         # ONCE, not once per action (measured ~1 s per extra pass at
-        # sf0.1); the checkpointed frame is vocab-sized
-        .localCheckpoint()
+        # sf0.1); the checkpointed frame is vocab-sized.  Lazy (r14):
+        # the total-count agg right below materializes it
+        .localCheckpoint(eager=False)
     )
     total = cnts.agg(F.sum("cnt")).head()[0] or 0
     head = (
