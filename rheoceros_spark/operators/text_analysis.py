@@ -1967,12 +1967,25 @@ def _subword_expr_sql(text_sql: str, lo: int, hi: int) -> str:
     silently yields garbage grams.  The empty-when-short case is an
     explicit CASE because ``sequence(1, 0)`` DESCENDS instead of
     emptying.  DuckDB twin: __spark_entry__._subword_feats_sql."""
-    words = _WORDS_SQL.format(c=text_sql)
-    parts = [words]
+    return _subword_from_words_sql(_WORDS_SQL.format(c=text_sql), lo, hi)
+
+
+def _subword_from_words_sql(words_sql: str, lo: int, hi: int) -> str:
+    """:func:`_subword_expr_sql` over an ALREADY-TOKENIZED word array
+    expression (usually a projected ``__words`` column).  Split out in
+    r14: inlining the full normalize+split+filter chain once per n made
+    the expression — and its codegen unit — (hi−lo+2)× bigger than
+    needed, tokenizing every row once per n at runtime and costing
+    seconds of wholestage compile per plan (measured 5.1 s cold on the
+    lang-classifier train DAG).  Callers project the word array once
+    and reference it here; CollapseProject keeps a multi-referenced
+    non-cheap alias projected, so the tokenization really does run once
+    per row."""
+    parts = [words_sql]
     for n in range(lo, hi + 1):
         pad = f"concat('<', __t{n}, '>')"
         parts.append(
-            f"flatten(transform({words}, __t{n} -> "
+            f"flatten(transform({words_sql}, __t{n} -> "
             f"CASE WHEN length({pad}) >= {n} "
             f"THEN transform(sequence(1, length({pad}) - {n - 1}), "
             f"__i{n} -> substring({pad}, __i{n}, {n})) "
@@ -2035,10 +2048,36 @@ def hashed_token_features_norm(
         from rheoceros_spark.operators.scale import ensure_parallelism
 
         base = ensure_parallelism(base)
-    toks = base.select(
-        F.col(id_col),
-        F.explode(_feature_strings(text_col, ngram_range)).alias("__t"),
-    ).where(F.col("__t") != "")
+    if ngram_range is None:
+        toks = base.select(
+            F.col(id_col),
+            F.explode(_feature_strings(text_col, ngram_range)).alias("__t"),
+        ).where(F.col("__t") != "")
+    else:
+        lo, hi = ngram_range
+        if not (1 <= lo <= hi):
+            raise ValueError(
+                f"ngram_range must satisfy 1 <= lo <= hi, got {ngram_range}"
+            )
+        # project the tokenized word array ONCE, then expand grams over
+        # the projected column — the previous single-expression form
+        # re-tokenized every row (hi−lo+2)× and codegen'd the whole
+        # chain per n (see _subword_from_words_sql)
+        toks = (
+            base.select(
+                F.col(id_col),
+                F.expr(_WORDS_SQL.format(c=_quote_ident(text_col))).alias(
+                    "__words"
+                ),
+            )
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.expr(_subword_from_words_sql("__words", lo, hi))
+                ).alias("__t"),
+            )
+            .where(F.col("__t") != "")
+        )
     counts = (
         toks.select(
             F.col(id_col), (h64(F.col("__t"), seed=seed) % n_buckets).alias("bucket")
@@ -2501,15 +2540,30 @@ def lang_classify_rowlocal(
         raise ValueError("lang_classify_rowlocal: empty weight table")
     classes = sorted(by_class)
 
-    toks = _feature_strings(text_col, ngram_range)
     # MATERIALIZE the hashed-bucket array as a projected column before
     # folding: HOF lambdas get no codegen subexpression elimination, so
     # an inline `bkts` expression would re-run the md5 hash of every
     # feature string once per distinct-bucket filter probe — quadratic
     # in practice, and ~150× worse in subword mode (more grams × more
     # occupied buckets).  A column reference is computed once per row.
+    # Subword mode additionally projects the tokenized word array once
+    # (r14): the single-expression form re-tokenized every row
+    # (hi−lo+2)× — see _subword_from_words_sql.
+    staged = df.where(F.col(id_col).isNotNull())
+    if ngram_range is None:
+        toks = _feature_strings(text_col, ngram_range)
+    else:
+        lo, hi = ngram_range
+        if not (1 <= lo <= hi):
+            raise ValueError(
+                f"ngram_range must satisfy 1 <= lo <= hi, got {ngram_range}"
+            )
+        staged = staged.withColumn(
+            "__rx_words", F.expr(_WORDS_SQL.format(c=_quote_ident(text_col)))
+        )
+        toks = F.expr(_subword_from_words_sql("__rx_words", lo, hi))
     bcol = "__rx_bkts"
-    staged = df.where(F.col(id_col).isNotNull()).withColumn(
+    staged = staged.withColumn(
         bcol,
         F.transform(
             toks, lambda t: (h64(t, seed=seed) % F.lit(n_buckets)).cast("int")
