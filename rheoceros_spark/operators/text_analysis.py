@@ -2391,36 +2391,83 @@ def lang_classifier_train(
         [(c, b, 0) for c in classes for b in range(-1, n_buckets)],
         "class string, bucket int, wq bigint",
     )
+    n_cls = len(classes)
     for _ in range(iters):
-        # logits live on the 1e-11 grid: 1e-7 weights × 1e-4 features
+        # r14 shuffle-shape rewrite (guide §2.3/§2.4): the previous
+        # iteration shape fanned feats × K class-rows and ran TWO
+        # corpus-scale exchanges — groupBy(id, class) for the logits
+        # (n·K rows) and a partitionBy(id) window for the softmax
+        # denominator (n·K rows again).  The class dimension is a
+        # driver-known list, so the K per-class logits now come from K
+        # map-side-combined SUMs in ONE groupBy(id) hash aggregate
+        # (n output rows, K columns — K× fewer shuffled rows, one
+        # exchange fewer) and the denominator is a row-local sum over
+        # the K logit columns, no window at all.  Every integer is
+        # unchanged: per-(id, class) logit sums add the same BIGINT
+        # addends, the clamped-exp LUT reads the same __lq, and the
+        # denominator is the same exact BIGINT total (addition order
+        # is irrelevant for exact integers).
+        wp = w.groupBy("bucket").agg(
+            F.map_from_entries(F.collect_list(F.struct("class", "wq"))).alias(
+                "__wm"
+            )
+        )
         logits = (
-            feats.join(F.broadcast(w), "bucket")
-            .groupBy(id_col, "class")
-            .agg(F.sum(F.col("wq") * F.col("cnt_q")).alias("__lq"))
+            feats.join(F.broadcast(wp), "bucket")
+            .groupBy(id_col)
+            .agg(
+                *[
+                    F.sum(
+                        F.element_at(F.col("__wm"), F.lit(c)) * F.col("cnt_q")
+                    ).alias(f"__lq{i}")
+                    for i, c in enumerate(classes)
+                ]
+            )
         )
-        sm = logits.select(
+        scored = logits.select(
             F.col(id_col),
-            "class",
-            _clamped_exp_q(F.col("__lq"), lut, grid=1e11).alias("__eq"),
+            *[
+                _clamped_exp_q(F.col(f"__lq{i}"), lut, grid=1e11).alias(
+                    f"__eq{i}"
+                )
+                for i in range(n_cls)
+            ],
+        ).withColumn(
+            "__den",
+            sum(F.col(f"__eq{i}") for i in range(1, n_cls)) + F.col("__eq0")
+            if n_cls > 1
+            else F.col("__eq0"),
         )
-        # softmax denominator as a Column-API window (raw id_col inside
-        # a window SQL string breaks on backtick-needing names); the
-        # exact div runs over fixed internal aliases only
-        probs = sm.withColumn(
-            "__den", F.sum("__eq").over(Window.partitionBy(F.col(id_col)))
-        ).select(
-            F.col(id_col),
-            "class",
-            F.expr("__eq * 10000000L div __den").alias("__pq"),
-        )
-        resid = probs.join(labels, id_col).select(
-            F.col(id_col),
-            "class",
-            (
-                F.col("__pq")
-                - F.when(F.col("class") == F.col("__label"), F.lit(10_000_000))
-                .otherwise(F.lit(0))
-            ).alias("__rq"),
+        resid = (
+            scored.join(labels, id_col)
+            .select(
+                F.col(id_col),
+                F.col("__label"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("class"),
+                                F.expr(
+                                    f"__eq{i} * 10000000L div __den"
+                                ).alias("__pq"),
+                            )
+                            for i, c in enumerate(classes)
+                        ]
+                    )
+                ).alias("__e"),
+            )
+            .select(
+                F.col(id_col),
+                F.col("__e.class").alias("class"),
+                (
+                    F.col("__e.__pq")
+                    - F.when(
+                        F.col("__e.class") == F.col("__label"),
+                        F.lit(10_000_000),
+                    ).otherwise(F.lit(0))
+                ).alias("__rq"),
+            )
         )
         # per-row |__rq·cnt_q| ≤ 1e7·1e4 = 1e11 fits BIGINT, but the
         # per-(class,bucket) SUM spans the corpus (the bias bucket sums
