@@ -845,6 +845,15 @@ def robots_gate(
     with_path = with_dom.withColumn(
         "__path", F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
     )
+    # Second barrier DIRECTLY under the join: the optimizer's
+    # dynamic-partition-pruning pass (and any other PhysicalOperation
+    # consumer) substitutes aliases through every Project between a
+    # join and its scan, and the domain/path chain's multi-reference
+    # steps make that substitution tree grow exponentially with depth
+    # — measured 4.3 s of PartitionPruning time PER CALL (flat, data-
+    # independent) at sf0.001, 0.2 s with the barrier.  CollectMetrics
+    # stops the walk; the join itself is unchanged.
+    with_path = _barriered(with_path, "robots_gate_join_in")
     joined = with_path.join(F.broadcast(rarr), "domain", "left")
     matches = F.filter(
         F.col("__rules"),

@@ -58,6 +58,25 @@ _DEFAULT_CONFS: dict[str, str] = {
     # illegal type for Spark's reader; read as long and let the loader
     # normalize to TimestampType (see sources/io.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Dynamic partition pruning is pure driver-side cost in this
+    # engine: every source is path-addressed parquet (the ANN hive
+    # `cell=` layout is read as an explicit directory list, never
+    # pruned through a join), so the rule has NEVER fired — a
+    # RuleExecutor sweep over all 138 benched queries measured 0
+    # effective runs.  What it DOES do is walk join-key lineage
+    # through deep multi-reference alias chains
+    # (PartitionPruning.getPartitionTableScan →
+    # findExpressionAndTrackLineageDown → trimAliases), whose
+    # substitution tree grows exponentially with chain depth: the
+    # robots_gate consent join paid a measured 3.9-4.4 s of
+    # PartitionPruning time PER CALL, flat and data-independent
+    # (sf0.001 ≡ sf1).  A deployment that joins hive-partitioned
+    # fact tables on their partition columns should re-enable via
+    # extra_confs / SPARK_GRAFT_DPP=true; for this engine's operator
+    # surface the rule is all cost, no benefit, at ANY scale.
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": os.environ.get(
+        "SPARK_GRAFT_DPP", "false"
+    ),
 }
 
 
