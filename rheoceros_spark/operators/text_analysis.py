@@ -2514,6 +2514,7 @@ def lang_classifier_score(
     n_buckets: int = 64,
     seed: int = 0,
     ngram_range: tuple[int, int] | None = None,
+    classes: list[str] | None = None,
 ) -> DataFrame:
     """Score documents under a trained :func:`lang_classifier_train`
     weight table: per-class exact integer logits, prediction = argmax
@@ -2523,18 +2524,67 @@ def lang_classifier_score(
     monotonic in the logit).  Returns (id, pred_lang, logit_q) —
     logit_q is the winning logit on the 1e-11 integer grid (1e-7
     weights × 1e-4 normalized features).  ``ngram_range`` must match
-    what the weights were trained with."""
+    what the weights were trained with.
+
+    Scale shape (r14, guide §2.3/§2.4 — the trainer-iteration rewrite
+    applied to the scoring pass): the previous shape fanned the
+    feature stream ×K through the broadcast weight join and shuffled
+    n·K rows twice (groupBy(id, class) logits, then a groupBy(id)
+    argmax).  The class dimension is list-sized and driver-known, so
+    the K per-class logits are now K map-side-combined SUMs in ONE
+    groupBy(id) hash aggregate over a broadcast bucket→(class→wq) map
+    — K× fewer aggregate-input rows, K× fewer shuffled rows, one
+    exchange and one aggregate fewer — and the argmax is a row-local
+    ``array_min`` over (−logit, class) structs, the same comparator as
+    the grouped ``min(struct)``.  Every integer is unchanged: each
+    per-class sum adds the same BIGINT addends (order-free), so the
+    output is bit-identical.
+
+    ``classes`` (optional) names the classes to score; default reads
+    the distinct classes off the weight table — one weight-table-sized
+    driver action (the :func:`lang_classify_rowlocal` tier).  The
+    weight table must be the full class×bucket grid the trainer emits
+    (one row per pair); sparse tables should pass through the trainer
+    first."""
     feats = hashed_token_features_norm(
         df, text_col, id_col, n_buckets, seed, ngram_range
     )
-    logits = (
-        feats.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col, "class")
-        .agg(F.sum(F.col("wq") * F.col("cnt_q")).alias("__lq"))
+    if classes is None:
+        classes = sorted(
+            r[0] for r in weights.select("class").distinct().collect()
+        )
+    if not classes:
+        raise ValueError("lang_classifier_score: empty weight table")
+    wp = weights.groupBy("bucket").agg(
+        F.map_from_entries(F.collect_list(F.struct("class", "wq"))).alias(
+            "__wm"
+        )
     )
-    best = logits.groupBy(id_col).agg(
-        F.min(F.struct((-F.col("__lq")).alias("nl"), F.col("class").alias("c")))
-        .alias("__w")
+    logits = (
+        feats.join(F.broadcast(wp), "bucket")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(
+                    F.element_at(F.col("__wm"), F.lit(c)) * F.col("cnt_q")
+                ).alias(f"__lq{i}")
+                for i, c in enumerate(classes)
+            ]
+        )
+    )
+    best = logits.select(
+        F.col(id_col),
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        (-F.col(f"__lq{i}")).alias("nl"),
+                        F.lit(c).alias("c"),
+                    )
+                    for i, c in enumerate(classes)
+                ]
+            )
+        ).alias("__w"),
     )
     return best.select(
         F.col(id_col),
