@@ -2048,11 +2048,24 @@ def hashed_token_features_norm(
         from rheoceros_spark.operators.scale import ensure_parallelism
 
         base = ensure_parallelism(base)
+    # r14 single-scan fusion (guide §2.4 "remove shuffles outright",
+    # §6 scan once): the bias feature used to be a SECOND corpus scan
+    # unioned in after normalization, which (a) re-read and re-fanned
+    # the id column and (b) broke the id co-partitioning the per-doc
+    # window had just established, forcing every downstream
+    # groupBy(id) consumer (trainer logits, scorer argmax) to
+    # re-exchange the corpus.  The feature-string array never contains
+    # '' (words are filtered non-empty; boundary-marked grams have
+    # length ≥ 2), so '' is a safe in-band bias sentinel: append it to
+    # every doc's array (coalesce keeps NULL-text docs alive with just
+    # the sentinel) and map it to bucket −1 after the explode.  One
+    # scan, one explode, and the window's hashpartitioning(id) now
+    # flows through to downstream groupBy(id) aggregates unbroken.
+    # Duplicate-id frames: the k bias rows merge into one with cnt = k
+    # and cnt_q = k·1e4 — every downstream Σ wq·cnt_q is unchanged
+    # (the batch contract has always been duplicate-ids-pool-features).
     if ngram_range is None:
-        toks = base.select(
-            F.col(id_col),
-            F.explode(_feature_strings(text_col, ngram_range)).alias("__t"),
-        ).where(F.col("__t") != "")
+        farr = _feature_strings(text_col, ngram_range)
     else:
         lo, hi = ngram_range
         if not (1 <= lo <= hi):
@@ -2063,43 +2076,53 @@ def hashed_token_features_norm(
         # the projected column — the previous single-expression form
         # re-tokenized every row (hi−lo+2)× and codegen'd the whole
         # chain per n (see _subword_from_words_sql)
-        toks = (
-            base.select(
-                F.col(id_col),
-                F.expr(_WORDS_SQL.format(c=_quote_ident(text_col))).alias(
-                    "__words"
-                ),
-            )
-            .select(
-                F.col(id_col),
-                F.explode(
-                    F.expr(_subword_from_words_sql("__words", lo, hi))
-                ).alias("__t"),
-            )
-            .where(F.col("__t") != "")
+        base = base.select(
+            F.col(id_col),
+            F.expr(_WORDS_SQL.format(c=_quote_ident(text_col))).alias(
+                "__words"
+            ),
         )
+        farr = F.expr(_subword_from_words_sql("__words", lo, hi))
+    toks = base.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.coalesce(farr, F.expr("array()")), F.array(F.lit(""))
+            )
+        ).alias("__t"),
+    )
     counts = (
         toks.select(
-            F.col(id_col), (h64(F.col("__t"), seed=seed) % n_buckets).alias("bucket")
+            F.col(id_col),
+            F.when(F.col("__t") == "", F.lit(-1).cast("bigint"))
+            .otherwise(h64(F.col("__t"), seed=seed) % n_buckets)
+            .alias("bucket"),
         )
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     # per-doc token total via the Column API (interpolating id_col raw
     # into a window SQL string breaks on names needing backticks); the
-    # exact integer div stays in F.expr over fixed internal aliases only
+    # exact integer div stays in F.expr over fixed internal aliases
+    # only.  The total EXCLUDES the bias row (it normalizes token mass
+    # only), and the bias row bypasses the division entirely — both
+    # exactly as the two-branch shape computed them.
     tot_w = Window.partitionBy(F.col(id_col))
-    norm = counts.withColumn("__tot", F.sum("cnt").over(tot_w)).select(
+    return counts.withColumn(
+        "__tot",
+        F.sum(
+            F.when(F.col("bucket") == -1, F.lit(0)).otherwise(F.col("cnt"))
+        ).over(tot_w),
+    ).select(
         F.col(id_col),
         F.col("bucket").cast("int").alias("bucket"),
-        F.expr(f"cnt * {FEAT_NORM_SCALE}L div __tot").cast("bigint").alias("cnt_q"),
+        F.expr(
+            f"CASE WHEN bucket = -1 THEN cnt * {FEAT_NORM_SCALE}L "
+            f"ELSE cnt * {FEAT_NORM_SCALE}L div __tot END"
+        )
+        .cast("bigint")
+        .alias("cnt_q"),
     )
-    bias = base.select(
-        F.col(id_col),
-        F.lit(-1).cast("int").alias("bucket"),
-        F.lit(FEAT_NORM_SCALE).cast("bigint").alias("cnt_q"),
-    )
-    return norm.unionByName(bias)
 
 
 def _clamped_sigma_q(logit_q_col, lut_lit):
