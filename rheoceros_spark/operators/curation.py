@@ -969,7 +969,6 @@ def semantic_contamination(
     bucket, and the exact cosine runs only inside buckets — the corpus
     is one scan with no shuffle.  Same planes as ``ann_lsh_topk``, so
     the construction stays oracle-checkable."""
-    from rheoceros_spark.functions.portable import cosine
     from rheoceros_spark.operators.similarity import plane_matrix, signature_col
 
     from rheoceros_spark.operators.similarity import _check_vec_dim
@@ -981,20 +980,38 @@ def semantic_contamination(
     _check_vec_dim(corpus, vec_col, dim, "semantic_contamination(corpus)")
     _check_vec_dim(benchmark, vec_col, dim, "semantic_contamination(benchmark)")
     planes = plane_matrix(nbits, dim)
+    # r14 norm hoist (guide §1.2, the cosine_topk_multi shape): both
+    # norms are loop-invariant across bucket-matched pairs — corpus
+    # norm projected once per row below the join, benchmark norm once
+    # inside the broadcast build.  try_divide(dot(c, b), nc·nb) keeps
+    # the same IEEE operand order cosine() used, so cos_r is
+    # bit-identical.
+    from rheoceros_spark.functions.portable import dot
+
+    v = F.col(vec_col)
     c = corpus.select(
-        F.col(id_col), F.col(vec_col), signature_col(vec_col, planes).alias("__bkt")
+        F.col(id_col),
+        v,
+        signature_col(vec_col, planes).alias("__bkt"),
+        F.sqrt(dot(v, v)).alias("__nc"),
     )
     b = benchmark.select(
         F.col(id_col).alias("bench_id"),
-        F.col(vec_col).alias("__bv"),
+        v.alias("__bv"),
         signature_col(vec_col, planes).alias("__bkt"),
+        F.sqrt(dot(v, v)).alias("__nb"),
     )
     return (
         c.join(F.broadcast(b), "__bkt")
         .select(
             F.col(id_col),
             F.col("bench_id"),
-            F.round(cosine(F.col(vec_col), F.col("__bv")), 6).alias("cos_r"),
+            F.round(
+                F.try_divide(
+                    dot(v, F.col("__bv")), F.col("__nc") * F.col("__nb")
+                ),
+                6,
+            ).alias("cos_r"),
         )
         .where(F.col("cos_r") >= threshold)
     )

@@ -96,12 +96,27 @@ def cosine_topk(
     Returns (id, rank, cos_r) ordered by (sim desc, id asc) — ties
     broken by id so the result is total-ordered and reproducible.
     """
-    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    # r14 norm hoist (guide §1.2): the query-side norm is the same for
+    # every corpus row — compute it once inside the 1-row broadcast
+    # instead of re-folding dot(q, q) per row.  try_divide(dot(v, q),
+    # sqrt(dot(v, v))·nq) is the same operations in the same IEEE order
+    # cosine() used, so every value is bit-identical.
+    q = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nq"),
+    )
     _one_query_row(q, "cosine_topk")
+    v = F.col(vec_col)
     sims = (
         df.where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
-        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
+        .select(
+            F.col(id_col),
+            F.try_divide(
+                dot(v, F.col("__qv")),
+                F.sqrt(dot(v, v)) * F.col("__nq"),
+            ).alias("cos"),
+        )
     )
     return _ranked_topk(sims, id_col, k)
 
@@ -134,16 +149,31 @@ def cosine_topk_multi(
     if k < 1:
         raise ValueError(f"cosine_topk_multi: k must be >= 1, got {k}")
     qv = query_vec_col or vec_col
+    # r14 norm hoist (guide §1.2): both sides' norms are loop-invariant
+    # across the |queries| × |corpus| fan-out — the corpus norm is
+    # projected once per corpus row BELOW the broadcast join and the
+    # query norm once per query row inside the broadcast build, so the
+    # per-pair work drops from three dim-wide folds to one dot fold.
+    # try_divide(dot(c, q), nc·nq) keeps cosine()'s exact operand
+    # order, so every value is bit-identical.
     q = queries.select(
-        F.col(query_id_col), F.col(qv).alias("__qv")
+        F.col(query_id_col),
+        F.col(qv).alias("__qv"),
+        F.sqrt(dot(F.col(qv), F.col(qv))).alias("__nq"),
     ).where(F.col(query_id_col).isNotNull())
-    joined = df.where(F.col(id_col).isNotNull()).crossJoin(F.broadcast(q))
+    v = F.col(vec_col)
+    corpus = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col), v, F.sqrt(dot(v, v)).alias("__nc")
+    )
+    joined = corpus.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.where(F.col(id_col) != F.col(query_id_col))
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__qv")).alias("cos"),
+        F.try_divide(
+            dot(v, F.col("__qv")), F.col("__nc") * F.col("__nq")
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
@@ -757,11 +787,35 @@ def ivf_assign(
     if cents is None:
         cents = ivf_centroids(df, n_centroids, vec_col, id_col)
     # one row: cid-sorted centroid array (collect_list order is
-    # nondeterministic; array_sort on the (cid, cv) struct pins it)
+    # nondeterministic; array_sort on the (cid, cv) struct pins it —
+    # sorted FIRST, then the per-centroid scalar norm is attached by a
+    # transform so the sort comparator never sees the extra field).
+    # r14 norm hoist (guide §1.2 per-task work): the fold previously
+    # evaluated cosine() per (row, centroid) — THREE dim-wide folds
+    # each, recomputing sqrt(dot(c, c)) for every corpus row and
+    # sqrt(dot(v, v)) for every centroid.  The centroid norm is packed
+    # once into the broadcast row and the vector norm is projected
+    # once per row BELOW the join (the join keeps the projections
+    # apart, so CollapseProject cannot inline the norm into the k-way
+    # lambda), leaving one dot fold per (row, centroid): ~3× less fold
+    # CPU per assignment, paid again every Lloyd round.  Bit-identical:
+    # try_divide(dot(v, c), nv·nc) is the same operations in the same
+    # IEEE order cosine() used.
     packed = F.broadcast(
-        cents.groupBy().agg(
+        cents.groupBy()
+        .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+            ).alias("__c0")
+        )
+        .select(
+            F.transform(
+                F.col("__c0"),
+                lambda c: F.struct(
+                    c["cid"].alias("cid"),
+                    c["cv"].alias("cv"),
+                    F.sqrt(dot(c["cv"], c["cv"])).alias("nc"),
+                ),
             ).alias("__cents")
         )
     )
@@ -769,7 +823,8 @@ def ivf_assign(
     scored = F.transform(
         F.col("__cents"),
         lambda c: F.struct(
-            cosine(v, c["cv"]).alias("s"), c["cid"].alias("cid")
+            F.try_divide(dot(v, c["cv"]), F.col("__nv") * c["nc"]).alias("s"),
+            c["cid"].alias("cid"),
         ),
     )
     best = F.aggregate(
@@ -786,8 +841,12 @@ def ivf_assign(
             x["s"].isNotNull() & (acc["s"].isNull() | (x["s"] > acc["s"])), x
         ).otherwise(acc),
     )
-    return df.crossJoin(packed).select(
-        F.col(id_col), F.col(vec_col), best["cid"].alias("cell")
+    return (
+        df.select(
+            F.col(id_col), F.col(vec_col), F.sqrt(dot(v, v)).alias("__nv")
+        )
+        .crossJoin(packed)
+        .select(F.col(id_col), F.col(vec_col), best["cid"].alias("cell"))
     )
 
 
@@ -933,7 +992,13 @@ def ivf_topk(
     # thread the codebook through (ivf_assign would otherwise recompute
     # ivf_centroids — a second full corpus scan of the priciest stage)
     assigned = ivf_assign(df, n_centroids, vec_col, id_col, cents=cents)
-    qv = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    # r14 norm hoist (guide §1.2): the query norm rides in the 1-row
+    # broadcast instead of being re-folded per rerank candidate; same
+    # IEEE operand order as cosine(), so every value is bit-identical.
+    qv = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nq"),
+    )
     _one_query_row(qv, "ivf_topk")
     probes = (
         cents.crossJoin(F.broadcast(qv))
@@ -941,11 +1006,17 @@ def ivf_topk(
         .limit(n_probe)
         .select(F.col("cid").alias("__probe"))
     )
+    v = F.col(vec_col)
     cands = (
         assigned.join(F.broadcast(probes), assigned.cell == F.col("__probe"))
         .where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(qv))
-        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos"))
+        .select(
+            F.col(id_col),
+            F.try_divide(
+                dot(v, F.col("__qv")), F.sqrt(dot(v, v)) * F.col("__nq")
+            ).alias("cos"),
+        )
     )
     return _ranked_topk(cands, id_col, k)
 
