@@ -413,7 +413,23 @@ def minhash_lsh_pairs(
     lookup (default; the oversized set is tiny for real corpora) vs
     shuffle join (for corpora with unbounded distinct mega-buckets)."""
     rows_per_band = _rows_per_band(num_hashes, bands)
-    docs = _minhash_docs(df, text_col, id_col, num_hashes, ngram)
+    # r14 (guide §2.4 / §3.3): the (id, sig, sh) aggregate feeds SIX
+    # plan branches — the bucket stream via _capped_candidates'
+    # oversized-tag diamond (4 consumers) plus both verify sides — and
+    # the hoped-for ReuseExchange NEVER fires (each branch prunes
+    # different columns, so the canonicalized exchanges differ: the
+    # sf0.001 plan showed 8 corpus scans, 0 ReusedExchange).  One lazy
+    # localCheckpoint materializes the shingle-explode + per-doc
+    # min-hash pass ONCE; every branch then reads narrow (id, sig, sh)
+    # blocks instead of re-tokenizing and re-hashing the corpus.  At
+    # sf0.1 the redundant branches mostly overlap on idle cores
+    # (interleaved min-of-4: 2.92 s → 2.36 s); the real term is the
+    # 6× scan+hash amplification at corpus scale.  Same trade the
+    # sibling operators already accept (semantic_dup_pairs,
+    # dup_clusters): disk-backed blocks, no lineage fallback.
+    docs = _minhash_docs(df, text_col, id_col, num_hashes, ngram).localCheckpoint(
+        eager=False
+    )
     sh_df = docs.select(F.col(id_col), "sh")
     buckets = minhash_band_buckets(docs, id_col, bands, rows_per_band)
     cand = _capped_candidates(buckets, id_col, max_bucket, broadcast_oversized)
@@ -504,7 +520,13 @@ def simhash_pairs(
     """
     assert chunks > max_hamming, "chunk blocking only exact when chunks > max_hamming"
     chunk_bits = bits // chunks
-    sh = simhash_sigs(df, text_col, id_col, bits)
+    # r14: both self-join sides consume the signature frame — without
+    # materialization the tokenize + 32-bit-sum aggregate runs TWICE.
+    # One lazy localCheckpoint of the narrow (id, simhash) rows halves
+    # the corpus-scale work (the minhash_lsh_pairs rationale); at
+    # sf0.1 it is timing-neutral (the duplicate pass overlapped on
+    # idle cores), kept for the 2× scan term at 100 TB.
+    sh = simhash_sigs(df, text_col, id_col, bits).localCheckpoint(eager=False)
     chunked = sh.select(
         id_col,
         "simhash",

@@ -21,6 +21,20 @@ from pyspark.sql import SparkSession
 _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE's coalescing floor is BYTES-based and blind to join-output
+    # expansion: a pair join whose inputs are a few MB of (id, vector)
+    # rows but whose output is |cell|² pairs gets its input shuffle
+    # coalesced to 1-4 partitions at the 1 MB default, serializing the
+    # entire expansion + cosine stage onto as many cores (measured:
+    # icp_order's salted pair join 4.6 s → 1.1 s with coalescing off;
+    # the salt exists precisely to spread that stage, and coalescing
+    # was un-doing it).  64 KB keeps small-but-expanding shuffles at
+    # parallelism while leaving real shuffles untouched — partitions
+    # above 64 KB never see this floor, and advisoryPartitionSizeInBytes
+    # still sizes the 100 TB-scale exchanges.  Interleaved min-of-3 at
+    # sf0.1: icp_order 8.5 → 5.1 s, semantic_dup_pairs 4.7 → 3.3 s;
+    # 128k/32k measured the same plateau, 64k chosen mid-band.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Mirrors HIGH_THROUGHPUT_SPARK_AQE_CONFIGS (reference utils/spark.py:94-102)
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
