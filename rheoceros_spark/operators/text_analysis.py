@@ -2938,9 +2938,17 @@ def hash_embed(
     joins; runs inside the scan stage like quantize_embeddings."""
     if not 1 <= dim <= 60:
         raise ValueError(f"hash_embed: dim must be in [1, 60], got {dim}")
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
     toks_f = F.filter(tokens(F.col(text_col)), lambda t: t != "")
     harr = F.transform(toks_f, lambda t: h64(t, seed=seed))
-    base = df.where(F.col(id_col).isNotNull()).withColumn("__harr", harr)
+    # fan the scan to cluster width BEFORE the per-row fold (r14): the
+    # tokenize + per-token md5 + dim×tokens bit fold is the CPU body,
+    # and a single-file corpus otherwise runs it all on one core (the
+    # _minhash_docs lesson; no-op on pre-split inputs)
+    base = ensure_parallelism(df.where(F.col(id_col).isNotNull())).withColumn(
+        "__harr", harr
+    )
     comp = F.expr(
         f"transform(sequence(0, {dim - 1}), d -> "
         f"aggregate(__harr, 0L, (acc, h) -> acc + (2L * ((h >> d) & 1L) - 1L)))"
@@ -3086,7 +3094,8 @@ def sif_embed(
                 h64(t, seed=seed).alias("h"), wq_of(t).cast("bigint").alias("w")
             ),
         )
-        out = base.withColumn("__warr", warr).withColumn(
+        # fan the scan before the per-row fold (the hash_embed note)
+        out = ensure_parallelism(base).withColumn("__warr", warr).withColumn(
             "__comp",
             # aggregate(NULL, ...) is NULL per element while sequence()
             # is not — same NULL-text guard as hash_embed
@@ -3131,9 +3140,20 @@ def sif_embed(
             ]
         )
         # docs with no tokens fall out of the explode: empty text →
-        # zero vector, NULL text → NULL vector, exactly like rowfold
-        rejoined = base.select(
-            F.col(id_col), F.isnull(toks_f).alias("__isnull")
+        # zero vector, NULL text → NULL vector, exactly like rowfold.
+        # r14: the NULL probe is text IS NULL directly — isnull(toks_f)
+        # re-ran the whole normalize+split chain per row just to test
+        # NULL (normalize/split of non-NULL text is never NULL, so the
+        # two are equivalent), and it ran on the UNFANNED single-file
+        # scan: the stage profile showed the entire rejoin + downstream
+        # consumer stage on ONE task, 2.9 s of the query's 3.2 s.
+        # ensure_parallelism fans the now-narrow (id, flag) stream so
+        # the broadcast join and whatever the caller chains after it
+        # (cosine_topk here) use every core; no-op on pre-split inputs.
+        rejoined = ensure_parallelism(
+            base.select(
+                F.col(id_col), F.col(text_col).isNull().alias("__isnull")
+            )
         ).join(sums, F.col(id_col) == F.col("__id"), "left")
         comp = F.array(
             *[F.coalesce(F.col(f"__c{d}"), F.lit(0).cast("bigint")) for d in range(dim)]
