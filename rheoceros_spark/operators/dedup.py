@@ -1852,6 +1852,11 @@ def intradoc_line_dedup(
         ("\\" + c) if c in ".\\^$|?*+()[]{}" else c for c in sep
     )
     lines = F.split(raw, sep_pattern)
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    # fan the scan before the per-row split/fold CPU (r14 — the
+    # hash_embed note; no-op on pre-split or streaming input)
+    df = ensure_parallelism(df)
     out = (
         plan_barrier(df, "intradoc_line_dedup_rows_in")
         .withColumn("__lines", lines)

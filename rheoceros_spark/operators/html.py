@@ -163,11 +163,17 @@ def html_extract_text(
     # ONE evaluation — CollapseProject has no cost guard and would
     # otherwise inline the chain into each of the four output columns
     # (the urls.py staged-projection discipline)
-    from rheoceros_spark.operators.scale import plan_barrier
+    from rheoceros_spark.operators.scale import ensure_parallelism, plan_barrier
 
+    # fan the scan to cluster width before the regex/HOF chain (r14):
+    # extraction is the per-row CPU body of the crawl pipeline, and a
+    # single-file corpus otherwise runs the whole stage on one core.
+    # At 100 TB the input arrives pre-split and this is a no-op, so the
+    # "zero shuffle at scale" contract stands; the plan gates allow
+    # exactly this round-robin fan and still forbid keyed exchanges.
     out = (
         plan_barrier(
-            df.withColumn(
+            ensure_parallelism(df).withColumn(
                 "__blocks", F.filter(blocks, lambda b: b["n_chars"] > 0)
             ),
             "html_extract_blocks",

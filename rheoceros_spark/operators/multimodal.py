@@ -49,6 +49,15 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _fan(df):
+    """Cluster-width fan-out for the Arrow decode entry points — the
+    scale.ensure_parallelism guard (byte-probe based, no-op on
+    pre-split or streaming inputs), deferred import to stay cycle-free."""
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    return ensure_parallelism(df)
+
+
 def attach_media(df: DataFrame, content_col: str, media_type: str = "image") -> DataFrame:
     """Wrap a binary column into (content, meta) — the canonical
     multimodal row shape."""
@@ -165,7 +174,9 @@ def extract_features(df: DataFrame, content_col: str = "content", id_col: str = 
     column-pruned input, typed output schema — is exactly what a real
     embedding/decode stage uses.
     """
-    pruned = df.select(id_col, content_col)
+    # fan before the Arrow boundary (r14): a single-file corpus
+    # otherwise feeds ONE python worker; no-op on pre-split input
+    pruned = _fan(df.select(id_col, content_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -197,7 +208,9 @@ def resize_images(
     ``meta`` (real decode needs PIL, absent in this container).
     Schema, Arrow batching, and partition shape are identical either
     way — the real resize pipeline's."""
-    pruned = df.select(id_col, content_col)
+    # fan before the Arrow boundary (r14): a single-file corpus
+    # otherwise feeds ONE python worker; no-op on pre-split input
+    pruned = _fan(df.select(id_col, content_col))
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -335,7 +348,8 @@ def audio_features(
 
     # NULL ids are dropped up front: pandas coerces a nullable int64 id
     # column to float64/NaN and int(doc_id) would kill the batch
-    pruned = df.where(F.col(id_col).isNotNull()).select(id_col, content_col)
+    # fan before the Arrow boundary (r14; no-op on pre-split input)
+    pruned = _fan(df.where(F.col(id_col).isNotNull()).select(id_col, content_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -427,7 +441,8 @@ def sample_frames_ppm(
     the full stream."""
     if n_frames < 1:
         raise ValueError(f"sample_frames_ppm: n_frames must be >= 1, got {n_frames}")
-    pruned = df.where(F.col(id_col).isNotNull()).select(id_col, content_col)
+    # fan before the Arrow boundary (r14; no-op on pre-split input)
+    pruned = _fan(df.where(F.col(id_col).isNotNull()).select(id_col, content_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -506,7 +521,9 @@ def image_dhash(
             f"image_dhash: grid must hold exactly 64 bits, got "
             f"{grid_w}x{grid_h}"
         )
-    pruned = df.select(id_col, content_col)
+    # fan before the Arrow boundary (r14): a single-file corpus
+    # otherwise feeds ONE python worker; no-op on pre-split input
+    pruned = _fan(df.select(id_col, content_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -974,7 +991,8 @@ def audio_phash(
     Scale shape: Arrow-batched ``mapInPandas`` over a column-pruned
     (id, content) projection; per-segment RMS is one vectorized numpy
     pass per row, output is two ints — audio bytes never shuffle."""
-    pruned = df.where(F.col(id_col).isNotNull()).select(id_col, content_col)
+    # fan before the Arrow boundary (r14; no-op on pre-split input)
+    pruned = _fan(df.where(F.col(id_col).isNotNull()).select(id_col, content_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1082,7 +1100,8 @@ def video_frame_dhash(
             f"video_frame_dhash: grid must hold exactly 64 bits, got "
             f"{grid_w}x{grid_h}"
         )
-    pruned = df.where(F.col(id_col).isNotNull()).select(id_col, content_col)
+    # fan before the Arrow boundary (r14; no-op on pre-split input)
+    pruned = _fan(df.where(F.col(id_col).isNotNull()).select(id_col, content_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

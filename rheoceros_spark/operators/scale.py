@@ -73,6 +73,12 @@ def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> D
     inputs.  Non-file inputs (inputFiles() empty: shuffled/in-memory
     frames) keep the conservative fan-out — AQE coalesces any shuffle
     it doesn't need."""
+    # streaming frames (r14): micro-batch parallelism is the source's
+    # concern and inputFiles()/stats probes don't apply — the row-local
+    # operators that fan their batch path call this on their streaming
+    # twins too, where it must be an exact no-op
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     try:

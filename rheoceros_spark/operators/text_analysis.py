@@ -40,6 +40,11 @@ def _marker_hits(toks: Column, lang: str) -> Column:
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add per-language marker-hit scores and ``lang_pred`` (argmax,
     ties broken by fixed language priority; no hits → 'und')."""
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    # fan the scan before the per-row CPU (r14 — the hash_embed note;
+    # no-op on pre-split or streaming input)
+    df = ensure_parallelism(df)
     toks = tokens(F.col(text_col))
     out = df
     for lang in _LANG_ORDER:
@@ -185,6 +190,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     * ``mean_tok_len`` — chars per token
     * ``quality`` = 0.3·len + 0.3·(1−punct) + 0.4·min(5·stop, 1), rounded 6
     """
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    # fan the scan before the per-row CPU (r14 — the hash_embed note;
+    # no-op on pre-split or streaming input)
+    df = ensure_parallelism(df)
     norm = normalize_text(F.col(text_col))
     toks = tokens(F.col(text_col))
     ntok = F.size(toks).cast("double")
@@ -241,6 +251,11 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 5) -> DataF
             s = s + t
         return s % F.lit(FP_P)
 
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    # fan the scan before the per-row CPU (r14 — the hash_embed note;
+    # no-op on pre-split or streaming input)
+    df = ensure_parallelism(df)
     with_hs = df.withColumn("__fp_hs", hs)
     positions = F.sequence(
         F.lit(1), F.greatest(F.lit(1), F.size(F.col("__fp_hs")) - F.lit(window - 1))
@@ -280,7 +295,11 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     the Gopher paper's data-quality appendix.
     """
     from rheoceros_spark.functions.portable import word_ngrams
+    from rheoceros_spark.operators.scale import ensure_parallelism
 
+    # fan the scan to cluster width before the per-row sort/fold CPU
+    # (r14 — the hash_embed note; no-op on pre-split or streaming input)
+    df = ensure_parallelism(df)
     empty = F.length(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))) == 0
     empty_arr = F.array().cast("array<string>")
     out = df.withColumn(
@@ -425,6 +444,11 @@ def gopher_rules(
         F.array_intersect(F.array(*[F.lit(s) for s in GOPHER_STOPS]), toks)
     ).cast("long")
 
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    # fan the scan to cluster width before the per-row rule CPU (r14 —
+    # the hash_embed note; no-op on pre-split or streaming input)
+    df = ensure_parallelism(df)
     out = (
         df.withColumn("n_words", n_words)
         .withColumn("__wc", word_chars)
@@ -534,6 +558,11 @@ def c4_line_filter(
         )
 
     kept = F.filter(lines, kept_line)
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    # fan before the per-row line filtering (r14; no-op on pre-split
+    # or streaming input)
+    df = ensure_parallelism(df)
     has_lorem = F.lower(raw).contains("lorem ipsum")
     has_brace = raw.contains("{")
     n_kept = F.size(kept).cast("long")
@@ -1507,6 +1536,8 @@ def bpe_encode(
     if merges is None:
         merges = BPE_DEMO_MERGES
     _check_merges(merges)
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
     if impl == "arrow":
         import re as _re
 
@@ -1556,7 +1587,11 @@ def bpe_encode(
         # the function-local pandas import
         _bpe = pandas_udf(_bpe_batch, ArrayType(StringType()))
 
-        out = df.withColumn("bpe_tokens", _bpe(F.col(text_col)))
+        # fan before the Arrow boundary (r14): a single-file corpus
+        # otherwise feeds ONE python worker; no-op on pre-split input
+        out = ensure_parallelism(df).withColumn(
+            "bpe_tokens", _bpe(F.col(text_col))
+        )
     elif impl == "sql":
         norm = normalize_text(F.col(text_col))
         words = F.when(
@@ -1564,7 +1599,7 @@ def bpe_encode(
             F.array().cast("array<string>"),
         ).otherwise(F.regexp_extract_all(norm, F.lit(BPE_REGEX), F.lit(0)))
         fold = _bpe_word_fold_sql(merges)
-        out = df.withColumn("__bpe_words", words).withColumn(
+        out = ensure_parallelism(df).withColumn("__bpe_words", words).withColumn(
             "bpe_tokens", F.expr(f"flatten(transform(__bpe_words, w -> {fold}))")
         ).drop("__bpe_words")
     else:
@@ -3200,6 +3235,11 @@ def char_entropy(
     NULL text) and ``keep`` (entropy_q ≥ ``min_entropy_q``; false for
     NULL text).  Pure per-row column algebra — no shuffle, no Python,
     runs inside the scan stage."""
+    from rheoceros_spark.operators.scale import ensure_parallelism
+
+    # fan the scan to cluster width before the per-row rule CPU (r14 —
+    # the hash_embed note; no-op on pre-split or streaming input)
+    df = ensure_parallelism(df)
     norm = normalize_text(F.col(text_col))
     L = F.length(norm)
     chars = F.split(norm, "")

@@ -28,6 +28,17 @@ def sf(sf_dir):
     return sf_dir
 
 
+def assert_fanout_only(plan: str) -> None:
+    """The r14 zero-shuffle contract: the only Exchange a row-local
+    operator may carry is ensure_parallelism's RoundRobin scan fan-out
+    (a no-op on pre-split inputs) — keyed or global exchanges would be
+    real shuffles and stay forbidden."""
+    assert "Exchange hashpartitioning" not in plan, plan[:800]
+    assert "Exchange rangepartitioning" not in plan, plan[:800]
+    assert "Exchange SinglePartition" not in plan, plan[:800]
+
+
+
 class TestScanQuality:
     def test_filter_pushdown_reaches_parquet(self, spark, sf):
         # q6 retired to _RETIRED_QUERIES in the r9 window; the plan gate stays
@@ -351,7 +362,7 @@ class TestRound5PlanShapes:
     def test_text_repetition_zero_exchange(self, spark, sf):
         df = entry.queries()["text_repetition"](spark, sf)
         plan = physical_plan(df)
-        assert "Exchange" not in plan
+        assert_fanout_only(plan)
         assert plan.count("Scan parquet") == 1
 
     def test_source_mix_single_scan(self, spark, sf):
@@ -561,7 +572,7 @@ class TestRound7PlanShapes:
         plan = physical_plan(df)
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
-        assert "Exchange" not in plan
+        assert_fanout_only(plan)
         assert plan.count("Scan parquet") == 1
 
     def test_bpe_sql_twin_is_python_free(self, spark, sf):
@@ -572,7 +583,7 @@ class TestRound7PlanShapes:
             bpe_encode(docs, impl="sql").select("doc_id", "n_bpe_tokens")
         )
         assert "EvalPython" not in plan  # neither Arrow nor Batch
-        assert "Exchange" not in plan
+        assert_fanout_only(plan)
 
     def test_corpus_diff_indexed_two_narrow_scans_no_text_shuffle(self, spark, sf):
         """New-crawl side reduces to (id, fp) inside its scan; index is
@@ -730,7 +741,7 @@ class TestRound8PlanShapes:
 
         docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
         plan = physical_plan(hash_embed(docs, dim=32))
-        assert "Exchange" not in plan
+        assert_fanout_only(plan)
         assert "EvalPython" not in plan
         assert plan.count("Scan parquet") == 1
 
@@ -743,8 +754,10 @@ class TestRound8TailPlanShapes:
         Python eval, one parquet scan, codegen'd end to end."""
         from rheoceros_spark.operators.text_analysis import gopher_rules
 
-        plan = physical_plan(gopher_rules(load_table(spark, sf, "documents")))
-        assert "Exchange" not in plan
+        out = gopher_rules(load_table(spark, sf, "documents"))
+        out.collect()  # resolve the adaptive plan (the fan-out makes it AQE)
+        plan = physical_plan(out).split("== Initial Plan ==")[0]
+        assert_fanout_only(plan)
         assert "EvalPython" not in plan
         assert plan.count("Scan parquet") == 1
         # '*(n)' marks whole-stage-codegen'd operators in the simple
@@ -778,7 +791,7 @@ class TestRound8TailPlanShapes:
         from rheoceros_spark.operators.text_analysis import c4_line_filter
 
         plan = physical_plan(c4_line_filter(load_table(spark, sf, "documents")))
-        assert "Exchange" not in plan
+        assert_fanout_only(plan)
         assert "EvalPython" not in plan
         assert plan.count("Scan parquet") == 1
 
@@ -905,7 +918,7 @@ class TestRound12PlanShapes:
         df = entry._STAGED_QUERIES["text_html_extract"](spark, sf)
         df.collect()
         plan = physical_plan(df)
-        assert "Exchange" not in plan
+        assert_fanout_only(plan)
         assert "CollectMetrics" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -913,7 +926,7 @@ class TestRound12PlanShapes:
         df = entry._STAGED_QUERIES["dedup_intradoc_lines"](spark, sf)
         df.collect()
         plan = physical_plan(df)
-        assert "Exchange" not in plan
+        assert_fanout_only(plan)
         assert "CollectMetrics" in plan
 
     def test_refinedweb_html_pipeline_is_zero_shuffle(self, spark, sf):
@@ -923,7 +936,7 @@ class TestRound12PlanShapes:
         df = entry._STAGED_QUERIES["pipeline_refinedweb_html"](spark, sf)
         df.collect()
         plan = physical_plan(df)
-        assert "Exchange" not in plan
+        assert_fanout_only(plan)
         assert "CartesianProduct" not in plan
         # both stage barriers survive optimization
         assert plan.count("CollectMetrics") >= 2
