@@ -1174,9 +1174,18 @@ def video_dedup_pairs(
         raise ValueError(
             f"video_dedup_pairs: threshold must be in (0, 1], got {threshold}"
         )
-    fh = frame_hashes.select(
-        F.col(id_col).alias("__id"), "dhash_hi", "dhash_lo"
-    ).distinct()
+    # checkpoint the DISTINCT decode output FIRST (r14): the ubiquitous-
+    # frame aggregate and the anti-join's stream side are separate
+    # consumers, and with the checkpoint only on the anti-join RESULT
+    # the full demux+dHash decode pass ran TWICE (two 32-task decode
+    # stages in the profile).  The checkpointed rows are two ints per
+    # distinct frame — decode runs once, everything downstream reads
+    # blocks.
+    fh = (
+        frame_hashes.select(F.col(id_col).alias("__id"), "dhash_hi", "dhash_lo")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if max_videos is not None:
         wide = (
             fh.groupBy("dhash_hi", "dhash_lo")
@@ -1414,7 +1423,14 @@ def dedup_videos_against_index(
             f"dedup_videos_against_index: threshold must be in (0, 1], got "
             f"{threshold}"
         )
-    ifh = index.select("doc_id", "dhash_hi", "dhash_lo").distinct()
+    # checkpoint the distinct index rows FIRST so the ubiquitous-frame
+    # aggregate and the anti-join read one materialization instead of
+    # scanning the index twice (the video_dedup_pairs r14 note)
+    ifh = (
+        index.select("doc_id", "dhash_hi", "dhash_lo")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if max_videos is not None:
         wide = (
             ifh.groupBy("dhash_hi", "dhash_lo")

@@ -2465,10 +2465,17 @@ def lang_classifier_train(
         # addends, the clamped-exp LUT reads the same __lq, and the
         # denominator is the same exact BIGINT total (addition order
         # is irrelevant for exact integers).
+        # class-sorted wq ARRAY per bucket (r14, the scorer's shape):
+        # element_at on an array is O(1) per lookup where a literal
+        # map's GetMapValue scans its string keys; pos[] translates the
+        # class list to sorted positions so explicit unsorted `classes`
+        # still read the right lane
+        pos = {c: i for i, c in enumerate(sorted(classes))}
         wp = w.groupBy("bucket").agg(
-            F.map_from_entries(F.collect_list(F.struct("class", "wq"))).alias(
-                "__wm"
-            )
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("class", "wq"))),
+                lambda s: s["wq"],
+            ).alias("__wa")
         )
         logits = (
             feats.join(F.broadcast(wp), "bucket")
@@ -2476,7 +2483,8 @@ def lang_classifier_train(
             .agg(
                 *[
                     F.sum(
-                        F.element_at(F.col("__wm"), F.lit(c)) * F.col("cnt_q")
+                        F.element_at(F.col("__wa"), pos[c] + 1)
+                        * F.col("cnt_q")
                     ).alias(f"__lq{i}")
                     for i, c in enumerate(classes)
                 ]
@@ -2590,9 +2598,10 @@ def lang_classifier_score(
     n·K rows twice (groupBy(id, class) logits, then a groupBy(id)
     argmax).  The class dimension is list-sized and driver-known, so
     the K per-class logits are now K map-side-combined SUMs in ONE
-    groupBy(id) hash aggregate over a broadcast bucket→(class→wq) map
-    — K× fewer aggregate-input rows, K× fewer shuffled rows, one
-    exchange and one aggregate fewer — and the argmax is a row-local
+    groupBy(id) hash aggregate over a broadcast bucket→wq-array table
+    (class-sorted, position-indexed — O(1) per lookup) — K× fewer
+    aggregate-input rows, K× fewer shuffled rows, one exchange and one
+    aggregate fewer — and the argmax is a row-local
     ``array_min`` over (−logit, class) structs, the same comparator as
     the grouped ``min(struct)``.  Every integer is unchanged: each
     per-class sum adds the same BIGINT addends (order-free), so the
@@ -2613,10 +2622,18 @@ def lang_classifier_score(
         )
     if not classes:
         raise ValueError("lang_classifier_score: empty weight table")
+    # class-sorted wq ARRAY per bucket, indexed by position — a literal
+    # map's GetMapValue is a linear string-key scan per lookup, while
+    # element_at on an array is O(1); array_sort on the (class, wq)
+    # struct pins the order, and pos[] translates the caller's class
+    # list to sorted positions so an unsorted `classes` still reads the
+    # right lane
+    pos = {c: i for i, c in enumerate(sorted(classes))}
     wp = weights.groupBy("bucket").agg(
-        F.map_from_entries(F.collect_list(F.struct("class", "wq"))).alias(
-            "__wm"
-        )
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("class", "wq"))),
+            lambda s: s["wq"],
+        ).alias("__wa")
     )
     logits = (
         feats.join(F.broadcast(wp), "bucket")
@@ -2624,7 +2641,7 @@ def lang_classifier_score(
         .agg(
             *[
                 F.sum(
-                    F.element_at(F.col("__wm"), F.lit(c)) * F.col("cnt_q")
+                    F.element_at(F.col("__wa"), pos[c] + 1) * F.col("cnt_q")
                 ).alias(f"__lq{i}")
                 for i, c in enumerate(classes)
             ]
