@@ -1072,7 +1072,16 @@ def dsir_weights(
 
     t_counts = feats(target).groupBy("bkt").agg(F.count(F.lit(1)).alias("__tc"))
     raw_feats = feats(raw)
-    per_doc = raw_feats.groupBy(id_col, "bkt").agg(F.count(F.lit(1)).alias("__n"))
+    # two consumers (the bucket totals and the per-doc scoring join)
+    # branch from the per-doc aggregate — without materialization the
+    # raw-side n-gram explode + hash pass runs TWICE (r14, the
+    # minhash_lsh_pairs rationale; the checkpointed rows are narrow
+    # (id, bkt, n) triples)
+    per_doc = (
+        raw_feats.groupBy(id_col, "bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
     r_counts = per_doc.groupBy("bkt").agg(F.sum("__n").alias("__rc"))
     t_total = t_counts.agg(F.sum("__tc").alias("__T"))
     r_total = r_counts.agg(F.sum("__rc").alias("__R"))
