@@ -1912,6 +1912,23 @@ def sigmoid_lut_q() -> list[int]:
     ]
 
 
+def _int_array_lit(values, element_type: str):
+    """Integer literal array built in ONE parser call.
+
+    ``F.lit(list)`` issues one py4j roundtrip per element — measured
+    0.6-0.8 s of pure driver latency for the 1601-entry LUTs, paid on
+    EVERY classifier build (r14).  Rendering the list as SQL text and
+    parsing it once costs ~1 ms; the explicit element cast pins the
+    exact type the old per-element ``lit`` produced (py4j maps small
+    Python ints to Java Integer, large ones to Long), so downstream
+    arithmetic and plans are unchanged."""
+    if not values:
+        return F.array().cast(f"array<{element_type}>")
+    return F.expr("array(" + ",".join(map(str, values)) + ")").cast(
+        f"array<{element_type}>"
+    )
+
+
 def hashed_token_features(
     df: DataFrame,
     text_col: str = "text",
@@ -2246,11 +2263,25 @@ def logreg_train(
     n = labels.count()  # one scalar action, like the k-means convergence probes
     if n == 0:
         raise ValueError("logreg_train: empty training frame")
-    lut = F.lit(sigmoid_lut_q())
-    w = spark.createDataFrame(
-        [(b, 0) for b in range(-1, n_buckets)], "bucket int, wq bigint"
-    )
+    lut = _int_array_lit(sigmoid_lut_q(), "int")
+    # r14 driver-update rewrite (guide §5 driver discipline): the weight
+    # table is MODEL-sized (n_buckets+1 rows, KBs at any corpus scale),
+    # so the round update runs on the driver — one bounded collect of
+    # the gradient aggregate per round — instead of a per-round
+    # DataFrame join + lazy localCheckpoint, whose toRdd planning cost
+    # (~1 s per round, pure driver latency) and broadcast-build jobs
+    # dominated the training fixed cost.  The update arithmetic is the
+    # SAME IEEE sequence the old in-plan expression ran —
+    # float(decimal) · lr / n, floored — so every weight is
+    # bit-identical (decimal→double is correctly rounded in both
+    # engines; parity pinned by the existing oracle rows).
+    import math
+
+    cur = {b: 0 for b in range(-1, n_buckets)}
     for _ in range(iters):
+        w = spark.createDataFrame(
+            sorted(cur.items()), "bucket int, wq bigint"
+        )
         logits = (
             feats.join(F.broadcast(w), "bucket")
             .groupBy(id_col)
@@ -2277,22 +2308,11 @@ def logreg_train(
                 ).alias("__gq")
             )
         )
-        w = (
-            w.join(grads, "bucket", "left")
-            .select(
-                "bucket",
-                (
-                    F.col("wq")
-                    - F.floor(
-                        F.coalesce(F.col("__gq"), F.lit(0)).cast("double")
-                        * F.lit(lr)
-                        / F.lit(float(n))
-                    ).cast("bigint")
-                ).alias("wq"),
+        for row in grads.collect():
+            cur[row["bucket"]] -= math.floor(
+                float(row["__gq"]) * lr / float(n)
             )
-            .localCheckpoint(eager=False)
-        )
-    return w
+    return spark.createDataFrame(sorted(cur.items()), "bucket int, wq bigint")
 
 
 def quality_classifier_score(
@@ -2452,11 +2472,19 @@ def lang_classifier_train(
     n = labels.count()  # one scalar action, like logreg_train's
     if n == 0:
         raise ValueError("lang_classifier_train: empty training frame")
-    lut = F.lit(exp_lut_q())
-    w = spark.createDataFrame(
-        [(c, b, 0) for c in classes for b in range(-1, n_buckets)],
-        "class string, bucket int, wq bigint",
-    )
+    lut = _int_array_lit(exp_lut_q(), "bigint")
+    # r14 driver-update rewrite (guide §5; the logreg_train rationale):
+    # the weight table is MODEL-sized — K·(n_buckets+1) rows — so the
+    # round update is a bounded driver collect + exact Python update
+    # instead of a per-round join + lazy localCheckpoint whose toRdd
+    # planning (~1 s/round of driver latency) and broadcast-build jobs
+    # dominated training fixed cost.  Same IEEE update sequence as the
+    # old in-plan expression (float(decimal)·lr/(n·scale), floored) —
+    # bit-identical weights, parity pinned by the oracle rows.
+    import math
+
+    cur = {(c, b): 0 for c in classes for b in range(-1, n_buckets)}
+    sorted_classes = sorted(classes)
     n_cls = len(classes)
     for _ in range(iters):
         # r14 shuffle-shape rewrite (guide §2.3/§2.4): the previous
@@ -2478,12 +2506,18 @@ def lang_classifier_train(
         # map's GetMapValue scans its string keys; pos[] translates the
         # class list to sorted positions so explicit unsorted `classes`
         # still read the right lane
-        pos = {c: i for i, c in enumerate(sorted(classes))}
-        wp = w.groupBy("bucket").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("class", "wq"))),
-                lambda s: s["wq"],
-            ).alias("__wa")
+        pos = {c: i for i, c in enumerate(sorted_classes)}
+        # class-sorted lane array per bucket, built driver-side (the
+        # old groupBy + array_sort(collect_list(struct)) over the tiny
+        # weight frame produced exactly this: lanes ordered by class
+        # ascending — classes are distinct per bucket, so the struct
+        # sort IS the class sort)
+        wp = spark.createDataFrame(
+            [
+                (b, [cur[(c, b)] for c in sorted_classes])
+                for b in range(-1, n_buckets)
+            ],
+            "bucket int, __wa array<bigint>",
         )
         logits = (
             feats.join(F.broadcast(wp), "bucket")
@@ -2561,23 +2595,14 @@ def lang_classifier_train(
         # __gq is on the 1e-11 grid (1e-7 residual × 1e-4 feature); the
         # extra FEAT_NORM_SCALE divisor returns the update to the 1e-7
         # weight grid
-        w = (
-            w.join(grads, ["class", "bucket"], "left")
-            .select(
-                "class",
-                "bucket",
-                (
-                    F.col("wq")
-                    - F.floor(
-                        F.coalesce(F.col("__gq"), F.lit(0)).cast("double")
-                        * F.lit(lr)
-                        / F.lit(float(n * FEAT_NORM_SCALE))
-                    ).cast("bigint")
-                ).alias("wq"),
+        for row in grads.collect():
+            cur[(row["class"], row["bucket"])] -= math.floor(
+                float(row["__gq"]) * lr / float(n * FEAT_NORM_SCALE)
             )
-            .localCheckpoint(eager=False)
-        )
-    return w
+    return spark.createDataFrame(
+        [(c, b, q) for (c, b), q in sorted(cur.items())],
+        "class string, bucket int, wq bigint",
+    )
 
 
 def lang_classifier_score(
@@ -2783,8 +2808,8 @@ def lang_classify_rowlocal(
         wm = {b: w for b, w in by_class[c].items() if b >= 0}
         keys = sorted(wm)
         wmap = F.map_from_arrays(
-            F.array(*[F.lit(k).cast("int") for k in keys]),
-            F.array(*[F.lit(wm[k]).cast("bigint") for k in keys]),
+            _int_array_lit(keys, "int"),
+            _int_array_lit([wm[k] for k in keys], "bigint"),
         )
         bias_term = F.lit(by_class[c].get(-1, 0) * FEAT_NORM_SCALE).cast("bigint")
         tok_term = F.when(
@@ -2941,8 +2966,8 @@ def classifier_score_rowlocal(
     bias = rows.pop(-1, 0)
     keys = sorted(rows)
     wmap = F.map_from_arrays(
-        F.array(*[F.lit(k).cast("int") for k in keys]),
-        F.array(*[F.lit(rows[k]).cast("bigint") for k in keys]),
+        _int_array_lit(keys, "int"),
+        _int_array_lit([rows[k] for k in keys], "bigint"),
     )
     toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
     bucket = lambda t: (h64(t, seed=seed) % F.lit(n_buckets)).cast("int")  # noqa: E731
