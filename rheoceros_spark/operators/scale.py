@@ -81,6 +81,39 @@ def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> D
         return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    # Idempotence (r14): composed pipelines (filter funnels, multi-gate
+    # scoring chains) call this before EVERY per-row stage, and each
+    # call used to add another full-width RoundRobin exchange — the
+    # funnel plan carried SIX, each reshuffling the corpus text bytes
+    # for rows that were already spread arbitrarily.  If an existing
+    # >= target Repartition is reachable from the root through
+    # row-local nodes only (Project/Filter/Generate/alias — nothing
+    # that narrows or re-keys width), the rows are still fanned and
+    # this call is a no-op.  The walk stops at any other node (join,
+    # aggregate, window, union...), preserving the old behavior there.
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        for _ in range(64):  # bounded walk; row-local chains are short
+            cls = node.getClass().getSimpleName()
+            if cls == "Repartition" and node.shuffle():
+                if int(node.numPartitions()) >= target:
+                    return df
+                break
+            if cls not in (
+                "Project",
+                "Filter",
+                "Generate",
+                "SubqueryAlias",
+                "View",
+                "WithColumns",
+            ):
+                break
+            ch = node.children()
+            if ch.size() != 1:
+                break
+            node = ch.apply(0)
+    except Exception:
+        pass  # plan walk unavailable: fall through to the byte probe
     try:
         n_files = len(df.inputFiles())
     except Exception:

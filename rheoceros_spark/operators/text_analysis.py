@@ -993,8 +993,17 @@ def bm25_topk(
     """
     if k < 1:
         raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
-    norm_len = F.length(normalize_text(F.col(text_col)))
-    dl = F.when(norm_len == 0, F.lit(0)).otherwise(F.size(tokens(F.col(text_col))))
+    # doc length = token count = number of non-whitespace runs in the
+    # RAW text: exactly size(tokens(text)) with the norm_len==0 → 0
+    # guard folded in (lowercasing can't change where whitespace runs
+    # are; the char class is normalize_text's own, so \x0B and unicode
+    # spaces classify identically), but ONE regex count instead of the
+    # full lower+rewrite+trim+split chain — this expression runs in
+    # every corpus pass (stats AND the per-token project under the
+    # explode, which Catalyst does not CSE with the generator input),
+    # so the old spelling normalized the corpus twice more than the
+    # tokenize itself needs (r14, guide §1.2)
+    dl = F.regexp_count(F.col(text_col), F.lit("[^ \t\n\f\r]+"))
     # NULL ids are excluded up front: the oracle's dls join drops them,
     # and a NULL id would otherwise sort FIRST on a score tie (asc
     # nulls-first) and silently displace a real doc from the top-k

@@ -93,6 +93,33 @@ class TestEnsureParallelism:
             "tiny single-split scan must fan out before CPU-heavy work"
         )
 
+    def test_fan_is_idempotent_through_rowlocal_ops(self, spark, tmp_path):
+        # composed pipelines (filter funnels) call ensure_parallelism
+        # before EVERY per-row stage; a second call through row-local
+        # ops must NOT add another full-width shuffle (r14 — the funnel
+        # plan carried six RoundRobin exchanges before the fix)
+        from rheoceros_spark.operators.scale import ensure_parallelism
+
+        path = self._one_file_corpus(spark, tmp_path, 50)
+        df = spark.read.parquet(path)
+        once = ensure_parallelism(df, min_partitions=8)
+        derived = once.where(F.col("id") % 2 == 0).withColumn(
+            "flag", F.length("payload") > 3
+        )
+        twice = ensure_parallelism(derived, min_partitions=8)
+        plan = twice._jdf.queryExecution().logical().toString()
+        assert plan.count("Repartition") == 1, (
+            "fan through row-local ops must be a no-op:\n" + plan[:1200]
+        )
+        # a narrower existing fan does NOT satisfy a wider request
+        refan = ensure_parallelism(
+            ensure_parallelism(df, min_partitions=2), min_partitions=8
+        )
+        assert (
+            refan._jdf.queryExecution().logical().toString().count("Repartition")
+            == 2
+        )
+
     def test_shuffled_input_keeps_conservative_fanout(self, spark, sf_dir):
         from rheoceros_spark.operators.scale import ensure_parallelism
 
