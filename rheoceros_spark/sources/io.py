@@ -248,15 +248,70 @@ def load_signal(spark: SparkSession, signal: Signal) -> DataFrame:
             )
     reader = spark.read.format(desc.data_format)
     schema = desc.spark_schema()
+    options = desc.spark_options()
+    inferred_key = None
     if schema is not None:
         reader = reader.schema(schema)
-    for k, v in desc.spark_options().items():
+    else:
+        # Schema-inference memo (r14, guide §5 driver latency): a
+        # RuleExecutor sweep over all benched queries showed
+        # ResolveDataSource — footer-read schema inference, fired once
+        # per spark.read — costing 14.4 s of the 26.9 s TOTAL rule time
+        # (~85 ms/read locally; object-store listings cost far more).
+        # The memo stores only the inferred StructType, keyed on every
+        # concrete path's (mtime_ns, size) — the _NS_SCHEMA_CACHE
+        # discipline — so any rewrite/append at the path changes the
+        # key and re-infers.  File LISTING is untouched: the reader
+        # below always re-resolves the paths, so new files are seen.
+        inferred_key = _schema_memo_key(desc.data_format, paths, options)
+        cached = (
+            _INFERRED_SCHEMA_CACHE.get(inferred_key) if inferred_key else None
+        )
+        if cached is not None:
+            reader = reader.schema(cached)
+    for k, v in options.items():
         reader = reader.option(k, v)
     # S2/S6: single multi-path read — scan coalescing + one scan node
     df = reader.load(paths if len(paths) > 1 else paths[0])
+    if inferred_key is not None:
+        _INFERRED_SCHEMA_CACHE[inferred_key] = df.schema
     if desc.data_format == "parquet" and schema is None:
         df = normalize_ns_timestamps(df, paths[0])
     return df
+
+
+#: (format, options, ((path, mtime_ns, size), ...)) -> StructType
+_INFERRED_SCHEMA_CACHE: dict = {}
+
+
+def _schema_memo_key(data_format: str, paths, options: dict):
+    """Stat-keyed memo key for inferred schemas, or None when any path
+    is remote/unstattable (no safe invalidation there)."""
+    parts = []
+    for p in paths:
+        lp = p
+        m = re.match(r"^file:(?://)?(/.*)$", lp)
+        if m:
+            lp = m.group(1)
+        elif _is_schemed(lp):
+            return None
+        try:
+            st = os.stat(lp)
+            part = [(lp, st.st_mtime_ns, st.st_size)]
+            if os.path.isdir(lp):
+                # dir mtime covers entry add/remove; also pin the first
+                # data file so an in-place rewrite re-keys too
+                files = sorted(
+                    f for f in os.listdir(lp) if not f.startswith(("_", "."))
+                )
+                if files:
+                    fp = os.path.join(lp, files[0])
+                    fst = os.stat(fp)
+                    part.append((fp, fst.st_mtime_ns, fst.st_size))
+        except OSError:
+            return None
+        parts.extend(part)
+    return (data_format, tuple(sorted(options.items())), tuple(parts))
 
 
 def normalize_ns_timestamps(df: DataFrame, sample_path: str) -> DataFrame:

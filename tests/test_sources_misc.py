@@ -105,6 +105,46 @@ class TestVanillaSessionSelfSufficiency:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+class TestSchemaInferenceMemo:
+    def test_memo_hits_and_overwrite_invalidates(self, spark, tmp_path):
+        # r14: load_signal memoizes the INFERRED schema per stat-keyed
+        # path (ResolveDataSource was >half of all planning time); a
+        # rewrite at the same path must re-key the memo, and the file
+        # listing itself must stay fresh (append visibility)
+        import time as _time
+
+        from rheoceros_spark.sources.io import _INFERRED_SCHEMA_CACHE
+
+        p = str(tmp_path / "memo_ds")
+        spark.range(5).selectExpr("id AS a").write.mode("overwrite").parquet(p)
+
+        def load_raw():
+            desc = ParquetDataset(p)
+            return load_signal(spark, Signal("t", desc, desc.spec))
+
+        before = len(_INFERRED_SCHEMA_CACHE)
+        first = load_raw()
+        assert len(_INFERRED_SCHEMA_CACHE) == before + 1
+        again = load_raw()
+        assert len(_INFERRED_SCHEMA_CACHE) == before + 1  # memo hit
+        assert first.schema == again.schema
+        assert first.columns == ["a"]
+        _time.sleep(0.02)
+        spark.range(3).selectExpr("id AS b", "id * 2 AS c").write.mode(
+            "overwrite"
+        ).parquet(p)
+        refreshed = load_raw()
+        assert sorted(refreshed.columns) == ["b", "c"], (
+            "overwrite at the same path must invalidate the schema memo"
+        )
+        # append visibility: new rows appear without any schema change
+        n0 = refreshed.count()
+        spark.range(4).selectExpr("id AS b", "id * 2 AS c").write.mode(
+            "append"
+        ).parquet(p)
+        assert load_raw().count() == n0 + 4
+
+
 class TestS14PandasSink:
     def test_single_file_parquet(self, spark, tmp_path):
         pdf = pd.DataFrame({"k": ["x", "y"], "v": [1, 2]})
