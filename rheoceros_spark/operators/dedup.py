@@ -1026,13 +1026,16 @@ def semantic_dup_pairs(
     )
     if cents is None:
         cents = kmeans_centroids(base, k, iters, vec_col, id_col)
-    # multi-round training lineage: materialize once (ivf_write's
-    # localCheckpoint rationale), then assignment + both join branches
-    # read the <= k-row table
-    # lazy (r14): the packed-centroid broadcast in ivf_assign is the
-    # materializing action; the checkpoint still truncates the deep
-    # training lineage so later plans stay small
-    cents = cents.localCheckpoint(eager=False)
+    # multi-round training lineage: materialize once, then assignment +
+    # both join branches read the <= k-row table.  The table is
+    # MODEL-sized (k rows), so it comes back as a LocalRelation via one
+    # bounded collect (r14, the classifier-trainer rationale): the old
+    # lazy localCheckpoint planned the whole multi-round training DAG a
+    # second time at construction (~1 s of driver latency) and ran a
+    # broadcast-build job over the checkpointed RDD per consumer.
+    # Doubles round-trip bit-exactly through collect/createDataFrame.
+    spark = df.sparkSession
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
     assigned = ivf_assign(base, k, vec_col, id_col, cents=cents)
     v = F.col(vec_col)
     e = assigned.select(

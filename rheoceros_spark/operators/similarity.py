@@ -881,14 +881,16 @@ def ivf_write(
     else:
         # the manifest must record the CODEBOOK's actual size, not the
         # default parameter — a trained codebook of a different k would
-        # otherwise persist a lying n_centroids.  localCheckpoint first:
-        # a trained codebook (kmeans_centroids) is an expensive
-        # multi-round corpus plan, and without materialization the
-        # count() action here would execute that whole training lineage
-        # once for the count and AGAIN inside ivf_assign/persist.
-        # lazy (r14): the count() right below is the materializing action
-        cents = cents.localCheckpoint(eager=False)
-        n_centroids = cents.count()
+        # otherwise persist a lying n_centroids.  The codebook is
+        # MODEL-sized (≤ k rows), so one bounded collect materializes
+        # the training lineage once and every consumer reads a
+        # LocalRelation (r14 — replaces the lazy checkpoint whose toRdd
+        # planned the multi-round training DAG again at construction);
+        # doubles round-trip bit-exactly
+        spark = df.sparkSession
+        rows = cents.collect()
+        cents = spark.createDataFrame(rows, cents.schema)
+        n_centroids = len(rows)
     assigned = ivf_assign(df, n_centroids, vec_col, id_col, cents=cents)
     (
         assigned.repartition("cell")
@@ -1490,10 +1492,14 @@ def ivfpq_write(
         cents = kmeans_centroids(base, n_cells, iters, vec_col, id_col)
     # the trained-codebook plan is multiple corpus scans — materialize
     # once; every consumer below (count, assign, residuals, manifest)
-    # then reads the ≤k-row table, not the training lineage
-    # lazy (r14): the count() right below is the materializing action
-    cents = cents.localCheckpoint(eager=False)
-    n_cells = cents.count()
+    # then reads the ≤k-row LocalRelation, not the training lineage
+    # (r14: one bounded collect instead of the lazy checkpoint, whose
+    # toRdd planned the training DAG again at construction; doubles
+    # round-trip bit-exactly)
+    spark = df.sparkSession
+    cent_rows = cents.collect()
+    cents = spark.createDataFrame(cent_rows, cents.schema)
+    n_cells = len(cent_rows)
     assigned = ivf_assign(base, n_cells, vec_col, id_col, cents=cents)
     resid = assigned.join(
         F.broadcast(cents), assigned["cell"] == cents["cid"]
