@@ -339,6 +339,7 @@ def main() -> None:
         run_once(noise_df)
         noise_t.append(round(time.time() - t0, 3))
     timings: dict[str, float] = {}
+    _iter_max: dict[str, float] = {}
     errors: dict[str, str] = {}
     # heaviest plans first: late in a long same-JVM run, accumulated
     # broadcast/code-cache state inflates the big dedup queries by 2-3x
@@ -381,6 +382,16 @@ def main() -> None:
             elapsed = round(time.time() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
+            # max-of-iterations, kept alongside the min: the published
+            # per-query number stays min-of-N (unchanged methodology),
+            # but the spread lets a reader tell a per-query contention
+            # spike (min flat, max inflated) from a real regression
+            # (both inflated) without re-running — this host's steal
+            # bursts land BETWEEN the run-level noise probes (r14
+            # session 5: a guard-passing run carried individual rows
+            # at 2-5x their steady-state)
+            if name not in _iter_max or elapsed > _iter_max[name]:
+                _iter_max[name] = elapsed
     total = round(sum(timings.values()), 3)
     ext_names = set(bench_ext)
     core_total = round(
@@ -406,6 +417,9 @@ def main() -> None:
         "staged_sec": round(sum(staged_timings.values()), 3),
         "staged": staged_timings,
         "queries": timings,
+        # per-query max-of-iterations (see the timing loop): published
+        # numbers stay min-of-N; this is read-side noise forensics only
+        "queries_iter_max": _iter_max,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_noise": noise_t,
     }
