@@ -8353,77 +8353,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver's correctness harness checks the FIRST 50 queries()
 #: entries only (CORRECTNESS_r01 covered positions 0-49 exactly).
-#: Rotation discipline (round 14, executing the window staged in r11
-#: session 3): the registry is capped at 100 queries — the 50-slot
-#: window plus the consecutive-round-coverage invariant (r13 ∪ r14
-#: must certify everything) admits no more, so the four NEW
-#: registrations this round (curation_temperature_mix,
-#: text_sif_embed_topk, dedup_ngram_hotspots, text_char_entropy) each
-#: retired one r12-certified query whose shape family stays multiply
-#: certified (text_lang_id, text_tfidf_terms,
-#: curation_stratified_sample, ann_kmeans_refine — see
-#: _RETIRED_QUERIES and tests/test_retired_oracles.py for per-retiree
-#: sibling justifications).  The head holds the 4 never-certified
-#: registrations first, then the 46 remaining queries whose most
-#: recent official row is CORRECTNESS_r12 (round 13 certified the
-#: other 50).  Enforced by tests/test_plan_quality.py
+#: Rotation discipline (round 15): the registry is capped at 100
+#: queries — the 50-slot window plus the consecutive-round-coverage
+#: invariant (r14 ∪ r15 must certify everything) admits no more.  No
+#: new registrations this round (optimization round); the window
+#: rotates back to EXACTLY the r13-certified set so the queries whose
+#: code changed in r14 while outside its window (text_bm25_topk,
+#: retrieval_hybrid_rrf, the IVF family, ...) are driver-certified
+#: post-change, as the r14 verdict required.  Enforced by
+#: tests/test_plan_quality.py
 #: test_cross_round_official_coverage_is_total.  All queries — retired
 #: ones included — stay continuously gated by the local DuckDB oracle,
 #: scripts/check_oracle.py.
 _HEAD = [
-    # new in round 14 (staged in r11 session 3, executed as planned) —
-    # never certified, enter the window first
-    "curation_temperature_mix",
-    "text_sif_embed_topk",
-    "dedup_ngram_hotspots",
-    "text_char_entropy",
-    # certified in r12, rotating back in so r13 ∪ r14 stays total
-    "text_lang_classifier",
-    "pipeline_ccnet_corpus",
-    "curation_url_canonical",
-    "dedup_exact_url",
-    "dedup_snapshot_scoped",
-    "text_bpe_persisted",
-    "events_sliding_2day",
-    "metric_period_stats_hourly",
-    "alarm_m_of_n_state",
-    "composite_alarm_rule",
-    "ts_asof_join",
-    "ts_range_join_counts",
-    "ts_sessionize",
-    "sketch_kmv_distinct",
-    "sketch_histogram_quantiles",
-    "layout_zorder_key",
-    "q21_sole_returner",
-    "grouping_sets_revenue",
-    "dedup_exact_docs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_persisted",
-    "curation_pii_redact",
-    "curation_vocab_top_tokens",
-    "dedup_clusters",
-    "text_quality",
-    "multimodal_features",
-    "dedup_incremental_index",
-    "curation_domain_cap",
-    "curation_group_split",
-    "curation_negative_samples",
-    "curation_boilerplate",
-    "text_source_kl",
-    "dedup_keep_list",
-    "text_chunk_documents",
-    "curation_budget_mix",
-    "text_quality_classifier",
-    "dedup_semantic_pairs",
-    "curation_cluster_profile",
-    "text_quality_pr_curve",
-    "retrieval_mmr_rerank",
-    "text_bpe_train",
-    "text_gopher_rules",
-    "curation_c4_lines",
-    "curation_source_overlap",
-    "curation_ppl_buckets",
+    # round 15: the window rotates BACK to exactly the r13-certified
+    # set (CORRECTNESS_r13.json key order), so every query touched in
+    # the r14 optimization round while outside the r14 window
+    # (text_bm25_topk, retrieval_hybrid_rrf, the IVF family, ...) gets
+    # driver-certified POST-change, and r14 ∪ r15 covers all 100
+    # registered queries (VERDICT r14 next-round #8).  Enforced by
+    # tests/test_plan_quality.py::test_cross_round_official_coverage_is_total.
+    "curation_corpus_datasheet",
+    "curation_snapshot_drift",
+    "dedup_semantic_keep",
+    "scale_skew_report",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q19_disjunctive_predicates",
+    "q20_part_shippers",
+    "q22_wealthy_inactive",
+    "agg_cube",
+    "window_topn_per_group",
+    "set_except",
+    "scalar_functions",
+    "scan_pruned_projection",
+    "nearest_partition_asof",
+    "partition_ranged_union",
+    "events_cohort_retention",
+    "sketch_cms_topk",
+    "ann_int8_topk",
+    "ann_ivfpq_topk",
+    "retrieval_hybrid_rrf",
+    "retrieval_quality_metrics",
+    "text_hash_embed_topk",
+    "text_bm25_topk",
+    "text_bpe_fertility",
+    "text_lang_segments",
+    "text_repetition",
+    "dedup_exact_best_docs",
+    "dedup_substring_spans",
+    "corpus_diff_indexed",
+    "curation_decon_spans",
+    "curation_semantic_decon",
+    "curation_dsir_resample",
+    "curation_filter_funnel",
+    "curation_ngram_novelty",
+    "curation_pack_sequences",
+    "curation_shuffle_shards",
+    "curation_source_mix",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
+    "pipeline_pretrain_corpus",
 ]
 
 

@@ -2,9 +2,10 @@
 (range(50M).sum(id % 97), pure codegen, no IO/shuffle) 5x in a small
 fresh JVM and prints the spread.  Use it to decide whether a full
 bench attempt can pass the frozen-floor canonical guard (max probe
-<= 1.25 x 0.081 = 0.101) WITHOUT spending the ~18-minute full run —
-the guard itself stays in bench.py and remains the only thing that
-writes artifacts.
+<= 1.25 x the frozen floor, read live from BENCH_full_latest.json so
+a ratcheted-down floor tightens this probe too) WITHOUT spending the
+~18-minute full run — the guard itself stays in bench.py and remains
+the only thing that writes artifacts.
 
 Usage: python scripts/noise_probe.py
 """
@@ -18,7 +19,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import bench  # noqa: E402
+
 from rheoceros_spark.session import get_session  # noqa: E402
+
+
+def current_bar() -> float:
+    """The SAME bar bench.py's canonical-overwrite guard will apply:
+    1.25 x the frozen floor read from the canonical artifact (which
+    ratchets DOWN on quieter runs), falling back to the first-frozen
+    constant — a hardcoded bar goes stale the moment a quieter
+    canonical tightens the floor (ADVICE r14)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(repo, "BENCH_full_latest.json")) as fh:
+            floor = json.load(fh).get("noise_floor_frozen")
+    except (OSError, ValueError):
+        floor = None
+    return round(1.25 * (floor or bench.NOISE_FLOOR_FROZEN), 3)
 
 
 def main() -> None:
@@ -35,7 +53,17 @@ def main() -> None:
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         probes.append(round(time.time() - t0, 3))
-    print(json.dumps({"noise": probes, "max": max(probes), "bar": 0.101}))
+    bar = current_bar()
+    print(
+        json.dumps(
+            {
+                "noise": probes,
+                "max": max(probes),
+                "bar": bar,
+                "quiet": max(probes) <= bar,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

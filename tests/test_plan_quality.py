@@ -325,22 +325,39 @@ class TestDriverContract:
     def test_cross_round_official_coverage_is_total(self):
         """Every query is either inside this round's 50-entry driver
         window or already earned a green official row in the PREVIOUS
-        round (r13) — the rotation may not orphan anything, and
+        round (r14) — the rotation may not orphan anything, and
         consecutive rounds must jointly cover 100% of queries()."""
+        import json
+        import os
+
+        window = set(list(entry.queries())[:50])
+        r14_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r14.json")
+        with open(r14_path, "r", encoding="utf-8") as f:
+            r14 = json.load(f)
+        certified_r14 = {
+            name
+            for name, res in r14.items()
+            if res.get("rows_match") and res.get("schema_match") and res.get("hash_match")
+        }
+        uncovered = set(entry.queries()) - window - certified_r14
+        assert not uncovered, f"never driver-certified: {sorted(uncovered)}"
+
+    def test_r15_window_is_exactly_the_r13_set(self):
+        """The r14 verdict's hold-to-it condition: queries whose code
+        changed in r14 while outside the r14 certificate window
+        (text_bm25_topk, retrieval_hybrid_rrf, the IVF family) must be
+        driver-certified in r15 — the window is the r13 name set."""
         import json
         import os
 
         window = set(list(entry.queries())[:50])
         r13_path = os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r13.json")
         with open(r13_path, "r", encoding="utf-8") as f:
-            r13 = json.load(f)
-        certified_r13 = {
-            name
-            for name, res in r13.items()
-            if res.get("rows_match") and res.get("schema_match") and res.get("hash_match")
-        }
-        uncovered = set(entry.queries()) - window - certified_r13
-        assert not uncovered, f"never driver-certified: {sorted(uncovered)}"
+            r13 = set(json.load(f))
+        assert window == r13, (
+            f"window≠r13: missing={sorted(r13 - window)} "
+            f"extra={sorted(window - r13)}"
+        )
 
     def test_registry_capped_at_window_arithmetic(self):
         """50-slot window + consecutive-round totality ⇒ at most 100
