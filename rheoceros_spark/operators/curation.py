@@ -536,21 +536,25 @@ def dup_clusters(
     labels would under-merge."""
     import warnings
 
+    from rheoceros_spark.operators.scale import checkpoint_with_metrics
+
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    # lazy checkpoints (r14): the isEmpty() probe below materializes
-    # both frames in its own job — an eager pair here would run two
-    # extra driver jobs for the same blocks
+    # the edge frame stays a LAZY checkpoint: the initial-labels
+    # materialization right below runs through it and caches its blocks
     edges = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
-    labels = (
+    # r15: the emptiness probe rides the materializing pass (observe)
+    # instead of a separate isEmpty() job — same discipline as the
+    # per-round convergence fusion below
+    labels, (n_nodes,) = checkpoint_with_metrics(
         edges.select("u")
         .distinct()
-        .select(F.col("u").alias("node"), F.col("u").alias("label"))
-        .localCheckpoint(eager=False)
+        .select(F.col("u").alias("node"), F.col("u").alias("label")),
+        F.count(F.lit(1)).alias("n"),
     )
     out_cols = [F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")]
-    if labels.isEmpty():
+    if not n_nodes:
         return labels.select(*out_cols)
     prev_sum = None
     converged = False
@@ -561,22 +565,22 @@ def dup_clusters(
             .groupBy("u")
             .agg(F.min("label").alias("nl"))
         )
-        labels = (
+        # r15: the convergence hash-sum is computed IN the pass that
+        # materializes the round's labels (checkpoint_with_metrics) —
+        # the old shape paid a separate agg().collect() that re-read
+        # the whole labels frame per round (a corpus-sized pass at
+        # 100 TB) plus its planning and job scheduling
+        labels, (cur_sum,) = checkpoint_with_metrics(
             labels.join(neigh_min, labels["node"] == neigh_min["u"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
                     "label"
                 ),
-            )
-            # lazy: the convergence aggregate right below is the
-            # materializing action — one driver job per round, not two
-            .localCheckpoint(eager=False)
+            ),
+            F.sum(F.xxhash64("label").cast("decimal(38,0)")).alias("s"),
         )
         rounds += 1
-        cur_sum = labels.agg(
-            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
         if prev_sum is not None and cur_sum == prev_sum:
             converged = True
             break
@@ -649,15 +653,18 @@ def dup_clusters_star(
     Convergence = hash-sum equality of the canonical edge set (one
     scalar agg, type-agnostic — same scheme as :func:`dup_clusters`).
     """
-    e = (
+    from rheoceros_spark.operators.scale import checkpoint_with_metrics
+
+    # r15: emptiness probe fused into the materializing pass (observe),
+    # replacing the lazy checkpoint + isEmpty() job pair
+    e, (n_edges,) = checkpoint_with_metrics(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        # lazy: isEmpty() below is the materializing action (r14)
-        .localCheckpoint(eager=False)
+        .distinct(),
+        F.count(F.lit(1)).alias("n"),
     )
     out_cols = [F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")]
-    if e.isEmpty():
+    if not n_edges:
         return e.select(*out_cols)
 
     prev_sum = None
@@ -682,20 +689,17 @@ def dup_clusters_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
         m_sm = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        e_sm = (
+        # r15: convergence hash-sum fused into the round's
+        # materializing pass — no separate agg().collect() re-reading
+        # the edge frame (see dup_clusters)
+        e, (cur_sum,) = checkpoint_with_metrics(
             oriented.join(m_sm, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m_sm.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
-            .distinct()
-            # lazy: the convergence aggregate is the materializing
-            # action — one driver job per round, not two (r14)
-            .localCheckpoint(eager=False)
+            .distinct(),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
         )
-        e = e_sm
-        cur_sum = e.agg(
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
-        ).collect()[0][0]
         if prev_sum is not None and cur_sum == prev_sum:
             converged = True
             break
@@ -2731,11 +2735,22 @@ def icp_order(
     # pairs+top-m stage 8.8 s → 4.1 s.  ``salt=None`` derives from
     # cluster width; pass an explicit value to pin it (1 disables).
     if salt is None:
+        # r15: 4x-cores numerator (was 1x, cap 16).  With the r14
+        # global 64 KB AQE-coalescing floor removed (it taxed every
+        # small shuffle in the suite — see session.py), the salted
+        # pair stage must carry enough post-shuffle bytes that AQE's
+        # DEFAULT byte-based coalescing keeps it wide: the b-side
+        # explode multiplies its exchange by `salt`, so a larger salt
+        # is precisely what keeps the |cell|² CPU spread (measured at
+        # sf0.1 k=8/32 cores: salt=16 ~7.5 s vs salt=4 ~10.4 s for
+        # icp_order).  Still collapses to 1 — no duplication, plan
+        # unchanged — once k >= 4x cluster width, the 100 TB regime;
+        # the pair set is salt-invariant (tested).
         salt = max(
             1,
             min(
-                16,
-                -(-df.sparkSession.sparkContext.defaultParallelism // max(k, 1)),
+                32,
+                -(-(4 * df.sparkSession.sparkContext.defaultParallelism) // max(k, 1)),
             ),
         )
     elif salt < 1:

@@ -1066,11 +1066,22 @@ def semantic_dup_pairs(
     # ``salt=None`` derives from cluster width; explicit value pins it
     # (1 disables) — the pair set is identical under any salt.
     if salt is None:
+        # r15: 4x-cores numerator (was 1x, cap 16).  With the r14
+        # global 64 KB AQE-coalescing floor removed (it taxed every
+        # small shuffle in the suite — see session.py), the salted
+        # pair stage must carry enough post-shuffle bytes that AQE's
+        # DEFAULT byte-based coalescing keeps it wide: the b-side
+        # explode multiplies its exchange by `salt`, so a larger salt
+        # is precisely what keeps the |cell|² CPU spread (measured at
+        # sf0.1 k=8/32 cores: salt=16 ~7.5 s vs salt=4 ~10.4 s for
+        # icp_order).  Still collapses to 1 — no duplication, plan
+        # unchanged — once k >= 4x cluster width, the 100 TB regime;
+        # the pair set is salt-invariant (tested).
         salt = max(
             1,
             min(
-                16,
-                -(-df.sparkSession.sparkContext.defaultParallelism // max(k, 1)),
+                32,
+                -(-(4 * df.sparkSession.sparkContext.defaultParallelism) // max(k, 1)),
             ),
         )
     elif salt < 1:

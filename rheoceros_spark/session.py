@@ -21,20 +21,17 @@ from pyspark.sql import SparkSession
 _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # AQE's coalescing floor is BYTES-based and blind to join-output
-    # expansion: a pair join whose inputs are a few MB of (id, vector)
-    # rows but whose output is |cell|² pairs gets its input shuffle
-    # coalesced to 1-4 partitions at the 1 MB default, serializing the
-    # entire expansion + cosine stage onto as many cores (measured:
-    # icp_order's salted pair join 4.6 s → 1.1 s with coalescing off;
-    # the salt exists precisely to spread that stage, and coalescing
-    # was un-doing it).  64 KB keeps small-but-expanding shuffles at
-    # parallelism while leaving real shuffles untouched — partitions
-    # above 64 KB never see this floor, and advisoryPartitionSizeInBytes
-    # still sizes the 100 TB-scale exchanges.  Interleaved min-of-3 at
-    # sf0.1: icp_order 8.5 → 5.1 s, semantic_dup_pairs 4.7 → 3.3 s;
-    # 128k/32k measured the same plateau, 64k chosen mid-band.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # r15: the r14 64 KB coalescing floor is GONE.  It was added so
+    # AQE would not coalesce the |cell|²-expanding salted pair joins
+    # (icp_order, semantic_dup_pairs) down to 1-4 tasks, but a global
+    # floor taxes EVERY small shuffle with full-width tiny tasks —
+    # measured on dedup_winnow_spans (six small exchanges in sequence):
+    # 6.7-8.1 s with the floor vs 4.1-4.2 s at the 1 MB default, the
+    # r14 round's only real regression.  The pair joins now pin their
+    # own width with an explicit AQE-proof repartition on the salted
+    # join keys (see semantic_dup_pairs / icp_order), which fires only
+    # in the salted small-k regime, so the global default coalescing
+    # behavior is restored for everything else.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Mirrors HIGH_THROUGHPUT_SPARK_AQE_CONFIGS (reference utils/spark.py:94-102)
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",

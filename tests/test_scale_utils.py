@@ -133,6 +133,35 @@ class TestEnsureParallelism:
         out = ensure_parallelism(df, min_partitions=64)
         assert "Repartition" in out._jdf.queryExecution().logical().toString()
 
+    def test_wide_checkpoint_is_not_refanned(self, spark, tmp_path):
+        # a localCheckpoint'd frame's width is exact and free to read:
+        # a checkpoint already at/above cluster width must NOT pay
+        # another full-width RoundRobin (at 100 TB that is a full
+        # corpus exchange ahead of a row-local stage — VERDICT r14 #4)
+        from rheoceros_spark.operators.scale import ensure_parallelism
+
+        ck = spark.range(1000).repartition(8).localCheckpoint()
+        assert len(ck.inputFiles()) == 0
+        assert ck.rdd.getNumPartitions() >= 8
+        out = ensure_parallelism(ck, min_partitions=8)
+        assert "Repartition" not in out._jdf.queryExecution().logical().toString(), (
+            "wide in-memory frame was reshuffled anyway"
+        )
+        # ...including through row-local ops on top of the checkpoint
+        derived = ck.where(F.col("id") % 2 == 0).select((F.col("id") * 2).alias("x"))
+        out2 = ensure_parallelism(derived, min_partitions=8)
+        assert "Repartition" not in out2._jdf.queryExecution().logical().toString()
+
+    def test_narrow_checkpoint_still_fans(self, spark, tmp_path):
+        from rheoceros_spark.operators.scale import ensure_parallelism
+
+        ck = spark.range(1000).coalesce(1).localCheckpoint()
+        assert ck.rdd.getNumPartitions() == 1
+        out = ensure_parallelism(ck, min_partitions=8)
+        assert "Repartition" in out._jdf.queryExecution().logical().toString(), (
+            "single-partition in-memory frame must still fan before CPU work"
+        )
+
 
 def test_salted_aggregate_matches_plain(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
