@@ -64,6 +64,17 @@ _DEFAULT_CONFS: dict[str, str] = {
     # worst and turns repeat plans into cache hits on any long-lived
     # session, local or cluster.
     "spark.sql.codegen.cache.maxEntries": "5000",
+    # PySpark 4's DataFrame-API error enrichment does THREE py4j
+    # round-trips (a conf read + PySparkCurrentOrigin set/clear) plus a
+    # Python stack walk on EVERY decorated DataFrame call, purely to
+    # stamp errors with the user-code line.  On the composed-pipeline
+    # builders that is most of the construction chatter — measured:
+    # pipeline_pretrain_corpus construction 8041 → 3581 round-trips
+    # (−55%) with it off.  The cost is flat per-call driver latency at
+    # ANY data scale (guide §5); the only loss is the call-site line in
+    # error messages, which tests/oracles never rely on.  Re-enable via
+    # extra_confs for interactive debugging.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     # Parquet TIMESTAMP(NANOS) (pandas/pyarrow default) is otherwise an
     # illegal type for Spark's reader; read as long and let the loader
