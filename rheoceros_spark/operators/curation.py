@@ -2676,7 +2676,12 @@ def icp_order(
     )
     if cents is None:
         cents = kmeans_centroids(base, k, iters, vec_col, id_col)
-    cents = cents.localCheckpoint(eager=False)
+    # the trained codebook is MODEL-sized (≤ k rows): one bounded
+    # collect → LocalRelation (the r14 semantic_dup_pairs/ivf_write
+    # pattern) instead of a lazy checkpoint whose construction plans
+    # the whole multi-round training DAG again and runs a
+    # broadcast-build job per consumer; doubles round-trip bit-exactly
+    cents = df.sparkSession.createDataFrame(cents.collect(), cents.schema)
     # three consumers (both pair branches + the id list): materialize
     # the assignment once or the broadcast-assign argmax re-runs per
     # branch
